@@ -1,0 +1,419 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational fixture queries demonstrating the operator classes of
+  * SURVEY.md §2 over the driver's TPC-H-ish parquet fixtures
+  * (/root/testdata/sf*). Each query has a DuckDB oracle in
+  * [[FixtureQueries.oracleSql]] with IDENTICAL column aliases.
+  *
+  * Float determinism: double sums are order-dependent, so every SUM over a
+  * double column first casts to DECIMAL (exact, associative) and the final
+  * result is cast back to DOUBLE — both engines then produce bit-identical
+  * values regardless of row order or partitioning.
+  *
+  * Scale notes (100 TB design): every query is a pure declarative plan —
+  * filters/projection reach the parquet scan, small dims are broadcast,
+  * aggregations run partial+final, and no driver-side collect exists.
+  */
+object FixtureQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS) which Spark's vectorized
+    * parquet reader rejects; read nanos as long and convert to a
+    * microsecond timestamp (events fixture is all post-epoch). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  // ---------------------------------------------------------------- A1
+  /** Hash aggregation (partial+final) — SURVEY §2.6 A1.
+    * Demonstrates groupBy count/sum over the fact table. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---------------------------------------------------------------- J1
+  /** Left outer join + null-tolerant agg — SURVEY §2.3 J1 (ALTER→table link).
+    * orders LEFT JOIN customer, revenue per market segment (null segment
+    * for orphan orders kept, like unmatched ALTER statements). */
+  def q2LeftJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNMATCHED")).as("segment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+      .orderBy("segment")
+  }
+
+  /** Anti join (unmatched side of J1: warning for ALTER with no table). */
+  def q2bAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_customers_without_orders"))
+  }
+
+  // ---------------------------------------------------------------- J3
+  /** Broadcast-dimension join — SURVEY §2.3 J3 (type-mapping lookup).
+    * nation ⋈ region with an explicit broadcast hint (the mapping dim is
+    * tiny; at 100 TB the dim stays broadcast, the fact side never shuffles
+    * for this join). */
+  def q3BroadcastJoin(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    val c = t(s, dir, "customer")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
+      .orderBy("r_name")
+  }
+
+  // ---------------------------------------------------------------- J2/O2
+  /** Fill-forward last-value window — SURVEY §2.3 J2 / §2.7 O2
+    * (DISTRIBUTE BY HASH applies to most recent table = as-of semantics).
+    * For each user's event ordered by time, carry forward the last
+    * non-null "purchase" value. */
+  def q4FillForward(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("purchase_value",
+        when(col("event_type") === "purchase", col("value")))
+      .withColumn("last_purchase_value",
+        last(col("purchase_value"), ignoreNulls = true).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("last_purchase_value").cast("decimal(18,4)")).cast("double")
+          .as("sum_carried"),
+        count(col("last_purchase_value")).as("n_carried"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- M1-M20
+  /** Multi-branch CASE projection with arithmetic guards — SURVEY §2.5
+    * (the type-mapping ruleset shape: conditional rewrite + clamping). */
+  def q5CaseRules(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .withColumn("size_class",
+        when(col("p_size") > 40, lit("JUMBO"))
+          .when(col("p_size") > 25, lit("LARGE"))
+          .when(col("p_size") > 10, lit("MEDIUM"))
+          .otherwise(lit("SMALL")))
+      .withColumn("mapped_size", least(col("p_size"), lit(38)))
+      .withColumn("price_band",
+        when(col("p_retailprice") >= 1500.0, lit("PREMIUM"))
+          .when(col("p_retailprice") >= 1000.0, lit("STANDARD"))
+          .otherwise(lit("BUDGET")))
+      .groupBy(col("size_class"), col("price_band"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("mapped_size")).cast("bigint").as("sum_mapped_size"))
+      .orderBy("size_class", "price_band")
+
+  // ---------------------------------------------------------------- A2
+  /** Conditional penalty sum + clamp — SURVEY §2.6 A2 (readiness score
+    * = max(0, 100 - Σpenalty)). Orders accrue penalties by status /
+    * priority / price; score clamped at 0. */
+  def q6PenaltyScore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("penalty",
+        when(col("o_orderstatus") === "F", lit(10)).otherwise(lit(0)) +
+        when(col("o_orderpriority") === "1-URGENT", lit(25)).otherwise(lit(0)) +
+        when(col("o_totalprice") > 200000.0, lit(50)).otherwise(lit(0)))
+      .groupBy(col("o_custkey"))
+      .agg(greatest(lit(0), lit(100) - sum(col("penalty"))).cast("bigint")
+        .as("readiness_score"))
+      .groupBy(col("readiness_score"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("readiness_score")
+
+  // ---------------------------------------------------------------- A9
+  /** Multi-conditional feature counts — SURVEY §2.6 A9 (feature-usage
+    * rollup: one pass, many sum(when(...)) columns). */
+  def q7FeatureCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .agg(
+        sum(when(col("p_type").contains("BRASS"), 1).otherwise(0)).cast("bigint").as("n_brass"),
+        sum(when(col("p_type").contains("STEEL"), 1).otherwise(0)).cast("bigint").as("n_steel"),
+        sum(when(col("p_size") >= 30, 1).otherwise(0)).cast("bigint").as("n_large"),
+        sum(when(col("p_brand") === "Brand#11", 1).otherwise(0)).cast("bigint").as("n_brand11"),
+        count(lit(1)).as("n_total"))
+
+  // ---------------------------------------------------------------- O1
+  /** Ordered string aggregation — SURVEY §2.7 O1 (DDL rendering: lines
+    * joined in definition order). Per order: line numbers concatenated in
+    * order. Implemented distribution-safely: collect_list of (pos, item)
+    * structs, array_sort by pos, then join — never relies on row order
+    * surviving the shuffle. */
+  def q8OrderedAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(array_join(
+          transform(
+            // l_linenumber is NOT unique within an order in the fixture —
+            // sort by (linenumber, partkey) so ties are deterministic.
+            array_sort(collect_list(struct(col("l_linenumber"), col("l_partkey")))),
+            x => x.getField("l_partkey").cast("string")),
+          ",").as("parts_in_order"))
+      .orderBy("l_orderkey")
+
+  // ---------------------------------------------------------------- §2.7
+  /** Rank per group — SURVEY §2.7 (analytic window generalization). Top-3
+    * orders by price per priority with deterministic tie-break. */
+  def q9Rank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  /** Frame-bounded running sum — SURVEY §2.7 (frame-spec window). RANGE
+    * frame (not ROWS): l_linenumber has ties in the fixture, and a RANGE
+    * frame includes all peers, keeping the result order-independent. */
+  def q10RunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .withColumn("running_qty",
+        sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ---------------------------------------------------------------- §2.8
+  /** Set operations — SURVEY §2.8 (union of render branches / except).
+    * Customers in the union of two overlapping segment splits minus a
+    * third set; distinct semantics like SQL UNION/EXCEPT. */
+  def q11SetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val a = c.filter(col("c_acctbal") > 1000.0).select(col("c_custkey"))
+    val b = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val x = c.filter(col("c_nationkey") < 5).select(col("c_custkey"))
+    a.union(b).distinct().except(x)
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("c_custkey")).cast("bigint").as("sum_keys"))
+  }
+
+  // ---------------------------------------------------------------- §2.9
+  /** Scalar function sweep — SURVEY §2.9 (string/date/JSON scalars over
+    * events.props JSON column). */
+  def q12Scalars(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      // day as a STRING: a date column would hash differently from
+      // DuckDB's (date vs datetime64 representation ambiguity).
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("etype_up", upper(trim(col("event_type"))))
+      .withColumn("dev", get_json_object(col("props"), "$.k"))
+      .groupBy(col("day"), col("etype_up"), col("dev"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("day", "etype_up", "dev")
+
+  // ---------------------------------------------------------------- S2
+  /** Split + posexplode — SURVEY §2.1 S2 (statement splitter shape:
+    * one-to-many with ordinal preservation). */
+  def q13SplitExplode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+      .withColumnRenamed("pos", "word_pos")
+      .withColumnRenamed("col", "word")
+      .groupBy(col("word_pos"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("word_pos", "word")
+
+  // ---------------------------------------------------------------- J4
+  /** Theta (contains) join — SURVEY §2.3 J4 (issue→table substring
+    * re-attachment). Joins part types against a tiny derived dimension of
+    * material words on substring containment — broadcast nested-loop by
+    * design (dim is tiny; fact side streams). */
+  def q14ThetaJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val words = p.select(explode(split(col("p_name"), " ")).as("w"))
+      .filter(col("w").isin("red", "blue", "small", "hot", "green"))
+      .distinct()
+    p.join(broadcast(words), col("p_name").contains(col("w")))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("w")
+  }
+
+  // ---------------------------------------------------------------- A4-A6
+  /** Rollup aggregation — SURVEY §2.6 note (per-schema ∪ per-table report
+    * = one rollup): revenue rollup over region→nation. */
+  def q15Rollup(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    val c = t(s, dir, "customer")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** Oracle SQL (DuckDB dialect, ANSI where possible). Aliases match the
+    * Spark side exactly — the driver sorts columns by name before hashing. */
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q2_left_join" ->
+      """SELECT coalesce(c_mktsegment, 'UNMATCHED') AS segment,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q2b_anti_join" ->
+      """SELECT count(*) AS n_customers_without_orders
+        |FROM customer WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q3_broadcast_join" ->
+      """SELECT r_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q4_fill_forward" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_purchase_value
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CAST(last_purchase_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_carried,
+        |  count(last_purchase_value) AS n_carried
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q5_case_rules" ->
+      """SELECT
+        |  CASE WHEN p_size > 40 THEN 'JUMBO' WHEN p_size > 25 THEN 'LARGE'
+        |       WHEN p_size > 10 THEN 'MEDIUM' ELSE 'SMALL' END AS size_class,
+        |  CASE WHEN p_retailprice >= 1500.0 THEN 'PREMIUM'
+        |       WHEN p_retailprice >= 1000.0 THEN 'STANDARD'
+        |       ELSE 'BUDGET' END AS price_band,
+        |  count(*) AS n_parts,
+        |  CAST(sum(least(p_size, 38)) AS BIGINT) AS sum_mapped_size
+        |FROM part GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q6_penalty_score" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey,
+        |    CAST(greatest(0, 100 - sum(
+        |      (CASE WHEN o_orderstatus = 'F' THEN 10 ELSE 0 END) +
+        |      (CASE WHEN o_orderpriority = '1-URGENT' THEN 25 ELSE 0 END) +
+        |      (CASE WHEN o_totalprice > 200000.0 THEN 50 ELSE 0 END))) AS BIGINT)
+        |      AS readiness_score
+        |  FROM orders GROUP BY 1)
+        |SELECT readiness_score, count(*) AS n_customers
+        |FROM per_cust GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q7_feature_counts" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN contains(p_type, 'BRASS') THEN 1 ELSE 0 END) AS BIGINT) AS n_brass,
+        |  CAST(sum(CASE WHEN contains(p_type, 'STEEL') THEN 1 ELSE 0 END) AS BIGINT) AS n_steel,
+        |  CAST(sum(CASE WHEN p_size >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+        |  CAST(sum(CASE WHEN p_brand = 'Brand#11' THEN 1 ELSE 0 END) AS BIGINT) AS n_brand11,
+        |  count(*) AS n_total
+        |FROM part""".stripMargin,
+    "q8_ordered_agg" ->
+      """SELECT l_orderkey,
+        |  string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_linenumber, l_partkey)
+        |    AS parts_in_order
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_rank" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY 1, 2""".stripMargin,
+    "q10_running_sum" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_qty
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    "q11_set_ops" ->
+      """WITH u AS (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 1000.0
+        |  UNION
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT count(*) AS n_keys, CAST(sum(c_custkey) AS BIGINT) AS sum_keys
+        |FROM (SELECT c_custkey FROM u
+        |      EXCEPT SELECT c_custkey FROM customer WHERE c_nationkey < 5)""".stripMargin,
+    "q12_scalars" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  upper(trim(event_type)) AS etype_up,
+        |  json_extract_string(props, '$.k') AS dev,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    "q13_split_explode" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(p_name, ' ')) AS word,
+        |         generate_subscripts(string_split(p_name, ' '), 1) - 1 AS word_pos
+        |  FROM part)
+        |SELECT word_pos, word, count(*) AS n
+        |FROM w GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q14_theta_join" ->
+      """WITH words AS (
+        |  SELECT DISTINCT w FROM (
+        |    SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
+        |  WHERE w IN ('red','blue','small','hot','green'))
+        |SELECT w, count(*) AS n_parts
+        |FROM part JOIN words ON contains(p_name, w)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_left_join" -> (q2LeftJoin _),
+    "q2b_anti_join" -> (q2bAntiJoin _),
+    "q3_broadcast_join" -> (q3BroadcastJoin _),
+    "q4_fill_forward" -> (q4FillForward _),
+    "q5_case_rules" -> (q5CaseRules _),
+    "q6_penalty_score" -> (q6PenaltyScore _),
+    "q7_feature_counts" -> (q7FeatureCounts _),
+    "q8_ordered_agg" -> (q8OrderedAgg _),
+    "q9_rank" -> (q9Rank _),
+    "q10_running_sum" -> (q10RunningSum _),
+    "q11_set_ops" -> (q11SetOps _),
+    "q12_scalars" -> (q12Scalars _),
+    "q13_split_explode" -> (q13SplitExplode _),
+    "q14_theta_join" -> (q14ThetaJoin _),
+    "q15_rollup" -> (q15Rollup _),
+  )
+}
