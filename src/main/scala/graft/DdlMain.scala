@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.assess.Assessor
+import graft.convert.{Db2Renderer, RenderConfig}
+import graft.snowflake.SnowflakeRenderer
+
+/** CLI surface for the DDL engine (local, non-Spark path).
+  *
+  * Usage: DdlMain <db2|snowflake> <assess|convert> <ddl-file> [externalVolume]
+  *
+  * Reads a DDL script, runs the requested pipeline, prints the converted
+  * DDL (convert) or the report JSON (assess) to stdout. The Spark-side
+  * equivalent (distributed over many scripts) lives in graft.api.Engine.
+  */
+object DdlMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println("usage: DdlMain <db2|snowflake> <assess|convert> <ddl-file> [externalVolume]")
+      sys.exit(2)
+    }
+    val Array(dialect, mode, path) = args.take(3)
+    val ddl = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+    val cfg = RenderConfig(externalVolume =
+      if (args.length > 3) args(3) else "<EXTERNAL_VOLUME>")
+
+    (dialect, mode) match {
+      case ("db2", "convert") =>
+        val r = Db2Renderer.convert(ddl, cfg)
+        if (!r.success) { System.err.println(s"error: ${r.errorMessage.getOrElse("")}"); sys.exit(1) }
+        System.err.println(s"-- tables=${r.tablesConverted} ewi=${r.ewiCount}")
+        println(r.icebergDdl)
+      case ("db2", "assess") =>
+        println(Assessor.toJson(Assessor.assess(ddl)))
+      case ("snowflake", "convert") =>
+        val r = SnowflakeRenderer.convert(ddl, cfg)
+        if (!r.success) { System.err.println(s"error: ${r.errorMessage.getOrElse("")}"); sys.exit(1) }
+        System.err.println(s"-- tables=${r.tablesConverted} ewi=${r.ewiCount} issues=${r.issues.length}")
+        println(r.icebergDdl)
+      case ("snowflake", "assess") =>
+        val conv = SnowflakeRenderer.convert(ddl, cfg)
+        println(Assessor.toJson(SnowflakeRenderer.assessmentReport(conv, ddl)))
+      case other =>
+        System.err.println(s"unknown dialect/mode: $other"); sys.exit(2)
+    }
+  }
+}
