@@ -17,7 +17,7 @@ final case class Db2Column(
     precision: Option[Int] = None,
     scale: Option[Int] = None,
     nullable: Boolean = true,
-    default: Option[String] = None,
+    defaultValue: Option[String] = None,
     generated: Option[String] = None, // ALWAYS | BY DEFAULT
     ccsid: Option[String] = None,
     forBitData: Boolean = false,
@@ -151,7 +151,7 @@ final case class SnowflakeColumn(
     name: String,
     dataType: String,
     nullable: Boolean = true,
-    default: Option[String] = None,
+    defaultValue: Option[String] = None,
     identity: Option[String] = None,
     comment: Option[String] = None,
     collate: Option[String] = None,

@@ -261,7 +261,7 @@ object Db2Parser {
       precision = precision,
       scale = scale,
       nullable = !upper.contains("NOT NULL"),
-      default = findIn(DefaultPattern, remaining).map(_.group(1)),
+      defaultValue = findIn(DefaultPattern, remaining).map(_.group(1)),
       generated =
         if (upper.contains("GENERATED ALWAYS")) Some("ALWAYS")
         else if (upper.contains("GENERATED BY DEFAULT")) Some("BY DEFAULT")

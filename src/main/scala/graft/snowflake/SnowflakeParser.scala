@@ -156,7 +156,7 @@ object SnowflakeParser {
       name = stripQuotes(name),
       dataType = dataType,
       nullable = !upper.contains("NOT NULL"),
-      default = findIn(DefaultPattern, restOfDef).map(_.group(1)),
+      defaultValue = findIn(DefaultPattern, restOfDef).map(_.group(1)),
       identity =
         if (upper.contains("IDENTITY") || upper.contains("AUTOINCREMENT"))
           findIn(IdentityPattern, restOfDef).flatMap(m => Option(m.group(1))).orElse(Some("1,1"))

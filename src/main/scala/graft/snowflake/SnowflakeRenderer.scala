@@ -214,7 +214,7 @@ object SnowflakeRenderer {
     parts += col.dataType
     if (!col.nullable) parts += "NOT NULL"
     if (col.identity.isDefined) parts += "AUTOINCREMENT"
-    col.default.foreach(d => parts += s"DEFAULT $d")
+    col.defaultValue.foreach(d => parts += s"DEFAULT $d")
     parts.result().mkString(" ")
   }
 

@@ -82,7 +82,7 @@ class Db2EngineSpec extends AnyFunSuite {
     val phone = customer.columns.find(_.name == "PHONE").get
     assert(phone.dataType === "CHAR" && phone.length === Some(15))
     val status = customer.columns.find(_.name == "STATUS").get
-    assert(status.dataType === "SMALLINT" && status.default === Some("1"))
+    assert(status.dataType === "SMALLINT" && status.defaultValue === Some("1"))
     assert(customer.constraints.exists(c => c.ctype == "PRIMARY KEY" && c.columns == Seq("CUST_ID")))
 
     val secure = tables.find(_.name == "SENSITIVE_DATA").get
