@@ -10,10 +10,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    FixtureQueries.queries ++ graft.operators.DdlQueries.queries
+    FixtureQueries.queries ++ graft.operators.DdlQueries.queries ++
+      graft.operators.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    FixtureQueries.oracleSql
+    FixtureQueries.oracleSql ++ graft.operators.PipelineQueries.oracleSql
 }

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines: token
+  * counting, quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * Everything here is a pure `Column` expression built from Spark
+  * built-ins (codegen'd, whole-stage-compatible — no UDFs), so at 100 TB
+  * these run inside the scan's projection with columns pruned to `text`.
+  * The quality/langid formulas are deliberately expressible in ANSI SQL
+  * so the DuckDB oracle can replicate them term-for-term.
+  */
+object TextFunctions {
+
+  /** Language stopword sets for the ID heuristic (public common words). */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "dans"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"))
+
+  /** Whitespace tokens of lower-cased text. */
+  def words(text: Column): Column = split(lower(trim(text)), " +")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish subword token count: alpha runs, digit runs, and single
+    * non-alphanumeric marks each count as one token. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Punctuation-character ratio over total length (0 for empty). */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      size(regexp_extract_all(text, lit("[^a-zA-Z0-9 ]"), lit(0)))
+        .cast("double") / length(text).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Count of tokens found in `set`. */
+  def stopwordCount(text: Column, set: Seq[String]): Column =
+    size(filter(words(text), w => w.isin(set: _*)))
+
+  /** Stopword ratio against the English set. */
+  def stopwordRatio(text: Column): Column =
+    when(tokenCount(text) > 0,
+      stopwordCount(text, Stopwords("en")).cast("double") / tokenCount(text).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Composite document quality score in [0,1]:
+    * 0.4·length-saturation(100 tokens) + 0.3·(1 − 5·punct ratio, floored)
+    * + 0.3·stopword-presence saturation. A cheap, fully-columnar quality
+    * gate of the kind used to filter web-scale training corpora. */
+  def qualityScore(text: Column): Column = {
+    val lenTerm = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val punctTerm = greatest(lit(1.0) - punctRatio(text) * 5.0, lit(0.0))
+    val stopTerm = least(stopwordRatio(text) * 10.0, lit(1.0))
+    // no rounding: the raw IEEE expression is bit-identical across engines
+    lenTerm * 0.4 + punctTerm * 0.3 + stopTerm * 0.3
+  }
+
+  /** Stopword-vote language ID over the SQL-safe subset (en/fr/es/de;
+    * ties and no-votes → "und"). The chain is deterministic and mirrors
+    * the oracle SQL CASE exactly. */
+  def langIdStopwords(text: Column): Column = {
+    val en = stopwordCount(text, Stopwords("en"))
+    val fr = stopwordCount(text, Stopwords("fr"))
+    val es = stopwordCount(text, Stopwords("es"))
+    val de = stopwordCount(text, Stopwords("de"))
+    when(en + fr + es + de === 0, lit("und"))
+      .when(en >= fr && en >= es && en >= de, lit("en"))
+      .when(fr >= es && fr >= de, lit("fr"))
+      .when(es >= de, lit("es"))
+      .otherwise(lit("de"))
+  }
+
+  /** Full language ID: CJK-character detection first (n-gram heuristics
+    * are useless across scripts), then the stopword vote. */
+  def langId(text: Column): Column =
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
+      .otherwise(langIdStopwords(text))
+
+  /** 64-bit exact-content fingerprint of normalized text. */
+  def fingerprint(text: Column): Column =
+    xxhash64(concat_ws(" ", words(text)))
+
+  /** Rolling polynomial fingerprints of k-word windows (document
+    * fingerprinting à la winnowing): hash of each k-shingle. */
+  def shingleFingerprints(text: Column, k: Int): Column = {
+    val w = words(text)
+    when(size(w) >= k,
+      transform(sequence(lit(1), size(w) - (k - 1)),
+        i => xxhash64(concat_ws(" ", (0 until k).map(j => element_at(w, i + j)): _*))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** k-word shingle strings (distinct), the unit for Jaccard/MinHash. */
+  def shingles(text: Column, k: Int): Column = {
+    val w = words(text)
+    array_distinct(
+      when(size(w) >= k,
+        transform(sequence(lit(1), size(w) - (k - 1)),
+          i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j)): _*)))
+        .otherwise(array().cast("array<string>")))
+  }
+}

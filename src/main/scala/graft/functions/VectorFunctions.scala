@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector column functions over `array<float>` embedding columns.
+  *
+  * All pure higher-order-function expressions (`zip_with`/`aggregate`) —
+  * codegen-friendly, no UDFs, columns pruned to the embedding at the
+  * scan. Elements are cast to double before arithmetic and folds run in
+  * array order, so results are bit-deterministic.
+  */
+object VectorFunctions {
+
+  /** Dot product of two equal-length vectors (double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = norm(a)
+    val nb = norm(b)
+    when(na > 0 && nb > 0, dot(a, b) / (na * nb)).otherwise(lit(0.0))
+  }
+
+  /** splitmix64 — deterministic pseudo-random stream for hyperplane
+    * components (public-domain mixing constants). No runtime RNG. */
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic ±1 random hyperplanes: `planes(p)(d)` for plane p,
+    * dimension d. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      if (splitmix64(seed + p * 131071L + d) >= 0L) 1.0 else -1.0
+    }
+
+  /** Random-hyperplane LSH bucket id in [0, 2^nPlanes): bit p is the
+    * sign of the projection onto plane p. Cosine-similar vectors land in
+    * the same bucket with high probability — the scale path for ANN
+    * (bucket-local search instead of all-pairs). */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    planes.zipWithIndex.map { case (plane, p) =>
+      when(dot(vec, typedlit(plane.toSeq)) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+}

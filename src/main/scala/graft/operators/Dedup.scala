@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * n-gram-Jaccard, MinHash+LSH and SimHash near-dup detection.
+  *
+  * Scale design (100 TB): every variant projects the text down to a
+  * compact key/signature BEFORE the shuffle — raw text never moves.
+  *  - exact: shuffle on a 64-bit hash of the normalized key.
+  *  - Jaccard: explode distinct shingles (doc_id, shingle-hash) pairs;
+  *    the self-join is shingle-partitioned; skew (stop-shingles) is
+  *    bounded by dropping shingles above a document-frequency cap.
+  *  - MinHash+LSH: k permutations → b bands; candidate pairs come from
+  *    band-bucket joins (linear in bucket sizes), not all-pairs.
+  *  - SimHash: one 64-bit signature per doc; banding on 16-bit chunks
+  *    gives hamming≤k candidates without O(n²).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized key: one representative
+    * (min orderCol) per key, group sizes attached. */
+  def exactGroups(docs: DataFrame, key: Column, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("dedup_key")).orderBy(col(idCol))
+    docs.withColumn("dedup_key", key)
+      .withColumn("group_size", count(lit(1)).over(
+        Window.partitionBy(col("dedup_key"))))
+      .withColumn("rep_rank", row_number().over(w))
+  }
+
+  /** (doc_id, shingle) exploded pairs, distinct per doc, with hot
+    * shingles above dfCap dropped (skew guard — a shingle occurring in
+    * a large fraction of docs generates quadratic join fanout and no
+    * dedup signal). */
+  def shinglePairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      dfCap: Long = Long.MaxValue): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), k)).as("s"))
+    if (dfCap == Long.MaxValue) sh
+    else {
+      val hot = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") > dfCap)
+      sh.join(hot, Seq("s"), "left_anti")
+    }
+  }
+
+  /** All pairs with n-gram Jaccard ≥ threshold: shingle-partitioned
+    * self-join, shared-count agg, then Jaccard arithmetic. Rounded to 6
+    * decimals so results are engine-portable. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      threshold: Double): DataFrame = {
+    val sh = shinglePairs(docs, idCol, textCol, k).cache()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = sh.select(col("doc_id").as("d1"), col("s").as("s1"))
+    val b = sh.select(col("doc_id").as("d2"), col("s").as("s2"))
+    val shared = a.join(b, col("s1") === col("s2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_shingles", "n1"), "d1")
+      .join(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_shingles", "n2"), "d2")
+      .withColumn("jaccard", round(col("shared").cast("double") /
+        (col("n1") + col("n2") - col("shared")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
+  }
+
+  /** MinHash signatures: k permutations simulated as xxhash64(seed, s);
+    * signature[i] = min over the doc's shingles. One row per doc,
+    * signature as array<bigint>. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numPerm: Int): DataFrame = {
+    val sh = shinglePairs(docs, idCol, textCol, shingleK)
+    val mins = (0 until numPerm).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    sh.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until numPerm).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs from banded MinHash signatures: docs sharing
+    * any band bucket. numPerm must be divisible by bands. */
+  def minhashCandidates(signatures: DataFrame, bands: Int): DataFrame = {
+    val rowsPerBand = (size(col("sig")) / lit(bands)).cast("int")
+    val banded = signatures.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_", lit("band"), b.cast("string"),
+          to_json(slice(col("sig"), b * rowsPerBand + lit(1), rowsPerBand)))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val l = banded.select(col("doc_id").as("d1"), col("band").as("band1"), col("bucket").as("bucket1"))
+    val r = banded.select(col("doc_id").as("d2"), col("band").as("band2"), col("bucket").as("bucket2"))
+    l.join(r, col("band1") === col("band2") && col("bucket1") === col("bucket2") &&
+        col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** 64-bit SimHash per doc: bit j is the sign of Σ over tokens of
+    * (bit j of xxhash64(token) ? +1 : −1). Computed as one exploded
+    * aggregation over (doc, token) with 64 conditional sums. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(words(col(textCol))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    tok.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        ).reduce((a, b) => a.bitwiseXOR(b)).as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: band each signature into 4×16-bit
+    * chunks; docs sharing any chunk are candidates (any pair with
+    * hamming ≤ 3 shares at least one chunk by pigeonhole); verify with
+    * the exact hamming distance. */
+  def simhashCandidates(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "chunk")
+    val l = banded.select(col("doc_id").as("d1"), col("simhash").as("s1"),
+      col("band").as("band1"), col("chunk").as("chunk1"))
+    val r = banded.select(col("doc_id").as("d2"), col("simhash").as("s2"),
+      col("band").as("band2"), col("chunk").as("chunk2"))
+    l.join(r, col("band1") === col("band2") && col("chunk1") === col("chunk2") &&
+        col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), hamming(col("s1"), col("s2")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+
+/** Training-data-pipeline queries over the documents/embeddings fixtures
+  * (builder brief: dedup, similarity search, text analysis, multimodal),
+  * each with a DuckDB oracle where the computation is SQL-expressible.
+  *
+  * Float discipline: no cross-row double sums feed oracle-checked
+  * outputs unless they are exact-integer sums or sequential folds that
+  * both engines evaluate identically; per-row double expressions mirror
+  * the oracle SQL op-for-op (see q16/q22 notes).
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------- text
+
+  /** Per-document text statistics: token counts, punctuation,
+    * stopwords, composite quality score. All per-row expressions. */
+  def q16TextStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"), col("lang"),
+        tokenCount(col("text")).as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0))).as("n_punct"),
+        stopwordCount(col("text"), Stopwords("en")).as("n_stopwords"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Language-ID stopword vote vs the labeled lang. */
+  def q17LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), langIdStopwords(col("text")).as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  /** Exact dedup on a normalized key (first 5 words): group-size
+    * histogram — the shape of the duplicate mass. */
+  def q18ExactDedup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(concat_ws(" ", slice(words(col("text")), 1, 5)).as("dedup_key"))
+      .groupBy("dedup_key").agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
+      .orderBy("group_size")
+
+  /** N-gram (3-shingle) Jaccard near-dup pairs ≥ 0.2. */
+  def q19NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.2)
+      .orderBy("d1", "d2")
+
+  /** MinHash(32) + LSH(8 bands) candidate pairs (no oracle — hash
+    * permutations are engine-specific). */
+  def q20MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text",
+      shingleK = 3, numPerm = 32)
+    Dedup.minhashCandidates(sigs, bands = 8).orderBy("d1", "d2")
+  }
+
+  /** SimHash signatures per doc + near-dup candidate counts (no
+    * oracle). Always |documents| rows. */
+  def q21Simhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+    val cand = Dedup.simhashCandidates(sigs, maxHamming = 16)
+    val perDoc = cand.select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+    sigs.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- ANN
+
+  /** Brute-force cosine top-3 for the first 10 vectors (exact ANN
+    * baseline). Oracle uses an explicit double-fold (DuckDB's
+    * list_cosine_similarity accumulates in float32 and diverges). */
+  def q22CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 3)
+      .orderBy("q_id", "rk")
+  }
+
+  /** Embedding near-duplicate pairs (cosine ≥ 0.40). */
+  def q23EmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.40)
+      .orderBy("a_id", "b_id")
+
+  /** LSH-bucketed ANN recall@3 against the exact baseline (no oracle —
+    * measures the approximate scale path). */
+  def q25LshRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshRecall(emb, emb.filter(col("vec_id") < 10), k = 3,
+      nPlanes = 4, dim = 64).orderBy("q_id")
+  }
+
+  // ---------------------------------------------------------------- media
+
+  /** Multimodal plumbing: documents → binary assets → stub decode →
+    * per-type rollup; frame counts validate the chunk-explode path. */
+  def q24Multimodal(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.assetsFromDocuments(t(s, dir, "documents"))
+    val meta = Multimodal.decodeStub(assets).toDF()
+    val frames = Multimodal.frameSample(assets.toDF(), frameBytes = 64, stride = 2)
+      .join(assets.toDF().select(col("asset_id"), col("media_type")), "asset_id")
+      .groupBy("media_type").agg(count(lit(1)).as("n_frames"))
+    meta.groupBy("media_type")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).cast("bigint").as("total_bytes"),
+        sum(col("width")).cast("bigint").as("sum_width"),
+        sum(col("height")).cast("bigint").as("sum_height"))
+      .join(frames, Seq("media_type"), "left")
+      .orderBy("media_type")
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  private val WordsSql = "string_split_regex(lower(trim(text)), ' +')"
+  private val EnSet = TextFunctions.Stopwords("en").map(w => s"'$w'").mkString(", ")
+  private val FrSet = TextFunctions.Stopwords("fr").map(w => s"'$w'").mkString(", ")
+  private val EsSet = TextFunctions.Stopwords("es").map(w => s"'$w'").mkString(", ")
+  private val DeSet = TextFunctions.Stopwords("de").map(w => s"'$w'").mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q16_text_stats" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, text,
+         |    len($WordsSql) AS n_tokens,
+         |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+         |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+         |    len(list_filter($WordsSql, w -> w IN ($EnSet))) AS n_stopwords
+         |  FROM documents)
+         |SELECT doc_id, lang, n_tokens, n_bpe_tokens, n_punct, n_stopwords,
+         |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |  + greatest(1.0 - (CASE WHEN length(text) > 0
+         |      THEN CAST(n_punct AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 5.0, 0.0) * 0.3
+         |  + least((CASE WHEN n_tokens > 0
+         |      THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 10.0, 1.0) * 0.3
+         |  AS quality
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "q17_langid" ->
+      s"""WITH v AS (
+         |  SELECT lang,
+         |    len(list_filter($WordsSql, w -> w IN ($EnSet))) AS en,
+         |    len(list_filter($WordsSql, w -> w IN ($FrSet))) AS fr,
+         |    len(list_filter($WordsSql, w -> w IN ($EsSet))) AS es,
+         |    len(list_filter($WordsSql, w -> w IN ($DeSet))) AS de
+         |  FROM documents)
+         |SELECT lang,
+         |  CASE WHEN en + fr + es + de = 0 THEN 'und'
+         |       WHEN en >= fr AND en >= es AND en >= de THEN 'en'
+         |       WHEN fr >= es AND fr >= de THEN 'fr'
+         |       WHEN es >= de THEN 'es'
+         |       ELSE 'de' END AS predicted,
+         |  count(*) AS n
+         |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q18_exact_dedup" ->
+      s"""WITH keyed AS (
+         |  SELECT array_to_string(list_slice($WordsSql, 1, 5), ' ') AS dedup_key
+         |  FROM documents),
+         |g AS (SELECT dedup_key, count(*) AS group_size FROM keyed GROUP BY 1)
+         |SELECT group_size, count(*) AS n_groups
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_ngram_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, $WordsSql AS w FROM documents),
+         |idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM w WHERE len(w) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, shared,
+         |  round(CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE), 6) AS jaccard
+         |FROM pairs
+         |JOIN cnt ca ON ca.doc_id = d1
+         |JOIN cnt cb ON cb.doc_id = d2
+         |WHERE round(CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE), 6) >= 0.2
+         |ORDER BY 1, 2""".stripMargin,
+    "q22_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+        |s AS (
+        |  SELECT q_id, c_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(q_vec) + 1),
+        |        i -> CAST(q_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(q_vec) + 1),
+        |           i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(c_vec) + 1),
+        |           i -> CAST(c_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE))))), 6) AS score
+        |  FROM q, c WHERE q_id <> c_id),
+        |r AS (SELECT q_id, c_id, score,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rk
+        |      FROM s)
+        |SELECT q_id, rk, c_id, score FROM r WHERE rk <= 3 ORDER BY 1, 2""".stripMargin,
+    "q23_embed_neardup" ->
+      """WITH a AS (SELECT vec_id AS a_id, embedding AS a_vec FROM embeddings),
+        |b AS (SELECT vec_id AS b_id, embedding AS b_vec FROM embeddings),
+        |s AS (
+        |  SELECT a_id, b_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(a_vec) + 1),
+        |        i -> CAST(a_vec[i] AS DOUBLE) * CAST(b_vec[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(a_vec) + 1),
+        |           i -> CAST(a_vec[i] AS DOUBLE) * CAST(a_vec[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(b_vec) + 1),
+        |           i -> CAST(b_vec[i] AS DOUBLE) * CAST(b_vec[i] AS DOUBLE))))), 6) AS score
+        |  FROM a, b WHERE a_id < b_id)
+        |SELECT a_id, b_id, score FROM s WHERE score >= 0.40 ORDER BY 1, 2""".stripMargin,
+    "q24_multimodal" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    source,
+        |    octet_length(encode(text)) AS n_bytes,
+        |    ascii(substr(text,1,1)) * 16777216 + ascii(substr(text,2,1)) * 65536
+        |      + ascii(substr(text,3,1)) * 256 + ascii(substr(text,4,1)) AS header
+        |  FROM documents),
+        |d AS (
+        |  SELECT media_type, n_bytes,
+        |    16 + header % 1920 AS width,
+        |    16 + (header // 256) % 1080 AS height,
+        |    CAST(n_bytes // 64 AS BIGINT) AS nf
+        |  FROM m)
+        |SELECT media_type,
+        |  count(*) AS n_assets,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum(width) AS BIGINT) AS sum_width,
+        |  CAST(sum(height) AS BIGINT) AS sum_height,
+        |  CAST(sum(CASE WHEN nf > 0 THEN (nf + 1) // 2 ELSE 0 END) AS BIGINT) AS n_frames
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_text_stats" -> (q16TextStats _),
+    "q17_langid" -> (q17LangId _),
+    "q18_exact_dedup" -> (q18ExactDedup _),
+    "q19_ngram_jaccard" -> (q19NgramJaccard _),
+    "q20_minhash_lsh" -> (q20MinhashLsh _),
+    "q21_simhash" -> (q21Simhash _),
+    "q22_cosine_topk" -> (q22CosineTopK _),
+    "q23_embed_neardup" -> (q23EmbedNearDup _),
+    "q24_multimodal" -> (q24Multimodal _),
+    "q25_lsh_recall" -> (q25LshRecall _),
+  )
+}

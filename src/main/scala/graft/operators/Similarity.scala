@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths (SURVEY.md / builder brief):
+  *  - [[bruteForceTopK]] — exact baseline: broadcast the (small) query
+  *    set, one streaming pass over the corpus, per-query top-k. At
+  *    100 TB the corpus side never shuffles; cost is a single scan ×
+  *    |queries| fused into whole-stage codegen.
+  *  - [[lshTopK]] — scale path: random-hyperplane LSH buckets corpus
+  *    and queries; each query searches only its bucket (probe=1) —
+  *    turns scan×|Q| into bucket-local work. Recall measured against
+  *    the baseline in tests/queries.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine for each query vector. Scores rounded to 6
+    * decimals (engine-portable); ties broken by corpus id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("score", round(cosine(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("c_id"), col("score"))
+  }
+
+  /** LSH-bucketed approximate top-k: search only the query's bucket. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int, dim: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+      lshBucket(col("embedding"), nPlanes, dim).as("c_bucket"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+      lshBucket(col("embedding"), nPlanes, dim).as("q_bucket"))
+    val scored = c.join(broadcast(q), col("c_bucket") === col("q_bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("score", round(cosine(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("c_id"), col("score"))
+  }
+
+  /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥
+    * threshold. Demo-scale all-pairs; the production path buckets via
+    * [[graft.functions.VectorFunctions.lshBucket]] first. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = corpus.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("score", round(cosine(col("a_vec"), col("b_vec")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("a_id"), col("b_id"), col("score"))
+  }
+
+  /** Recall@k of the LSH path against the exact baseline, per query. */
+  def lshRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int, dim: Int): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("q_id"), col("c_id"))
+    val approx = lshTopK(corpus, queries, k, nPlanes, dim)
+      .select(col("q_id"), col("c_id"))
+    exact.join(approx, Seq("q_id", "c_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      .join(exact.groupBy("q_id").agg(count(lit(1)).as("n_exact")), Seq("q_id"), "right")
+      .select(col("q_id"),
+        round(coalesce(col("hits"), lit(0)).cast("double") / col("n_exact"), 4).as("recall"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Unit tests for the training-data-pipeline operators on small
+  * in-memory data (semantic checks; oracle parity is covered by the
+  * driver contract via PipelineQueries.oracleSql). */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  private def sf001 = "/root/testdata/sf0.001"
+
+  import org.apache.spark.sql.DataFrame
+  private def docsDf: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words appear here nothing shared"),
+      (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("text functions: counts, quality in [0,1], langid, fingerprints") {
+    val df = docsDf.select(
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.langIdStopwords(col("text")).as("lang"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Int]("n")).toSeq === Seq(9, 9, 7, 9))
+    assert(rows.forall(r => r.getAs[Double]("q") >= 0.0 && r.getAs[Double]("q") <= 1.0))
+    assert(rows.take(2).forall(_.getAs[String]("lang") === "en"))
+    // exact dup docs share the fingerprint; different docs don't
+    assert(rows(0).getAs[Long]("fp") === rows(3).getAs[Long]("fp"))
+    assert(rows(0).getAs[Long]("fp") !== rows(2).getAs[Long]("fp"))
+  }
+
+  test("langId detects CJK before stopword vote") {
+    import spark.implicits._
+    val df = Seq("你好 世界", "the quick fox").toDF("text")
+      .select(TextFunctions.langId(col("text")).as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("zh", "en"))
+  }
+
+  test("jaccard pairs: exact dup pair scores 1.0; near dup high; disjoint absent") {
+    val pairs = Dedup.jaccardPairs(docsDf, "doc_id", "text", k = 3, threshold = 0.2)
+      .collect().map(r => ((r.getAs[Long]("d1"), r.getAs[Long]("d2")), r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((1L, 4L)) === 1.0)
+    assert(pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash LSH finds the exact-dup and near-dup candidates") {
+    val sigs = Dedup.minhashSignatures(docsDf, "doc_id", "text", shingleK = 3, numPerm = 32)
+    assert(sigs.count() === 4)
+    val cands = Dedup.minhashCandidates(sigs, bands = 8)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(cands.contains((1L, 4L))) // identical docs always collide
+    assert(cands.contains((1L, 2L)) || cands.contains((2L, 4L))) // near dup
+  }
+
+  test("simhash: identical docs → identical signature, hamming 0") {
+    val sigs = Dedup.simhash(docsDf, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sigs(1L) === sigs(4L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <
+      java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)))
+  }
+
+  test("cosine top-k: self excluded, scores sorted, lsh recall ∈ [0,1]") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val topk = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 3).collect()
+    assert(topk.length === 15)
+    assert(topk.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("c_id")))
+    val byQ = topk.groupBy(_.getAs[Long]("q_id"))
+    for ((_, rows) <- byQ) {
+      val scores = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("score"))
+      assert(scores.sorted.reverse.toSeq === scores.toSeq)
+    }
+    val rec = Similarity.lshRecall(emb, emb.filter(col("vec_id") < 5), 3, 4, 64).collect()
+    assert(rec.length === 5)
+    assert(rec.forall(r => r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0))
+  }
+
+  test("multimodal: stub decode metadata and frame sampling") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val assets = Multimodal.assetsFromDocuments(docs)
+    val meta = Multimodal.decodeStub(assets).collect()
+    assert(meta.length === docs.count())
+    assert(meta.forall(m => m.n_bytes > 0 && m.width >= 16 && m.height >= 16))
+    // frame count = ceil(floor(bytes/64) / 2) per asset
+    val frames = Multimodal.frameSample(assets.toDF(), 64, 2)
+    val got = frames.groupBy("asset_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r.getAs[Long]("n")).toMap
+    val expected = meta.map(m => m.asset_id -> {
+      val nf = m.n_bytes / 64
+      if (nf > 0) (nf + 1) / 2 else 0L
+    }).filter(_._2 > 0).toMap
+    assert(got === expected)
+    // every frame is exactly 64 bytes except possibly the tail slice
+    val sizes = frames.select(length(col("frame"))).distinct().collect().map(_.getInt(0))
+    assert(sizes.forall(_ <= 64))
+  }
+}
