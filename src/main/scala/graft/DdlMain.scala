@@ -21,7 +21,8 @@ object DdlMain {
       sys.exit(2)
     }
     val Array(dialect, mode, path) = args.take(3)
-    val ddl = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+    // stream mode takes a directory; everything else a single script file
+    lazy val ddl = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
     val cfg = RenderConfig(externalVolume =
       if (args.length > 3) args(3) else "<EXTERNAL_VOLUME>")
 
@@ -41,6 +42,22 @@ object DdlMain {
       case ("snowflake", "assess") =>
         val conv = SnowflakeRenderer.convert(ddl, cfg)
         println(Assessor.toJson(SnowflakeRenderer.assessmentReport(conv, ddl)))
+      case ("db2", "stream") =>
+        // path is a DIRECTORY of .sql scripts: converts them through the
+        // Structured-Streaming pipeline (one micro-batch per file set)
+        val spark = org.apache.spark.sql.SparkSession.builder()
+          .master("local[4]")
+          .appName("graft-ddl-stream")
+          .config("spark.sql.shuffle.partitions", "4")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        val out = graft.streaming.StreamingOps.runToMemory(
+          graft.streaming.StreamingOps.ddlConvertStream(spark, path), "cli_stream")
+        out.select("script_id", "tables_converted", "ewi_count")
+          .collect()
+          .foreach(r => println(s"${r.get(0)}\ttables=${r.get(1)}\tewi=${r.get(2)}"))
+        spark.stop()
       case other =>
         System.err.println(s"unknown dialect/mode: $other"); sys.exit(2)
     }

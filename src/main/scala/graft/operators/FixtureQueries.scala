@@ -273,6 +273,22 @@ object FixtureQueries {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  // ---------------------------------------------------------------- §2.10
+  /** Event-time sessionization via the built-in session_window (30-min
+    * gap) — the same plan streams with a watermark
+    * (graft.streaming.StreamingOps.sessionAgg). Durations summed in
+    * exact integer microseconds. Oracle: gaps-and-islands SQL. */
+  def q26Sessions(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.sessionAgg(events(s, dir), "30 minutes")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).cast("bigint").as("n_events"),
+        // session_window.end = last event + gap; subtract the gap back
+        sum(unix_micros(col("session_end")) - unix_micros(col("session_start"))
+          - lit(1800000000L)).cast("bigint").as("total_session_us"))
+      .orderBy("user_id")
+
   /** Oracle SQL (DuckDB dialect, ANSI where possible). Aliases match the
     * Spark side exactly — the driver sorts columns by name before hashing. */
   val oracleSql: Map[String, String] = Map(
@@ -388,6 +404,24 @@ object FixtureQueries {
         |SELECT w, count(*) AS n_parts
         |FROM part JOIN words ON contains(p_name, w)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q26_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |             >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x),
+        |g AS (SELECT user_id, sid, count(*) AS n_events,
+        |        epoch_us(max(ts)) - epoch_us(min(ts)) AS dur
+        |      FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(sum(dur) AS BIGINT) AS total_session_us
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q15_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
@@ -415,5 +449,6 @@ object FixtureQueries {
     "q13_split_explode" -> (q13SplitExplode _),
     "q14_theta_join" -> (q14ThetaJoin _),
     "q15_rollup" -> (q15Rollup _),
+    "q26_sessions" -> (q26Sessions _),
   )
 }

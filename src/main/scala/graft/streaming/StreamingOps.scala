@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event row for typed streaming flows. */
+final case class UserEvent(user_id: Long, ts: java.sql.Timestamp,
+    event_type: String, value: Double)
+
+/** Per-user running state for the custom stateful operator. */
+final case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
+    n_purchases: Long)
+
+/** Structured-Streaming extension (SURVEY.md §2.10 — not a reference
+  * capability; the engine's streaming surface for DDL drop-dirs and the
+  * events stream).
+  *
+  * Everything is expressed against unbounded DataFrames: the identical
+  * plans run in batch mode (used by the oracle-checked q26 session
+  * query) and under `readStream` with watermarks — Spark's
+  * batch/streaming unification does the heavy lifting.
+  */
+object StreamingOps {
+
+  /** Stream of DDL scripts dropped into a directory (one file = one
+    * script), converted incrementally: per-file parse+render is
+    * stateless, so this is a pure map stream — no state store. */
+  def ddlConvertStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .option("wholetext", "true")
+      .text(dir)
+      .select(col("_metadata.file_path").as("script_id"), col("value").as("ddl"))
+      .as[(String, String)]
+      .map { case (id, ddl) =>
+        val r = graft.convert.Db2Renderer.convert(ddl)
+        (id, r.icebergDdl, r.ewiCount, r.tablesConverted)
+      }
+      .toDF("script_id", "iceberg_ddl", "ewi_count", "tables_converted")
+  }
+
+  /** Watermarked tumbling-window counts per event type. Late rows
+    * beyond the watermark are dropped; state is bounded by
+    * (watermark horizon / slide) windows. */
+  def windowedEventCounts(events: DataFrame, windowLen: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session aggregation with the built-in session_window (gap-merged
+    * event-time sessions) — the Spark-first path; works identically in
+    * batch (oracle-checkable) and streaming (with watermark). */
+  def sessionAgg(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Custom stateful operator via mapGroupsWithState: per-user running
+    * totals, emitted on every trigger (update mode). Demonstrates the
+    * KeyValueGroupedDataset state API where built-in aggregations
+    * don't fit. */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0, 0L))
+          var n = prev.n_events
+          var total = prev.total_value
+          var purchases = prev.n_purchases
+          for (e <- rows) {
+            n += 1
+            total += e.value
+            if (e.event_type == "purchase") purchases += 1
+          }
+          val next = UserRunning(userId, n, total, purchases)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: run a streaming DataFrame to completion against a
+    * memory sink and return the collected result table. Test/demo
+    * helper — production sinks are parquet/kafka/iceberg via
+    * writeStream. */
+  def runToMemory(df: DataFrame, queryName: String,
+      outputMode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(queryName)
+  }
+}

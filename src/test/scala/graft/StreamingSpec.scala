@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Engine
+import graft.streaming.{StreamingOps, UserEvent}
+
+/** Structured-Streaming flows: DDL drop-dir conversion, watermarked
+  * windows, stateful per-user running totals, and batch/stream
+  * consistency of the windowed aggregation. */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("ddlConvertStream converts files dropped into a directory") {
+    val dir = Files.createTempDirectory("ddl-stream").toFile
+    val sample = Engine.sampleDdl("sample_db2.sql")
+    Files.writeString(new java.io.File(dir, "a.sql").toPath, sample)
+    Files.writeString(new java.io.File(dir, "b.sql").toPath,
+      "CREATE TABLE S.T (X INT NOT NULL, PRIMARY KEY (X));")
+
+    val out = StreamingOps.runToMemory(
+      StreamingOps.ddlConvertStream(spark, dir.getAbsolutePath), "ddl_stream")
+    val rows = out.collect().map(r =>
+      r.getAs[String]("script_id") ->
+        (r.getAs[Int]("tables_converted"), r.getAs[Int]("ewi_count"))).toMap
+    assert(rows.size === 2)
+    assert(rows.find(_._1.endsWith("a.sql")).get._2 === ((11, 5)))
+    assert(rows.find(_._1.endsWith("b.sql")).get._2 === ((1, 0)))
+  }
+
+  test("windowed counts: streaming result equals the batch plan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      UserEvent(1, ts(0), "view", 1.0), UserEvent(1, ts(1), "click", 2.0),
+      UserEvent(2, ts(6), "view", 3.0), UserEvent(1, ts(7), "purchase", 10.0),
+      UserEvent(2, ts(12), "view", 4.0))
+    val mem = MemoryStream[UserEvent]
+    mem.addData(data: _*)
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.windowedEventCounts(mem.toDF(), "5 minutes", "10 minutes"),
+      "win_counts", OutputMode.Complete())
+    val batch = StreamingOps.windowedEventCounts(
+      data.toDF().withWatermark("ts", "10 minutes"), "5 minutes", "10 minutes")
+    assert(streamed.collect().map(_.toString).sorted.toSeq ===
+      batch.collect().map(_.toString).sorted.toSeq)
+    // windows×type: (10:00 view), (10:00 click), (10:05 view),
+    // (10:05 purchase), (10:10 view)
+    assert(streamed.count() === 5)
+  }
+
+  test("stateful running totals accumulate across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamingOps.runningUserTotals(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(UserEvent(1, ts(0), "view", 1.0), UserEvent(1, ts(1), "purchase", 5.0))
+    q.processAllAvailable()
+    mem.addData(UserEvent(1, ts(2), "purchase", 4.0), UserEvent(2, ts(2), "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("running").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value"), r.getAs[Long]("n_purchases")))
+    // user 1 final state after two triggers: 3 events, 10.0 total, 2 purchases
+    assert(last.contains((1L, 3L, 10.0, 2L)))
+    assert(last.contains((2L, 1L, 2.0, 0L)))
+  }
+
+  test("session_window batch agg: gap merge semantics") {
+    import spark.implicits._
+    val data = Seq(
+      UserEvent(1, ts(0), "a", 1.0), UserEvent(1, ts(10), "b", 1.0), // same session
+      UserEvent(1, Timestamp.valueOf("2024-01-01 11:00:00"), "c", 1.0), // new session (50m gap)
+      UserEvent(2, ts(5), "a", 1.0))
+    val out = StreamingOps.sessionAgg(data.toDF(), "30 minutes").collect()
+    val byUser = out.groupBy(_.getAs[Long]("user_id"))
+    assert(byUser(1L).length === 2)
+    assert(byUser(2L).length === 1)
+    val first = byUser(1L).minBy(_.getAs[Timestamp]("session_start").getTime)
+    assert(first.getAs[Long]("n_events") === 2)
+  }
+}
