@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.FixtureQueries
+
+/** Physical-plan assertions: the plans we ship are the plans we want —
+  * broadcasts actually broadcast, filters/projections reach the parquet
+  * scan, codegen covers the hot path. These guard the 100 TB properties
+  * that correctness tests can't see. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String =
+    // initial adaptive plan: shows the full operator tree (the
+    // AQE-final string collapses already-materialized stages)
+    df.queryExecution.executedPlan.toString
+
+  test("q3: small dims resolve to broadcast hash joins") {
+    val plan = planString(FixtureQueries.q3BroadcastJoin(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), "small dims must not sort-merge")
+  }
+
+  test("q1: column pruning reaches the parquet scan") {
+    val df = FixtureQueries.q1Agg(spark, dir)
+    val scan = df.queryExecution.executedPlan.toString
+    // only the 4 needed lineitem columns are read, not all 11
+    assert(scan.contains("l_returnflag"))
+    assert(!scan.contains("l_shipdate"), "unused columns must be pruned from ReadSchema")
+  }
+
+  test("filter pushdown: predicate reaches PushedFilters") {
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") === 42L)
+      .select("o_orderkey", "o_totalprice")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull(o_orderkey)"),
+      plan.take(2000))
+  }
+
+  test("q1: aggregation is partial+final hash agg inside whole-stage codegen") {
+    val df = FixtureQueries.q1Agg(spark, dir)
+    assert(planString(df).contains("HashAggregate"))
+    df.collect()
+    // '*(n)' markers denote whole-stage-codegen'd stages in the
+    // materialized plan
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+
+  test("q22: query side is broadcast (nested-loop), corpus never shuffles") {
+    val plan = planString(graft.operators.PipelineQueries.q22CosineTopK(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+}
