@@ -289,6 +289,45 @@ object FixtureQueries {
           - lit(1800000000L)).cast("bigint").as("total_session_us"))
       .orderBy("user_id")
 
+  // ---------------------------------------------------------------- M1-M17
+  /** DB2 type names for the ruleset domain, indexed by p_partkey
+    * (includes an unknown type to hit the fallback rule). */
+  private val TypeDomain = Seq(
+    "SMALLINT", "INTEGER", "INT", "BIGINT", "DECIMAL", "DEC", "NUMERIC",
+    "REAL", "FLOAT", "DOUBLE", "DECFLOAT", "CHAR", "CHARACTER", "VARCHAR",
+    "LONG VARCHAR", "CLOB", "GRAPHIC", "VARGRAPHIC", "LONG VARGRAPHIC",
+    "DBCLOB", "BINARY", "VARBINARY", "BLOB", "DATE", "TIME", "TIMESTAMP",
+    "XML", "ROWID", "BOOLEAN", "WIDGET")
+
+  /** The full M1-M17 type-mapping ruleset as ONE Catalyst CASE
+    * projection (SURVEY.md §2.5) over type specs synthesized
+    * deterministically from `part` — every branch (size limits,
+    * precision clamps, defaults, FOR BIT DATA override, unknown-type
+    * fallback) exercised, grouped by outcome. */
+  def q27TypeRules(s: SparkSession, dir: String): DataFrame = {
+    import graft.mapping.TypeRulesColumns
+    val p = t(s, dir, "part")
+      .withColumn("type_name",
+        element_at(array(TypeDomain.map(lit): _*), (pmod(col("p_partkey"), lit(30)) + 1).cast("int")))
+      .withColumn("len",
+        when(pmod(col("p_partkey"), lit(3)) === 0, lit(null).cast("int"))
+          .otherwise(col("p_size") * 1200000))
+      .withColumn("prec",
+        when(pmod(col("p_partkey"), lit(4)) === 0, lit(null).cast("int"))
+          .otherwise(col("p_size")))
+      .withColumn("sc",
+        when(pmod(col("p_partkey"), lit(5)) === 0, lit(null).cast("int"))
+          .otherwise(pmod(col("p_size"), lit(10)).cast("int")))
+      .withColumn("for_bit", pmod(col("p_partkey"), lit(11)) === 0)
+    p.select(
+        TypeRulesColumns.targetType(col("type_name"), col("len"), col("prec"), col("sc"), col("for_bit")).as("target_type"),
+        TypeRulesColumns.status(col("type_name"), col("len"), col("prec"), col("sc"), col("for_bit")).as("status"),
+        TypeRulesColumns.ewiCode(col("type_name"), col("len"), col("prec"), col("sc"), col("for_bit")).as("ewi_code"))
+      .groupBy("target_type", "status", "ewi_code")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("target_type", "status", "ewi_code")
+  }
+
   /** Oracle SQL (DuckDB dialect, ANSI where possible). Aliases match the
     * Spark side exactly — the driver sorts columns by name before hashing. */
   val oracleSql: Map[String, String] = Map(
@@ -404,6 +443,101 @@ object FixtureQueries {
         |SELECT w, count(*) AS n_parts
         |FROM part JOIN words ON contains(p_name, w)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q27_type_rules" ->
+      """WITH specs AS (
+        |  SELECT
+        |    (list_value('SMALLINT','INTEGER','INT','BIGINT','DECIMAL','DEC','NUMERIC',
+        |      'REAL','FLOAT','DOUBLE','DECFLOAT','CHAR','CHARACTER','VARCHAR',
+        |      'LONG VARCHAR','CLOB','GRAPHIC','VARGRAPHIC','LONG VARGRAPHIC',
+        |      'DBCLOB','BINARY','VARBINARY','BLOB','DATE','TIME','TIMESTAMP',
+        |      'XML','ROWID','BOOLEAN','WIDGET'))[CAST(p_partkey % 30 + 1 AS INT)] AS t,
+        |    CASE WHEN p_partkey % 3 = 0 THEN NULL ELSE p_size * 1200000 END AS len,
+        |    CASE WHEN p_partkey % 4 = 0 THEN NULL ELSE p_size END AS prec,
+        |    CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE CAST(p_size % 10 AS INT) END AS sc,
+        |    (p_partkey % 11 = 0) AS for_bit
+        |  FROM part),
+        |mapped AS (
+        |  SELECT
+        |    CASE
+        |      WHEN for_bit THEN 'BINARY'
+        |      WHEN t IN ('SMALLINT','INTEGER','INT') THEN 'INTEGER'
+        |      WHEN t = 'BIGINT' THEN 'BIGINT'
+        |      WHEN t = 'REAL' THEN 'FLOAT'
+        |      WHEN t = 'DOUBLE' THEN 'DOUBLE'
+        |      WHEN t = 'DATE' THEN 'DATE'
+        |      WHEN t = 'BOOLEAN' THEN 'BOOLEAN'
+        |      WHEN t IN ('CHAR','CHARACTER','VARCHAR','CHAR VARYING',
+        |                 'CHARACTER VARYING','LONG VARCHAR','CLOB') THEN 'STRING'
+        |      WHEN t IN ('DECIMAL','DEC','NUMERIC') THEN
+        |        CASE WHEN coalesce(prec, 5) > 38
+        |             THEN 'NUMBER(38,' || CAST(least(coalesce(sc, 0), 37) AS VARCHAR) || ')'
+        |             ELSE 'NUMBER(' || CAST(coalesce(prec, 5) AS VARCHAR) || ','
+        |                  || CAST(coalesce(sc, 0) AS VARCHAR) || ')' END
+        |      WHEN t = 'FLOAT' THEN
+        |        CASE WHEN prec IS NOT NULL AND prec > 24 THEN 'DOUBLE' ELSE 'FLOAT' END
+        |      WHEN t = 'DECFLOAT' THEN 'DOUBLE'
+        |      WHEN t = 'TIME' THEN 'TIME(6)'
+        |      WHEN t = 'TIMESTAMP' THEN 'TIMESTAMP_NTZ(6)'
+        |      WHEN t IN ('BINARY','VARBINARY','BINARY VARYING','BLOB') THEN 'BINARY'
+        |      WHEN t IN ('GRAPHIC','VARGRAPHIC','LONG VARGRAPHIC','DBCLOB') THEN 'STRING'
+        |      WHEN t IN ('XML','ROWID') THEN 'STRING'
+        |      ELSE 'STRING' END AS target_type,
+        |    CASE
+        |      WHEN for_bit THEN 'compatible'
+        |      WHEN t IN ('SMALLINT','INTEGER','INT','BIGINT','REAL','DOUBLE',
+        |                 'DATE','BOOLEAN','FLOAT') THEN 'direct'
+        |      WHEN t IN ('CHAR','CHARACTER') THEN 'compatible'
+        |      WHEN t IN ('VARCHAR','CHAR VARYING','CHARACTER VARYING') THEN
+        |        CASE WHEN len IS NOT NULL AND len > 16777216 THEN 'lossy' ELSE 'direct' END
+        |      WHEN t = 'LONG VARCHAR' THEN 'compatible'
+        |      WHEN t IN ('CLOB','DBCLOB') THEN
+        |        CASE WHEN len IS NOT NULL AND len > 134217728 THEN 'lossy' ELSE 'compatible' END
+        |      WHEN t IN ('DECIMAL','DEC','NUMERIC') THEN
+        |        CASE WHEN coalesce(prec, 5) > 38 THEN 'lossy' ELSE 'direct' END
+        |      WHEN t IN ('DECFLOAT','ROWID') THEN 'lossy'
+        |      WHEN t = 'TIME' THEN
+        |        CASE WHEN coalesce(prec, 0) = 6 THEN 'direct' ELSE 'compatible' END
+        |      WHEN t = 'TIMESTAMP' THEN
+        |        CASE WHEN coalesce(prec, 6) = 6 THEN 'direct' ELSE 'compatible' END
+        |      WHEN t IN ('BINARY','VARBINARY','BINARY VARYING') THEN
+        |        CASE WHEN len IS NOT NULL AND len > 8388608 THEN 'lossy' ELSE 'direct' END
+        |      WHEN t = 'BLOB' THEN
+        |        CASE WHEN len IS NOT NULL AND len > 134217728 THEN 'lossy' ELSE 'compatible' END
+        |      WHEN t IN ('GRAPHIC','VARGRAPHIC','LONG VARGRAPHIC') THEN 'compatible'
+        |      WHEN t = 'XML' THEN 'unsupported'
+        |      ELSE 'lossy' END AS status,
+        |    CASE
+        |      WHEN for_bit THEN 'SSC-EWI-DB2ICE-0010'
+        |      WHEN t IN ('SMALLINT','INTEGER','INT','BIGINT','REAL','DOUBLE',
+        |                 'DATE','BOOLEAN','FLOAT') THEN NULL
+        |      WHEN t IN ('CHAR','CHARACTER') THEN 'SSC-EWI-DB2ICE-0001'
+        |      WHEN t IN ('VARCHAR','CHAR VARYING','CHARACTER VARYING') THEN
+        |        CASE WHEN len IS NOT NULL AND len > 16777216 THEN 'SSC-EWI-DB2ICE-0008' END
+        |      WHEN t = 'LONG VARCHAR' THEN 'SSC-EWI-DB2ICE-0019'
+        |      WHEN t = 'CLOB' THEN
+        |        CASE WHEN len IS NOT NULL AND len > 134217728 THEN 'SSC-EWI-DB2ICE-0008' END
+        |      WHEN t = 'DBCLOB' THEN
+        |        CASE WHEN len IS NOT NULL AND len > 134217728 THEN 'SSC-EWI-DB2ICE-0008'
+        |             ELSE 'SSC-EWI-DB2ICE-0006' END
+        |      WHEN t IN ('DECIMAL','DEC','NUMERIC') THEN
+        |        CASE WHEN coalesce(prec, 5) > 38 THEN 'SSC-EWI-DB2ICE-0002' END
+        |      WHEN t = 'DECFLOAT' THEN 'SSC-EWI-DB2ICE-0007'
+        |      WHEN t = 'TIME' THEN
+        |        CASE WHEN coalesce(prec, 0) = 6 THEN NULL ELSE 'SSC-EWI-DB2ICE-0003' END
+        |      WHEN t = 'TIMESTAMP' THEN
+        |        CASE WHEN coalesce(prec, 6) = 6 THEN NULL ELSE 'SSC-EWI-DB2ICE-0004' END
+        |      WHEN t IN ('BINARY','VARBINARY','BINARY VARYING') THEN
+        |        CASE WHEN len IS NOT NULL AND len > 8388608 THEN 'SSC-EWI-DB2ICE-0008' END
+        |      WHEN t = 'BLOB' THEN
+        |        CASE WHEN len IS NOT NULL AND len > 134217728 THEN 'SSC-EWI-DB2ICE-0008'
+        |             ELSE 'SSC-EWI-DB2ICE-0020' END
+        |      WHEN t IN ('GRAPHIC','VARGRAPHIC','LONG VARGRAPHIC') THEN 'SSC-EWI-DB2ICE-0006'
+        |      WHEN t = 'XML' THEN 'SSC-EWI-DB2ICE-0005'
+        |      WHEN t = 'ROWID' THEN 'SSC-EWI-DB2ICE-0009'
+        |      ELSE 'SSC-EWI-DB2ICE-0099' END AS ewi_code
+        |  FROM specs)
+        |SELECT target_type, status, ewi_code, count(*) AS n
+        |FROM mapped GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q26_sessions" ->
       """WITH x AS (
         |  SELECT user_id, ts,
@@ -450,5 +584,6 @@ object FixtureQueries {
     "q14_theta_join" -> (q14ThetaJoin _),
     "q15_rollup" -> (q15Rollup _),
     "q26_sessions" -> (q26Sessions _),
+    "q27_type_rules" -> (q27TypeRules _),
   )
 }

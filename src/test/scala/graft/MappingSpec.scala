@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.SchemaTranslator
+import graft.mapping.{TypeMapper, TypeRulesColumns}
+import graft.parse.Db2Parser
+
+/** Parity of the Column (CASE-chain) ruleset with the Scala ruleset
+  * across the full rule domain, and the DDL→Spark-schema bridge. */
+class MappingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("mapping-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("Column ruleset == Scala ruleset over the whole domain") {
+    import spark.implicits._
+    val types = Seq(
+      "SMALLINT", "INTEGER", "INT", "BIGINT", "DECIMAL", "DEC", "NUMERIC",
+      "REAL", "FLOAT", "DOUBLE", "DECFLOAT", "CHAR", "CHARACTER", "VARCHAR",
+      "LONG VARCHAR", "CLOB", "GRAPHIC", "VARGRAPHIC", "LONG VARGRAPHIC",
+      "DBCLOB", "BINARY", "VARBINARY", "BLOB", "DATE", "TIME", "TIMESTAMP",
+      "XML", "ROWID", "BOOLEAN", "WIDGET")
+    // boundary-heavy parameter grid
+    val lens = Seq(None, Some(1), Some(8 * 1024 * 1024), Some(8 * 1024 * 1024 + 1),
+      Some(16 * 1024 * 1024), Some(16 * 1024 * 1024 + 1),
+      Some(128 * 1024 * 1024), Some(128 * 1024 * 1024 + 1))
+    val precs = Seq(None, Some(0), Some(6), Some(12), Some(24), Some(25), Some(38), Some(39))
+    val scales = Seq(None, Some(0), Some(10), Some(37), Some(39))
+    val bits = Seq(false, true)
+
+    val specs = for {
+      t <- types; l <- lens; p <- precs; s <- scales; b <- bits
+    } yield (t, l, p, s, b)
+
+    val df = specs.toDF("t", "len", "prec", "sc", "for_bit")
+      .withColumn("target", TypeRulesColumns.targetType(col("t"), col("len"), col("prec"), col("sc"), col("for_bit")))
+      .withColumn("status", TypeRulesColumns.status(col("t"), col("len"), col("prec"), col("sc"), col("for_bit")))
+      .withColumn("ewi", TypeRulesColumns.ewiCode(col("t"), col("len"), col("prec"), col("sc"), col("for_bit")))
+
+    val rows = df.collect()
+    assert(rows.length === specs.length)
+    for (r <- rows) {
+      val expected = TypeMapper.mapType(
+        r.getAs[String]("t"),
+        Option(r.getAs[Integer]("len")).map(_.intValue),
+        Option(r.getAs[Integer]("prec")).map(_.intValue),
+        Option(r.getAs[Integer]("sc")).map(_.intValue),
+        r.getAs[Boolean]("for_bit"))
+      val ctx = s"${r.getAs[String]("t")} len=${r.get(1)} prec=${r.get(2)} sc=${r.get(3)} bit=${r.get(4)}"
+      assert(r.getAs[String]("target") === expected.targetType, ctx)
+      assert(r.getAs[String]("status") === expected.status, ctx)
+      assert(Option(r.getAs[String]("ewi")) === expected.ewiCode, ctx)
+    }
+  }
+
+  test("schema translation: parsed DDL → Spark StructType") {
+    val ddl =
+      """CREATE TABLE S.T (
+        |  ID INTEGER NOT NULL,
+        |  BIG BIGINT,
+        |  AMOUNT DECIMAL(15,2),
+        |  NAME VARCHAR(100) NOT NULL,
+        |  BLOB_COL BLOB(1000),
+        |  D DATE,
+        |  TM TIME,
+        |  TS TIMESTAMP(9),
+        |  FLAG BOOLEAN,
+        |  W REAL,
+        |  X XML,
+        |  PRIMARY KEY (ID)
+        |);""".stripMargin
+    val table = Db2Parser.parse(ddl).tables.head
+    val schema = SchemaTranslator.toSparkSchema(table)
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    assert(byName("ID").dataType === IntegerType && !byName("ID").nullable)
+    assert(byName("BIG").dataType === LongType && byName("BIG").nullable)
+    assert(byName("AMOUNT").dataType === DecimalType(15, 2))
+    assert(byName("NAME").dataType === StringType && !byName("NAME").nullable)
+    assert(byName("BLOB_COL").dataType === BinaryType)
+    assert(byName("D").dataType === DateType)
+    assert(byName("TM").dataType === TimeType(6))
+    assert(byName("TS").dataType === TimestampNTZType)
+    assert(byName("FLAG").dataType === BooleanType)
+    assert(byName("W").dataType === FloatType)
+    assert(byName("X").dataType === StringType) // unsupported degrades to STRING
+  }
+
+  test("migration write: casts to translated schema and partitions by RANGE columns") {
+    import spark.implicits._
+    val ddl =
+      """CREATE TABLE S.EVENTS (
+        |  EVENT_ID BIGINT NOT NULL,
+        |  AMOUNT DECIMAL(10,2),
+        |  BUCKET INTEGER
+        |) PARTITION BY RANGE (BUCKET);""".stripMargin
+    val table = Db2Parser.parse(ddl).tables.head
+    val src = Seq((1L, "10.50", 1), (2L, "20.25", 2), (3L, "7.75", 1))
+      .toDF("EVENT_ID", "AMOUNT", "BUCKET")
+    val out = java.nio.file.Files.createTempDirectory("migrated").toString
+    SchemaTranslator.writeMigrated(src, table, out)
+    val back = spark.read.parquet(out)
+    assert(back.schema("AMOUNT").dataType === DecimalType(10, 2))
+    assert(back.count() === 3)
+    // physical layout partitioned by the RANGE column
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("BUCKET="))
+    assert(dirs.toSet === Set("BUCKET=1", "BUCKET=2"))
+  }
+}
