@@ -36,6 +36,13 @@ object VectorFunctions {
   /** Unrolled L2 norm for a statically-known dimension. */
   def normN(a: Column, dim: Int): Column = sqrt(dotN(a, a, dim))
 
+  /** Native-expression dot product ([[VectorDot]]): one generated loop,
+    * any dimension, constant compile cost. Preferred hot-path form. */
+  def dotNative(a: Column, b: Column): Column = VectorDot(a, b)
+
+  /** L2 norm via the native dot. */
+  def normNative(a: Column): Column = sqrt(VectorDot(a, a))
+
   /** Cosine similarity; 0 when either vector has zero norm. */
   def cosine(a: Column, b: Column): Column = {
     val na = norm(a)

@@ -18,27 +18,28 @@ import graft.functions.VectorFunctions._
   *    turns scan×|Q| into bucket-local work. Recall measured against
   *    the baseline in tests/queries.
   *
-  * Hot-path arithmetic uses the unrolled static-dim dot product
-  * (codegen'd) with norms precomputed ONCE per row — the per-pair work
-  * is a single 64-term product sum, not three interpreted HOF folds.
-  * Results are bit-identical to the sequential-fold formulation (same
-  * left-to-right addition order), so the DuckDB oracles hold.
+  * Hot-path arithmetic uses the native [[graft.functions.VectorDot]]
+  * expression (one generated loop, constant compile cost) with norms
+  * precomputed ONCE per row — the per-pair work is a single dot, not
+  * three interpreted HOF folds. Results are bit-identical to the
+  * sequential-fold formulation (same left-to-right addition order), so
+  * the DuckDB oracles hold.
   */
 object Similarity {
 
   /** cosine = dot / (na · nb) with precomputed norm columns. */
   private def pairScore(qv: Column, cv: Column, nq: Column, nc: Column,
       dim: Int): Column =
-    round(dotN(qv, cv, dim) / (nq * nc), 6)
+    round(dotNative(qv, cv) / (nq * nc), 6)
 
   /** Exact top-k by cosine for each query vector. Scores rounded to 6
     * decimals (engine-portable); ties broken by corpus id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int = 64): DataFrame = {
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
-      normN(col("embedding"), dim).as("c_norm"))
+      normNative(col("embedding")).as("c_norm"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-      normN(col("embedding"), dim).as("q_norm"))
+      normNative(col("embedding")).as("q_norm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("score",
@@ -53,10 +54,10 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int, dim: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
-      normN(col("embedding"), dim).as("c_norm"),
+      normNative(col("embedding")).as("c_norm"),
       lshBucket(col("embedding"), nPlanes, dim).as("c_bucket"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-      normN(col("embedding"), dim).as("q_norm"),
+      normNative(col("embedding")).as("q_norm"),
       lshBucket(col("embedding"), nPlanes, dim).as("q_bucket"))
     val scored = c.join(broadcast(q), col("c_bucket") === col("q_bucket"))
       .filter(col("q_id") =!= col("c_id"))
@@ -74,9 +75,9 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       dim: Int = 64): DataFrame = {
     val a = corpus.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
-      normN(col("embedding"), dim).as("a_norm"))
+      normNative(col("embedding")).as("a_norm"))
     val b = corpus.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"),
-      normN(col("embedding"), dim).as("b_norm"))
+      normNative(col("embedding")).as("b_norm"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
       .withColumn("score",
         pairScore(col("a_vec"), col("b_vec"), col("a_norm"), col("b_norm"), dim))

@@ -78,6 +78,23 @@ class PipelineSpec extends AnyFunSuite {
       java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)))
   }
 
+  test("VectorDot native expression equals the HOF fold bit-for-bit") {
+    import graft.functions.{VectorDot, VectorFunctions}
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet").limit(50)
+    val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("vb")))
+      .select(
+        VectorDot(col("va"), col("vb")).as("native"),
+        VectorFunctions.dot(col("va"), col("vb")).as("hof"),
+        VectorFunctions.dotN(col("va"), col("vb"), 64).as("unrolled"))
+      .collect()
+    assert(pairs.length === 2500)
+    for (r <- pairs) {
+      assert(r.getAs[Double]("native") === r.getAs[Double]("hof"))
+      assert(r.getAs[Double]("native") === r.getAs[Double]("unrolled"))
+    }
+  }
+
   test("cosine top-k: self excluded, scores sorted, lsh recall ∈ [0,1]") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val topk = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 3).collect()
