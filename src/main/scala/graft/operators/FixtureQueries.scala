@@ -289,6 +289,25 @@ object FixtureQueries {
           - lit(1800000000L)).cast("bigint").as("total_session_us"))
       .orderBy("user_id")
 
+  // ---------------------------------------------------------------- skew
+  /** Two-stage salted aggregation (hot-key mitigation): algebraic
+    * aggs make the result EXACTLY equal to the plain groupBy, so the
+    * plain SQL is the oracle — only the shuffle layout differs. */
+  def q28SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(t(s, dir, "lineitem"), "l_returnflag", saltBuckets = 16,
+      Seq(col("l_quantity") -> "sum_qty", col("l_extendedprice") -> "sum_price"))
+      .orderBy("l_returnflag")
+
+  /** CUBE rollup (multi-dimensional report generalization of the
+    * per-schema/per-table report, SURVEY §2.6 note). */
+  def q29Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   // ---------------------------------------------------------------- M1-M17
   /** DB2 type names for the ruleset domain, indexed by p_partkey
     * (includes an unknown type to hit the fallback rule). */
@@ -443,6 +462,17 @@ object FixtureQueries {
         |SELECT w, count(*) AS n_parts
         |FROM part JOIN words ON contains(p_name, w)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q28_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "q27_type_rules" ->
       """WITH specs AS (
         |  SELECT
@@ -585,5 +615,7 @@ object FixtureQueries {
     "q15_rollup" -> (q15Rollup _),
     "q26_sessions" -> (q26Sessions _),
     "q27_type_rules" -> (q27TypeRules _),
+    "q28_salted_agg" -> (q28SaltedAgg _),
+    "q29_cube" -> (q29Cube _),
   )
 }

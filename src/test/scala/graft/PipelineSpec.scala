@@ -95,6 +95,17 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("vector_dot registers as a SQL function via GraftExtensions") {
+    graft.api.GraftExtensions.register(spark)
+    spark.read.parquet(s"$sf001/embeddings.parquet").limit(5)
+      .createOrReplaceTempView("emb_sql")
+    val rows = spark.sql(
+      """SELECT a.vec_id, vector_dot(a.embedding, a.embedding) AS self_dot
+        |FROM emb_sql a ORDER BY 1""".stripMargin).collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getAs[Double]("self_dot") > 0.0))
+  }
+
   test("cosine top-k: self excluded, scores sorted, lsh recall ∈ [0,1]") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val topk = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 3).collect()
