@@ -73,7 +73,18 @@ object VectorFunctions {
   def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
     val planes = hyperplanes(nPlanes, dim, seed)
     planes.zipWithIndex.map { case (plane, p) =>
-      when(dotN(vec, typedlit(plane.toSeq), dim) > 0, lit(1 << p)).otherwise(lit(0))
+      when(VectorDot(vec, typedlit(plane.toSeq)) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
+  }
+
+  /** Multi-probe bucket set: the vector's own bucket plus every bucket
+    * at hamming distance 1 (each sign bit flipped). Standard multi-probe
+    * LSH — near neighbors that fell just across one hyperplane are
+    * recovered at the cost of nPlanes+1 probes instead of 2^nPlanes
+    * exhaustion. */
+  def lshProbeBuckets(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    val base = lshBucket(vec, nPlanes, dim, seed)
+    array((base +: (0 until nPlanes).map(p =>
+      base.bitwiseXOR(lit(1 << p)))): _*)
   }
 }

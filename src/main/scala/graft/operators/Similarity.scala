@@ -50,7 +50,10 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("c_id"), col("score"))
   }
 
-  /** LSH-bucketed approximate top-k: search only the query's bucket. */
+  /** LSH-bucketed approximate top-k with multi-probe: each query probes
+    * its own bucket plus all hamming-1 neighbors (nPlanes+1 probes) —
+    * recovers neighbors that fell just across one hyperplane while
+    * staying bucket-local (never a full corpus scan). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int, dim: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
@@ -58,11 +61,13 @@ object Similarity {
       lshBucket(col("embedding"), nPlanes, dim).as("c_bucket"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
       normNative(col("embedding")).as("q_norm"),
-      lshBucket(col("embedding"), nPlanes, dim).as("q_bucket"))
+      explode(lshProbeBuckets(col("embedding"), nPlanes, dim)).as("q_bucket"))
     val scored = c.join(broadcast(q), col("c_bucket") === col("q_bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("score",
         pairScore(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"), dim))
+      // a candidate can surface from several probes — dedup before rank
+      .dropDuplicates("q_id", "c_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

@@ -61,4 +61,30 @@ class PlanSpec extends AnyFunSuite {
     val plan = planString(graft.operators.PipelineQueries.q22CosineTopK(spark, dir))
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
+
+  test("bucketed tables co-locate: the bucket join plans without shuffle") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    spark.read.parquet(s"$dir/orders.parquet")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_b")
+    // disable broadcast so the join would otherwise need an exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange"),
+        "bucketed join must not shuffle:\n" + plan.take(3000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
 }
