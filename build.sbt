@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Quiet Spark INFO noise for forked run/test JVMs without bundling a
+// log4j2 config into the library jar (which would hijack downstream
+// consumers' logging).
+javaOptions += s"-Dlog4j2.configurationFile=file://${baseDirectory.value}/conf/log4j2.properties"

@@ -77,14 +77,15 @@ object VectorFunctions {
     }.reduce(_ + _)
   }
 
-  /** Multi-probe bucket set: the vector's own bucket plus every bucket
-    * at hamming distance 1 (each sign bit flipped). Standard multi-probe
-    * LSH — near neighbors that fell just across one hyperplane are
-    * recovered at the cost of nPlanes+1 probes instead of 2^nPlanes
-    * exhaustion. */
-  def lshProbeBuckets(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
-    val base = lshBucket(vec, nPlanes, dim, seed)
-    array((base +: (0 until nPlanes).map(p =>
-      base.bitwiseXOR(lit(1 << p)))): _*)
-  }
+  /** Multi-probe bucket set from an ALREADY-PROJECTED base-bucket
+    * column: the bucket itself plus every bucket at hamming distance 1
+    * (each sign bit flipped). Standard multi-probe LSH — near neighbors
+    * that fell just across one hyperplane are recovered at the cost of
+    * nPlanes+1 probes instead of 2^nPlanes exhaustion. Takes the base
+    * as a column reference (not the lshBucket expression) so the
+    * hyperplane dots are evaluated once per row, not nPlanes+1 times
+    * inside the explode. */
+  def lshProbeBuckets(baseBucket: Column, nPlanes: Int): Column =
+    array((baseBucket +: (0 until nPlanes).map(p =>
+      baseBucket.bitwiseXOR(lit(1 << p)))): _*)
 }

@@ -61,13 +61,16 @@ object Similarity {
       lshBucket(col("embedding"), nPlanes, dim).as("c_bucket"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
       normNative(col("embedding")).as("q_norm"),
-      explode(lshProbeBuckets(col("embedding"), nPlanes, dim)).as("q_bucket"))
+      lshBucket(col("embedding"), nPlanes, dim).as("q_base"))
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        explode(lshProbeBuckets(col("q_base"), nPlanes)).as("q_bucket"))
+    // probe buckets are pairwise-distinct and each corpus row has one
+    // bucket, so a (q_id, c_id) pair matches at most one probe — no
+    // dedup needed before ranking.
     val scored = c.join(broadcast(q), col("c_bucket") === col("q_bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("score",
         pairScore(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"), dim))
-      // a candidate can surface from several probes — dedup before rank
-      .dropDuplicates("q_id", "c_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

@@ -73,6 +73,7 @@ class PlanSpec extends AnyFunSuite {
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("o_b")
     // disable broadcast so the join would otherwise need an exchange
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val joined = spark.table("li_b")
@@ -82,7 +83,7 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange"),
         "bucketed join must not shuffle:\n" + plan.take(3000))
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS li_b")
       spark.sql("DROP TABLE IF EXISTS o_b")
     }
