@@ -89,6 +89,15 @@ object PipelineQueries {
       .orderBy("q_id", "rk")
   }
 
+  /** Same result as q22 via the bounded TopK Aggregator (map-side
+    * partial top-k, no per-key full sort) — shares q22's oracle SQL,
+    * proving the two physical shapes agree. */
+  def q30TopkAgg(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopKAgg(emb, emb.filter(col("vec_id") < 10), k = 3)
+      .orderBy("q_id", "rk")
+  }
+
   /** Embedding near-duplicate pairs (cosine ≥ 0.40). */
   def q23EmbedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.40)
@@ -203,6 +212,23 @@ object PipelineQueries {
         |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rk
         |      FROM s)
         |SELECT q_id, rk, c_id, score FROM r WHERE rk <= 3 ORDER BY 1, 2""".stripMargin,
+    "q30_topk_agg" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+        |s AS (
+        |  SELECT q_id, c_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(q_vec) + 1),
+        |        i -> CAST(q_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(q_vec) + 1),
+        |           i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(c_vec) + 1),
+        |           i -> CAST(c_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE))))), 6) AS score
+        |  FROM q, c WHERE q_id <> c_id),
+        |r AS (SELECT q_id, c_id, score,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rk
+        |      FROM s)
+        |SELECT q_id, rk, c_id, score FROM r WHERE rk <= 3 ORDER BY 1, 2""".stripMargin,
     "q23_embed_neardup" ->
       """WITH a AS (SELECT vec_id AS a_id, embedding AS a_vec FROM embeddings),
         |b AS (SELECT vec_id AS b_id, embedding AS b_vec FROM embeddings),
@@ -249,6 +275,7 @@ object PipelineQueries {
     "q20_minhash_lsh" -> (q20MinhashLsh _),
     "q21_simhash" -> (q21Simhash _),
     "q22_cosine_topk" -> (q22CosineTopK _),
+    "q30_topk_agg" -> (q30TopkAgg _),
     "q23_embed_neardup" -> (q23EmbedNearDup _),
     "q24_multimodal" -> (q24Multimodal _),
     "q25_lsh_recall" -> (q25LshRecall _),

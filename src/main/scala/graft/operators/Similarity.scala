@@ -50,6 +50,24 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("c_id"), col("score"))
   }
 
+  /** Exact top-k via the bounded [[TopK]] Aggregator instead of a
+    * window sort: per-partition partial top-k runs map-side, so the
+    * shuffle carries O(queries·k) rows, not every scored candidate —
+    * the form that survives a 100× corpus scale-up. Output is
+    * identical to [[bruteForceTopK]]. */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int = 64): DataFrame = {
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+      normNative(col("embedding")).as("c_norm"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+      normNative(col("embedding")).as("q_norm"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        pairScore(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"), dim).as("score"))
+    TopK.perKey(scored, "q_id", "c_id", "score", k)
+  }
+
   /** LSH-bucketed approximate top-k with multi-probe: each query probes
     * its own bucket plus all hamming-1 neighbors (nPlanes+1 probes) —
     * recovers neighbors that fell just across one hyperplane while

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** One scored candidate for top-k selection. */
+final case class Scored(id: Long, score: Double)
+
+/** Encodable buffer/output roots (Spark's product encoders need a
+  * concrete Product at the root, not a bare collection). */
+final case class TopKBuffer(values: List[Scored])
+final case class TopKResult(values: Seq[Scored])
+
+/** Bounded top-k typed Aggregator (SURVEY.md §2.11's deferred
+  * `Aggregator` — added because it is the scale-correct top-k shape).
+  *
+  * Why not `Window.orderBy + row_number <= k`: the window form sorts
+  * EVERY candidate of a key on the reduce side. This Aggregator keeps
+  * only k elements per key at all times and — crucially — runs as a
+  * partial aggregation: each map task reduces its partition to ≤k
+  * candidates per key before the shuffle, so at 1000 executors the
+  * exchange carries O(keys·k), not O(candidates).
+  *
+  * Ordering contract matches the ANN queries: score descending, id
+  * ascending on ties — the merged output equals the window form's.
+  * k is small, so a sorted-list insert beats heap constants.
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[(Long, Long, Double), TopKBuffer, TopKResult] {
+
+  private def better(a: Scored, b: Scored): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  private def insert(buf: List[Scored], x: Scored): List[Scored] = {
+    val (front, back) = buf.span(better(_, x))
+    val merged = front ::: x :: back
+    if (merged.length > k) merged.take(k) else merged
+  }
+
+  override def zero: TopKBuffer = TopKBuffer(Nil)
+  override def reduce(buf: TopKBuffer, row: (Long, Long, Double)): TopKBuffer =
+    TopKBuffer(insert(buf.values, Scored(row._2, row._3)))
+  override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer =
+    TopKBuffer(b.values.foldLeft(a.values)(insert))
+  override def finish(buf: TopKBuffer): TopKResult = TopKResult(buf.values)
+  override def bufferEncoder: Encoder[TopKBuffer] = Encoders.product[TopKBuffer]
+  override def outputEncoder: Encoder[TopKResult] = Encoders.product[TopKResult]
+}
+
+object TopK {
+
+  /** Per-key top-k over a (key, id, score) DataFrame via the bounded
+    * Aggregator. Output matches the window row_number form exactly:
+    * (key, rk, id, score) with rk 1..k by score desc, id asc. */
+  def perKey(scored: DataFrame, keyCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val agg = new TopKAggregator(k)
+    scored
+      .select(col(keyCol).cast("long").as("key"),
+        col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("double").as("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("topk"))
+      .flatMap { case (key, top) =>
+        top.values.zipWithIndex.map { case (s, i) => (key, i + 1, s.id, s.score) }
+      }
+      .toDF(keyCol, "rk", idCol, scoreCol)
+  }
+}

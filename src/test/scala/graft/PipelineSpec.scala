@@ -121,6 +121,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(rec.forall(r => r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0))
   }
 
+  test("TopK aggregator equals the window row_number form exactly") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 8)
+    val viaWindow = Similarity.bruteForceTopK(emb, q, 4)
+      .orderBy("q_id", "rk").collect().map(_.toString).toSeq
+    val viaAgg = Similarity.bruteForceTopKAgg(emb, q, 4)
+      .orderBy("q_id", "rk").collect().map(_.toString).toSeq
+    assert(viaAgg === viaWindow)
+  }
+
   test("multimodal: stub decode metadata and frame sampling") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val assets = Multimodal.assetsFromDocuments(docs)
