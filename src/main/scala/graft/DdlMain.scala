@@ -58,6 +58,30 @@ object DdlMain {
           .collect()
           .foreach(r => println(s"${r.get(0)}\ttables=${r.get(1)}\tewi=${r.get(2)}"))
         spark.stop()
+      case (d @ ("db2" | "snowflake"), "batch") =>
+        // path is a directory of .sql scripts; writes <name>.iceberg.sql
+        // and <name>.report.json beside each (differential-test harness).
+        val dirFile = new java.io.File(path)
+        val isScript = (n: String) => n.endsWith(".sql") &&
+          !n.endsWith(".iceberg.sql") && !n.contains(".ref.")
+        for (f <- dirFile.listFiles().filter(f => isScript(f.getName)).sortBy(_.getName)) {
+          val script = new String(Files.readAllBytes(f.toPath), "UTF-8")
+          val base = f.getAbsolutePath.stripSuffix(".sql")
+          if (d == "db2") {
+            val conv = Db2Renderer.convert(script, cfg)
+            Files.writeString(Paths.get(base + ".iceberg.sql"), conv.icebergDdl)
+            Files.writeString(Paths.get(base + ".meta.txt"),
+              s"ewi=${conv.ewiCount} tables=${conv.tablesConverted} success=${conv.success}")
+            Files.writeString(Paths.get(base + ".report.json"),
+              Assessor.toJson(Assessor.assess(script)))
+          } else {
+            val conv = SnowflakeRenderer.convert(script, cfg)
+            Files.writeString(Paths.get(base + ".iceberg.sql"), conv.icebergDdl)
+            Files.writeString(Paths.get(base + ".meta.txt"),
+              s"ewi=${conv.ewiCount} tables=${conv.tablesConverted} success=${conv.success}")
+          }
+        }
+        println(s"batch done: ${dirFile.listFiles().count(f => isScript(f.getName))} scripts")
       case other =>
         System.err.println(s"unknown dialect/mode: $other"); sys.exit(2)
     }

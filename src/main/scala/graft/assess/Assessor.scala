@@ -305,8 +305,13 @@ object Assessor {
     } + "\""
     def jopt(o: Option[String]): String = o.map(jstr).getOrElse("null")
     def round1(d: Double): String = {
-      val bd = BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_EVEN)
-      if (bd.isWhole) bd.toBigInt.toString + ".0" else bd.toString
+      // Python's round() rounds the EXACT binary double (74.35 is really
+      // 74.3499…, so it rounds DOWN). Scala's BigDecimal(Double) goes
+      // through Double.toString ("74.35") and would round up — use the
+      // exact-value constructor for parity.
+      val bd = new java.math.BigDecimal(d)
+        .setScale(1, java.math.RoundingMode.HALF_EVEN)
+      bd.toPlainString
     }
     def issueJson(i: Issue): String =
       s"""{"code": ${jstr(i.code)}, "severity": ${jstr(i.severity)}, "message": ${jopt(i.message)}, "table": ${jopt(i.tableName)}, "column": ${jopt(i.columnName)}, "suggestion": ${jopt(i.suggestion)}}"""

@@ -108,8 +108,12 @@ object TypeMapper {
     }
   }
 
+  // Python-truthiness parity: the reference's `if length` / `x if x else
+  // default` treats 0 like absent. Zero-valued params behave as missing.
+  private def truthy(o: Option[Int]): Option[Int] = o.filter(_ != 0)
+
   private def withLen(t: String, len: Option[Int]): String =
-    len.map(l => s"$t($l)").getOrElse(t)
+    truthy(len).map(l => s"$t($l)").getOrElse(t)
 
   private def mapChar(length: Option[Int]): TypeMapping =
     TypeMapping(withLen("CHAR", length), "STRING", CS.Compatible,
@@ -138,7 +142,7 @@ object TypeMapper {
     }
 
   private def mapDecimal(precision: Option[Int], scale: Option[Int]): TypeMapping = {
-    val p = precision.getOrElse(5)
+    val p = truthy(precision).getOrElse(5) // DECIMAL(0,_) defaults like absent
     val s = scale.getOrElse(0)
     // p > 38 implies precision was given; scale may be absent — the
     // reference renders Python's None verbatim in that case.
@@ -153,22 +157,22 @@ object TypeMapper {
   }
 
   private def mapFloat(precision: Option[Int]): TypeMapping =
-    precision match {
+    truthy(precision) match {
       case Some(p) if p > 24 => TypeMapping(s"FLOAT($p)", "DOUBLE", CS.Direct)
       case _ => TypeMapping(withLen("FLOAT", precision), "FLOAT", CS.Direct)
     }
 
   private def mapTime(precision: Option[Int]): TypeMapping = {
-    val sp = precision.getOrElse(0)
+    val sp = truthy(precision).getOrElse(0)
     if (sp != 6)
-      TypeMapping(precision.map(p => s"TIME($p)").getOrElse("TIME"), "TIME(6)",
+      TypeMapping(truthy(precision).map(p => s"TIME($p)").getOrElse("TIME"), "TIME(6)",
         CS.Compatible, Some(EwiCodes("TIME_PRECISION")),
         Some("TIME precision adjusted to 6 (microseconds) for Iceberg compatibility"))
     else TypeMapping("TIME(6)", "TIME(6)", CS.Direct)
   }
 
   private def mapTimestamp(precision: Option[Int]): TypeMapping = {
-    val sp = precision.getOrElse(6)
+    val sp = truthy(precision).getOrElse(6) // TIMESTAMP(0) → default 6 (no EWI)
     if (sp != 6)
       TypeMapping(s"TIMESTAMP($sp)", "TIMESTAMP_NTZ(6)", CS.Compatible,
         Some(EwiCodes("TIMESTAMP_PRECISION")),

@@ -19,11 +19,16 @@ object TypeRulesColumns {
 
   import TypeMapper.{MaxBinarySize, MaxLobSize, MaxVarcharSize}
 
+  /** Python-truthiness default: NULL *or zero* falls back (the
+    * reference's `x if x else default`). */
+  private def truthyOr(c: Column, default: Int): Column =
+    coalesce(when(c === 0, lit(null)).otherwise(c), lit(default))
+
   /** Target Iceberg type column. Arguments are columns over the
     * normalized inputs (upper-cased type name; nullable ints). */
   def targetType(t: Column, len: Column, prec: Column, scale: Column,
       forBit: Column): Column = {
-    val p = coalesce(prec, lit(5))
+    val p = truthyOr(prec, 5)
     val s = coalesce(scale, lit(0))
     when(forBit, lit("BINARY"))
       .when(t === "SMALLINT" || t === "INTEGER" || t === "INT", lit("INTEGER"))
@@ -54,7 +59,7 @@ object TypeRulesColumns {
   /** Conversion status column (direct/compatible/lossy/unsupported). */
   def status(t: Column, len: Column, prec: Column, scale: Column,
       forBit: Column): Column = {
-    val p = coalesce(prec, lit(5))
+    val p = truthyOr(prec, 5)
     when(forBit, lit("compatible"))
       .when(t.isin("SMALLINT", "INTEGER", "INT", "BIGINT", "REAL", "DOUBLE",
         "DATE", "BOOLEAN", "FLOAT"), lit("direct"))
@@ -70,7 +75,7 @@ object TypeRulesColumns {
       .when(t === "TIME",
         when(coalesce(prec, lit(0)) === 6, lit("direct")).otherwise(lit("compatible")))
       .when(t === "TIMESTAMP",
-        when(coalesce(prec, lit(6)) === 6, lit("direct")).otherwise(lit("compatible")))
+        when(truthyOr(prec, 6) === 6, lit("direct")).otherwise(lit("compatible")))
       .when(t.isin("BINARY", "VARBINARY", "BINARY VARYING"),
         when(len.isNotNull && len > MaxBinarySize, lit("lossy")).otherwise(lit("direct")))
       .when(t === "BLOB",
@@ -83,7 +88,7 @@ object TypeRulesColumns {
   /** EWI code column (null when no EWI applies). */
   def ewiCode(t: Column, len: Column, prec: Column, scale: Column,
       forBit: Column): Column = {
-    val p = coalesce(prec, lit(5))
+    val p = truthyOr(prec, 5)
     when(forBit, lit("SSC-EWI-DB2ICE-0010"))
       .when(t.isin("SMALLINT", "INTEGER", "INT", "BIGINT", "REAL", "DOUBLE",
         "DATE", "BOOLEAN", "FLOAT"), lit(null).cast("string"))
@@ -105,7 +110,7 @@ object TypeRulesColumns {
         when(coalesce(prec, lit(0)) === 6, lit(null).cast("string"))
           .otherwise(lit("SSC-EWI-DB2ICE-0003")))
       .when(t === "TIMESTAMP",
-        when(coalesce(prec, lit(6)) === 6, lit(null).cast("string"))
+        when(truthyOr(prec, 6) === 6, lit(null).cast("string"))
           .otherwise(lit("SSC-EWI-DB2ICE-0004")))
       .when(t.isin("BINARY", "VARBINARY", "BINARY VARYING"),
         when(len.isNotNull && len > MaxBinarySize, lit("SSC-EWI-DB2ICE-0008"))

@@ -499,9 +499,9 @@ object FixtureQueries {
         |      WHEN t IN ('CHAR','CHARACTER','VARCHAR','CHAR VARYING',
         |                 'CHARACTER VARYING','LONG VARCHAR','CLOB') THEN 'STRING'
         |      WHEN t IN ('DECIMAL','DEC','NUMERIC') THEN
-        |        CASE WHEN coalesce(prec, 5) > 38
+        |        CASE WHEN coalesce(nullif(prec, 0), 5) > 38
         |             THEN 'NUMBER(38,' || CAST(least(coalesce(sc, 0), 37) AS VARCHAR) || ')'
-        |             ELSE 'NUMBER(' || CAST(coalesce(prec, 5) AS VARCHAR) || ','
+        |             ELSE 'NUMBER(' || CAST(coalesce(nullif(prec, 0), 5) AS VARCHAR) || ','
         |                  || CAST(coalesce(sc, 0) AS VARCHAR) || ')' END
         |      WHEN t = 'FLOAT' THEN
         |        CASE WHEN prec IS NOT NULL AND prec > 24 THEN 'DOUBLE' ELSE 'FLOAT' END
@@ -523,12 +523,12 @@ object FixtureQueries {
         |      WHEN t IN ('CLOB','DBCLOB') THEN
         |        CASE WHEN len IS NOT NULL AND len > 134217728 THEN 'lossy' ELSE 'compatible' END
         |      WHEN t IN ('DECIMAL','DEC','NUMERIC') THEN
-        |        CASE WHEN coalesce(prec, 5) > 38 THEN 'lossy' ELSE 'direct' END
+        |        CASE WHEN coalesce(nullif(prec, 0), 5) > 38 THEN 'lossy' ELSE 'direct' END
         |      WHEN t IN ('DECFLOAT','ROWID') THEN 'lossy'
         |      WHEN t = 'TIME' THEN
         |        CASE WHEN coalesce(prec, 0) = 6 THEN 'direct' ELSE 'compatible' END
         |      WHEN t = 'TIMESTAMP' THEN
-        |        CASE WHEN coalesce(prec, 6) = 6 THEN 'direct' ELSE 'compatible' END
+        |        CASE WHEN coalesce(nullif(prec, 0), 6) = 6 THEN 'direct' ELSE 'compatible' END
         |      WHEN t IN ('BINARY','VARBINARY','BINARY VARYING') THEN
         |        CASE WHEN len IS NOT NULL AND len > 8388608 THEN 'lossy' ELSE 'direct' END
         |      WHEN t = 'BLOB' THEN
@@ -550,12 +550,12 @@ object FixtureQueries {
         |        CASE WHEN len IS NOT NULL AND len > 134217728 THEN 'SSC-EWI-DB2ICE-0008'
         |             ELSE 'SSC-EWI-DB2ICE-0006' END
         |      WHEN t IN ('DECIMAL','DEC','NUMERIC') THEN
-        |        CASE WHEN coalesce(prec, 5) > 38 THEN 'SSC-EWI-DB2ICE-0002' END
+        |        CASE WHEN coalesce(nullif(prec, 0), 5) > 38 THEN 'SSC-EWI-DB2ICE-0002' END
         |      WHEN t = 'DECFLOAT' THEN 'SSC-EWI-DB2ICE-0007'
         |      WHEN t = 'TIME' THEN
         |        CASE WHEN coalesce(prec, 0) = 6 THEN NULL ELSE 'SSC-EWI-DB2ICE-0003' END
         |      WHEN t = 'TIMESTAMP' THEN
-        |        CASE WHEN coalesce(prec, 6) = 6 THEN NULL ELSE 'SSC-EWI-DB2ICE-0004' END
+        |        CASE WHEN coalesce(nullif(prec, 0), 6) = 6 THEN NULL ELSE 'SSC-EWI-DB2ICE-0004' END
         |      WHEN t IN ('BINARY','VARBINARY','BINARY VARYING') THEN
         |        CASE WHEN len IS NOT NULL AND len > 8388608 THEN 'SSC-EWI-DB2ICE-0008' END
         |      WHEN t = 'BLOB' THEN

@@ -153,6 +153,10 @@ class Db2EngineSpec extends AnyFunSuite {
     // TIMESTAMP default precision 6 → direct; 12 → compatible EWI
     assert(mapType("TIMESTAMP").status === ConversionStatus.Direct)
     assert(mapType("TIMESTAMP", precision = Some(12)).ewiCode === Some("SSC-EWI-DB2ICE-0004"))
+    // Python-truthiness parity: explicit 0 params behave like absent
+    assert(mapType("TIMESTAMP", precision = Some(0)).status === ConversionStatus.Direct)
+    assert(mapType("TIMESTAMP", precision = Some(0)).ewiCode === None)
+    assert(mapType("DECIMAL", precision = Some(0), scale = Some(2)).targetType === "NUMBER(5,2)")
     // BINARY 8MB boundary
     assert(mapType("BINARY", Some(8 * 1024 * 1024)).status === ConversionStatus.Direct)
     assert(mapType("VARBINARY", Some(8 * 1024 * 1024 + 1)).status === ConversionStatus.Lossy)

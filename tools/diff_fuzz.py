@@ -1,0 +1,161 @@
+#!/usr/bin/env python3
+"""Differential fuzz: generate random DDL, run the REFERENCE implementation
+and compare against graft's batch output (written by `DdlMain <dialect> batch`).
+
+Usage:
+  diff_fuzz.py gen <dir> <n> <seed>      # write fuzz_*.sql + reference outputs
+  diff_fuzz.py cmp <dir>                 # compare graft outputs against reference
+"""
+import sys, os, json, random, glob
+
+sys.path.insert(0, '/root/reference')
+
+TYPES = ["SMALLINT", "INTEGER", "INT", "BIGINT", "DECIMAL", "NUMERIC", "REAL",
+         "FLOAT", "DOUBLE", "DECFLOAT", "CHAR", "CHARACTER", "VARCHAR",
+         "LONG VARCHAR", "CLOB", "GRAPHIC", "VARGRAPHIC", "LONG VARGRAPHIC",
+         "DBCLOB", "BINARY", "VARBINARY", "BLOB", "DATE", "TIME", "TIMESTAMP",
+         "XML", "ROWID", "BOOLEAN"]
+WORDS = ["ORDER", "data", "Value_1", "col", "ITEM", "x9", "Select", "amount",
+         "ts_col", "flag"]
+
+def ident(rng):
+    base = rng.choice(WORDS) + str(rng.randint(0, 99))
+    return f'"{base}"' if rng.random() < 0.15 else base
+
+def column(rng):
+    t = rng.choice(TYPES)
+    params = ""
+    if t in ("DECIMAL", "NUMERIC") and rng.random() < 0.8:
+        params = f"({rng.randint(1, 45)},{rng.randint(0, 12)})"
+    elif t in ("CHAR", "CHARACTER", "VARCHAR", "CLOB", "BLOB", "BINARY",
+               "VARBINARY", "GRAPHIC", "VARGRAPHIC", "DBCLOB") and rng.random() < 0.7:
+        params = f"({rng.randint(1, 300000000)})"
+    elif t in ("TIME", "TIMESTAMP", "FLOAT", "DECFLOAT") and rng.random() < 0.6:
+        params = f"({rng.randint(0, 14)})"
+    parts = [ident(rng), t + params]
+    if rng.random() < 0.3:
+        parts.append("NOT NULL")
+    if rng.random() < 0.2:
+        parts.append("DEFAULT " + rng.choice(["0", "1", "'abc'", "CURRENT_TIMESTAMP", "'it''s'"]))
+    if rng.random() < 0.1:
+        parts.append("GENERATED ALWAYS AS IDENTITY")
+    if rng.random() < 0.08:
+        parts.append("FOR BIT DATA")
+    if rng.random() < 0.08:
+        parts.append("FIELDPROC PROC" + str(rng.randint(1, 9)))
+    if rng.random() < 0.08:
+        parts.append("CCSID UNICODE")
+    return " ".join(parts)
+
+def table(rng, idx):
+    schema = rng.choice(["S1", "APP", "Sales", None])
+    name = f"T{idx}_" + rng.choice(["A", "B", "ORD", "data"])
+    mod = rng.choice(["", "", "", "VOLATILE ", "GLOBAL TEMPORARY "])
+    cols = [column(rng) for _ in range(rng.randint(1, 8))]
+    cons = []
+    if rng.random() < 0.5:
+        cons.append(f"PRIMARY KEY ({ident(rng)})")
+    if rng.random() < 0.25:
+        cons.append(f"CONSTRAINT FK{idx} FOREIGN KEY (C1) REFERENCES OTHER.T(C2)")
+    if rng.random() < 0.2:
+        cons.append(f"UNIQUE ({ident(rng)})")
+    if rng.random() < 0.15:
+        cons.append("CHECK (X > 0 AND Y < 10)")
+    body = ",\n  ".join(cols + cons)
+    opts = ""
+    if rng.random() < 0.2:
+        opts += " IN TS" + str(rng.randint(1, 5))
+    if rng.random() < 0.1:
+        opts += " EDITPROC EDP1"
+    if rng.random() < 0.1:
+        opts += " VALIDPROC VLP1"
+    if rng.random() < 0.15:
+        opts += f" PARTITION BY {rng.choice(['RANGE', 'HASH'])} (C1, C2)"
+    if rng.random() < 0.1:
+        opts += " AUDIT CHANGES CCSID EBCDIC"
+    comment = "-- comment with 'apostrophe sometimes\n" if rng.random() < 0.2 else ""
+    fullname = f"{schema}.{name}" if schema else name
+    decl = "DECLARE GLOBAL TEMPORARY TABLE" if (not mod and rng.random() < 0.08) \
+        else f"CREATE {mod}TABLE"
+    term = rng.choice([";", "@", ";"])
+    return f"{comment}{decl} {fullname} (\n  {body}\n){opts}{term}\n"
+
+def script(rng, idx):
+    n = rng.randint(1, 5)
+    parts = [table(rng, i) for i in range(n)]
+    # sprinkle ALTER / DISTRIBUTE statements
+    if rng.random() < 0.4:
+        parts.append(f"ALTER TABLE T0_A ADD CONSTRAINT PKX PRIMARY KEY (C1);\n")
+    if rng.random() < 0.3:
+        parts.append("ALTER TABLE NO_SUCH_TABLE PARTITION BY RANGE (D);\n")
+    if rng.random() < 0.3:
+        parts.append("DISTRIBUTE BY HASH (C1);\n")
+    return "\n".join(parts)
+
+def gen(outdir, n, seed):
+    from db2ice.converter import DB2IceConverter
+    from db2ice.assessor import Assessor
+    os.makedirs(outdir, exist_ok=True)
+    rng = random.Random(seed)
+    for i in range(n):
+        s = script(rng, i)
+        base = os.path.join(outdir, f"fuzz_{i:03d}")
+        open(base + ".sql", "w").write(s)
+        conv = DB2IceConverter().convert(s)
+        open(base + ".ref.iceberg.sql", "w").write(conv.iceberg_ddl)
+        open(base + ".ref.meta.txt", "w").write(
+            f"ewi={conv.ewi_count} tables={conv.tables_converted} success={conv.success}")
+        open(base + ".ref.report.json", "w").write(Assessor().assess(s).to_json())
+    print(f"generated {n} scripts in {outdir}")
+
+def canon_json(s):
+    def norm(v):
+        if isinstance(v, dict):
+            return {k: norm(x) for k, x in sorted(v.items())}
+        if isinstance(v, list):
+            return [norm(x) for x in v]
+        if isinstance(v, (int, float)):
+            return float(v)
+        return v
+    return norm(json.loads(s))
+
+def cmp(outdir):
+    bad = ok = 0
+    import re
+    for sql in sorted(glob.glob(os.path.join(outdir, "fuzz_*.sql"))):
+        if not re.fullmatch(r"fuzz_\d+\.sql", os.path.basename(sql)):
+            continue
+        base = sql[:-len(".sql")]
+        name = os.path.basename(base)
+        problems = []
+        for suffix in (".iceberg.sql", ".meta.txt"):
+            ref = open(base + ".ref" + suffix).read()
+            try:
+                got = open(base + suffix).read()
+            except FileNotFoundError:
+                problems.append(f"missing graft output {suffix}")
+                continue
+            if suffix == ".meta.txt":  # Python True/False vs Scala true/false
+                ref = ref.replace("True", "true").replace("False", "false")
+            if ref != got:
+                problems.append(f"mismatch {suffix}")
+        try:
+            r = canon_json(open(base + ".ref.report.json").read())
+            g = canon_json(open(base + ".report.json").read())
+            if r != g:
+                problems.append("mismatch report.json")
+        except FileNotFoundError:
+            problems.append("missing report.json")
+        if problems:
+            bad += 1
+            print(f"✗ {name}: {', '.join(problems)}")
+        else:
+            ok += 1
+    print(f"== {ok} ok, {bad} bad ==")
+    sys.exit(1 if bad else 0)
+
+if __name__ == "__main__":
+    if sys.argv[1] == "gen":
+        gen(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+    else:
+        cmp(sys.argv[2])
