@@ -92,6 +92,74 @@ def script(rng, idx):
         parts.append("DISTRIBUTE BY HASH (C1);\n")
     return "\n".join(parts)
 
+SF_TYPES = ["NUMBER(38,0)", "NUMBER(10,2)", "VARCHAR(100)", "VARCHAR",
+            "VARIANT", "OBJECT", "ARRAY", "GEOGRAPHY", "GEOMETRY", "FLOAT",
+            "BOOLEAN", "DATE", "TIME", "TIME(3)", "TIMESTAMP", "TIMESTAMP(9)",
+            "TIMESTAMP_NTZ", "TIMESTAMP_NTZ(6)", "TIMESTAMP_LTZ(2)",
+            "TIMESTAMP_TZ", "DATETIME", "BINARY(16)"]
+
+def sf_column(rng):
+    parts = [ident(rng), rng.choice(SF_TYPES)]
+    if rng.random() < 0.3:
+        parts.append("NOT NULL")
+    if rng.random() < 0.15:
+        parts.append(rng.choice(["AUTOINCREMENT", "IDENTITY(5,1)", "IDENTITY"]))
+    if rng.random() < 0.2:
+        parts.append("DEFAULT " + rng.choice(["0", "CURRENT_TIMESTAMP()", "'x'"]))
+    if rng.random() < 0.1:
+        parts.append("COMMENT 'a col comment'")
+    if rng.random() < 0.08:
+        parts.append("COLLATE 'en-ci'")
+    if rng.random() < 0.08:
+        parts.append("WITH MASKING POLICY mp1")
+    return " ".join(parts)
+
+def sf_table(rng, idx):
+    mod = rng.choice(["", "", "", "TRANSIENT ", "TEMPORARY ", "DYNAMIC ",
+                      "EXTERNAL ", "HYBRID "])
+    orr = "OR REPLACE " if rng.random() < 0.5 else ""
+    ine = "IF NOT EXISTS " if rng.random() < 0.2 else ""
+    name = ".".join(filter(None, [
+        rng.choice(["DB1", None]) if rng.random() < 0.3 else None,
+        rng.choice(["ANALYTICS", "stg", None]),
+        f"SF{idx}_" + rng.choice(["A", "Fact", "dim"])]))
+    cols = [sf_column(rng) for _ in range(rng.randint(1, 7))]
+    cons = []
+    if rng.random() < 0.4:
+        cons.append(f"PRIMARY KEY ({ident(rng)})")
+    if rng.random() < 0.2:
+        cons.append(f"CONSTRAINT FK{idx} FOREIGN KEY (C1) REFERENCES OTHER.T (C2)")
+    if rng.random() < 0.2:
+        cons.append(f"UNIQUE ({ident(rng)}, {ident(rng)})")
+    body = ",\n  ".join(cols + cons)
+    opts = ""
+    if rng.random() < 0.3:
+        opts += f"\nCLUSTER BY ({ident(rng)}, {ident(rng)})"
+    if rng.random() < 0.2:
+        opts += "\nDATA_RETENTION_TIME_IN_DAYS = " + str(rng.randint(0, 90))
+    if rng.random() < 0.2:
+        opts += "\nCHANGE_TRACKING = " + rng.choice(["TRUE", "FALSE"])
+    if rng.random() < 0.2:
+        opts += "\nCOMMENT = 'a table comment'"
+    return f"CREATE {orr}{mod}TABLE {ine}{name} (\n  {body}\n){opts};\n"
+
+def sf_script(rng, idx):
+    return "\n".join(sf_table(rng, i) for i in range(rng.randint(1, 4)))
+
+def gen_sf(outdir, n, seed):
+    from db2ice.snowflake_converter import SnowflakeToIcebergConverter
+    os.makedirs(outdir, exist_ok=True)
+    rng = random.Random(seed)
+    for i in range(n):
+        s = sf_script(rng, i)
+        base = os.path.join(outdir, f"fuzz_{i:03d}")
+        open(base + ".sql", "w").write(s)
+        conv = SnowflakeToIcebergConverter().convert(s)
+        open(base + ".ref.iceberg.sql", "w").write(conv.iceberg_ddl)
+        open(base + ".ref.meta.txt", "w").write(
+            f"ewi={conv.ewi_count} tables={conv.tables_converted} success={conv.success}")
+    print(f"generated {n} snowflake scripts in {outdir}")
+
 def gen(outdir, n, seed):
     from db2ice.converter import DB2IceConverter
     from db2ice.assessor import Assessor
@@ -139,13 +207,14 @@ def cmp(outdir):
                 ref = ref.replace("True", "true").replace("False", "false")
             if ref != got:
                 problems.append(f"mismatch {suffix}")
-        try:
-            r = canon_json(open(base + ".ref.report.json").read())
-            g = canon_json(open(base + ".report.json").read())
-            if r != g:
-                problems.append("mismatch report.json")
-        except FileNotFoundError:
-            problems.append("missing report.json")
+        if os.path.exists(base + ".ref.report.json"):
+            try:
+                r = canon_json(open(base + ".ref.report.json").read())
+                g = canon_json(open(base + ".report.json").read())
+                if r != g:
+                    problems.append("mismatch report.json")
+            except FileNotFoundError:
+                problems.append("missing report.json")
         if problems:
             bad += 1
             print(f"✗ {name}: {', '.join(problems)}")
@@ -157,5 +226,7 @@ def cmp(outdir):
 if __name__ == "__main__":
     if sys.argv[1] == "gen":
         gen(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+    elif sys.argv[1] == "gensf":
+        gen_sf(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
     else:
         cmp(sys.argv[2])
