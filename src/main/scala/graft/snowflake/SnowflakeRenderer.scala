@@ -129,7 +129,8 @@ object SnowflakeRenderer {
             suggestion = Some("Consider Iceberg table optimization strategies"))
         }
       }
-      table.dataRetentionDays.foreach(d =>
+      // Python truthiness: retention 0 is falsy — comment omitted
+      table.dataRetentionDays.filter(_ != 0).foreach(d =>
         comments += s"-- Original DATA_RETENTION_TIME_IN_DAYS: $d")
       if (table.changeTracking) comments += "-- Original CHANGE_TRACKING: TRUE"
       for (fk <- table.foreignKeys) {
