@@ -32,14 +32,20 @@ object Dedup {
       .withColumn("rep_rank", row_number().over(w))
   }
 
-  /** (doc_id, shingle) exploded pairs, distinct per doc, with hot
+  /** (doc_id, shingle-hash) exploded pairs, distinct per doc, with hot
     * shingles above dfCap dropped (skew guard — a shingle occurring in
     * a large fraction of docs generates quadratic join fanout and no
-    * dedup signal). */
+    * dedup signal).
+    *
+    * Shingles are projected to a 64-bit xxhash64 BEFORE the explode, so
+    * every downstream shuffle/join carries 8-byte longs instead of raw
+    * k-word strings — at 100 TB the shingle table is the dominant
+    * shuffle and this cuts its width ~10×. Collision odds at n distinct
+    * shingles are n²/2⁶⁵ (≪1e-6 even at billions). */
   def shinglePairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
       dfCap: Long = Long.MaxValue): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), k)).as("s"))
+      explode(graft.functions.ShingleHashes(col(textCol), k)).as("s"))
     if (dfCap == Long.MaxValue) sh
     else {
       val hot = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") > dfCap)
@@ -67,18 +73,22 @@ object Dedup {
       .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
   }
 
-  /** MinHash signatures: k permutations simulated as xxhash64(seed, s);
-    * signature[i] = min over the doc's shingles. One row per doc,
-    * signature as array<bigint>. */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int, numPerm: Int): DataFrame = {
-    val sh = shinglePairs(docs, idCol, textCol, shingleK)
+  /** MinHash signatures from an exploded (doc_id, shingle-hash) table:
+    * signature[i] = min over the doc's shingles of xxhash64(i, s). */
+  def signaturesFromShingles(sh: DataFrame, numPerm: Int): DataFrame = {
     val mins = (0 until numPerm).map(i =>
       min(xxhash64(lit(i), col("s"))).as(s"h$i"))
     sh.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until numPerm).map(i => col(s"h$i")): _*).as("sig"))
   }
+
+  /** MinHash signatures: k permutations simulated as xxhash64(seed, s);
+    * signature[i] = min over the doc's shingles. One row per doc,
+    * signature as array<bigint>. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numPerm: Int): DataFrame =
+    signaturesFromShingles(shinglePairs(docs, idCol, textCol, shingleK), numPerm)
 
   /** LSH candidate pairs from banded MinHash signatures: docs sharing
     * any band bucket. numPerm must be divisible by bands. */
@@ -96,6 +106,36 @@ object Dedup {
     l.join(r, col("band1") === col("band2") && col("bucket1") === col("bucket2") &&
         col("d1") < col("d2"))
       .select("d1", "d2").distinct()
+  }
+
+  /** The production near-dup pipeline shape: MinHash+LSH candidate
+    * generation (linear in bucket sizes — never all-pairs) followed by
+    * an exact n-gram-Jaccard verification of ONLY the candidate pairs.
+    * With numPerm=64 / bands=16 (4 rows per band), a pair at the
+    * j=threshold boundary of 0.9 is missed with probability
+    * (1−0.9⁴)¹⁶ ≈ 4e-8, so the output equals the exact all-pairs
+    * result while the join cost stays bucket-local — this is what
+    * replaces [[jaccardPairs]]'s shingle self-join at 100 TB.
+    * Output: (d1, d2, shared, jaccard) with jaccard ≥ threshold. */
+  def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numPerm: Int, bands: Int, threshold: Double): DataFrame = {
+    val sh = shinglePairs(docs, idCol, textCol, shingleK).cache()
+    val cand = minhashCandidates(signaturesFromShingles(sh, numPerm), bands)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // Exact verify restricted to candidates: fan each candidate pair out
+    // to d1's shingles, probe d2's shingle set — O(|cand| · shingles),
+    // not O(n²).
+    val shared = cand
+      .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_shingles", "n1"), "d1")
+      .join(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_shingles", "n2"), "d2")
+      .withColumn("jaccard", round(col("shared").cast("double") /
+        (col("n1") + col("n2") - col("shared")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
   }
 
   /** 64-bit SimHash per doc: bit j is the sign of Σ over tokens of

@@ -57,13 +57,14 @@ object PipelineQueries {
     Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.2)
       .orderBy("d1", "d2")
 
-  /** MinHash(32) + LSH(8 bands) candidate pairs (no oracle — hash
-    * permutations are engine-specific). */
-  def q20MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sigs = Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text",
-      shingleK = 3, numPerm = 32)
-    Dedup.minhashCandidates(sigs, bands = 8).orderBy("d1", "d2")
-  }
+  /** MinHash(64)+LSH(16 bands) candidates, exact-Jaccard-verified at
+    * 0.9 — the production near-dup pipeline. Oracle is the exact
+    * all-pairs SQL: at 64/16 the boundary miss probability is ~4e-8,
+    * so LSH-prefilter + verify equals the exact result. */
+  def q20MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleK = 3, numPerm = 64, bands = 16, threshold = 0.9)
+      .orderBy("d1", "d2")
 
   /** SimHash signatures per doc + near-dup candidate counts (no
     * oracle). Always |documents| rows. */
@@ -194,6 +195,22 @@ object PipelineQueries {
          |JOIN cnt ca ON ca.doc_id = d1
          |JOIN cnt cb ON cb.doc_id = d2
          |WHERE round(CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE), 6) >= 0.2
+         |ORDER BY 1, 2""".stripMargin,
+    "q20_minhash_lsh" ->
+      s"""WITH w AS (SELECT doc_id, $WordsSql AS w FROM documents),
+         |idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM w WHERE len(w) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, shared,
+         |  round(CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE), 6) AS jaccard
+         |FROM pairs
+         |JOIN cnt ca ON ca.doc_id = d1
+         |JOIN cnt cb ON cb.doc_id = d2
+         |WHERE round(CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE), 6) >= 0.9
          |ORDER BY 1, 2""".stripMargin,
     "q22_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
