@@ -119,7 +119,11 @@ object Dedup {
     * Output: (d1, d2, shared, jaccard) with jaccard ≥ threshold. */
   def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numPerm: Int, bands: Int, threshold: Double): DataFrame = {
-    val sh = shinglePairs(docs, idCol, textCol, shingleK).cache()
+    // Recompute rather than cache: with hashed shingles the table is one
+    // cheap projection off the scan, and caching it would serialize
+    // ~|corpus| rows into executor memory — at 100 TB that cache IS the
+    // bottleneck, while recomputation is a scan Spark pipelines freely.
+    val sh = shinglePairs(docs, idCol, textCol, shingleK)
     val cand = minhashCandidates(signaturesFromShingles(sh, numPerm), bands)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     // Exact verify restricted to candidates: fan each candidate pair out
@@ -139,9 +143,19 @@ object Dedup {
   }
 
   /** 64-bit SimHash per doc: bit j is the sign of Σ over tokens of
-    * (bit j of xxhash64(token) ? +1 : −1). Computed as one exploded
-    * aggregation over (doc, token) with 64 conditional sums. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * (bit j of xxhash64(token) ? +1 : −1). A pure per-row map via the
+    * native [[graft.functions.SimHash64]] expression — no explode, no
+    * shuffle; at 100 TB the signature computes inside the scan's
+    * projection. [[simhashAgg]] is the built-in-only formulation kept
+    * for the equivalence spec. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.SimHash64(col(textCol)).as("simhash"))
+
+  /** Built-in-only SimHash: explode(tokens) → 64 conditional sums.
+    * Semantically identical to [[simhash]] (PipelineSpec asserts it);
+    * kept as the oracle-expressible reference formulation. */
+  def simhashAgg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(words(col(textCol))).as("w"))
       .withColumn("h", xxhash64(col("w")))

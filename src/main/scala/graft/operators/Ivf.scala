@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** IVF (inverted-file) approximate-nearest-neighbor index — the
+  * coarse-quantizer scale path for similarity search (builder brief:
+  * "an IVF or LSH-bucketed variant as the scale path").
+  *
+  * Shape: k-means coarse centroids partition the corpus into
+  * `nCentroids` cells ([[train]] / [[assign]]); a query scores only the
+  * cells of its `nProbe` nearest centroids ([[topK]]) — corpus scan
+  * cost drops from |corpus| to ~|corpus|·nProbe/nCentroids per query.
+  * All stages are declarative DataFrame ops: training is `nIters`
+  * broadcast-join + groupBy rounds (the classic distributed Lloyd
+  * step), assignment a broadcast join, search a cell-local join — no
+  * driver-side loops over data, so the same plan runs at 100 TB with
+  * centroids staying broadcast-small (nCentroids ≪ |corpus|).
+  *
+  * Everything is deterministic: seeds are the first `nCentroids`
+  * vectors by id, ties in assignment break by centroid id, so results
+  * are reproducible run-to-run (needed for verify/bench stability).
+  * With `nProbe = nCentroids` the search degenerates to exact brute
+  * force — IvfSpec asserts equality with [[Similarity.bruteForceTopK]],
+  * which carries a DuckDB oracle, giving the whole IVF plumbing an
+  * exactness anchor; recall at small nProbe is measured by
+  * [[recallVsExact]] (q31).
+  */
+object Ivf {
+
+  /** Squared L2 distance to a centroid: |v|² − 2·v·c + |c|².
+    * Monotone in true distance, cheaper than per-pair sqrt. */
+  private def dist2(vec: Column, vNorm2: Column, cVec: Column, cNorm2: Column): Column =
+    vNorm2 - lit(2.0) * dotNative(vec, cVec) + cNorm2
+
+  /** Nearest-centroid id for every row of `vecs` (columns: id, vec,
+    * n2): broadcast the centroid table, min_by over (dist², cid). */
+  private def nearest(vecs: DataFrame, centroids: DataFrame, n: Int = 1): DataFrame = {
+    val scored = vecs.crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("n2"), col("cid"),
+        dist2(col("vec"), col("n2"), col("c_vec"), col("c_n2")).as("d2"))
+    if (n == 1) {
+      // argmin as a min-over-struct aggregate: partial aggregation runs
+      // map-side, so the shuffle carries one row per id instead of
+      // nCentroids rows per id that a window sort would move. (d2, cid)
+      // leads the struct so ordering matches the window's tie-break;
+      // cid is unique per id, so later fields never compare.
+      scored.groupBy("id")
+        .agg(min(struct(col("d2"), col("cid"), col("n2"), col("vec"))).as("m"))
+        .select(col("id"), col("m.vec").as("vec"), col("m.n2").as("n2"),
+          col("m.cid").as("cid"), lit(1).as("rk"))
+    } else {
+      val w = Window.partitionBy("id").orderBy(col("d2"), col("cid"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+        .select(col("id"), col("vec"), col("n2"), col("cid"), col("rk"))
+    }
+  }
+
+  private def prep(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id").as("id"), col("embedding").as("vec"),
+      dotNative(col("embedding"), col("embedding")).as("n2"))
+
+  /** K-means centroids: seeds = first `nCentroids` vectors by id,
+    * `nIters` Lloyd rounds (assign via broadcast join, recompute via
+    * per-dimension mean). Output: (cid, c_vec: array<double>, c_n2). */
+  def train(corpus: DataFrame, nCentroids: Int, nIters: Int): DataFrame = {
+    val vecs = prep(corpus)
+    var centroids = vecs.orderBy("id").limit(nCentroids)
+      .select(row_number().over(Window.orderBy("id")).cast("int").as("cid"),
+        transform(col("vec"), x => x.cast("double")).as("c_vec"))
+      .withColumn("c_n2", dotNative(col("c_vec"), col("c_vec")))
+    var it = 0
+    while (it < nIters) {
+      // Lloyd step: mean per (centroid, dimension), reassembled in
+      // dimension order. posexplode carries the ordinal so the shuffle
+      // is (cid, pos)-keyed — partial aggregation map-side, no skew
+      // (dimensions are uniform).
+      val assigned = nearest(vecs, centroids)
+      val means = assigned
+        .select(col("cid"), posexplode(col("vec")))
+        .groupBy("cid", "pos").agg(avg(col("col").cast("double")).as("m"))
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), x => x.getField("m")).as("c_vec"))
+        .withColumn("c_n2", dotNative(col("c_vec"), col("c_vec")))
+      // Empty cells keep their previous centroid (left join fallback).
+      centroids = centroids.select(col("cid"), col("c_vec").as("prev_vec"), col("c_n2").as("prev_n2"))
+        .join(means.withColumnRenamed("c_vec", "new_vec").withColumnRenamed("c_n2", "new_n2"),
+          Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("new_vec"), col("prev_vec")).as("c_vec"),
+          coalesce(col("new_n2"), col("prev_n2")).as("c_n2"))
+      it += 1
+    }
+    centroids
+  }
+
+  /** Corpus cell assignment: (cid, id, vec, n2) — the inverted file.
+    * At scale this is the materialized/bucketed layout: partition the
+    * corpus by cid once, search cells without reshuffling. */
+  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    nearest(prep(corpus), centroids).select(col("cid"), col("id"), col("vec"), col("n2"))
+
+  /** IVF cosine top-k: each query scores only its `nProbe` nearest
+    * cells. Output schema matches [[Similarity.bruteForceTopK]]
+    * (q_id, rk, c_id, score). */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: DataFrame, nProbe: Int): DataFrame = {
+    val cells = assign(corpus, centroids)
+      .select(col("cid"), col("id").as("c_id"), col("vec").as("c_vec"),
+        sqrt(col("n2")).as("c_norm"))
+    val probes = nearest(prep(queries), centroids, nProbe)
+      .select(col("cid"), col("id").as("q_id"), col("vec").as("q_vec"),
+        sqrt(col("n2")).as("q_norm"))
+    val scored = cells.join(broadcast(probes), "cid")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("score",
+        round(dotNative(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("c_id"), col("score"))
+  }
+
+  /** Recall@k of IVF against the exact baseline, per query (mirrors
+    * [[Similarity.lshRecall]]). */
+  def recallVsExact(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int, nIters: Int, nProbe: Int): DataFrame = {
+    val centroids = train(corpus, nCentroids, nIters)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k)
+      .select(col("q_id"), col("c_id"))
+    val approx = topK(corpus, queries, k, centroids, nProbe)
+      .select(col("q_id"), col("c_id"))
+    exact.join(approx, Seq("q_id", "c_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      .join(exact.groupBy("q_id").agg(count(lit(1)).as("n_exact")), Seq("q_id"), "right")
+      .select(col("q_id"),
+        round(coalesce(col("hits"), lit(0)).cast("double") / col("n_exact"), 4).as("recall"))
+  }
+}

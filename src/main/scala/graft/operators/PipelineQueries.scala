@@ -99,9 +99,11 @@ object PipelineQueries {
       .orderBy("q_id", "rk")
   }
 
-  /** Embedding near-duplicate pairs (cosine ≥ 0.40). */
+  /** Embedding near-duplicate pairs (cosine ≥ 0.40), via the blocked
+    * all-pairs kernel (bit-identical to the expression form — spec-
+    * asserted — against the same exact-SQL oracle). */
   def q23EmbedNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.40)
+    Similarity.cosineNearDupPairsBlocked(t(s, dir, "embeddings"), threshold = 0.40)
       .orderBy("a_id", "b_id")
 
   /** LSH-bucketed ANN recall@3 against the exact baseline (no oracle —
@@ -110,6 +112,15 @@ object PipelineQueries {
     val emb = t(s, dir, "embeddings")
     Similarity.lshRecall(emb, emb.filter(col("vec_id") < 10), k = 3,
       nPlanes = 4, dim = 64).orderBy("q_id")
+  }
+
+  /** IVF (k-means coarse quantizer) ANN recall@3 against the exact
+    * baseline, probing 4 of 16 cells (no oracle — approximate scale
+    * path; exactness at full probe is spec-asserted). */
+  def q31IvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ivf.recallVsExact(emb, emb.filter(col("vec_id") < 10), k = 3,
+      nCentroids = 16, nIters = 1, nProbe = 4).orderBy("q_id")
   }
 
   // ---------------------------------------------------------------- media
@@ -296,5 +307,6 @@ object PipelineQueries {
     "q23_embed_neardup" -> (q23EmbedNearDup _),
     "q24_multimodal" -> (q24Multimodal _),
     "q25_lsh_recall" -> (q25LshRecall _),
+    "q31_ivf_recall" -> (q31IvfRecall _),
   )
 }

@@ -111,6 +111,80 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("score"))
   }
 
+  /** Blocked all-pairs near-dup: identical output to
+    * [[cosineNearDupPairs]], different physical shape. Vectors are
+    * packed into blocks of ~`blockSize`; unordered block pairs cross-
+    * join ((n/B)² rows instead of n²) and a tight per-block-pair kernel
+    * emits only the pairs above threshold. This drops the per-pair join
+    * machinery (BNLJ row copy + filter + projection ≈ µs/pair) to a
+    * per-BLOCK cost, leaving ~ns/pair arithmetic — the blocked-GEMM
+    * shape all-pairs similarity takes at scale. At 100 TB the block
+    * table is still n/B rows and the cross-join (n/B)²: the production
+    * path buckets by LSH first (see [[graft.functions.VectorFunctions
+    * .lshBucket]]) and runs this kernel within buckets.
+    *
+    * Numeric contract: same index-order dot, sqrt norms, and
+    * HALF_UP-on-shortest-decimal rounding as the expression form, so
+    * results are bit-identical (spec-asserted) and the DuckDB oracle
+    * holds. */
+  def cosineNearDupPairsBlocked(corpus: DataFrame, threshold: Double,
+      blockSize: Int = 128): DataFrame = {
+    import corpus.sparkSession.implicits._
+    // Pack each block as PRIMITIVE flat arrays (ids, norms, flattened
+    // vectors): primitive-array encoders bulk-copy without per-element
+    // boxing, which otherwise dominates the kernel. The struct
+    // collect_list keeps (id, vec, nrm) aligned; the flat layout is
+    // derived from it in one projection.
+    val packed = corpus
+      .select(col("vec_id").cast("long").as("id"), col("embedding").as("vec"),
+        normNative(col("embedding")).as("nrm"),
+        floor(col("vec_id") / lit(blockSize)).cast("int").as("block"))
+      .groupBy("block")
+      .agg(collect_list(struct(col("id"), col("vec"), col("nrm"))).as("items"))
+      .select(col("block"),
+        transform(col("items"), x => x.getField("id")).as("ids"),
+        transform(col("items"), x => x.getField("nrm")).as("nrms"),
+        flatten(transform(col("items"), x => x.getField("vec"))).as("flat"))
+    val a = packed.select(col("block").as("b1"), col("ids").as("ids1"),
+      col("nrms").as("nrms1"), col("flat").as("flat1"))
+    val b = packed.select(col("block").as("b2"), col("ids").as("ids2"),
+      col("nrms").as("nrms2"), col("flat").as("flat2"))
+    val pairs = a.crossJoin(b).filter(col("b1") <= col("b2"))
+      .as[(Int, Array[Long], Array[Double], Array[Float],
+           Int, Array[Long], Array[Double], Array[Float])]
+    pairs.flatMap { case (blk1, ids1, nrms1, flat1, blk2, ids2, nrms2, flat2) =>
+      val n1 = ids1.length
+      val n2 = ids2.length
+      val dim = if (n1 > 0) flat1.length / n1 else 0
+      val same = blk1 == blk2
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      var i = 0
+      while (i < n1) {
+        val idI = ids1(i); val nI = nrms1(i); val oi = i * dim
+        // same block: unordered pairs once (j > i); cross block: all.
+        var j = if (same) i + 1 else 0
+        while (j < n2) {
+          val oj = j * dim
+          var dot = 0.0
+          var d = 0
+          while (d < dim) { dot += flat1(oi + d).toDouble * flat2(oj + d).toDouble; d += 1 }
+          // java BigDecimal.valueOf == Spark round(): HALF_UP over the
+          // shortest-decimal rendering of the double.
+          val score = java.math.BigDecimal.valueOf(dot / (nI * nrms2(j)))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (score >= threshold) {
+            val idJ = ids2(j)
+            if (idI < idJ) out += ((idI, idJ, score))
+            else if (idJ < idI) out += ((idJ, idI, score))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    }.toDF("a_id", "b_id", "score")
+  }
+
   /** Recall@k of the LSH path against the exact baseline, per query. */
   def lshRecall(corpus: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int, dim: Int): DataFrame = {

@@ -78,6 +78,44 @@ class PipelineSpec extends AnyFunSuite {
       java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)))
   }
 
+  test("native SimHash64 equals the exploded-aggregation formulation") {
+    import spark.implicits._
+    val edge = Seq((100010L, ""), (100011L, "   "), (100012L, "one"), (100013L, "a  b   c"))
+      .toDF("doc_id", "text")
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text")).unionByName(edge)
+    val native = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashAgg(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === agg)
+  }
+
+  test("blocked near-dup kernel equals the expression form bit-for-bit") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val naive = Similarity.cosineNearDupPairs(emb, threshold = 0.30)
+      .orderBy("a_id", "b_id").collect().map(_.toString).toSeq
+    val blocked = Similarity.cosineNearDupPairsBlocked(emb, threshold = 0.30, blockSize = 37)
+      .orderBy("a_id", "b_id").collect().map(_.toString).toSeq
+    assert(blocked === naive)
+  }
+
+  test("IVF at full probe equals exact brute force; small probe recall sane") {
+    import graft.operators.Ivf
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val centroids = Ivf.train(emb, nCentroids = 8, nIters = 2)
+    assert(centroids.count() === 8)
+    val exact = Similarity.bruteForceTopK(emb, q, 3)
+      .orderBy("q_id", "rk").collect().map(_.toString).toSeq
+    val full = Ivf.topK(emb, q, 3, centroids, nProbe = 8)
+      .orderBy("q_id", "rk").collect().map(_.toString).toSeq
+    assert(full === exact)
+    val rec = Ivf.recallVsExact(emb, q, 3, nCentroids = 8, nIters = 2, nProbe = 2).collect()
+    assert(rec.length === 5)
+    assert(rec.forall(r => r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0))
+  }
+
   test("VectorDot native expression equals the HOF fold bit-for-bit") {
     import graft.functions.{VectorDot, VectorFunctions}
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet").limit(50)
