@@ -308,6 +308,53 @@ object FixtureQueries {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  // ---------------------------------------------------------------- J2 gen.
+  /** Keyed backward as-of join (general form of the J2/O2 "most recent
+    * preceding wins" linkage): attach to each purchase the latest prior
+    * view of the same user, then roll up uplift per user. One
+    * union+window shuffle — no range-join explosion (see
+    * [[AsOfJoin]]). Oracle: DuckDB ASOF LEFT JOIN. */
+  def q32AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    // dedup right side per (key, ts): AsOfJoin determinism contract
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("v_value"))
+    AsOfJoin.backward(purchases, views, key = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", payload = Seq("v_value"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("v_value")).as("n_matched"),
+        sum((col("value") - col("v_value")).cast("decimal(18,4)"))
+          .cast("double").as("sum_uplift"))
+      .orderBy("user_id")
+  }
+
+  /** Bucketed interval join (range join on the time axis): views
+    * landing inside any [purchase, purchase+1h) window of the same
+    * user. Time is coarsened into the equi-join key (1 h buckets) so
+    * fanout tracks local density, not per-user interval count (see
+    * [[RangeJoin]]). Oracle: plain inequality join. */
+  def q33RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("us"))
+    val windows = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("w_start"),
+        (col("us") + lit(3600000000L)).as("w_end"))
+    RangeJoin.pointsInIntervals(views, windows, key = Seq("user_id"),
+        pointCol = "us", startCol = "w_start", endCol = "w_end",
+        bucketWidth = 3600000000L)
+      .groupBy(col("user_id"))
+      .agg(
+        countDistinct(col("event_id")).as("n_views_in_window"),
+        count(lit(1)).as("n_view_window_pairs"))
+      .orderBy("user_id")
+  }
+
   // ---------------------------------------------------------------- M1-M17
   /** DB2 type names for the ruleset domain, indexed by p_partkey
     * (includes an unknown type to hit the fallback rule). */
@@ -586,6 +633,29 @@ object FixtureQueries {
         |  CAST(sum(n_events) AS BIGINT) AS n_events,
         |  CAST(sum(dur) AS BIGINT) AS total_session_us
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q32_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, max_by(value, event_id) AS v_value
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |j AS (SELECT p.user_id, p.value, v.v_value
+        |      FROM p ASOF LEFT JOIN v
+        |        ON p.user_id = v.user_id AND p.ts >= v.ts)
+        |SELECT user_id, count(*) AS n_purchases, count(v_value) AS n_matched,
+        |  CAST(sum(CAST(value - v_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_uplift
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q33_range_join" ->
+      """WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_us(ts) AS w_start,
+        |        epoch_us(ts) + 3600000000 AS w_end
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id,
+        |  count(DISTINCT v.event_id) AS n_views_in_window,
+        |  count(*) AS n_view_window_pairs
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND v.us >= p.w_start AND v.us < p.w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q15_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
@@ -614,6 +684,8 @@ object FixtureQueries {
     "q14_theta_join" -> (q14ThetaJoin _),
     "q15_rollup" -> (q15Rollup _),
     "q26_sessions" -> (q26Sessions _),
+    "q32_asof_join" -> (q32AsofJoin _),
+    "q33_range_join" -> (q33RangeJoin _),
     "q27_type_rules" -> (q27TypeRules _),
     "q28_salted_agg" -> (q28SaltedAgg _),
     "q29_cube" -> (q29Cube _),
