@@ -91,6 +91,23 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup on a fingerprint column: keeps the FIRST
+    * row seen per fingerprint across micro-batches (built-in
+    * dropDuplicates state store — one state row per distinct key).
+    * The streaming face of [[graft.operators.Dedup.exactGroups]]: a
+    * training-data ingest stream dedups documents by content
+    * fingerprint before they reach storage. With `watermarkCol`/
+    * `watermark` set, state is evicted past the horizon (bounded
+    * state; duplicates separated by more than the horizon are kept —
+    * the standard streaming-dedup trade-off). Without a watermark,
+    * state grows with distinct keys — only for bounded key domains. */
+  def dedupStream(rows: DataFrame, fingerprintCols: Seq[String],
+      watermarkCol: Option[String] = None,
+      watermark: String = "1 hour"): DataFrame = {
+    val w = watermarkCol.map(c => rows.withWatermark(c, watermark)).getOrElse(rows)
+    w.dropDuplicates(fingerprintCols)
+  }
+
   /** Convenience: run a streaming DataFrame to completion against a
     * memory sink and return the collected result table. Test/demo
     * helper — production sinks are parquet/kafka/iceberg via
