@@ -355,6 +355,47 @@ object FixtureQueries {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------- §2.6 gen.
+  /** Exact quantiles per group (sort-based aggregate — the ordered-agg
+    * family beyond string concat). percentile() is exact linear
+    * interpolation; both engines compute lower+(upper-lower)·frac over
+    * the sorted run, so results hash-match. */
+  def q34Quantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Pivot (A3's conditional-aggregation family as a first-class
+    * operator): status columns from groupBy().pivot() with explicit
+    * value list — compiles to the same conditional sums the oracle
+    * spells out. */
+  def q35Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy("l_returnflag")
+
+  /** lag/lead window functions (§2.7): inter-event gaps per user. */
+  def q36LagGaps(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    e.withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(col("gap")).as("n_gaps"),
+        sum(col("gap")).cast("bigint").as("sum_gap_us"),
+        max(col("gap")).cast("bigint").as("max_gap_us"))
+      .orderBy("user_id")
+  }
+
   // ---------------------------------------------------------------- M1-M17
   /** DB2 type names for the ruleset domain, indexed by p_partkey
     * (includes an unknown type to hit the fallback rule). */
@@ -656,6 +697,30 @@ object FixtureQueries {
         |FROM v JOIN p ON v.user_id = p.user_id
         |  AND v.us >= p.w_start AND v.us < p.w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q34_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q35_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q36_lag_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events)
+        |SELECT user_id, count(gap) AS n_gaps,
+        |  CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_us
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q15_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
@@ -686,6 +751,9 @@ object FixtureQueries {
     "q26_sessions" -> (q26Sessions _),
     "q32_asof_join" -> (q32AsofJoin _),
     "q33_range_join" -> (q33RangeJoin _),
+    "q34_quantiles" -> (q34Quantiles _),
+    "q35_pivot" -> (q35Pivot _),
+    "q36_lag_gaps" -> (q36LagGaps _),
     "q27_type_rules" -> (q27TypeRules _),
     "q28_salted_agg" -> (q28SaltedAgg _),
     "q29_cube" -> (q29Cube _),

@@ -62,6 +62,50 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("as-of join: one shuffle, no join operator in the plan") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("us", col("ts").cast("long"))
+    val l = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("event_id"))
+    val r = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("us"))
+      .agg(max_by(col("value"), col("event_id")).as("pay"))
+    val plan = planString(
+      graft.operators.AsOfJoin.backward(l, r, Seq("user_id"), "us", "us", Seq("pay")))
+    assert(!plan.contains("Join"), "as-of must not plan a join:\n" + plan.take(2000))
+    // exchanges: one for the right-side dedup groupBy, one for the
+    // window partitioning — the as-of itself adds only the window one
+    val nExchange = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchange <= 2, s"expected ≤2 exchanges, got $nExchange:\n" + plan.take(3000))
+    assert(plan.contains("Window"), plan.take(2000))
+  }
+
+  test("range join plans as an equi-join on (key, bucket), not a nested loop") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("us", col("ts").cast("long"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("us"))
+    val w = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("ws"), (col("us") + 3600000000000L).as("we"))
+    val plan = planString(graft.operators.RangeJoin.pointsInIntervals(
+      v, w, Seq("user_id"), "us", "ws", "we", 3600000000000L))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      "range join must not plan a nested loop:\n" + plan.take(2000))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("simhash is a pure scan projection: no shuffle, no explode") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = planString(graft.operators.Dedup.simhash(docs, "doc_id", "text"))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(!plan.contains("Generate"), "no explode expected:\n" + plan.take(2000))
+  }
+
   test("bucketed tables co-locate: the bucket join plans without shuffle") {
     import org.apache.spark.sql.functions.col
     spark.sql("DROP TABLE IF EXISTS li_b")
