@@ -298,6 +298,22 @@ object FixtureQueries {
       Seq(col("l_quantity") -> "sum_qty", col("l_extendedprice") -> "sum_price"))
       .orderBy("l_returnflag")
 
+  /** Salted equi-join (hot-key spread): lineitem's 3-value returnflag
+    * is the canonical pathological join key — every row lands on 3
+    * reducers in a plain shuffle join. [[Skew.saltedJoin]] spreads each
+    * key over 16 salt buckets; the result equals the plain join, so
+    * the plain-join SQL is the oracle. */
+  def q37SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val dim = li.select(col("l_returnflag")).distinct()
+      .withColumn("flag_label", concat(lit("flag_"), lower(col("l_returnflag"))))
+    Skew.saltedJoin(li, dim, Seq("l_returnflag"), saltBuckets = 16)
+      .groupBy(col("flag_label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("flag_label")
+  }
+
   /** CUBE rollup (multi-dimensional report generalization of the
     * per-schema/per-table report, SURVEY §2.6 note). */
   def q29Cube(s: SparkSession, dir: String): DataFrame =
@@ -697,6 +713,15 @@ object FixtureQueries {
         |FROM v JOIN p ON v.user_id = p.user_id
         |  AND v.us >= p.w_start AND v.us < p.w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q37_salted_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    'flag_' || lower(l_returnflag) AS flag_label
+        |  FROM lineitem)
+        |SELECT flag_label, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN dim USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q34_quantiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.25) AS p25,
@@ -754,6 +779,7 @@ object FixtureQueries {
     "q34_quantiles" -> (q34Quantiles _),
     "q35_pivot" -> (q35Pivot _),
     "q36_lag_gaps" -> (q36LagGaps _),
+    "q37_salted_join" -> (q37SaltedJoin _),
     "q27_type_rules" -> (q27TypeRules _),
     "q28_salted_agg" -> (q28SaltedAgg _),
     "q29_cube" -> (q29Cube _),

@@ -22,6 +22,27 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Salted equi-join for a skewed LEFT (fact) side: the hot fact keys
+    * no longer land on one reducer. Each fact row gets a deterministic
+    * salt in [0, saltBuckets); the (small-ish, unskewed) right side is
+    * replicated `saltBuckets`× with every salt value; the join runs on
+    * (key, salt). Result set is EXACTLY the plain inner equi-join
+    * (spec-asserted) — only the shuffle layout changes: a key carrying
+    * p% of the fact table spreads over saltBuckets reducers instead of
+    * one, at the cost of a saltBuckets× blow-up of the right side.
+    * Use when AQE skew-join can't help (e.g. the skew is in the
+    * aggregation feeding the join, or deterministic layout is needed);
+    * right side must be the smaller input — at `saltBuckets` ×
+    * |right| ≫ shuffle budget prefer a broadcast join instead. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: Seq[String],
+      saltBuckets: Int): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)).cast("int"))
+    val replicatedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedFact.join(replicatedDim, key :+ "_salt").drop("_salt")
+  }
+
   /** Two-stage salted sum/count aggregation over one key column.
     * `sums` are (inputColumn → alias) pairs aggregated with exact
     * decimal sums. */
