@@ -16,6 +16,7 @@ import graft.functions.VectorDot
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vectorDotDescriptor)
+    ext.injectOptimizerRule(_ => graft.plans.HofDotRewrite)
   }
 }
 
@@ -28,9 +29,15 @@ object GraftExtensions {
       VectorDot(children.head, children(1))
     })
 
-  /** Register on an already-built session (tests, REPL). */
+  /** Register on an already-built session (tests, REPL): the SQL
+    * functions plus the HOF-dot optimizer rewrite (via
+    * `experimental.extraOptimizations`, the live-session equivalent of
+    * `injectOptimizerRule`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val (ident, info, builder) = vectorDotDescriptor
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.HofDotRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.HofDotRewrite
   }
 }
