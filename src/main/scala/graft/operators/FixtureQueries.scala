@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -372,19 +372,39 @@ object FixtureQueries {
   }
 
   // ---------------------------------------------------------------- §2.6 gen.
-  /** Exact quantiles per group (sort-based aggregate — the ordered-agg
-    * family beyond string concat). percentile() is exact linear
-    * interpolation; both engines compute lower+(upper-lower)·frac over
-    * the sorted run, so results hash-match. */
-  def q34Quantiles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+  /** Exact per-group quantiles via SORT + rank selection, not the
+    * built-in `percentile()`: Spark's exact percentile buffers every
+    * value of a group inside one aggregation buffer (value→count
+    * OpenHashMap, sorted single-threaded at merge) — 13 s at sf0.1 and
+    * an OOM at 100 TB group sizes. The sort-based form is a window
+    * rank over the partitioned sort (spillable, linear) + one hash agg
+    * selecting the two bracketing ranks per quantile, with the same
+    * interpolation arithmetic `v_lo·(⌈pos⌉−pos) + v_hi·(pos−⌊pos⌋)`
+    * (pos = p·(n−1)) — hash-matches DuckDB quantile_cont. */
+  def q34Quantiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("flag")).orderBy(col("v"))
+    val ranked = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast("double").as("v"))
+      .select(col("flag"), col("v"),
+        (row_number().over(w) - 1).cast("double").as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("flag"))).cast("double").as("n"))
+    def quantile(p: Double): Column = {
+      val pos = lit(p) * (col("n") - 1)
+      val vLo = max(when(col("rn") === floor(pos), col("v")))
+      val vHi = max(when(col("rn") === ceil(pos), col("v")))
+      val posA = lit(p) * (max(col("n")) - 1)
+      when(floor(posA) === ceil(posA), vLo)
+        .otherwise(vLo * (ceil(posA) - posA) + vHi * (posA - floor(posA)))
+    }
+    ranked.groupBy(col("flag").as("l_returnflag"))
       .agg(
-        expr("percentile(l_extendedprice, 0.25)").as("p25"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.75)").as("p75"),
+        quantile(0.25).as("p25"),
+        quantile(0.5).as("p50"),
+        quantile(0.75).as("p75"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
+  }
 
   /** Pivot (A3's conditional-aggregation family as a first-class
     * operator): status columns from groupBy().pivot() with explicit
