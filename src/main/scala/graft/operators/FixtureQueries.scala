@@ -432,6 +432,22 @@ object FixtureQueries {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------- sketches
+  /** Sketch aggregates (SURVEY §2.6 note: the engine exposes Spark's
+    * approximate aggregates as the scale path for distinct counts and
+    * quantiles — mergeable, bounded-memory, one pass). Rows-only check
+    * (sketches are engine-specific); SketchSpec asserts the error
+    * bounds against the exact values. */
+  def q38Sketches(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("approx_median"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   // ---------------------------------------------------------------- M1-M17
   /** DB2 type names for the ruleset domain, indexed by p_partkey
     * (includes an unknown type to hit the fallback rule). */
@@ -800,6 +816,7 @@ object FixtureQueries {
     "q35_pivot" -> (q35Pivot _),
     "q36_lag_gaps" -> (q36LagGaps _),
     "q37_salted_join" -> (q37SaltedJoin _),
+    "q38_sketches" -> (q38Sketches _),
     "q27_type_rules" -> (q27TypeRules _),
     "q28_salted_agg" -> (q28SaltedAgg _),
     "q29_cube" -> (q29Cube _),
