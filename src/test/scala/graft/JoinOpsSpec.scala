@@ -80,6 +80,58 @@ class JoinOpsSpec extends AnyFunSuite {
       (2L, 12L, 10L)))
   }
 
+  test("as-of join: randomized inputs match an in-memory reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val nl = rnd.nextInt(40)
+      val nr = rnd.nextInt(40)
+      val left = (0 until nl).map(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(60).toLong, i.toLong))
+      val right0 = (0 until nr).map(_ =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(60).toLong, rnd.nextInt(1000).toDouble))
+      // contract: right unique per (key, ts)
+      val right = right0.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val expected = left.map { case (k, ts, id) =>
+        val cand = right.filter(r => r._1 == k && r._2 <= ts)
+        (id, if (cand.isEmpty) None else Some(cand.maxBy(_._2)._3))
+      }.toMap
+      val got = AsOfJoin.backward(
+          left.toDF("k", "ts", "id"), right.toDF("k", "ts", "pay"),
+          Seq("k"), "ts", "ts", Seq("pay"))
+        .collect().map(r => r.getAs[Long]("id") ->
+          Option(r.getAs[java.lang.Double]("pay")).map(_.doubleValue)).toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
+  test("range join: randomized inputs match an in-memory reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 8) {
+      val np = rnd.nextInt(40)
+      val ni = rnd.nextInt(25)
+      val width = 1L + rnd.nextInt(20)
+      val points = (0 until np).map(i =>
+        (rnd.nextInt(3).toLong, rnd.nextInt(100).toLong, i.toLong))
+      val intervals = (0 until ni).map(i => {
+        val s = rnd.nextInt(100).toLong
+        (rnd.nextInt(3).toLong, s, s + rnd.nextInt(30) - 2, i.toLong) // some empty
+      })
+      val expected = (for {
+        (pk, p, pid) <- points
+        (ik, s, e, iid) <- intervals
+        if ik == pk && p >= s && p < e
+      } yield (pid, iid)).toSet
+      val got = RangeJoin.pointsInIntervals(
+          points.toDF("k", "p", "pid"),
+          intervals.toDF("k", "s", "e", "iid"),
+          Seq("k"), "p", "s", "e", width)
+        .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("iid"))).toSet
+      assert(got === expected, s"trial $trial (width=$width)")
+    }
+  }
+
   test("range join: bucketed equals naive inequality join on events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
