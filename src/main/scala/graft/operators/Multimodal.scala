@@ -87,6 +87,59 @@ object Multimodal {
       .select(col("asset_id"), col("frame_idx"), col("frame"))
   }
 
+  /** STUB resize — deterministic fake standing in for an image resize
+    * (no codec libraries in this environment): keeps every k-th payload
+    * byte so the output byte count scales with the target/source pixel
+    * ratio, and rewrites the metadata to the target dimensions. The
+    * shape is the real one: a payload→payload map running batch-wise in
+    * the partition iterator, metadata updated in the same pass. */
+  def resizeStub(metaWithPayload: Dataset[(MediaMeta, Array[Byte])],
+      targetW: Int, targetH: Int): Dataset[(MediaMeta, Array[Byte])] = {
+    import metaWithPayload.sparkSession.implicits._
+    metaWithPayload.mapPartitions { it =>
+      // per-partition setup would allocate the scaler once here
+      it.map { case (m, p) =>
+        val ratio = (targetW.toLong * targetH).toDouble /
+          math.max(1L, m.width.toLong * m.height)
+        val outLen = math.max(1, math.min(p.length, (p.length * ratio).toInt))
+        val step = math.max(1, p.length / outLen)
+        val out = new Array[Byte](if (p.length == 0) 0 else (p.length + step - 1) / step)
+        var i = 0; var j = 0
+        while (i < p.length && j < out.length) { out(j) = p(i); i += step; j += 1 }
+        (m.copy(width = targetW, height = targetH, n_bytes = out.length.toLong), out)
+      }
+    }
+  }
+
+  /** Feature extraction: payload → fixed-dim L2-normalized float vector
+    * (folded byte histogram). Unlike the decode/resize stubs this is a
+    * REAL computable featurizer — deterministic, content-sensitive —
+    * with the exact output shape of an embedding model, so the result
+    * plugs directly into [[Similarity]]/[[Ivf]]: the full
+    * media → features → ANN pipeline runs end-to-end in this engine. */
+  def featureExtract(assets: Dataset[MediaAsset], dim: Int): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val h = new Array[Float](dim)
+        var i = 0
+        while (i < a.payload.length) {
+          h((a.payload(i) & 0xff) % dim) += 1f
+          i += 1
+        }
+        var n2 = 0.0
+        i = 0
+        while (i < dim) { n2 += h(i).toDouble * h(i); i += 1 }
+        if (n2 > 0) {
+          val inv = (1.0 / math.sqrt(n2)).toFloat
+          i = 0
+          while (i < dim) { h(i) *= inv; i += 1 }
+        }
+        (a.asset_id, h)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
   /** Build a synthetic media-asset table from the documents fixture
     * (text bytes as payload) — the container has no real media, but the
     * binary-column path is identical. */

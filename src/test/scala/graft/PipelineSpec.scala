@@ -169,6 +169,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaAgg === viaWindow)
   }
 
+  test("multimodal: resize stub scales payload; features feed the ANN path") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val assets = Multimodal.assetsFromDocuments(docs)
+    // resize: payload shrinks toward the target pixel ratio, meta updated
+    val meta = Multimodal.decodeStub(assets)
+    val withPayload = meta.joinWith(assets, meta("asset_id") === assets("asset_id"))
+      .map { case (m, a) => (m, a.payload) }
+    val resized = Multimodal.resizeStub(withPayload, 32, 32).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall { case (m, p) =>
+      m.width == 32 && m.height == 32 && m.n_bytes == p.length && p.nonEmpty })
+    // featureExtract: unit-norm dim-16 vectors, deterministic, and they
+    // compose with the exact ANN operator end-to-end
+    val feats = Multimodal.featureExtract(assets, dim = 16)
+    val rows = feats.collect()
+    assert(rows.length === docs.count())
+    val norms = rows.map(_.getSeq[Float](1))
+      .map(v => v.map(x => x.toDouble * x).sum)
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
+    val topk = Similarity.bruteForceTopK(feats, feats.filter(col("vec_id") < 3), k = 2)
+    assert(topk.count() === 6)
+  }
+
   test("multimodal: stub decode metadata and frame sampling") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val assets = Multimodal.assetsFromDocuments(docs)
