@@ -106,6 +106,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), "no explode expected:\n" + plan.take(2000))
   }
 
+  test("IVF inverted file persists bucketed by cell: probe join never reshuffles the corpus") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Ivf
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val centroids = Ivf.train(emb, nCentroids = 8, nIters = 1)
+    spark.sql("DROP TABLE IF EXISTS ivf_cells")
+    // the at-scale layout: the inverted file materialized once,
+    // bucketed by cell id
+    Ivf.assign(emb, centroids)
+      .write.bucketBy(8, "cid").sortBy("cid")
+      .mode("overwrite").saveAsTable("ivf_cells")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        .crossJoin(centroids.select(col("cid")))
+      val joined = spark.table("ivf_cells").join(probes, "cid")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan.take(2000))
+      // exactly one Exchange — the probe side; the bucketed corpus
+      // reads shuffle-free
+      val nExchange = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nExchange === 1,
+        s"corpus side must not reshuffle (got $nExchange exchanges):\n" + plan.take(3000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS ivf_cells")
+    }
+  }
+
   test("bucketed tables co-locate: the bucket join plans without shuffle") {
     import org.apache.spark.sql.functions.col
     spark.sql("DROP TABLE IF EXISTS li_b")
