@@ -43,18 +43,25 @@ object AsOfJoin {
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     require(payload.forall(p => !left.columns.contains(p)),
       s"payload columns ${payload.mkString(",")} must not collide with left columns")
-    val rightTypes = right.select(payload.map(col): _*).schema.fields
-      .map(f => f.name -> f.dataType).toMap
-    // Left branch: its own columns + null payload slots.
-    val l = payload.foldLeft(left.withColumn("__side", lit(1))
-      .withColumn("__ts", col(leftTs))) { (df, p) =>
-      df.withColumn(s"__p_$p", lit(null).cast(rightTypes(p)))
-    }
-    // Right branch: key + ts + payload, null for every left column.
+    // The payload travels as ONE struct column so a single right row
+    // wins atomically: per-column `last(..., ignoreNulls)` would skip a
+    // matching right row whose payload VALUE is null (an older row
+    // would win, diverging from ASOF semantics) and could stitch
+    // different right rows together across payload columns. The struct
+    // itself is null exactly on left rows, so ignoreNulls skips only
+    // those; a right row with null payload fields still wins and its
+    // nulls are preserved.
+    val pStructType = right.select(struct(payload.map(col): _*).as("__p"))
+      .schema("__p").dataType
+    // Left branch: its own columns + a null payload struct.
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__p", lit(null).cast(pStructType))
+    // Right branch: key + ts + payload struct, null for every left column.
     val leftOnly = left.columns.filterNot(key.contains)
     val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
-    val r0 = right.select((key.map(col) :+ col(rightTs).as("__ts")) ++
-      payload.map(p => col(p).as(s"__p_$p")): _*)
+    val r0 = right.select((key.map(col) :+ col(rightTs).as("__ts")) :+
+      struct(payload.map(col): _*).as("__p"): _*)
       .withColumn("__side", lit(0))
     val r = leftOnly.foldLeft(r0) { (df, c) =>
       df.withColumn(c, lit(null).cast(leftTypes(c)))
@@ -64,10 +71,10 @@ object AsOfJoin {
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(col(s"__p_$p"), ignoreNulls = true).over(w))
-    }
+    val filled = unioned.withColumn("__last_p",
+      last(col("__p"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
-      .select(left.columns.map(col) ++ payload.map(col): _*)
+      .select(left.columns.map(col) ++
+        payload.map(p => col(s"__last_p.$p").as(p)): _*)
   }
 }

@@ -372,39 +372,16 @@ object FixtureQueries {
   }
 
   // ---------------------------------------------------------------- §2.6 gen.
-  /** Exact per-group quantiles via SORT + rank selection, not the
-    * built-in `percentile()`: Spark's exact percentile buffers every
-    * value of a group inside one aggregation buffer (value→count
-    * OpenHashMap, sorted single-threaded at merge) — 13 s at sf0.1 and
-    * an OOM at 100 TB group sizes. The sort-based form is a window
-    * rank over the partitioned sort (spillable, linear) + one hash agg
-    * selecting the two bracketing ranks per quantile, with the same
-    * interpolation arithmetic `v_lo·(⌈pos⌉−pos) + v_hi·(pos−⌊pos⌋)`
-    * (pos = p·(n−1)) — hash-matches DuckDB quantile_cont. */
-  def q34Quantiles(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("flag")).orderBy(col("v"))
-    val ranked = t(s, dir, "lineitem")
-      .select(col("l_returnflag").as("flag"),
-        col("l_extendedprice").cast("double").as("v"))
-      .select(col("flag"), col("v"),
-        (row_number().over(w) - 1).cast("double").as("rn"),
-        count(lit(1)).over(Window.partitionBy(col("flag"))).cast("double").as("n"))
-    def quantile(p: Double): Column = {
-      val pos = lit(p) * (col("n") - 1)
-      val vLo = max(when(col("rn") === floor(pos), col("v")))
-      val vHi = max(when(col("rn") === ceil(pos), col("v")))
-      val posA = lit(p) * (max(col("n")) - 1)
-      when(floor(posA) === ceil(posA), vLo)
-        .otherwise(vLo * (ceil(posA) - posA) + vHi * (posA - floor(posA)))
-    }
-    ranked.groupBy(col("flag").as("l_returnflag"))
-      .agg(
-        quantile(0.25).as("p25"),
-        quantile(0.5).as("p50"),
-        quantile(0.75).as("p75"),
-        count(lit(1)).as("n"))
+  /** Exact per-group quantiles via [[Quantiles.exactQuantiles]] — the
+    * two-level bucket-histogram form whose selection sort touches only
+    * the bracketing buckets (see that operator's doc for why neither
+    * built-in `percentile()` nor a per-group window sort survives
+    * 100 TB group sizes). Hash-matches DuckDB quantile_cont. */
+  def q34Quantiles(s: SparkSession, dir: String): DataFrame =
+    Quantiles.exactQuantiles(
+        t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
       .orderBy("l_returnflag")
-  }
 
   /** Pivot (A3's conditional-aggregation family as a first-class
     * operator): status columns from groupBy().pivot() with explicit

@@ -63,38 +63,59 @@ object Ivf {
     corpus.select(col("vec_id").as("id"), col("embedding").as("vec"),
       dotNative(col("embedding"), col("embedding")).as("n2"))
 
+  /** Local centroid table → a (cid, c_vec, c_n2) DataFrame (a
+    * LocalRelation: nCentroids rows that broadcast for free in
+    * [[nearest]]'s joins). */
+  private def centroidsDF(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, i) => (i + 1, v.toSeq) }.toSeq
+      .toDF("cid", "c_vec")
+      .withColumn("c_n2", dotNative(col("c_vec"), col("c_vec")))
+  }
+
   /** K-means centroids: seeds = first `nCentroids` vectors by id,
     * `nIters` Lloyd rounds (assign via broadcast join, recompute via
-    * per-dimension mean). Output: (cid, c_vec: array<double>, c_n2). */
+    * per-dimension mean). Output: (cid, c_vec: array<double>, c_n2).
+    *
+    * The centroid table is MATERIALIZED on the driver after every
+    * Lloyd round (it is nCentroids·dim doubles — broadcast-small by
+    * the IVF contract) and re-entered as a fresh LocalRelation: each
+    * round's plan is seed-independent and constant-depth, instead of
+    * re-chaining the whole Lloyd history (which recomputes rounds
+    * 1..i−1 inside round i and doubles the plan per iteration). The
+    * per-round Spark job — broadcast-join assignment + (cid, pos)
+    * mean shuffle — is unchanged and fully distributed; only the
+    * nCentroids-row result crosses the driver. */
   def train(corpus: DataFrame, nCentroids: Int, nIters: Int): DataFrame = {
+    val spark = corpus.sparkSession
     val vecs = prep(corpus)
-    var centroids = vecs.orderBy("id").limit(nCentroids)
-      .select(row_number().over(Window.orderBy("id")).cast("int").as("cid"),
-        transform(col("vec"), x => x.cast("double")).as("c_vec"))
-      .withColumn("c_n2", dotNative(col("c_vec"), col("c_vec")))
+    // Seeds: first nCentroids vectors by id, numbered on the driver —
+    // nCentroids rows, no unpartitioned row_number window.
+    var cents: Array[Array[Double]] = vecs.orderBy("id").limit(nCentroids)
+      .select(col("id"), transform(col("vec"), x => x.cast("double")).as("v"))
+      .collect()
+      .sortBy(r => r.getAs[Number](0).longValue())
+      .map(_.getSeq[Double](1).toArray)
     var it = 0
     while (it < nIters) {
       // Lloyd step: mean per (centroid, dimension), reassembled in
       // dimension order. posexplode carries the ordinal so the shuffle
       // is (cid, pos)-keyed — partial aggregation map-side, no skew
       // (dimensions are uniform).
-      val assigned = nearest(vecs, centroids)
+      val assigned = nearest(vecs, centroidsDF(spark, cents))
       val means = assigned
         .select(col("cid"), posexplode(col("vec")))
         .groupBy("cid", "pos").agg(avg(col("col").cast("double")).as("m"))
         .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), transform(col("pm"), x => x.getField("m")).as("c_vec"))
-        .withColumn("c_n2", dotNative(col("c_vec"), col("c_vec")))
-      // Empty cells keep their previous centroid (left join fallback).
-      centroids = centroids.select(col("cid"), col("c_vec").as("prev_vec"), col("c_n2").as("prev_n2"))
-        .join(means.withColumnRenamed("c_vec", "new_vec").withColumnRenamed("c_n2", "new_n2"),
-          Seq("cid"), "left")
-        .select(col("cid"),
-          coalesce(col("new_vec"), col("prev_vec")).as("c_vec"),
-          coalesce(col("new_n2"), col("prev_n2")).as("c_n2"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      // Empty cells keep their previous centroid.
+      cents = cents.zipWithIndex.map { case (prev, i) => means.getOrElse(i + 1, prev) }
       it += 1
     }
-    centroids
+    centroidsDF(spark, cents)
   }
 
   /** Corpus cell assignment: (cid, id, vec, n2) — the inverted file.

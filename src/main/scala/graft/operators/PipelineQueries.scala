@@ -62,8 +62,12 @@ object PipelineQueries {
     * all-pairs SQL: at 64/16 the boundary miss probability is ~4e-8,
     * so LSH-prefilter + verify equals the exact result. */
   def q20MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    // MEMORY_AND_DISK: at fixture/bench scale the shingle table fits,
+    // so persisting across its 4 consumers beats recomputation; the
+    // 100 TB configuration passes NONE (see minhashVerifiedPairs doc).
     Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
-      shingleK = 3, numPerm = 64, bands = 16, threshold = 0.9)
+      shingleK = 3, numPerm = 64, bands = 16, threshold = 0.9,
+      shinglePersist = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("d1", "d2")
 
   /** SimHash signatures per doc + near-dup candidate counts (no
@@ -116,11 +120,13 @@ object PipelineQueries {
 
   /** IVF (k-means coarse quantizer) ANN recall@3 against the exact
     * baseline, probing 4 of 16 cells (no oracle — approximate scale
-    * path; exactness at full probe is spec-asserted). */
+    * path; exactness at full probe is spec-asserted). 5 Lloyd rounds:
+    * per-round driver materialization keeps the plan constant-depth,
+    * so real iteration counts are affordable. */
   def q31IvfRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Ivf.recallVsExact(emb, emb.filter(col("vec_id") < 10), k = 3,
-      nCentroids = 16, nIters = 1, nProbe = 4).orderBy("q_id")
+      nCentroids = 16, nIters = 5, nProbe = 4).orderBy("q_id")
   }
 
   // ---------------------------------------------------------------- media

@@ -35,13 +35,21 @@ object RangeJoin {
       key: Seq[String], pointCol: String, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
     val b = lit(bucketWidth)
-    // end is exclusive: an interval [s, e) overlaps buckets
-    // floor(s/w) .. floor((e-1)/w); guard empty intervals (e <= s).
+    // Bucket ids are the bucket START values, computed with pure
+    // integer arithmetic: `c - pmod(c, w)` is exact floor-alignment
+    // for ANY long (pmod is non-negative, so negatives floor
+    // correctly). `floor(c / w)` would divide in DOUBLE and silently
+    // misbucket coordinates beyond 2^53 — the API takes arbitrary
+    // longs, not just unix_micros.
+    def bucketOf(c: Column): Column = c - pmod(c, b)
+    // end is exclusive: an interval [s, e) overlaps the buckets
+    // starting at bucketOf(s), bucketOf(s)+w, .., bucketOf(e-1);
+    // guard empty intervals (e <= s).
     val iv = intervals
       .filter(col(endCol) > col(startCol))
       .withColumn("__bucket",
-        explode(sequence(floor(col(startCol) / b), floor((col(endCol) - 1) / b))))
-    val pt = points.withColumn("__bucket", floor(col(pointCol) / b))
+        explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol) - 1), b)))
+    val pt = points.withColumn("__bucket", bucketOf(col(pointCol)))
     pt.join(iv, key :+ "__bucket")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")

@@ -18,11 +18,17 @@ import graft.functions.HofVectorDot
   * element; the native expression is one generated loop — ~50× on
   * all-pairs similarity workloads (measured in round 1 for VectorDot).
   *
-  * The rewrite is UNCONDITIONALLY sound because [[HofVectorDot]]
-  * reproduces the HOF corner semantics exactly (length mismatch →
-  * null, null element → null, left-to-right double accumulation) —
-  * no non-null/shape guards needed, so SQL/Column users who write the
-  * textbook formulation get the engine's hot path for free.
+  * The rewrite is sound because [[HofVectorDot]] reproduces the HOF
+  * corner semantics exactly (length mismatch → null, null element →
+  * null, left-to-right double accumulation) — no non-null/shape
+  * guards needed, so SQL/Column users who write the textbook
+  * formulation get the engine's hot path for free. One precision
+  * guard IS required: the lambda product must be computed in DOUBLE
+  * (`product.dataType == DoubleType`). For array<float> inputs an
+  * uncast `(x, y) -> x * y` multiplies in float and widens the
+  * ROUNDED product, while HofVectorDot multiplies in double — the
+  * low bits differ, so that form is left untouched rather than
+  * silently changing query output.
   *
   * Injected by [[graft.api.GraftExtensions]] (or
   * `spark.experimental.extraOptimizations` on a live session).
@@ -43,7 +49,9 @@ object HofDotRewrite extends Rule[LogicalPlan] {
 
   private def isProductOf(e: Expression, x: NamedExpression, y: NamedExpression): Boolean =
     e match {
-      case m: Multiply =>
+      // dataType == DoubleType: a float×float product rounds to float
+      // before widening — not the double×double HofVectorDot computes.
+      case m: Multiply if m.dataType == DoubleType =>
         (isVar(m.left, x) && isVar(m.right, y)) ||
           (isVar(m.left, y) && isVar(m.right, x))
       case _ => false

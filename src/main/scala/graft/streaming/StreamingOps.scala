@@ -97,16 +97,23 @@ object StreamingOps {
     * The streaming face of [[graft.operators.Dedup.exactGroups]]: a
     * training-data ingest stream dedups documents by content
     * fingerprint before they reach storage. With `watermarkCol`/
-    * `watermark` set, state is evicted past the horizon (bounded
-    * state; duplicates separated by more than the horizon are kept —
-    * the standard streaming-dedup trade-off). Without a watermark,
-    * state grows with distinct keys — only for bounded key domains. */
+    * `watermark` set, `dropDuplicatesWithinWatermark` is used: state
+    * IS evicted once the key's latest event time falls behind the
+    * watermark (plain `dropDuplicates` ignores the watermark for
+    * state cleanup unless the event-time column is part of the key —
+    * state would grow unboundedly). Duplicates separated by more than
+    * the horizon are kept — the standard streaming-dedup trade-off.
+    * Without a watermark, state grows with distinct keys — only for
+    * bounded key domains. */
   def dedupStream(rows: DataFrame, fingerprintCols: Seq[String],
       watermarkCol: Option[String] = None,
-      watermark: String = "1 hour"): DataFrame = {
-    val w = watermarkCol.map(c => rows.withWatermark(c, watermark)).getOrElse(rows)
-    w.dropDuplicates(fingerprintCols)
-  }
+      watermark: String = "1 hour"): DataFrame =
+    watermarkCol match {
+      case Some(c) =>
+        rows.withWatermark(c, watermark)
+          .dropDuplicatesWithinWatermark(fingerprintCols)
+      case None => rows.dropDuplicates(fingerprintCols)
+    }
 
   /** Convenience: run a streaming DataFrame to completion against a
     * memory sink and return the collected result table. Test/demo
