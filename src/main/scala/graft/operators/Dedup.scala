@@ -155,19 +155,33 @@ object Dedup {
     * shuffle; at 100 TB the signature computes inside the scan's
     * projection. [[simhashAgg]] is the built-in-only formulation kept
     * for the equivalence spec. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      graft.functions.SimHash64(col(textCol)).as("simhash"))
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      md5Based: Boolean = false): DataFrame = {
+    val sig = if (md5Based) graft.functions.SimHash64.md5(col(textCol))
+    else graft.functions.SimHash64(col(textCol))
+    docs.select(col(idCol).as("doc_id"), sig.as("simhash"))
+  }
 
   /** Built-in-only SimHash: explode(tokens) → 64 conditional sums.
     * Semantically identical to [[simhash]] (PipelineSpec asserts it);
-    * kept as the oracle-expressible reference formulation. */
-  def simhashAgg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
+    * kept as the oracle-expressible reference formulation. With
+    * `md5Based` the per-token bit source is bit (j mod 4) of hex digit
+    * 16 − ⌊j/4⌋ of md5(token) — the identical arithmetic DuckDB runs
+    * in q21's oracle SQL. */
+  def simhashAgg(docs: DataFrame, idCol: String, textCol: String,
+      md5Based: Boolean = false): DataFrame = {
+    val tok0 = docs.select(col(idCol).as("doc_id"),
       explode(words(col(textCol))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+    val tok =
+      if (md5Based) tok0.withColumn("h", md5(col("w")))
+      else tok0.withColumn("h", xxhash64(col("w")))
+    def bit(j: Int): Column =
+      if (md5Based)
+        shiftright(conv(substring(col("h"), 16 - j / 4, 1), 16, 10).cast("int"),
+          j % 4).bitwiseAND(1)
+      else shiftright(col("h"), j).bitwiseAND(1)
     val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+      sum(when(bit(j) === 1, 1).otherwise(-1)).as(s"b$j")
     }
     tok.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)

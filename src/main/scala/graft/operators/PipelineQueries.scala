@@ -70,10 +70,13 @@ object PipelineQueries {
       shinglePersist = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("d1", "d2")
 
-  /** SimHash signatures per doc + near-dup candidate counts (no
-    * oracle). Always |documents| rows. */
+  /** SimHash signatures per doc + near-dup candidate counts. Uses the
+    * md5-token-hash variant so the ENTIRE pipeline — signature bits,
+    * 16-bit banding, hamming verify — is recomputable in DuckDB SQL
+    * and hash-checked (xxhash64, the cheaper production default, has
+    * no DuckDB counterpart). Always |documents| rows. */
   def q21Simhash(s: SparkSession, dir: String): DataFrame = {
-    val sigs = Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+    val sigs = Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", md5Based = true)
     val cand = Dedup.simhashCandidates(sigs, maxHamming = 16)
     val perDoc = cand.select(explode(array(col("d1"), col("d2"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
@@ -152,6 +155,20 @@ object PipelineQueries {
   // ---------------------------------------------------------------- oracle
 
   private val WordsSql = "string_split_regex(lower(trim(text)), ' +')"
+
+  /** q21 oracle building blocks: bit j of the md5-derived token hash
+    * is bit (j mod 4) of hex digit 16 − ⌊j/4⌋ (see
+    * [[graft.functions.SimHashUtil.computeMd5]]). */
+  private val SimhashBitSums = (0 until 64).map { j =>
+    s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, ${16 - j / 4}, 1)) - 1) " +
+      s">> ${j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+  }.mkString(",\n")
+  /** Signed 64-bit reassembly: bit 63 enters as BIGINT min (written
+    * overflow-free), bits 0..62 as plain powers of two. */
+  private val SimhashValue =
+    "CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END + " +
+      (0 until 63).map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
   private val EnSet = TextFunctions.Stopwords("en").map(w => s"'$w'").mkString(", ")
   private val FrSet = TextFunctions.Stopwords("fr").map(w => s"'$w'").mkString(", ")
   private val EsSet = TextFunctions.Stopwords("es").map(w => s"'$w'").mkString(", ")
@@ -229,6 +246,32 @@ object PipelineQueries {
          |JOIN cnt cb ON cb.doc_id = d2
          |WHERE round(CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE), 6) >= 0.9
          |ORDER BY 1, 2""".stripMargin,
+    "q21_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($WordsSql) AS w FROM documents),
+         |th AS (SELECT doc_id, md5(w) AS h FROM tok),
+         |bits AS (
+         |  SELECT doc_id,
+         |$SimhashBitSums
+         |  FROM th GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $SimhashValue AS simhash FROM bits),
+         |chunks AS (
+         |  SELECT doc_id, simhash, band,
+         |    (simhash >> (band * 16)) & 65535 AS chunk
+         |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM chunks a JOIN chunks b
+         |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+         |near AS (
+         |  SELECT doc_id, count(*) AS n_near FROM (
+         |    SELECT d1 AS doc_id FROM cand WHERE hamming <= 16
+         |    UNION ALL SELECT d2 FROM cand WHERE hamming <= 16)
+         |  GROUP BY 1)
+         |SELECT s.doc_id, s.simhash, coalesce(n.n_near, 0) AS n_near
+         |FROM sig s LEFT JOIN near n USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin,
     "q22_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),

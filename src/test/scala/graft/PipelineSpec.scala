@@ -89,6 +89,14 @@ class PipelineSpec extends AnyFunSuite {
     val agg = Dedup.simhashAgg(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(native === agg)
+    // md5-token-hash variant (q21's oracle-checkable mode): same
+    // equivalence, different bit source.
+    val nativeMd5 = Dedup.simhash(docs, "doc_id", "text", md5Based = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aggMd5 = Dedup.simhashAgg(docs, "doc_id", "text", md5Based = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nativeMd5 === aggMd5)
+    assert(nativeMd5 !== native) // distinct hash families actually differ
   }
 
   test("blocked near-dup kernel equals the expression form bit-for-bit") {
