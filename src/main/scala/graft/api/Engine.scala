@@ -108,6 +108,24 @@ object Engine {
         count(lit(1)).cast("int").as("tables_converted"))
   }
 
+  /** S8 report sink: per-script assessment rendered to the reference
+    * PDF's paginated text content (reference: `app.py:49-263`; see
+    * [[graft.assess.ReportRenderer]]). Pure map-side flatMap — each
+    * script assesses and renders independently on executors, no
+    * shuffle; one row per report line keeps the sink queryable and
+    * the driver check rows-based. `generatedAt` is injected for
+    * determinism (the reference stamps `datetime.now()`). */
+  def reportLines(scripts: DataFrame, generatedAt: String): DataFrame = {
+    val spark = scripts.sparkSession
+    import spark.implicits._
+    scripts.select("script_id", "ddl").as[(String, String)].flatMap {
+      case (id, ddl) =>
+        val rpt = graft.assess.Assessor.assess(ddl)
+        graft.assess.ReportRenderer.renderAssessment(rpt, generatedAt)
+          .zipWithIndex.map { case (line, i) => (id, i + 1, line) }
+    }.toDF("script_id", "line_no", "line")
+  }
+
   /** Per-table assessment rows: map-side scoring, Spark-aggregable. */
   def assessRows(tables: Dataset[ScriptTable]): Dataset[AssessRow] = {
     val spark = tables.sparkSession

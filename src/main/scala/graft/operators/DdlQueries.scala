@@ -75,6 +75,14 @@ object DdlQueries {
       .drop("iceberg_ddl")
       .orderBy("script_id")
 
+  /** S8 report sink: the assessment PDF's paginated text per script
+    * (one row per report line; golden-pinned byte-identically to the
+    * reference's generate_assessment_pdf via
+    * `tools/gen_report_golden.py`; fixed timestamp for determinism). */
+  def ddlReport(s: SparkSession, dir: String): DataFrame =
+    Engine.reportLines(db2Scripts(s, 8), generatedAt = "2026-01-01 00:00:00")
+      .orderBy("script_id", "line_no")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ddl_tables" -> (ddlTables _),
     "ddl_convert" -> (ddlConvert _),
@@ -82,5 +90,6 @@ object DdlQueries {
     "ddl_type_distribution" -> (ddlTypeDistribution _),
     "ddl_features" -> (ddlFeatures _),
     "sf_convert" -> (sfConvert _),
+    "ddl_report" -> (ddlReport _),
   )
 }

@@ -196,6 +196,17 @@ class Db2EngineSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------------- assessor
 
+  test("golden: report sink text matches the reference PDF content byte-identically") {
+    // Expected produced by EXECUTING the reference's
+    // generate_assessment_pdf (app.py:49-263) with a text-recording
+    // FPDF stand-in (tools/gen_report_golden.py), fixed timestamp.
+    val report = Assessor.assess(res("sample_db2.sql"))
+    val got = graft.assess.ReportRenderer
+      .renderAssessment(report, "2026-01-01 00:00:00")
+      .mkString("\n") + "\n"
+    assert(got === res("sample_db2.report.txt"))
+  }
+
   test("golden: assessment report matches the reference JSON semantically") {
     val report = Assessor.assess(res("sample_db2.sql"))
     val got = JsonMethods.parse(Assessor.toJson(report))
