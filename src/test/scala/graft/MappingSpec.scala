@@ -113,4 +113,58 @@ class MappingSpec extends AnyFunSuite {
     val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("BUCKET="))
     assert(dirs.toSet === Set("BUCKET=1", "BUCKET=2"))
   }
+
+  test("S9 migration round trip: fixture parquet → translated schema → " +
+      "partitioned write → read back (schema, data, layout, pruning)") {
+    // JDBC is unavailable in-sandbox, so the orders fixture stands in
+    // for the source system; everything downstream of the read — the
+    // type bridge, the cast, the RANGE-partitioned write, the
+    // read-back — is the real migration path.
+    val ddl =
+      """CREATE TABLE TPCH.ORDERS (
+        |  O_ORDERKEY BIGINT NOT NULL,
+        |  O_CUSTKEY BIGINT,
+        |  O_ORDERSTATUS CHAR(1),
+        |  O_TOTALPRICE DECIMAL(12,2),
+        |  O_ORDERDATE DATE,
+        |  O_ORDERPRIORITY VARCHAR(15)
+        |) PARTITION BY RANGE (O_ORDERSTATUS);""".stripMargin
+    val table = Db2Parser.parse(ddl).tables.head
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val out = java.nio.file.Files.createTempDirectory("migrated_orders").toString
+    SchemaTranslator.writeMigrated(src, table, out)
+    val back = spark.read.parquet(out)
+
+    // 1. schema: every translated type survives (the partition column
+    // itself comes back via directory-value inference as a string).
+    val expected = SchemaTranslator.toSparkSchema(table)
+    expected.fields.filterNot(_.name == "O_ORDERSTATUS").foreach { f =>
+      assert(back.schema(f.name).dataType === f.dataType, f.name)
+    }
+    assert(back.schema.fieldNames.toSet === expected.fieldNames.toSet)
+
+    // 2. data: bidirectional except-emptiness against the casted source.
+    val srcCast = src.select(expected.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val backAligned = back.select(expected.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    assert(backAligned.count() === srcCast.count())
+    assert(backAligned.except(srcCast).count() === 0)
+    assert(srcCast.except(backAligned).count() === 0)
+
+    // 3. physical layout: one directory per RANGE-partition value.
+    val statuses = src.select("o_orderstatus").distinct()
+      .collect().map(_.getString(0)).toSet
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("O_ORDERSTATUS=")).map(_.stripPrefix("O_ORDERSTATUS=")).toSet
+    assert(dirs === statuses)
+
+    // 4. partition pruning: a filter on the RANGE column reaches the
+    // scan as a partition filter (directory-level skip, no data read
+    // from other partitions).
+    val pruned = back.filter(col("O_ORDERSTATUS") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("O_ORDERSTATUS"), plan)
+    assert(pruned.count() === src.filter(col("o_orderstatus") === "F").count())
+  }
 }

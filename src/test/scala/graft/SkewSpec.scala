@@ -34,6 +34,38 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.nonEmpty)
   }
 
+  test("range join skew: hot-key candidate fanout tracks local density, " +
+      "not the key's total interval count") {
+    // A single hot key owning N intervals is the range join's skew
+    // hazard: the naive plan (equi-join on the key + range filter)
+    // materializes N·M candidate pairs for that key BEFORE filtering.
+    // The bucketed plan's documented fanout bound: candidates per
+    // point = intervals overlapping its bucket (local density), so
+    // total candidates ≈ |matches| when intervals don't stack.
+    import spark.implicits._
+    val w = 100L
+    val intervals = (0 until 2000).map(i => (1L, i * w, i * w + 80L))
+      .toDF("user_id", "s", "e")
+    val points = (0 until 2000).map(i => (1L, i * w + 50L))
+      .toDF("user_id", "p")
+    val res = graft.operators.RangeJoin.pointsInIntervals(
+      points, intervals, Seq("user_id"), "p", "s", "e", bucketWidth = w)
+    assert(res.count() === 2000L) // each point falls in exactly its interval
+    // naive key-equi-join fanout for the hot key: 2000 × 2000
+    val naive = points.join(intervals, Seq("user_id")).count()
+    assert(naive === 4000000L)
+    // bucketed candidates (the equi-join on (key, bucket) BEFORE the
+    // exact range predicate) — same bucket arithmetic as the operator
+    def bk(c: org.apache.spark.sql.Column) = c - pmod(c, lit(w))
+    val cand = points.withColumn("__b", bk(col("p")))
+      .join(intervals.withColumn("__b",
+        explode(sequence(bk(col("s")), bk(col("e") - 1), lit(w)))),
+        Seq("user_id", "__b"))
+      .count()
+    assert(cand === 2000L)       // == matches: zero wasted candidates here
+    assert(cand * 1000 <= naive) // ≥1000× below the naive hot-key fanout
+  }
+
   test("saltedAgg equals the plain groupBy aggregation") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val plain = li.groupBy(col("l_returnflag"))
