@@ -126,6 +126,21 @@ object Engine {
     }.toDF("script_id", "line_no", "line")
   }
 
+  /** Conversion-report sink (reference: `app.py:266-411`): per-script
+    * convert + assess + render, same map-side shape as
+    * [[reportLines]]. */
+  def conversionReportLines(scripts: DataFrame, generatedAt: String): DataFrame = {
+    val spark = scripts.sparkSession
+    import spark.implicits._
+    scripts.select("script_id", "ddl").as[(String, String)].flatMap {
+      case (id, ddl) =>
+        val result = graft.convert.Db2Renderer.convert(ddl)
+        val rpt = graft.assess.Assessor.assess(ddl)
+        graft.assess.ReportRenderer.renderConversion(result, rpt, generatedAt)
+          .zipWithIndex.map { case (line, i) => (id, i + 1, line) }
+    }.toDF("script_id", "line_no", "line")
+  }
+
   /** Per-table assessment rows: map-side scoring, Spark-aggregable. */
   def assessRows(tables: Dataset[ScriptTable]): Dataset[AssessRow] = {
     val spark = tables.sparkSession

@@ -119,8 +119,61 @@ object ReportRenderer {
       pages += p2.result()
     }
     val all = pages.result()
-    all.zipWithIndex.flatMap { case (page, i) =>
-      page :+ s"Page ${i + 1}/${all.length} - DB2ICE by Snowflake Cortex Code"
-    }
+    paginate(all)
   }
+
+  /** Conversion report (reference: `app.py:266-411`
+    * `generate_conversion_pdf`): conversion summary + assessment
+    * summary + critical issues on page 1, the converted DDL (one line
+    * per cell, 130-char truncation) on page 2. */
+  def renderConversion(result: graft.model.ConversionResult,
+      r: AssessmentReport, generatedAt: String): Seq[String] = {
+    val p1 = Vector.newBuilder[String]
+    p1 ++= header(generatedAt)
+    p1 += "Conversion Summary"
+    p1 += s"Status: ${if (result.success) "Success" else "Failed"}"
+    p1 += s"Tables Converted: ${result.tablesConverted}"
+    p1 += s"EWI Markers: ${result.ewiCount}"
+    if (result.ewiCount > 0)
+      p1 += "Note: Search for \"!!!RESOLVE EWI!!!\" in the DDL output"
+    p1 += "Assessment Summary"
+    p1 += fmt0(r.overallScore) + "%" + s"  ${overallStatus(r.overallLevel)}"
+    p1 += s"Data Types Score: ${fmt0(r.datatypeScore)}%"
+    p1 += s"Constraints Score: ${fmt0(r.constraintScore)}%"
+    p1 += s"Partitions Score: ${fmt0(r.partitionScore)}%"
+    p1 += s"Special Features Score: ${fmt0(r.specialFeaturesScore)}%"
+    p1 += "Table Statistics:"
+    p1 += s"  Total Tables: ${r.tablesTotal}"
+    p1 += s"  Auto-convertible: ${r.tablesAuto}"
+    p1 += s"  Need Review: ${r.tablesManual}"
+    p1 += s"  Blocked: ${r.tablesBlocked}"
+    val totalIssues =
+      r.criticalIssues.length + r.warnings.length + r.infoItems.length
+    if (totalIssues > 0) {
+      p1 += s"Issues Summary ($totalIssues total):"
+      if (r.criticalIssues.nonEmpty) p1 += s"  Critical: ${r.criticalIssues.length}"
+      if (r.warnings.nonEmpty) p1 += s"  Warnings: ${r.warnings.length}"
+      if (r.infoItems.nonEmpty) p1 += s"  Information: ${r.infoItems.length}"
+      if (r.criticalIssues.nonEmpty) {
+        p1 += "Critical Issues:"
+        r.criticalIssues.foreach { i =>
+          p1 += s"[${i.code}]"
+          p1 += "  " + trunc(i.message.getOrElse(""), 100, 97)
+          i.suggestion.foreach(s => p1 += "  -> " + trunc(s, 80, 77))
+        }
+      }
+    }
+    val p2 = Vector.newBuilder[String]
+    p2 ++= header(generatedAt)
+    p2 += "Converted Snowflake Iceberg DDL"
+    p2 += "Ready to execute in Snowflake"
+    // Python's split('\n') keeps trailing empties → limit -1.
+    result.icebergDdl.split("\n", -1).foreach(l => p2 += trunc(l, 130, 127))
+    paginate(Vector(p1.result(), p2.result()))
+  }
+
+  private def paginate(pages: Seq[Seq[String]]): Seq[String] =
+    pages.zipWithIndex.flatMap { case (page, i) =>
+      page :+ s"Page ${i + 1}/${pages.length} - DB2ICE by Snowflake Cortex Code"
+    }
 }

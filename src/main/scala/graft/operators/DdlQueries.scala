@@ -83,6 +83,12 @@ object DdlQueries {
     Engine.reportLines(db2Scripts(s, 8), generatedAt = "2026-01-01 00:00:00")
       .orderBy("script_id", "line_no")
 
+  /** Conversion-report sink (app.py:266-411 parity, same golden
+    * machinery as ddl_report). */
+  def ddlConversionReport(s: SparkSession, dir: String): DataFrame =
+    Engine.conversionReportLines(db2Scripts(s, 8), generatedAt = "2026-01-01 00:00:00")
+      .orderBy("script_id", "line_no")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ddl_tables" -> (ddlTables _),
     "ddl_convert" -> (ddlConvert _),
@@ -91,5 +97,6 @@ object DdlQueries {
     "ddl_features" -> (ddlFeatures _),
     "sf_convert" -> (sfConvert _),
     "ddl_report" -> (ddlReport _),
+    "ddl_conversion_report" -> (ddlConversionReport _),
   )
 }

@@ -207,6 +207,16 @@ class Db2EngineSpec extends AnyFunSuite {
     assert(got === res("sample_db2.report.txt"))
   }
 
+  test("golden: conversion report text matches the reference PDF content byte-identically") {
+    val ddl = res("sample_db2.sql")
+    val result = Db2Renderer.convert(ddl)
+    val report = Assessor.assess(ddl)
+    val got = graft.assess.ReportRenderer
+      .renderConversion(result, report, "2026-01-01 00:00:00")
+      .mkString("\n") + "\n"
+    assert(got === res("sample_db2.conversion.txt"))
+  }
+
   test("golden: assessment report matches the reference JSON semantically") {
     val report = Assessor.assess(res("sample_db2.sql"))
     val got = JsonMethods.parse(Assessor.toJson(report))

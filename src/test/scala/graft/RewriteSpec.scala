@@ -38,6 +38,22 @@ class RewriteSpec extends AnyFunSuite {
       "interpreted HOF fold should be gone:\n" + optimized.take(2000))
   }
 
+  test("float-product fold is NOT rewritten (float rounding differs from the native double product)") {
+    // (x, y) -> x * y on array<float> multiplies in FLOAT and widens
+    // the rounded product; HofVectorDot multiplies in double. The rule
+    // must leave this form alone or it silently changes low bits.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").limit(10)
+    val floatFold = emb.select(
+      aggregate(
+        zip_with(col("embedding"), col("embedding"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+    val optimized = floatFold.queryExecution.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("hofvectordot"),
+      "uncast float product must not be rewritten:\n" + optimized.take(2000))
+    // and the guarded form still evaluates (no behavior change)
+    assert(floatFold.collect().length === 10)
+  }
+
   test("rewritten results are bit-identical to the interpreted fold") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet").limit(40)
     val a = emb.select(col("vec_id").as("i"), col("embedding").as("va"))

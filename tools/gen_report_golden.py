@@ -70,12 +70,14 @@ class FPDF:
 def load_reference_pdf_code():
     src = open("/root/reference/app.py").read()
     tree = ast.parse(src)
-    cls = fn = None
+    cls = None
+    fns = {}
     for node in ast.walk(tree):
         if isinstance(node, ast.ClassDef) and node.name == "AssessmentPDF":
             cls = textwrap.dedent(ast.get_source_segment(src, node))
-        if isinstance(node, ast.FunctionDef) and node.name == "generate_assessment_pdf":
-            fn = ast.get_source_segment(src, node)
+        if isinstance(node, ast.FunctionDef) and node.name in (
+                "generate_assessment_pdf", "generate_conversion_pdf"):
+            fns[node.name] = ast.get_source_segment(src, node)
     ns = {
         "FPDF": FPDF,
         "PDF_AVAILABLE": True,
@@ -84,14 +86,12 @@ def load_reference_pdf_code():
         "IssueSeverity": IssueSeverity,
     }
     exec(cls, ns)
-    ns["AssessmentPDF"] = ns["AssessmentPDF"]
-    exec(fn, ns)
-    return ns["generate_assessment_pdf"]
+    for f in fns.values():
+        exec(f, ns)
+    return ns
 
 
-def main(ddl_path, out_path):
-    report = Assessor().assess(open(ddl_path).read())
-    gen = load_reference_pdf_code()
+def run_capture(fn, *args):
     pdf_holder = {}
     orig_init = FPDF.__init__
 
@@ -99,18 +99,33 @@ def main(ddl_path, out_path):
         orig_init(self)
         pdf_holder["pdf"] = self
     FPDF.__init__ = capture_init
-    gen(report)
-    FPDF.__init__ = orig_init
+    try:
+        fn(*args)
+    finally:
+        FPDF.__init__ = orig_init
     pdf = pdf_holder["pdf"]
     nb = len(pdf.pages)
     lines = []
     for i, page in enumerate(pdf.pages):
         lines.extend(page)
         lines.append(f"Page {i + 1}/{nb} - DB2ICE by Snowflake Cortex Code")
+    return nb, lines
+
+
+def main(ddl_path, out_path, kind="assessment"):
+    ddl = open(ddl_path).read()
+    report = Assessor().assess(ddl)
+    ns = load_reference_pdf_code()
+    if kind == "assessment":
+        nb, lines = run_capture(ns["generate_assessment_pdf"], report)
+    else:
+        from db2ice.converter import DB2IceConverter
+        result = DB2IceConverter().convert(ddl)
+        nb, lines = run_capture(ns["generate_conversion_pdf"], result, report)
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"{out_path}: {nb} pages, {len(lines)} lines")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else "assessment")
