@@ -132,6 +132,27 @@ object PipelineQueries {
       nCentroids = 16, nIters = 5, nProbe = 4).orderBy("q_id")
   }
 
+  // ---------------------------------------------------------------- sampling
+
+  /** Deterministic train/val/test split (80/10/10 on md5(doc_id)):
+    * per-(lang, split) counts and id checksums. Reproducible across
+    * runs/engines — the oracle recomputes the identical assignment. */
+  def q39Split(s: SparkSession, dir: String): DataFrame =
+    Sampling.assignSplit(t(s, dir, "documents"), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).cast("bigint").as("sum_ids"))
+      .orderBy("lang", "split")
+
+  /** Deterministic per-group cap (≤25 docs per lang by hash order)
+    * via the bounded TopK aggregator — O(groups·k) shuffle, no
+    * whole-group sort. */
+  def q40CapPerGroup(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerGroup(t(s, dir, "documents"), "lang", "doc_id", k = 25)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).cast("bigint").as("sum_ids"))
+      .orderBy("lang")
+
   // ---------------------------------------------------------------- media
 
   /** Multimodal plumbing: documents → binary assets → stub decode →
@@ -169,6 +190,12 @@ object PipelineQueries {
     "CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END + " +
       (0 until 63).map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
         .mkString(" + ")
+
+  /** First 32 bits of md5 as a BIGINT (hex-digit fold) — the exact
+    * arithmetic of [[Sampling.hashValue]], recomputed in DuckDB. */
+  private val HvSql = (1 to 8).map(i =>
+    s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << (4 * (8 - i))}"
+  ).mkString(" + ")
   private val EnSet = TextFunctions.Stopwords("en").map(w => s"'$w'").mkString(", ")
   private val FrSet = TextFunctions.Stopwords("fr").map(w => s"'$w'").mkString(", ")
   private val EsSet = TextFunctions.Stopwords("es").map(w => s"'$w'").mkString(", ")
@@ -272,6 +299,32 @@ object PipelineQueries {
          |SELECT s.doc_id, s.simhash, coalesce(n.n_near, 0) AS n_near
          |FROM sig s LEFT JOIN near n USING (doc_id)
          |ORDER BY s.doc_id""".stripMargin,
+    "q39_split" ->
+      s"""WITH hv AS (
+         |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |u AS (
+         |  SELECT doc_id, lang,
+         |    CAST($HvSql AS DOUBLE) / CAST(4294967296 AS DOUBLE) AS u
+         |  FROM hv),
+         |sp AS (
+         |  -- thresholds as the same IEEE partial sums Spark computes
+         |  -- (0.8, then 0.8 + 0.1 — NOT the decimal literal 0.9)
+         |  SELECT lang, doc_id,
+         |    CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train'
+         |         WHEN u < CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE) THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM u)
+         |SELECT lang, split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q40_cap_per_group" ->
+      s"""WITH hv AS (
+         |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY ($HvSql), doc_id) AS rk
+         |  FROM hv)
+         |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM r WHERE rk <= 25 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q22_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
@@ -357,5 +410,7 @@ object PipelineQueries {
     "q24_multimodal" -> (q24Multimodal _),
     "q25_lsh_recall" -> (q25LshRecall _),
     "q31_ivf_recall" -> (q31IvfRecall _),
+    "q39_split" -> (q39Split _),
+    "q40_cap_per_group" -> (q40CapPerGroup _),
   )
 }

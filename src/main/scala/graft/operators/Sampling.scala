@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines: reproducible
+  * train/val/test splits, Bernoulli samples and per-group caps, all
+  * keyed on a CONTENT hash rather than a random number generator.
+  *
+  * Why hash-based, not `rand()`/`df.sample()`:
+  *  - reproducible across runs, engines and cluster layouts — the
+  *    split of a document never depends on partitioning or seed
+  *    plumbing, so a re-run (or a different engine) assigns every row
+  *    identically; this is what makes holdout contamination auditable;
+  *  - a pure scan-side projection/filter — no shuffle, no state, works
+  *    identically at 100 TB and in streaming;
+  *  - oracle-checkable: the hash is the first 32 bits of md5(key),
+  *    which DuckDB computes bit-identically (same trick as the q21
+  *    SimHash oracle — md5 is the one high-quality hash both engines
+  *    expose).
+  *
+  * The unit interval value is `hv / 2^32` where hv = first 8 hex chars
+  * of md5(salt || key) — an integer-valued double divided by a power
+  * of two, so the division is EXACT and threshold comparisons agree
+  * bit-for-bit across engines.
+  */
+object Sampling {
+
+  /** First 32 bits of md5(salt || key) as a bigint in [0, 2^32). */
+  def hashValue(key: Column, salt: String = ""): Column = {
+    val keyed = if (salt.isEmpty) key.cast("string")
+    else concat(lit(salt), key.cast("string"))
+    conv(substring(md5(keyed), 1, 8), 16, 10).cast("bigint")
+  }
+
+  /** Deterministic uniform [0,1) from the key hash (exact double). */
+  def hashUnit(key: Column, salt: String = ""): Column =
+    hashValue(key, salt) / lit(4294967296.0)
+
+  /** Adds a `split` column assigning each row to one of the named
+    * fractions (must sum to ≤1; the LAST named bucket absorbs any
+    * remainder, so fractions summing to exactly 1 give exact
+    * semantics). E.g.
+    * `assignSplit(docs, col("doc_id"), Seq("train"->0.8, "val"->0.1, "test"->0.1))`. */
+  def assignSplit(df: DataFrame, key: Column,
+      splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9,
+      "split fractions must sum to at most 1")
+    val u = hashUnit(key, salt)
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail
+    val expr = splits.zip(cums).init
+      .foldRight(lit(splits.last._1): Column) { case (((name, _), cum), acc) =>
+        when(u < lit(cum), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", expr)
+  }
+
+  /** Deterministic Bernoulli sample: keeps rows with hash-unit below
+    * `fraction`. Different `salt`s give independent samples. */
+  def bernoulli(df: DataFrame, key: Column, fraction: Double,
+      salt: String = ""): DataFrame =
+    df.filter(hashUnit(key, salt) < lit(fraction))
+
+  /** Deterministic cap: at most `k` rows per group, chosen by hash
+    * order (stable "which k" across runs). Runs on the bounded
+    * [[TopKAggregator]] — map-side partial top-k, the shuffle carries
+    * O(groups·k), never a whole-group sort. Output: (groupCol, rk,
+    * idCol) with rk 1..k by hash asc, id asc. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    // TopK keeps the LARGEST scores; negate the hash for "smallest k".
+    val scored = df.select(col(groupCol), col(idCol),
+      (-hashValue(col(idCol), salt).cast("double")).as("neg_hash"))
+    TopK.perStringKey(scored, groupCol, idCol, "neg_hash", k)
+      .drop("neg_hash")
+  }
+}

@@ -26,8 +26,10 @@ final case class TopKResult(values: Seq[Scored])
   * ascending on ties — the merged output equals the window form's.
   * k is small, so a sorted-list insert beats heap constants.
   */
-class TopKAggregator(k: Int)
-    extends Aggregator[(Long, Long, Double), TopKBuffer, TopKResult] {
+abstract class TopKAggregatorBase[IN](k: Int)
+    extends Aggregator[IN, TopKBuffer, TopKResult] {
+
+  protected def toScored(row: IN): Scored
 
   private def better(a: Scored, b: Scored): Boolean =
     a.score > b.score || (a.score == b.score && a.id < b.id)
@@ -39,13 +41,25 @@ class TopKAggregator(k: Int)
   }
 
   override def zero: TopKBuffer = TopKBuffer(Nil)
-  override def reduce(buf: TopKBuffer, row: (Long, Long, Double)): TopKBuffer =
-    TopKBuffer(insert(buf.values, Scored(row._2, row._3)))
+  override def reduce(buf: TopKBuffer, row: IN): TopKBuffer =
+    TopKBuffer(insert(buf.values, toScored(row)))
   override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer =
     TopKBuffer(b.values.foldLeft(a.values)(insert))
   override def finish(buf: TopKBuffer): TopKResult = TopKResult(buf.values)
   override def bufferEncoder: Encoder[TopKBuffer] = Encoders.product[TopKBuffer]
   override def outputEncoder: Encoder[TopKResult] = Encoders.product[TopKResult]
+}
+
+class TopKAggregator(k: Int) extends TopKAggregatorBase[(Long, Long, Double)](k) {
+  override protected def toScored(row: (Long, Long, Double)): Scored =
+    Scored(row._2, row._3)
+}
+
+/** [[TopKAggregator]] over string-keyed rows (key unused in the
+  * buffer — it is the grouping key). */
+class TopKAggregatorS(k: Int) extends TopKAggregatorBase[(String, Long, Double)](k) {
+  override protected def toScored(row: (String, Long, Double)): Scored =
+    Scored(row._2, row._3)
 }
 
 object TopK {
@@ -63,6 +77,26 @@ object TopK {
         col(idCol).cast("long").as("id"),
         col(scoreCol).cast("double").as("score"))
       .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("topk"))
+      .flatMap { case (key, top) =>
+        top.values.zipWithIndex.map { case (s, i) => (key, i + 1, s.id, s.score) }
+      }
+      .toDF(keyCol, "rk", idCol, scoreCol)
+  }
+
+  /** [[perKey]] for string-typed keys (e.g. lang, domain) — same
+    * bounded Aggregator, same O(keys·k) shuffle. */
+  def perStringKey(scored: DataFrame, keyCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val agg = new TopKAggregatorS(k)
+    scored
+      .select(col(keyCol).cast("string").as("key"),
+        col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("double").as("score"))
+      .as[(String, Long, Double)]
       .groupByKey(_._1)
       .agg(agg.toColumn.name("topk"))
       .flatMap { case (key, top) =>

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 
 /** Unit tests for the training-data-pipeline operators on small
   * in-memory data (semantic checks; oracle parity is covered by the
@@ -97,6 +97,38 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(nativeMd5 === aggMd5)
     assert(nativeMd5 !== native) // distinct hash families actually differ
+  }
+
+  test("sampling: split is deterministic and exhaustive; cap equals the window form") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def splitCounts = Sampling.assignSplit(docs, col("doc_id"), splits)
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s1 = splitCounts
+    assert(s1 === splitCounts) // re-evaluation assigns identically
+    assert(s1.values.sum === docs.count()) // every row lands somewhere
+    assert(s1.keySet === Set("train", "val", "test"))
+    assert(s1("train") > s1("val") && s1("train") > s1("test"))
+    // independent salts give different samples of ~the same size
+    val a = Sampling.bernoulli(docs, col("doc_id"), 0.5, "saltA")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.bernoulli(docs, col("doc_id"), 0.5, "saltB")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a !== b)
+    assert(math.abs(a.size - b.size) < docs.count() / 4)
+    // bounded-aggregator cap == window row_number formulation
+    import org.apache.spark.sql.expressions.Window
+    val cap = Sampling.capPerGroup(docs, "lang", "doc_id", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(Sampling.hashValue(col("doc_id")), col("doc_id"))
+    val win = docs.select(col("lang"), col("doc_id"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(cap === win)
+    assert(cap.nonEmpty)
   }
 
   test("blocked near-dup kernel equals the expression form bit-for-bit") {
