@@ -35,6 +35,27 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(got === Map("a" -> Some(99.0), "b" -> Some(50.0), "c" -> None, "d" -> None))
   }
 
+  test("as-of join: a matching right row with NULL payload wins atomically") {
+    // ASOF semantics: the latest prior right ROW wins, even when its
+    // payload VALUE is null — an older non-null row must not leak
+    // through, and multiple payload columns must come from the SAME
+    // right row (no cross-row stitching).
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 20L)).toDF("k", "ts")
+    val right = Seq(
+      (1L, 5L, Option("a"), Option("x")),
+      (1L, 15L, Option.empty[String], Option("y"))
+    ).toDF("k", "ts", "v1", "v2")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("v1", "v2"))
+      .orderBy("ts").collect()
+    // ts=10 → right@5: ("a","x")
+    assert(got(0).getAs[String]("v1") === "a" && got(0).getAs[String]("v2") === "x")
+    // ts=20 → right@15: (null,"y") — v1 must be NULL, not the stale "a"
+    assert(got(1).isNullAt(got(1).fieldIndex("v1")),
+      s"null payload of the winning row must be preserved, got ${got(1)}")
+    assert(got(1).getAs[String]("v2") === "y")
+  }
+
   test("as-of join: matches a nested-loop range-join reference on events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

@@ -106,6 +106,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), "no explode expected:\n" + plan.take(2000))
   }
 
+  test("q34: the only window ranks WITHIN (group, bucket) — never a whole-group sort") {
+    val df = graft.operators.Quantiles.exactQuantiles(
+      spark.read.parquet(s"$dir/lineitem.parquet"),
+      "l_returnflag", "l_extendedprice",
+      ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+    val plan = df.queryExecution.optimizedPlan.toString
+    // every row_number window in the plan is partitioned by bucket too
+    // (the histogram cum-sum windows run over histogram-sized data)
+    val rowNumberSpecs = "row_number\\(\\) windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(rowNumberSpecs.nonEmpty, plan.take(3000))
+    rowNumberSpecs.foreach(spec =>
+      assert(spec.contains("bucket"), s"rank window must be per-bucket: $spec"))
+    // and the data feeding the rank is pruned by the needed-bucket semi join
+    assert(plan.contains("LeftSemi"), "needed-bucket pruning must be a semi join:\n" +
+      plan.take(3000))
+  }
+
+  test("q40: per-group cap runs on the bounded aggregator, not a window sort") {
+    val df = graft.operators.Sampling.capPerGroup(
+      spark.read.parquet(s"$dir/documents.parquet"), "lang", "doc_id", k = 5)
+    val plan = planString(df)
+    assert(!plan.contains("Window"), "cap must not plan a window sort:\n" + plan.take(2000))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      "cap must plan as a typed aggregation:\n" + plan.take(2000))
+  }
+
+  test("q39: split assignment is a pure scan-side projection — no shuffle before the rollup") {
+    val df = graft.operators.Sampling.assignSplit(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      org.apache.spark.sql.functions.col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val plan = planString(df)
+    assert(!plan.contains("Exchange"),
+      "assignment itself must not shuffle:\n" + plan.take(2000))
+  }
+
   test("IVF inverted file persists bucketed by cell: probe join never reshuffles the corpus") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Ivf
