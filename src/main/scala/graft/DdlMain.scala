@@ -72,8 +72,16 @@ object DdlMain {
             Files.writeString(Paths.get(base + ".iceberg.sql"), conv.icebergDdl)
             Files.writeString(Paths.get(base + ".meta.txt"),
               s"ewi=${conv.ewiCount} tables=${conv.tablesConverted} success=${conv.success}")
+            val report = Assessor.assess(script)
             Files.writeString(Paths.get(base + ".report.json"),
-              Assessor.toJson(Assessor.assess(script)))
+              Assessor.toJson(report))
+            val ts = "2026-01-01 00:00:00"
+            Files.writeString(Paths.get(base + ".report.txt"),
+              graft.assess.ReportRenderer.renderAssessment(report, ts)
+                .mkString("", "\n", "\n"))
+            Files.writeString(Paths.get(base + ".conversion.txt"),
+              graft.assess.ReportRenderer.renderConversion(conv, report, ts)
+                .mkString("", "\n", "\n"))
           } else {
             val conv = SnowflakeRenderer.convert(script, cfg)
             Files.writeString(Paths.get(base + ".iceberg.sql"), conv.icebergDdl)

@@ -163,6 +163,9 @@ def gen_sf(outdir, n, seed):
 def gen(outdir, n, seed):
     from db2ice.converter import DB2IceConverter
     from db2ice.assessor import Assessor
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import gen_report_golden as grg
+    pdf_ns = grg.load_reference_pdf_code()
     os.makedirs(outdir, exist_ok=True)
     rng = random.Random(seed)
     for i in range(n):
@@ -173,7 +176,13 @@ def gen(outdir, n, seed):
         open(base + ".ref.iceberg.sql", "w").write(conv.iceberg_ddl)
         open(base + ".ref.meta.txt", "w").write(
             f"ewi={conv.ewi_count} tables={conv.tables_converted} success={conv.success}")
-        open(base + ".ref.report.json", "w").write(Assessor().assess(s).to_json())
+        report = Assessor().assess(s)
+        open(base + ".ref.report.json", "w").write(report.to_json())
+        # report sinks: the reference's own PDF generators, text-captured
+        _, alines = grg.run_capture(pdf_ns["generate_assessment_pdf"], report)
+        open(base + ".ref.report.txt", "w").write("\n".join(alines) + "\n")
+        _, clines = grg.run_capture(pdf_ns["generate_conversion_pdf"], conv, report)
+        open(base + ".ref.conversion.txt", "w").write("\n".join(clines) + "\n")
     print(f"generated {n} scripts in {outdir}")
 
 def canon_json(s):
@@ -215,6 +224,13 @@ def cmp(outdir):
                     problems.append("mismatch report.json")
             except FileNotFoundError:
                 problems.append("missing report.json")
+        for suffix in (".report.txt", ".conversion.txt"):
+            if os.path.exists(base + ".ref" + suffix):
+                try:
+                    if open(base + ".ref" + suffix).read() != open(base + suffix).read():
+                        problems.append(f"mismatch {suffix}")
+                except FileNotFoundError:
+                    problems.append(f"missing {suffix}")
         if problems:
             bad += 1
             print(f"✗ {name}: {', '.join(problems)}")
