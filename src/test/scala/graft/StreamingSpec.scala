@@ -86,6 +86,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.contains((2L, 1L, 2.0, 0L)))
   }
 
+  test("sampling split assigns identically on a stream and in batch") {
+    // assignSplit is a pure scan-side projection, so the identical
+    // plan runs under readStream — the split of a document never
+    // depends on batch boundaries (holdout stays stable as the
+    // ingest stream grows).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = graft.operators.Sampling.assignSplit(
+        mem.toDF().toDF("doc_id"), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .writeStream.format("memory").queryName("split_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(1L to 100L: _*)
+    q.processAllAvailable()
+    mem.addData(101L to 200L: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("split_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = graft.operators.Sampling.assignSplit(
+        (1L to 200L).toDF("doc_id"), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed === batch)
+    assert(streamed.size === 200)
+  }
+
   test("streaming dedup: first row per fingerprint survives across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
