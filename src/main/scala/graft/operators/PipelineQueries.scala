@@ -153,6 +153,36 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).cast("bigint").as("sum_ids"))
       .orderBy("lang")
 
+  /** Sequence packing: documents → fixed-capacity (2000-token) bins
+    * across 8 parallel pack groups; per-bin fill summary. */
+  def q41Packing(s: SparkSession, dir: String): DataFrame =
+    Packing.packBins(t(s, dir, "documents"), "doc_id",
+        tokenCount(col("text")), capacity = 2000L, nWorkers = 8)
+      .groupBy(col("pack_group"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("sum_tokens"))
+      .orderBy("pack_group", "bin")
+
+  /** Holdout decontamination: drop from the train split every doc
+    * whose content fingerprint (normalized 5-word prefix, q18's key)
+    * also appears in the test split — composed from [[Sampling]] +
+    * a fingerprint anti-join. Per-lang kept/removed counts. */
+  def q42Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sampling.assignSplit(t(s, dir, "documents"), col("doc_id"),
+        Seq("train" -> 0.9, "test" -> 0.1))
+      .withColumn("fp", concat_ws(" ", slice(words(col("text")), 1, 5)))
+    val train = docs.filter(col("split") === "train")
+    val testFp = docs.filter(col("split") === "test").select("fp").distinct()
+    val kept = train.join(testFp, Seq("fp"), "left_anti")
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    train.groupBy("lang").agg(count(lit(1)).as("n_train"))
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_train"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_train") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy("lang")
+  }
+
   // ---------------------------------------------------------------- media
 
   /** Multimodal plumbing: documents → binary assets → stub decode →
@@ -325,6 +355,38 @@ object PipelineQueries {
          |  FROM hv)
          |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM r WHERE rk <= 25 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q41_packing" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS pack_group,
+         |    CAST(len($WordsSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT pack_group, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id)
+         |      - n_tokens AS cum_before
+         |  FROM d)
+         |SELECT pack_group, CAST(cum_before // 2000 AS INT) AS bin,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q42_decontaminate" ->
+      s"""WITH hv AS (
+         |  SELECT doc_id, lang, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |sp AS (
+         |  SELECT lang, text,
+         |    CASE WHEN CAST($HvSql AS DOUBLE) / CAST(4294967296 AS DOUBLE)
+         |              < CAST(0.9 AS DOUBLE)
+         |         THEN 'train' ELSE 'test' END AS split
+         |  FROM hv),
+         |f AS (SELECT lang, split,
+         |        array_to_string(list_slice($WordsSql, 1, 5), ' ') AS fp FROM sp),
+         |tr AS (SELECT lang, fp FROM f WHERE split = 'train'),
+         |te AS (SELECT DISTINCT fp FROM f WHERE split = 'test'),
+         |k AS (SELECT lang, count(*) AS n_kept FROM tr
+         |      WHERE fp NOT IN (SELECT fp FROM te) GROUP BY 1),
+         |t2 AS (SELECT lang, count(*) AS n_train FROM tr GROUP BY 1)
+         |SELECT t2.lang, n_train, coalesce(n_kept, 0) AS n_kept,
+         |  n_train - coalesce(n_kept, 0) AS n_removed
+         |FROM t2 LEFT JOIN k USING (lang) ORDER BY 1""".stripMargin,
     "q22_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
@@ -412,5 +474,7 @@ object PipelineQueries {
     "q31_ivf_recall" -> (q31IvfRecall _),
     "q39_split" -> (q39Split _),
     "q40_cap_per_group" -> (q40CapPerGroup _),
+    "q41_packing" -> (q41Packing _),
+    "q42_decontaminate" -> (q42Decontaminate _),
   )
 }

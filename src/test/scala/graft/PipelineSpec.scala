@@ -131,6 +131,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(cap.nonEmpty)
   }
 
+  test("packing: bins are contiguous, conserve tokens, and fill to capacity") {
+    import graft.operators.Packing
+    import graft.functions.TextFunctions.tokenCount
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val packed = Packing.packBins(docs, "doc_id", tokenCount(col("text")),
+      capacity = 500L, nWorkers = 4)
+    val rows = packed.select("pack_group", "bin", "n_tokens")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // token conservation: every doc lands in exactly one bin
+    assert(rows.length === docs.count())
+    val totalTokens = rows.map(_._3).sum
+    // per group: bins are 0..maxBin with no gaps, and every bin except
+    // the last starts full (its docs' cum-before crossed the boundary)
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val bins = rs.map(_._2).distinct.sorted
+      assert(bins === (0 to bins.max).toArray, s"group $g bins not contiguous")
+      val fill = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+      // cum tokens before the last bin ≥ capacity·maxBin (bins filled
+      // in order; spillover only at boundaries)
+      val beforeLast = (0 until bins.max).map(fill(_)).sum
+      assert(beforeLast >= 500L * bins.max,
+        s"group $g: earlier bins must be boundary-full")
+    }
+    assert(totalTokens > 0)
+  }
+
+  test("decontamination: no kept train doc shares a fingerprint with test") {
+    import graft.operators.Sampling
+    import graft.functions.TextFunctions.words
+    val docs = Sampling.assignSplit(
+        spark.read.parquet(s"$sf001/documents.parquet"), col("doc_id"),
+        Seq("train" -> 0.9, "test" -> 0.1))
+      .withColumn("fp", concat_ws(" ", slice(words(col("text")), 1, 5)))
+    val testFp = docs.filter(col("split") === "test")
+      .select("fp").distinct().collect().map(_.getString(0)).toSet
+    val keptFp = docs.filter(col("split") === "train")
+      .join(docs.filter(col("split") === "test").select("fp").distinct(),
+        Seq("fp"), "left_anti")
+      .select("fp").collect().map(_.getString(0)).toSet
+    assert(keptFp.intersect(testFp).isEmpty)
+    assert(keptFp.nonEmpty && testFp.nonEmpty)
+  }
+
   test("blocked near-dup kernel equals the expression form bit-for-bit") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val naive = Similarity.cosineNearDupPairs(emb, threshold = 0.30)
