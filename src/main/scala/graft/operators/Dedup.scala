@@ -191,6 +191,47 @@ object Dedup {
         ).reduce((a, b) => a.bitwiseXOR(b)).as("simhash"))
   }
 
+  /** Duplicate CLUSTERS from near-dup pairs: connected components via
+    * iterative min-label propagation, labeling every member with the
+    * smallest doc id reachable through the pair graph. Near-dup pairs
+    * are transitive in intent (A~B, B~C ⇒ one cluster), so production
+    * dedup keeps ONE representative per component, not per pair.
+    *
+    * Scale shape: each round is one hash-partitioned join + partial
+    * min aggregation over the edge list; the label table is
+    * `localCheckpoint`ed per round (same lesson as Ivf.train — an
+    * iterative var-DataFrame re-chains the whole history otherwise).
+    * Rounds needed = component diameter; verified near-dup components
+    * are clique-dense, so convergence is 2-3 rounds in practice, and
+    * the loop exits on a fixpoint count.
+    *
+    * Output: (doc_id, cluster_rep) for every doc that appears in a
+    * pair (singletons are trivially their own cluster — left out to
+    * keep the output proportional to the duplicate mass). */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var it = 0
+    var changed = 1L
+    while (changed > 0 && it < maxIters) {
+      // candidate label per node: min over neighbors' current labels
+      // (partial agg runs map-side; the shuffle carries one row/node)
+      val cand = edges.join(labels, edges("a") === labels("id"))
+        .groupBy(col("b").as("id")).agg(min(col("label")).as("nl"))
+      val merged = labels.join(cand, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("new_label"))
+        .localCheckpoint()
+      changed = merged.filter(col("new_label") < col("label")).count()
+      labels = merged.select(col("id"), col("new_label").as("label"))
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -153,6 +153,19 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).cast("bigint").as("sum_ids"))
       .orderBy("lang")
 
+  /** Duplicate clusters: q20's verified near-dup pairs → connected
+    * components → per-cluster representative, size and id checksum.
+    * The oracle recomputes the components with a recursive CTE. */
+  def q43DupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(
+        Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 3, numPerm = 64, bands = 16, threshold = 0.9,
+          shinglePersist = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("doc_id")).cast("bigint").as("sum_ids"))
+      .orderBy("cluster_rep")
+
   /** Sequence packing: documents → fixed-capacity (2000-token) bins
     * across 8 parallel pack groups; per-bin fill summary. */
   def q41Packing(s: SparkSession, dir: String): DataFrame =
@@ -355,6 +368,30 @@ object PipelineQueries {
          |  FROM hv)
          |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM r WHERE rk <= 25 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q43_dup_clusters" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, $WordsSql AS w FROM documents),
+         |idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM w WHERE len(w) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sel AS (
+         |  SELECT d1, d2 FROM pairs
+         |  JOIN cnt ca ON ca.doc_id = d1
+         |  JOIN cnt cb ON cb.doc_id = d2
+         |  WHERE round(CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE), 6) >= 0.9),
+         |e AS (SELECT d1 AS a, d2 AS b FROM sel UNION ALL SELECT d2, d1 FROM sel),
+         |n AS (SELECT DISTINCT a AS id FROM e),
+         |cc AS (
+         |  SELECT id, id AS comp FROM n
+         |  UNION
+         |  SELECT e.b, cc.comp FROM cc JOIN e ON e.a = cc.id),
+         |lab AS (SELECT id, min(comp) AS rep FROM cc GROUP BY id)
+         |SELECT rep AS cluster_rep, count(*) AS n_members,
+         |  CAST(sum(id) AS BIGINT) AS sum_ids
+         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
     "q41_packing" ->
       s"""WITH d AS (
          |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS pack_group,
@@ -476,5 +513,6 @@ object PipelineQueries {
     "q40_cap_per_group" -> (q40CapPerGroup _),
     "q41_packing" -> (q41Packing _),
     "q42_decontaminate" -> (q42Decontaminate _),
+    "q43_dup_clusters" -> (q43DupClusters _),
   )
 }

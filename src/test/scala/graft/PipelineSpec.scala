@@ -131,6 +131,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(cap.nonEmpty)
   }
 
+  test("duplicate clusters: label propagation closes transitive chains") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 round) + isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("packing: bins are contiguous, conserve tokens, and fill to capacity") {
     import graft.operators.Packing
     import graft.functions.TextFunctions.tokenCount
