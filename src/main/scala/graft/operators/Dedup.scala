@@ -209,8 +209,13 @@ object Dedup {
     * pair (singletons are trivially their own cluster — left out to
     * keep the output proportional to the duplicate mass). */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // Materialize the edge list ONCE: it is consumed every round, and
+    // an unmaterialized lineage would re-run the whole upstream pair
+    // pipeline (LSH + verify) per round. |edges| = 2·|pairs| —
+    // proportional to the duplicate mass, small even at 100 TB.
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
