@@ -1,10 +1,42 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
+
+/** Typed buffer for [[VecMeanAgg]] (Product root for the encoder). */
+final case class VecSumBuf(sum: Array[Double], n: Long)
+
+/** Per-key vector MEAN as a bounded typed Aggregator: the buffer is
+  * one running (Σ, n) pair per key, so each map task reduces its
+  * whole partition to ONE row per centroid before the shuffle —
+  * O(centroids · dim) exchanged per task, independent of |corpus|.
+  * The alternative (posexplode to (key, dim-ordinal) rows and
+  * avg per ordinal) multiplies the shuffle rows by `dim` — fine at
+  * dim 64, the wrong shape at embedding dims of 1024+. Dimension is
+  * discovered from the first row (empty buffer ⇒ adopt row length). */
+class VecMeanAgg extends Aggregator[(Int, Seq[Double]), VecSumBuf, Seq[Double]] {
+  private def add(sum: Array[Double], v: Seq[Double]): Array[Double] = {
+    val s = if (sum.length == 0) new Array[Double](v.length) else sum
+    var i = 0
+    while (i < s.length) { s(i) += v(i); i += 1 }
+    s
+  }
+  override def zero: VecSumBuf = VecSumBuf(Array.emptyDoubleArray, 0L)
+  override def reduce(b: VecSumBuf, row: (Int, Seq[Double])): VecSumBuf =
+    VecSumBuf(add(b.sum, row._2), b.n + 1)
+  override def merge(a: VecSumBuf, b: VecSumBuf): VecSumBuf =
+    if (a.n == 0) b
+    else if (b.n == 0) a
+    else VecSumBuf(add(a.sum, b.sum.toSeq), a.n + b.n)
+  override def finish(b: VecSumBuf): Seq[Double] =
+    if (b.n == 0) null else b.sum.map(_ / b.n).toSeq
+  override def bufferEncoder: Encoder[VecSumBuf] = Encoders.product[VecSumBuf]
+  override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+}
 
 /** IVF (inverted-file) approximate-nearest-neighbor index — the
   * coarse-quantizer scale path for similarity search (builder brief:
@@ -97,20 +129,23 @@ object Ivf {
       .collect()
       .sortBy(r => r.getAs[Number](0).longValue())
       .map(_.getSeq[Double](1).toArray)
+    import spark.implicits._
+    val meanAgg = new VecMeanAgg
     var it = 0
     while (it < nIters) {
-      // Lloyd step: mean per (centroid, dimension), reassembled in
-      // dimension order. posexplode carries the ordinal so the shuffle
-      // is (cid, pos)-keyed — partial aggregation map-side, no skew
-      // (dimensions are uniform).
+      // Lloyd step: per-centroid vector mean via the bounded
+      // [[VecMeanAgg]] — each map task emits one (Σ, n) partial per
+      // centroid, so the shuffle carries O(centroids · dim) per task
+      // regardless of corpus size or embedding dimension.
       val assigned = nearest(vecs, centroidsDF(spark, cents))
       val means = assigned
-        .select(col("cid"), posexplode(col("vec")))
-        .groupBy("cid", "pos").agg(avg(col("col").cast("double")).as("m"))
-        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), x => x.getField("m")).as("c_vec"))
+        .select(col("cid"),
+          transform(col("vec"), x => x.cast("double")).as("v"))
+        .as[(Int, Seq[Double])]
+        .groupByKey(_._1)
+        .agg(meanAgg.toColumn.name("m"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        .map { case (cid, m) => cid -> m.toArray }.toMap
       // Empty cells keep their previous centroid.
       cents = cents.zipWithIndex.map { case (prev, i) => means.getOrElse(i + 1, prev) }
       it += 1
