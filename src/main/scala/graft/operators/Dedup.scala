@@ -237,6 +237,29 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
 
+  /** Canonical-document selection: the step after
+    * [[duplicateClusters]] in a production dedup — keep ONE document
+    * per cluster, chosen by a quality preference (here: max prefCol,
+    * ties to the larger id). A bounded aggregation, NOT a window: the
+    * per-cluster argmax rides in `max(struct(pref, id))`, so map tasks
+    * reduce each cluster to one candidate before the shuffle and the
+    * exchange carries O(clusters) rows — no per-cluster sort at any
+    * scale. Output: (cluster_rep, n_members, canonical_id,
+    * canonical_pref, sum_ids). */
+  def canonicalPerCluster(clusters: DataFrame, docs: DataFrame,
+      idCol: String, prefCol: String): DataFrame =
+    clusters
+      .join(docs.select(col(idCol).as("doc_id"), col(prefCol).as("pref")), "doc_id")
+      .groupBy(col("cluster_rep"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("pref"), col("doc_id"))).as("best"),
+        sum(col("doc_id")).cast("bigint").as("sum_ids"))
+      .select(col("cluster_rep"), col("n_members"),
+        col("best.doc_id").as("canonical_id"),
+        col("best.pref").cast("bigint").as("canonical_pref"),
+        col("sum_ids"))
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -409,6 +409,26 @@ object FixtureQueries {
       .orderBy("user_id")
   }
 
+  /** SCD2/CDC compaction (§2 pipeline ops): treat events as a
+    * changelog of (user, event_type) and build validity intervals with
+    * [[Cdc.scd2]]; roll up version counts, covered time and the
+    * current version per key. The window key is high-cardinality, so
+    * per-key sorts stay bounded at any scale. */
+  def q45Scd2(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_type"), col("us"),
+        col("event_id"), col("value"))
+    Cdc.scd2(e, Seq("user_id", "event_type"), "us", "event_id")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_versions"),
+        coalesce(sum(col("valid_to") - col("valid_from")), lit(0L))
+          .cast("bigint").as("covered_us"),
+        max(when(col("is_current"), col("us"))).cast("bigint").as("cur_us"),
+        max(when(col("is_current"), col("value"))).as("cur_value"))
+      .orderBy("user_id", "event_type")
+  }
+
   // ---------------------------------------------------------------- sketches
   /** Sketch aggregates (SURVEY §2.6 note: the engine exposes Spark's
     * approximate aggregates as the scale path for distinct counts and
@@ -759,6 +779,20 @@ object FixtureQueries {
         |  CAST(sum(gap) AS BIGINT) AS sum_gap_us,
         |  CAST(max(gap) AS BIGINT) AS max_gap_us
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q45_scd2" ->
+      """WITH v AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id, value
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, event_type, us, value,
+        |    lead(us) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY us, event_id) AS valid_to
+        |  FROM v)
+        |SELECT user_id, event_type, count(*) AS n_versions,
+        |  CAST(coalesce(sum(valid_to - us), 0) AS BIGINT) AS covered_us,
+        |  CAST(max(CASE WHEN valid_to IS NULL THEN us END) AS BIGINT) AS cur_us,
+        |  max(CASE WHEN valid_to IS NULL THEN value END) AS cur_value
+        |FROM iv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q15_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
@@ -793,6 +827,7 @@ object FixtureQueries {
     "q35_pivot" -> (q35Pivot _),
     "q36_lag_gaps" -> (q36LagGaps _),
     "q37_salted_join" -> (q37SaltedJoin _),
+    "q45_scd2" -> (q45Scd2 _),
     "q38_sketches" -> (q38Sketches _),
     "q27_type_rules" -> (q27TypeRules _),
     "q28_salted_agg" -> (q28SaltedAgg _),

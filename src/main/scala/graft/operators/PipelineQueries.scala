@@ -166,6 +166,59 @@ object PipelineQueries {
         sum(col("doc_id")).cast("bigint").as("sum_ids"))
       .orderBy("cluster_rep")
 
+  /** Canonical selection after clustering: keep ONE doc per duplicate
+    * cluster (max n_chars, ties to the larger id) via the bounded
+    * struct-argmax — the full production dedup chain LSH → verify →
+    * components → canonical, one query. */
+  def q44Canonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashVerifiedPairs(docs, "doc_id", "text",
+      shingleK = 3, numPerm = 64, bands = 16, threshold = 0.9,
+      shinglePersist = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.canonicalPerCluster(Dedup.duplicateClusters(pairs), docs,
+        "doc_id", "n_chars")
+      .orderBy("cluster_rep")
+  }
+
+  /** q42's decontamination through the Bloom-prefiltered anti-join —
+    * same kept/removed result (the prefilter only discards provable
+    * non-members), so it carries q42's exact oracle while modeling the
+    * 100 TB shape: holdout fingerprints broadcast as a Bloom filter,
+    * clean rows never shuffle. */
+  def q46BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sampling.assignSplit(t(s, dir, "documents"), col("doc_id"),
+        Seq("train" -> 0.9, "test" -> 0.1))
+      .withColumn("fp", concat_ws(" ", slice(words(col("text")), 1, 5)))
+    val train = docs.filter(col("split") === "train")
+    val testFp = docs.filter(col("split") === "test").select("fp").distinct()
+    val kept = Decontaminate.bloomAntiJoin(train, testFp, "fp")
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    train.groupBy("lang").agg(count(lit(1)).as("n_train"))
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_train"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_train") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy("lang")
+  }
+
+  /** Corpus vocabulary: top-10 non-stopword terms per source by raw
+    * count (ties by term order), through the string-id bounded TopK
+    * aggregator — O(sources·k) shuffle, no per-source sort. */
+  def q47TopTerms(s: SparkSession, dir: String): DataFrame = {
+    val stop = TextFunctions.Stopwords("en").toSeq
+    val counts = t(s, dir, "documents")
+      .select(col("source"), explode(words(col("text"))).as("term"))
+      .filter(!col("term").isin(stop: _*) && col("term") =!= "")
+      .groupBy("source", "term").agg(count(lit(1)).as("n"))
+    TopK.perStringKeyStringId(
+        counts.select(col("source"), col("term"),
+          col("n").cast("double").as("score")),
+        "source", "term", "score", k = 10)
+      .select(col("source"), col("rk"), col("term"),
+        col("score").cast("bigint").as("n"))
+      .orderBy("source", "rk")
+  }
+
   /** Sequence packing: documents → fixed-capacity (2000-token) bins
     * across 8 parallel pack groups; per-bin fill summary. */
   def q41Packing(s: SparkSession, dir: String): DataFrame =
@@ -244,7 +297,7 @@ object PipelineQueries {
   private val EsSet = TextFunctions.Stopwords("es").map(w => s"'$w'").mkString(", ")
   private val DeSet = TextFunctions.Stopwords("de").map(w => s"'$w'").mkString(", ")
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
     "q16_text_stats" ->
       s"""WITH d AS (
          |  SELECT doc_id, lang, text,
@@ -368,6 +421,51 @@ object PipelineQueries {
          |  FROM hv)
          |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM r WHERE rk <= 25 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q44_canonical" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, $WordsSql AS w FROM documents),
+         |idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM w WHERE len(w) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sel AS (
+         |  SELECT d1, d2 FROM pairs
+         |  JOIN cnt ca ON ca.doc_id = d1
+         |  JOIN cnt cb ON cb.doc_id = d2
+         |  WHERE round(CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE), 6) >= 0.9),
+         |e AS (SELECT d1 AS a, d2 AS b FROM sel UNION ALL SELECT d2, d1 FROM sel),
+         |n AS (SELECT DISTINCT a AS id FROM e),
+         |cc AS (
+         |  SELECT id, id AS comp FROM n
+         |  UNION
+         |  SELECT e.b, cc.comp FROM cc JOIN e ON e.a = cc.id),
+         |lab AS (SELECT id, min(comp) AS rep FROM cc GROUP BY id),
+         |j AS (SELECT lab.rep, lab.id, d.n_chars FROM lab
+         |      JOIN documents d ON d.doc_id = lab.id),
+         |r AS (SELECT rep, id, n_chars,
+         |        row_number() OVER (PARTITION BY rep
+         |          ORDER BY n_chars DESC, id DESC) AS rk
+         |      FROM j),
+         |agg AS (SELECT rep, count(*) AS n_members,
+         |          CAST(sum(id) AS BIGINT) AS sum_ids FROM j GROUP BY 1)
+         |SELECT agg.rep AS cluster_rep, agg.n_members, r.id AS canonical_id,
+         |  CAST(r.n_chars AS BIGINT) AS canonical_pref, agg.sum_ids
+         |FROM agg JOIN r ON r.rep = agg.rep AND r.rk = 1
+         |ORDER BY 1""".stripMargin,
+    "q47_top_terms" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest($WordsSql) AS term FROM documents),
+         |f AS (SELECT source, term FROM tok
+         |      WHERE term NOT IN ($EnSet) AND term <> ''),
+         |c AS (SELECT source, term, count(*) AS n FROM f GROUP BY 1, 2),
+         |r AS (SELECT source, term, n,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY n DESC, term) AS rk
+         |      FROM c)
+         |SELECT source, rk, term, CAST(n AS BIGINT) AS n
+         |FROM r WHERE rk <= 10 ORDER BY 1, 2""".stripMargin,
     "q43_dup_clusters" ->
       s"""WITH RECURSIVE w AS (SELECT doc_id, $WordsSql AS w FROM documents),
          |idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM w WHERE len(w) >= 3),
@@ -496,6 +594,11 @@ object PipelineQueries {
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
+  /** q46 carries q42's oracle verbatim: the Bloom prefilter only drops
+    * provable non-members, so the two queries are row-identical. */
+  val oracleSql: Map[String, String] = baseOracleSql +
+    ("q46_bloom_decontaminate" -> baseOracleSql("q42_decontaminate"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_text_stats" -> (q16TextStats _),
     "q17_langid" -> (q17LangId _),
@@ -514,5 +617,8 @@ object PipelineQueries {
     "q41_packing" -> (q41Packing _),
     "q42_decontaminate" -> (q42Decontaminate _),
     "q43_dup_clusters" -> (q43DupClusters _),
+    "q44_canonical" -> (q44Canonical _),
+    "q46_bloom_decontaminate" -> (q46BloomDecontaminate _),
+    "q47_top_terms" -> (q47TopTerms _),
   )
 }

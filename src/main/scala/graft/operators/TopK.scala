@@ -62,6 +62,37 @@ class TopKAggregatorS(k: Int) extends TopKAggregatorBase[(String, Long, Double)]
     Scored(row._2, row._3)
 }
 
+/** [[Scored]] with a string id (terms, domains, urls). */
+final case class ScoredS(id: String, score: Double)
+final case class TopKBufferS(values: List[ScoredS])
+final case class TopKResultS(values: Seq[ScoredS])
+
+/** [[TopKAggregatorBase]] for string-identified candidates — same
+  * bounded buffer and ordering contract (score desc, id asc on ties,
+  * here by binary UTF-8 string order, matching both Spark's and
+  * DuckDB's default string comparison). */
+class TopKAggregatorStr(k: Int)
+    extends Aggregator[(String, String, Double), TopKBufferS, TopKResultS] {
+
+  private def better(a: ScoredS, b: ScoredS): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  private def insert(buf: List[ScoredS], x: ScoredS): List[ScoredS] = {
+    val (front, back) = buf.span(better(_, x))
+    val merged = front ::: x :: back
+    if (merged.length > k) merged.take(k) else merged
+  }
+
+  override def zero: TopKBufferS = TopKBufferS(Nil)
+  override def reduce(buf: TopKBufferS, row: (String, String, Double)): TopKBufferS =
+    TopKBufferS(insert(buf.values, ScoredS(row._2, row._3)))
+  override def merge(a: TopKBufferS, b: TopKBufferS): TopKBufferS =
+    TopKBufferS(b.values.foldLeft(a.values)(insert))
+  override def finish(buf: TopKBufferS): TopKResultS = TopKResultS(buf.values)
+  override def bufferEncoder: Encoder[TopKBufferS] = Encoders.product[TopKBufferS]
+  override def outputEncoder: Encoder[TopKResultS] = Encoders.product[TopKResultS]
+}
+
 object TopK {
 
   /** Per-key top-k over a (key, id, score) DataFrame via the bounded
@@ -97,6 +128,28 @@ object TopK {
         col(idCol).cast("long").as("id"),
         col(scoreCol).cast("double").as("score"))
       .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("topk"))
+      .flatMap { case (key, top) =>
+        top.values.zipWithIndex.map { case (s, i) => (key, i + 1, s.id, s.score) }
+      }
+      .toDF(keyCol, "rk", idCol, scoreCol)
+  }
+
+  /** [[perStringKey]] with STRING ids (top terms per source, top
+    * domains per lang, …): same bounded shape, ties broken by binary
+    * string order — identical to `row_number() OVER (ORDER BY score
+    * DESC, id)` in both Spark and DuckDB. */
+  def perStringKeyStringId(scored: DataFrame, keyCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val agg = new TopKAggregatorStr(k)
+    scored
+      .select(col(keyCol).cast("string").as("key"),
+        col(idCol).cast("string").as("id"),
+        col(scoreCol).cast("double").as("score"))
+      .as[(String, String, Double)]
       .groupByKey(_._1)
       .agg(agg.toColumn.name("topk"))
       .flatMap { case (key, top) =>

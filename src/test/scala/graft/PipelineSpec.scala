@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{Cdc, Decontaminate, Dedup, Multimodal, Sampling, Similarity, TopK}
 
 /** Unit tests for the training-data-pipeline operators on small
   * in-memory data (semantic checks; oracle parity is covered by the
@@ -283,6 +283,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
     val topk = Similarity.bruteForceTopK(feats, feats.filter(col("vec_id") < 3), k = 2)
     assert(topk.count() === 6)
+  }
+
+  test("canonical per cluster: bounded argmax picks max-pref, then max-id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (4L, 1L), (7L, 6L), (6L, 6L))
+      .toDF("doc_id", "cluster_rep")
+    val docs = Seq((1L, 50), (2L, 80), (4L, 80), (6L, 10), (7L, 10))
+      .toDF("doc_id", "n_chars")
+    val got = Dedup.canonicalPerCluster(clusters, docs, "doc_id", "n_chars")
+      .orderBy("cluster_rep").collect()
+      .map(r => (r.getAs[Long]("cluster_rep"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("canonical_id"), r.getAs[Long]("canonical_pref")))
+    // cluster 1: pref tie 80/80 between 2 and 4 → larger id 4 wins;
+    // cluster 6: tie 10/10 → id 7.
+    assert(got.toSeq === Seq((1L, 3L, 4L, 80L), (6L, 2L, 7L, 10L)))
+  }
+
+  test("bloom anti-join equals the exact left_anti join") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .withColumn("fp", TextFunctions.fingerprint(col("text")).cast("string"))
+    val left = docs.filter(col("doc_id") % 3 =!= 0)
+    val right = docs.filter(col("doc_id") % 3 === 0).select("fp").distinct()
+    val exact = left.join(right, Seq("fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val bloom = Decontaminate.bloomAntiJoin(left, right, "fp", expectedItems = 64)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(bloom.toSeq === exact.toSeq)
+    assert(exact.nonEmpty)
+  }
+
+  test("string-id TopK aggregator equals the window row_number form") {
+    import spark.implicits._
+    val counts = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("source"), explode(TextFunctions.words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("source", "term").agg(count(lit(1)).cast("double").as("score"))
+    val viaAgg = TopK.perStringKeyStringId(counts, "source", "term", "score", 5)
+      .select("source", "rk", "term", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("score").desc, col("term"))
+    val viaWindow = counts
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("source", "rk", "term", "score")
+    assert(viaAgg.except(viaWindow).isEmpty && viaWindow.except(viaAgg).isEmpty)
+  }
+
+  test("scd2: validity chain partitions time; compactLatest matches its current rows") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "a", 100L, 10L, 1.0), (2L, "a", 200L, 20L, 2.0),
+      (3L, "a", 150L, 15L, 9.0), (4L, "b", 50L, 5L, 7.0))
+      .toDF("event_id", "key", "us", "tie", "value")
+    val iv = Cdc.scd2(log, Seq("key"), "us", "tie").collect()
+    val a = iv.filter(_.getAs[String]("key") == "a")
+      .sortBy(_.getAs[Long]("us"))
+      .map(r => (r.getAs[Long]("valid_from"),
+        Option(r.getAs[Any]("valid_to")).map(_.asInstanceOf[Long]),
+        r.getAs[Boolean]("is_current")))
+    // chain 100→150→200, only the last open
+    assert(a.toSeq === Seq((100L, Some(150L), false),
+      (150L, Some(200L), false), (200L, None, true)))
+    val compact = Cdc.compactLatest(log, Seq("key"), "us", "tie", Seq("value"))
+      .orderBy("key").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("last_us"),
+        r.getAs[Double]("last_value"), r.getAs[Long]("n_versions")))
+    assert(compact.toSeq === Seq(("a", 200L, 2.0, 3L), ("b", 50L, 7.0, 1L)))
   }
 
   test("multimodal: stub decode metadata and frame sampling") {
