@@ -132,6 +132,25 @@ object PipelineQueries {
       nCentroids = 16, nIters = 5, nProbe = 4).orderBy("q_id")
   }
 
+  /** Per-label embedding statistics: count and L2-norm rollups — the
+    * quick corpus-health check before ANN indexing (degenerate or
+    * unnormalized embedding batches show up as norm outliers). Norms
+    * are per-row sequential folds (oracle-portable, q22's argument);
+    * the cross-row sum goes through DECIMAL so partial-aggregation
+    * order can't move low bits. */
+  def q48LabelStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"),
+        graft.functions.VectorFunctions.normNative(col("embedding")).as("norm"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(col("norm").cast("decimal(28,12)")).cast("double"), 6)
+          .as("sum_norm"),
+        round(min(col("norm")), 6).as("min_norm"),
+        round(max(col("norm")), 6).as("max_norm"))
+      .orderBy("label")
+
   // ---------------------------------------------------------------- sampling
 
   /** Deterministic train/val/test split (80/10/10 on md5(doc_id)):
@@ -454,6 +473,18 @@ object PipelineQueries {
          |  CAST(r.n_chars AS BIGINT) AS canonical_pref, agg.sum_ids
          |FROM agg JOIN r ON r.rep = agg.rep AND r.rk = 1
          |ORDER BY 1""".stripMargin,
+    "q48_label_stats" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+        |      AS norm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(CAST(sum(CAST(norm AS DECIMAL(28,12))) AS DOUBLE), 6) AS sum_norm,
+        |  round(min(norm), 6) AS min_norm,
+        |  round(max(norm), 6) AS max_norm
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     "q47_top_terms" ->
       s"""WITH tok AS (
          |  SELECT source, unnest($WordsSql) AS term FROM documents),
@@ -620,5 +651,6 @@ object PipelineQueries {
     "q44_canonical" -> (q44Canonical _),
     "q46_bloom_decontaminate" -> (q46BloomDecontaminate _),
     "q47_top_terms" -> (q47TopTerms _),
+    "q48_label_stats" -> (q48LabelStats _),
   )
 }

@@ -124,6 +124,26 @@ class PlanSpec extends AnyFunSuite {
       plan.take(3000))
   }
 
+  test("q46: bloom prefilter is a scalar-subquery filter; only the verify join remains") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")).cast("string"))
+    val left = docs.filter(col("doc_id") % 3 =!= 0)
+    val right = docs.filter(col("doc_id") % 3 === 0).select("fp").distinct()
+    val df = graft.operators.Decontaminate.bloomAntiJoin(left, right, "fp",
+      expectedItems = 64)
+    val logical = df.queryExecution.optimizedPlan.toString
+    // the prefilter must be a plain Filter carrying might_contain over a
+    // scalar subquery — NOT a join against the holdout side
+    assert(logical.contains("might_contain"), logical.take(2000))
+    assert(logical.contains("scalar-subquery"), logical.take(2000))
+    // exactly one join in the whole tree: the exact LeftAnti verify of
+    // the suspects; the clean branch flows scan→filter→union join-free
+    assert("Join LeftAnti".r.findAllIn(logical).length === 1, logical.take(3000))
+    assert(!logical.contains("Join Inner") && !logical.contains("Join Cross"),
+      logical.take(3000))
+  }
+
   test("q40: per-group cap runs on the bounded aggregator, not a window sort") {
     val df = graft.operators.Sampling.capPerGroup(
       spark.read.parquet(s"$dir/documents.parquet"), "lang", "doc_id", k = 5)

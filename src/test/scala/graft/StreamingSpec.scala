@@ -86,6 +86,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.contains((2L, 1L, 2.0, 0L)))
   }
 
+  test("latest-wins compaction: streaming complete mode equals batch across triggers") {
+    // Cdc.compactLatest is a bounded max(struct) aggregation, so the
+    // IDENTICAL operator runs under readStream: streaming state is one
+    // struct per key, updated per micro-batch — a CDC feed compacting
+    // itself continuously.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, Long, Double)]
+    val sdf = mem.toDF().toDF("event_id", "key", "us", "tie", "value")
+    val q = graft.operators.Cdc
+      .compactLatest(sdf, Seq("key"), "us", "tie", Seq("value"))
+      .writeStream.format("memory").queryName("compact_stream")
+      .outputMode(OutputMode.Complete()).start()
+    mem.addData((1L, "a", 100L, 10L, 1.0), (2L, "a", 200L, 20L, 2.0))
+    q.processAllAvailable()
+    // second trigger: a newer "a" and a first "b" — state must advance
+    mem.addData((3L, "a", 300L, 30L, 9.0), (4L, "b", 50L, 5L, 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("compact_stream").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("last_us"),
+        r.getAs[Double]("last_value"), r.getAs[Long]("n_versions"))).sorted
+    val batch = graft.operators.Cdc.compactLatest(
+        Seq((1L, "a", 100L, 10L, 1.0), (2L, "a", 200L, 20L, 2.0),
+          (3L, "a", 300L, 30L, 9.0), (4L, "b", 50L, 5L, 7.0))
+          .toDF("event_id", "key", "us", "tie", "value"),
+        Seq("key"), "us", "tie", Seq("value")).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("last_us"),
+        r.getAs[Double]("last_value"), r.getAs[Long]("n_versions"))).sorted
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.toSeq === Seq(("a", 300L, 9.0, 3L), ("b", 50L, 7.0, 1L)))
+  }
+
   test("sampling split assigns identically on a stream and in batch") {
     // assignSplit is a pure scan-side projection, so the identical
     // plan runs under readStream — the split of a document never
