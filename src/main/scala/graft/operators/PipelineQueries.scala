@@ -268,6 +268,38 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** Source-mix rebalancing at temperature 0.5: per-source document
+    * counts and total effective epochs after deterministic hash-based
+    * upsampling — the source-weighting pass before corpus assembly.
+    * sqrt keeps the weight arithmetic correctly-rounded IEEE, so the
+    * oracle recomputes the identical per-row repeats. */
+  def q49SourceMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixRepeats(t(s, dir, "documents"), "source", col("doc_id"),
+        r => sqrt(r))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("repeats")).cast("bigint").as("epochs"))
+      .orderBy("source")
+
+  /** Semantic holdout contamination: per-label counts of train vectors
+    * (label < 8) whose cosine against ANY holdout vector (label ≥ 8)
+    * reaches 0.35 — [[Similarity.crossCosinePairs]] with the holdout
+    * broadcast, so the train side never shuffles. */
+  def q50SemanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val train = emb.filter(col("label") < 8)
+    val hold = emb.filter(col("label") >= 8)
+    val hit = Similarity.crossCosinePairs(train, hold, threshold = 0.35)
+      .select(col("a_id")).distinct()
+    val flagged = train.join(hit, train("vec_id") === hit("a_id"), "left_semi")
+      .groupBy("label").agg(count(lit(1)).as("n_flagged"))
+    train.groupBy("label").agg(count(lit(1)).as("n_train"))
+      .join(flagged, Seq("label"), "left")
+      .select(col("label"), col("n_train"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+      .orderBy("label")
+  }
+
   // ---------------------------------------------------------------- media
 
   /** Multimodal plumbing: documents → binary assets → stub decode →
@@ -473,6 +505,39 @@ object PipelineQueries {
          |  CAST(r.n_chars AS BIGINT) AS canonical_pref, agg.sum_ids
          |FROM agg JOIN r ON r.rep = agg.rep AND r.rk = 1
          |ORDER BY 1""".stripMargin,
+    "q49_source_mix" ->
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         |m AS (SELECT max(n) AS maxn FROM c),
+         |w AS (SELECT source, sqrt(CAST(maxn AS DOUBLE) / CAST(n AS DOUBLE)) AS w
+         |      FROM c, m),
+         |hv AS (SELECT d.source, w.w,
+         |         md5('mix' || CAST(d.doc_id AS VARCHAR)) AS h
+         |       FROM documents d JOIN w USING (source)),
+         |r AS (SELECT source,
+         |        floor(w) + CASE WHEN CAST($HvSql AS DOUBLE)
+         |            / CAST(4294967296 AS DOUBLE) < w - floor(w)
+         |          THEN 1 ELSE 0 END AS rep
+         |      FROM hv)
+         |SELECT source, count(*) AS n_docs, CAST(sum(rep) AS BIGINT) AS epochs
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q50_semantic_decontaminate" ->
+      """WITH tr AS (SELECT vec_id, label, embedding FROM embeddings WHERE label < 8),
+        |ho AS (SELECT vec_id, embedding AS h_vec FROM embeddings WHERE label >= 8),
+        |s AS (
+        |  SELECT tr.vec_id, tr.label,
+        |    round(
+        |      list_sum(list_transform(range(1, len(embedding) + 1),
+        |        i -> CAST(embedding[i] AS DOUBLE) * CAST(h_vec[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(h_vec) + 1),
+        |           i -> CAST(h_vec[i] AS DOUBLE) * CAST(h_vec[i] AS DOUBLE))))), 6) AS score
+        |  FROM tr, ho),
+        |f AS (SELECT label, count(DISTINCT vec_id) AS n_flagged
+        |      FROM s WHERE score >= 0.35 GROUP BY 1),
+        |t2 AS (SELECT label, count(*) AS n_train FROM tr GROUP BY 1)
+        |SELECT t2.label, n_train, coalesce(n_flagged, 0) AS n_flagged
+        |FROM t2 LEFT JOIN f USING (label) ORDER BY 1""".stripMargin,
     "q48_label_stats" ->
       """WITH n AS (
         |  SELECT label,
@@ -652,5 +717,7 @@ object PipelineQueries {
     "q46_bloom_decontaminate" -> (q46BloomDecontaminate _),
     "q47_top_terms" -> (q47TopTerms _),
     "q48_label_stats" -> (q48LabelStats _),
+    "q49_source_mix" -> (q49SourceMix _),
+    "q50_semantic_decontaminate" -> (q50SemanticDecontaminate _),
   )
 }

@@ -61,6 +61,35 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.filter(hashUnit(key, salt) < lit(fraction))
 
+  /** Deterministic source-mix upsampling: assigns each row an integer
+    * `repeats` so that a group's expected repeat count equals a weight
+    * derived from the group-size ratio (classic "temperature"
+    * rebalancing of under-represented sources/languages before
+    * training). `weightOf` maps the ratio column max_n/n to the weight
+    * — pass `r => sqrt(r)` for temperature 0.5; use only
+    * correctly-rounded IEEE ops (sqrt, div, +, ×) if the result must
+    * be engine-reproducible (`pow` is NOT correctly rounded and can
+    * differ across math libraries). The fractional part is realized
+    * per row by the content hash: repeats = ⌊w⌋ + (u < frac(w)), so
+    * the assignment is reproducible row-for-row — no RNG, no
+    * partitioning dependence — and Σ repeats/n → w. The counts
+    * aggregate is the only shuffle; weights broadcast back. */
+  def mixRepeats(df: DataFrame, groupCol: String, key: Column,
+      weightOf: Column => Column, salt: String = "mix"): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val weights = counts
+      .crossJoin(broadcast(counts.agg(max(col("__n")).as("__maxn"))))
+      .select(col(groupCol),
+        weightOf(col("__maxn").cast("double") / col("__n").cast("double"))
+          .as("__w"))
+    df.join(broadcast(weights), Seq(groupCol))
+      .withColumn("repeats",
+        (floor(col("__w")) +
+          when(hashUnit(key, salt) < col("__w") - floor(col("__w")), 1)
+            .otherwise(0)).cast("bigint"))
+      .drop("__w")
+  }
+
   /** Deterministic cap: at most `k` rows per group, chosen by hash
     * order (stable "which k" across runs). Runs on the bounded
     * [[TopKAggregator]] — map-side partial top-k, the shuffle carries

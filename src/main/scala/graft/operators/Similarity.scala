@@ -95,6 +95,27 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("c_id"), col("score"))
   }
 
+  /** Cross-corpus cosine threshold join: every (a, b) pair with
+    * cosine ≥ threshold, b-side broadcast — the semantic-contamination
+    * check between a training corpus and a (small) holdout/benchmark
+    * embedding set. Same physical shape as [[bruteForceTopK]]: the
+    * train side never shuffles, cost is one scan × |holdout| in
+    * whole-stage codegen. For a LARGE right side, bucket both sides
+    * with [[graft.functions.VectorFunctions.lshBucket]] and join
+    * bucket-local instead. */
+  def crossCosinePairs(a: DataFrame, b: DataFrame, threshold: Double,
+      dim: Int = 64): DataFrame = {
+    val l = a.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
+      normNative(col("embedding")).as("a_norm"))
+    val r = b.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"),
+      normNative(col("embedding")).as("b_norm"))
+    l.crossJoin(broadcast(r))
+      .withColumn("score",
+        pairScore(col("a_vec"), col("b_vec"), col("a_norm"), col("b_norm"), dim))
+      .filter(col("score") >= threshold)
+      .select(col("a_id"), col("b_id"), col("score"))
+  }
+
   /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥
     * threshold. Demo-scale all-pairs; the production path buckets via
     * [[graft.functions.VectorFunctions.lshBucket]] first. */

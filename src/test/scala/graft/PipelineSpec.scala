@@ -351,6 +351,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(compact.toSeq === Seq(("a", 200L, 2.0, 3L), ("b", 50L, 7.0, 1L)))
   }
 
+  test("mixRepeats: repeats bracket the weight; max group stays at exactly 1") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val rep = Sampling.mixRepeats(docs, "source", col("doc_id"), r => sqrt(r))
+    val stats = rep.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("repeats")).as("sum_rep"),
+        min(col("repeats")).as("min_rep"), max(col("repeats")).as("max_rep"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n"),
+        r.getAs[Long]("sum_rep"), r.getAs[Long]("min_rep"), r.getAs[Long]("max_rep")))
+    val maxN = stats.map(_._2).max
+    stats.foreach { case (src, n, sumRep, minRep, maxRep) =>
+      val w = math.sqrt(maxN.toDouble / n.toDouble)
+      assert(minRep >= math.floor(w).toLong && maxRep <= math.ceil(w).toLong,
+        s"$src repeats outside [floor(w), ceil(w)]")
+      // expected total n·w; hash realization keeps it within the group
+      assert(math.abs(sumRep - n * w) < n, s"$src epochs far from n·w")
+      if (n == maxN) assert(minRep === 1L && maxRep === 1L)
+    }
+    // deterministic: a second evaluation assigns identically
+    val again = Sampling.mixRepeats(docs, "source", col("doc_id"), r => sqrt(r))
+      .select("doc_id", "repeats").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = rep.select("doc_id", "repeats").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(first === again)
+  }
+
+  test("crossCosinePairs on a self-split equals the all-pairs form restricted to the split") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val cross = Similarity.crossCosinePairs(a, b, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the all-pairs form emits (min, max) ordered pairs; restrict to
+    // even-odd pairs and reorient to (even, odd)
+    val all = Similarity.cosineNearDupPairs(emb, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (x, y, _) => (x % 2 == 0) != (y % 2 == 0) }
+      .map { case (x, y, s) => if (x % 2 == 0) (x, y, s) else (y, x, s) }.toSet
+    assert(cross === all)
+    assert(cross.nonEmpty)
+  }
+
   test("multimodal: stub decode metadata and frame sampling") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val assets = Multimodal.assetsFromDocuments(docs)
