@@ -300,6 +300,32 @@ object PipelineQueries {
       .orderBy("label")
   }
 
+  /** Chunk geometry rollup: documents → 128-token windows with
+    * 32-token overlap, counted per source — the corpus→training-
+    * examples map ([[Chunking.slidingTokenWindows]], a pure scan-side
+    * generator; chunks feed [[Packing.packBins]] downstream). */
+  def q51Chunking(s: SparkSession, dir: String): DataFrame =
+    Chunking.slidingTokenWindows(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+        "text", chunkSize = 128, overlap = 32)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("tok_count")).cast("bigint").as("sum_tokens"),
+        max(col("chunk_idx")).cast("bigint").as("max_chunk_idx"))
+      .orderBy("source")
+
+  /** Export-shard balance: deterministic md5 shard assignment
+    * ([[Sampling.shardByHash]], mod 16) with per-shard doc counts and
+    * character mass — the reproducible global shuffle before writing
+    * training files. */
+  def q52Shards(s: SparkSession, dir: String): DataFrame =
+    Sampling.shardByHash(t(s, dir, "documents"), col("doc_id"), 16, "shard")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"))
+      .orderBy("shard")
+
   // ---------------------------------------------------------------- media
 
   /** Multimodal plumbing: documents → binary assets → stub decode →
@@ -538,6 +564,24 @@ object PipelineQueries {
         |t2 AS (SELECT label, count(*) AS n_train FROM tr GROUP BY 1)
         |SELECT t2.label, n_train, coalesce(n_flagged, 0) AS n_flagged
         |FROM t2 LEFT JOIN f USING (label) ORDER BY 1""".stripMargin,
+    "q51_chunking" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |s AS (SELECT doc_id, source, n, unnest(range(0, n, 96)) AS tok_start FROM c)
+        |SELECT source, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
+        |  CAST(sum(least(128, n - tok_start)) AS BIGINT) AS sum_tokens,
+        |  CAST(max(tok_start // 96) AS BIGINT) AS max_chunk_idx
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q52_shards" ->
+      s"""WITH h0 AS (SELECT n_chars,
+         |    md5('shard' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |v AS (SELECT n_chars, ($HvSql) % 16 AS shard FROM h0)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "q48_label_stats" ->
       """WITH n AS (
         |  SELECT label,
@@ -719,5 +763,7 @@ object PipelineQueries {
     "q48_label_stats" -> (q48LabelStats _),
     "q49_source_mix" -> (q49SourceMix _),
     "q50_semantic_decontaminate" -> (q50SemanticDecontaminate _),
+    "q51_chunking" -> (q51Chunking _),
+    "q52_shards" -> (q52Shards _),
   )
 }

@@ -90,6 +90,20 @@ object Sampling {
       .drop("__w")
   }
 
+  /** Deterministic shard assignment for training export: `shard` =
+    * hash(key) mod nShards. The reproducible stand-in for a global
+    * "shuffle then split into N files" — every engine and every run
+    * routes a document to the same shard, shard sizes concentrate
+    * tightly around n/N (md5 is uniform), and the assignment is a pure
+    * scan-side projection: the only shuffle a writer pays is the final
+    * `repartition("shard")` it chooses to do. */
+  def shardByHash(df: DataFrame, key: Column, nShards: Int,
+      salt: String = ""): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    df.withColumn("shard",
+      pmod(hashValue(key, salt), lit(nShards.toLong)).cast("bigint"))
+  }
+
   /** Deterministic cap: at most `k` rows per group, chosen by hash
     * order (stable "which k" across runs). Runs on the bounded
     * [[TopKAggregator]] — map-side partial top-k, the shuffle carries

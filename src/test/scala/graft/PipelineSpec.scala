@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Cdc, Decontaminate, Dedup, Multimodal, Sampling, Similarity, TopK}
+import graft.operators.{Cdc, Chunking, Decontaminate, Dedup, Multimodal, Sampling, Similarity, TopK}
 
 /** Unit tests for the training-data-pipeline operators on small
   * in-memory data (semantic checks; oracle parity is covered by the
@@ -375,6 +375,43 @@ class PipelineSpec extends AnyFunSuite {
     val first = rep.select("doc_id", "repeats").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(first === again)
+  }
+
+  test("chunking: geometry matches a per-doc recomputation exactly") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val chunks = Chunking.slidingTokenWindows(docs, "text", 128, 32)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("tok_count")))
+      .groupBy(_._1)
+    val local = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").count(_.nonEmpty))
+      .toMap
+    local.foreach { case (id, n) =>
+      val expected = (0 until n by 96)
+        .zipWithIndex
+        .map { case (start, i) => (id, i.toLong, start.toLong, math.min(128, n - start).toLong) }
+        .toSet
+      assert(chunks.getOrElse(id, Array.empty).toSet === expected, s"doc $id n=$n")
+    }
+    assert(chunks.values.map(_.length).sum > local.size, "overlap chunking must emit >1 chunk somewhere")
+  }
+
+  test("shardByHash: deterministic, in-range, and tightly balanced") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val sharded = Sampling.shardByHash(docs, col("doc_id"), 16, "shard")
+    val counts = sharded.groupBy("shard").count().collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("count")).toMap
+    assert(counts.keySet.forall(s => s >= 0 && s < 16))
+    assert(counts.values.sum === docs.count())
+    val mean = counts.values.sum.toDouble / 16
+    assert(counts.values.forall(c => math.abs(c - mean) < 6 * math.sqrt(mean)),
+      s"shard skew beyond 6 sigma: $counts")
+    val a = sharded.select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Sampling.shardByHash(docs, col("doc_id"), 16, "shard")
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
   }
 
   test("crossCosinePairs on a self-split equals the all-pairs form restricted to the split") {

@@ -195,6 +195,37 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q49: mix weights broadcast back — the document side never shuffles") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = planString(graft.operators.Sampling.mixRepeats(
+      docs, "source", col("doc_id"), r => sqrt(r)))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "weights must broadcast, not sort-merge:\n" + plan.take(2000))
+    // hash exchanges belong to the per-source counts agg only (the
+    // counts subplan appears twice: once for weights, once under the
+    // global max — both O(#groups) rows inside the broadcast subtree);
+    // the fact scan feeds the join raw
+    val nExchange = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchange <= 2, s"expected ≤2 hash exchanges, got $nExchange:\n" + plan.take(3000))
+    // every hash exchange sits above the counts aggregation, never
+    // above the raw document scan
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("doc_id")),
+      "no exchange may carry the fact rows:\n" + plan.take(3000))
+  }
+
+  test("q50: holdout side broadcast — the train corpus never shuffles") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val plan = planString(graft.operators.Similarity.crossCosinePairs(
+      emb.filter(col("label") < 8), emb.filter(col("label") >= 8), 0.35))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "train side must not shuffle:\n" + plan.take(3000))
+  }
+
   test("bucketed tables co-locate: the bucket join plans without shuffle") {
     import org.apache.spark.sql.functions.col
     spark.sql("DROP TABLE IF EXISTS li_b")
