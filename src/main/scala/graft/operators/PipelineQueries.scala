@@ -326,6 +326,30 @@ object PipelineQueries {
         sum(col("n_chars")).cast("bigint").as("sum_chars"))
       .orderBy("shard")
 
+  /** Per-source quality gate: keep documents at-or-above their
+    * source's median quality score — the standard adaptive corpus
+    * filter (a global threshold over-prunes clean sources and
+    * under-prunes noisy ones). Composes [[TextFunctions.qualityScore]]
+    * (columnar, scan-side) with [[Quantiles.exactQuantiles]]
+    * (scale-safe two-level histogram); the O(#sources) threshold table
+    * broadcasts back, so the documents never shuffle for the gate
+    * itself. */
+  def q53QualityGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    val thr = Quantiles.exactQuantiles(docs, "source", "quality",
+        ps = Seq("p50" -> 0.5))
+      .select(col("source"), col("p50"), col("n").cast("bigint").as("n_total"))
+    docs.join(broadcast(thr), Seq("source"))
+      .filter(col("quality") >= col("p50"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        max(col("n_total")).as("n_total"),
+        min(col("quality")).as("min_kept"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- media
 
   /** Multimodal plumbing: documents → binary assets → stub decode →
@@ -564,6 +588,32 @@ object PipelineQueries {
         |t2 AS (SELECT label, count(*) AS n_train FROM tr GROUP BY 1)
         |SELECT t2.label, n_train, coalesce(n_flagged, 0) AS n_flagged
         |FROM t2 LEFT JOIN f USING (label) ORDER BY 1""".stripMargin,
+    "q53_quality_gate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    len($WordsSql) AS n_tokens,
+         |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+         |    len(list_filter($WordsSql, w -> w IN ($EnSet))) AS n_stopwords,
+         |    length(text) AS n_len
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |    + greatest(1.0 - (CASE WHEN n_len > 0
+         |        THEN CAST(n_punct AS DOUBLE) / CAST(n_len AS DOUBLE) ELSE 0.0 END) * 5.0, 0.0) * 0.3
+         |    + least((CASE WHEN n_tokens > 0
+         |        THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 10.0, 1.0) * 0.3
+         |    AS quality
+         |  FROM d),
+         |t AS (SELECT source, quantile_cont(quality, 0.5) AS p50,
+         |        count(*) AS n_total
+         |      FROM q GROUP BY 1)
+         |SELECT q.source, count(*) AS n_kept,
+         |  CAST(max(t.n_total) AS BIGINT) AS n_total,
+         |  min(q.quality) AS min_kept
+         |FROM q JOIN t ON q.source = t.source
+         |WHERE q.quality >= t.p50
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q51_chunking" ->
       """WITH t AS (SELECT doc_id, source,
         |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
@@ -765,5 +815,6 @@ object PipelineQueries {
     "q50_semantic_decontaminate" -> (q50SemanticDecontaminate _),
     "q51_chunking" -> (q51Chunking _),
     "q52_shards" -> (q52Shards _),
+    "q53_quality_gate" -> (q53QualityGate _),
   )
 }
