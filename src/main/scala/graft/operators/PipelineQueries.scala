@@ -350,6 +350,24 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** Z-order tiling audit: map (l_partkey, l_suppkey) onto the 16-bit
+    * Morton domain (odd multipliers mod 2^16 — the pre-scaling
+    * [[Layout.zorderLayout]] documents for narrow domains), bucket by
+    * the code's top 6 bits, and report each bucket's 2-D bounding box
+    * in code space — the data-skipping evidence: every bucket is a
+    * ≤8192×8192 tile, so per-file min/max stay tight on BOTH axes; a
+    * single-column sort leaves the other axis's range global. */
+  def q54Zorder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("xa", pmod(col("l_partkey") * 797L, lit(65536L)))
+      .withColumn("ya", pmod(col("l_suppkey") * 2617L, lit(65536L)))
+      .withColumn("z", Layout.morton2(col("xa"), col("ya")))
+      .groupBy(shiftrightunsigned(col("z"), 26).as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("xa")).as("min_x"), max(col("xa")).as("max_x"),
+        min(col("ya")).as("min_y"), max(col("ya")).as("max_y"))
+      .orderBy("z_bucket")
+
   // ---------------------------------------------------------------- media
 
   /** Multimodal plumbing: documents → binary assets → stub decode →
@@ -588,6 +606,28 @@ object PipelineQueries {
         |t2 AS (SELECT label, count(*) AS n_train FROM tr GROUP BY 1)
         |SELECT t2.label, n_train, coalesce(n_flagged, 0) AS n_flagged
         |FROM t2 LEFT JOIN f USING (label) ORDER BY 1""".stripMargin,
+    "q54_zorder" ->
+      """WITH b AS (
+        |  SELECT (l_partkey * 797) % 65536 AS xa,
+        |         (l_suppkey * 2617) % 65536 AS ya
+        |  FROM lineitem),
+        |s1 AS (SELECT xa, ya,
+        |    ((xa | (xa << 8)) & 16711935) AS x, ((ya | (ya << 8)) & 16711935) AS y
+        |  FROM b),
+        |s2 AS (SELECT xa, ya,
+        |    ((x | (x << 4)) & 252645135) AS x, ((y | (y << 4)) & 252645135) AS y
+        |  FROM s1),
+        |s3 AS (SELECT xa, ya,
+        |    ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y
+        |  FROM s2),
+        |s4 AS (SELECT xa, ya,
+        |    ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y
+        |  FROM s3),
+        |z AS (SELECT xa, ya, (x | (y << 1)) AS z FROM s4)
+        |SELECT (z >> 26) & 63 AS z_bucket, count(*) AS n,
+        |  min(xa) AS min_x, max(xa) AS max_x,
+        |  min(ya) AS min_y, max(ya) AS max_y
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "q53_quality_gate" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,
@@ -816,5 +856,6 @@ object PipelineQueries {
     "q51_chunking" -> (q51Chunking _),
     "q52_shards" -> (q52Shards _),
     "q53_quality_gate" -> (q53QualityGate _),
+    "q54_zorder" -> (q54Zorder _),
   )
 }

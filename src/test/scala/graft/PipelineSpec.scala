@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Cdc, Chunking, Decontaminate, Dedup, Multimodal, Sampling, Similarity, TopK}
+import graft.operators.{Cdc, Chunking, Decontaminate, Dedup, Layout, Multimodal, Sampling, Similarity, TopK}
 
 /** Unit tests for the training-data-pipeline operators on small
   * in-memory data (semantic checks; oracle parity is covered by the
@@ -412,6 +412,31 @@ class PipelineSpec extends AnyFunSuite {
     val b = Sampling.shardByHash(docs, col("doc_id"), 16, "shard")
       .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b)
+  }
+
+  test("morton2 equals a bit-loop reference; z-buckets are bounded 2-D tiles") {
+    import spark.implicits._
+    def ref(a: Long, b: Long): Long = {
+      var z = 0L
+      for (j <- 0 until 16) {
+        z |= ((a >> j) & 1L) << (2 * j)
+        z |= ((b >> j) & 1L) << (2 * j + 1)
+      }
+      z
+    }
+    val rows = spark.range(2000)
+      .select(col("id"),
+        (col("id") * 7919 % 65536).as("a"), (col("id") * 104729 % 65536).as("b"))
+    val got = rows.withColumn("z", Layout.morton2(col("a"), col("b")))
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("z")))
+    got.foreach { case (a, b, z) => assert(z === ref(a, b), s"morton($a,$b)") }
+    // tile property: same top-6-bits bucket → each dim spans < 8192
+    val tiles = got.groupBy { case (_, _, z) => z >>> 26 }
+    tiles.foreach { case (bk, vs) =>
+      assert(vs.map(_._1).max - vs.map(_._1).min < 8192, s"bucket $bk x-span")
+      assert(vs.map(_._2).max - vs.map(_._2).min < 8192, s"bucket $bk y-span")
+    }
+    assert(tiles.size > 4, "fixture must exercise multiple tiles")
   }
 
   test("crossCosinePairs on a self-split equals the all-pairs form restricted to the split") {

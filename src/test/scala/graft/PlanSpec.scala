@@ -226,6 +226,16 @@ class PlanSpec extends AnyFunSuite {
       "train side must not shuffle:\n" + plan.take(3000))
   }
 
+  test("zorderLayout: one range exchange, in-partition sort, no global sort") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val plan = planString(graft.operators.Layout.zorderLayout(li, "l_partkey", "l_suppkey", 8))
+    assert("Exchange rangepartitioning".r.findAllIn(plan).length === 1, plan.take(2000))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    // the sort is within partitions (global=false ⇒ no second exchange)
+    assert(plan.contains("Sort") && "Exchange".r.findAllIn(plan).length === 1,
+      plan.take(3000))
+  }
+
   test("bucketed tables co-locate: the bucket join plans without shuffle") {
     import org.apache.spark.sql.functions.col
     spark.sql("DROP TABLE IF EXISTS li_b")
