@@ -147,6 +147,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size === 200)
   }
 
+  test("chunking and shard assignment run identically on a stream and in batch") {
+    // both are pure scan-side generators/projections — chunk geometry
+    // and shard routing never depend on batch boundaries, so a live
+    // ingest stream can be chunked and sharded exactly like a backfill
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF().toDF("doc_id", "text")
+    val q = graft.operators.Sampling.shardByHash(
+        graft.operators.Chunking.slidingTokenWindows(src, "text", 4, 1),
+        col("doc_id"), 8, "s")
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode(OutputMode.Append()).start()
+    val docs = (1L to 30L).map(i => i -> Seq.fill(i.toInt % 11)("tok").mkString(" "))
+    mem.addData(docs.take(15): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(15): _*)
+    q.processAllAvailable()
+    q.stop()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val streamed = spark.table("chunk_stream").collect().map(key).toSet
+    val batch = graft.operators.Sampling.shardByHash(
+        graft.operators.Chunking.slidingTokenWindows(
+          docs.toDF("doc_id", "text"), "text", 4, 1),
+        col("doc_id"), 8, "s")
+      .collect().map(key).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup: first row per fingerprint survives across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
