@@ -335,9 +335,14 @@ object PipelineQueries {
     * broadcasts back, so the documents never shuffle for the gate
     * itself. */
   def q53QualityGate(s: SparkSession, dir: String): DataFrame = {
+    // persist the SCORED projection (3 narrow columns, text dropped):
+    // the regex-heavy qualityScore would otherwise re-run for the
+    // histogram pass, the selection pass and the gate itself — same
+    // persist-the-derivation pattern as q20's shingle table
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         TextFunctions.qualityScore(col("text")).as("quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = Quantiles.exactQuantiles(docs, "source", "quality",
         ps = Seq("p50" -> 0.5))
       .select(col("source"), col("p50"), col("n").cast("bigint").as("n_total"))
