@@ -238,6 +238,39 @@ object PipelineQueries {
       .orderBy("source", "rk")
   }
 
+  /** Rare-term exposure: per-source token mass in LOW-document-
+    * frequency vocabulary (df < 10% of docs) and how many docs carry
+    * any of it — the integer-arithmetic form of a CCNet-style rarity
+    * quality signal (a log-perplexity score would hash-diverge across
+    * engines' libm; integer df thresholds and exact counts cannot).
+    * Shape: one token explode, a df aggregation shuffled by term, the
+    * small rare vocabulary broadcast into a semi-join (swap for a
+    * shuffle semi-join when the rare vocab outgrows broadcast), one
+    * per-doc rollup. */
+  def q55RareTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), col("source"),
+        explode(words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val total = docs.agg(count(lit(1)).as("__nd"))
+    val rare = toks.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(total))
+      .filter(col("df") * 10 < col("__nd"))
+      .select("term")
+    val perDoc = toks.join(broadcast(rare), Seq("term"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+    docs.select(col("doc_id"), col("source"),
+        size(words(col("text"))).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("sum_tokens"),
+        sum(coalesce(col("n_rare"), lit(0L))).cast("bigint").as("sum_rare"),
+        count(when(coalesce(col("n_rare"), lit(0L)) > 0, 1)).as("n_with_rare"))
+      .orderBy("source")
+  }
+
   /** Sequence packing: documents → fixed-capacity (2000-token) bins
     * across 8 parallel pack groups; per-bin fill summary. */
   def q41Packing(s: SparkSession, dir: String): DataFrame =
@@ -611,6 +644,23 @@ object PipelineQueries {
         |t2 AS (SELECT label, count(*) AS n_train FROM tr GROUP BY 1)
         |SELECT t2.label, n_train, coalesce(n_flagged, 0) AS n_flagged
         |FROM t2 LEFT JOIN f USING (label) ORDER BY 1""".stripMargin,
+    "q55_rare_terms" ->
+      s"""WITH t AS (SELECT doc_id, source, unnest($WordsSql) AS term
+         |  FROM documents),
+         |d AS (SELECT term, count(DISTINCT doc_id) AS df
+         |      FROM t WHERE term != '' GROUP BY 1),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |r AS (SELECT term FROM d, nd WHERE df * 10 < n),
+         |pd AS (SELECT t.doc_id, count(*) AS n_rare
+         |       FROM t JOIN r USING (term) WHERE t.term != '' GROUP BY 1),
+         |base AS (SELECT doc_id, source, len($WordsSql) AS n_tokens
+         |         FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(coalesce(n_rare, 0)) AS BIGINT) AS sum_rare,
+         |  count(CASE WHEN coalesce(n_rare, 0) > 0 THEN 1 END) AS n_with_rare
+         |FROM base LEFT JOIN pd USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q54_zorder" ->
       """WITH b AS (
         |  SELECT (l_partkey * 797) % 65536 AS xa,
@@ -862,5 +912,6 @@ object PipelineQueries {
     "q52_shards" -> (q52Shards _),
     "q53_quality_gate" -> (q53QualityGate _),
     "q54_zorder" -> (q54Zorder _),
+    "q55_rare_terms" -> (q55RareTerms _),
   )
 }

@@ -226,6 +226,16 @@ class PlanSpec extends AnyFunSuite {
       "train side must not shuffle:\n" + plan.take(3000))
   }
 
+  test("q51: chunk generation rides in the scan stage — one exchange for the rollup") {
+    val plan = planString(graft.operators.PipelineQueries.q51Chunking(spark, dir))
+    assert(plan.contains("Generate"), plan.take(2000))
+    // both exchanges belong to the rollup (countDistinct's two-phase
+    // (source, doc_id) → source aggregation); the generator itself
+    // adds none (pure scan-side chunking at any scale)
+    val nExchange = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchange === 2, s"expected the 2 rollup exchanges, got $nExchange:\n" + plan.take(3000))
+  }
+
   test("zorderLayout: one range exchange, in-partition sort, no global sort") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val plan = planString(graft.operators.Layout.zorderLayout(li, "l_partkey", "l_suppkey", 8))
