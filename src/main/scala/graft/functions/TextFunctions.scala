@@ -27,6 +27,17 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(words(text))
 
+  /** Word n-grams as space-joined strings (empty array when fewer
+    * than n tokens) — the unit of n-gram-overlap decontamination.
+    * String grams keep the result oracle-checkable; at corpus scale
+    * hash them ([[graft.functions.ShingleHashes]] is this exact map
+    * with 8-byte outputs) so shuffles never carry gram text. */
+  def ngrams(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(1), size(tokens) - (n - 1)),
+        i => array_join(slice(tokens, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
   /** BPE-ish subword token count: alpha runs, digit runs, and single
     * non-alphanumeric marks each count as one token. */
   def bpeTokenCount(text: Column): Column =

@@ -199,6 +199,36 @@ object PipelineQueries {
       .orderBy("cluster_rep")
   }
 
+  /** 13-gram overlap decontamination — the standard LLM holdout-
+    * contamination test: a train document is flagged when ANY of its
+    * 13-token windows also occurs anywhere in the test split (q42's
+    * whole-prefix fingerprint only catches near-identical documents;
+    * n-gram overlap catches partial inclusion). One explode per side,
+    * the distinct test-gram set semi-joins the train grams, flagged
+    * ids roll up per lang. Production swaps string grams for
+    * [[graft.functions.ShingleHashes]] 8-byte hashes. */
+  def q56NgramDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sampling.assignSplit(t(s, dir, "documents"), col("doc_id"),
+        Seq("train" -> 0.9, "test" -> 0.1))
+      .withColumn("toks", words(col("text")))
+    val grams = docs.select(col("doc_id"), col("lang"), col("split"),
+      explode(TextFunctions.ngrams(col("toks"), 13)).as("gram"))
+    val testGrams = grams.filter(col("split") === "test")
+      .select("gram").distinct()
+    val flaggedIds = grams.filter(col("split") === "train")
+      .join(testGrams, Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+    val train = docs.filter(col("split") === "train")
+    val flagged = train.join(flaggedIds, Seq("doc_id"), "left_semi")
+      .groupBy("lang").agg(count(lit(1)).as("n_flagged"))
+    train.groupBy("lang").agg(count(lit(1)).as("n_train"))
+      .join(flagged, Seq("lang"), "left")
+      .select(col("lang"), col("n_train"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        (col("n_train") - coalesce(col("n_flagged"), lit(0L))).as("n_kept"))
+      .orderBy("lang")
+  }
+
   /** q42's decontamination through the Bloom-prefiltered anti-join —
     * same kept/removed result (the prefilter only discards provable
     * non-members), so it carries q42's exact oracle while modeling the
@@ -788,6 +818,27 @@ object PipelineQueries {
          |SELECT pack_group, CAST(cum_before // 2000 AS INT) AS bin,
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q56_ngram_decontaminate" ->
+      s"""WITH hv AS (
+         |  SELECT doc_id, lang, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |sp AS (
+         |  SELECT doc_id, lang, $WordsSql AS toks,
+         |    CASE WHEN CAST($HvSql AS DOUBLE) / CAST(4294967296 AS DOUBLE)
+         |              < CAST(0.9 AS DOUBLE)
+         |         THEN 'train' ELSE 'test' END AS split
+         |  FROM hv),
+         |g AS (SELECT doc_id, lang, split,
+         |    unnest(list_transform(range(1, len(toks) - 11),
+         |      i -> array_to_string(toks[i:i+12], ' '))) AS gram
+         |  FROM sp WHERE len(toks) >= 13),
+         |te AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+         |fl AS (SELECT lang, count(DISTINCT doc_id) AS n_flagged
+         |       FROM g WHERE split = 'train' AND gram IN (SELECT gram FROM te)
+         |       GROUP BY 1),
+         |t2 AS (SELECT lang, count(*) AS n_train FROM sp WHERE split = 'train' GROUP BY 1)
+         |SELECT t2.lang, n_train, coalesce(n_flagged, 0) AS n_flagged,
+         |  n_train - coalesce(n_flagged, 0) AS n_kept
+         |FROM t2 LEFT JOIN fl USING (lang) ORDER BY 1""".stripMargin,
     "q42_decontaminate" ->
       s"""WITH hv AS (
          |  SELECT doc_id, lang, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
@@ -913,5 +964,6 @@ object PipelineQueries {
     "q53_quality_gate" -> (q53QualityGate _),
     "q54_zorder" -> (q54Zorder _),
     "q55_rare_terms" -> (q55RareTerms _),
+    "q56_ngram_decontaminate" -> (q56NgramDecontaminate _),
   )
 }
