@@ -436,6 +436,24 @@ object PipelineQueries {
         min(col("ya")).as("min_y"), max(col("ya")).as("max_y"))
       .orderBy("z_bucket")
 
+  /** Budget-constrained corpus assembly: the 5,000 highest-quality
+    * tokens per source ([[BudgetSelect.byScoreBudget]] — bucket-
+    * histogram selection, row-identical to the sequential
+    * sort-and-cut the oracle spells out, without per-source sorts). */
+  def q57BudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).as("w"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+    BudgetSelect.byScoreBudget(docs, "source", "doc_id", "w", "q",
+        budget = 5000L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sel"),
+        sum(col("w")).cast("bigint").as("tok_sel"),
+        min(col("q")).as("min_q"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- media
 
   /** Multimodal plumbing: documents → binary assets → stub decode →
@@ -818,6 +836,30 @@ object PipelineQueries {
          |SELECT pack_group, CAST(cum_before // 2000 AS INT) AS bin,
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q57_budget_select" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    len($WordsSql) AS n_tokens,
+         |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+         |    len(list_filter($WordsSql, w -> w IN ($EnSet))) AS n_stopwords,
+         |    length(text) AS n_len
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source, n_tokens AS w,
+         |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |    + greatest(1.0 - (CASE WHEN n_len > 0
+         |        THEN CAST(n_punct AS DOUBLE) / CAST(n_len AS DOUBLE) ELSE 0.0 END) * 5.0, 0.0) * 0.3
+         |    + least((CASE WHEN n_tokens > 0
+         |        THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 10.0, 1.0) * 0.3
+         |    AS q
+         |  FROM d),
+         |c AS (SELECT source, doc_id, w, q,
+         |    sum(w) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM q)
+         |SELECT source, count(*) AS n_sel, CAST(sum(w) AS BIGINT) AS tok_sel,
+         |  min(q) AS min_q
+         |FROM c WHERE cum <= 5000 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q56_ngram_decontaminate" ->
       s"""WITH hv AS (
          |  SELECT doc_id, lang, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
@@ -965,5 +1007,6 @@ object PipelineQueries {
     "q54_zorder" -> (q54Zorder _),
     "q55_rare_terms" -> (q55RareTerms _),
     "q56_ngram_decontaminate" -> (q56NgramDecontaminate _),
+    "q57_budget_select" -> (q57BudgetSelect _),
   )
 }

@@ -414,6 +414,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("budget selection equals the sequential sort-and-cut definition") {
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        (pmod(col("doc_id") * 31, lit(97L)) + 1).as("w"),
+        (pmod(col("doc_id") * 7919, lit(1000L)).cast("double") / 1000.0).as("q"))
+    val budget = 800L
+    val got = graft.operators.BudgetSelect
+      .byScoreBudget(base, "source", "doc_id", "w", "q", budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val win = Window.partitionBy("source")
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = base.withColumn("cum", sum("w").over(win))
+      .filter(col("cum") <= budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < base.count())
+    // all-equal scores: ties cut purely by id order
+    val toy = spark.range(1, 11).select(lit("g").as("g"), col("id"),
+      lit(3L).as("w"), lit(1.0).as("q"))
+    val toySel = graft.operators.BudgetSelect
+      .byScoreBudget(toy, "g", "id", "w", "q", budget = 10L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(toySel === Set(1L, 2L, 3L))
+  }
+
   test("morton2 equals a bit-loop reference; z-buckets are bounded 2-D tiles") {
     import spark.implicits._
     def ref(a: Long, b: Long): Long = {

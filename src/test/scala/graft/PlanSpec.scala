@@ -236,6 +236,21 @@ class PlanSpec extends AnyFunSuite {
     assert(nExchange === 2, s"expected the 2 rollup exchanges, got $nExchange:\n" + plan.take(3000))
   }
 
+  test("q57: budget selection windows only within (group, bucket) — never a whole-group sort") {
+    val df = graft.operators.PipelineQueries.q57BudgetSelect(spark, dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the per-row running sum partitions by (g, bucket); the only
+    // other window is the histogram cum — histogram-sized data whose
+    // order key is the bucket id, not a score
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, plan.take(3000))
+    specs.foreach { spec =>
+      assert(spec.contains("bucket"),
+        s"every window must involve the bucket key, never score-order a whole group: $spec")
+    }
+  }
+
   test("zorderLayout: one range exchange, in-partition sort, no global sort") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val plan = planString(graft.operators.Layout.zorderLayout(li, "l_partkey", "l_suppkey", 8))
