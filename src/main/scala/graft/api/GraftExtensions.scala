@@ -4,24 +4,28 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.VectorDot
+import graft.functions.{ShingleHashes, SimHash64, VectorDot}
 
 /** Session extensions registering the engine's native expressions for
   * SQL use (`spark.sql.extensions=graft.api.GraftExtensions` or
   * `SparkSession.builder().withExtensions(new GraftExtensions)`).
   *
-  * Currently: `vector_dot(a, b)` — the codegen'd embedding dot product
-  * ([[graft.functions.VectorDot]]) — so pure-SQL pipelines get the same
-  * hot path as the Column API. */
+  * Registered: `vector_dot(a, b)` (codegen'd embedding dot product),
+  * `simhash64(text)` (whole 64-bit SimHash signature in one per-row
+  * call), `shingle_hashes(text, k)` (distinct 64-bit k-shingle hashes
+  * — k must be a literal) — so pure-SQL pipelines get the same hot
+  * paths as the Column API. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.vectorDotDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.HofDotRewrite)
   }
 }
 
 object GraftExtensions {
-  val vectorDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+  type Descriptor = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val vectorDotDescriptor: Descriptor = (
     FunctionIdentifier("vector_dot"),
     new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
     (children: Seq[Expression]) => {
@@ -29,13 +33,35 @@ object GraftExtensions {
       VectorDot(children.head, children(1))
     })
 
+  val simHashDescriptor: Descriptor = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "simhash64 takes exactly 1 argument")
+      SimHash64(children.head)
+    })
+
+  val shingleHashesDescriptor: Descriptor = (
+    FunctionIdentifier("shingle_hashes"),
+    new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "shingle_hashes takes exactly 2 arguments")
+      require(children(1).foldable, "shingle_hashes k must be a literal")
+      ShingleHashes(children.head,
+        children(1).eval().asInstanceOf[Number].intValue())
+    })
+
+  val descriptors: Seq[Descriptor] =
+    Seq(vectorDotDescriptor, simHashDescriptor, shingleHashesDescriptor)
+
   /** Register on an already-built session (tests, REPL): the SQL
     * functions plus the HOF-dot optimizer rewrite (via
     * `experimental.extraOptimizations`, the live-session equivalent of
     * `injectOptimizerRule`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (ident, info, builder) = vectorDotDescriptor
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    descriptors.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
     if (!spark.experimental.extraOptimizations.contains(graft.plans.HofDotRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.HofDotRewrite

@@ -225,7 +225,7 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("vector_dot registers as a SQL function via GraftExtensions") {
+  test("vector_dot, simhash64, shingle_hashes register as SQL functions via GraftExtensions") {
     graft.api.GraftExtensions.register(spark)
     spark.read.parquet(s"$sf001/embeddings.parquet").limit(5)
       .createOrReplaceTempView("emb_sql")
@@ -234,6 +234,20 @@ class PipelineSpec extends AnyFunSuite {
         |FROM emb_sql a ORDER BY 1""".stripMargin).collect()
     assert(rows.length === 5)
     assert(rows.forall(_.getAs[Double]("self_dot") > 0.0))
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(10)
+    docs.createOrReplaceTempView("docs_sql")
+    val sql = spark.sql(
+      """SELECT doc_id, simhash64(text) AS sig,
+        |  size(shingle_hashes(text, 3)) AS n_sh
+        |FROM docs_sql ORDER BY 1""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val api = docs.select(col("doc_id"),
+        graft.functions.SimHash64(col("text")).as("sig"),
+        size(graft.functions.ShingleHashes(col("text"), 3)).as("n_sh"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(sql === api)
+    assert(sql.forall(_._3 > 0))
   }
 
   test("cosine top-k: self excluded, scores sorted, lsh recall ∈ [0,1]") {
@@ -432,13 +446,16 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got === expected)
     assert(got.nonEmpty && got.size < base.count())
-    // all-equal scores: ties cut purely by id order
-    val toy = spark.range(1, 11).select(lit("g").as("g"), col("id"),
+    // all-equal scores: ties cut purely by id order, per group (a
+    // data-dependent group column — a constant would fold to an
+    // unpartitioned window and spam WindowExec warnings)
+    val toy = spark.range(1, 11).select(
+      when(col("id") <= 5, "a").otherwise("b").as("g"), col("id"),
       lit(3L).as("w"), lit(1.0).as("q"))
     val toySel = graft.operators.BudgetSelect
       .byScoreBudget(toy, "g", "id", "w", "q", budget = 10L)
       .select("id").collect().map(_.getLong(0)).toSet
-    assert(toySel === Set(1L, 2L, 3L))
+    assert(toySel === Set(1L, 2L, 3L, 6L, 7L, 8L))
   }
 
   test("morton2 equals a bit-loop reference; z-buckets are bounded 2-D tiles") {
