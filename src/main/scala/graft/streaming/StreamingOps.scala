@@ -115,6 +115,25 @@ object StreamingOps {
       case None => rows.dropDuplicates(fingerprintCols)
     }
 
+  /** Live corpus ingest — the batch pipeline's operators composed
+    * under structured streaming: per-row quality gate (scan-side
+    * expression), cross-batch content-fingerprint dedup (state store),
+    * deterministic shard routing (pure projection; a downstream
+    * `partitionBy("shard")` file sink then writes the same shard
+    * layout a backfill would). Every stage is the SAME code the batch
+    * path runs; only the dedup holds state. */
+  def corpusIngestStream(docs: DataFrame, minQuality: Double,
+      nShards: Int, watermarkCol: Option[String] = None): DataFrame = {
+    import graft.functions.TextFunctions
+    val gated = docs
+      .filter(TextFunctions.qualityScore(org.apache.spark.sql.functions.col("text")) >= minQuality)
+      .withColumn("fp", TextFunctions.fingerprint(
+        org.apache.spark.sql.functions.col("text")))
+    graft.operators.Sampling.shardByHash(
+      dedupStream(gated, Seq("fp"), watermarkCol),
+      org.apache.spark.sql.functions.col("doc_id"), nShards)
+  }
+
   /** Convenience: run a streaming DataFrame to completion against a
     * memory sink and return the collected result table. Test/demo
     * helper — production sinks are parquet/kafka/iceberg via

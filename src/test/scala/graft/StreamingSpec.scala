@@ -178,6 +178,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("corpus ingest stream: gate, cross-batch dedup and shard routing compose") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.corpusIngestStream(
+        mem.toDF().toDF("doc_id", "text"), minQuality = 0.5, nShards = 8)
+      .writeStream.format("memory").queryName("ingest")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(fixture.take(fixture.length / 2): _*)
+    q.processAllAvailable()
+    mem.addData(fixture.drop(fixture.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ingest")
+      .select("doc_id", "fp", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // batch reference: same gate + fingerprint, one survivor per fp
+    val batchGated = spark.createDataset(fixture).toDF("doc_id", "text")
+      .filter(graft.functions.TextFunctions.qualityScore(col("text")) >= 0.5)
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+    val batchFps = batchGated.select("fp").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_._2).toSet === batchFps, "one survivor per gated fingerprint")
+    assert(out.length === batchFps.size, "no fingerprint emitted twice")
+    assert(out.forall(r => r._3 >= 0 && r._3 < 8))
+    assert(out.length < fixture.length, "gate + dedup must drop something")
+    // shard routing matches the batch projection for the surviving ids
+    val batchShards = graft.operators.Sampling.shardByHash(
+        batchGated, col("doc_id"), 8)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, _, sh) => assert(batchShards(id) === sh) }
+  }
+
   test("streaming dedup: first row per fingerprint survives across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
