@@ -458,6 +458,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(toySel === Set(1L, 2L, 3L, 6L, 7L, 8L))
   }
 
+  test("property: budget selection equals a local sequential cut on random inputs") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val caseGen = for {
+      n <- Gen.choose(0, 40)
+      ws <- Gen.listOfN(n, Gen.choose(0L, 20L))
+      qs <- Gen.listOfN(n, Gen.choose(0, 5)) // coarse scores force ties
+      budget <- Gen.choose(0L, 120L)
+    } yield (ws.zip(qs).zipWithIndex.map { case ((w, qi), i) =>
+      (s"g${i % 3}", i.toLong, w, qi / 5.0)
+    }, budget)
+    val prop = Prop.forAll(caseGen) { case (rows, budget) =>
+      val expected = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        var cum = 0L
+        rs.sortBy { case (_, id, _, q) => (-q, id) }
+          .takeWhile { case (_, _, w, _) => cum += w; cum <= budget }
+          .map(_._2)
+      }.toSet
+      val got =
+        if (rows.isEmpty) Set.empty[Long]
+        else graft.operators.BudgetSelect.byScoreBudget(
+            spark.createDataFrame(rows).toDF("g", "id", "w", "q"),
+            "g", "id", "w", "q", budget)
+          .select("id").collect().map(_.getLong(0)).toSet
+      got == expected
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("morton2 equals a bit-loop reference; z-buckets are bounded 2-D tiles") {
     import spark.implicits._
     def ref(a: Long, b: Long): Long = {
