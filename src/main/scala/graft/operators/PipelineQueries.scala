@@ -441,10 +441,15 @@ object PipelineQueries {
     * histogram selection, row-identical to the sequential
     * sort-and-cut the oracle spells out, without per-source sorts). */
   def q57BudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    // persist the scored projection: BudgetSelect consumes it for the
+    // range stats, the histogram and the selection passes — without
+    // it the regex-heavy qualityScore re-runs three times (q53's
+    // lesson applied)
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         size(words(col("text"))).as("w"),
         TextFunctions.qualityScore(col("text")).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     BudgetSelect.byScoreBudget(docs, "source", "doc_id", "w", "q",
         budget = 5000L)
       .groupBy("source")
