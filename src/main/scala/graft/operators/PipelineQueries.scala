@@ -151,6 +151,32 @@ object PipelineQueries {
         round(max(col("norm")), 6).as("max_norm"))
       .orderBy("label")
 
+  /** One-row corpus datacard: the daily health summary a pipeline
+    * operator watches — volume (docs/tokens/chars), diversity
+    * (sources/langs), exact-duplicate mass (md5 fingerprint groups)
+    * and total quality mass (DECIMAL-routed so partial-agg order
+    * can't move low bits). Two scans + an O(#fingerprints) rollup;
+    * every number is exact integer or decimal arithmetic. */
+  def q58Datacard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("n_tokens", size(words(col("text"))))
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("fp", md5(col("text")))
+    val dupStats = docs.groupBy("fp").agg(count(lit(1)).as("n"))
+      .agg(count(when(col("n") > 1, 1)).as("n_dup_groups"),
+        coalesce(sum(when(col("n") > 1, col("n"))), lit(0L))
+          .cast("bigint").as("n_dup_docs"))
+    docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tokens")).cast("bigint").as("sum_tokens"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"),
+        round(sum(col("quality").cast("decimal(28,12)")).cast("double"), 6)
+          .as("sum_quality"))
+      .crossJoin(dupStats)
+  }
+
   // ---------------------------------------------------------------- sampling
 
   /** Deterministic train/val/test split (80/10/10 on md5(doc_id)):
@@ -780,6 +806,34 @@ object PipelineQueries {
          |SELECT shard, count(*) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q58_datacard" ->
+      s"""WITH d AS (
+         |  SELECT source, lang, n_chars, md5(text) AS fp,
+         |    len($WordsSql) AS n_tokens,
+         |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+         |    len(list_filter($WordsSql, w -> w IN ($EnSet))) AS n_stopwords,
+         |    length(text) AS n_len
+         |  FROM documents),
+         |q AS (
+         |  SELECT source, lang, n_chars, fp, n_tokens,
+         |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |    + greatest(1.0 - (CASE WHEN n_len > 0
+         |        THEN CAST(n_punct AS DOUBLE) / CAST(n_len AS DOUBLE) ELSE 0.0 END) * 5.0, 0.0) * 0.3
+         |    + least((CASE WHEN n_tokens > 0
+         |        THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 10.0, 1.0) * 0.3
+         |    AS quality
+         |  FROM d),
+         |g AS (SELECT fp, count(*) AS n FROM q GROUP BY 1),
+         |ds AS (SELECT count(CASE WHEN n > 1 THEN 1 END) AS n_dup_groups,
+         |         CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS n_dup_docs
+         |       FROM g),
+         |a AS (SELECT count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+         |        count(DISTINCT lang) AS n_langs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |        round(CAST(sum(CAST(quality AS DECIMAL(28,12))) AS DOUBLE), 6) AS sum_quality
+         |      FROM q)
+         |SELECT a.*, ds.* FROM a, ds""".stripMargin,
     "q48_label_stats" ->
       """WITH n AS (
         |  SELECT label,
@@ -1013,5 +1067,6 @@ object PipelineQueries {
     "q55_rare_terms" -> (q55RareTerms _),
     "q56_ngram_decontaminate" -> (q56NgramDecontaminate _),
     "q57_budget_select" -> (q57BudgetSelect _),
+    "q58_datacard" -> (q58Datacard _),
   )
 }
