@@ -132,6 +132,21 @@ object PipelineQueries {
       nCentroids = 16, nIters = 5, nProbe = 4).orderBy("q_id")
   }
 
+  /** Product-quantization ANN recall@3 against the exact baseline:
+    * 64-dim vectors stored as 8 codeword ids (8 subspaces × 16
+    * codewords — 64 floats → 8 bytes at scale), queried through
+    * per-query ADC lookup tables with exact re-ranking of the ADC
+    * top-20 (the production IVF-PQ refinement — only 20 true vectors
+    * touched per query). No oracle — approximate scale path like
+    * q25/q31; code determinism, reconstruction quality and the
+    * rerank-everything == brute-force anchor are spec-asserted. */
+  def q59PqRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Pq.recallVsExact(emb, emb.filter(col("vec_id") < 10), k = 3,
+      dim = 64, nSub = 8, codewords = 16, nIters = 2, rerank = 20)
+      .orderBy("q_id")
+  }
+
   /** Per-label embedding statistics: count and L2-norm rollups — the
     * quick corpus-health check before ANN indexing (degenerate or
     * unnormalized embedding batches show up as norm outliers). Norms
@@ -1068,5 +1083,6 @@ object PipelineQueries {
     "q56_ngram_decontaminate" -> (q56NgramDecontaminate _),
     "q57_budget_select" -> (q57BudgetSelect _),
     "q58_datacard" -> (q58Datacard _),
+    "q59_pq_recall" -> (q59PqRecall _),
   )
 }

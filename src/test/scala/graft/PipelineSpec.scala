@@ -487,6 +487,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("PQ: codes deterministic and in range; reconstruction beats the 1-codeword baseline") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val cb = graft.operators.Pq.train(emb, dim = 64, nSub = 8, k = 16, nIters = 2)
+    assert(cb.nSub === 8 && cb.k === 16 && cb.subDim === 8)
+    val enc = graft.operators.Pq.encode(emb, cb)
+      .select(col("vec_id"), col("code"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getSeq[Float](2).map(_.toDouble)))
+    assert(enc.forall { case (_, code, _) =>
+      code.length == 8 && code.forall(j => j >= 0 && j < 16) })
+    // deterministic re-encode
+    val again = graft.operators.Pq.encode(emb, cb)
+      .select(col("vec_id"), col("code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc.forall { case (id, code, _) => again(id) == code })
+    // reconstruction MSE must beat quantizing everything to the mean
+    val dim = 64
+    val n = enc.length
+    val mean = enc.map(_._3.toArray).transpose.map(_.sum / n)
+    def mse(errs: Iterator[Double]): Double = errs.sum / (n * dim)
+    val pqMse = mse(enc.iterator.flatMap { case (_, code, v) =>
+      val rec = graft.operators.Pq.decode(code, cb)
+      v.indices.map(i => (v(i) - rec(i)) * (v(i) - rec(i)))
+    })
+    val meanMse = mse(enc.iterator.flatMap { case (_, _, v) =>
+      v.indices.map(i => (v(i) - mean(i)) * (v(i) - mean(i)))
+    })
+    assert(pqMse < meanMse * 0.8,
+      s"PQ reconstruction ($pqMse) must clearly beat the mean baseline ($meanMse)")
+  }
+
+  test("PQ ADC with rerank over everything equals exact brute force") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val cb = graft.operators.Pq.train(emb, dim = 64, nSub = 8, k = 16, nIters = 1)
+    val n = emb.count().toInt
+    val got = graft.operators.Pq
+      .adcTopK(graft.operators.Pq.encode(emb, cb), queries, k = 3, cb, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === exact)
+  }
+
   test("morton2 equals a bit-loop reference; z-buckets are bounded 2-D tiles") {
     import spark.implicits._
     def ref(a: Long, b: Long): Long = {
