@@ -42,43 +42,74 @@ object Pq {
   private def sliceCol(vec: Column, m: Int, subDim: Int): Column =
     slice(vec, m * subDim + 1, subDim)
 
-  /** Per-subspace k-means: train one codebook per `nSub` contiguous
-    * subvector ranges. `dim` must be divisible by nSub. */
+  /** Nearest-codeword id (0-based) of subspace m as a pure scan
+    * expression: argmin over ‖sub − cw‖² with the codeword-independent
+    * ‖sub‖² term dropped — an `array_min` over a literal struct array,
+    * ties toward the lower codeword id. Whole-stage codegen, no join,
+    * no shuffle. Shared by [[train]]'s Lloyd step and [[encode]]. */
+  private def codeCol(vec: Column, m: Int, subDim: Int,
+      book: Array[Array[Double]]): Column = {
+    val sub = sliceCol(vec, m, subDim)
+    val entries = book.zipWithIndex.map { case (cw, j) =>
+      val d2 = lit(cw.map(x => x * x).sum) -
+        lit(2.0) * dotNative(sub, array(cw.map(lit): _*))
+      struct(d2.as("d2"), lit(j).as("j"))
+    }
+    array_min(array(entries: _*)).getField("j")
+  }
+
+  /** Per-subspace k-means codebooks. ALL subspaces train together:
+    * each Lloyd round is ONE job — codes come from the scan-side
+    * [[codeCol]] expression against the current (literal) codebooks,
+    * and a single (subspace·k + code)-keyed [[VecMeanAgg]] shuffle
+    * recomputes every codeword mean (map tasks emit one (Σ, n) per
+    * codeword — O(nSub·k·subDim) per task regardless of corpus size).
+    * Codebooks are nSub·k·subDim doubles, materialized on the driver
+    * per round (constant-depth plans, the Ivf.train lesson). */
   def train(corpus: DataFrame, dim: Int, nSub: Int, k: Int,
       nIters: Int): Codebooks = {
     require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
     val subDim = dim / nSub
-    val books = (0 until nSub).toArray.map { m =>
-      Ivf.train(
-          corpus.select(col("vec_id"),
-            sliceCol(col("embedding"), m, subDim).as("embedding")),
-          nCentroids = k, nIters = nIters)
-        .select(col("cid"), col("c_vec")).collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-        .sortBy(_._1).map(_._2)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // seeds: first k vectors by id, sliced into every subspace
+    val seeds = corpus.orderBy("vec_id").limit(k)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect()
+      .sortBy(r => r.getAs[Number](0).longValue())
+      .map(_.getSeq[Double](1).toArray)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(nSub)(m => seeds.map(_.slice(m * subDim, (m + 1) * subDim)))
+    val meanAgg = new VecMeanAgg
+    var it = 0
+    while (it < nIters) {
+      val parts = (0 until nSub).map { m =>
+        struct((lit(m * k) + codeCol(col("embedding"), m, subDim, books(m)))
+            .as("key"),
+          transform(sliceCol(col("embedding"), m, subDim), x => x.cast("double"))
+            .as("v"))
+      }
+      val means = corpus
+        .select(posexplode(array(parts: _*)).as(Seq("m", "s")))
+        .select(col("s.key"), col("s.v")).as[(Int, Seq[Double])]
+        .groupByKey(_._1)
+        .agg(meanAgg.toColumn.name("mn"))
+        .collect()
+        .map { case (key, mn) => key -> mn.toArray }.toMap
+      // empty codewords keep their previous value
+      books = Array.tabulate(nSub)(m =>
+        Array.tabulate(k)(j => means.getOrElse(m * k + j, books(m)(j))))
+      it += 1
     }
     Codebooks(subDim, books)
   }
 
   /** Scan-side encoder: adds `code` (array<int>, 0-based codeword ids,
-    * one per subspace). The per-subspace argmin is an `array_min` over
-    * a literal struct array — ties break toward the lower codeword id
-    * via the struct's (distance, id) ordering. */
-  def encode(corpus: DataFrame, cb: Codebooks): DataFrame = {
-    val codeCols = (0 until cb.nSub).map { m =>
-      val sub = sliceCol(col("embedding"), m, cb.subDim)
-      val entries = cb.books(m).zipWithIndex.map { case (cw, j) =>
-        val cwLit = array(cw.map(lit): _*)
-        // argmin over ‖sub − cw‖² drops the codeword-independent
-        // ‖sub‖² term: rank by −2·sub·cw + ‖cw‖² only
-        val d2 = lit(cw.map(x => x * x).sum) -
-          lit(2.0) * dotNative(sub, cwLit)
-        struct(d2.as("d2"), lit(j).as("j"))
-      }
-      array_min(array(entries: _*)).getField("j")
-    }
-    corpus.withColumn("code", array(codeCols: _*))
-  }
+    * one per subspace) — one [[codeCol]] argmin per subspace, all in
+    * the scan projection. */
+  def encode(corpus: DataFrame, cb: Codebooks): DataFrame =
+    corpus.withColumn("code", array((0 until cb.nSub).map(m =>
+      codeCol(col("embedding"), m, cb.subDim, cb.books(m))): _*))
 
   /** Decoded (reconstructed) vector for a code — spec/diagnostic
     * helper; production never materializes it. */
