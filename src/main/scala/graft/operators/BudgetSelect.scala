@@ -30,9 +30,12 @@ object BudgetSelect {
       nBuckets: Int = 1024): DataFrame = {
     val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
       col(weightCol).cast("long").as("w"), col(scoreCol).cast("double").as("q"))
-    // per-group score range → fixed bucket width (tiny, broadcast back)
+    // per-group score range → fixed bucket width (tiny, broadcast
+    // back). localCheckpoint, not persist: same leak-avoidance
+    // rationale as Quantiles.exactQuantiles — checkpoint blocks are
+    // ContextCleaner-reclaimed, CacheManager entries are not.
     val stats = base.groupBy("g").agg(min("q").as("vmin"), max("q").as("vmax"))
-      .persist()
+      .localCheckpoint()
     val wb = base.join(broadcast(stats), "g")
       .withColumn("bw", (col("vmax") - col("vmin")) / lit(nBuckets.toDouble))
       .withColumn("bucket",

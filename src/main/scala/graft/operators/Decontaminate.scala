@@ -53,7 +53,14 @@ object Decontaminate {
   def bloomAntiJoin(left: DataFrame, right: DataFrame, keyCol: String,
       expectedItems: Long = 1000000L): DataFrame = {
     val bf = right.agg(bloomAgg(col(keyCol), expectedItems).as("__bf"))
-    val flagged = left.withColumn("__maybe", mightContain(bf, col(keyCol)))
+    // BloomFilterAggregate over ZERO rows evals to null, and
+    // might_contain(null, x) null-propagates — without the coalesce an
+    // empty holdout would drop EVERY left row (both filters reject
+    // null) instead of keeping them all like the exact anti-join. A
+    // null bloom means no keys were aggregated, so nothing can match:
+    // the row is provably clean.
+    val flagged = left.withColumn("__maybe",
+      coalesce(mightContain(bf, col(keyCol)), lit(false)))
     val clean = flagged.filter(!col("__maybe")).drop("__maybe")
     val suspects = flagged.filter(col("__maybe")).drop("__maybe")
     clean.unionByName(

@@ -58,8 +58,10 @@ object Dedup {
     * self-join, shared-count agg, then Jaccard arithmetic. Rounded to 6
     * decimals so results are engine-portable. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
-      threshold: Double): DataFrame = {
-    val sh = shinglePairs(docs, idCol, textCol, k).cache()
+      threshold: Double,
+      shinglePersist: StorageLevel = StorageLevel.NONE): DataFrame = {
+    val sh0 = shinglePairs(docs, idCol, textCol, k)
+    val sh = if (shinglePersist == StorageLevel.NONE) sh0 else sh0.persist(shinglePersist)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col("doc_id").as("d1"), col("s").as("s1"))
     val b = sh.select(col("doc_id").as("d2"), col("s").as("s2"))
@@ -233,6 +235,15 @@ object Dedup {
       changed = merged.filter(col("new_label") < col("label")).count()
       labels = merged.select(col("id"), col("new_label").as("label"))
       it += 1
+    }
+    // A component with diameter > maxIters would exit here with labels
+    // still moving — unconverged clusters downstream would silently
+    // keep several representatives for one true cluster. Surface it.
+    if (changed > 0) {
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"duplicateClusters: label propagation did not converge after " +
+          s"$maxIters iterations ($changed labels still changing); " +
+          s"cluster labels may split long chains — raise maxIters")
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }

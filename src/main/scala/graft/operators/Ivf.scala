@@ -159,25 +159,31 @@ object Ivf {
   def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
     nearest(prep(corpus), centroids).select(col("cid"), col("id"), col("vec"), col("n2"))
 
+  /** The `nProbe` nearest cells per query: (cid, q_id, q_vec, q_norm)
+    * — the probe list [[topK]] and [[IvfPq.topK]] join against the
+    * inverted file. Broadcast-small: |queries|·nProbe rows. */
+  def probes(queries: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame =
+    nearest(prep(queries), centroids, nProbe)
+      .select(col("cid"), col("id").as("q_id"), col("vec").as("q_vec"),
+        sqrt(col("n2")).as("q_norm"))
+
   /** IVF cosine top-k: each query scores only its `nProbe` nearest
     * cells. Output schema matches [[Similarity.bruteForceTopK]]
-    * (q_id, rk, c_id, score). */
+    * (q_id, rk, c_id, score). Ranking is the bounded [[TopK]]
+    * aggregator, not a rank window: map tasks reduce each query's
+    * probed-cell candidates to ≤k before the shuffle, so the exchange
+    * carries O(queries·k) rows, never every scored candidate. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
       centroids: DataFrame, nProbe: Int): DataFrame = {
     val cells = assign(corpus, centroids)
       .select(col("cid"), col("id").as("c_id"), col("vec").as("c_vec"),
         sqrt(col("n2")).as("c_norm"))
-    val probes = nearest(prep(queries), centroids, nProbe)
-      .select(col("cid"), col("id").as("q_id"), col("vec").as("q_vec"),
-        sqrt(col("n2")).as("q_norm"))
-    val scored = cells.join(broadcast(probes), "cid")
+    val scored = cells.join(broadcast(probes(queries, centroids, nProbe)), "cid")
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("score",
-        round(dotNative(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("c_id"), col("score"))
+      .select(col("q_id"), col("c_id"),
+        round(dotNative(col("q_vec"), col("c_vec")) /
+          (col("q_norm") * col("c_norm")), 6).as("score"))
+    TopK.perKey(scored, "q_id", "c_id", "score", k)
   }
 
   /** Recall@k of IVF against the exact baseline, per query (mirrors

@@ -54,7 +54,11 @@ object PipelineQueries {
 
   /** N-gram (3-shingle) Jaccard near-dup pairs ≥ 0.2. */
   def q19NgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.2)
+    // MEMORY_AND_DISK at bench scale (same rationale as q20); the
+    // 100 TB configuration passes NONE and recomputes the scan-side
+    // shingle projection instead of spilling executor storage.
+    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.2,
+      shinglePersist = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("d1", "d2")
 
   /** MinHash(64)+LSH(16 bands) candidates, exact-Jaccard-verified at
@@ -147,6 +151,21 @@ object PipelineQueries {
     // same recall on them, and the plan cost amortizes at real scale
     Pq.recallVsExact(emb, emb.filter(col("vec_id") < 10), k = 3,
       dim = 64, nSub = 8, codewords = 16, nIters = 1, rerank = 20)
+      .orderBy("q_id")
+  }
+
+  /** IVF+PQ composed ANN recall@3 — the billion-scale layout: coarse
+    * cells bound the scan (4 of 16 probed), PQ codes bound the memory
+    * (8 bytes per list entry), exact re-rank of the ADC top-20 touches
+    * only 20 true vectors per query. No oracle — approximate scale
+    * path like q25/q31/q59; the probe-all/rerank-all degeneracy ==
+    * brute force (q22's oracle) is spec-asserted, and PlanSpec pins
+    * the codes-only cell-pruned search scan. */
+  def q60IvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    IvfPq.recallVsExact(emb, emb.filter(col("vec_id") < 10), k = 3,
+      nCentroids = 16, centroidIters = 2, nProbe = 4,
+      dim = 64, nSub = 8, codewords = 16, pqIters = 1, rerank = 20)
       .orderBy("q_id")
   }
 
@@ -1087,5 +1106,6 @@ object PipelineQueries {
     "q57_budget_select" -> (q57BudgetSelect _),
     "q58_datacard" -> (q58Datacard _),
     "q59_pq_recall" -> (q59PqRecall _),
+    "q60_ivfpq_recall" -> (q60IvfPqRecall _),
   )
 }

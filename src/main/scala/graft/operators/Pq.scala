@@ -1,9 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.PqEncode
 import graft.functions.VectorFunctions._
 
 /** Product quantization (PQ) — the ANN memory-compression scale path
@@ -13,23 +13,27 @@ import graft.functions.VectorFunctions._
   * per-query lookup table (asymmetric distance computation, ADC).
   * At 100 TB this is what makes the index FIT — 64 floats become 8
   * bytes — and IVF+PQ together are the standard billion-scale layout
-  * (cells bound the scan, codes bound the memory).
+  * (cells bound the scan, codes bound the memory; see [[IvfPq]]).
   *
   * Spark shape, all declarative:
-  *  - [[train]]: one [[Ivf.train]] k-means per subspace over a sliced
-  *    view of the corpus (codebooks are nSub·k·subDim doubles —
-  *    always driver/broadcast-small by construction);
-  *  - [[encode]]: a pure scan-side projection — the argmin over k
-  *    codewords is an `array_min` over a LITERAL struct array of
-  *    codeword distances (whole-stage codegen, no join, no shuffle);
-  *  - [[adcTopK]]: queries build their 8×k inner-product tables,
-  *    which broadcast; the encoded corpus is scanned once with
-  *    `element_at` lookups per subspace — the corpus never shuffles
-  *    beyond the bounded per-query top-k.
+  *  - [[train]]: per-subspace k-means, all subspaces in one job per
+  *    Lloyd round (codebooks are nSub·k·subDim doubles — always
+  *    driver/broadcast-small by construction);
+  *  - [[encode]]: a pure scan-side projection — the whole code array
+  *    is ONE native [[graft.functions.PqEncode]] expression (constant
+  *    plan size and compile cost at any nSub·k, unlike the literal
+  *    `array_min` tree kept as [[codeColBuiltin]] for the parity spec);
+  *  - [[adcTopK]]: queries build their nSub×k inner-product tables,
+  *    which broadcast; the ADC pass scans a CODES-ONLY projection
+  *    (vec_id, code, stored norm — the embedding never rides the
+  *    search scan), ranking through the bounded [[TopK]] aggregator so
+  *    the shuffle carries O(queries·k), never every scored candidate;
+  *    re-ranking point-fetches candidate vectors by id with a
+  *    broadcast join — the PQ compression story end to end.
   *
-  * Determinism: codebooks come from [[Ivf.train]] (deterministic
-  * seeds), encoding ties break by codeword id, ADC ties by candidate
-  * id — reproducible run-to-run like every other ANN path here.
+  * Determinism: codebooks come from deterministic seeds (first k
+  * vectors by id), encoding ties break by codeword id, ADC ties by
+  * candidate id — reproducible run-to-run like every other ANN path.
   */
 object Pq {
 
@@ -42,12 +46,13 @@ object Pq {
   private def sliceCol(vec: Column, m: Int, subDim: Int): Column =
     slice(vec, m * subDim + 1, subDim)
 
-  /** Nearest-codeword id (0-based) of subspace m as a pure scan
-    * expression: argmin over ‖sub − cw‖² with the codeword-independent
-    * ‖sub‖² term dropped — an `array_min` over a literal struct array,
-    * ties toward the lower codeword id. Whole-stage codegen, no join,
-    * no shuffle. Shared by [[train]]'s Lloyd step and [[encode]]. */
-  private def codeCol(vec: Column, m: Int, subDim: Int,
+  /** Built-in-only nearest-codeword id (0-based) of subspace m: argmin
+    * over ‖sub − cw‖² with the codeword-independent ‖sub‖² dropped —
+    * an `array_min` over a literal struct array, ties toward the lower
+    * codeword id. Kept as the oracle-expressible reference formulation;
+    * the production path is the native [[graft.functions.PqEncode]]
+    * (PipelineSpec pins their equality element-for-element). */
+  def codeColBuiltin(vec: Column, m: Int, subDim: Int,
       book: Array[Array[Double]]): Column = {
     val sub = sliceCol(vec, m, subDim)
     val entries = book.zipWithIndex.map { case (cw, j) =>
@@ -59,13 +64,13 @@ object Pq {
   }
 
   /** Per-subspace k-means codebooks. ALL subspaces train together:
-    * each Lloyd round is ONE job — codes come from the scan-side
-    * [[codeCol]] expression against the current (literal) codebooks,
-    * and a single (subspace·k + code)-keyed [[VecMeanAgg]] shuffle
-    * recomputes every codeword mean (map tasks emit one (Σ, n) per
-    * codeword — O(nSub·k·subDim) per task regardless of corpus size).
-    * Codebooks are nSub·k·subDim doubles, materialized on the driver
-    * per round (constant-depth plans, the Ivf.train lesson). */
+    * each Lloyd round is ONE job — the full code array comes from one
+    * scan-side [[graft.functions.PqEncode]] against the current
+    * codebooks, and a single (subspace·k + code)-keyed [[VecMeanAgg]]
+    * shuffle recomputes every codeword mean (map tasks emit one (Σ, n)
+    * per codeword — O(nSub·k·subDim) per task regardless of corpus
+    * size). Codebooks are nSub·k·subDim doubles, materialized on the
+    * driver per round (constant-depth plans, the Ivf.train lesson). */
   def train(corpus: DataFrame, dim: Int, nSub: Int, k: Int,
       nIters: Int): Codebooks = {
     require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
@@ -84,12 +89,12 @@ object Pq {
     var it = 0
     while (it < nIters) {
       val parts = (0 until nSub).map { m =>
-        struct((lit(m * k) + codeCol(col("embedding"), m, subDim, books(m)))
-            .as("key"),
+        struct((lit(m * k) + element_at(col("__code"), m + 1)).as("key"),
           transform(sliceCol(col("embedding"), m, subDim), x => x.cast("double"))
             .as("v"))
       }
       val means = corpus
+        .withColumn("__code", PqEncode(col("embedding"), books))
         .select(posexplode(array(parts: _*)).as(Seq("m", "s")))
         .select(col("s.key"), col("s.v")).as[(Int, Seq[Double])]
         .groupByKey(_._1)
@@ -105,46 +110,30 @@ object Pq {
   }
 
   /** Scan-side encoder: adds `code` (array<int>, 0-based codeword ids,
-    * one per subspace) — one [[codeCol]] argmin per subspace, all in
-    * the scan projection. */
+    * one per subspace) via the native [[graft.functions.PqEncode]] —
+    * one expression node, whole-stage codegen, no join, no shuffle. */
   def encode(corpus: DataFrame, cb: Codebooks): DataFrame =
-    corpus.withColumn("code", array((0 until cb.nSub).map(m =>
-      codeCol(col("embedding"), m, cb.subDim, cb.books(m))): _*))
+    corpus.withColumn("code", PqEncode(col("embedding"), cb.books))
 
   /** Decoded (reconstructed) vector for a code — spec/diagnostic
     * helper; production never materializes it. */
   def decode(code: Seq[Int], cb: Codebooks): Array[Double] =
     code.zipWithIndex.flatMap { case (j, m) => cb.books(m)(j) }.toArray
 
-  /** ADC cosine top-k over an encoded corpus: every query precomputes
-    * its nSub×k inner-product table (tiny, broadcast); each corpus row
-    * costs nSub `element_at` lookups. Norm uses the EXACT stored
-    * vector norm (kept beside the code — the standard trick to keep
-    * cosine well-scaled while the dot is approximated). Output schema
-    * matches [[Similarity.bruteForceTopK]].
-    *
-    * `rerank > 0` enables the production refinement: ADC retrieves the
-    * top-`rerank` candidates per query, which are re-scored with the
-    * EXACT dot — recall approaches exact while only `rerank` true
-    * vectors per query are touched. `rerank ≥ |corpus|` degenerates to
-    * exact brute force (PqSpec anchors this to
-    * [[Similarity.bruteForceTopK]], which carries the q22 oracle).
-    * Here the candidate vectors ride the scan; at 100 TB they'd be
-    * point-fetched by id after the ADC pass instead. */
-  def adcTopK(encoded: DataFrame, queries: DataFrame, k: Int,
-      cb: Codebooks, rerank: Int = 0): DataFrame = {
-    val spark = encoded.sparkSession
+  /** Per-query ADC lookup tables, built on the driver from the
+    * collected (small) query set — queries are the broadcast side by
+    * contract, same as bruteForceTopK. Output columns:
+    * (q_id, lut, q_norm, q_vec) with lut(m)(j) = ⟨q_m, codeword_mj⟩. */
+  private[operators] def buildLut(queries: DataFrame, cb: Codebooks): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
-    // per-query LUT: lut(m)(j) = dot(q_m, codeword_mj), built on the
-    // driver from the collected (small) query set — queries are the
-    // broadcast side by contract, same as bruteForceTopK
     val qRows = queries
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"),
         normNative(col("embedding")).as("qn"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-    val lutDF = qRows.toSeq.map { case (qid, qv, qn) =>
+    qRows.toSeq.map { case (qid, qv, qn) =>
       val lut = cb.books.zipWithIndex.map { case (book, m) =>
         book.map { cw =>
           var s = 0.0
@@ -155,32 +144,68 @@ object Pq {
       }.toSeq
       (qid, lut, qn, qv.toSeq)
     }.toDF("q_id", "lut", "q_norm", "q_vec")
-    val corpus = encoded.select(col("vec_id").as("c_id"), col("code"),
-      col("embedding").as("c_vec"), normNative(col("embedding")).as("c_norm"))
-    // static unroll: one element_at chain per subspace, codegen-friendly
-    val dotApprox = (0 until cb.nSub)
-      .map(m => element_at(element_at(col("lut"), m + 1),
-        element_at(col("code"), m + 1) + 1))
+  }
+
+  /** Approximate dot via the broadcast LUT: one `element_at` chain per
+    * subspace — static unroll, codegen-friendly. */
+  private[operators] def adcDot(lut: Column, code: Column, nSub: Int): Column =
+    (0 until nSub)
+      .map(m => element_at(element_at(lut, m + 1), element_at(code, m + 1) + 1))
       .reduce(_ + _)
-    val scored = corpus.crossJoin(broadcast(lutDF))
+
+  /** Exact re-rank of ADC candidates: point-fetch the candidates' true
+    * vectors by id (candidate ids broadcast — the corpus side scans,
+    * never shuffles), score with the exact dot, bounded top-k. */
+  private[operators] def exactRerank(cand: DataFrame, vectors: DataFrame,
+      lutDF: DataFrame, k: Int): DataFrame = {
+    val cVecs = vectors.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"), normNative(col("embedding")).as("c_norm"))
+    val exact = cVecs
+      .join(broadcast(cand.select(col("q_id"), col("c_id"))), "c_id")
+      .join(broadcast(lutDF.select(col("q_id"), col("q_vec"), col("q_norm"))), "q_id")
+      .select(col("q_id"), col("c_id"),
+        round(dotNative(col("q_vec"), col("c_vec")) /
+          (col("q_norm") * col("c_norm")), 6).as("score"))
+    TopK.perKey(exact, "q_id", "c_id", "score", k)
+  }
+
+  /** ADC cosine top-k over an encoded corpus: every query precomputes
+    * its nSub×k inner-product table (tiny, broadcast); each corpus row
+    * costs nSub `element_at` lookups. Norm uses the EXACT stored
+    * vector norm (the standard trick to keep cosine well-scaled while
+    * the dot is approximated) — taken from a `vec_norm` column when
+    * the index stores one, else computed from the embedding. The ADC
+    * scan itself projects only (vec_id, code, norm): with a
+    * materialized codes-only index the embedding bytes are never read
+    * until re-rank. Ranking is the bounded [[TopK]] aggregator — the
+    * shuffle carries O(queries·k), not every ADC-scored row. Output
+    * schema matches [[Similarity.bruteForceTopK]].
+    *
+    * `rerank > 0` enables the production refinement: ADC retrieves the
+    * top-`rerank` candidates per query, whose TRUE vectors are then
+    * point-fetched by id from `vectors` (defaults to `encoded` itself)
+    * and re-scored exactly — recall approaches exact while only
+    * `rerank` true vectors per query are touched. `rerank ≥ |corpus|`
+    * degenerates to exact brute force (PipelineSpec anchors this to
+    * [[Similarity.bruteForceTopK]], which carries the q22 oracle). */
+  def adcTopK(encoded: DataFrame, queries: DataFrame, k: Int,
+      cb: Codebooks, rerank: Int = 0, vectors: DataFrame = null): DataFrame = {
+    val lutDF = buildLut(queries, cb)
+    val index =
+      if (encoded.columns.contains("vec_norm"))
+        encoded.select(col("vec_id").as("c_id"), col("code"),
+          col("vec_norm").as("c_norm"))
+      else
+        encoded.select(col("vec_id").as("c_id"), col("code"),
+          normNative(col("embedding")).as("c_norm"))
+    val scored = index.crossJoin(broadcast(lutDF.select("q_id", "lut", "q_norm")))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("score", round(dotApprox / (col("q_norm") * col("c_norm")), 6))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
-    if (rerank <= 0)
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-        .select(col("q_id"), col("rk"), col("c_id"), col("score"))
-    else {
-      // refinement: exact dot over the ADC top-`rerank` candidates only
-      val cand = scored.withColumn("rk0", row_number().over(w))
-        .filter(col("rk0") <= rerank)
-        .withColumn("exact_score",
-          round(dotNative(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
-      val w2 = Window.partitionBy("q_id")
-        .orderBy(col("exact_score").desc, col("c_id"))
-      cand.withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
-        .select(col("q_id"), col("rk"), col("c_id"),
-          col("exact_score").as("score"))
-    }
+      .select(col("q_id"), col("c_id"),
+        round(adcDot(col("lut"), col("code"), cb.nSub) /
+          (col("q_norm") * col("c_norm")), 6).as("score"))
+    if (rerank <= 0) TopK.perKey(scored, "q_id", "c_id", "score", k)
+    else exactRerank(TopK.perKey(scored, "q_id", "c_id", "score", rerank),
+      if (vectors == null) encoded else vectors, lutDF, k)
   }
 
   /** Recall@k of PQ-ADC against the exact baseline, per query

@@ -49,12 +49,16 @@ object Quantiles {
       ps: Seq[(String, Double)], nBuckets: Int = 1024): DataFrame = {
     val base = df.select(col(groupCol).as("g"), col(valCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
-    // 1. per-group value range → fixed bucket width. Persisted: the
-    // bucketed view is consumed by BOTH the histogram pass and the
-    // selection pass, and without materialization each would re-scan
-    // the base for the min/max agg. #groups rows — always tiny.
+    // 1. per-group value range → fixed bucket width. Materialized via
+    // localCheckpoint: the bucketed view is consumed by BOTH the
+    // histogram pass and the selection pass, and without
+    // materialization each would re-scan the base for the min/max agg.
+    // #groups rows — always tiny. localCheckpoint (not persist): a
+    // persist() registers in the CacheManager and leaks one cached
+    // table per invocation unless the caller unpersists; checkpoint
+    // blocks are dropped by the ContextCleaner once the plan is GC'd.
     val stats = base.groupBy("g").agg(min("v").as("vmin"), max("v").as("vmax"))
-      .persist()
+      .localCheckpoint()
     val wb = base.join(broadcast(stats), "g")
       .withColumn("bw", (col("vmax") - col("vmin")) / lit(nBuckets.toDouble))
       .withColumn("bucket",

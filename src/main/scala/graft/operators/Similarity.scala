@@ -84,15 +84,14 @@ object Similarity {
         explode(lshProbeBuckets(col("q_base"), nPlanes)).as("q_bucket"))
     // probe buckets are pairwise-distinct and each corpus row has one
     // bucket, so a (q_id, c_id) pair matches at most one probe — no
-    // dedup needed before ranking.
+    // dedup needed before ranking. Ranking is the bounded [[TopK]]
+    // aggregator: the shuffle carries O(queries·k) rows, never every
+    // bucket-local candidate.
     val scored = c.join(broadcast(q), col("c_bucket") === col("q_bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("score",
-        pairScore(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"), dim))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("c_id"), col("score"))
+      .select(col("q_id"), col("c_id"),
+        pairScore(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"), dim).as("score"))
+    TopK.perKey(scored, "q_id", "c_id", "score", k)
   }
 
   /** Cross-corpus cosine threshold join: every (a, b) pair with

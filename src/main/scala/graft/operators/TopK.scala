@@ -70,12 +70,20 @@ final case class TopKResultS(values: Seq[ScoredS])
 /** [[TopKAggregatorBase]] for string-identified candidates — same
   * bounded buffer and ordering contract (score desc, id asc on ties,
   * here by binary UTF-8 string order, matching both Spark's and
-  * DuckDB's default string comparison). */
+  * DuckDB's default string comparison). Java's `String` compareTo is
+  * UTF-16 code-unit order, which diverges from UTF-8 byte order for
+  * supplementary-plane ids (emoji, rare CJK) — ties go through
+  * UTF8String.binaryCompare so the aggregator agrees with the window
+  * row_number form on ANY id. */
 class TopKAggregatorStr(k: Int)
     extends Aggregator[(String, String, Double), TopKBufferS, TopKResultS] {
 
+  private def utf8Less(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .binaryCompare(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
   private def better(a: ScoredS, b: ScoredS): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+    a.score > b.score || (a.score == b.score && utf8Less(a.id, b.id))
 
   private def insert(buf: List[ScoredS], x: ScoredS): List[ScoredS] = {
     val (front, back) = buf.span(better(_, x))

@@ -327,6 +327,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("bloom anti-join with an EMPTY holdout keeps every left row") {
+    // BloomFilterAggregate over zero rows evals to null; without the
+    // coalesce in bloomAntiJoin the null would propagate through
+    // might_contain and BOTH branches would drop every row
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .withColumn("fp", TextFunctions.fingerprint(col("text")).cast("string"))
+    val left = docs.filter(col("doc_id") % 3 =!= 0)
+    val empty = docs.filter(lit(false)).select("fp")
+    val kept = Decontaminate.bloomAntiJoin(left, empty, "fp", expectedItems = 64)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val all = left.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(all.nonEmpty)
+    assert(kept.toSeq === all.toSeq)
+  }
+
   test("string-id TopK aggregator equals the window row_number form") {
     import spark.implicits._
     val counts = spark.read.parquet(s"$sf001/documents.parquet")
@@ -529,6 +544,55 @@ class PipelineSpec extends AnyFunSuite {
     val exact = Similarity.bruteForceTopK(emb, queries, 3)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     assert(got === exact)
+  }
+
+  test("native PqEncode equals the built-in array_min formulation element-for-element") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val cb = graft.operators.Pq.train(emb, dim = 64, nSub = 8, k = 16, nIters = 2)
+    val builtin = emb.withColumn("code", array((0 until cb.nSub).map(m =>
+      graft.operators.Pq.codeColBuiltin(col("embedding"), m, cb.subDim, cb.books(m))): _*))
+      .select(col("vec_id"), col("code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val native = graft.operators.Pq.encode(emb, cb)
+      .select(col("vec_id"), col("code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(native.nonEmpty)
+    native.foreach { case (id, code) =>
+      assert(code === builtin(id), s"vec_id=$id")
+    }
+  }
+
+  test("IVF+PQ with every cell probed and rerank over everything equals exact brute force") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val centroids = graft.operators.Ivf.train(emb, nCentroids = 8, nIters = 1)
+    val cb = graft.operators.Pq.train(emb, dim = 64, nSub = 8, k = 16, nIters = 1)
+    val n = emb.count().toInt
+    val got = graft.operators.IvfPq
+      .topK(emb, queries, k = 3, centroids, nProbe = 8, cb, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === exact)
+  }
+
+  test("string-id TopK tie-break is UTF-8 byte order, agreeing with the window form on supplementary-plane ids") {
+    import spark.implicits._
+    // '�' (REPLACEMENT, 3-byte UTF-8) vs a surrogate-pair emoji
+    // (4-byte UTF-8, code point U+1F600): UTF-16 code-unit order puts
+    // the emoji FIRST (high surrogate 0xD83D < 0xFFFD) while UTF-8 byte
+    // order puts it LAST — exactly the divergence ADVICE flagged
+    val ids = Seq("a", "�", "😀", "z")
+    val rows = ids.map(id => ("g", id, 1.0)).toDF("key", "id", "score")
+    val viaAgg = TopK.perStringKeyStringId(rows, "key", "id", "score", 4)
+      .select("rk", "id").collect().map(r => (r.getInt(0), r.getString(1))).sorted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("score").desc, col("id"))
+    val viaWindow = rows.withColumn("rk", row_number().over(w))
+      .select("rk", "id").collect().map(r => (r.getInt(0), r.getString(1))).sorted
+    assert(viaAgg.toSeq === viaWindow.toSeq)
+    // and the emoji really does sort after U+FFFD here (UTF-8 order)
+    assert(viaWindow.find(_._2 == "😀").get._1 === 4)
   }
 
   test("morton2 equals a bit-loop reference; z-buckets are bounded 2-D tiles") {

@@ -195,6 +195,62 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN search paths rank on the bounded aggregator — no rank window over q_id") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Ivf, Pq, Similarity}
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val centroids = Ivf.train(emb, nCentroids = 8, nIters = 1)
+    val cb = Pq.train(emb, dim = 64, nSub = 8, k = 16, nIters = 1)
+    val plans = Seq(
+      "Ivf.topK" -> Ivf.topK(emb, queries, 3, centroids, nProbe = 2),
+      "Similarity.lshTopK" -> Similarity.lshTopK(emb, queries, 3, nPlanes = 4, dim = 64),
+      "Pq.adcTopK" -> Pq.adcTopK(Pq.encode(emb, cb), queries, 3, cb, rerank = 10),
+      "IvfPq.topK" -> graft.operators.IvfPq.topK(
+        emb, queries, 3, centroids, nProbe = 2, cb, rerank = 10))
+    plans.foreach { case (name, df) =>
+      val plan = df.queryExecution.optimizedPlan.toString
+      // the shuffle must carry O(queries·k), never every scored
+      // candidate — a rank window over the candidate scores would sort
+      // all of them reduce-side. (The probe-list window that picks each
+      // query's nProbe nearest CELLS is allowed: it runs over the
+      // broadcast-small query side and orders by centroid distance d2,
+      // never by a candidate score.)
+      val specs = "windowspecdefinition\\(([^)]*)\\)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      specs.foreach(spec =>
+        assert(!spec.contains("score"),
+          s"$name must not rank candidates with a window: $spec"))
+      val physical = planString(df)
+      assert(physical.contains("ObjectHashAggregate") || physical.contains("SortAggregate"),
+        s"$name must rank through the typed aggregator:\n" + physical.take(2000))
+    }
+  }
+
+  test("IVF+PQ: the materialized index is codes-only — the search scan never reads embeddings") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Ivf, IvfPq, Pq}
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val centroids = Ivf.train(emb, nCentroids = 8, nIters = 1)
+    val cb = Pq.train(emb, dim = 64, nSub = 8, k = 16, nIters = 1)
+    val idxPath = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    // index build reads the embeddings ONCE; searches read 8 ints +
+    // one double per row (the memory story PQ exists for)
+    IvfPq.buildIndex(emb, centroids, cb)
+      .write.mode("overwrite").parquet(idxPath)
+    val index = spark.read.parquet(idxPath)
+    val queries = emb.filter(col("vec_id") < 5)
+    val searched = IvfPq.searchIndex(index, queries, 3, centroids, nProbe = 2, cb)
+    val plan = planString(searched)
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(readSchemas.nonEmpty, plan.take(2000))
+    // the index scan reads cid/vec_id/code/vec_norm only
+    assert(readSchemas.exists(s => s.contains("code") && !s.contains("embedding")),
+      "index scan must be codes-only:\n" + readSchemas.mkString("\n"))
+    // and the probe join prunes cells before ADC scoring
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("q49: mix weights broadcast back — the document side never shuffles") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
