@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.mapping.TypeMapper
+import graft.model.TableDef
+
+/** Iceberg table-format metadata emitted from a translated [[TableDef]].
+  *
+  * The reference stops at DDL text (`/root/reference/db2ice/converter.py:103-183`
+  * renders `CREATE OR REPLACE ICEBERG TABLE ...`); the actual Iceberg
+  * *runtime* jar is not vendable in this sandbox (offline resolver), so
+  * this module closes the S9 gap from the other side: it writes the
+  * Iceberg **table-spec v2 metadata JSON** (schema with field-ids,
+  * partition spec, sort order, snapshot-less skeleton) that a real
+  * catalog/`HadoopTables` would produce for the same table, laid out as
+  * `<table>/metadata/v1.metadata.json` + `version-hint.text` so an
+  * Iceberg runtime pointed at the directory reads a valid empty table.
+  *
+  * Field-id assignment follows the spec's initial-schema rule (columns
+  * numbered 1..n in declaration order); partition fields start at 1000.
+  * The DDL↔metadata correspondence is pinned by `IcebergMetadataSpec`:
+  * every column, type, NOT NULL, `PARTITION BY` column and `CLUSTER BY`
+  * column in the rendered DDL round-trips through this metadata.
+  *
+  * Scale note: metadata generation is driver-side string work per table
+  * (O(columns), no Spark job) — the data files underneath are written by
+  * the distributed parquet path in [[graft.api.SchemaTranslator]].
+  */
+object IcebergMetadata {
+
+  private val NumberPattern = """NUMBER\((\d+),(\d+)\)""".r
+
+  /** Converted target-type string → Iceberg primitive type name
+    * (table-spec v2 `type` strings). Unknown targets degrade to
+    * `string`, mirroring `SchemaTranslator.icebergToSpark`. */
+  def icebergType(target: String): String = target match {
+    case "INTEGER" => "int"
+    case "BIGINT" => "long"
+    case "FLOAT" => "float"
+    case "DOUBLE" => "double"
+    case "STRING" => "string"
+    case "BINARY" => "binary"
+    case "DATE" => "date"
+    case "BOOLEAN" => "boolean"
+    case "TIME(6)" => "time"
+    case "TIMESTAMP_NTZ(6)" => "timestamp"
+    case t if t.startsWith("TIMESTAMP_LTZ") => "timestamptz"
+    case NumberPattern(p, s) => s"decimal($p,$s)"
+    case _ => "string"
+  }
+
+  /** Schema struct with spec-rule field ids (1..n, declaration order). */
+  def schemaJson(table: TableDef): JObject = {
+    val fields = table.columns.zipWithIndex.map { case (c, i) =>
+      val mapping = TypeMapper.mapType(c.dataType, c.length, c.precision,
+        c.scale, c.forBitData, c.ccsid)
+      JObject(
+        "id" -> JInt(i + 1),
+        "name" -> JString(c.name),
+        "required" -> JBool(!c.nullable),
+        "type" -> JString(icebergType(mapping.targetType)))
+    }
+    JObject(
+      "type" -> JString("struct"),
+      "schema-id" -> JInt(0),
+      "fields" -> JArray(fields.toList))
+  }
+
+  /** Partition spec: RANGE columns → identity transforms; a HASH
+    * partition type → bucket[16] (DB2 hash distribution ≈ Iceberg hash
+    * bucketing). Partition field-ids start at 1000 per the spec. */
+  def partitionSpecJson(table: TableDef): JObject = {
+    val colId = table.columns.map(_.name).zipWithIndex.toMap
+    val partCols = table.partition.toSeq.flatMap { p =>
+      val transform = if (p.ptype == "HASH") "bucket[16]" else "identity"
+      p.columns.filter(colId.contains).map(c => (c, transform))
+    }
+    val fields = partCols.zipWithIndex.map { case ((name, transform), i) =>
+      JObject(
+        "name" -> JString(name),
+        "transform" -> JString(transform),
+        "source-id" -> JInt(colId(name) + 1),
+        "field-id" -> JInt(1000 + i))
+    }
+    JObject("spec-id" -> JInt(0), "fields" -> JArray(fields.toList))
+  }
+
+  /** Sort order: `DISTRIBUTE BY HASH` renders as `CLUSTER BY` in the
+    * DDL; its Iceberg analogue is the table's default sort order. */
+  def sortOrderJson(table: TableDef): JObject = {
+    val colId = table.columns.map(_.name).zipWithIndex.toMap
+    val fields = table.distributeByHash.toSeq.filter(colId.contains).map { c =>
+      JObject(
+        "transform" -> JString("identity"),
+        "source-id" -> JInt(colId(c) + 1),
+        "direction" -> JString("asc"),
+        "null-order" -> JString("nulls-first"))
+    }
+    JObject(
+      "order-id" -> JInt(if (fields.isEmpty) 0 else 1),
+      "fields" -> JArray(fields.toList))
+  }
+
+  /** Full table-spec v2 metadata document (no snapshots yet — the state
+    * a catalog records at CREATE TABLE). Deterministic: the table UUID
+    * is name-derived and the timestamp is a parameter. */
+  def metadataJson(table: TableDef, location: String,
+      lastUpdatedMs: Long = 0L): String = {
+    val spec = partitionSpecJson(table)
+    val nPartFields = (spec \ "fields").asInstanceOf[JArray].arr.size
+    val order = sortOrderJson(table)
+    val doc = JObject(
+      "format-version" -> JInt(2),
+      "table-uuid" -> JString(
+        UUID.nameUUIDFromBytes(table.fullName.getBytes(StandardCharsets.UTF_8)).toString),
+      "location" -> JString(location),
+      "last-sequence-number" -> JInt(0),
+      "last-updated-ms" -> JInt(BigInt(lastUpdatedMs)),
+      "last-column-id" -> JInt(table.columns.size),
+      "current-schema-id" -> JInt(0),
+      "schemas" -> JArray(List(schemaJson(table))),
+      "default-spec-id" -> JInt(0),
+      "partition-specs" -> JArray(List(spec)),
+      "last-partition-id" -> JInt(999 + nPartFields),
+      "default-sort-order-id" -> JInt((order \ "order-id").asInstanceOf[JInt].num),
+      "sort-orders" -> JArray(List(order)),
+      "properties" -> JObject("write.format.default" -> JString("parquet")),
+      "current-snapshot-id" -> JInt(-1),
+      "snapshots" -> JArray(Nil),
+      "snapshot-log" -> JArray(Nil),
+      "metadata-log" -> JArray(Nil))
+    JsonMethods.pretty(JsonMethods.render(doc)) + "\n"
+  }
+
+  /** Write `metadata/v1.metadata.json` + `version-hint.text` under
+    * `tablePath` (HadoopTables layout) on any Hadoop-compatible FS. */
+  def writeTableMetadata(table: TableDef, tablePath: String,
+      conf: Configuration = new Configuration(),
+      lastUpdatedMs: Long = 0L): Path = {
+    val dir = new Path(tablePath, "metadata")
+    val fs = FileSystem.get(dir.toUri, conf)
+    fs.mkdirs(dir)
+    val metaFile = new Path(dir, "v1.metadata.json")
+    val out = fs.create(metaFile, true)
+    try out.write(metadataJson(table, tablePath, lastUpdatedMs)
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val hint = fs.create(new Path(dir, "version-hint.text"), true)
+    try hint.write("1\n".getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    metaFile
+  }
+}
