@@ -81,4 +81,18 @@ object SchemaTranslator {
       .fold(writer)(p => writer.partitionBy(p.columns: _*))
     partitioned.save(path)
   }
+
+  /** Full table migration in the HadoopTables directory layout: data
+    * files under `<path>/data` (distributed write, RANGE-partitioned
+    * when declared) plus Iceberg table-spec v2 metadata under
+    * `<path>/metadata` so an Iceberg runtime pointed at `path` sees a
+    * valid table whose declared schema matches the data files. The
+    * metadata document is driver-side O(columns) string work; only the
+    * data write runs as a Spark job. */
+  def migrateTable(df: DataFrame, table: TableDef, path: String,
+      format: String = "parquet"): Unit = {
+    writeMigrated(df, table, s"$path/data", format)
+    graft.sources.IcebergMetadata.writeTableMetadata(
+      table, path, df.sparkSession.sparkContext.hadoopConfiguration)
+  }
 }

@@ -167,4 +167,52 @@ class MappingSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("O_ORDERSTATUS"), plan)
     assert(pruned.count() === src.filter(col("o_orderstatus") === "F").count())
   }
+
+  test("migrateTable: HadoopTables layout — data/ + metadata/ in one call, " +
+      "metadata schema agrees with the written data files") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val ddl =
+      """CREATE TABLE S.EVENTS2 (
+        |  EVENT_ID BIGINT NOT NULL,
+        |  AMOUNT DECIMAL(10,2),
+        |  BUCKET INTEGER
+        |) PARTITION BY RANGE (BUCKET);""".stripMargin
+    val table = Db2Parser.parse(ddl).tables.head
+    import spark.implicits._
+    val src = Seq((1L, "10.50", 1), (2L, "20.25", 2)).toDF("EVENT_ID", "AMOUNT", "BUCKET")
+    val out = java.nio.file.Files.createTempDirectory("iceberg_table").toString
+    SchemaTranslator.migrateTable(src, table, out)
+
+    val back = spark.read.parquet(s"$out/data")
+    assert(back.count() === 2)
+    val metaPath = java.nio.file.Paths.get(out, "metadata", "v1.metadata.json")
+    assert(java.nio.file.Files.exists(metaPath))
+    val meta = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8"))
+
+    // every metadata field's Iceberg type bridges back to the Spark type
+    // the parquet files actually carry (partition col comes back via
+    // directory inference, checked by name only).
+    val fields = ((meta \ "schemas")(0) \ "fields").asInstanceOf[JArray].arr
+    assert(fields.map(f => (f \ "name").asInstanceOf[JString].s) ===
+      List("EVENT_ID", "AMOUNT", "BUCKET"))
+    fields.filterNot(f => (f \ "name").asInstanceOf[JString].s == "BUCKET").foreach { f =>
+      val name = (f \ "name").asInstanceOf[JString].s
+      val icebergT = (f \ "type").asInstanceOf[JString].s
+      val sparkT = icebergT match {
+        case "long" => org.apache.spark.sql.types.LongType
+        case s if s.startsWith("decimal") =>
+          val Array(p, sc) = s.stripPrefix("decimal(").stripSuffix(")").split(",")
+          DecimalType(p.trim.toInt, sc.trim.toInt)
+        case other => fail(s"unexpected metadata type $other")
+      }
+      assert(back.schema(name).dataType === sparkT, name)
+    }
+    // partition spec matches the physical directory layout
+    val pf = ((meta \ "partition-specs")(0) \ "fields").asInstanceOf[JArray].arr
+    assert(pf.size === 1 && (pf.head \ "name").asInstanceOf[JString].s === "BUCKET")
+    val dirs = new java.io.File(s"$out/data").listFiles().map(_.getName)
+      .filter(_.startsWith("BUCKET=")).toSet
+    assert(dirs === Set("BUCKET=1", "BUCKET=2"))
+  }
 }
