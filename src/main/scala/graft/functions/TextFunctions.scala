@@ -116,4 +116,59 @@ object TextFunctions {
           i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j)): _*)))
         .otherwise(array().cast("array<string>")))
   }
+
+  // ------------------------------------------------- repetition signals
+
+  /** Count of the single most frequent token, computed entirely within
+    * the row (array fold over the distinct tokens — O(distinct·n) per
+    * doc, no explode, no shuffle). The numerator of the Gopher-style
+    * "fraction of tokens in the most common word" repetition filter. */
+  def topTokenCount(tokens: Column): Column =
+    array_max(transform(array_distinct(tokens),
+      x => size(filter(tokens, y => y === x))))
+
+  /** The most frequent token itself; ties break to the smallest token
+    * so the value is deterministic and oracle-checkable. */
+  def topToken(tokens: Column): Column = {
+    val maxc = topTokenCount(tokens)
+    array_min(filter(array_distinct(tokens),
+      x => size(filter(tokens, y => y === x)) === maxc))
+  }
+
+  /** Duplicate n-gram count (total minus distinct): the intra-document
+    * repeated-phrase mass behind "fraction of duplicate n-grams"
+    * repetition filters. Scan-side like everything above. */
+  def dupNgramCount(tokens: Column, n: Int): Column = {
+    val g = ngrams(tokens, n)
+    size(g) - size(array_distinct(g))
+  }
+
+  // ------------------------------------------------------ PII redaction
+
+  /** Detection patterns restricted to constructs whose leftmost-greedy
+    * semantics agree between Java regex (Spark) and RE2 (DuckDB), so
+    * redacted output is hash-checkable across engines: explicit char
+    * classes, no \d / \w, no backreferences, no lookaround. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Number of email / phone / IPv4 matches in `text`. */
+  def piiEmailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+  def piiPhoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
+  def piiIpv4Count(text: Column): Column =
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
+
+  /** Masks all emails, then phones, then IPv4s (the order matters and
+    * is part of the contract: an email's digits are consumed before the
+    * phone/IP passes can see them). Pure per-row projection — at 100 TB
+    * PII scrubbing is a map over the scan, nothing shuffles. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
 }

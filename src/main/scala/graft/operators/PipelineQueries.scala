@@ -214,6 +214,57 @@ object PipelineQueries {
       .crossJoin(dupStats)
   }
 
+  /** Gopher-style intra-document repetition signals: most-frequent-token
+    * mass and duplicate-bigram mass, plus an integer-arithmetic
+    * repetition gate (top token ≥ 20% of the doc — exact, no float
+    * division crosses the engine boundary). Every signal is a per-row
+    * array expression: at 100 TB this is a pure map over the scan with
+    * columns pruned to (doc_id, text); nothing explodes, nothing
+    * shuffles before the final presentation sort. */
+  def q61Repetition(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(w).as("n_tokens"),
+        TextFunctions.topToken(w).as("top_token"),
+        TextFunctions.topTokenCount(w).as("top_token_n"),
+        TextFunctions.dupNgramCount(w, 2).as("dup_bigram_n"),
+        (TextFunctions.topTokenCount(w) * 5 >= size(w)).as("is_repetitive"))
+      .orderBy("doc_id")
+  }
+
+  /** PII detect + redact. The fixture corpus carries no PII, so each doc
+    * is augmented with a deterministic doc_id-derived suffix (an email on
+    * every 3rd doc, a phone on every 2nd, an IPv4 on every 5th) — the
+    * oracle synthesizes the identical suffix, so the match counts AND the
+    * full redacted text hash-check across engines. Pure scan-side
+    * projection, like every per-doc operator here. */
+  def q62PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val aug = concat(
+      col("text"),
+      when(pmod(id, lit(3)) === 0,
+        concat(lit(" contact user"), id.cast("string"), lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(pmod(id, lit(2)) === 0,
+        concat(lit(" call +1-555-"),
+          lpad(pmod(id, lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(id, lit(5)) === 0,
+        concat(lit(" host 10."), pmod(id, lit(256)).cast("string"), lit(".0.1")))
+        .otherwise(lit("")))
+    t(s, dir, "documents")
+      .select(col("doc_id"), aug.as("aug"))
+      .select(
+        col("doc_id"),
+        TextFunctions.piiEmailCount(col("aug")).as("n_emails"),
+        TextFunctions.piiPhoneCount(col("aug")).as("n_phones"),
+        TextFunctions.piiIpv4Count(col("aug")).as("n_ips"),
+        TextFunctions.redactPii(col("aug")).as("redacted"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- sampling
 
   /** Deterministic train/val/test split (80/10/10 on md5(doc_id)):
@@ -1066,6 +1117,39 @@ object PipelineQueries {
         |  CAST(sum(height) AS BIGINT) AS sum_height,
         |  CAST(sum(CASE WHEN nf > 0 THEN (nf + 1) // 2 ELSE 0 END) AS BIGINT) AS n_frames
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q61_repetition" ->
+      s"""WITH w AS (SELECT doc_id, $WordsSql AS w FROM documents),
+         |c AS (SELECT doc_id, w, len(w) AS n_tokens, list_distinct(w) AS uq FROM w),
+         |m AS (
+         |  SELECT doc_id, w, n_tokens, uq,
+         |    list_max(list_transform(uq, x -> len(list_filter(w, y -> y = x)))) AS top_token_n
+         |  FROM c),
+         |b AS (
+         |  SELECT doc_id, n_tokens, top_token_n,
+         |    list_min(list_filter(uq, x -> len(list_filter(w, y -> y = x)) = top_token_n)) AS top_token,
+         |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+         |  FROM m)
+         |SELECT doc_id, n_tokens, top_token, top_token_n,
+         |  len(bg) - len(list_distinct(bg)) AS dup_bigram_n,
+         |  top_token_n * 5 >= n_tokens AS is_repetitive
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "q62_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END
+        |    AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(aug, '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+        |  len(regexp_extract_all(aug, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
+        |FROM aug ORDER BY doc_id""".stripMargin,
   )
 
   /** q46 carries q42's oracle verbatim: the Bloom prefilter only drops
@@ -1107,5 +1191,7 @@ object PipelineQueries {
     "q58_datacard" -> (q58Datacard _),
     "q59_pq_recall" -> (q59PqRecall _),
     "q60_ivfpq_recall" -> (q60IvfPqRecall _),
+    "q61_repetition" -> (q61Repetition _),
+    "q62_pii_redact" -> (q62PiiRedact _),
   )
 }

@@ -655,4 +655,51 @@ class PipelineSpec extends AnyFunSuite {
     val sizes = frames.select(length(col("frame"))).distinct().collect().map(_.getInt(0))
     assert(sizes.forall(_ <= 64))
   }
+
+  test("repetition signals: top token (ties to smallest), dup n-grams, gate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a b c"),            // top 'a'×3, gate: 3*5 >= 5 tokens → true
+      (2L, "x y x y x y"),          // top 'x'×3 ties 'y'×3 → min 'x'; bigrams: xy yx xy yx xy → dups 3
+      (3L, "many unique words appear exactly once total")) // 7 tokens, top count 1 → 5 < 7, gate false
+      .toDF("doc_id", "text")
+    val w = TextFunctions.words(col("text"))
+    val r = df.select(col("doc_id"),
+        TextFunctions.topToken(w).as("top"),
+        TextFunctions.topTokenCount(w).as("n"),
+        TextFunctions.dupNgramCount(w, 2).as("dup2"),
+        (TextFunctions.topTokenCount(w) * 5 >= size(w)).as("gate"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("top") === "a" && r(0).getAs[Int]("n") === 3)
+    assert(r(0).getAs[Int]("dup2") === 1) // "a a" appears twice
+    assert(r(0).getAs[Boolean]("gate"))
+    assert(r(1).getAs[String]("top") === "x" && r(1).getAs[Int]("n") === 3)
+    assert(r(1).getAs[Int]("dup2") === 3)
+    assert(r(2).getAs[String]("top") === "appear" && r(2).getAs[Int]("n") === 1)
+    assert(r(2).getAs[Int]("dup2") === 0 && !r(2).getAs[Boolean]("gate"))
+  }
+
+  test("PII redaction masks emails, phones, IPv4s on realistic strings") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at jane.doe+spam@corp.example.co.uk or +44-123-4567"),
+      (2L, "server 192.168.0.1 fell over; paged bob@ops.io at 3am"),
+      (3L, "no pii here, just text with numbers 123 and dots..."),
+      (4L, "dual: a@b.com c@d.org 1-555-0000 10.0.0.1 172.16.254.3"))
+      .toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+        TextFunctions.piiEmailCount(col("text")).as("e"),
+        TextFunctions.piiPhoneCount(col("text")).as("p"),
+        TextFunctions.piiIpv4Count(col("text")).as("i"),
+        TextFunctions.redactPii(col("text")).as("red"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("e") === 1 && r(0).getAs[Int]("p") === 1)
+    assert(r(0).getAs[String]("red") === "reach me at <EMAIL> or <PHONE>")
+    assert(r(1).getAs[Int]("i") === 1 && r(1).getAs[Int]("e") === 1)
+    assert(r(1).getAs[String]("red") === "server <IP> fell over; paged <EMAIL> at 3am")
+    assert(r(2).getAs[Int]("e") === 0 && r(2).getAs[Int]("p") === 0 && r(2).getAs[Int]("i") === 0)
+    assert(r(2).getAs[String]("red") === "no pii here, just text with numbers 123 and dots...")
+    assert(r(3).getAs[Int]("e") === 2 && r(3).getAs[Int]("p") === 1 && r(3).getAs[Int]("i") === 2)
+    assert(r(3).getAs[String]("red") === "dual: <EMAIL> <EMAIL> <PHONE> <IP> <IP>")
+  }
 }

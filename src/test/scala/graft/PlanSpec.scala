@@ -343,4 +343,33 @@ class PlanSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS o_b")
     }
   }
+
+  test("q61/q62: per-doc repetition and PII stats are pure scan projections " +
+      "— no explode, no shuffle, no window") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = TextFunctions.words(col("text"))
+    // the stats projection itself (before any presentation sort)
+    val rep = docs.select(col("doc_id"),
+      TextFunctions.topToken(w).as("top_token"),
+      TextFunctions.topTokenCount(w).as("top_token_n"),
+      TextFunctions.dupNgramCount(w, 2).as("dup_bigram_n"))
+    val pii = docs.select(col("doc_id"),
+      TextFunctions.piiEmailCount(col("text")).as("n_emails"),
+      TextFunctions.redactPii(col("text")).as("redacted"))
+    for ((df, name) <- Seq((rep, "repetition"), (pii, "pii"))) {
+      val plan = planString(df)
+      assert(!plan.contains("Exchange"), s"$name must not shuffle:\n" + plan.take(2000))
+      assert(!plan.contains("Generate"), s"$name must not explode:\n" + plan.take(2000))
+      assert(!plan.contains("Window"), s"$name must not window:\n" + plan.take(2000))
+    }
+    // the full queries add exactly one exchange: the presentation sort
+    for (q <- Seq("q61_repetition", "q62_pii_redact")) {
+      val plan = planString(graft.operators.PipelineQueries.queries(q)(spark, dir))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$q must not hash-shuffle:\n" + plan.take(2000))
+      assert(!plan.contains("Generate"), s"$q must not explode:\n" + plan.take(2000))
+    }
+  }
 }
