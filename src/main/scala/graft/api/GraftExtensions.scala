@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ShingleHashes, SimHash64, VectorDot}
+import graft.functions.{RepetitionStats, ShingleHashes, SimHash64, VectorDot}
 
 /** Session extensions registering the engine's native expressions for
   * SQL use (`spark.sql.extensions=graft.api.GraftExtensions` or
@@ -13,8 +13,9 @@ import graft.functions.{ShingleHashes, SimHash64, VectorDot}
   * Registered: `vector_dot(a, b)` (codegen'd embedding dot product),
   * `simhash64(text)` (whole 64-bit SimHash signature in one per-row
   * call), `shingle_hashes(text, k)` (distinct 64-bit k-shingle hashes
-  * — k must be a literal) — so pure-SQL pipelines get the same hot
-  * paths as the Column API. */
+  * — k must be a literal), `repetition_stats(text, n)` (per-doc
+  * repetition signals — n must be a literal) — so pure-SQL pipelines
+  * get the same hot paths as the Column API. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
@@ -51,8 +52,19 @@ object GraftExtensions {
         children(1).eval().asInstanceOf[Number].intValue())
     })
 
+  val repetitionStatsDescriptor: Descriptor = (
+    FunctionIdentifier("repetition_stats"),
+    new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "repetition_stats takes exactly 2 arguments")
+      require(children(1).foldable, "repetition_stats n must be a literal")
+      RepetitionStats(children.head,
+        children(1).eval().asInstanceOf[Number].intValue())
+    })
+
   val descriptors: Seq[Descriptor] =
-    Seq(vectorDotDescriptor, simHashDescriptor, shingleHashesDescriptor)
+    Seq(vectorDotDescriptor, simHashDescriptor, shingleHashesDescriptor,
+      repetitionStatsDescriptor)
 
   /** Register on an already-built session (tests, REPL): the SQL
     * functions plus the HOF-dot optimizer rewrite (via

@@ -294,4 +294,60 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Corpus-wide repeated-chunk removal (line-level dedup): drop every
+    * chunk that appears in more than `maxDocs` distinct documents —
+    * the boilerplate/navigation-text scrub that runs line-by-line over
+    * web corpora — then reassemble each document from its surviving
+    * chunks in original order. "Lines" here are non-overlapping
+    * `chunkTokens`-token windows (the fixture corpus has no newlines);
+    * with newline-delimited text, split on newlines upstream and pass
+    * chunkTokens large enough to keep one line per chunk.
+    *
+    * Returns (idCol, n_chunks, n_kept_chunks, cleaned) — one row per
+    * input document; fully-boilerplate docs come back with zero kept
+    * chunks and empty text rather than vanishing.
+    *
+    * Scale shape: chunking is a scan-side generator (`posexplode` of a
+    * per-row `transform`); the duplicate-count shuffle carries
+    * (chunk, id) pairs — at 100 TB swap the join key to
+    * `xxhash64(chunk)` so the shuffle moves 8-byte keys, and note the
+    * repeated-chunk set (the boilerplate mass) is orders of magnitude
+    * smaller than the corpus, so the anti-join's right side is
+    * broadcast-able. Reassembly is an `array_sort(collect_list)` — the
+    * per-doc chunk list is bounded by document length, never by corpus
+    * size, and no window function is involved. */
+  def dropRepeatedChunks(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 10, maxDocs: Int = 1): DataFrame = {
+    require(chunkTokens > 0 && maxDocs >= 1, "need chunkTokens > 0, maxDocs >= 1")
+    val w = Chunking.tokens(col(textCol))
+    val chunked = docs
+      .select(col(idCol), w.as("__w"))
+      .withColumn("__starts",
+        when(size(col("__w")) > 0,
+          sequence(lit(1), size(col("__w")), lit(chunkTokens)))
+          .otherwise(array().cast("array<int>")))
+      .select(col(idCol),
+        posexplode_outer(transform(col("__starts"),
+          i => concat_ws(" ", slice(col("__w"), i, lit(chunkTokens)))))
+          .as(Seq("pos", "chunk")))
+    val repeated = chunked.filter(col("chunk").isNotNull)
+      .groupBy(col("chunk"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select(col("chunk"))
+    val kept = chunked.filter(col("chunk").isNotNull)
+      .join(repeated, Seq("chunk"), "left_anti")
+    val totals = chunked.groupBy(col(idCol))
+      .agg(count(col("chunk")).as("n_chunks"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept_chunks"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          s => s.getField("chunk"))).as("cleaned"))
+    totals.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept_chunks"), lit(0L)).as("n_kept_chunks"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
 }

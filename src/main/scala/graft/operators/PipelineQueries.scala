@@ -223,14 +223,21 @@ object PipelineQueries {
     * shuffles before the final presentation sort. */
   def q61Repetition(s: SparkSession, dir: String): DataFrame = {
     val w = words(col("text"))
+    // native RepetitionStats: one generated call per row — the
+    // HOF-fold formulation (kept in TextFunctions as the spec-checked
+    // reference) costs ~3 s of interpreted lambda dispatch at sf0.1
+    val stats = graft.functions.RepetitionStats(col("text"), 2)
     t(s, dir, "documents")
       .select(
         col("doc_id"),
         size(w).as("n_tokens"),
-        TextFunctions.topToken(w).as("top_token"),
-        TextFunctions.topTokenCount(w).as("top_token_n"),
-        TextFunctions.dupNgramCount(w, 2).as("dup_bigram_n"),
-        (TextFunctions.topTokenCount(w) * 5 >= size(w)).as("is_repetitive"))
+        stats.as("__st"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        col("__st.top_token").as("top_token"),
+        col("__st.top_token_n").as("top_token_n"),
+        col("__st.dup_ngram_n").as("dup_bigram_n"),
+        (col("__st.top_token_n") * 5 >= col("n_tokens")).as("is_repetitive"))
       .orderBy("doc_id")
   }
 
@@ -264,6 +271,16 @@ object PipelineQueries {
         TextFunctions.redactPii(col("aug")).as("redacted"))
       .orderBy("doc_id")
   }
+
+  /** Corpus-wide line-level dedup (boilerplate scrub): chunks that
+    * appear in more than one document are dropped everywhere and each
+    * doc is reassembled from its surviving chunks — exact duplicate
+    * docs collapse to empty, shared openings are scrubbed from all
+    * carriers. The full cleaned text hash-checks against the oracle. */
+  def q63LineDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropRepeatedChunks(t(s, dir, "documents"), "doc_id", "text",
+      chunkTokens = 10, maxDocs = 1)
+      .orderBy("doc_id")
 
   // ---------------------------------------------------------------- sampling
 
@@ -1150,6 +1167,25 @@ object PipelineQueries {
         |    '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
         |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
         |FROM aug ORDER BY doc_id""".stripMargin,
+    "q63_line_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+        |  FROM documents),
+        |ch AS (SELECT doc_id, unnest(range(1, len(w) + 1, 10)) AS i, w
+        |       FROM w WHERE len(w) > 0),
+        |c2 AS (SELECT doc_id, (i - 1) // 10 AS pos,
+        |         array_to_string(list_slice(w, i, i + 9), ' ') AS chunk FROM ch),
+        |rep AS (SELECT chunk FROM c2 GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+        |kept AS (SELECT c2.doc_id, c2.pos, c2.chunk FROM c2 ANTI JOIN rep USING (chunk)),
+        |tot AS (SELECT d.doc_id, coalesce(cnt.n, 0) AS n_chunks
+        |        FROM documents d
+        |        LEFT JOIN (SELECT doc_id, count(*) AS n FROM c2 GROUP BY 1) cnt USING (doc_id)),
+        |rb AS (SELECT doc_id, count(*) AS n_kept_chunks,
+        |         string_agg(chunk, ' ' ORDER BY pos) AS cleaned FROM kept GROUP BY 1)
+        |SELECT t.doc_id, t.n_chunks,
+        |  coalesce(rb.n_kept_chunks, 0) AS n_kept_chunks,
+        |  coalesce(rb.cleaned, '') AS cleaned
+        |FROM tot t LEFT JOIN rb USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
 
   /** q46 carries q42's oracle verbatim: the Bloom prefilter only drops
@@ -1193,5 +1229,6 @@ object PipelineQueries {
     "q60_ivfpq_recall" -> (q60IvfPqRecall _),
     "q61_repetition" -> (q61Repetition _),
     "q62_pii_redact" -> (q62PiiRedact _),
+    "q63_line_dedup" -> (q63LineDedup _),
   )
 }

@@ -679,6 +679,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(2).getAs[Int]("dup2") === 0 && !r(2).getAs[Boolean]("gate"))
   }
 
+  test("line dedup drops cross-doc repeated chunks and reassembles in order") {
+    import spark.implicits._
+    // 4-token "lines": docs 1 and 2 share a boilerplate chunk; doc 3 is
+    // an exact dup of doc 1; doc 4 is untouched unique text
+    val df = Seq(
+      (1L, "subscribe to our newsletter " + "real content about turtles " + "more turtle facts here"),
+      (2L, "subscribe to our newsletter " + "completely original essay text " + "with a unique ending"),
+      (3L, "subscribe to our newsletter " + "real content about turtles " + "more turtle facts here"),
+      (4L, "nothing here repeats anywhere " + "so every chunk survives intact"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.Dedup.dropRepeatedChunks(df, "doc_id", "text",
+        chunkTokens = 4, maxDocs = 1)
+      .orderBy("doc_id").collect()
+    assert(r.length === 4)
+    // docs 1 and 3 are identical → every chunk repeats → fully scrubbed
+    assert(r(0).getAs[Long]("n_chunks") === 3 && r(0).getAs[Long]("n_kept_chunks") === 0)
+    assert(r(0).getAs[String]("cleaned") === "")
+    assert(r(2).getAs[Long]("n_kept_chunks") === 0)
+    // doc 2 loses only the shared boilerplate opening, order preserved
+    assert(r(1).getAs[Long]("n_chunks") === 3 && r(1).getAs[Long]("n_kept_chunks") === 2)
+    assert(r(1).getAs[String]("cleaned") ===
+      "completely original essay text with a unique ending")
+    // doc 4 untouched (9 tokens → two full chunks + the 1-token tail)
+    assert(r(3).getAs[Long]("n_kept_chunks") === 3)
+    assert(r(3).getAs[String]("cleaned") === df.collect()(3).getAs[String]("text"))
+  }
+
+  test("native RepetitionStats equals the HOF fold formulation on the fixture") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .union(Seq( // edge cases the fixture lacks
+        (90001L, "x y x y x y"),            // tie: x and y both 3 → min
+        (90002L, "solo"),                   // single token, no bigrams
+        (90003L, "a a a a a a a a a a")     // one token repeated
+      ).toDF("doc_id", "text"))
+    val w = TextFunctions.words(col("text"))
+    val hof = docs.select(col("doc_id"),
+      TextFunctions.topTokenStats(w).as("tts"),
+      TextFunctions.dupNgramCount(w, 2).as("dup"))
+      .select(col("doc_id"), col("tts.top_token").as("t"),
+        col("tts.top_token_n").as("n"), col("dup"))
+    val native = docs.select(col("doc_id"),
+      graft.functions.RepetitionStats(col("text"), 2).as("st"))
+      .select(col("doc_id"), col("st.top_token").as("t"),
+        col("st.top_token_n").as("n"), col("st.dup_ngram_n").as("dup"))
+    assert(native.except(hof).count() === 0)
+    assert(hof.except(native).count() === 0)
+    // and via SQL registration
+    graft.api.GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("rs_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, repetition_stats(text, 2).dup_ngram_n AS dup FROM rs_docs")
+    assert(viaSql.except(native.select(col("doc_id"), col("dup"))).count() === 0)
+  }
+
   test("PII redaction masks emails, phones, IPv4s on realistic strings") {
     import spark.implicits._
     val df = Seq(

@@ -372,4 +372,17 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan.contains("Generate"), s"$q must not explode:\n" + plan.take(2000))
     }
   }
+
+  test("line dedup reassembles without a window; chunking rides in the scan") {
+    val df = graft.operators.Dedup.dropRepeatedChunks(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      chunkTokens = 10, maxDocs = 1)
+    val plan = planString(df)
+    assert(!plan.contains("Window"),
+      "reassembly must be collect_list argsort, not a window:\n" + plan.take(2000))
+    // chunk generation is a Generate over the scan projection — no
+    // exchange between the parquet scan and the explode
+    val gen = plan.linesIterator.indexWhere(_.contains("Generate"))
+    assert(gen >= 0, "chunk explode missing:\n" + plan.take(2000))
+  }
 }
