@@ -202,4 +202,13 @@ object TextFunctions {
         regexp_replace(text, EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
+
+  // ----------------------------------------------------- URL filtering
+
+  /** First URL host in `text` (empty string when none) — the C4-style
+    * domain signal for blocklist filtering. Same Java/RE2-agreeing
+    * construct discipline as the PII patterns. */
+  val UrlHostRe = "https?://([A-Za-z0-9.-]+)"
+  def extractDomain(text: Column): Column =
+    regexp_extract(text, UrlHostRe, 1)
 }

@@ -282,6 +282,28 @@ object PipelineQueries {
       chunkTokens = 10, maxDocs = 1)
       .orderBy("doc_id")
 
+  /** C4-style URL/domain blocklist filter. Fixture docs carry no URLs,
+    * so every 4th doc gets a deterministic doc_id-derived URL suffix
+    * (oracle synthesizes the identical one); docs whose first URL host
+    * is on the blocklist are dropped. The blocklist is an in-plan
+    * literal set — the realistic shape at scale too, where a blocklist
+    * (even millions of domains) broadcasts rather than shuffling the
+    * corpus. Pure scan-side extract + filter. */
+  def q64UrlFilter(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val aug = concat(col("text"),
+      when(pmod(id, lit(4)) === 0,
+        concat(lit(" see https://site"), pmod(id, lit(7)).cast("string"),
+          lit(".example.org/p"), id.cast("string")))
+        .otherwise(lit("")))
+    val blocklist = Seq("site0.example.org", "site3.example.org", "site5.example.org")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.extractDomain(aug).as("domain"))
+      .filter(!col("domain").isin(blocklist: _*))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- sampling
 
   /** Deterministic train/val/test split (80/10/10 on md5(doc_id)):
@@ -1186,6 +1208,17 @@ object PipelineQueries {
         |  coalesce(rb.n_kept_chunks, 0) AS n_kept_chunks,
         |  coalesce(rb.cleaned, '') AS cleaned
         |FROM tot t LEFT JOIN rb USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q64_url_filter" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 4 = 0
+        |         THEN ' see https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/p' || CAST(doc_id AS VARCHAR)
+        |         ELSE '' END AS aug
+        |  FROM documents),
+        |d AS (SELECT doc_id, regexp_extract(aug, 'https?://([A-Za-z0-9.-]+)', 1) AS domain FROM aug)
+        |SELECT doc_id, domain FROM d
+        |WHERE domain NOT IN ('site0.example.org', 'site3.example.org', 'site5.example.org')
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** q46 carries q42's oracle verbatim: the Bloom prefilter only drops
@@ -1230,5 +1263,6 @@ object PipelineQueries {
     "q61_repetition" -> (q61Repetition _),
     "q62_pii_redact" -> (q62PiiRedact _),
     "q63_line_dedup" -> (q63LineDedup _),
+    "q64_url_filter" -> (q64UrlFilter _),
   )
 }

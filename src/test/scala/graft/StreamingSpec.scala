@@ -178,6 +178,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("PII redaction and repetition gate run identically on a stream and in batch") {
+    // both are pure per-row projections (PlanSpec pins no-shuffle), so
+    // the scrub a backfill applies is exactly what a live ingest
+    // stream applies — no batch-boundary dependence to worry about
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFunctions
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF().toDF("doc_id", "text")
+    def scrub(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      TextFunctions.redactPii(col("text")).as("red"),
+      graft.functions.RepetitionStats(col("text"), 2)
+        .getField("top_token_n").as("top_n"))
+    val q = scrub(src)
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode(OutputMode.Append()).start()
+    val docs = Seq(
+      1L -> "mail me a@b.com now",
+      2L -> "spam spam spam ham",
+      3L -> "server 10.0.0.1 up",
+      4L -> "call +1-555-0000 at 3")
+    mem.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getString(1), r.getInt(2))
+    val streamed = spark.table("pii_stream").collect().map(key).toSet
+    val batch = scrub(docs.toDF("doc_id", "text")).collect().map(key).toSet
+    assert(streamed === batch)
+    assert(streamed.exists(_._2.contains("<EMAIL>")))
+    assert(streamed.exists(_._3 == 3)) // "spam" ×3
+  }
+
   test("corpus ingest stream: gate, cross-batch dedup and shard routing compose") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
