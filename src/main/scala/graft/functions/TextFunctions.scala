@@ -207,8 +207,11 @@ object TextFunctions {
 
   /** First URL host in `text` (empty string when none) — the C4-style
     * domain signal for blocklist filtering. Same Java/RE2-agreeing
-    * construct discipline as the PII patterns. */
-  val UrlHostRe = "https?://([A-Za-z0-9.-]+)"
+    * construct discipline as the PII patterns. Skips an optional
+    * userinfo segment (`user@host` must not yield `user`) and the
+    * label structure forbids leading/trailing dots, so a blocklist
+    * match cannot be evaded with `anything@host` or `host.` spellings. */
+  val UrlHostRe = "https?://(?:[^/@ ]*@)?([A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)*)"
   def extractDomain(text: Column): Column =
     regexp_extract(text, UrlHostRe, 1)
 }

@@ -318,10 +318,11 @@ object Dedup {
     * per-doc chunk list is bounded by document length, never by corpus
     * size, and no window function is involved. */
   def dropRepeatedChunks(docs: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int = 10, maxDocs: Int = 1): DataFrame = {
+      chunkTokens: Int = 10, maxDocs: Int = 1,
+      chunkPersist: StorageLevel = StorageLevel.NONE): DataFrame = {
     require(chunkTokens > 0 && maxDocs >= 1, "need chunkTokens > 0, maxDocs >= 1")
     val w = Chunking.tokens(col(textCol))
-    val chunked = docs
+    val chunked0 = docs
       .select(col(idCol), w.as("__w"))
       .withColumn("__starts",
         when(size(col("__w")) > 0,
@@ -331,6 +332,12 @@ object Dedup {
         posexplode_outer(transform(col("__starts"),
           i => concat_ws(" ", slice(col("__w"), i, lit(chunkTokens)))))
           .as(Seq("pos", "chunk")))
+    // three consumers below (duplicate counts, anti-join left side,
+    // per-doc totals) — persist at bench scale so the scan+explode runs
+    // once; NONE (recompute) for the 100 TB path, same contract as
+    // jaccardPairs/minhashVerifiedPairs above. Caller owns unpersist.
+    val chunked =
+      if (chunkPersist == StorageLevel.NONE) chunked0 else chunked0.persist(chunkPersist)
     val repeated = chunked.filter(col("chunk").isNotNull)
       .groupBy(col("chunk"))
       .agg(countDistinct(col(idCol)).as("__nd"))

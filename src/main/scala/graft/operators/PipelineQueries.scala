@@ -237,7 +237,11 @@ object PipelineQueries {
         col("__st.top_token").as("top_token"),
         col("__st.top_token_n").as("top_token_n"),
         col("__st.dup_ngram_n").as("dup_bigram_n"),
-        (col("__st.top_token_n") * 5 >= col("n_tokens")).as("is_repetitive"))
+        // n_tokens >= 10 precondition: repetition filters only apply to
+        // docs with enough signal — without it an empty doc ([""] after
+        // split, n=1, top=1) would gate as maximally repetitive
+        (col("__st.top_token_n") * 5 >= col("n_tokens") &&
+          col("n_tokens") >= 10).as("is_repetitive"))
       .orderBy("doc_id")
   }
 
@@ -278,8 +282,11 @@ object PipelineQueries {
     * docs collapse to empty, shared openings are scrubbed from all
     * carriers. The full cleaned text hash-checks against the oracle. */
   def q63LineDedup(s: SparkSession, dir: String): DataFrame =
+    // MEMORY_AND_DISK at bench scale: the chunk table has three
+    // consumers (same rationale as q19/q20's shinglePersist)
     Dedup.dropRepeatedChunks(t(s, dir, "documents"), "doc_id", "text",
-      chunkTokens = 10, maxDocs = 1)
+      chunkTokens = 10, maxDocs = 1,
+      chunkPersist = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("doc_id")
 
   /** C4-style URL/domain blocklist filter. Fixture docs carry no URLs,
@@ -1170,7 +1177,7 @@ object PipelineQueries {
          |  FROM m)
          |SELECT doc_id, n_tokens, top_token, top_token_n,
          |  len(bg) - len(list_distinct(bg)) AS dup_bigram_n,
-         |  top_token_n * 5 >= n_tokens AS is_repetitive
+         |  top_token_n * 5 >= n_tokens AND n_tokens >= 10 AS is_repetitive
          |FROM b ORDER BY doc_id""".stripMargin,
     "q62_pii_redact" ->
       """WITH aug AS (
@@ -1215,7 +1222,7 @@ object PipelineQueries {
         |         THEN ' see https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/p' || CAST(doc_id AS VARCHAR)
         |         ELSE '' END AS aug
         |  FROM documents),
-        |d AS (SELECT doc_id, regexp_extract(aug, 'https?://([A-Za-z0-9.-]+)', 1) AS domain FROM aug)
+        |d AS (SELECT doc_id, regexp_extract(aug, 'https?://(?:[^/@ ]*@)?([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) AS domain FROM aug)
         |SELECT doc_id, domain FROM d
         |WHERE domain NOT IN ('site0.example.org', 'site3.example.org', 'site5.example.org')
         |ORDER BY doc_id""".stripMargin,

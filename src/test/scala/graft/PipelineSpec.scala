@@ -713,7 +713,9 @@ class PipelineSpec extends AnyFunSuite {
       .union(Seq( // edge cases the fixture lacks
         (90001L, "x y x y x y"),            // tie: x and y both 3 → min
         (90002L, "solo"),                   // single token, no bigrams
-        (90003L, "a a a a a a a a a a")     // one token repeated
+        (90003L, "a a a a a a a a a a"),    // one token repeated
+        (90004L, ""),                       // empty: split yields [""]
+        (90005L, "   ")                     // whitespace-only: same
       ).toDF("doc_id", "text"))
     val w = TextFunctions.words(col("text"))
     val hof = docs.select(col("doc_id"),
@@ -733,6 +735,35 @@ class PipelineSpec extends AnyFunSuite {
     val viaSql = spark.sql(
       "SELECT doc_id, repetition_stats(text, 2).dup_ngram_n AS dup FROM rs_docs")
     assert(viaSql.except(native.select(col("doc_id"), col("dup"))).count() === 0)
+    // the q61 gate's n_tokens >= 10 precondition: empty/whitespace docs
+    // (whose [""] split artifact makes them look maximally repetitive)
+    // must NOT gate; a genuinely repetitive 10-token doc must
+    val gated = docs.select(col("doc_id"),
+        graft.functions.RepetitionStats(col("text"), 2).as("st"),
+        size(TextFunctions.words(col("text"))).as("n"))
+      .select(col("doc_id"),
+        (col("st.top_token_n") * 5 >= col("n") && col("n") >= 10).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(gated(90003L) === true)
+    assert(gated(90004L) === false && gated(90005L) === false)
+  }
+
+  test("extractDomain resists userinfo and trailing-dot blocklist evasion") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "see https://site0.example.org/p plain"),
+      (2L, "see https://anything@site0.example.org/p userinfo"),
+      (3L, "see https://site0.example.org./p trailing dot"),
+      (4L, "see http://a.b.c:8080/x no port capture"),
+      (5L, "no url at all"))
+      .toDF("doc_id", "text")
+    val r = df.select(col("doc_id"), TextFunctions.extractDomain(col("text")).as("d"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(r(0) === "site0.example.org")
+    assert(r(1) === "site0.example.org") // user@host must not yield "user"
+    assert(r(2) === "site0.example.org") // host. must not dodge an exact match
+    assert(r(3) === "a.b.c")
+    assert(r(4) === "")
   }
 
   test("PII redaction masks emails, phones, IPv4s on realistic strings") {

@@ -380,9 +380,16 @@ class PlanSpec extends AnyFunSuite {
     val plan = planString(df)
     assert(!plan.contains("Window"),
       "reassembly must be collect_list argsort, not a window:\n" + plan.take(2000))
-    // chunk generation is a Generate over the scan projection — no
-    // exchange between the parquet scan and the explode
-    val gen = plan.linesIterator.indexWhere(_.contains("Generate"))
+    // chunk generation is a Generate over the scan projection: between
+    // the first Generate and the FileScan BELOW it (plans print
+    // top-down, children deeper) there must be no Exchange
+    val lines = plan.linesIterator.toVector
+    val gen = lines.indexWhere(_.contains("Generate"))
     assert(gen >= 0, "chunk explode missing:\n" + plan.take(2000))
+    val scan = lines.indexWhere(_.contains("FileScan"), gen)
+    assert(scan > gen, "no scan below the explode:\n" + plan.take(2000))
+    assert(lines.slice(gen, scan).forall(!_.contains("Exchange")),
+      "exchange crept between scan and chunk explode:\n" +
+        lines.slice(gen, scan + 1).mkString("\n"))
   }
 }
