@@ -766,6 +766,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(4) === "")
   }
 
+  test("property: line dedup equals a local sequential reference on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val vocab = Vector("alpha", "beta", "gamma", "delta")
+    val caseGen = for {
+      n <- Gen.choose(1, 12)
+      docs <- Gen.listOfN(n, Gen.choose(0, 9).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+      k <- Gen.choose(1, 3)
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, k)
+    val prop = Prop.forAll(caseGen) { case (docs, k) =>
+      // local reference: same chunking rule, drop cross-doc repeats
+      val chunks = docs.map { case (id, t) =>
+        val w = t.split(" ").filter(_.nonEmpty)
+        id -> w.grouped(k).map(_.mkString(" ")).toVector
+      }
+      val repeated = chunks.flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1).keySet
+      val expected = chunks.map { case (id, cs) =>
+        val kept = cs.filterNot(repeated)
+        (id, cs.size.toLong, kept.size.toLong, kept.mkString(" "))
+      }.toSet
+      import spark.implicits._
+      val got = graft.operators.Dedup.dropRepeatedChunks(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          chunkTokens = k, maxDocs = 1)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      got == expected
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("PII redaction is idempotent: redacting redacted text is a no-op") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(concat(col("text"),
+        lit(" a@b.com +1-555-0000 10.0.0.1 user@ops.example.org")).as("t"))
+    val once = docs.select(TextFunctions.redactPii(col("t")).as("r1"))
+    val twice = once.select(col("r1"), TextFunctions.redactPii(col("r1")).as("r2"))
+    assert(twice.filter(col("r1") =!= col("r2")).count() === 0)
+  }
+
   test("PII redaction masks emails, phones, IPv4s on realistic strings") {
     import spark.implicits._
     val df = Seq(
