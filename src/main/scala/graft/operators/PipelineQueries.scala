@@ -311,6 +311,13 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Count-min heavy hitters: top-20 tokens with exact counts and
+    * sketch estimates side by side. Rows-only check (the sketch is
+    * engine-internal); SketchSpec asserts est ≥ exact and
+    * est ≤ exact + eps·N. Deterministic: fixed seed, q47 tie-break. */
+  def q65HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    Sketches.tokenHeavyHitters(t(s, dir, "documents"), "text", k = 20)
+
   // ---------------------------------------------------------------- sampling
 
   /** Deterministic train/val/test split (80/10/10 on md5(doc_id)):
@@ -1271,5 +1278,6 @@ object PipelineQueries {
     "q62_pii_redact" -> (q62PiiRedact _),
     "q63_line_dedup" -> (q63LineDedup _),
     "q64_url_filter" -> (q64UrlFilter _),
+    "q65_heavy_hitters" -> (q65HeavyHitters _),
   )
 }

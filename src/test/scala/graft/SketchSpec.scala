@@ -34,4 +34,29 @@ class SketchSpec extends AnyFunSuite {
       assert(math.abs(am - m) / m <= 0.01, s"$flag: approx median $am vs exact $m")
     }
   }
+
+  test("count-min heavy hitters: est >= exact and est <= exact + eps*N") {
+    val eps = 0.001
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val hh = graft.operators.Sketches.tokenHeavyHitters(docs, "text", k = 20, eps = eps)
+      .collect()
+    assert(hh.length === 20)
+    val n = graft.operators.Sketches.totalTokens(docs, "text")
+    // exact side audited against an independent count of one token
+    val probe = hh.head.getAs[String]("token")
+    val independent = docs.select(explode(
+        graft.functions.TextFunctions.words(col("text"))).as("t"))
+      .filter(col("t") === probe).count()
+    assert(hh.head.getAs[Long]("exact_n") === independent)
+    for (r <- hh) {
+      val (exact, est) = (r.getAs[Long]("exact_n"), r.getAs[Long]("est_n"))
+      assert(est >= exact, s"${r.getAs[String]("token")}: CMS must overestimate")
+      assert(est <= exact + (eps * n).toLong,
+        s"${r.getAs[String]("token")}: est $est exceeds exact $exact + eps*N")
+    }
+    // deterministic: fixed seed, fixed tie-break
+    val again = graft.operators.Sketches.tokenHeavyHitters(docs, "text", k = 20, eps = eps)
+      .collect()
+    assert(hh.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
