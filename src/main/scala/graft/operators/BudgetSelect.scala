@@ -33,7 +33,9 @@ object BudgetSelect {
     // per-group score range → fixed bucket width (tiny, broadcast
     // back). localCheckpoint, not persist: same leak-avoidance
     // rationale as Quantiles.exactQuantiles — checkpoint blocks are
-    // ContextCleaner-reclaimed, CacheManager entries are not.
+    // ContextCleaner-reclaimed, CacheManager entries are not. Same
+    // tradeoff too: lineage is truncated, so executor loss fails the
+    // query rather than recomputing this tiny table.
     val stats = base.groupBy("g").agg(min("q").as("vmin"), max("q").as("vmax"))
       .localCheckpoint()
     val wb = base.join(broadcast(stats), "g")

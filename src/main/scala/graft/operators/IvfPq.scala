@@ -49,6 +49,8 @@ object IvfPq {
   def searchIndex(index: DataFrame, queries: DataFrame, k: Int,
       centroids: DataFrame, nProbe: Int, cb: Pq.Codebooks,
       rerank: Int = 0, vectors: DataFrame = null): DataFrame = {
+    require(rerank <= 0 || vectors != null,
+      "rerank > 0 needs `vectors` (vec_id, embedding) to point-fetch candidates")
     val lutDF = Pq.buildLut(queries, cb)
     val probes = Ivf.probes(queries, centroids, nProbe).select("cid", "q_id")
     // cell-pruned ADC: only rows of probed cells are scored, and the

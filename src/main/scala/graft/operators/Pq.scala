@@ -173,11 +173,11 @@ object Pq {
     * its nSub×k inner-product table (tiny, broadcast); each corpus row
     * costs nSub `element_at` lookups. Norm uses the EXACT stored
     * vector norm (the standard trick to keep cosine well-scaled while
-    * the dot is approximated) — taken from a `vec_norm` column when
-    * the index stores one, else computed from the embedding. The ADC
-    * scan itself projects only (vec_id, code, norm): with a
-    * materialized codes-only index the embedding bytes are never read
-    * until re-rank. Ranking is the bounded [[TopK]] aggregator — the
+    * the dot is approximated). The ADC scan projects only
+    * (vec_id, code, norm); the materialized codes-only layout is
+    * [[IvfPq.buildIndex]]'s (cid, c_id, code, c_norm), searched via
+    * [[IvfPq.searchIndex]] without touching embedding bytes until
+    * re-rank. Ranking is the bounded [[TopK]] aggregator — the
     * shuffle carries O(queries·k), not every ADC-scored row. Output
     * schema matches [[Similarity.bruteForceTopK]].
     *
@@ -191,13 +191,8 @@ object Pq {
   def adcTopK(encoded: DataFrame, queries: DataFrame, k: Int,
       cb: Codebooks, rerank: Int = 0, vectors: DataFrame = null): DataFrame = {
     val lutDF = buildLut(queries, cb)
-    val index =
-      if (encoded.columns.contains("vec_norm"))
-        encoded.select(col("vec_id").as("c_id"), col("code"),
-          col("vec_norm").as("c_norm"))
-      else
-        encoded.select(col("vec_id").as("c_id"), col("code"),
-          normNative(col("embedding")).as("c_norm"))
+    val index = encoded.select(col("vec_id").as("c_id"), col("code"),
+      normNative(col("embedding")).as("c_norm"))
     val scored = index.crossJoin(broadcast(lutDF.select("q_id", "lut", "q_norm")))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),

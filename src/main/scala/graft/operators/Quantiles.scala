@@ -57,6 +57,11 @@ object Quantiles {
     // persist() registers in the CacheManager and leaks one cached
     // table per invocation unless the caller unpersists; checkpoint
     // blocks are dropped by the ContextCleaner once the plan is GC'd.
+    // Tradeoff: localCheckpoint truncates lineage, so losing the
+    // executor holding the block fails the query instead of
+    // recomputing — acceptable for this #groups-row table (cheap to
+    // re-run); long-lived cluster jobs wanting fault tolerance should
+    // prefer reliable checkpointing or caller-owned persist.
     val stats = base.groupBy("g").agg(min("v").as("vmin"), max("v").as("vmax"))
       .localCheckpoint()
     val wb = base.join(broadcast(stats), "g")

@@ -7,6 +7,19 @@ import org.apache.spark.sql.functions._
 /** One scored candidate for top-k selection. */
 final case class Scored(id: Long, score: Double)
 
+/** Spark-SQL double ordering for scores: NaN sorts as the LARGEST
+  * value (like Spark's ORDER BY) and -0.0 equals 0.0 — plain `>`/`==`
+  * would make NaN incomparable (every comparison false), leaving a
+  * NaN candidate's rank dependent on arrival order across partitions
+  * and diverging from the window row_number form. */
+private[operators] object ScoreOrder {
+  def cmp(a: Double, b: Double): Int = {
+    val na = if (a == 0.0) 0.0 else a // normalize -0.0 (NaN unaffected)
+    val nb = if (b == 0.0) 0.0 else b
+    java.lang.Double.compare(na, nb) // NaN > everything, NaN == NaN
+  }
+}
+
 /** Encodable buffer/output roots (Spark's product encoders need a
   * concrete Product at the root, not a bare collection). */
 final case class TopKBuffer(values: List[Scored])
@@ -31,8 +44,10 @@ abstract class TopKAggregatorBase[IN](k: Int)
 
   protected def toScored(row: IN): Scored
 
-  private def better(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  private def better(a: Scored, b: Scored): Boolean = {
+    val c = ScoreOrder.cmp(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   private def insert(buf: List[Scored], x: Scored): List[Scored] = {
     val (front, back) = buf.span(better(_, x))
@@ -78,15 +93,16 @@ final case class TopKResultS(values: Seq[ScoredS])
 class TopKAggregatorStr(k: Int)
     extends Aggregator[(String, String, Double), TopKBufferS, TopKResultS] {
 
-  private def utf8Less(a: String, b: String): Boolean =
-    org.apache.spark.unsafe.types.UTF8String.fromString(a)
-      .binaryCompare(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
-
-  private def better(a: ScoredS, b: ScoredS): Boolean =
-    a.score > b.score || (a.score == b.score && utf8Less(a.id, b.id))
-
   private def insert(buf: List[ScoredS], x: ScoredS): List[ScoredS] = {
-    val (front, back) = buf.span(better(_, x))
+    // convert the incoming id ONCE per insert — doing it inside the
+    // span predicate re-encodes it for every buffered element
+    val xU = org.apache.spark.unsafe.types.UTF8String.fromString(x.id)
+    def beforeX(a: ScoredS): Boolean = {
+      val c = ScoreOrder.cmp(a.score, x.score)
+      c > 0 || (c == 0 &&
+        org.apache.spark.unsafe.types.UTF8String.fromString(a.id).binaryCompare(xU) < 0)
+    }
+    val (front, back) = buf.span(beforeX)
     val merged = front ::: x :: back
     if (merged.length > k) merged.take(k) else merged
   }

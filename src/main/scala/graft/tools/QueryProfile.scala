@@ -37,10 +37,17 @@ object QueryProfile {
         println(f"[qp] $name rep$i ${sec}%7.3f s")
         sec
       }
-      val med = times.sorted.apply(reps / 2)
+      val sorted = times.sorted
+      val med =
+        if (reps % 2 == 1) sorted(reps / 2)
+        else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2
       println(f"[qp] $name MEDIAN ${med}%7.3f s  min=${times.min}%.3f max=${times.max}%.3f")
-      println(s"[qp] $name executed plan:\n" +
-        fn(spark, sfDir).queryExecution.executedPlan.toString.take(4000))
+      // execute BEFORE printing: with AQE the pre-execution string is
+      // the initial plan (isFinalPlan=false), not what actually ran
+      val df = fn(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      println(s"[qp] $name executed plan (AQE-final):\n" +
+        df.queryExecution.executedPlan.toString.take(4000))
     }
     spark.stop()
   }

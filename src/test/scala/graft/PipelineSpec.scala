@@ -275,6 +275,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaAgg === viaWindow)
   }
 
+  test("TopK aggregator matches the window form on NaN and -0.0 scores") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // NaN must rank FIRST under score desc (Spark orders NaN largest)
+    // and -0.0 must tie with 0.0 — naive > / == comparisons make NaN
+    // incomparable and its rank partition-order-dependent
+    val scored = Seq(
+      (1L, 10L, Double.NaN), (1L, 11L, 0.9), (1L, 12L, Double.NaN),
+      (1L, 13L, 0.0), (1L, 14L, -0.0), (1L, 15L, -0.5),
+      (2L, 20L, -0.0), (2L, 21L, 0.0), (2L, 22L, 0.1))
+      .toDF("key", "id", "score")
+      .repartition(7) // scatter across partitions to vary arrival order
+    val viaAgg = graft.operators.TopK.perKey(scored, "key", "id", "score", 4)
+      .orderBy("key", "rk").collect().map(_.toString).toSeq
+    val w = Window.partitionBy("key").orderBy(col("score").desc, col("id").asc)
+    val viaWindow = scored
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+      .select(col("key"), col("rk"), col("id"), col("score"))
+      .orderBy("key", "rk").collect().map(_.toString).toSeq
+    assert(viaAgg === viaWindow)
+  }
+
   test("multimodal: resize stub scales payload; features feed the ANN path") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf001/documents.parquet")

@@ -244,7 +244,7 @@ class PlanSpec extends AnyFunSuite {
     val plan = planString(searched)
     val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
     assert(readSchemas.nonEmpty, plan.take(2000))
-    // the index scan reads cid/vec_id/code/vec_norm only
+    // the index scan reads cid/c_id/code/c_norm only
     assert(readSchemas.exists(s => s.contains("code") && !s.contains("embedding")),
       "index scan must be codes-only:\n" + readSchemas.mkString("\n"))
     // and the probe join prunes cells before ADC scoring
