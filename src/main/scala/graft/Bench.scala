@@ -37,6 +37,14 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = (0 until reps).map { _ =>
       spark.catalog.clearCache()
+      // clearCache only empties the CacheManager; localCheckpoint
+      // blocks (Quantiles/BudgetSelect/Dedup.duplicateClusters) live in
+      // raw block storage and would otherwise accumulate across passes,
+      // shrinking the storage pool the per-pass caches measure against.
+      // Nothing from a previous pass is ever re-read, so the sweep is
+      // safe — and it keeps every pass's cold-cache claim honest.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -51,10 +59,15 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val results = names.map { case (name, _) => name -> median(samples.map(_(name))) }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
+    // Per-query MIN rides alongside the median: a contended host window
+    // inflates medians broadly but rarely all reps of one query, so
+    // median≫min flags steal without a manual rerun (BASELINE.md used
+    // to reconstruct this by hand).
+    val mins = names.map { case (name, _) => name -> samples.map(_(name)).min }
+    def jsonMap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)},"queries_min":${jsonMap(mins)},"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

@@ -205,6 +205,56 @@ object Engine {
       .withColumn("overall_level", level(col("overall_score")))
   }
 
+  /** Per-table ∪ per-schema ∪ per-script ∪ grand-total readiness in ONE
+    * pass: the reference computes the per-table list and the global
+    * report in two separate loops over the same assessments
+    * (`/root/reference/db2ice/assessor.py:217-273`); Spark's ROLLUP
+    * emits every aggregation level from a single partial+final hash
+    * aggregation — at 100 TB the assess rows shuffle once, not once
+    * per report granularity. `agg_level` is the `grouping_id`
+    * (0 = per-table, 1 = per-schema, 3 = per-script, 7 = grand total);
+    * per-table rows reproduce the AssessRow scores exactly and
+    * script-level rows equal [[assessReport]] (Db2EngineSpec pins
+    * both). */
+  def assessRollup(rows: Dataset[AssessRow]): DataFrame = {
+    val level = (score: org.apache.spark.sql.Column) =>
+      when(score >= 80, ReadinessLevel.Green)
+        .when(score >= 50, ReadinessLevel.Yellow)
+        .otherwise(ReadinessLevel.Red)
+    rows.toDF()
+      .select(col("scriptId").as("script_id"),
+        coalesce(col("schema"), lit("")).as("schema"),
+        col("tableName").as("table_name"),
+        col("columnCount"), col("constraintCount"), col("canAutoConvert"),
+        col("nCritical"), col("nWarning"), col("nInfo"),
+        col("datatypeScore"), col("constraintScore"),
+        col("partitionScore"), col("specialScore"))
+      .rollup(col("script_id"), col("schema"), col("table_name"))
+      .agg(
+        grouping_id().cast("int").as("agg_level"),
+        count(lit(1)).cast("int").as("tables_total"),
+        sum(when(col("canAutoConvert"), 1).otherwise(0)).cast("int").as("tables_auto"),
+        sum(when(!col("canAutoConvert") && col("nCritical") === 0, 1).otherwise(0))
+          .cast("int").as("tables_manual"),
+        sum(when(!col("canAutoConvert") && col("nCritical") > 0, 1).otherwise(0))
+          .cast("int").as("tables_blocked"),
+        sum(col("columnCount")).cast("int").as("total_columns"),
+        sum(col("constraintCount")).cast("int").as("total_constraints"),
+        sum(col("nCritical")).cast("int").as("critical_issues"),
+        sum(col("nWarning")).cast("int").as("warning_issues"),
+        sum(col("nInfo")).cast("int").as("info_issues"),
+        coalesce(avg(col("datatypeScore")), lit(100.0)).as("datatype_score"),
+        coalesce(avg(col("constraintScore")), lit(100.0)).as("constraint_score"),
+        coalesce(avg(col("partitionScore")), lit(100.0)).as("partition_score"),
+        coalesce(avg(col("specialScore")), lit(100.0)).as("special_features_score"))
+      .withColumn("overall_score",
+        col("datatype_score") * Assessor.Weights("datatype") +
+          col("constraint_score") * Assessor.Weights("constraint") +
+          col("partition_score") * Assessor.Weights("partition") +
+          col("special_features_score") * Assessor.Weights("special"))
+      .withColumn("overall_level", level(col("overall_score")))
+  }
+
   /** A1 type-distribution rollup: explode the per-table map, then a
     * partial+final hash agg per base type. */
   def typeDistribution(rows: Dataset[AssessRow]): DataFrame =

@@ -179,12 +179,25 @@ object TextFunctions {
   /** Detection patterns restricted to constructs whose leftmost-greedy
     * semantics agree between Java regex (Spark) and RE2 (DuckDB), so
     * redacted output is hash-checkable across engines: explicit char
-    * classes, no \d / \w, no backreferences, no lookaround. */
+    * classes, no \d / \w, no backreferences, no lookaround.
+    *
+    * Known, accepted imprecision (the price of the no-lookaround
+    * discipline): the patterns are unanchored, so PhoneRe can match
+    * INSIDE a longer digit run (`2024-555-12345` partially redacts its
+    * middle) and a phone-shaped substring of an email's local part is
+    * counted by piiPhoneCount even though the email pass consumes it
+    * first during redaction — i.e. the counts are per-pattern over the
+    * RAW text, not a census of what redactPii replaced. Both engines
+    * compute the identical imprecision, so cross-engine parity holds;
+    * a production scrub wanting boundary precision would add
+    * `(^|[^0-9-])`-style guard groups with capture rewrites, at the
+    * cost of a second rewrite pass. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
   val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
-  /** Number of email / phone / IPv4 matches in `text`. */
+  /** Number of email / phone / IPv4 matches in `text` (per-pattern on
+    * raw text — see the imprecision note above). */
   def piiEmailCount(text: Column): Column =
     size(regexp_extract_all(text, lit(EmailRe), lit(0)))
   def piiPhoneCount(text: Column): Column =

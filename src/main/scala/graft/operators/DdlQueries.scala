@@ -58,6 +58,19 @@ object DdlQueries {
       .withColumn("special_features_score", round(col("special_features_score"), 4))
       .orderBy("script_id")
 
+  /** Per-table ∪ per-schema ∪ per-script ∪ grand-total readiness
+    * rollup (SURVEY §2.6's generalization of the reference's two-loop
+    * per-table + global report) — every level from one aggregation. */
+  def ddlRollup(s: SparkSession, dir: String): DataFrame =
+    Engine.assessRollup(Engine.assessRows(Engine.parseDb2(db2Scripts(s, 8))))
+      .withColumn("overall_score", round(col("overall_score"), 4))
+      .withColumn("datatype_score", round(col("datatype_score"), 4))
+      .withColumn("constraint_score", round(col("constraint_score"), 4))
+      .withColumn("partition_score", round(col("partition_score"), 4))
+      .withColumn("special_features_score", round(col("special_features_score"), 4))
+      .orderBy(col("agg_level"), col("script_id").asc_nulls_first,
+        col("schema").asc_nulls_first, col("table_name").asc_nulls_first)
+
   /** A1 type-distribution rollup. */
   def ddlTypeDistribution(s: SparkSession, dir: String): DataFrame =
     Engine.typeDistribution(Engine.assessRows(Engine.parseDb2(db2Scripts(s, 8))))
@@ -93,6 +106,7 @@ object DdlQueries {
     "ddl_tables" -> (ddlTables _),
     "ddl_convert" -> (ddlConvert _),
     "ddl_assess" -> (ddlAssess _),
+    "ddl_rollup" -> (ddlRollup _),
     "ddl_type_distribution" -> (ddlTypeDistribution _),
     "ddl_features" -> (ddlFeatures _),
     "sf_convert" -> (sfConvert _),

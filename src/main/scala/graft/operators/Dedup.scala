@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -23,14 +22,27 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
-  /** Exact duplicate groups by normalized key: one representative
-    * (min orderCol) per key, group sizes attached. */
+  /** Exact duplicate groups by normalized key: every input row comes
+    * back with its `dedup_key`, the key's `group_size`, and
+    * `is_representative` (true on the row with the minimum idCol per
+    * key — the one a dedup keeps).
+    *
+    * A bounded aggregation, NOT a window: the per-key representative
+    * rides in `min(struct(id))`, so map tasks reduce each key to one
+    * (size, rep) candidate before the shuffle and the exchange carries
+    * O(keys) rows. The earlier `row_number over partitionBy(key)`
+    * formulation sorted every group inside one task — a boilerplate
+    * key with millions of duplicates (the common shape in web corpora)
+    * would serialize there at 100 TB. PlanSpec pins the no-window
+    * shape. */
   def exactGroups(docs: DataFrame, key: Column, idCol: String): DataFrame = {
-    val w = Window.partitionBy(col("dedup_key")).orderBy(col(idCol))
-    docs.withColumn("dedup_key", key)
-      .withColumn("group_size", count(lit(1)).over(
-        Window.partitionBy(col("dedup_key"))))
-      .withColumn("rep_rank", row_number().over(w))
+    val keyed = docs.withColumn("dedup_key", key)
+    val groups = keyed.groupBy(col("dedup_key"))
+      .agg(count(lit(1)).as("group_size"),
+        min(col(idCol)).as("__rep_id"))
+    keyed.join(groups, Seq("dedup_key"))
+      .withColumn("is_representative", col(idCol) === col("__rep_id"))
+      .drop("__rep_id")
   }
 
   /** (doc_id, shingle-hash) exploded pairs, distinct per doc, with hot
@@ -56,11 +68,24 @@ object Dedup {
 
   /** All pairs with n-gram Jaccard ≥ threshold: shingle-partitioned
     * self-join, shared-count agg, then Jaccard arithmetic. Rounded to 6
-    * decimals so results are engine-portable. */
+    * decimals so results are engine-portable.
+    *
+    * `dfCap` is REQUIRED (no default): the self-join fans out cap²
+    * pairs per shingle, so a single stop-shingle carried by a large
+    * fraction of the corpus goes quadratic unless capped — size it to
+    * the largest document-frequency that still carries dedup signal
+    * (shingles above it are boilerplate and produce no true near-dup
+    * evidence). Semantics: shingles with df > dfCap are excluded from
+    * BOTH the pair join and the per-doc shingle counts, as if they
+    * never existed — an oracle reproduces this with a HAVING clause.
+    * At corpus sizes where the cap provably cannot trigger (df ≤ #docs
+    * ≤ dfCap) the result equals the uncapped all-pairs Jaccard. For
+    * anything beyond evaluation anchors, prefer
+    * [[minhashVerifiedPairs]] — bucket-local, never all-pairs. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
-      threshold: Double,
+      threshold: Double, dfCap: Long,
       shinglePersist: StorageLevel = StorageLevel.NONE): DataFrame = {
-    val sh0 = shinglePairs(docs, idCol, textCol, k)
+    val sh0 = shinglePairs(docs, idCol, textCol, k, dfCap)
     val sh = if (shinglePersist == StorageLevel.NONE) sh0 else sh0.persist(shinglePersist)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col("doc_id").as("d1"), col("s").as("s1"))
@@ -211,6 +236,7 @@ object Dedup {
     * pair (singletons are trivially their own cluster — left out to
     * keep the output proportional to the duplicate mass). */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
     // Materialize the edge list ONCE: it is consumed every round, and
     // an unmaterialized lineage would re-run the whole upstream pair
     // pipeline (LSH + verify) per round. |edges| = 2·|pairs| —
@@ -221,6 +247,14 @@ object Dedup {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    // The per-round checkpoints live in block storage OUTSIDE the
+    // CacheManager (clearCache never frees them), so each superseded
+    // round's blocks are dropped eagerly once the next round has
+    // materialized — otherwise a long-lived session accumulates one
+    // label table per round per invocation (measured: this plus sibling
+    // leaks pressured the bench JVM's storage pool enough to evict the
+    // q43/q44 shingle cache and triple q44's wall time).
+    var prevRound: DataFrame = null
     var it = 0
     var changed = 1L
     while (changed > 0 && it < maxIters) {
@@ -231,11 +265,17 @@ object Dedup {
       val merged = labels.join(cand, Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("new_label"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before the old round is freed
       changed = merged.filter(col("new_label") < col("label")).count()
+      if (prevRound != null) CheckpointBridge.freeCheckpoint(prevRound)
+      prevRound = labels
       labels = merged.select(col("id"), col("new_label").as("label"))
       it += 1
     }
+    // the returned plan reads only the final round's checkpoint — the
+    // edge list and the second-to-last round are no longer reachable
+    if (prevRound != null) CheckpointBridge.freeCheckpoint(prevRound)
+    CheckpointBridge.freeCheckpoint(edges)
     // A component with diameter > maxIters would exit here with labels
     // still moving — unconverged clusters downstream would silently
     // keep several representatives for one true cluster. Surface it.
@@ -317,21 +357,71 @@ object Dedup {
     * broadcast-able. Reassembly is an `array_sort(collect_list)` — the
     * per-doc chunk list is bounded by document length, never by corpus
     * size, and no window function is involved. */
+  /** Per-row chunk array: non-overlapping `chunkTokens`-token windows
+    * of the text — the shared chunking of [[dropRepeatedChunks]] /
+    * [[repeatedChunks]] / [[scrubChunks]], so the batch scrub, the
+    * boilerplate learner and the streaming scrub can never disagree on
+    * chunk boundaries. */
+  private def chunkArray(textCol: String, chunkTokens: Int): Column = {
+    val w = Chunking.tokens(col(textCol))
+    when(size(w) > 0,
+      transform(sequence(lit(1), size(w), lit(chunkTokens)),
+        i => concat_ws(" ", slice(w, i, lit(chunkTokens)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** The boilerplate set: chunks appearing in more than `maxDocs`
+    * distinct documents. Orders of magnitude smaller than the corpus
+    * (it is the repeated mass only), so the output broadcasts — this
+    * is what [[scrubChunks]] and the streaming ingest consume. */
+  def repeatedChunks(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 10, maxDocs: Int = 1): DataFrame = {
+    require(chunkTokens > 0 && maxDocs >= 1, "need chunkTokens > 0, maxDocs >= 1")
+    docs.select(col(idCol), explode(chunkArray(textCol, chunkTokens)).as("chunk"))
+      .groupBy(col("chunk"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select(col("chunk"))
+  }
+
+  /** Streaming-safe boilerplate scrub: rewrites `textCol` with every
+    * chunk in `boilerplate` removed. The boilerplate side collapses to
+    * ONE broadcast row holding the chunk array (stream-static cross
+    * join — supported in append mode), and the scrub itself is a pure
+    * per-row projection: chunk, filter by membership, rejoin. No
+    * explode survives the plan, no aggregation, no state store — this
+    * is the shape that composes with the stateful dedup downstream in
+    * [[graft.streaming.StreamingOps.corpusIngestStream]].
+    *
+    * Batch↔stream contract (StreamingSpec pins it): with
+    * `boilerplate = repeatedChunks(docs, ...)` the rewritten text
+    * equals [[dropRepeatedChunks]]'s `cleaned` on the same rows.
+    *
+    * Scale note: membership is `array_contains` over the broadcast
+    * array — linear per chunk, fine up to ~10⁵ boilerplate chunks; a
+    * larger learned set should pre-sort and binary-search via a custom
+    * expression, or Bloom-prefilter (q46's machinery) before an exact
+    * per-batch verify. */
+  def scrubChunks(docs: DataFrame, textCol: String, chunkTokens: Int,
+      boilerplate: DataFrame): DataFrame = {
+    require(chunkTokens > 0, "need chunkTokens > 0")
+    val bp = broadcast(boilerplate.agg(
+      coalesce(collect_list(col("chunk")), array().cast("array<string>")).as("__bp")))
+    val keepOrder = docs.columns.toSeq
+    docs.crossJoin(bp)
+      .withColumn(textCol,
+        array_join(filter(chunkArray(textCol, chunkTokens),
+          c => !array_contains(col("__bp"), c)), " "))
+      .select(keepOrder.map(col): _*)
+  }
+
   def dropRepeatedChunks(docs: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 10, maxDocs: Int = 1,
       chunkPersist: StorageLevel = StorageLevel.NONE): DataFrame = {
     require(chunkTokens > 0 && maxDocs >= 1, "need chunkTokens > 0, maxDocs >= 1")
-    val w = Chunking.tokens(col(textCol))
     val chunked0 = docs
-      .select(col(idCol), w.as("__w"))
-      .withColumn("__starts",
-        when(size(col("__w")) > 0,
-          sequence(lit(1), size(col("__w")), lit(chunkTokens)))
-          .otherwise(array().cast("array<int>")))
       .select(col(idCol),
-        posexplode_outer(transform(col("__starts"),
-          i => concat_ws(" ", slice(col("__w"), i, lit(chunkTokens)))))
-          .as(Seq("pos", "chunk")))
+        posexplode_outer(chunkArray(textCol, chunkTokens)).as(Seq("pos", "chunk")))
     // three consumers below (duplicate counts, anti-join left side,
     // per-doc totals) — persist at bench scale so the scan+explode runs
     // once; NONE (recompute) for the 100 TB path, same contract as

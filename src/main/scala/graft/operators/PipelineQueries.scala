@@ -52,12 +52,17 @@ object PipelineQueries {
       .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
       .orderBy("group_size")
 
-  /** N-gram (3-shingle) Jaccard near-dup pairs ≥ 0.2. */
+  /** N-gram (3-shingle) Jaccard near-dup pairs ≥ 0.2. The df cap
+    * (mirrored in the oracle's HAVING clause) drops stop-shingles
+    * carried by >2000 documents before the self-join — the skew guard
+    * that keeps the all-pairs anchor from going quadratic on a hot
+    * shingle; PipelineSpec covers a corpus where it triggers. */
   def q19NgramJaccard(s: SparkSession, dir: String): DataFrame =
     // MEMORY_AND_DISK at bench scale (same rationale as q20); the
     // 100 TB configuration passes NONE and recomputes the scan-side
     // shingle projection instead of spilling executor storage.
     Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.2,
+      dfCap = 2000,
       shinglePersist = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("d1", "d2")
 
@@ -283,7 +288,11 @@ object PipelineQueries {
     * carriers. The full cleaned text hash-checks against the oracle. */
   def q63LineDedup(s: SparkSession, dir: String): DataFrame =
     // MEMORY_AND_DISK at bench scale: the chunk table has three
-    // consumers (same rationale as q19/q20's shinglePersist)
+    // consumers (same rationale as q19/q20's shinglePersist). Like the
+    // shingle persists, the cache entry outlives this call — the
+    // harnesses (Bench/Verify/QueryProfile) clear the CacheManager per
+    // pass; a long-lived session embedding this query should pass NONE
+    // or own the unpersist.
     Dedup.dropRepeatedChunks(t(s, dir, "documents"), "doc_id", "text",
       chunkTokens = 10, maxDocs = 1,
       chunkPersist = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -311,12 +320,15 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  /** Count-min heavy hitters: top-20 tokens with exact counts and
-    * sketch estimates side by side. Rows-only check (the sketch is
-    * engine-internal); SketchSpec asserts est ≥ exact and
-    * est ≤ exact + eps·N. Deterministic: fixed seed, q47 tie-break. */
+  /** Count-min heavy hitters: top-20 tokens with exact counts, the
+    * sketch estimate folded into a bound check. Hash-checked: the
+    * oracle reproduces the exact top-20 (count desc, token asc
+    * tie-break) and expects est_in_bound = true on every row — if the
+    * sketch drifted out of its guarantee the hash goes red. The raw
+    * estimate values stay engine-internal (SketchSpec asserts their
+    * exact bounds directly). Deterministic: fixed seed. */
   def q65HeavyHitters(s: SparkSession, dir: String): DataFrame =
-    Sketches.tokenHeavyHitters(t(s, dir, "documents"), "text", k = 20)
+    Sketches.tokenHeavyHittersAudit(t(s, dir, "documents"), "text", k = 20)
 
   // ---------------------------------------------------------------- sampling
 
@@ -717,7 +729,9 @@ object PipelineQueries {
     "q19_ngram_jaccard" ->
       s"""WITH w AS (SELECT doc_id, $WordsSql AS w FROM documents),
          |idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM w WHERE len(w) >= 3),
-         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+         |sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+         |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 2000),
+         |sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
          |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |pairs AS (
          |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
@@ -1233,6 +1247,17 @@ object PipelineQueries {
         |SELECT doc_id, domain FROM d
         |WHERE domain NOT IN ('site0.example.org', 'site3.example.org', 'site5.example.org')
         |ORDER BY doc_id""".stripMargin,
+    // The exact top-20 is plain aggregation both engines compute
+    // identically; est_in_bound is computed Spark-side (the sketch is
+    // engine-internal) and ASSERTED here as the literal `true` — a
+    // sketch drifting outside exact ≤ est ≤ exact + ⌈eps·N⌉ flips the
+    // Spark value to false and the hash goes red. Deterministic with
+    // the fixed seed; tie-break matches q47 (count desc, token asc).
+    "q65_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($WordsSql) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY 1)
+         |SELECT token, exact_n, true AS est_in_bound
+         |FROM c ORDER BY exact_n DESC, token LIMIT 20""".stripMargin,
   )
 
   /** q46 carries q42's oracle verbatim: the Bloom prefilter only drops

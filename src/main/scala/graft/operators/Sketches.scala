@@ -52,6 +52,41 @@ object Sketches {
       .orderBy(col("exact_n").desc, col("token").asc)
   }
 
+  /** [[tokenHeavyHitters]] with the estimate folded into a bound
+    * check: (token, exact_n, est_in_bound) where est_in_bound ⇔
+    * exact_n ≤ est_n ≤ exact_n + ⌈eps·N⌉. The exact top-k is plain
+    * aggregation an external engine reproduces verbatim, so this
+    * surface hash-checks cross-engine (the oracle expects `true` —
+    * computed here, asserted there), while the engine-specific
+    * estimate value stays internal. With a fixed seed the sketch is
+    * deterministic, so the check is stable, not probabilistic. */
+  def tokenHeavyHittersAudit(docs: DataFrame, textCol: String, k: Int,
+      eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.select(
+      explode(TextFunctions.words(col(textCol))).as("tok"))
+    // one pass builds the sketch AND the error-bound N
+    val agg = toks.agg(
+      count_min_sketch(col("tok"), lit(eps), lit(confidence), lit(seed)),
+      count(lit(1))).head
+    val cms = CountMinSketch.readFrom(new ByteArrayInputStream(agg.getAs[Array[Byte]](0)))
+    val slack = math.ceil(eps * agg.getLong(1)).toLong
+    val exactTop = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok").asc)
+      .limit(k)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val rows = exactTop.map { case (tok, exact) =>
+      val est = cms.estimateCount(tok)
+      (tok, exact, est >= exact && est <= exact + slack)
+    }.toSeq
+    import spark.implicits._
+    rows.toDF("token", "exact_n", "est_in_bound")
+      .orderBy(col("exact_n").desc, col("token").asc)
+  }
+
   /** Total token count — the N in the count-min error bound. */
   def totalTokens(docs: DataFrame, textCol: String): Long =
     docs.select(explode(TextFunctions.words(col(textCol))).as("tok"))

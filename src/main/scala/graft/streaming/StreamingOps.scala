@@ -117,20 +117,31 @@ object StreamingOps {
 
   /** Live corpus ingest — the batch pipeline's operators composed
     * under structured streaming: per-row quality gate (scan-side
-    * expression), cross-batch content-fingerprint dedup (state store),
+    * expression), boilerplate chunk scrub (stream-static broadcast
+    * join + per-row rewrite — the line-level dedup stage, with the
+    * repeated-chunk set learned in batch via
+    * [[graft.operators.Dedup.repeatedChunks]] and refreshed on
+    * redeploy), cross-batch content-fingerprint dedup (state store),
     * deterministic shard routing (pure projection; a downstream
     * `partitionBy("shard")` file sink then writes the same shard
     * layout a backfill would). Every stage is the SAME code the batch
-    * path runs; only the dedup holds state. */
+    * path runs; only the dedup holds state. The fingerprint is taken
+    * AFTER the scrub, so two documents differing only in boilerplate
+    * dedup to one — matching what a batch dropRepeatedChunks →
+    * exact-dedup sequence would do. */
   def corpusIngestStream(docs: DataFrame, minQuality: Double,
-      nShards: Int, watermarkCol: Option[String] = None): DataFrame = {
+      nShards: Int, watermarkCol: Option[String] = None,
+      boilerplate: Option[DataFrame] = None,
+      chunkTokens: Int = 10): DataFrame = {
     import graft.functions.TextFunctions
     val gated = docs
       .filter(TextFunctions.qualityScore(org.apache.spark.sql.functions.col("text")) >= minQuality)
-      .withColumn("fp", TextFunctions.fingerprint(
-        org.apache.spark.sql.functions.col("text")))
+    val scrubbed = boilerplate.fold(gated)(bp =>
+      graft.operators.Dedup.scrubChunks(gated, "text", chunkTokens, bp))
+    val keyed = scrubbed.withColumn("fp", TextFunctions.fingerprint(
+      org.apache.spark.sql.functions.col("text")))
     graft.operators.Sampling.shardByHash(
-      dedupStream(gated, Seq("fp"), watermarkCol),
+      dedupStream(keyed, Seq("fp"), watermarkCol),
       org.apache.spark.sql.functions.col("doc_id"), nShards)
   }
 

@@ -47,7 +47,7 @@ object ProfileMain {
       // explicit persist: the default changed to NONE (100 TB path);
       // this timing predates that and must stay comparable to the
       // recorded numbers, which measured the cached form
-      Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.2,
+      Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.2, dfCap = 2000,
           shinglePersist = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .write.format("noop").mode("overwrite").save()
     }

@@ -31,6 +31,9 @@ object QueryProfile {
       val fn = graft.SparkEntry.queries(name)
       val times = (1 to reps).map { i =>
         spark.catalog.clearCache()
+        // also drop localCheckpoint blocks — clearCache doesn't
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9

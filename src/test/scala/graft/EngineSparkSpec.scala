@@ -51,6 +51,44 @@ class EngineSparkSpec extends AnyFunSuite {
     assert(row.getAs[String]("overall_level") === local.overallLevel)
   }
 
+  test("assessRollup: per-table level reproduces AssessRows; script level equals assessReport") {
+    val sample = Engine.sampleDdl("sample_db2.sql")
+    val scripts = Engine.scriptsOf(spark, Seq(("only", sample)))
+    val assessRows = Engine.assessRows(Engine.parseDb2(scripts))
+    val rolled = Engine.assessRollup(assessRows).collect()
+
+    // level 0 = per-table: one row per assessed table, scores verbatim
+    val perTable = rolled.filter(_.getAs[Int]("agg_level") == 0)
+    val rows = assessRows.collect()
+    assert(perTable.length === rows.length)
+    val byName = perTable.map(r => r.getAs[String]("table_name") -> r).toMap
+    for (ar <- rows) {
+      val r = byName(ar.tableName)
+      assert(r.getAs[Int]("tables_total") === 1)
+      assert(r.getAs[Double]("datatype_score") === ar.datatypeScore)
+      assert(r.getAs[Double]("special_features_score") === ar.specialScore)
+      assert(r.getAs[Int]("critical_issues") === ar.nCritical)
+      assert(r.getAs[Int]("total_columns") === ar.columnCount)
+    }
+    // level 1 = per-schema: table counts partition the total
+    val perSchema = rolled.filter(_.getAs[Int]("agg_level") == 1)
+    assert(perSchema.map(_.getAs[Int]("tables_total")).sum === rows.length)
+    // level 3 = per-script: identical to the dedicated assessReport rollup
+    val script = rolled.filter(_.getAs[Int]("agg_level") == 3)
+    assert(script.length === 1)
+    val report = Engine.assessReport(assessRows).collect().head
+    for (c <- Seq("tables_total", "tables_auto", "tables_manual", "tables_blocked",
+        "total_columns", "total_constraints", "critical_issues", "warning_issues",
+        "info_issues"))
+      assert(script.head.getAs[Int](c) === report.getAs[Int](c), c)
+    for (c <- Seq("datatype_score", "constraint_score", "partition_score",
+        "special_features_score", "overall_score"))
+      assert(math.abs(script.head.getAs[Double](c) - report.getAs[Double](c)) < 1e-9, c)
+    assert(script.head.getAs[String]("overall_level") === report.getAs[String]("overall_level"))
+    // level 7 = grand total over every script (single script here)
+    assert(rolled.count(_.getAs[Int]("agg_level") == 7) === 1)
+  }
+
   test("typeDistribution rollup matches local; featureUsage matches local") {
     val sample = Engine.sampleDdl("sample_db2.sql")
     val local = Assessor.assess(sample)

@@ -53,8 +53,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).toSeq === Seq("zh", "en"))
   }
 
+  test("exactGroups: every row keyed, min-id row marked representative, sizes correct") {
+    val out = Dedup.exactGroups(docsDf,
+        concat_ws(" ", slice(TextFunctions.words(col("text")), 1, 5)), "doc_id")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("group_size"), r.getAs[Boolean]("is_representative"))).toMap
+    assert(out.size === 4) // one row back per input row
+    // docs 1, 2, 4 share the 5-word prefix key: min id 1 is the rep
+    assert(out(1L) === ((3L, true)))
+    assert(out(2L) === ((3L, false)))
+    assert(out(4L) === ((3L, false)))
+    assert(out(3L) === ((1L, true))) // singletons are their own rep
+  }
+
+  test("jaccardPairs dfCap: a corpus-wide stop-shingle is dropped and bounds the fanout") {
+    import spark.implicits._
+    // 40 docs all carrying the same opening boilerplate (one hot
+    // 3-shingle in every doc) plus unique tails: uncapped, the hot
+    // shingle alone fans out 40·39/2 = 780 candidate pairs; with
+    // dfCap=10 it is dropped and only true near-dups (none here) pair.
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"shared boilerplate header unique$i tail$i word$i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3,
+      threshold = 0.01, dfCap = 10)
+    assert(capped.count() === 0L)
+    // sanity: with the cap above the corpus size the hot shingle pairs
+    // everything — proving the cap (not the data) removed the fanout
+    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3,
+      threshold = 0.01, dfCap = 1000)
+    assert(uncapped.count() === 780L)
+  }
+
   test("jaccard pairs: exact dup pair scores 1.0; near dup high; disjoint absent") {
-    val pairs = Dedup.jaccardPairs(docsDf, "doc_id", "text", k = 3, threshold = 0.2)
+    val pairs = Dedup.jaccardPairs(docsDf, "doc_id", "text", k = 3, threshold = 0.2, dfCap = 100)
       .collect().map(r => ((r.getAs[Long]("d1"), r.getAs[Long]("d2")), r.getAs[Double]("jaccard"))).toMap
     assert(pairs((1L, 4L)) === 1.0)
     assert(pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)

@@ -144,6 +144,19 @@ class PlanSpec extends AnyFunSuite {
       logical.take(3000))
   }
 
+  test("exactGroups: representative pick is a bounded aggregation, not a per-key window") {
+    val df = graft.operators.Dedup.exactGroups(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      org.apache.spark.sql.functions.col("lang"), "doc_id")
+    val plan = planString(df)
+    // a Window over dedup_key would sort a whole boilerplate key's
+    // millions of duplicates inside one task at corpus scale
+    assert(!plan.contains("Window"),
+      "representative pick must not plan a window:\n" + plan.take(2000))
+    assert(plan.contains("HashAggregate"),
+      "group sizes must come from a partial+final hash agg:\n" + plan.take(2000))
+  }
+
   test("q40: per-group cap runs on the bounded aggregator, not a window sort") {
     val df = graft.operators.Sampling.capPerGroup(
       spark.read.parquet(s"$dir/documents.parquet"), "lang", "doc_id", k = 5)

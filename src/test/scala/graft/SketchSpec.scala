@@ -35,6 +35,13 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  // What makes the eps-bound assertion below STABLE is the fixed seed,
+  // not the CMS guarantee: the est ≤ exact + eps·N bound only holds
+  // with probability ≥ confidence per probe, so over 20 probed tokens
+  // a legitimate rare violation is theoretically possible — but the
+  // seeded sketch is deterministic, so whatever collisions exist are
+  // the same on every run and the assertion either always passes or
+  // always fails (it passes; heavy hitters collide little vs eps·N).
   test("count-min heavy hitters: est >= exact and est <= exact + eps*N") {
     val eps = 0.001
     val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -250,6 +250,66 @@ class StreamingSpec extends AnyFunSuite {
     out.foreach { case (id, _, sh) => assert(batchShards(id) === sh) }
   }
 
+  test("scrubChunks equals dropRepeatedChunks' cleaned text on the same corpus") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val bp = graft.operators.Dedup.repeatedChunks(docs, "doc_id", "text",
+      chunkTokens = 10, maxDocs = 1)
+    assert(bp.count() > 0, "fixture must contain repeated chunks")
+    val viaScrub = graft.operators.Dedup.scrubChunks(docs, "text", 10, bp)
+      .select(col("doc_id"), col("text").as("cleaned")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaBatch = graft.operators.Dedup.dropRepeatedChunks(docs, "doc_id", "text",
+        chunkTokens = 10, maxDocs = 1)
+      .select(col("doc_id"), col("cleaned")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaScrub === viaBatch)
+  }
+
+  test("corpus ingest stream with boilerplate scrub: two micro-batches equal the batch composition") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val corpus = spark.createDataset(fixture).toDF("doc_id", "text")
+    // boilerplate learned in batch (the production shape), applied live
+    val bp = graft.operators.Dedup.repeatedChunks(corpus, "doc_id", "text",
+      chunkTokens = 10, maxDocs = 1).cache()
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.corpusIngestStream(
+        mem.toDF().toDF("doc_id", "text"), minQuality = 0.5, nShards = 8,
+        boilerplate = Some(bp))
+      .writeStream.format("memory").queryName("ingest_scrubbed")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(fixture.take(fixture.length / 2): _*)
+    q.processAllAvailable()
+    mem.addData(fixture.drop(fixture.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ingest_scrubbed")
+      .select("doc_id", "fp", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // batch reference: gate → scrub → fingerprint, one survivor per fp
+    val batchScrubbed = graft.operators.Dedup.scrubChunks(
+      corpus.filter(graft.functions.TextFunctions.qualityScore(col("text")) >= 0.5),
+      "text", 10, bp)
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+    val batchFps = batchScrubbed.select("fp").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_._2).toSet === batchFps, "one survivor per scrubbed fingerprint")
+    assert(out.length === batchFps.size, "no fingerprint emitted twice")
+    // the scrub must actually change the dedup outcome vs the unscrubbed
+    // gate (exact dups AND boilerplate-only-different docs now collapse)
+    val unscrubbedFps = corpus
+      .filter(graft.functions.TextFunctions.qualityScore(col("text")) >= 0.5)
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .select("fp").distinct().count()
+    assert(batchFps.size <= unscrubbedFps)
+    bp.unpersist()
+  }
+
   test("streaming dedup: first row per fingerprint survives across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
