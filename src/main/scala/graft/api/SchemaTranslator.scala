@@ -84,15 +84,21 @@ object SchemaTranslator {
 
   /** Full table migration in the HadoopTables directory layout: data
     * files under `<path>/data` (distributed write, RANGE-partitioned
-    * when declared) plus Iceberg table-spec v2 metadata under
-    * `<path>/metadata` so an Iceberg runtime pointed at `path` sees a
-    * valid table whose declared schema matches the data files. The
-    * metadata document is driver-side O(columns) string work; only the
-    * data write runs as a Spark job. */
+    * when declared), CREATE-state metadata (`v1.metadata.json`), then a
+    * committed append snapshot (`v2.metadata.json` + manifest list +
+    * manifest over the written files) so an Iceberg runtime pointed at
+    * `path` sees a valid table AND its rows — without the snapshot
+    * chain the migrated data would be invisible (an empty-table read).
+    * Only the data write runs as a Spark job; metadata + commit are
+    * driver-side O(columns + files), the same shape as a real Iceberg
+    * commit. The Hive-style partition directories the write produces
+    * are irrelevant to Iceberg readers — manifests record absolute
+    * file paths and per-file partition values. */
   def migrateTable(df: DataFrame, table: TableDef, path: String,
       format: String = "parquet"): Unit = {
     writeMigrated(df, table, s"$path/data", format)
-    graft.sources.IcebergMetadata.writeTableMetadata(
-      table, path, df.sparkSession.sparkContext.hadoopConfiguration)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    graft.sources.IcebergMetadata.writeTableMetadata(table, path, conf)
+    graft.sources.IcebergSnapshot.commitAppend(table, path, conf)
   }
 }

@@ -108,21 +108,53 @@ object IcebergMetadata {
       "fields" -> JArray(fields.toList))
   }
 
-  /** Full table-spec v2 metadata document (no snapshots yet — the state
-    * a catalog records at CREATE TABLE). Deterministic: the table UUID
-    * is name-derived and the timestamp is a parameter. */
+  /** One committed append snapshot, as recorded in the metadata
+    * document ([[IcebergSnapshot.commitAppend]] produces it). */
+  final case class SnapshotMeta(
+      snapshotId: Long,
+      timestampMs: Long,
+      manifestList: String,
+      addedFiles: Long,
+      addedRecords: Long)
+
+  /** Full table-spec v2 metadata document. With `snapshot = None` this
+    * is the state a catalog records at CREATE TABLE (no snapshots,
+    * current-snapshot-id −1); with a snapshot it is the post-append
+    * state: the snapshot entry, the `main` branch ref, the
+    * snapshot-log, and sequence number 1. Deterministic: the table
+    * UUID is name-derived and the timestamp is a parameter. */
   def metadataJson(table: TableDef, location: String,
-      lastUpdatedMs: Long = 0L): String = {
+      lastUpdatedMs: Long = 0L,
+      snapshot: Option[SnapshotMeta] = None,
+      metadataLog: Seq[(Long, String)] = Nil): String = {
     val spec = partitionSpecJson(table)
     val nPartFields = (spec \ "fields").asInstanceOf[JArray].arr.size
     val order = sortOrderJson(table)
+    val snapJson = snapshot.toList.map { s =>
+      JObject(
+        "snapshot-id" -> JInt(s.snapshotId),
+        "sequence-number" -> JInt(1),
+        "timestamp-ms" -> JInt(BigInt(s.timestampMs)),
+        "summary" -> JObject(
+          "operation" -> JString("append"),
+          "added-data-files" -> JString(s.addedFiles.toString),
+          "added-records" -> JString(s.addedRecords.toString),
+          "total-data-files" -> JString(s.addedFiles.toString),
+          "total-records" -> JString(s.addedRecords.toString),
+          "total-delete-files" -> JString("0"),
+          "total-equality-deletes" -> JString("0"),
+          "total-position-deletes" -> JString("0")),
+        "manifest-list" -> JString(s.manifestList),
+        "schema-id" -> JInt(0))
+    }
     val doc = JObject(
       "format-version" -> JInt(2),
       "table-uuid" -> JString(
         UUID.nameUUIDFromBytes(table.fullName.getBytes(StandardCharsets.UTF_8)).toString),
       "location" -> JString(location),
-      "last-sequence-number" -> JInt(0),
-      "last-updated-ms" -> JInt(BigInt(lastUpdatedMs)),
+      "last-sequence-number" -> JInt(if (snapshot.isDefined) 1 else 0),
+      "last-updated-ms" -> JInt(BigInt(
+        snapshot.map(_.timestampMs).getOrElse(lastUpdatedMs))),
       "last-column-id" -> JInt(table.columns.size),
       "current-schema-id" -> JInt(0),
       "schemas" -> JArray(List(schemaJson(table))),
@@ -132,10 +164,19 @@ object IcebergMetadata {
       "default-sort-order-id" -> JInt((order \ "order-id").asInstanceOf[JInt].num),
       "sort-orders" -> JArray(List(order)),
       "properties" -> JObject("write.format.default" -> JString("parquet")),
-      "current-snapshot-id" -> JInt(-1),
-      "snapshots" -> JArray(Nil),
-      "snapshot-log" -> JArray(Nil),
-      "metadata-log" -> JArray(Nil))
+      "current-snapshot-id" -> snapshot.fold[JValue](JInt(-1))(s => JInt(s.snapshotId)),
+      "refs" -> snapshot.fold[JValue](JObject())(s => JObject(
+        "main" -> JObject(
+          "snapshot-id" -> JInt(s.snapshotId),
+          "type" -> JString("branch")))),
+      "snapshots" -> JArray(snapJson),
+      "snapshot-log" -> JArray(snapshot.toList.map(s => JObject(
+        "timestamp-ms" -> JInt(BigInt(s.timestampMs)),
+        "snapshot-id" -> JInt(s.snapshotId)))),
+      "metadata-log" -> JArray(metadataLog.toList.map { case (ts, file) =>
+        JObject("timestamp-ms" -> JInt(BigInt(ts)),
+          "metadata-file" -> JString(file))
+      }))
     JsonMethods.pretty(JsonMethods.render(doc)) + "\n"
   }
 

@@ -1,0 +1,330 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.mapping.TypeMapper
+import graft.model.TableDef
+
+/** Iceberg v2 snapshot commit for [[graft.api.SchemaTranslator
+  * .migrateTable]]'s data files: the manifest (one Avro row per data
+  * file), the manifest list (one Avro row per manifest), and the
+  * updated metadata JSON carrying the snapshot + `main` branch ref —
+  * the full chain an Iceberg runtime walks to SEE the rows. Without it
+  * the migrated table reads as valid but empty (metadata-only CREATE
+  * state), which defeats the migration's whole purpose (the reference's
+  * output is DDL a live catalog accepts and queries:
+  * `/root/reference/db2ice/converter.py:166-183`).
+  *
+  * Everything here follows the published Apache Iceberg table spec
+  * (format version 2): manifest-entry/manifest-file field ids (500-519,
+  * 100-143), sequence-number inheritance (entry-level numbers null on
+  * ADDED rows, inherited from the manifest list), Avro file-key
+  * metadata (`schema`, `partition-spec`, `format-version`, `content`).
+  * Optional per-file stats columns (value counts, bounds) are omitted —
+  * spec-legal, readers treat them as absent.
+  *
+  * The writer is deliberately runtime-jar-free (offline sandbox): plain
+  * Avro + Parquet footers, both on Spark's own classpath.
+  * IcebergMetadataSpec round-trips the output through an independent
+  * Avro read-back; directory layout of the data files is irrelevant to
+  * Iceberg (manifests record absolute paths — the Hive-style dirs the
+  * partitioned write produces are just paths).
+  *
+  * Scale note: the commit is driver-side O(#files) (footer reads +
+  * manifest rows) — the same shape a real Iceberg commit has. The data
+  * write itself is the distributed job; at production file counts the
+  * footer pass would batch through a thread pool, and record counts
+  * could be collected from the write job's task metrics instead.
+  */
+object IcebergSnapshot {
+
+  /** One data file entering the snapshot. `partitionValues` is aligned
+    * with the partition-spec fields (None = null partition value). */
+  final case class DataFileInfo(
+      path: String,
+      sizeBytes: Long,
+      recordCount: Long,
+      partitionValues: Seq[Option[Any]])
+
+  /** (partition field name, iceberg source type, transform) triples for
+    * the table's spec — the single source of truth shared by the Avro
+    * schema, the Hive-path parser and the metadata JSON. */
+  def partitionFields(table: TableDef): Seq[(String, String, String)] = {
+    val types = table.columns.map { c =>
+      val m = TypeMapper.mapType(c.dataType, c.length, c.precision,
+        c.scale, c.forBitData, c.ccsid)
+      c.name -> IcebergMetadata.icebergType(m.targetType)
+    }.toMap
+    table.partition.toSeq.flatMap { p =>
+      val transform = if (p.ptype == "HASH") "bucket[16]" else "identity"
+      p.columns.filter(types.contains).map(c => (c, types(c), transform))
+    }
+  }
+
+  /** Avro type name for a partition value of the given iceberg type
+    * under the given transform (bucket always yields int). */
+  private def avroPartitionType(icebergType: String, transform: String): String =
+    if (transform.startsWith("bucket")) "int"
+    else icebergType match {
+      case "int" | "date" => "int" // date rides as days-from-epoch int
+      case "long" => "long"
+      case "float" => "float"
+      case "double" => "double"
+      case "boolean" => "boolean"
+      case _ => "string" // identity on string-ish types; decimals degrade
+    }
+
+  /** Parse one Hive-dir partition value (`col=raw`) to the Avro-typed
+    * value; `__HIVE_DEFAULT_PARTITION__` is the null marker. */
+  def parsePartitionValue(raw: String, icebergType: String,
+      transform: String): Option[Any] = {
+    val decoded = java.net.URLDecoder.decode(raw, "UTF-8")
+    if (decoded == "__HIVE_DEFAULT_PARTITION__") None
+    else Some(avroPartitionType(icebergType, transform) match {
+      case "int" if icebergType == "date" =>
+        java.time.LocalDate.parse(decoded).toEpochDay.toInt
+      case "int" => decoded.toInt
+      case "long" => decoded.toLong
+      case "float" => decoded.toFloat
+      case "double" => decoded.toDouble
+      case "boolean" => decoded.toBoolean
+      case _ => decoded
+    })
+  }
+
+  private def partitionRecordSchema(table: TableDef): JObject = {
+    val fields = partitionFields(table).zipWithIndex.map {
+      case ((name, itype, transform), i) =>
+        JObject(
+          "name" -> JString(name),
+          // always nullable: bucket values are unknown to the Hive
+          // layout, and identity columns can hold null partitions
+          "type" -> JArray(List(JString("null"),
+            JString(avroPartitionType(itype, transform)))),
+          "default" -> JNull,
+          "field-id" -> JInt(1000 + i))
+    }
+    JObject("type" -> JString("record"), "name" -> JString("r102"),
+      "fields" -> JArray(fields.toList))
+  }
+
+  /** Manifest-entry Avro schema (spec field ids; optional stats
+    * columns omitted). */
+  def manifestSchemaJson(table: TableDef): String = {
+    def f(name: String, tpe: JValue, id: Int, nullable: Boolean = false): JObject =
+      if (nullable)
+        JObject("name" -> JString(name),
+          "type" -> JArray(List(JString("null"), tpe)),
+          "default" -> JNull, "field-id" -> JInt(id))
+      else JObject("name" -> JString(name), "type" -> tpe, "field-id" -> JInt(id))
+    val dataFile = JObject(
+      "type" -> JString("record"), "name" -> JString("r2"),
+      "fields" -> JArray(List(
+        f("content", JString("int"), 134),
+        f("file_path", JString("string"), 100),
+        f("file_format", JString("string"), 101),
+        f("partition", partitionRecordSchema(table), 102),
+        f("record_count", JString("long"), 103),
+        f("file_size_in_bytes", JString("long"), 104))))
+    val root = JObject(
+      "type" -> JString("record"), "name" -> JString("manifest_entry"),
+      "fields" -> JArray(List(
+        f("status", JString("int"), 0),
+        f("snapshot_id", JString("long"), 1, nullable = true),
+        f("sequence_number", JString("long"), 3, nullable = true),
+        f("file_sequence_number", JString("long"), 4, nullable = true),
+        f("data_file", dataFile, 2))))
+    JsonMethods.compact(JsonMethods.render(root))
+  }
+
+  /** Manifest-list (manifest_file) Avro schema, v2 required fields. */
+  val ManifestListSchemaJson: String = {
+    def f(name: String, tpe: String, id: Int): JObject =
+      JObject("name" -> JString(name), "type" -> JString(tpe), "field-id" -> JInt(id))
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "type" -> JString("record"), "name" -> JString("manifest_file"),
+      "fields" -> JArray(List(
+        f("manifest_path", "string", 500),
+        f("manifest_length", "long", 501),
+        f("partition_spec_id", "int", 502),
+        f("content", "int", 517),
+        f("sequence_number", "long", 515),
+        f("min_sequence_number", "long", 516),
+        f("added_snapshot_id", "long", 503),
+        f("added_files_count", "int", 504),
+        f("existing_files_count", "int", 505),
+        f("deleted_files_count", "int", 506),
+        f("added_rows_count", "long", 512),
+        f("existing_rows_count", "long", 513),
+        f("deleted_rows_count", "long", 514))))))
+  }
+
+  /** Enumerate the parquet data files under `dataDir`, reading record
+    * counts from footers and partition values from the Hive-style
+    * directory components the partitioned write produced. */
+  def listDataFiles(dataDir: Path, table: TableDef,
+      conf: Configuration): Seq[DataFileInfo] = {
+    val fs = FileSystem.get(dataDir.toUri, conf)
+    val pf = partitionFields(table)
+    val byName = pf.map { case (n, t, tr) => n -> ((t, tr)) }.toMap
+    val out = ArrayBuffer.empty[DataFileInfo]
+    if (!fs.exists(dataDir)) return out.toSeq
+    val it = fs.listFiles(dataDir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      if (st.isFile && p.getName.endsWith(".parquet")) {
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        val nRows = try reader.getRecordCount finally reader.close()
+        // Hive components between dataDir and the file: col=value
+        val rel = p.toString.stripPrefix(dataDir.toString).stripPrefix("/")
+        val dirVals = rel.split('/').dropRight(1).flatMap { comp =>
+          comp.split("=", 2) match {
+            case Array(k, v) if byName.contains(k) => Some(k -> v)
+            case _ => None
+          }
+        }.toMap
+        val values = pf.map { case (name, itype, transform) =>
+          dirVals.get(name).flatMap(parsePartitionValue(_, itype, transform))
+        }
+        out += DataFileInfo(p.toString, st.getLen, nRows, values)
+      }
+    }
+    out.toSeq.sortBy(_.path) // deterministic manifest order
+  }
+
+  private def writeAvro(fs: FileSystem, path: Path, schema: Schema,
+      meta: Seq[(String, String)], records: Seq[GenericRecord]): Long = {
+    val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => writer.setMeta(k, v) }
+    val out = fs.create(path, true)
+    writer.create(schema, out)
+    records.foreach(writer.append)
+    writer.close() // closes the stream
+    fs.getFileStatus(path).getLen
+  }
+
+  /** Write the data manifest: one ADDED entry per file, entry-level
+    * sequence numbers null (inherited from the manifest list per the
+    * v2 inheritance rule). Returns (path, length). */
+  def writeManifest(table: TableDef, files: Seq[DataFileInfo],
+      metadataDir: Path, snapshotId: Long, conf: Configuration): (Path, Long) = {
+    val fs = FileSystem.get(metadataDir.toUri, conf)
+    val schema = new Schema.Parser().parse(manifestSchemaJson(table))
+    val dfSchema = schema.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
+    val pf = partitionFields(table)
+    val records = files.map { f =>
+      val part = new GenericData.Record(partSchema)
+      pf.zip(f.partitionValues).foreach { case ((name, _, _), v) =>
+        part.put(name, v.orNull)
+      }
+      val df = new GenericData.Record(dfSchema)
+      df.put("content", 0)
+      df.put("file_path", f.path)
+      df.put("file_format", "PARQUET")
+      df.put("partition", part)
+      df.put("record_count", f.recordCount)
+      df.put("file_size_in_bytes", f.sizeBytes)
+      val e = new GenericData.Record(schema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", null)
+      e.put("file_sequence_number", null)
+      e.put("data_file", df)
+      e
+    }
+    val path = new Path(metadataDir,
+      s"${UUID.nameUUIDFromBytes((table.fullName + "-m0").getBytes(StandardCharsets.UTF_8))}-m0.avro")
+    val specFields = JsonMethods.compact(JsonMethods.render(
+      IcebergMetadata.partitionSpecJson(table) \ "fields"))
+    val len = writeAvro(fs, path, schema, Seq(
+      "schema" -> JsonMethods.compact(JsonMethods.render(
+        IcebergMetadata.schemaJson(table))),
+      "partition-spec" -> specFields,
+      "partition-spec-id" -> "0",
+      "format-version" -> "2",
+      "content" -> "data"), records)
+    (path, len)
+  }
+
+  /** Write the manifest list for a single-manifest append snapshot. */
+  def writeManifestList(table: TableDef, manifest: (Path, Long),
+      nFiles: Long, nRows: Long, metadataDir: Path, snapshotId: Long,
+      conf: Configuration): Path = {
+    val fs = FileSystem.get(metadataDir.toUri, conf)
+    val schema = new Schema.Parser().parse(ManifestListSchemaJson)
+    val r = new GenericData.Record(schema)
+    r.put("manifest_path", manifest._1.toString)
+    r.put("manifest_length", manifest._2)
+    r.put("partition_spec_id", 0)
+    r.put("content", 0)
+    r.put("sequence_number", 1L)
+    r.put("min_sequence_number", 1L)
+    r.put("added_snapshot_id", snapshotId)
+    r.put("added_files_count", nFiles.toInt)
+    r.put("existing_files_count", 0)
+    r.put("deleted_files_count", 0)
+    r.put("added_rows_count", nRows)
+    r.put("existing_rows_count", 0L)
+    r.put("deleted_rows_count", 0L)
+    val path = new Path(metadataDir, s"snap-$snapshotId-1-" +
+      UUID.nameUUIDFromBytes((table.fullName + "-snap").getBytes(StandardCharsets.UTF_8)) +
+      ".avro")
+    writeAvro(fs, path, schema, Seq(
+      "format-version" -> "2",
+      "snapshot-id" -> snapshotId.toString,
+      "sequence-number" -> "1",
+      "parent-snapshot-id" -> "null"), Seq(r))
+    path
+  }
+
+  /** Commit the files under `<tablePath>/data` as append snapshot 1:
+    * manifest + manifest list + `v2.metadata.json` (with a
+    * metadata-log entry pointing at v1) + version hint. Idempotent and
+    * deterministic for a fixed timestamp. Returns the snapshot. */
+  def commitAppend(table: TableDef, tablePath: String,
+      conf: Configuration = new Configuration(),
+      timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+    val metadataDir = new Path(tablePath, "metadata")
+    val fs = FileSystem.get(metadataDir.toUri, conf)
+    fs.mkdirs(metadataDir)
+    val files = listDataFiles(new Path(tablePath, "data"), table, conf)
+    val snapshotId = UUID.nameUUIDFromBytes(
+      (table.fullName + "-snapshot-1").getBytes(StandardCharsets.UTF_8))
+      .getMostSignificantBits & Long.MaxValue
+    val manifest = writeManifest(table, files, metadataDir, snapshotId, conf)
+    val nRows = files.map(_.recordCount).sum
+    val listPath = writeManifestList(table, manifest, files.size.toLong, nRows,
+      metadataDir, snapshotId, conf)
+    val snap = IcebergMetadata.SnapshotMeta(
+      snapshotId = snapshotId,
+      timestampMs = timestampMs,
+      manifestList = listPath.toString,
+      addedFiles = files.size.toLong,
+      addedRecords = nRows)
+    val doc = IcebergMetadata.metadataJson(table, tablePath,
+      lastUpdatedMs = timestampMs, snapshot = Some(snap),
+      metadataLog = Seq(timestampMs ->
+        new Path(metadataDir, "v1.metadata.json").toString))
+    val metaFile = new Path(metadataDir, "v2.metadata.json")
+    val out = fs.create(metaFile, true)
+    try out.write(doc.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val hint = fs.create(new Path(metadataDir, "version-hint.text"), true)
+    try hint.write("2\n".getBytes(StandardCharsets.UTF_8)) finally hint.close()
+    snap
+  }
+}

@@ -215,4 +215,110 @@ class MappingSpec extends AnyFunSuite {
       .filter(_.startsWith("BUCKET=")).toSet
     assert(dirs === Set("BUCKET=1", "BUCKET=2"))
   }
+
+  test("migrateTable commits an append snapshot: metadata → manifest list → " +
+      "manifest → data files, verified by independent Avro read-back") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    // manifest paths are URIs (file:/..., s3://...) — resolve local ones
+    def localPath(p: String): java.nio.file.Path =
+      if (p.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(p))
+      else java.nio.file.Paths.get(p)
+    def readAvro(path: String): (Seq[GenericRecord], Map[String, String]) = {
+      val reader = new DataFileReader(new java.io.File(path),
+        new GenericDatumReader[GenericRecord]())
+      try {
+        val rows = Iterator.continually(reader)
+          .takeWhile(_.hasNext).map(_.next()).toVector
+        val metaKeys = Seq("schema", "partition-spec", "format-version",
+          "content", "snapshot-id", "sequence-number")
+        val meta = metaKeys.flatMap(k =>
+          Option(reader.getMetaString(k)).map(k -> _)).toMap
+        (rows, meta)
+      } finally reader.close()
+    }
+
+    val ddl =
+      """CREATE TABLE S.EVENTS3 (
+        |  EVENT_ID BIGINT NOT NULL,
+        |  AMOUNT DECIMAL(10,2),
+        |  BUCKET INTEGER
+        |) PARTITION BY RANGE (BUCKET);""".stripMargin
+    val table = Db2Parser.parse(ddl).tables.head
+    import spark.implicits._
+    val src = Seq((1L, "10.50", 1), (2L, "20.25", 2), (3L, "7.75", 1))
+      .toDF("EVENT_ID", "AMOUNT", "BUCKET")
+    val out = java.nio.file.Files.createTempDirectory("iceberg_snap").toString
+    SchemaTranslator.migrateTable(src, table, out)
+
+    // version hint points at the post-commit metadata
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", "version-hint.text")), "UTF-8") === "2\n")
+    val meta = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", "v2.metadata.json")), "UTF-8"))
+
+    // snapshot is current and ref'd from main
+    val snapId = (meta \ "current-snapshot-id").asInstanceOf[JInt].num.toLong
+    assert(snapId > 0)
+    val snaps = (meta \ "snapshots").asInstanceOf[JArray].arr
+    assert(snaps.size === 1)
+    val snap = snaps.head
+    assert((snap \ "snapshot-id").asInstanceOf[JInt].num.toLong === snapId)
+    assert((snap \ "summary" \ "operation").asInstanceOf[JString].s === "append")
+    assert((snap \ "summary" \ "added-records").asInstanceOf[JString].s === "3")
+    assert((meta \ "refs" \ "main" \ "snapshot-id").asInstanceOf[JInt].num.toLong === snapId)
+    assert((meta \ "last-sequence-number").asInstanceOf[JInt].num.toInt === 1)
+    assert((meta \ "metadata-log").asInstanceOf[JArray].arr.nonEmpty)
+
+    // manifest list: one data manifest, counts aggregated
+    val listPath = localPath((snap \ "manifest-list").asInstanceOf[JString].s).toString
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(listPath)))
+    val (listRows, listMeta) = readAvro(listPath)
+    assert(listMeta("format-version") === "2")
+    assert(listMeta("snapshot-id") === snapId.toString)
+    assert(listRows.size === 1)
+    val mf = listRows.head
+    assert(mf.get("content") === 0)
+    assert(mf.get("added_rows_count") === 3L)
+    assert(mf.get("added_snapshot_id") === snapId)
+    assert(mf.get("sequence_number") === 1L)
+
+    // manifest: one ADDED entry per parquet file; paths exist; record
+    // counts sum to the written rows; partition values match the dirs
+    val manifestPath = localPath(mf.get("manifest_path").toString).toString
+    assert(mf.get("manifest_length") ===
+      java.nio.file.Files.size(java.nio.file.Paths.get(manifestPath)))
+    val (entries, mMeta) = readAvro(manifestPath)
+    assert(mMeta("format-version") === "2" && mMeta("content") === "data")
+    // embedded schema/spec agree with the table metadata document
+    assert(JsonMethods.parse(mMeta("schema")) === (meta \ "schemas")(0))
+    assert(JsonMethods.parse(mMeta("partition-spec")) ===
+      ((meta \ "partition-specs")(0) \ "fields"))
+    assert(entries.nonEmpty)
+    var totalRows = 0L
+    for (e <- entries) {
+      assert(e.get("status") === 1)
+      assert(e.get("snapshot_id") === snapId)
+      assert(e.get("sequence_number") === null) // inherited, v2 rule
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      assert(df.get("content") === 0)
+      assert(df.get("file_format").toString === "PARQUET")
+      val fp = df.get("file_path").toString
+      assert(java.nio.file.Files.exists(localPath(fp)), fp)
+      assert(df.get("file_size_in_bytes") === java.nio.file.Files.size(localPath(fp)))
+      // partition value in the manifest equals the Hive dir the file
+      // physically sits in — the manifest is what the reader trusts
+      val bucket = df.get("partition").asInstanceOf[GenericRecord].get("BUCKET")
+      assert(fp.contains(s"BUCKET=$bucket"), s"$fp vs partition $bucket")
+      val n = df.get("record_count").asInstanceOf[Long]
+      assert(n === spark.read.parquet(fp).count())
+      totalRows += n
+    }
+    assert(totalRows === 3L)
+    // determinism: a second commit over the same files is byte-stable
+    val again = graft.sources.IcebergSnapshot.commitAppend(table, out)
+    assert(again.snapshotId === snapId && again.addedRecords === 3L)
+  }
 }
