@@ -658,6 +658,23 @@ object PipelineQueries {
       .orderBy("media_type")
   }
 
+  /** REAL media decode as a query: synthesize one 24-bit BMP per doc
+    * (dimensions derived from doc_id, pixels from the text bytes),
+    * parse it back with the real [[Multimodal.decode]], roll up per
+    * width. The oracle recomputes the dimension/byte arithmetic
+    * directly — any drift in the BMP writer OR the header parser
+    * (offsets, strides, row padding) shifts the sums and goes red. */
+  def q66MediaDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decode(
+        Multimodal.synthesizeBmpAssets(t(s, dir, "documents")))
+      .toDF()
+      .groupBy(col("width"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("height")).cast("bigint").as("sum_height"),
+        sum(col("n_samples")).cast("bigint").as("sum_samples"),
+        sum(col("n_bytes")).cast("bigint").as("sum_bytes"))
+      .orderBy("width")
+
   // ---------------------------------------------------------------- oracle
 
   private val WordsSql = "string_split_regex(lower(trim(text)), ' +')"
@@ -1258,6 +1275,18 @@ object PipelineQueries {
          |c AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY 1)
          |SELECT token, exact_n, true AS est_in_bound
          |FROM c ORDER BY exact_n DESC, token LIMIT 20""".stripMargin,
+    // mirrors synthesizeBmpAssets' dimension rule and the BMP layout
+    // arithmetic (54-byte header, rows padded to 4 bytes)
+    "q66_media_decode" ->
+      """WITH m AS (
+        |  SELECT 4 + CAST(doc_id % 13 AS INT) AS w,
+        |         3 + CAST(doc_id % 7 AS INT) AS h
+        |  FROM documents)
+        |SELECT w AS width, count(*) AS n_assets,
+        |  CAST(SUM(h) AS BIGINT) AS sum_height,
+        |  CAST(SUM(w * h) AS BIGINT) AS sum_samples,
+        |  CAST(SUM(54 + ((w * 3 + 3) // 4) * 4 * h) AS BIGINT) AS sum_bytes
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** q46 carries q42's oracle verbatim: the Bloom prefilter only drops
@@ -1304,5 +1333,6 @@ object PipelineQueries {
     "q63_line_dedup" -> (q63LineDedup _),
     "q64_url_filter" -> (q64UrlFilter _),
     "q65_heavy_hitters" -> (q65HeavyHitters _),
+    "q66_media_decode" -> (q66MediaDecode _),
   )
 }

@@ -330,6 +330,94 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaAgg === viaWindow)
   }
 
+  // ---- hand-crafted media fixtures for the REAL decoders ----
+
+  /** Minimal 24-bit uncompressed BMP: w×h pixels, each row padded to 4
+    * bytes, rows bottom-up (the standard layout). */
+  private def makeBmp(w: Int, h: Int, px: (Int, Int) => (Byte, Byte, Byte)): Array[Byte] = {
+    val stride = (w * 3 + 3) / 4 * 4
+    val out = new Array[Byte](54 + stride * h)
+    out(0) = 'B'; out(1) = 'M'
+    def putI32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    putI32(2, out.length); putI32(10, 54); putI32(14, 40)
+    putI32(18, w); putI32(22, h); out(26) = 1; out(28) = 24
+    putI32(34, stride * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (b, g, r) = px(x, y)
+      val o = 54 + y * stride + x * 3
+      out(o) = b; out(o + 1) = g; out(o + 2) = r
+    }
+    out
+  }
+
+  /** Minimal PCM WAV: RIFF/WAVE + fmt + data chunks. */
+  private def makeWav(channels: Int, rate: Int, bits: Int, frames: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val dataSize = frames * blockAlign
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes); out.putInt(36 + dataSize); out.put("WAVE".getBytes)
+    out.put("fmt ".getBytes); out.putInt(16)
+    out.putShort(1); out.putShort(channels.toShort); out.putInt(rate)
+    out.putInt(rate * blockAlign); out.putShort(blockAlign.toShort)
+    out.putShort(bits.toShort)
+    out.put("data".getBytes); out.putInt(dataSize)
+    out.array()
+  }
+
+  test("real decode: BMP / PPM / PGM / WAV headers parse; unknown falls through") {
+    import spark.implicits._
+    val bmp = makeBmp(3, 2, (x, y) => ((x * 10 + y).toByte, 0, 0))
+    val ppm = "P6\n# a comment\n4 3\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](4 * 3 * 3)(7)
+    val pgm = "P5\n2 2\n65535\n".getBytes("US-ASCII") ++ Array.fill[Byte](8)(1)
+    val wav = makeWav(channels = 2, rate = 8000, bits = 16, frames = 100)
+    val junk = "not a media file at all".getBytes("US-ASCII")
+    val assets = Seq(
+      graft.operators.MediaAsset(1L, "image", bmp, "t"),
+      graft.operators.MediaAsset(2L, "image", ppm, "t"),
+      graft.operators.MediaAsset(3L, "image", pgm, "t"),
+      graft.operators.MediaAsset(4L, "audio", wav, "t"),
+      graft.operators.MediaAsset(5L, "image", junk, "t")).toDS()
+    val m = Multimodal.decode(assets).collect().map(d => d.asset_id -> d).toMap
+    assert(m(1L).format === "bmp" && m(1L).width === 3 && m(1L).height === 2 &&
+      m(1L).channels === 3 && m(1L).n_samples === 6L && m(1L).bits_per_sample === 24)
+    assert(m(2L).format === "ppm" && m(2L).width === 4 && m(2L).height === 3 &&
+      m(2L).channels === 3 && m(2L).bits_per_sample === 8)
+    assert(m(3L).format === "pgm" && m(3L).width === 2 && m(3L).height === 2 &&
+      m(3L).channels === 1 && m(3L).bits_per_sample === 16)
+    assert(m(4L).format === "wav" && m(4L).sample_rate === 8000 &&
+      m(4L).channels === 2 && m(4L).n_samples === 100L && m(4L).bits_per_sample === 16)
+    assert(m(5L).format === "unknown" && m(5L).width === 0 && m(5L).n_samples === 0L)
+    // checksums are content-sensitive and deterministic
+    assert(m(1L).checksum !== m(2L).checksum)
+  }
+
+  test("real BMP resize: nearest-neighbor downsample round-trips through decode") {
+    import spark.implicits._
+    // 4×4 with a distinct value per pixel so sampling is observable
+    val bmp = makeBmp(4, 4, (x, y) => ((y * 4 + x).toByte, 0, 0))
+    val assets = Seq(graft.operators.MediaAsset(1L, "image", bmp, "t"),
+      graft.operators.MediaAsset(2L, "image", "junk".getBytes, "t")).toDS()
+    val resized = Multimodal.resizeBmp(assets, 2, 2).collect()
+      .map(a => a.asset_id -> a.payload).toMap
+    // decode sees a well-formed 2×2 BMP
+    val again = Multimodal.decode(
+      Seq(graft.operators.MediaAsset(1L, "image", resized(1L), "t")).toDS())
+      .collect().head
+    assert(again.format === "bmp" && again.width === 2 && again.height === 2)
+    // nearest-neighbor picks source pixels (0,0)->(0,0), (2,0)->(1,0)...
+    val stride = (2 * 3 + 3) / 4 * 4
+    def blue(x: Int, y: Int): Int = resized(1L)(54 + y * stride + x * 3) & 0xff
+    assert(blue(0, 0) === 0 && blue(1, 0) === 2)
+    assert(blue(0, 1) === 8 && blue(1, 1) === 10)
+    // non-BMP payloads pass through untouched
+    assert(resized(2L) === "junk".getBytes)
+  }
+
   test("multimodal: resize stub scales payload; features feed the ANN path") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
