@@ -85,8 +85,18 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
       threshold: Double, dfCap: Long,
       shinglePersist: StorageLevel = StorageLevel.NONE): DataFrame = {
-    val sh0 = shinglePairs(docs, idCol, textCol, k, dfCap)
-    val sh = if (shinglePersist == StorageLevel.NONE) sh0 else sh0.persist(shinglePersist)
+    // persist the RAW shingle table (not the capped view): the raw plan
+    // is the one [[minhashVerifiedPairs]] also builds, so in a session
+    // running both the CacheManager shares one entry; the df filter is
+    // cheap to re-derive from the cached scan
+    val raw0 = shinglePairs(docs, idCol, textCol, k)
+    val raw = if (shinglePersist == StorageLevel.NONE) raw0 else raw0.persist(shinglePersist)
+    val sh =
+      if (dfCap == Long.MaxValue) raw
+      else {
+        val hot = raw.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") > dfCap)
+        raw.join(hot, Seq("s"), "left_anti")
+      }
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col("doc_id").as("d1"), col("s").as("s1"))
     val b = sh.select(col("doc_id").as("d2"), col("s").as("s2"))
@@ -174,6 +184,37 @@ object Dedup {
         (col("n1") + col("n2") - col("shared")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
+  }
+
+  /** Blocked fuzzy-match pairs (entity-resolution dedup for short
+    * strings — titles, names, URLs): all pairs within Levenshtein
+    * distance ≤ maxDist, with candidates restricted to rows sharing
+    * the lowercase `blockPrefix`-char block AND |len(a)−len(b)| ≤
+    * maxDist (a length gap > maxDist already implies distance >
+    * maxDist, so that filter loses nothing). The scale story is the
+    * blocking: the self-join is block-partitioned — candidates are
+    * block-local, never all-pairs — and the O(len²) edit-distance
+    * verify runs only on candidates. The recall trade-off is explicit
+    * and deterministic: a pair whose edits fall inside the block
+    * prefix is missed — the standard prefix-blocking contract, so an
+    * oracle reproduces the result exactly by mirroring the blocking.
+    * Output: (d1, d2, dist), d1 < d2. */
+  def fuzzyPairs(docs: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, blockPrefix: Int): DataFrame = {
+    require(maxDist >= 0 && blockPrefix > 0, "need maxDist >= 0, blockPrefix > 0")
+    val base = docs.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .withColumn("block", lower(substring(col("__s"), 1, blockPrefix)))
+      .withColumn("__l", length(col("__s")))
+    val a = base.select(col("__id").as("d1"), col("__s").as("s1"),
+      col("block"), col("__l").as("l1"))
+    val b = base.select(col("__id").as("d2"), col("__s").as("s2"),
+      col("block"), col("__l").as("l2"))
+    a.join(b, Seq("block"))
+      .filter(col("d1") < col("d2") &&
+        abs(col("l1") - col("l2")) <= lit(maxDist))
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .filter(col("dist") <= lit(maxDist))
+      .select(col("d1"), col("d2"), col("dist"))
   }
 
   /** 64-bit SimHash per doc: bit j is the sign of Σ over tokens of

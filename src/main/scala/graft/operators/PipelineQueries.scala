@@ -675,6 +675,34 @@ object PipelineQueries {
         sum(col("n_bytes")).cast("bigint").as("sum_bytes"))
       .orderBy("width")
 
+  /** Deterministic stratified sampling: per-language Bernoulli rates
+    * (en 0.5, fr 0.25, de 0.2, everything else 0.1) on the md5 content
+    * hash — the corpus-shaping downsample as one scan-side filter.
+    * The oracle recomputes the identical hash arithmetic. */
+  def q67Stratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(t(s, dir, "documents"), "lang", col("doc_id"),
+        Seq("en" -> 0.5, "fr" -> 0.25, "de" -> 0.2), defaultRate = 0.1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).cast("bigint").as("sum_ids"))
+      .orderBy("lang")
+
+  /** Blocked fuzzy-match dedup on the 80-char document prefix
+    * (title-style short strings): Levenshtein ≤ 6 verified on
+    * candidates sharing the lowercase 12-char block — the entity-
+    * resolution join shape. Per-pair rollup would be huge on the dup-
+    * heavy fixture, so the output is the (dist → n_pairs, id checksum)
+    * histogram; the oracle mirrors the blocking exactly. */
+  def q68FuzzyPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyPairs(
+        t(s, dir, "documents").select(col("doc_id"),
+          substring(col("text"), 1, 80).as("title")),
+        "doc_id", "title", maxDist = 6, blockPrefix = 12)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("d1") + col("d2")).cast("bigint").as("sum_ids"))
+      .orderBy("dist")
+
   // ---------------------------------------------------------------- oracle
 
   private val WordsSql = "string_split_regex(lower(trim(text)), ' +')"
@@ -1287,6 +1315,36 @@ object PipelineQueries {
         |  CAST(SUM(w * h) AS BIGINT) AS sum_samples,
         |  CAST(SUM(54 + ((w * 3 + 3) // 4) * 4 * h) AS BIGINT) AS sum_bytes
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q67_stratified" ->
+      s"""WITH hv AS (
+         |  SELECT doc_id, lang, md5('strat' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, lang,
+         |    CAST($HvSql AS DOUBLE) / CAST(4294967296 AS DOUBLE) AS u
+         |  FROM hv),
+         |k AS (
+         |  SELECT lang, doc_id FROM u
+         |  WHERE u < CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+         |                      WHEN 'fr' THEN CAST(0.25 AS DOUBLE)
+         |                      WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+         |                      ELSE CAST(0.1 AS DOUBLE) END)
+         |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // mirrors fuzzyPairs' blocking contract exactly: lowercase 12-char
+    // block equality + length gap ≤ 6, then the Levenshtein verify
+    "q68_fuzzy_pairs" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 80) AS s FROM documents),
+        |b AS (SELECT doc_id, s, lower(substr(s, 1, 12)) AS block,
+        |        length(s) AS l FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS d1, c.doc_id AS d2, levenshtein(a.s, c.s) AS dist
+        |  FROM b a JOIN b c
+        |    ON a.block = c.block AND a.doc_id < c.doc_id
+        |   AND abs(a.l - c.l) <= 6)
+        |SELECT dist, count(*) AS n_pairs,
+        |  CAST(sum(d1 + d2) AS BIGINT) AS sum_ids
+        |FROM p WHERE dist <= 6 GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** q46 carries q42's oracle verbatim: the Bloom prefilter only drops
@@ -1334,5 +1392,7 @@ object PipelineQueries {
     "q64_url_filter" -> (q64UrlFilter _),
     "q65_heavy_hitters" -> (q65HeavyHitters _),
     "q66_media_decode" -> (q66MediaDecode _),
+    "q67_stratified" -> (q67Stratified _),
+    "q68_fuzzy_pairs" -> (q68FuzzyPairs _),
   )
 }

@@ -90,6 +90,26 @@ object Sampling {
       .drop("__w")
   }
 
+  /** Deterministic stratified sample: an independent Bernoulli rate
+    * per stratum (strata missing from `rates` keep `defaultRate`),
+    * keyed on the content hash like every sampler here — reproducible
+    * across runs/engines/partitionings, pure scan-side filter (the
+    * rate table rides as a CASE expression; even a million-stratum
+    * rate table would broadcast-join, never shuffle the corpus).
+    * The standard corpus-shaping move: downsample over-represented
+    * languages/sources at per-stratum rates in one pass. */
+  def stratifiedSample(df: DataFrame, strataCol: String, key: Column,
+      rates: Seq[(String, Double)], defaultRate: Double = 0.0,
+      salt: String = "strat"): DataFrame = {
+    require(rates.forall { case (_, r) => r >= 0.0 && r <= 1.0 } &&
+      defaultRate >= 0.0 && defaultRate <= 1.0, "rates must be in [0,1]")
+    val rate = rates.foldRight(lit(defaultRate): Column) {
+      case ((stratum, r), acc) =>
+        when(col(strataCol) === lit(stratum), lit(r)).otherwise(acc)
+    }
+    df.filter(hashUnit(key, salt) < rate)
+  }
+
   /** Deterministic shard assignment for training export: `shard` =
     * hash(key) mod nShards. The reproducible stand-in for a global
     * "shuffle then split into N files" — every engine and every run

@@ -40,6 +40,27 @@ object StreamingOps {
       .toDF("script_id", "iceberg_ddl", "ewi_count", "tables_converted")
   }
 
+  /** Streaming migration assessment: DDL scripts dropped into a
+    * directory scored incrementally — the readiness dashboard's live
+    * face. Per-file parse+assess is stateless (pure map, the same
+    * [[graft.assess.Assessor]] the batch path runs), so the stream
+    * needs no state store and scales with file arrival rate. */
+  def ddlAssessStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .option("wholetext", "true")
+      .text(dir)
+      .select(col("_metadata.file_path").as("script_id"), col("value").as("ddl"))
+      .as[(String, String)]
+      .map { case (id, ddl) =>
+        val r = graft.assess.Assessor.assess(ddl)
+        (id, r.tablesTotal, r.overallScore, r.overallLevel,
+          r.criticalIssues.length, r.warnings.length)
+      }
+      .toDF("script_id", "tables_total", "overall_score", "overall_level",
+        "n_critical", "n_warning")
+  }
+
   /** Watermarked tumbling-window counts per event type. Late rows
     * beyond the watermark are dropped; state is bounded by
     * (watermark horizon / slide) windows. */

@@ -86,6 +86,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(uncapped.count() === 780L)
   }
 
+  test("stratifiedSample: per-stratum rates hold and the assignment is deterministic") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val rates = Seq("en" -> 0.5, "fr" -> 0.25)
+    val kept = Sampling.stratifiedSample(docs, "lang", col("doc_id"), rates,
+      defaultRate = 0.1)
+    val keptByLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val allByLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, n) <- allByLang if n >= 20) {
+      val rate = rates.toMap.getOrElse(lang, 0.1)
+      val got = keptByLang.getOrElse(lang, 0L).toDouble / n
+      // md5 is uniform; a 4-sigma Bernoulli band keeps this stable
+      val sigma = math.sqrt(rate * (1 - rate) / n)
+      assert(math.abs(got - rate) <= 4 * sigma + 0.02, s"$lang: $got vs $rate (n=$n)")
+    }
+    // deterministic: re-running keeps the identical rows
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Sampling.stratifiedSample(docs, "lang", col("doc_id"), rates,
+        defaultRate = 0.1).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 === ids2)
+    // a kept doc's assignment is independent of the rest of the corpus
+    val sub = Sampling.stratifiedSample(docs.limit(50), "lang", col("doc_id"),
+        rates, defaultRate = 0.1).select("doc_id").collect().map(_.getLong(0)).toSet
+    val first50 = docs.limit(50).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sub === (ids1.toSet & first50))
+  }
+
+  test("fuzzyPairs: typo within block matches; edit inside the block prefix is the documented miss") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fix"),   // 1 edit past the block — found
+      (3L, "the quick brown foxes"), // 2 edits (insert) — found
+      (4L, "teh quick brown fox"),   // edit INSIDE the 12-char block — missed by contract
+      (5L, "completely different")   // far away — absent
+    ).toDF("doc_id", "title")
+    val pairs = Dedup.fuzzyPairs(rows, "doc_id", "title", maxDist = 3, blockPrefix = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) === 1)
+    assert(pairs((1L, 3L)) === 2)
+    assert(pairs((2L, 3L)) === 3)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "blocking misses edits inside the prefix — the documented trade-off")
+    assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
   test("jaccard pairs: exact dup pair scores 1.0; near dup high; disjoint absent") {
     val pairs = Dedup.jaccardPairs(docsDf, "doc_id", "text", k = 3, threshold = 0.2, dfCap = 100)
       .collect().map(r => ((r.getAs[Long]("d1"), r.getAs[Long]("d2")), r.getAs[Double]("jaccard"))).toMap

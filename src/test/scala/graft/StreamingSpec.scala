@@ -45,6 +45,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.find(_._1.endsWith("b.sql")).get._2 === ((1, 0)))
   }
 
+  test("ddlAssessStream scores files dropped into a directory like the batch assessor") {
+    val dir = Files.createTempDirectory("assess-stream").toFile
+    val sample = Engine.sampleDdl("sample_db2.sql")
+    Files.writeString(new java.io.File(dir, "a.sql").toPath, sample)
+    Files.writeString(new java.io.File(dir, "b.sql").toPath,
+      "CREATE TABLE S.T (X INT NOT NULL, PRIMARY KEY (X));")
+    val out = StreamingOps.runToMemory(
+      StreamingOps.ddlAssessStream(spark, dir.getAbsolutePath), "assess_stream")
+    val rows = out.collect().map(r => r.getAs[String]("script_id") -> r).toMap
+    assert(rows.size === 2)
+    val local = graft.assess.Assessor.assess(sample)
+    val a = rows.find(_._1.endsWith("a.sql")).get._2
+    assert(a.getAs[Int]("tables_total") === local.tablesTotal)
+    assert(a.getAs[Double]("overall_score") === local.overallScore)
+    assert(a.getAs[String]("overall_level") === local.overallLevel)
+    assert(a.getAs[Int]("n_critical") === local.criticalIssues.length)
+    val b = rows.find(_._1.endsWith("b.sql")).get._2
+    assert(b.getAs[Int]("tables_total") === 1)
+    assert(b.getAs[Double]("overall_score") === 100.0)
+  }
+
   test("windowed counts: streaming result equals the batch plan") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
