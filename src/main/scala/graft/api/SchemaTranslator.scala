@@ -68,17 +68,36 @@ object SchemaTranslator {
 
   /** Migration write: cast the incoming frame to the translated schema
     * and write it table-format-first ("iceberg" where the runtime is
-    * present; parquet otherwise), partitioned by the DDL's RANGE
-    * partition columns when declared. */
+    * present; parquet otherwise), partitioned by the DDL's declared
+    * layout: RANGE columns directly (identity transform), HASH
+    * columns through the spec-correct Iceberg `bucket[16]` transform
+    * (`<col>_bucket` directories carrying the murmur3 bucket value a
+    * real Iceberg writer computes — see
+    * [[graft.functions.IcebergBucket]]), so the snapshot commit can
+    * record true per-file partition values for both transforms. The
+    * bucket column is directory-encoded only; the source column stays
+    * in the data files, as Iceberg's non-invertible transforms
+    * require. */
   def writeMigrated(df: DataFrame, table: TableDef, path: String,
       format: String = "parquet"): Unit = {
     val schema = toSparkSchema(table)
     val casted = df.select(schema.fields.map(f =>
       org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
-    val writer = casted.write.format(format).mode("overwrite")
-    val partitioned = table.partition
-      .filter(p => p.ptype == "RANGE" && p.columns.nonEmpty)
-      .fold(writer)(p => writer.partitionBy(p.columns: _*))
+    val (toWrite, partCols) = table.partition match {
+      case Some(p) if p.ptype == "RANGE" && p.columns.nonEmpty =>
+        (casted, p.columns)
+      case Some(p) if p.ptype == "HASH" && p.columns.nonEmpty =>
+        val cols = p.columns.filter(schema.fieldNames.contains)
+        val withBuckets = cols.foldLeft(casted) { (d, c) =>
+          d.withColumn(s"${c}_bucket", graft.functions.IcebergBucket(
+            org.apache.spark.sql.functions.col(c), 16))
+        }
+        (withBuckets, cols.map(c => s"${c}_bucket"))
+      case _ => (casted, Nil)
+    }
+    val writer = toWrite.write.format(format).mode("overwrite")
+    val partitioned =
+      if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*)
     partitioned.save(path)
   }
 

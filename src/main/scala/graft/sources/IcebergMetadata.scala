@@ -75,7 +75,10 @@ object IcebergMetadata {
 
   /** Partition spec: RANGE columns → identity transforms; a HASH
     * partition type → bucket[16] (DB2 hash distribution ≈ Iceberg hash
-    * bucketing). Partition field-ids start at 1000 per the spec. */
+    * bucketing; the bucket VALUES the data path writes use the spec's
+    * murmur3 transform — [[graft.functions.IcebergBucket]]). Bucket
+    * fields take the conventional `<col>_bucket` name; partition
+    * field-ids start at 1000 per the spec. */
   def partitionSpecJson(table: TableDef): JObject = {
     val colId = table.columns.map(_.name).zipWithIndex.toMap
     val partCols = table.partition.toSeq.flatMap { p =>
@@ -84,7 +87,8 @@ object IcebergMetadata {
     }
     val fields = partCols.zipWithIndex.map { case ((name, transform), i) =>
       JObject(
-        "name" -> JString(name),
+        "name" -> JString(
+          if (transform.startsWith("bucket")) s"${name}_bucket" else name),
         "transform" -> JString(transform),
         "source-id" -> JInt(colId(name) + 1),
         "field-id" -> JInt(1000 + i))

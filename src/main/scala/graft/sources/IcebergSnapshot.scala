@@ -59,9 +59,12 @@ object IcebergSnapshot {
       recordCount: Long,
       partitionValues: Seq[Option[Any]])
 
-  /** (partition field name, iceberg source type, transform) triples for
-    * the table's spec — the single source of truth shared by the Avro
-    * schema, the Hive-path parser and the metadata JSON. */
+  /** (partition FIELD name, iceberg source type, transform) triples
+    * for the table's spec — the single source of truth shared by the
+    * Avro schema, the Hive-path parser and the metadata JSON. Bucket
+    * fields carry the conventional `<col>_bucket` name, matching both
+    * [[IcebergMetadata.partitionSpecJson]] and the directory names
+    * [[graft.api.SchemaTranslator.writeMigrated]] produces. */
   def partitionFields(table: TableDef): Seq[(String, String, String)] = {
     val types = table.columns.map { c =>
       val m = TypeMapper.mapType(c.dataType, c.length, c.precision,
@@ -69,8 +72,10 @@ object IcebergSnapshot {
       c.name -> IcebergMetadata.icebergType(m.targetType)
     }.toMap
     table.partition.toSeq.flatMap { p =>
-      val transform = if (p.ptype == "HASH") "bucket[16]" else "identity"
-      p.columns.filter(types.contains).map(c => (c, types(c), transform))
+      p.columns.filter(types.contains).map { c =>
+        if (p.ptype == "HASH") (s"${c}_bucket", types(c), "bucket[16]")
+        else (c, types(c), "identity")
+      }
     }
   }
 
@@ -87,12 +92,15 @@ object IcebergSnapshot {
       case _ => "string" // identity on string-ish types; decimals degrade
     }
 
-  /** Parse one Hive-dir partition value (`col=raw`) to the Avro-typed
-    * value; `__HIVE_DEFAULT_PARTITION__` is the null marker. */
+  /** Parse one Hive-dir partition value (`field=raw`) to the
+    * Avro-typed value; `__HIVE_DEFAULT_PARTITION__` is the null
+    * marker. Bucket dirs always carry the int bucket ordinal
+    * regardless of the source column type. */
   def parsePartitionValue(raw: String, icebergType: String,
       transform: String): Option[Any] = {
     val decoded = java.net.URLDecoder.decode(raw, "UTF-8")
     if (decoded == "__HIVE_DEFAULT_PARTITION__") None
+    else if (transform.startsWith("bucket")) Some(decoded.toInt)
     else Some(avroPartitionType(icebergType, transform) match {
       case "int" if icebergType == "date" =>
         java.time.LocalDate.parse(decoded).toEpochDay.toInt
@@ -110,8 +118,8 @@ object IcebergSnapshot {
       case ((name, itype, transform), i) =>
         JObject(
           "name" -> JString(name),
-          // always nullable: bucket values are unknown to the Hive
-          // layout, and identity columns can hold null partitions
+          // nullable: identity columns can hold null partition values
+          // (and a bucket of a null key lands in the null dir)
           "type" -> JArray(List(JString("null"),
             JString(avroPartitionType(itype, transform)))),
           "default" -> JNull,

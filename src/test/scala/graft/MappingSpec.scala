@@ -216,6 +216,97 @@ class MappingSpec extends AnyFunSuite {
     assert(dirs === Set("BUCKET=1", "BUCKET=2"))
   }
 
+  test("IcebergBucket: spec test vectors, Guava reference parity, int/long agreement") {
+    import graft.functions.IcebergBucketUtil._
+    // published Iceberg spec Appendix B vectors
+    assert(hashLong(34L) === 2017239379)
+    assert(murmur3("iceberg".getBytes("UTF-8"), 0) === 1210000089)
+    // reference murmur3 (Guava murmur3_32_fixed) agrees on arbitrary data
+    val rng = new scala.util.Random(7)
+    for (len <- 0 to 33) {
+      val data = Array.fill[Byte](len)(rng.nextInt().toByte)
+      assert(murmur3(data, 0) ===
+        com.google.common.hash.Hashing.murmur3_32_fixed().hashBytes(data).asInt(),
+        s"len=$len")
+    }
+    // ints hash as widened longs (spec: bucketing survives promotion)
+    assert(bucketLong(34, 16) === bucketLong(34L, 16))
+    assert((0 until 100).forall(v => bucketLong(v.toLong, 16) ===
+      (hashLong(v.toLong) & Int.MaxValue) % 16))
+    // the Column face computes the same values codegen'd
+    import spark.implicits._
+    val out = Seq(34L, 0L, -1L, 12345678901L).toDF("v")
+      .select(graft.functions.IcebergBucket(col("v"), 16).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(out === Seq(34L, 0L, -1L, 12345678901L).map(v => bucketLong(v, 16)))
+  }
+
+  test("DISTRIBUTE BY HASH migrates through the spec bucket transform: " +
+      "dirs, manifests and row placement all agree") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val ddl =
+      """CREATE TABLE S.HASHED (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(20)
+        |) PARTITION BY HASH (K);""".stripMargin
+    val table = Db2Parser.parse(ddl).tables.head
+    import spark.implicits._
+    val src = (1L to 200L).map(k => (k, s"v$k")).toDF("K", "V")
+    val out = java.nio.file.Files.createTempDirectory("iceberg_bucketed").toString
+    SchemaTranslator.migrateTable(src, table, out)
+
+    // physical layout: K_bucket=<n> dirs, n < 16
+    val dirs = new java.io.File(s"$out/data").listFiles().map(_.getName)
+      .filter(_.startsWith("K_bucket=")).map(_.stripPrefix("K_bucket=").toInt)
+    assert(dirs.nonEmpty && dirs.forall(b => b >= 0 && b < 16))
+    // every row sits in the bucket the spec transform assigns its key
+    val back = spark.read.parquet(s"$out/data")
+    assert(back.count() === 200)
+    back.select("K", "K_bucket").collect().foreach { r =>
+      assert(r.getInt(1) ===
+        graft.functions.IcebergBucketUtil.bucketLong(r.getLong(0), 16), s"K=${r.getLong(0)}")
+    }
+    // source column stays IN the data files (bucket is not invertible)
+    val oneFile = new java.io.File(s"$out/data/K_bucket=${dirs.head}")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    assert(spark.read.parquet(oneFile.toString).columns.contains("K"))
+
+    // metadata names the field K_bucket with the bucket[16] transform
+    val meta = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", "v2.metadata.json")), "UTF-8"))
+    val pf = ((meta \ "partition-specs")(0) \ "fields").asInstanceOf[JArray].arr
+    assert(pf.size === 1)
+    assert((pf.head \ "name").asInstanceOf[JString].s === "K_bucket")
+    assert((pf.head \ "transform").asInstanceOf[JString].s === "bucket[16]")
+
+    // manifests record the real int bucket value per file
+    def asLocal(p: String): java.nio.file.Path =
+      if (p.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(p))
+      else java.nio.file.Paths.get(p)
+    val snap = (meta \ "snapshots").asInstanceOf[JArray].arr.head
+    val listPath = asLocal((snap \ "manifest-list").asInstanceOf[JString].s)
+    val listReader = new DataFileReader(listPath.toFile,
+      new GenericDatumReader[GenericRecord]())
+    val manifestPath = try listReader.next().get("manifest_path").toString
+      finally listReader.close()
+    val mReader = new DataFileReader(asLocal(manifestPath).toFile,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      var n = 0
+      while (mReader.hasNext) {
+        val df = mReader.next().get("data_file").asInstanceOf[GenericRecord]
+        val bucket = df.get("partition").asInstanceOf[GenericRecord].get("K_bucket")
+        assert(bucket.isInstanceOf[Integer])
+        assert(df.get("file_path").toString.contains(s"K_bucket=$bucket"))
+        n += 1
+      }
+      assert(n > 0)
+    } finally mReader.close()
+  }
+
   test("migrateTable commits an append snapshot: metadata → manifest list → " +
       "manifest → data files, verified by independent Avro read-back") {
     import org.json4s._

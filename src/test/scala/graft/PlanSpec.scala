@@ -157,6 +157,30 @@ class PlanSpec extends AnyFunSuite {
       "group sizes must come from a partial+final hash agg:\n" + plan.take(2000))
   }
 
+  test("q67: stratified sample is a scan-side filter — no shuffle, no join") {
+    val df = graft.operators.Sampling.stratifiedSample(
+      spark.read.parquet(s"$dir/documents.parquet"), "lang",
+      org.apache.spark.sql.functions.col("doc_id"),
+      Seq("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)
+    val plan = planString(df)
+    assert(!plan.contains("Exchange"), "sample must not shuffle:\n" + plan.take(2000))
+    assert(!plan.contains("Join"), "rate table must ride as an expression:\n" + plan.take(2000))
+  }
+
+  test("q68: fuzzy pairs join is block-keyed — hash join, never cartesian") {
+    val df = graft.operators.Dedup.fuzzyPairs(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.substring(
+            org.apache.spark.sql.functions.col("text"), 1, 80).as("title")),
+      "doc_id", "title", maxDist = 6, blockPrefix = 12)
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "blocking must key the join:\n" + plan.take(2000))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("q40: per-group cap runs on the bounded aggregator, not a window sort") {
     val df = graft.operators.Sampling.capPerGroup(
       spark.read.parquet(s"$dir/documents.parquet"), "lang", "doc_id", k = 5)
