@@ -79,7 +79,7 @@ object SchemaTranslator {
     * in the data files, as Iceberg's non-invertible transforms
     * require. */
   def writeMigrated(df: DataFrame, table: TableDef, path: String,
-      format: String = "parquet"): Unit = {
+      format: String = "parquet", mode: String = "overwrite"): Unit = {
     val schema = toSparkSchema(table)
     val casted = df.select(schema.fields.map(f =>
       org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
@@ -95,10 +95,22 @@ object SchemaTranslator {
         (withBuckets, cols.map(c => s"${c}_bucket"))
       case _ => (casted, Nil)
     }
-    val writer = toWrite.write.format(format).mode("overwrite")
+    val writer = toWrite.write.format(format).mode(mode)
     val partitioned =
       if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*)
     partitioned.save(path)
+  }
+
+  /** Delta load after [[migrateTable]]: append `df`'s rows into the
+    * same layout and commit them as the NEXT snapshot (sequence N+1,
+    * parent-linked, prior manifests re-listed) — the CDC-sync shape:
+    * one initial migration, then periodic increments, each an atomic
+    * Iceberg snapshot a reader can time-travel across. */
+  def appendIncrement(df: DataFrame, table: TableDef, path: String,
+      format: String = "parquet"): Unit = {
+    writeMigrated(df, table, s"$path/data", format, mode = "append")
+    graft.sources.IcebergSnapshot.commitAppendIncrement(
+      table, path, df.sparkSession.sparkContext.hadoopConfiguration)
   }
 
   /** Full table migration in the HadoopTables directory layout: data

@@ -113,13 +113,23 @@ object IcebergMetadata {
   }
 
   /** One committed append snapshot, as recorded in the metadata
-    * document ([[IcebergSnapshot.commitAppend]] produces it). */
+    * document ([[IcebergSnapshot.commitAppend]] and
+    * [[IcebergSnapshot.commitAppendIncrement]] produce them).
+    * `totalFiles`/`totalRecords` are the cumulative table state AFTER
+    * this snapshot (== added for snapshot 1). */
   final case class SnapshotMeta(
       snapshotId: Long,
       timestampMs: Long,
       manifestList: String,
       addedFiles: Long,
-      addedRecords: Long)
+      addedRecords: Long,
+      sequenceNumber: Long = 1L,
+      parentSnapshotId: Option[Long] = None,
+      totalFiles: Long = -1L,
+      totalRecords: Long = -1L) {
+    def cumulativeFiles: Long = if (totalFiles >= 0) totalFiles else addedFiles
+    def cumulativeRecords: Long = if (totalRecords >= 0) totalRecords else addedRecords
+  }
 
   /** Full table-spec v2 metadata document. With `snapshot = None` this
     * is the state a catalog records at CREATE TABLE (no snapshots,
@@ -130,35 +140,47 @@ object IcebergMetadata {
   def metadataJson(table: TableDef, location: String,
       lastUpdatedMs: Long = 0L,
       snapshot: Option[SnapshotMeta] = None,
+      metadataLog: Seq[(Long, String)] = Nil): String =
+    metadataJsonChain(table, location, lastUpdatedMs, snapshot.toList, metadataLog)
+
+  /** [[metadataJson]] for a CHAIN of append snapshots (the last one is
+    * current) — the state after N incremental commits. */
+  def metadataJsonChain(table: TableDef, location: String,
+      lastUpdatedMs: Long = 0L,
+      snapshots: Seq[SnapshotMeta] = Nil,
       metadataLog: Seq[(Long, String)] = Nil): String = {
     val spec = partitionSpecJson(table)
     val nPartFields = (spec \ "fields").asInstanceOf[JArray].arr.size
     val order = sortOrderJson(table)
-    val snapJson = snapshot.toList.map { s =>
-      JObject(
+    val current = snapshots.lastOption
+    val snapJson = snapshots.toList.map { s =>
+      JObject(List(
         "snapshot-id" -> JInt(s.snapshotId),
-        "sequence-number" -> JInt(1),
-        "timestamp-ms" -> JInt(BigInt(s.timestampMs)),
-        "summary" -> JObject(
-          "operation" -> JString("append"),
-          "added-data-files" -> JString(s.addedFiles.toString),
-          "added-records" -> JString(s.addedRecords.toString),
-          "total-data-files" -> JString(s.addedFiles.toString),
-          "total-records" -> JString(s.addedRecords.toString),
-          "total-delete-files" -> JString("0"),
-          "total-equality-deletes" -> JString("0"),
-          "total-position-deletes" -> JString("0")),
-        "manifest-list" -> JString(s.manifestList),
-        "schema-id" -> JInt(0))
+        "sequence-number" -> JInt(BigInt(s.sequenceNumber))) ++
+        s.parentSnapshotId.map(p => "parent-snapshot-id" -> (JInt(p): JValue)).toList ++
+        List[(String, JValue)](
+          "timestamp-ms" -> JInt(BigInt(s.timestampMs)),
+          "summary" -> JObject(
+            "operation" -> JString("append"),
+            "added-data-files" -> JString(s.addedFiles.toString),
+            "added-records" -> JString(s.addedRecords.toString),
+            "total-data-files" -> JString(s.cumulativeFiles.toString),
+            "total-records" -> JString(s.cumulativeRecords.toString),
+            "total-delete-files" -> JString("0"),
+            "total-equality-deletes" -> JString("0"),
+            "total-position-deletes" -> JString("0")),
+          "manifest-list" -> JString(s.manifestList),
+          "schema-id" -> JInt(0)))
     }
     val doc = JObject(
       "format-version" -> JInt(2),
       "table-uuid" -> JString(
         UUID.nameUUIDFromBytes(table.fullName.getBytes(StandardCharsets.UTF_8)).toString),
       "location" -> JString(location),
-      "last-sequence-number" -> JInt(if (snapshot.isDefined) 1 else 0),
+      "last-sequence-number" -> JInt(BigInt(
+        snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L))),
       "last-updated-ms" -> JInt(BigInt(
-        snapshot.map(_.timestampMs).getOrElse(lastUpdatedMs))),
+        current.map(_.timestampMs).getOrElse(lastUpdatedMs))),
       "last-column-id" -> JInt(table.columns.size),
       "current-schema-id" -> JInt(0),
       "schemas" -> JArray(List(schemaJson(table))),
@@ -168,13 +190,13 @@ object IcebergMetadata {
       "default-sort-order-id" -> JInt((order \ "order-id").asInstanceOf[JInt].num),
       "sort-orders" -> JArray(List(order)),
       "properties" -> JObject("write.format.default" -> JString("parquet")),
-      "current-snapshot-id" -> snapshot.fold[JValue](JInt(-1))(s => JInt(s.snapshotId)),
-      "refs" -> snapshot.fold[JValue](JObject())(s => JObject(
+      "current-snapshot-id" -> current.fold[JValue](JInt(-1))(s => JInt(s.snapshotId)),
+      "refs" -> current.fold[JValue](JObject())(s => JObject(
         "main" -> JObject(
           "snapshot-id" -> JInt(s.snapshotId),
           "type" -> JString("branch")))),
       "snapshots" -> JArray(snapJson),
-      "snapshot-log" -> JArray(snapshot.toList.map(s => JObject(
+      "snapshot-log" -> JArray(snapshots.toList.map(s => JObject(
         "timestamp-ms" -> JInt(BigInt(s.timestampMs)),
         "snapshot-id" -> JInt(s.snapshotId)))),
       "metadata-log" -> JArray(metadataLog.toList.map { case (ts, file) =>

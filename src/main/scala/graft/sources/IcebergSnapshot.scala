@@ -229,7 +229,8 @@ object IcebergSnapshot {
     * sequence numbers null (inherited from the manifest list per the
     * v2 inheritance rule). Returns (path, length). */
   def writeManifest(table: TableDef, files: Seq[DataFileInfo],
-      metadataDir: Path, snapshotId: Long, conf: Configuration): (Path, Long) = {
+      metadataDir: Path, snapshotId: Long, conf: Configuration,
+      ordinal: Int = 0): (Path, Long) = {
     val fs = FileSystem.get(metadataDir.toUri, conf)
     val schema = new Schema.Parser().parse(manifestSchemaJson(table))
     val dfSchema = schema.getField("data_file").schema()
@@ -256,7 +257,7 @@ object IcebergSnapshot {
       e
     }
     val path = new Path(metadataDir,
-      s"${UUID.nameUUIDFromBytes((table.fullName + "-m0").getBytes(StandardCharsets.UTF_8))}-m0.avro")
+      s"${UUID.nameUUIDFromBytes((table.fullName + s"-m$ordinal").getBytes(StandardCharsets.UTF_8))}-m$ordinal.avro")
     val specFields = JsonMethods.compact(JsonMethods.render(
       IcebergMetadata.partitionSpecJson(table) \ "fields"))
     val len = writeAvro(fs, path, schema, Seq(
@@ -269,10 +270,16 @@ object IcebergSnapshot {
     (path, len)
   }
 
-  /** Write the manifest list for a single-manifest append snapshot. */
+  /** Write the manifest list for an append snapshot: the new manifest
+    * entry (at `sequenceNumber`) plus every prior snapshot's manifest
+    * rows re-listed verbatim — the spec's accumulation rule: a
+    * snapshot's manifest list names ALL manifests reachable at that
+    * snapshot, old ones keeping their original sequence numbers. */
   def writeManifestList(table: TableDef, manifest: (Path, Long),
       nFiles: Long, nRows: Long, metadataDir: Path, snapshotId: Long,
-      conf: Configuration): Path = {
+      conf: Configuration, sequenceNumber: Long = 1L,
+      parentSnapshotId: Option[Long] = None,
+      priorManifests: Seq[GenericRecord] = Nil): Path = {
     val fs = FileSystem.get(metadataDir.toUri, conf)
     val schema = new Schema.Parser().parse(ManifestListSchemaJson)
     val r = new GenericData.Record(schema)
@@ -280,8 +287,8 @@ object IcebergSnapshot {
     r.put("manifest_length", manifest._2)
     r.put("partition_spec_id", 0)
     r.put("content", 0)
-    r.put("sequence_number", 1L)
-    r.put("min_sequence_number", 1L)
+    r.put("sequence_number", sequenceNumber)
+    r.put("min_sequence_number", sequenceNumber)
     r.put("added_snapshot_id", snapshotId)
     r.put("added_files_count", nFiles.toInt)
     r.put("existing_files_count", 0)
@@ -289,15 +296,56 @@ object IcebergSnapshot {
     r.put("added_rows_count", nRows)
     r.put("existing_rows_count", 0L)
     r.put("deleted_rows_count", 0L)
+    // prior rows are re-encoded through this writer's schema (same
+    // field ids) so a reader sees one consistent file
+    val prior = priorManifests.map { p =>
+      val c = new GenericData.Record(schema)
+      schema.getFields.forEach(f => c.put(f.name(), p.get(f.name())))
+      c
+    }
     val path = new Path(metadataDir, s"snap-$snapshotId-1-" +
-      UUID.nameUUIDFromBytes((table.fullName + "-snap").getBytes(StandardCharsets.UTF_8)) +
-      ".avro")
+      UUID.nameUUIDFromBytes((table.fullName + s"-snap-$sequenceNumber")
+        .getBytes(StandardCharsets.UTF_8)) + ".avro")
     writeAvro(fs, path, schema, Seq(
       "format-version" -> "2",
       "snapshot-id" -> snapshotId.toString,
-      "sequence-number" -> "1",
-      "parent-snapshot-id" -> "null"), Seq(r))
+      "sequence-number" -> sequenceNumber.toString,
+      "parent-snapshot-id" -> parentSnapshotId.map(_.toString).getOrElse("null")),
+      r +: prior)
     path
+  }
+
+  /** Read every (manifest_path, manifest_length, sequence_number,
+    * min_sequence_number, added_*, existing_*, deleted_*) row of an
+    * existing manifest list — needed to re-list prior manifests in a
+    * follow-up commit. */
+  private def readManifestList(path: Path,
+      conf: Configuration): Seq[org.apache.avro.generic.GenericRecord] = {
+    val in = new org.apache.avro.mapred.FsInput(path, conf)
+    val reader = org.apache.avro.file.DataFileReader.openReader(in,
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try {
+      val out = ArrayBuffer.empty[org.apache.avro.generic.GenericRecord]
+      while (reader.hasNext) out += reader.next()
+      out.toSeq
+    } finally reader.close()
+  }
+
+  /** File paths recorded in an existing data manifest. */
+  private def readManifestPaths(path: Path, conf: Configuration): Set[String] = {
+    val in = new org.apache.avro.mapred.FsInput(path, conf)
+    val reader = org.apache.avro.file.DataFileReader.openReader(in,
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try {
+      val out = ArrayBuffer.empty[String]
+      while (reader.hasNext) {
+        val e = reader.next()
+        out += e.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("file_path").toString
+      }
+      out.toSet
+    } finally reader.close()
   }
 
   /** Commit the files under `<tablePath>/data` as append snapshot 1:
@@ -333,6 +381,101 @@ object IcebergSnapshot {
     try out.write(doc.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val hint = fs.create(new Path(metadataDir, "version-hint.text"), true)
     try hint.write("2\n".getBytes(StandardCharsets.UTF_8)) finally hint.close()
+    snap
+  }
+
+  /** Parse the snapshot chain out of an existing metadata document. */
+  private def parseSnapshots(metaJson: String): Seq[IcebergMetadata.SnapshotMeta] = {
+    val meta = JsonMethods.parse(metaJson)
+    (meta \ "snapshots").asInstanceOf[JArray].arr.map { s =>
+      def str(p: String) = (s \ p).asInstanceOf[JString].s
+      def num(p: String) = (s \ p).asInstanceOf[JInt].num.toLong
+      IcebergMetadata.SnapshotMeta(
+        snapshotId = num("snapshot-id"),
+        timestampMs = num("timestamp-ms"),
+        manifestList = str("manifest-list"),
+        addedFiles = (s \ "summary" \ "added-data-files").asInstanceOf[JString].s.toLong,
+        addedRecords = (s \ "summary" \ "added-records").asInstanceOf[JString].s.toLong,
+        sequenceNumber = num("sequence-number"),
+        parentSnapshotId = (s \ "parent-snapshot-id") match {
+          case JInt(p) => Some(p.toLong)
+          case _ => None
+        },
+        totalFiles = (s \ "summary" \ "total-data-files").asInstanceOf[JString].s.toLong,
+        totalRecords = (s \ "summary" \ "total-records").asInstanceOf[JString].s.toLong)
+    }
+  }
+
+  /** Incremental append (snapshot N+1): commit the data files that
+    * appeared under `<tablePath>/data` SINCE the current snapshot —
+    * the CDC-sync shape: an initial [[commitAppend]] migration, then
+    * periodic delta loads each becoming one snapshot. Follows the spec
+    * commit protocol: the new manifest covers only the new files, the
+    * new manifest list re-lists every prior manifest at its original
+    * sequence number, sequence numbers advance by one, the new
+    * metadata version carries the whole snapshot chain (parent link,
+    * cumulative totals, snapshot-log, extended metadata-log) and the
+    * version hint moves forward. No-op (returns the current snapshot)
+    * when no new files exist. */
+  def commitAppendIncrement(table: TableDef, tablePath: String,
+      conf: Configuration = new Configuration(),
+      timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+    val metadataDir = new Path(tablePath, "metadata")
+    val fs = FileSystem.get(metadataDir.toUri, conf)
+    def readText(p: Path): String = {
+      val in = fs.open(p)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val version = readText(new Path(metadataDir, "version-hint.text")).trim.toInt
+    require(version >= 2, s"no committed snapshot to increment (version $version)")
+    val prevMetaFile = new Path(metadataDir, s"v$version.metadata.json")
+    val chain = parseSnapshots(readText(prevMetaFile))
+    require(chain.nonEmpty, "metadata carries no snapshots")
+    val current = chain.last
+
+    val priorList = readManifestList(new Path(current.manifestList), conf)
+    val known = priorList.flatMap(r =>
+      readManifestPaths(new Path(r.get("manifest_path").toString), conf)).toSet
+    val newFiles = listDataFiles(new Path(tablePath, "data"), table, conf)
+      .filterNot(f => known.contains(f.path))
+    if (newFiles.isEmpty) return current
+
+    val newSeq = current.sequenceNumber + 1
+    val snapshotId = UUID.nameUUIDFromBytes(
+      (table.fullName + s"-snapshot-$newSeq").getBytes(StandardCharsets.UTF_8))
+      .getMostSignificantBits & Long.MaxValue
+    val manifest = writeManifest(table, newFiles, metadataDir, snapshotId, conf,
+      ordinal = priorList.size)
+    val nRows = newFiles.map(_.recordCount).sum
+    val listPath = writeManifestList(table, manifest, newFiles.size.toLong, nRows,
+      metadataDir, snapshotId, conf, sequenceNumber = newSeq,
+      parentSnapshotId = Some(current.snapshotId), priorManifests = priorList)
+    val snap = IcebergMetadata.SnapshotMeta(
+      snapshotId = snapshotId,
+      timestampMs = timestampMs,
+      manifestList = listPath.toString,
+      addedFiles = newFiles.size.toLong,
+      addedRecords = nRows,
+      sequenceNumber = newSeq,
+      parentSnapshotId = Some(current.snapshotId),
+      totalFiles = current.cumulativeFiles + newFiles.size,
+      totalRecords = current.cumulativeRecords + nRows)
+
+    val metadataLog = (2 to version).map(v =>
+      timestampMs -> new Path(metadataDir, s"v${v - 1}.metadata.json").toString) :+
+      (timestampMs -> prevMetaFile.toString)
+    val doc = IcebergMetadata.metadataJsonChain(table, tablePath,
+      lastUpdatedMs = timestampMs, snapshots = chain :+ snap,
+      metadataLog = metadataLog)
+    val metaFile = new Path(metadataDir, s"v${version + 1}.metadata.json")
+    val out = fs.create(metaFile, true)
+    try out.write(doc.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val hint = fs.create(new Path(metadataDir, "version-hint.text"), true)
+    try hint.write(s"${version + 1}\n".getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
     snap
   }
 }

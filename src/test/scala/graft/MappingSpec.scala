@@ -307,6 +307,79 @@ class MappingSpec extends AnyFunSuite {
     } finally mReader.close()
   }
 
+  test("appendIncrement chains snapshot 2: new manifest for new files only, " +
+      "prior manifests re-listed, cumulative totals and parent link correct") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    def asLocal(p: String): java.nio.file.Path =
+      if (p.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(p))
+      else java.nio.file.Paths.get(p)
+    def avroRows(p: String): Seq[GenericRecord] = {
+      val r = new DataFileReader(asLocal(p).toFile,
+        new GenericDatumReader[GenericRecord]())
+      try Iterator.continually(r).takeWhile(_.hasNext).map(_.next()).toVector
+      finally r.close()
+    }
+    val ddl =
+      """CREATE TABLE S.INCR (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(20)
+        |) PARTITION BY RANGE (V);""".stripMargin
+    val table = Db2Parser.parse(ddl).tables.head
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("iceberg_incr").toString
+    SchemaTranslator.migrateTable(
+      (1L to 100L).map(k => (k, s"p${k % 2}")).toDF("K", "V"), table, out)
+    SchemaTranslator.appendIncrement(
+      (101L to 150L).map(k => (k, s"p${k % 2}")).toDF("K", "V"), table, out)
+
+    // version hint moved to 3; v3 carries the two-snapshot chain
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", "version-hint.text")), "UTF-8") === "3\n")
+    val meta = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", "v3.metadata.json")), "UTF-8"))
+    val snaps = (meta \ "snapshots").asInstanceOf[JArray].arr
+    assert(snaps.size === 2)
+    val (s1, s2) = (snaps(0), snaps(1))
+    assert((meta \ "current-snapshot-id") === (s2 \ "snapshot-id"))
+    assert((meta \ "last-sequence-number").asInstanceOf[JInt].num.toInt === 2)
+    assert((s2 \ "sequence-number").asInstanceOf[JInt].num.toInt === 2)
+    assert((s2 \ "parent-snapshot-id") === (s1 \ "snapshot-id"))
+    assert((s2 \ "summary" \ "added-records").asInstanceOf[JString].s === "50")
+    assert((s2 \ "summary" \ "total-records").asInstanceOf[JString].s === "150")
+    assert((meta \ "metadata-log").asInstanceOf[JArray].arr.size >= 2)
+
+    // snapshot 2's manifest list: the new manifest at seq 2 plus
+    // snapshot 1's manifest re-listed at its ORIGINAL seq 1
+    val list2 = avroRows((s2 \ "manifest-list").asInstanceOf[JString].s)
+    assert(list2.size === 2)
+    val bySeq = list2.map(r => r.get("sequence_number").asInstanceOf[Long] -> r).toMap
+    assert(bySeq(2L).get("added_rows_count") === 50L)
+    assert(bySeq(1L).get("added_rows_count") === 100L)
+    // new manifest covers ONLY the delta files, all existing on disk
+    val entries2 = avroRows(bySeq(2L).get("manifest_path").toString)
+    val paths1 = avroRows(bySeq(1L).get("manifest_path").toString).map(e =>
+      e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString).toSet
+    var deltaRows = 0L
+    for (e <- entries2) {
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      val fp = df.get("file_path").toString
+      assert(!paths1.contains(fp), s"delta manifest must not re-add $fp")
+      assert(java.nio.file.Files.exists(asLocal(fp)), fp)
+      deltaRows += df.get("record_count").asInstanceOf[Long]
+    }
+    assert(deltaRows === 50L)
+    // a reader walking the chain sees all 150 rows
+    assert(spark.read.parquet(s"$out/data").count() === 150)
+    // idempotence: nothing new on disk → no-op, version stays 3
+    val again = graft.sources.IcebergSnapshot.commitAppendIncrement(table, out)
+    assert(again.sequenceNumber === 2L)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", "version-hint.text")), "UTF-8") === "3\n")
+  }
+
   test("migrateTable commits an append snapshot: metadata → manifest list → " +
       "manifest → data files, verified by independent Avro read-back") {
     import org.json4s._
