@@ -406,6 +406,85 @@ object IcebergSnapshot {
     }
   }
 
+  /** Time-travel read: the DataFrame of EXACTLY the data files
+    * reachable from one snapshot — current by default, or any ancestor
+    * by id — resolved by walking version-hint → metadata → manifest
+    * list → manifests, the same chain an Iceberg runtime walks. Makes
+    * the committed history usable from plain Spark (no Iceberg jar):
+    * `readSnapshot(spark, path, Some(snap1))` reads the table as it
+    * was before later increments. The file-list read loses Hive
+    * partition-dir inference, so identity partition columns are
+    * restored from the manifests' recorded partition values — matching
+    * how Iceberg itself materializes identity-partitioned columns. */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      table: TableDef, snapshotId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metadataDir = new Path(tablePath, "metadata")
+    val fs = FileSystem.get(metadataDir.toUri, conf)
+    def readText(p: Path): String = {
+      val in = fs.open(p)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val version = readText(new Path(metadataDir, "version-hint.text")).trim.toInt
+    val chain = parseSnapshots(readText(
+      new Path(metadataDir, s"v$version.metadata.json")))
+    val snap = snapshotId.fold(chain.lastOption)(id => chain.find(_.snapshotId == id))
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot ${snapshotId.getOrElse("<current>")} not found"))
+    val manifests = readManifestList(new Path(snap.manifestList), conf)
+    val pf = partitionFields(table)
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, when}
+    val perManifest = manifests.map { m =>
+      val inPath = new Path(m.get("manifest_path").toString)
+      val in = new org.apache.avro.mapred.FsInput(inPath, conf)
+      val reader = org.apache.avro.file.DataFileReader.openReader(in,
+        new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      try {
+        val out = ArrayBuffer.empty[(String, Seq[Option[Any]])]
+        while (reader.hasNext) {
+          val e = reader.next()
+          val df = e.get("data_file")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          val part = df.get("partition")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          out += ((df.get("file_path").toString,
+            pf.map { case (name, _, _) => Option(part.get(name)) }))
+        }
+        out.toSeq
+      } finally reader.close()
+    }
+    val files = perManifest.flatten
+    require(files.nonEmpty, "snapshot lists no data files")
+    val base = spark.read.parquet(files.map(_._1): _*)
+    // restore identity partition columns from the manifest metadata
+    // (directory-encoded, so absent from the file contents): a
+    // broadcast file→value map keyed by input_file_name — O(1) plan
+    // depth at any file count (string-typed, like Hive dir inference;
+    // a real Iceberg scan does the same enrichment natively)
+    val identity = pf.filter(_._3 == "identity").map(_._1)
+      .filterNot(base.columns.contains)
+    // slash-count-insensitive key: "file:/x" (Hadoop Path) and
+    // "file:///x" (input_file_name) both normalize to "/x"
+    def pathKey(p: String): String =
+      try {
+        val u = new java.net.URI(p)
+        if (u.getScheme != null && u.getPath != null) u.getPath else p
+      } catch { case _: Exception => p }
+    identity.foldLeft(base) { (acc, name) =>
+      val idx = pf.indexWhere(_._1 == name)
+      val valueOf = files.map { case (p, vals) =>
+        pathKey(p) -> vals(idx).map(_.toString).orNull
+      }.toMap
+      val bc = spark.sparkContext.broadcast(valueOf)
+      val restore = org.apache.spark.sql.functions.udf(
+        (fn: String) => if (fn == null) null else bc.value.getOrElse(pathKey(fn), null))
+      acc.withColumn(name, restore(input_file_name()))
+    }
+  }
+
   /** Incremental append (snapshot N+1): commit the data files that
     * appeared under `<tablePath>/data` SINCE the current snapshot —
     * the CDC-sync shape: an initial [[commitAppend]] migration, then

@@ -378,6 +378,20 @@ class MappingSpec extends AnyFunSuite {
     assert(again.sequenceNumber === 2L)
     assert(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(out, "metadata", "version-hint.text")), "UTF-8") === "3\n")
+
+    // time travel: snapshot 1 reads the pre-increment table, current
+    // reads everything; identity partition column restored from the
+    // manifests' recorded values
+    val snap1Id = (s1 \ "snapshot-id").asInstanceOf[JInt].num.toLong
+    val atSnap1 = graft.sources.IcebergSnapshot.readSnapshot(
+      spark, out, table, Some(snap1Id))
+    assert(atSnap1.count() === 100)
+    val current = graft.sources.IcebergSnapshot.readSnapshot(spark, out, table)
+    assert(current.count() === 150)
+    assert(current.columns.contains("V"))
+    val vByK = current.select("K", "V").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(vByK(7L) === "p1" && vByK(150L) === "p0")
   }
 
   test("migrateTable commits an append snapshot: metadata → manifest list → " +
