@@ -87,7 +87,13 @@ object SchemaTranslator {
       case Some(p) if p.ptype == "RANGE" && p.columns.nonEmpty =>
         (casted, p.columns)
       case Some(p) if p.ptype == "HASH" && p.columns.nonEmpty =>
-        val cols = p.columns.filter(schema.fieldNames.contains)
+        // bucket only the key types IcebergBucket hashes; a key of any
+        // other type (DECIMAL, TIMESTAMP...) degrades to an unbucketed
+        // write — same as before the transform existed — rather than
+        // failing the whole migration at analysis
+        val bucketable: Set[DataType] = Set(IntegerType, LongType, DateType, StringType)
+        val cols = p.columns.filter(c =>
+          schema.fields.exists(f => f.name == c && bucketable.contains(f.dataType)))
         val withBuckets = cols.foldLeft(casted) { (d, c) =>
           d.withColumn(s"${c}_bucket", graft.functions.IcebergBucket(
             org.apache.spark.sql.functions.col(c), 16))

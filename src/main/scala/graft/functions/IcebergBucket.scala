@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -62,9 +60,10 @@ object IcebergBucketUtil {
     murmur3(b, 0)
   }
 
-  /** Iceberg hash of a string: murmur3 over its UTF-8 bytes. */
-  def hashString(s: UTF8String): Int =
-    murmur3(s.toString.getBytes(StandardCharsets.UTF_8), 0)
+  /** Iceberg hash of a string: murmur3 over its UTF-8 bytes.
+    * `UTF8String.getBytes` IS the UTF-8 encoding — no String
+    * round-trip on the per-row path. */
+  def hashString(s: UTF8String): Int = murmur3(s.getBytes, 0)
 
   /** Spec bucket partition value: (hash & Int.MaxValue) % n. */
   def bucketLong(v: Long, n: Int): Int = (hashLong(v) & Int.MaxValue) % n

@@ -40,9 +40,13 @@ object Dedup {
     val groups = keyed.groupBy(col("dedup_key"))
       .agg(count(lit(1)).as("group_size"),
         min(col(idCol)).as("__rep_id"))
-    keyed.join(groups, Seq("dedup_key"))
-      .withColumn("is_representative", col(idCol) === col("__rep_id"))
-      .drop("__rep_id")
+      .withColumnRenamed("dedup_key", "__gk")
+    // null-safe join: a NULL key is a group like any other (groupBy
+    // already buckets NULLs together); a plain equi-join would drop
+    // every null-key row and break the every-row-comes-back contract
+    keyed.join(groups, col("dedup_key") <=> col("__gk"))
+      .withColumn("is_representative", col(idCol) <=> col("__rep_id"))
+      .drop("__gk", "__rep_id")
   }
 
   /** (doc_id, shingle-hash) exploded pairs, distinct per doc, with hot

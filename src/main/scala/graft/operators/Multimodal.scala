@@ -157,21 +157,26 @@ object Multimodal {
   private[operators] def wavHeader(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     if (p.length < 44 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
       p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E') return None
-    var i = 12
+    // Long cursor: a hostile/truncated u32 chunk size near 2^32 would
+    // wrap Int arithmetic to a zero/negative step and spin the
+    // executor task forever; in Long the step 8 + size + pad is
+    // strictly positive, so the walk always terminates
+    var i = 12L
     var channels = 0; var rate = 0; var bits = 0; var blockAlign = 0
     var dataSize = -1L
     while (i + 8 <= p.length && (dataSize < 0 || channels == 0)) {
-      val id = new String(p, i, 4, "US-ASCII")
-      val size = i32le(p, i + 4).toLong & 0xffffffffL
+      val o = i.toInt
+      val id = new String(p, o, 4, "US-ASCII")
+      val size = i32le(p, o + 4).toLong & 0xffffffffL
       if (id == "fmt " && i + 8 + 16 <= p.length) {
-        channels = u16le(p, i + 10)
-        rate = i32le(p, i + 12)
-        blockAlign = u16le(p, i + 20)
-        bits = u16le(p, i + 22)
+        channels = u16le(p, o + 10)
+        rate = i32le(p, o + 12)
+        blockAlign = u16le(p, o + 20)
+        bits = u16le(p, o + 22)
       } else if (id == "data") {
-        dataSize = math.min(size, (p.length - i - 8).toLong)
+        dataSize = math.min(size, p.length.toLong - i - 8)
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      i += 8L + size + (size & 1L)
     }
     if (channels == 0 || blockAlign == 0 || dataSize < 0) None
     else Some((channels, rate, bits, dataSize / blockAlign))

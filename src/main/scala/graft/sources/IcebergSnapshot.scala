@@ -92,13 +92,34 @@ object IcebergSnapshot {
       case _ => "string" // identity on string-ish types; decimals degrade
     }
 
+  /** Inverse of Spark's Hive-path escaping: decode ONLY %XX escape
+    * sequences. `java.net.URLDecoder` is the wrong inverse — it also
+    * maps literal '+' to space, and Spark's `escapePathName` never
+    * encodes '+', so a partition value like `C++` would silently
+    * corrupt to `C  ` in the manifests. */
+  private[graft] def unescapePathName(raw: String): String = {
+    if (!raw.contains('%')) return raw
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '%' && i + 2 < raw.length) {
+        val code = try Integer.parseInt(raw.substring(i + 1, i + 3), 16)
+        catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Parse one Hive-dir partition value (`field=raw`) to the
     * Avro-typed value; `__HIVE_DEFAULT_PARTITION__` is the null
     * marker. Bucket dirs always carry the int bucket ordinal
     * regardless of the source column type. */
   def parsePartitionValue(raw: String, icebergType: String,
       transform: String): Option[Any] = {
-    val decoded = java.net.URLDecoder.decode(raw, "UTF-8")
+    val decoded = unescapePathName(raw)
     if (decoded == "__HIVE_DEFAULT_PARTITION__") None
     else if (transform.startsWith("bucket")) Some(decoded.toInt)
     else Some(avroPartitionType(icebergType, transform) match {
@@ -315,11 +336,10 @@ object IcebergSnapshot {
     path
   }
 
-  /** Read every (manifest_path, manifest_length, sequence_number,
-    * min_sequence_number, added_*, existing_*, deleted_*) row of an
-    * existing manifest list — needed to re-list prior manifests in a
-    * follow-up commit. */
-  private def readManifestList(path: Path,
+  /** Drain every record of an Avro file on any Hadoop FS — the one
+    * reader loop behind manifest-list reads, manifest reads and the
+    * time-travel scan. */
+  private def readAvroRows(path: Path,
       conf: Configuration): Seq[org.apache.avro.generic.GenericRecord] = {
     val in = new org.apache.avro.mapred.FsInput(path, conf)
     val reader = org.apache.avro.file.DataFileReader.openReader(in,
@@ -331,22 +351,26 @@ object IcebergSnapshot {
     } finally reader.close()
   }
 
-  /** File paths recorded in an existing data manifest. */
-  private def readManifestPaths(path: Path, conf: Configuration): Set[String] = {
-    val in = new org.apache.avro.mapred.FsInput(path, conf)
-    val reader = org.apache.avro.file.DataFileReader.openReader(in,
-      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
-    try {
-      val out = ArrayBuffer.empty[String]
-      while (reader.hasNext) {
-        val e = reader.next()
-        out += e.get("data_file")
-          .asInstanceOf[org.apache.avro.generic.GenericRecord]
-          .get("file_path").toString
-      }
-      out.toSet
-    } finally reader.close()
+  /** Small-text read (version hints, metadata JSON). */
+  private def readText(p: Path, conf: Configuration): String = {
+    val fs = FileSystem.get(p.toUri, conf)
+    val in = fs.open(p)
+    try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      StandardCharsets.UTF_8)
+    finally in.close()
   }
+
+  /** Manifest-list rows — re-listed verbatim by follow-up commits. */
+  private def readManifestList(path: Path,
+      conf: Configuration): Seq[org.apache.avro.generic.GenericRecord] =
+    readAvroRows(path, conf)
+
+  /** File paths recorded in an existing data manifest. */
+  private def readManifestPaths(path: Path, conf: Configuration): Set[String] =
+    readAvroRows(path, conf).map(_.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("file_path").toString).toSet
 
   /** Commit the files under `<tablePath>/data` as append snapshot 1:
     * manifest + manifest list + `v2.metadata.json` (with a
@@ -420,68 +444,65 @@ object IcebergSnapshot {
       table: TableDef, snapshotId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val metadataDir = new Path(tablePath, "metadata")
-    val fs = FileSystem.get(metadataDir.toUri, conf)
-    def readText(p: Path): String = {
-      val in = fs.open(p)
-      try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        StandardCharsets.UTF_8)
-      finally in.close()
-    }
-    val version = readText(new Path(metadataDir, "version-hint.text")).trim.toInt
+    val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
     val chain = parseSnapshots(readText(
-      new Path(metadataDir, s"v$version.metadata.json")))
+      new Path(metadataDir, s"v$version.metadata.json"), conf))
     val snap = snapshotId.fold(chain.lastOption)(id => chain.find(_.snapshotId == id))
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot ${snapshotId.getOrElse("<current>")} not found"))
-    val manifests = readManifestList(new Path(snap.manifestList), conf)
     val pf = partitionFields(table)
-    import org.apache.spark.sql.functions.{col, input_file_name, lit, when}
-    val perManifest = manifests.map { m =>
-      val inPath = new Path(m.get("manifest_path").toString)
-      val in = new org.apache.avro.mapred.FsInput(inPath, conf)
-      val reader = org.apache.avro.file.DataFileReader.openReader(in,
-        new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
-      try {
-        val out = ArrayBuffer.empty[(String, Seq[Option[Any]])]
-        while (reader.hasNext) {
-          val e = reader.next()
-          val df = e.get("data_file")
-            .asInstanceOf[org.apache.avro.generic.GenericRecord]
-          val part = df.get("partition")
-            .asInstanceOf[org.apache.avro.generic.GenericRecord]
-          out += ((df.get("file_path").toString,
-            pf.map { case (name, _, _) => Option(part.get(name)) }))
-        }
-        out.toSeq
-      } finally reader.close()
+    import org.apache.spark.sql.functions.input_file_name
+    // file → recorded partition values, via the manifest chain
+    val files = readManifestList(new Path(snap.manifestList), conf).flatMap { m =>
+      readAvroRows(new Path(m.get("manifest_path").toString), conf).map { e =>
+        val df = e.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        val part = df.get("partition")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        (df.get("file_path").toString,
+          pf.map { case (name, _, _) => Option(part.get(name)) })
+      }
     }
-    val files = perManifest.flatten
     require(files.nonEmpty, "snapshot lists no data files")
     val base = spark.read.parquet(files.map(_._1): _*)
     // restore identity partition columns from the manifest metadata
-    // (directory-encoded, so absent from the file contents): a
-    // broadcast file→value map keyed by input_file_name — O(1) plan
-    // depth at any file count (string-typed, like Hive dir inference;
-    // a real Iceberg scan does the same enrichment natively)
+    // (directory-encoded, so absent from the file contents): ONE
+    // broadcast file→values map keyed by input_file_name — O(1) plan
+    // depth and one broadcast at any file count (a real Iceberg scan
+    // does the same enrichment natively). Values come back in their
+    // original surface form (dates from epoch-day ints), string-typed
+    // like Hive dir inference.
     val identity = pf.filter(_._3 == "identity").map(_._1)
       .filterNot(base.columns.contains)
-    // slash-count-insensitive key: "file:/x" (Hadoop Path) and
-    // "file:///x" (input_file_name) both normalize to "/x"
-    def pathKey(p: String): String =
-      try {
-        val u = new java.net.URI(p)
-        if (u.getScheme != null && u.getPath != null) u.getPath else p
-      } catch { case _: Exception => p }
-    identity.foldLeft(base) { (acc, name) =>
-      val idx = pf.indexWhere(_._1 == name)
-      val valueOf = files.map { case (p, vals) =>
-        pathKey(p) -> vals(idx).map(_.toString).orNull
+    if (identity.isEmpty) base
+    else {
+      // slash-count-insensitive key: "file:/x" (Hadoop Path) and
+      // "file:///x" (input_file_name) both normalize to "/x"
+      def pathKey(p: String): String =
+        try {
+          val u = new java.net.URI(p)
+          if (u.getScheme != null && u.getPath != null) u.getPath else p
+        } catch { case _: Exception => p }
+      def surface(itype: String, v: Any): String = itype match {
+        case "date" => java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[Number].longValue).toString
+        case _ => v.toString
+      }
+      val idxAndType = identity.map(n =>
+        n -> pf.indexWhere(_._1 == n)).map { case (n, i) => (n, i, pf(i)._2) }
+      val valueOf: Map[String, Array[String]] = files.map { case (p, vals) =>
+        pathKey(p) -> idxAndType.map { case (_, idx, itype) =>
+          vals(idx).map(surface(itype, _)).orNull
+        }.toArray
       }.toMap
       val bc = spark.sparkContext.broadcast(valueOf)
-      val restore = org.apache.spark.sql.functions.udf(
-        (fn: String) => if (fn == null) null else bc.value.getOrElse(pathKey(fn), null))
-      acc.withColumn(name, restore(input_file_name()))
+      val restored = identity.zipWithIndex.foldLeft(base) { case (acc, (name, pos)) =>
+        val restore = org.apache.spark.sql.functions.udf((fn: String) =>
+          if (fn == null) null
+          else bc.value.get(pathKey(fn)).map(_(pos)).orNull)
+        acc.withColumn(name, restore(input_file_name()))
+      }
+      restored
     }
   }
 
@@ -501,17 +522,10 @@ object IcebergSnapshot {
       timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)
-    def readText(p: Path): String = {
-      val in = fs.open(p)
-      try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        StandardCharsets.UTF_8)
-      finally in.close()
-    }
-    val version = readText(new Path(metadataDir, "version-hint.text")).trim.toInt
+    val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
     require(version >= 2, s"no committed snapshot to increment (version $version)")
     val prevMetaFile = new Path(metadataDir, s"v$version.metadata.json")
-    val chain = parseSnapshots(readText(prevMetaFile))
+    val chain = parseSnapshots(readText(prevMetaFile, conf))
     require(chain.nonEmpty, "metadata carries no snapshots")
     val current = chain.last
 

@@ -394,6 +394,52 @@ class MappingSpec extends AnyFunSuite {
     assert(vByK(7L) === "p1" && vByK(150L) === "p0")
   }
 
+  test("partition-value escaping and typed restore: '+' survives, %XX decodes, " +
+      "dates come back as dates; HASH on an unbucketable type degrades gracefully") {
+    import graft.sources.IcebergSnapshot
+    // '+' is NOT escaped by Spark's path escaping and must survive;
+    // %XX sequences must decode; the Hive null marker maps to None
+    assert(IcebergSnapshot.unescapePathName("C++") === "C++")
+    assert(IcebergSnapshot.unescapePathName("a%3Ab%25c") === "a:b%c")
+    assert(IcebergSnapshot.parsePartitionValue("C++", "string", "identity")
+      === Some("C++"))
+    assert(IcebergSnapshot.parsePartitionValue("__HIVE_DEFAULT_PARTITION__",
+      "string", "identity") === None)
+    assert(IcebergSnapshot.parsePartitionValue("2020-01-01", "date", "identity")
+      === Some(java.time.LocalDate.parse("2020-01-01").toEpochDay.toInt))
+
+    // date-identity partition round-trips through migrate → readSnapshot
+    // as the surface date string, not the epoch-day int
+    val ddl =
+      """CREATE TABLE S.DATED (
+        |  K BIGINT NOT NULL,
+        |  D DATE
+        |) PARTITION BY RANGE (D);""".stripMargin
+    val table = Db2Parser.parse(ddl).tables.head
+    import spark.implicits._
+    val src = Seq((1L, "2020-01-01"), (2L, "2021-06-15"), (3L, "2020-01-01"))
+      .toDF("K", "D")
+    val out = java.nio.file.Files.createTempDirectory("iceberg_dated").toString
+    SchemaTranslator.migrateTable(src, table, out)
+    val read = graft.sources.IcebergSnapshot.readSnapshot(spark, out, table)
+      .select("K", "D").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(read(1L) === "2020-01-01" && read(2L) === "2021-06-15")
+
+    // HASH on DECIMAL: no bucket transform available — the write must
+    // degrade to unpartitioned instead of failing the migration
+    val ddl2 =
+      """CREATE TABLE S.DECHASH (
+        |  K DECIMAL(18,0) NOT NULL,
+        |  V VARCHAR(10)
+        |) PARTITION BY HASH (K);""".stripMargin
+    val table2 = Db2Parser.parse(ddl2).tables.head
+    val out2 = java.nio.file.Files.createTempDirectory("iceberg_dechash").toString
+    SchemaTranslator.writeMigrated(
+      Seq(("1", "a"), ("2", "b")).toDF("K", "V"), table2, out2)
+    assert(spark.read.parquet(out2).count() === 2)
+    assert(!new java.io.File(out2).listFiles().exists(_.getName.contains("_bucket=")))
+  }
+
   test("CDC sync pipeline: change batches compact to latest-wins deltas, " +
       "each committed as one snapshot, time travel sees each state") {
     // the full migration + sync story in one flow: initial load →

@@ -443,6 +443,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(m(1L).checksum !== m(2L).checksum)
   }
 
+  test("real decode: hostile WAV chunk size near 2^32 terminates as unknown, no hang") {
+    import spark.implicits._
+    // RIFF/WAVE with a chunk whose u32 size field is 0xFFFFFFF8 — an
+    // Int-arithmetic chunk walk would step 0 and spin forever
+    val evil = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes); evil.putInt(16); evil.put("WAVE".getBytes)
+    evil.put("junk".getBytes); evil.putInt(0xFFFFFFF8)
+    val assets = Seq(graft.operators.MediaAsset(1L, "audio", evil.array(), "t")).toDS()
+    val m = Multimodal.decode(assets).collect().head
+    assert(m.format === "unknown")
+  }
+
+  test("exactGroups: null-key rows form their own group and come back") {
+    import spark.implicits._
+    val docs = Seq((1L, Some("k")), (2L, None: Option[String]),
+      (3L, None: Option[String]), (4L, Some("k"))).toDF("doc_id", "k")
+    val out = Dedup.exactGroups(docs, col("k"), "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("group_size"), r.getAs[Boolean]("is_representative"))).toMap
+    assert(out.size === 4, "null-key rows must not vanish")
+    assert(out(2L) === ((2L, true)))  // nulls group together, min id reps
+    assert(out(3L) === ((2L, false)))
+    assert(out(1L) === ((2L, true)))
+    assert(out(4L) === ((2L, false)))
+  }
+
   test("real BMP resize: nearest-neighbor downsample round-trips through decode") {
     import spark.implicits._
     // 4×4 with a distinct value per pixel so sampling is observable
