@@ -52,12 +52,22 @@ import graft.model.TableDef
 object IcebergSnapshot {
 
   /** One data file entering the snapshot. `partitionValues` is aligned
-    * with the partition-spec fields (None = null partition value). */
+    * with the partition-spec fields (None = null partition value).
+    * The stats maps are keyed by Iceberg FIELD ID and carry the
+    * file-pruning metadata (spec single-value serialization for the
+    * bounds) — what lets a reader skip files on a predicate without
+    * opening them, the entire point of manifests at 100 TB. Columns
+    * whose type has no simple bounds encoding are simply absent
+    * (spec-legal: the maps are sparse). */
   final case class DataFileInfo(
       path: String,
       sizeBytes: Long,
       recordCount: Long,
-      partitionValues: Seq[Option[Any]])
+      partitionValues: Seq[Option[Any]],
+      valueCounts: Map[Int, Long] = Map.empty,
+      nullCounts: Map[Int, Long] = Map.empty,
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty)
 
   /** (partition FIELD name, iceberg source type, transform) triples
     * for the table's spec — the single source of truth shared by the
@@ -159,6 +169,24 @@ object IcebergSnapshot {
           "type" -> JArray(List(JString("null"), tpe)),
           "default" -> JNull, "field-id" -> JInt(id))
       else JObject("name" -> JString(name), "type" -> tpe, "field-id" -> JInt(id))
+    // Iceberg manifests encode int-keyed maps as array<key_value
+    // record> with the "map" logical type (Avro maps only take string
+    // keys); inner key/value field ids per the spec's manifest schema
+    def mapField(name: String, id: Int, keyId: Int, valueId: Int,
+        valueType: String): JObject =
+      JObject("name" -> JString(name),
+        "type" -> JArray(List(JString("null"), JObject(
+          "type" -> JString("array"),
+          "logicalType" -> JString("map"),
+          "items" -> JObject(
+            "type" -> JString("record"),
+            "name" -> JString(s"k${keyId}_v$valueId"),
+            "fields" -> JArray(List(
+              JObject("name" -> JString("key"), "type" -> JString("int"),
+                "field-id" -> JInt(keyId)),
+              JObject("name" -> JString("value"), "type" -> JString(valueType),
+                "field-id" -> JInt(valueId)))))))),
+        "default" -> JNull, "field-id" -> JInt(id))
     val dataFile = JObject(
       "type" -> JString("record"), "name" -> JString("r2"),
       "fields" -> JArray(List(
@@ -167,7 +195,11 @@ object IcebergSnapshot {
         f("file_format", JString("string"), 101),
         f("partition", partitionRecordSchema(table), 102),
         f("record_count", JString("long"), 103),
-        f("file_size_in_bytes", JString("long"), 104))))
+        f("file_size_in_bytes", JString("long"), 104),
+        mapField("value_counts", 109, 119, 120, "long"),
+        mapField("null_value_counts", 110, 121, 122, "long"),
+        mapField("lower_bounds", 125, 126, 127, "bytes"),
+        mapField("upper_bounds", 128, 129, 130, "bytes"))))
     val root = JObject(
       "type" -> JString("record"), "name" -> JString("manifest_entry"),
       "fields" -> JArray(List(
@@ -217,7 +249,9 @@ object IcebergSnapshot {
       val p = st.getPath
       if (st.isFile && p.getName.endsWith(".parquet")) {
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-        val nRows = try reader.getRecordCount finally reader.close()
+        val (nRows, stats) =
+          try (reader.getRecordCount, columnStats(reader, table))
+          finally reader.close()
         // Hive components between dataDir and the file: col=value
         val rel = p.toString.stripPrefix(dataDir.toString).stripPrefix("/")
         val dirVals = rel.split('/').dropRight(1).flatMap { comp =>
@@ -229,10 +263,74 @@ object IcebergSnapshot {
         val values = pf.map { case (name, itype, transform) =>
           dirVals.get(name).flatMap(parsePartitionValue(_, itype, transform))
         }
-        out += DataFileInfo(p.toString, st.getLen, nRows, values)
+        out += DataFileInfo(p.toString, st.getLen, nRows, values,
+          valueCounts = stats._1, nullCounts = stats._2,
+          lowerBounds = stats._3, upperBounds = stats._4)
       }
     }
     out.toSeq.sortBy(_.path) // deterministic manifest order
+  }
+
+  /** Per-column (value counts, null counts, lower bounds, upper
+    * bounds) aggregated over a parquet file's row groups, keyed by
+    * Iceberg field id. Bounds use the spec's single-value
+    * serialization: little-endian for int/long/float/double, raw
+    * UTF-8 for strings, one byte for booleans; types without a simple
+    * encoding (decimals, timestamps as INT96, ...) contribute counts
+    * but no bounds. Bounds are exact min/max (the spec only requires
+    * lower ≤ values ≤ upper, so exactness is trivially valid). */
+  private def columnStats(reader: ParquetFileReader, table: TableDef):
+      (Map[Int, Long], Map[Int, Long], Map[Int, Array[Byte]], Map[Int, Array[Byte]]) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val fieldId = table.columns.map(_.name).zipWithIndex
+      .map { case (n, i) => n -> (i + 1) }.toMap
+    val values = scala.collection.mutable.Map.empty[Int, Long]
+    val nulls = scala.collection.mutable.Map.empty[Int, Long]
+    val mins = scala.collection.mutable.Map.empty[Int, Comparable[_]]
+    val maxs = scala.collection.mutable.Map.empty[Int, Comparable[_]]
+    val kinds = scala.collection.mutable.Map.empty[Int, org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName]
+    reader.getFooter.getBlocks.forEach { block =>
+      block.getColumns.forEach { cc =>
+        val name = cc.getPath.toDotString
+        fieldId.get(name).foreach { id =>
+          values(id) = values.getOrElse(id, 0L) + cc.getValueCount
+          val st = cc.getStatistics
+          if (st != null && st.isNumNullsSet)
+            nulls(id) = nulls.getOrElse(id, 0L) + st.getNumNulls
+          if (st != null && st.hasNonNullValue) {
+            kinds(id) = cc.getPrimitiveType.getPrimitiveTypeName
+            val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
+            val mx = st.genericGetMax.asInstanceOf[Comparable[Any]]
+            if (!mins.contains(id) ||
+              mn.compareTo(mins(id).asInstanceOf[Any]) < 0) mins(id) = mn
+            if (!maxs.contains(id) ||
+              mx.compareTo(maxs(id).asInstanceOf[Any]) > 0) maxs(id) = mx
+          }
+        }
+      }
+    }
+    def le(n: Int)(v: Long): Array[Byte] = {
+      val b = new Array[Byte](n)
+      var i = 0
+      while (i < n) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+      b
+    }
+    def ser(id: Int, v: Comparable[_]): Option[Array[Byte]] = kinds(id) match {
+      case INT32 => Some(le(4)(v.asInstanceOf[Integer].longValue))
+      case INT64 => Some(le(8)(v.asInstanceOf[java.lang.Long].longValue))
+      case FLOAT => Some(le(4)(
+        java.lang.Float.floatToIntBits(v.asInstanceOf[java.lang.Float]).toLong))
+      case DOUBLE => Some(le(8)(
+        java.lang.Double.doubleToLongBits(v.asInstanceOf[java.lang.Double])))
+      case BOOLEAN => Some(Array(
+        if (v.asInstanceOf[java.lang.Boolean]) 1.toByte else 0.toByte))
+      case BINARY => Some(
+        v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+      case _ => None // INT96 / FIXED_LEN (decimals) — counts only
+    }
+    (values.toMap, nulls.toMap,
+      mins.flatMap { case (id, v) => ser(id, v).map(id -> _) }.toMap,
+      maxs.flatMap { case (id, v) => ser(id, v).map(id -> _) }.toMap)
   }
 
   private def writeAvro(fs: FileSystem, path: Path, schema: Schema,
@@ -257,6 +355,21 @@ object IcebergSnapshot {
     val dfSchema = schema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
     val pf = partitionFields(table)
+    def kvArray(field: String, entries: Map[Int, Any]): java.util.List[GenericRecord] = {
+      val itemSchema = dfSchema.getField(field).schema()
+        .getTypes.get(1).getElementType // [null, array<record>]
+      val out = new java.util.ArrayList[GenericRecord](entries.size)
+      entries.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        val r = new GenericData.Record(itemSchema)
+        r.put("key", k)
+        r.put("value", v match {
+          case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+          case other => other
+        })
+        out.add(r)
+      }
+      out
+    }
     val records = files.map { f =>
       val part = new GenericData.Record(partSchema)
       pf.zip(f.partitionValues).foreach { case ((name, _, _), v) =>
@@ -269,6 +382,10 @@ object IcebergSnapshot {
       df.put("partition", part)
       df.put("record_count", f.recordCount)
       df.put("file_size_in_bytes", f.sizeBytes)
+      df.put("value_counts", kvArray("value_counts", f.valueCounts))
+      df.put("null_value_counts", kvArray("null_value_counts", f.nullCounts))
+      df.put("lower_bounds", kvArray("lower_bounds", f.lowerBounds))
+      df.put("upper_bounds", kvArray("upper_bounds", f.upperBounds))
       val e = new GenericData.Record(schema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)

@@ -564,6 +564,34 @@ class MappingSpec extends AnyFunSuite {
     assert(JsonMethods.parse(mMeta("partition-spec")) ===
       ((meta \ "partition-specs")(0) \ "fields"))
     assert(entries.nonEmpty)
+    // per-file column stats: counts and spec-serialized bounds, keyed
+    // by field id (EVENT_ID=1, AMOUNT=2; BUCKET=3 is dir-encoded) —
+    // the file-pruning metadata a reader uses to skip files
+    def kvMap(df: GenericRecord, field: String): Map[Int, Any] = {
+      val arr = df.get(field).asInstanceOf[java.util.List[GenericRecord]]
+      (0 until arr.size).map { i =>
+        arr.get(i).get("key").asInstanceOf[Int] -> arr.get(i).get("value")
+      }.toMap
+    }
+    def leLong(v: Any): Long = {
+      val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (bb.remaining == 8) bb.getLong else bb.getInt.toLong
+    }
+    val statTotals = entries.map { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      val vc = kvMap(df, "value_counts")
+      val nc = kvMap(df, "null_value_counts")
+      assert(vc(1) === df.get("record_count"), "EVENT_ID value count == rows")
+      assert(nc(1) === 0L)
+      val lb = kvMap(df, "lower_bounds")
+      val ub = kvMap(df, "upper_bounds")
+      assert(leLong(lb(1)) <= leLong(ub(1)))
+      (leLong(lb(1)), leLong(ub(1)), vc(1).asInstanceOf[Long])
+    }
+    assert(statTotals.map(_._3).sum === 3L)
+    assert(statTotals.map(_._1).min === 1L, "global EVENT_ID lower bound")
+    assert(statTotals.map(_._2).max === 3L, "global EVENT_ID upper bound")
     var totalRows = 0L
     for (e <- entries) {
       assert(e.get("status") === 1)
