@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{RepetitionStats, ShingleHashes, SimHash64, VectorDot}
+import graft.functions.{IcebergBucket, RepetitionStats, ShingleHashes, SimHash64, VectorDot}
 
 /** Session extensions registering the engine's native expressions for
   * SQL use (`spark.sql.extensions=graft.api.GraftExtensions` or
@@ -14,8 +14,10 @@ import graft.functions.{RepetitionStats, ShingleHashes, SimHash64, VectorDot}
   * `simhash64(text)` (whole 64-bit SimHash signature in one per-row
   * call), `shingle_hashes(text, k)` (distinct 64-bit k-shingle hashes
   * — k must be a literal), `repetition_stats(text, n)` (per-doc
-  * repetition signals — n must be a literal) — so pure-SQL pipelines
-  * get the same hot paths as the Column API. */
+  * repetition signals — n must be a literal), `iceberg_bucket(v, n)`
+  * (the Iceberg spec's murmur3 bucket transform — n must be a
+  * literal) — so pure-SQL pipelines get the same hot paths as the
+  * Column API. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
@@ -62,9 +64,19 @@ object GraftExtensions {
         children(1).eval().asInstanceOf[Number].intValue())
     })
 
+  val icebergBucketDescriptor: Descriptor = (
+    FunctionIdentifier("iceberg_bucket"),
+    new ExpressionInfo(classOf[IcebergBucket].getName, "iceberg_bucket"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "iceberg_bucket takes exactly 2 arguments")
+      require(children(1).foldable, "iceberg_bucket n must be a literal")
+      IcebergBucket(children.head,
+        children(1).eval().asInstanceOf[Number].intValue())
+    })
+
   val descriptors: Seq[Descriptor] =
     Seq(vectorDotDescriptor, simHashDescriptor, shingleHashesDescriptor,
-      repetitionStatsDescriptor)
+      repetitionStatsDescriptor, icebergBucketDescriptor)
 
   /** Register on an already-built session (tests, REPL): the SQL
     * functions plus the HOF-dot optimizer rewrite (via

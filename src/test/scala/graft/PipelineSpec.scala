@@ -328,6 +328,10 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(sql === api)
     assert(sql.forall(_._3 > 0))
+    // iceberg_bucket rides the same registry; SQL == spec vector
+    val b = spark.sql("SELECT iceberg_bucket(CAST(34 AS BIGINT), 16) AS b")
+      .collect().head.getInt(0)
+    assert(b === (2017239379 & Int.MaxValue) % 16)
   }
 
   test("cosine top-k: self excluded, scores sorted, lsh recall ∈ [0,1]") {
