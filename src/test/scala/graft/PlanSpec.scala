@@ -157,6 +157,30 @@ class PlanSpec extends AnyFunSuite {
       "group sizes must come from a partial+final hash agg:\n" + plan.take(2000))
   }
 
+  test("multimodal: metadata filters prune the payload column from the parquet scan") {
+    import org.apache.spark.sql.functions.{col, length => strlen}
+    // media table layout: opaque payload beside typed metadata columns
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val assets = graft.operators.Multimodal.assetsFromDocuments(docs).toDF()
+      .withColumn("n_bytes", strlen(col("payload")).cast("bigint"))
+    val out = java.nio.file.Files.createTempDirectory("media_tbl").toString
+    assets.select("asset_id", "media_type", "n_bytes", "payload")
+      .write.mode("overwrite").parquet(out)
+    // a metadata-only query must not read a single payload byte: the
+    // payload column is pruned from ReadSchema and the filter pushes
+    // to the scan — the property that makes metadata queries cheap
+    // when payloads dominate storage at 100 TB
+    val q = spark.read.parquet(out)
+      .filter(col("media_type") === "image" && col("n_bytes") > 100L)
+      .select("asset_id", "n_bytes")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("payload"),
+      "payload must be pruned from the scan:\n" + plan.take(2000))
+    assert(plan.contains("PushedFilters") && plan.contains("media_type"),
+      plan.take(2000))
+    assert(q.count() > 0)
+  }
+
   test("q67: stratified sample is a scan-side filter — no shuffle, no join") {
     val df = graft.operators.Sampling.stratifiedSample(
       spark.read.parquet(s"$dir/documents.parquet"), "lang",
