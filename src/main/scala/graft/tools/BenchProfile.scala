@@ -36,7 +36,12 @@ object BenchProfile {
       val sec = (System.nanoTime() - t0) / 1e9
       val gcSec = (gcMillis - gc0) / 1e3
       val usedMb = (rt.totalMemory() - rt.freeMemory()) / 1024 / 1024
-      println(f"[bp] $name%-24s ${sec}%7.3f s  gc=${gcSec}%6.3f s  heapUsed=${usedMb}%6d MB")
+      // persistent-RDD census: cached tables AND localCheckpoint
+      // blocks — a count that climbs query-over-query is the storage
+      // leak signature behind the r4 q44 regression
+      val nPersist = spark.sparkContext.getPersistentRDDs.size
+      println(f"[bp] $name%-24s ${sec}%7.3f s  gc=${gcSec}%6.3f s  " +
+        f"heapUsed=${usedMb}%6d MB  persistentRdds=$nPersist%3d")
     }
     spark.stop()
   }
