@@ -28,13 +28,14 @@ final case class MediaMeta(
   * `binary` columns with typed metadata; decode / feature-extract /
   * frame-sample run batch-wise in `mapPartitions` (the Scala analogue
   * of `mapInPandas` — one iterator per partition, amortized per-batch
-  * setup). [[decode]] and [[resizeBmp]] are REAL pure-JVM
-  * implementations for the simple uncompressed containers (BMP, binary
-  * PPM/PGM, RIFF/WAV — header + pixel/sample arithmetic, no codec
-  * libraries); formats that need entropy coders (JPEG/PNG/MP3) have no
-  * decoder in this container, so [[decodeStub]] remains the
-  * clearly-marked deterministic FAKE standing in for them (and q24's
-  * oracle stays pinned to it).
+  * setup). [[decode]], [[decodeQoiPixels]] and [[resizeBmp]] are REAL
+  * pure-JVM implementations: BMP, binary PPM/PGM and RIFF/WAV parse
+  * header+pixels/samples directly, and QOI — an actually COMPRESSED
+  * image format — decompresses fully (run-length, color index, delta
+  * ops) per its published one-page spec. Formats needing heavy
+  * entropy coders (JPEG/PNG/MP3) have no decoder in this container,
+  * so [[decodeStub]] remains the clearly-marked deterministic FAKE
+  * standing in for them (and q24's oracle stays pinned to it).
   *
   * At 100 TB: payloads dominate storage, so every transform keeps
   * metadata extraction SEPARATE from payload movement — filters on
@@ -86,7 +87,7 @@ object Multimodal {
       media_type: String,
       source: String,
       n_bytes: Long,
-      format: String, // bmp | ppm | pgm | wav | unknown
+      format: String, // bmp | qoi | ppm | pgm | wav | unknown
       width: Int,
       height: Int,
       channels: Int,
@@ -150,6 +151,90 @@ object Multimodal {
     if (i >= p.length) None else Some((fmt, vals(0), vals(1), vals(2), i + 1))
   }
 
+  /** Parse a QOI header ("qoif" magic, big-endian dims): (width,
+    * height, channels). QOI is the one COMPRESSED image format simple
+    * enough for a dependency-free decoder — the published spec is a
+    * single page (run-length, 64-slot color index, 2-bit diffs, luma
+    * deltas), so unlike BMP/PPM this exercises real decompression. */
+  private[operators] def qoiHeader(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (p.length < 14 || p(0) != 'q' || p(1) != 'o' || p(2) != 'i' || p(3) != 'f')
+      return None
+    def u32be(o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    val w = u32be(4); val h = u32be(8); val ch = p(12) & 0xff
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue ||
+      (ch != 3 && ch != 4)) None
+    else Some((w.toInt, h.toInt, ch))
+  }
+
+  /** REAL QOI decompression to flat RGBA bytes (4 per pixel), per the
+    * published spec: QOI_OP_RGB/RGBA literals, QOI_OP_INDEX into the
+    * running 64-slot hash table (r*3+g*5+b*7+a*11 mod 64),
+    * QOI_OP_DIFF (2-bit channel deltas, bias 2), QOI_OP_LUMA (6-bit
+    * green delta bias 32, red/blue relative to it bias 8), QOI_OP_RUN
+    * (bias −1). Returns None on any malformed/truncated stream —
+    * never throws, never loops (the cursor strictly advances). */
+  def decodeQoiPixels(p: Array[Byte]): Option[Array[Byte]] = qoiHeader(p) match {
+    case None => None
+    case Some((w, h, _)) =>
+      val n = w.toLong * h
+      if (n > (Int.MaxValue / 4).toLong) return None
+      val out = new Array[Byte](n.toInt * 4)
+      val index = new Array[Int](64)
+      var r = 0; var g = 0; var b = 0; var a = 255
+      var i = 14
+      var px = 0
+      def hash: Int = (r * 3 + g * 5 + b * 7 + a * 11) % 64
+      def emit(): Unit = {
+        val o = px * 4
+        out(o) = r.toByte; out(o + 1) = g.toByte
+        out(o + 2) = b.toByte; out(o + 3) = a.toByte
+        px += 1
+      }
+      while (px < n && i < p.length) {
+        val b0 = p(i) & 0xff; i += 1
+        if (b0 == 0xFE) { // QOI_OP_RGB
+          if (i + 3 > p.length) return None
+          r = p(i) & 0xff; g = p(i + 1) & 0xff; b = p(i + 2) & 0xff; i += 3
+          index(hash) = (r << 24) | (g << 16) | (b << 8) | a
+          emit()
+        } else if (b0 == 0xFF) { // QOI_OP_RGBA
+          if (i + 4 > p.length) return None
+          r = p(i) & 0xff; g = p(i + 1) & 0xff
+          b = p(i + 2) & 0xff; a = p(i + 3) & 0xff; i += 4
+          index(hash) = (r << 24) | (g << 16) | (b << 8) | a
+          emit()
+        } else (b0 >> 6) match {
+          case 0 => // QOI_OP_INDEX
+            val v = index(b0 & 0x3f)
+            r = (v >>> 24) & 0xff; g = (v >>> 16) & 0xff
+            b = (v >>> 8) & 0xff; a = v & 0xff
+            emit()
+          case 1 => // QOI_OP_DIFF (bias 2)
+            r = (r + ((b0 >> 4) & 0x03) - 2) & 0xff
+            g = (g + ((b0 >> 2) & 0x03) - 2) & 0xff
+            b = (b + (b0 & 0x03) - 2) & 0xff
+            index(hash) = (r << 24) | (g << 16) | (b << 8) | a
+            emit()
+          case 2 => // QOI_OP_LUMA (dg bias 32; dr/db relative, bias 8)
+            if (i + 1 > p.length) return None
+            val dg = (b0 & 0x3f) - 32
+            val b1 = p(i) & 0xff; i += 1
+            r = (r + dg - 8 + ((b1 >> 4) & 0x0f)) & 0xff
+            g = (g + dg) & 0xff
+            b = (b + dg - 8 + (b1 & 0x0f)) & 0xff
+            index(hash) = (r << 24) | (g << 16) | (b << 8) | a
+            emit()
+          case _ => // QOI_OP_RUN (bias −1; 63/64 are the RGB(A) tags)
+            var run = (b0 & 0x3f) + 1
+            if (px + run > n) return None
+            while (run > 0) { emit(); run -= 1 }
+        }
+      }
+      if (px == n) Some(out) else None
+  }
+
   /** Parse a RIFF/WAVE fmt + data chunk pair: (channels, sampleRate,
     * bitsPerSample, nFrames). Walks the chunk list properly (chunks
     * are (id, u32 size) pairs padded to even offsets), so extra
@@ -182,13 +267,13 @@ object Multimodal {
     else Some((channels, rate, bits, dataSize / blockAlign))
   }
 
-  /** REAL decode for the simple uncompressed containers — BMP, binary
-    * PPM/PGM, RIFF/WAV — parsed header-first with no codec libraries
-    * (pure JVM byte arithmetic; formats needing entropy coders —
-    * JPEG/PNG/MP3 — remain behind [[decodeStub]] and decode to
-    * format "unknown" here). Same mapPartitions shape as the stub:
-    * per-partition setup amortizes, metadata extraction never copies
-    * the payload. */
+  /** REAL decode — BMP, QOI, binary PPM/PGM, RIFF/WAV — parsed
+    * header-first with no codec libraries (pure JVM byte arithmetic;
+    * formats needing heavy entropy coders — JPEG/PNG/MP3 — remain
+    * behind [[decodeStub]] and decode to format "unknown" here). Same
+    * mapPartitions shape as the stub: per-partition setup amortizes,
+    * metadata extraction never copies the payload; full QOI pixel
+    * decompression is [[decodeQoiPixels]]. */
   def decode(assets: Dataset[MediaAsset]): Dataset[DecodedMeta] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
@@ -200,7 +285,9 @@ object Multimodal {
             format, w, h, ch, rate, n, bits, fnv(p))
         bmpHeader(p).map { case (w, h, bpp, _) =>
           base("bmp", w, h, math.max(1, bpp / 8), 0, w.toLong * h, bpp)
-        }.orElse(pnmHeader(p).map { case (fmt, w, h, maxv, _) =>
+        }.orElse(qoiHeader(p).map { case (w, h, ch) =>
+          base("qoi", w, h, ch, 0, w.toLong * h, 8)
+        }).orElse(pnmHeader(p).map { case (fmt, w, h, maxv, _) =>
           val bits = if (maxv > 255) 16 else 8
           base(fmt, w, h, if (fmt == "ppm") 3 else 1, 0, w.toLong * h, bits)
         }).orElse(wavHeader(p).map { case (ch, rate, bits, frames) =>

@@ -447,6 +447,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(m(1L).checksum !== m(2L).checksum)
   }
 
+  test("QOI: full decompression — every opcode decodes to the hand-computed pixels") {
+    // 4×2 RGBA image exercising every op: RGB literal, RUN, DIFF,
+    // LUMA, INDEX, RGBA literal, plus alpha carry-over
+    val bb = java.nio.ByteBuffer.allocate(14 + 18 + 8)
+    bb.put("qoif".getBytes); bb.putInt(4); bb.putInt(2); bb.put(4.toByte); bb.put(0.toByte)
+    bb.put(0xFE.toByte); bb.put(10.toByte); bb.put(20.toByte); bb.put(30.toByte) // RGB
+    bb.put(0xC1.toByte)                                    // RUN 2
+    bb.put(0x7F.toByte)                                    // DIFF +1,+1,+1
+    bb.put(0xA5.toByte); bb.put(0xA6.toByte)               // LUMA dg=+5, dr-dg=+2, db-dg=-2
+    bb.put(0x09.toByte)                                    // INDEX slot 9 (first pixel's hash)
+    bb.put(0xFF.toByte); bb.put(1.toByte); bb.put(2.toByte); bb.put(3.toByte); bb.put(4.toByte) // RGBA
+    bb.put(0xFE.toByte); bb.put(9.toByte); bb.put(9.toByte); bb.put(9.toByte) // RGB (alpha stays 4)
+    (0 until 7).foreach(_ => bb.put(0.toByte)); bb.put(1.toByte) // end marker
+    val qoi = bb.array()
+    val px = Multimodal.decodeQoiPixels(qoi).get
+    val expected = Array[Int](
+      10, 20, 30, 255, 10, 20, 30, 255, 10, 20, 30, 255, // RGB + RUN 2
+      11, 21, 31, 255,                                   // DIFF
+      18, 26, 34, 255,                                   // LUMA
+      10, 20, 30, 255,                                   // INDEX back to px0
+      1, 2, 3, 4,                                        // RGBA
+      9, 9, 9, 4).map(_.toByte)                          // RGB, alpha carried
+    assert(px.toSeq === expected.toSeq)
+    // header metadata flows through decode()
+    import spark.implicits._
+    val m = Multimodal.decode(
+      Seq(graft.operators.MediaAsset(1L, "image", qoi, "t")).toDS()).collect().head
+    assert(m.format === "qoi" && m.width === 4 && m.height === 2 && m.channels === 4)
+    // malformed streams return None, never throw or hang: truncated
+    // mid-literal, and too few pixels for the declared dimensions
+    assert(Multimodal.decodeQoiPixels(qoi.take(16)) === None)
+    val short = java.nio.ByteBuffer.allocate(14 + 4)
+    short.put("qoif".getBytes); short.putInt(4); short.putInt(2)
+    short.put(4.toByte); short.put(0.toByte)
+    short.put(0xFE.toByte); short.put(1.toByte); short.put(2.toByte); short.put(3.toByte)
+    assert(Multimodal.decodeQoiPixels(short.array()) === None)
+  }
+
   test("real decode: hostile WAV chunk size near 2^32 terminates as unknown, no hang") {
     import spark.implicits._
     // RIFF/WAVE with a chunk whose u32 size field is 0xFFFFFFF8 — an
