@@ -87,13 +87,17 @@ object SchemaTranslator {
       case Some(p) if p.ptype == "RANGE" && p.columns.nonEmpty =>
         (casted, p.columns)
       case Some(p) if p.ptype == "HASH" && p.columns.nonEmpty =>
-        // bucket only the key types IcebergBucket hashes; a key of any
-        // other type (DECIMAL, TIMESTAMP...) degrades to an unbucketed
-        // write — same as before the transform existed — rather than
-        // failing the whole migration at analysis
-        val bucketable: Set[DataType] = Set(IntegerType, LongType, DateType, StringType)
+        // bucket only the spec's valid bucket sources (int/long/date/
+        // timestamp/decimal/string); a key of any other type (float,
+        // boolean, binary — also invalid per the spec) degrades to an
+        // unbucketed write rather than failing the whole migration
+        def bucketable(dt: DataType): Boolean = dt match {
+          case IntegerType | LongType | DateType | TimestampType |
+              TimestampNTZType | StringType | _: DecimalType => true
+          case _ => false
+        }
         val cols = p.columns.filter(c =>
-          schema.fields.exists(f => f.name == c && bucketable.contains(f.dataType)))
+          schema.fields.exists(f => f.name == c && bucketable(f.dataType)))
         val withBuckets = cols.foldLeft(casted) { (d, c) =>
           d.withColumn(s"${c}_bucket", graft.functions.IcebergBucket(
             org.apache.spark.sql.functions.col(c), 16))
@@ -101,7 +105,18 @@ object SchemaTranslator {
         (withBuckets, cols.map(c => s"${c}_bucket"))
       case _ => (casted, Nil)
     }
-    val writer = toWrite.write.format(format).mode(mode)
+    // honor the declared sort order (DISTRIBUTE BY HASH → CLUSTER BY →
+    // Iceberg default sort order): sort within tasks by (partition
+    // cols, sort cols) so the files actually carry the order the
+    // metadata declares — no global sort, no extra shuffle; satisfying
+    // the writer's required ordering up front also spares its own
+    // partition-column sort
+    val sortCols = table.distributeByHash.toSeq.filter(schema.fieldNames.contains)
+    val ordered =
+      if (sortCols.isEmpty) toWrite
+      else toWrite.sortWithinPartitions(
+        (partCols ++ sortCols).map(org.apache.spark.sql.functions.col): _*)
+    val writer = ordered.write.format(format).mode(mode)
     val partitioned =
       if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*)
     partitioned.save(path)

@@ -65,10 +65,21 @@ object IcebergBucketUtil {
     * round-trip on the per-row path. */
   def hashString(s: UTF8String): Int = murmur3(s.getBytes, 0)
 
+  /** Iceberg hash of a decimal: murmur3 over the unscaled value's
+    * minimum-length two's-complement big-endian bytes — which is
+    * exactly `BigInteger.toByteArray` (spec vector: 14.20 →
+    * −500754589, pinned in MappingSpec). Scale rides in the type, not
+    * the bytes, per the spec. */
+  def hashDecimal(d: org.apache.spark.sql.types.Decimal): Int =
+    murmur3(d.toJavaBigDecimal.unscaledValue.toByteArray, 0)
+
   /** Spec bucket partition value: (hash & Int.MaxValue) % n. */
   def bucketLong(v: Long, n: Int): Int = (hashLong(v) & Int.MaxValue) % n
 
   def bucketString(s: UTF8String, n: Int): Int = (hashString(s) & Int.MaxValue) % n
+
+  def bucketDecimal(d: org.apache.spark.sql.types.Decimal, n: Int): Int =
+    (hashDecimal(d) & Int.MaxValue) % n
 }
 
 /** Native Catalyst expression: the Iceberg `bucket[N]` partition
@@ -86,16 +97,23 @@ case class IcebergBucket(child: Expression, numBuckets: Int)
   override def dataType: DataType = IntegerType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case IntegerType | LongType | DateType | _: StringType =>
+    case IntegerType | LongType | DateType | TimestampType | TimestampNTZType |
+        _: DecimalType | _: StringType =>
       TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
-      s"iceberg_bucket supports int/long/date/string, got ${dt.catalogString}")
+      "iceberg_bucket supports int/long/date/timestamp/decimal/string " +
+        s"(the spec's valid bucket sources), got ${dt.catalogString}")
   }
 
   override def nullSafeEval(v: Any): Any = child.dataType match {
     case IntegerType | DateType =>
       IcebergBucketUtil.bucketLong(v.asInstanceOf[Int].toLong, numBuckets)
-    case LongType => IcebergBucketUtil.bucketLong(v.asInstanceOf[Long], numBuckets)
+    // timestamps are catalyst micros-from-epoch longs — exactly what
+    // the spec hashes
+    case LongType | TimestampType | TimestampNTZType =>
+      IcebergBucketUtil.bucketLong(v.asInstanceOf[Long], numBuckets)
+    case _: DecimalType => IcebergBucketUtil.bucketDecimal(
+      v.asInstanceOf[org.apache.spark.sql.types.Decimal], numBuckets)
     case _ => IcebergBucketUtil.bucketString(v.asInstanceOf[UTF8String], numBuckets)
   }
 
@@ -103,8 +121,10 @@ case class IcebergBucket(child: Expression, numBuckets: Int)
     child.dataType match {
       case IntegerType | DateType => defineCodeGen(ctx, ev,
         c => s"graft.functions.IcebergBucketUtil.bucketLong((long) $c, $numBuckets)")
-      case LongType => defineCodeGen(ctx, ev,
+      case LongType | TimestampType | TimestampNTZType => defineCodeGen(ctx, ev,
         c => s"graft.functions.IcebergBucketUtil.bucketLong($c, $numBuckets)")
+      case _: DecimalType => defineCodeGen(ctx, ev,
+        c => s"graft.functions.IcebergBucketUtil.bucketDecimal($c, $numBuckets)")
       case _ => defineCodeGen(ctx, ev,
         c => s"graft.functions.IcebergBucketUtil.bucketString($c, $numBuckets)")
     }

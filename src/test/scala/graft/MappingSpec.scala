@@ -218,6 +218,7 @@ class MappingSpec extends AnyFunSuite {
 
   test("IcebergBucket: spec test vectors, Guava reference parity, int/long agreement") {
     import graft.functions.IcebergBucketUtil._
+    // (vector sources: the Iceberg table spec's Appendix B hash table)
     // published Iceberg spec Appendix B vectors
     assert(hashLong(34L) === 2017239379)
     assert(murmur3("iceberg".getBytes("UTF-8"), 0) === 1210000089)
@@ -229,6 +230,12 @@ class MappingSpec extends AnyFunSuite {
         com.google.common.hash.Hashing.murmur3_32_fixed().hashBytes(data).asInt(),
         s"len=$len")
     }
+    // decimal: unscaled-value big-endian two's complement (spec vector)
+    assert(hashDecimal(org.apache.spark.sql.types.Decimal(
+      new java.math.BigDecimal("14.20"))) === -500754589)
+    // timestamp: micros-from-epoch long (spec vector for
+    // 2017-11-16T22:31:08 UTC)
+    assert(hashLong(1510871468000000L) === -2047944441)
     // ints hash as widened longs (spec: bucketing survives promotion)
     assert(bucketLong(34, 16) === bucketLong(34L, 16))
     assert((0 until 100).forall(v => bucketLong(v.toLong, 16) ===
@@ -425,19 +432,60 @@ class MappingSpec extends AnyFunSuite {
       .select("K", "D").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(read(1L) === "2020-01-01" && read(2L) === "2021-06-15")
 
-    // HASH on DECIMAL: no bucket transform available — the write must
-    // degrade to unpartitioned instead of failing the migration
+    // HASH on DECIMAL buckets through the spec's unscaled-value hash
     val ddl2 =
       """CREATE TABLE S.DECHASH (
-        |  K DECIMAL(18,0) NOT NULL,
+        |  K DECIMAL(18,2) NOT NULL,
         |  V VARCHAR(10)
         |) PARTITION BY HASH (K);""".stripMargin
     val table2 = Db2Parser.parse(ddl2).tables.head
     val out2 = java.nio.file.Files.createTempDirectory("iceberg_dechash").toString
     SchemaTranslator.writeMigrated(
-      Seq(("1", "a"), ("2", "b")).toDF("K", "V"), table2, out2)
-    assert(spark.read.parquet(out2).count() === 2)
-    assert(!new java.io.File(out2).listFiles().exists(_.getName.contains("_bucket=")))
+      Seq(("14.20", "a"), ("7.75", "b")).toDF("K", "V"), table2, out2)
+    val expectedBucket = (-500754589 & Int.MaxValue) % 16
+    assert(new java.io.File(out2).listFiles()
+      .exists(_.getName == s"K_bucket=$expectedBucket"))
+
+    // HASH on REAL: float is not a valid bucket source per the spec —
+    // the write must degrade to unpartitioned instead of failing
+    val ddl3 =
+      """CREATE TABLE S.FLHASH (
+        |  K REAL NOT NULL,
+        |  V VARCHAR(10)
+        |) PARTITION BY HASH (K);""".stripMargin
+    val table3 = Db2Parser.parse(ddl3).tables.head
+    val out3 = java.nio.file.Files.createTempDirectory("iceberg_flhash").toString
+    SchemaTranslator.writeMigrated(
+      Seq(("1.5", "a"), ("2.5", "b")).toDF("K", "V"), table3, out3)
+    assert(spark.read.parquet(out3).count() === 2)
+    assert(!new java.io.File(out3).listFiles().exists(_.getName.contains("_bucket=")))
+  }
+
+  test("CLUSTER BY sorts the written files — the declared sort order is real") {
+    import spark.implicits._
+    // DISTRIBUTE BY HASH is its own statement, linked to the last
+    // CREATE by pass 2 (the reference's tables[-1] behavior)
+    val ddl =
+      """CREATE TABLE S.SRT (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10)
+        |);
+        |DISTRIBUTE BY HASH (K);""".stripMargin
+    val table = Db2Parser.parse(ddl).tables.head
+    assert(table.distributeByHash === Some("K"))
+    // shuffled input: order must come from the write, not the source
+    val src = scala.util.Random.shuffle((1L to 500L).toList)
+      .map(k => (k, s"v$k")).toDF("K", "V").repartition(4)
+    val out = java.nio.file.Files.createTempDirectory("sorted_write").toString
+    SchemaTranslator.writeMigrated(src, table, out)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    for (f <- files) {
+      val ks = spark.read.parquet(f.toString).select("K")
+        .collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted), s"${f.getName} not sorted by K")
+    }
   }
 
   test("CDC sync pipeline: change batches compact to latest-wins deltas, " +
