@@ -126,7 +126,10 @@ object IcebergMetadata {
       sequenceNumber: Long = 1L,
       parentSnapshotId: Option[Long] = None,
       totalFiles: Long = -1L,
-      totalRecords: Long = -1L) {
+      totalRecords: Long = -1L,
+      operation: String = "append",
+      deletedFiles: Long = 0L,
+      deletedRecords: Long = 0L) {
     def cumulativeFiles: Long = if (totalFiles >= 0) totalFiles else addedFiles
     def cumulativeRecords: Long = if (totalRecords >= 0) totalRecords else addedRecords
   }
@@ -160,15 +163,20 @@ object IcebergMetadata {
         s.parentSnapshotId.map(p => "parent-snapshot-id" -> (JInt(p): JValue)).toList ++
         List[(String, JValue)](
           "timestamp-ms" -> JInt(BigInt(s.timestampMs)),
-          "summary" -> JObject(
-            "operation" -> JString("append"),
+          "summary" -> JObject(List(
+            "operation" -> (JString(s.operation): JValue),
             "added-data-files" -> JString(s.addedFiles.toString),
-            "added-records" -> JString(s.addedRecords.toString),
-            "total-data-files" -> JString(s.cumulativeFiles.toString),
-            "total-records" -> JString(s.cumulativeRecords.toString),
-            "total-delete-files" -> JString("0"),
-            "total-equality-deletes" -> JString("0"),
-            "total-position-deletes" -> JString("0")),
+            "added-records" -> JString(s.addedRecords.toString)) ++
+            (if (s.deletedFiles > 0) List[(String, JValue)](
+              "deleted-data-files" -> JString(s.deletedFiles.toString),
+              "deleted-records" -> JString(s.deletedRecords.toString))
+            else Nil) ++
+            List[(String, JValue)](
+              "total-data-files" -> JString(s.cumulativeFiles.toString),
+              "total-records" -> JString(s.cumulativeRecords.toString),
+              "total-delete-files" -> JString("0"),
+              "total-equality-deletes" -> JString("0"),
+              "total-position-deletes" -> JString("0"))),
           "manifest-list" -> JString(s.manifestList),
           "schema-id" -> JInt(0)))
     }

@@ -347,7 +347,21 @@ object IcebergSnapshot {
   /** Write the data manifest: one ADDED entry per file, entry-level
     * sequence numbers null (inherited from the manifest list per the
     * v2 inheritance rule). Returns (path, length). */
+  /** One row of a manifest: the file plus its entry status (1 ADDED /
+    * 0 EXISTING / 2 DELETED) and, for EXISTING/DELETED, the explicit
+    * original data sequence number (ADDED rows carry None — inherited
+    * from the manifest list per the v2 rule). */
+  final case class ManifestEntry(status: Int, sequenceNumber: Option[Long],
+      file: DataFileInfo)
+
   def writeManifest(table: TableDef, files: Seq[DataFileInfo],
+      metadataDir: Path, snapshotId: Long, conf: Configuration,
+      ordinal: Int = 0): (Path, Long) =
+    writeManifestEntries(table,
+      files.map(f => ManifestEntry(1, None, f)), metadataDir, snapshotId,
+      conf, ordinal)
+
+  def writeManifestEntries(table: TableDef, entries0: Seq[ManifestEntry],
       metadataDir: Path, snapshotId: Long, conf: Configuration,
       ordinal: Int = 0): (Path, Long) = {
     val fs = FileSystem.get(metadataDir.toUri, conf)
@@ -370,7 +384,8 @@ object IcebergSnapshot {
       }
       out
     }
-    val records = files.map { f =>
+    val records = entries0.map { me =>
+      val f = me.file
       val part = new GenericData.Record(partSchema)
       pf.zip(f.partitionValues).foreach { case ((name, _, _), v) =>
         part.put(name, v.orNull)
@@ -387,9 +402,10 @@ object IcebergSnapshot {
       df.put("lower_bounds", kvArray("lower_bounds", f.lowerBounds))
       df.put("upper_bounds", kvArray("upper_bounds", f.upperBounds))
       val e = new GenericData.Record(schema)
-      e.put("status", 1) // ADDED
+      e.put("status", me.status)
       e.put("snapshot_id", snapshotId)
-      e.put("sequence_number", null)
+      e.put("sequence_number",
+        me.sequenceNumber.map(java.lang.Long.valueOf).orNull)
       e.put("file_sequence_number", null)
       e.put("data_file", df)
       e
@@ -408,32 +424,39 @@ object IcebergSnapshot {
     (path, len)
   }
 
-  /** Write the manifest list for an append snapshot: the new manifest
-    * entry (at `sequenceNumber`) plus every prior snapshot's manifest
-    * rows re-listed verbatim — the spec's accumulation rule: a
-    * snapshot's manifest list names ALL manifests reachable at that
-    * snapshot, old ones keeping their original sequence numbers. */
-  def writeManifestList(table: TableDef, manifest: (Path, Long),
-      nFiles: Long, nRows: Long, metadataDir: Path, snapshotId: Long,
-      conf: Configuration, sequenceNumber: Long = 1L,
-      parentSnapshotId: Option[Long] = None,
+  /** One manifest_file row of a manifest list. */
+  final case class ManifestListRow(path: String, length: Long,
+      sequenceNumber: Long, minSequenceNumber: Long,
+      addedFiles: Int, existingFiles: Int, deletedFiles: Int,
+      addedRows: Long, existingRows: Long, deletedRows: Long)
+
+  /** Write a manifest list from explicit rows (optionally re-listing
+    * prior snapshots' manifest rows verbatim — the spec's accumulation
+    * rule for appends; a REPLACE snapshot instead lists only its own
+    * rewritten manifests). */
+  def writeManifestListRows(table: TableDef, rows: Seq[ManifestListRow],
+      metadataDir: Path, snapshotId: Long, conf: Configuration,
+      sequenceNumber: Long, parentSnapshotId: Option[Long],
       priorManifests: Seq[GenericRecord] = Nil): Path = {
     val fs = FileSystem.get(metadataDir.toUri, conf)
     val schema = new Schema.Parser().parse(ManifestListSchemaJson)
-    val r = new GenericData.Record(schema)
-    r.put("manifest_path", manifest._1.toString)
-    r.put("manifest_length", manifest._2)
-    r.put("partition_spec_id", 0)
-    r.put("content", 0)
-    r.put("sequence_number", sequenceNumber)
-    r.put("min_sequence_number", sequenceNumber)
-    r.put("added_snapshot_id", snapshotId)
-    r.put("added_files_count", nFiles.toInt)
-    r.put("existing_files_count", 0)
-    r.put("deleted_files_count", 0)
-    r.put("added_rows_count", nRows)
-    r.put("existing_rows_count", 0L)
-    r.put("deleted_rows_count", 0L)
+    val fresh = rows.map { m =>
+      val r = new GenericData.Record(schema)
+      r.put("manifest_path", m.path)
+      r.put("manifest_length", m.length)
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", m.sequenceNumber)
+      r.put("min_sequence_number", m.minSequenceNumber)
+      r.put("added_snapshot_id", snapshotId)
+      r.put("added_files_count", m.addedFiles)
+      r.put("existing_files_count", m.existingFiles)
+      r.put("deleted_files_count", m.deletedFiles)
+      r.put("added_rows_count", m.addedRows)
+      r.put("existing_rows_count", m.existingRows)
+      r.put("deleted_rows_count", m.deletedRows)
+      r
+    }
     // prior rows are re-encoded through this writer's schema (same
     // field ids) so a reader sees one consistent file
     val prior = priorManifests.map { p =>
@@ -449,9 +472,23 @@ object IcebergSnapshot {
       "snapshot-id" -> snapshotId.toString,
       "sequence-number" -> sequenceNumber.toString,
       "parent-snapshot-id" -> parentSnapshotId.map(_.toString).getOrElse("null")),
-      r +: prior)
+      fresh ++ prior)
     path
   }
+
+  /** Write the manifest list for a single-manifest append snapshot
+    * (prior manifests re-listed verbatim). */
+  def writeManifestList(table: TableDef, manifest: (Path, Long),
+      nFiles: Long, nRows: Long, metadataDir: Path, snapshotId: Long,
+      conf: Configuration, sequenceNumber: Long = 1L,
+      parentSnapshotId: Option[Long] = None,
+      priorManifests: Seq[GenericRecord] = Nil): Path =
+    writeManifestListRows(table,
+      Seq(ManifestListRow(manifest._1.toString, manifest._2,
+        sequenceNumber, sequenceNumber,
+        nFiles.toInt, 0, 0, nRows, 0L, 0L)),
+      metadataDir, snapshotId, conf, sequenceNumber, parentSnapshotId,
+      priorManifests)
 
   /** Drain every record of an Avro file on any Hadoop FS — the one
     * reader loop behind manifest-list reads, manifest reads and the
@@ -543,7 +580,8 @@ object IcebergSnapshot {
           case _ => None
         },
         totalFiles = (s \ "summary" \ "total-data-files").asInstanceOf[JString].s.toLong,
-        totalRecords = (s \ "summary" \ "total-records").asInstanceOf[JString].s.toLong)
+        totalRecords = (s \ "summary" \ "total-records").asInstanceOf[JString].s.toLong,
+        operation = (s \ "summary" \ "operation").asInstanceOf[JString].s)
     }
   }
 
@@ -571,14 +609,16 @@ object IcebergSnapshot {
     import org.apache.spark.sql.functions.input_file_name
     // file → recorded partition values, via the manifest chain
     val files = readManifestList(new Path(snap.manifestList), conf).flatMap { m =>
-      readAvroRows(new Path(m.get("manifest_path").toString), conf).map { e =>
-        val df = e.get("data_file")
-          .asInstanceOf[org.apache.avro.generic.GenericRecord]
-        val part = df.get("partition")
-          .asInstanceOf[org.apache.avro.generic.GenericRecord]
-        (df.get("file_path").toString,
-          pf.map { case (name, _, _) => Option(part.get(name)) })
-      }
+      readAvroRows(new Path(m.get("manifest_path").toString), conf)
+        .filter(_.get("status") != 2) // DELETED entries are not live
+        .map { e =>
+          val df = e.get("data_file")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          val part = df.get("partition")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          (df.get("file_path").toString,
+            pf.map { case (name, _, _) => Option(part.get(name)) })
+        }
     }
     require(files.nonEmpty, "snapshot lists no data files")
     val base = spark.read.parquet(files.map(_._1): _*)
@@ -621,6 +661,164 @@ object IcebergSnapshot {
       }
       restored
     }
+  }
+
+  /** The live data files of the current snapshot, with each file's
+    * origin data sequence number (explicit on EXISTING/DELETED rows,
+    * inherited from the manifest-list row on ADDED rows). Stats maps
+    * are decoded back from the manifest so a rewrite can re-list
+    * files without re-reading footers. */
+  private def liveFilesWithSeq(snap: IcebergMetadata.SnapshotMeta,
+      table: TableDef, conf: Configuration): Seq[(DataFileInfo, Long)] = {
+    val pf = partitionFields(table)
+    readManifestList(new Path(snap.manifestList), conf).flatMap { m =>
+      val listSeq = m.get("sequence_number").asInstanceOf[Long]
+      readAvroRows(new Path(m.get("manifest_path").toString), conf)
+        .filter(_.get("status") != 2)
+        .map { e =>
+          val df = e.get("data_file")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          val part = df.get("partition")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          def kv[T](field: String)(f: Any => T): Map[Int, T] = {
+            val arr = df.get(field)
+            if (arr == null) Map.empty
+            else {
+              val l = arr.asInstanceOf[java.util.List[org.apache.avro.generic.GenericRecord]]
+              (0 until l.size).map { i =>
+                l.get(i).get("key").asInstanceOf[Int] -> f(l.get(i).get("value"))
+              }.toMap
+            }
+          }
+          def bytesOf(v: Any): Array[Byte] = {
+            val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+            val out = new Array[Byte](bb.remaining); bb.get(out); out
+          }
+          val info = DataFileInfo(
+            path = df.get("file_path").toString,
+            sizeBytes = df.get("file_size_in_bytes").asInstanceOf[Long],
+            recordCount = df.get("record_count").asInstanceOf[Long],
+            partitionValues = pf.map { case (name, _, _) => Option(part.get(name)) },
+            valueCounts = kv("value_counts")(_.asInstanceOf[Long]),
+            nullCounts = kv("null_value_counts")(_.asInstanceOf[Long]),
+            lowerBounds = kv("lower_bounds")(bytesOf),
+            upperBounds = kv("upper_bounds")(bytesOf))
+          val seq = Option(e.get("sequence_number"))
+            .map(_.asInstanceOf[Long]).getOrElse(listSeq)
+          (info, seq)
+        }
+    }
+  }
+
+  /** Small-file compaction as a REPLACE snapshot — the standard
+    * Iceberg maintenance operation at scale: files within one
+    * partition are greedily binned to `targetBytes` (size-descending
+    * first-fit, deterministic), each multi-file bin is rewritten as
+    * one file, and the commit follows the spec's rewrite shape: a new
+    * manifest list carrying ONLY rewritten manifests — ADDED rows for
+    * compacted files (data sequence = the new snapshot's), EXISTING
+    * rows for untouched files and DELETED rows for replaced ones,
+    * both keeping their ORIGINAL data sequence numbers so older
+    * snapshots' time travel is untouched (data files are never
+    * physically deleted here; expiry is a separate GC). Bins never
+    * cross partition values. No-op when nothing merges. */
+  def compactDataFiles(spark: org.apache.spark.sql.SparkSession,
+      table: TableDef, tablePath: String, targetBytes: Long,
+      timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+    require(targetBytes > 0)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metadataDir = new Path(tablePath, "metadata")
+    val fs = FileSystem.get(metadataDir.toUri, conf)
+    val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
+    val prevMetaFile = new Path(metadataDir, s"v$version.metadata.json")
+    val chain = parseSnapshots(readText(prevMetaFile, conf))
+    require(chain.nonEmpty, "nothing to compact: no snapshots")
+    val current = chain.last
+    val live = liveFilesWithSeq(current, table, conf)
+
+    // bin-pack per partition tuple: size-descending first-fit
+    val bins = live.groupBy(_._1.partitionValues).toSeq.flatMap { case (_, fsOfPart) =>
+      val sorted = fsOfPart.sortBy(f => (-f._1.sizeBytes, f._1.path))
+      val acc = ArrayBuffer.empty[(ArrayBuffer[(DataFileInfo, Long)], Long)]
+      for (f <- sorted) {
+        acc.indexWhere(_._2 + f._1.sizeBytes <= targetBytes) match {
+          case -1 => acc += ((ArrayBuffer(f), f._1.sizeBytes))
+          case i => acc(i) = ((acc(i)._1 += f, acc(i)._2 + f._1.sizeBytes))
+        }
+      }
+      acc.map(_._1.toSeq)
+    }
+    val toMerge = bins.filter(_.size >= 2)
+    if (toMerge.isEmpty) return current
+    val merged = toMerge.flatMap(_.map(_._1.path)).toSet
+
+    // rewrite each multi-file bin as one file under data/compact-<seq>/<i>
+    val newSeq = current.sequenceNumber + 1
+    val compacted = toMerge.zipWithIndex.map { case (bin, i) =>
+      val dir = new Path(tablePath, s"data/compact-$newSeq-$i")
+      spark.read.parquet(bin.map(_._1.path): _*).coalesce(1)
+        .write.mode("overwrite").parquet(dir.toString)
+      val st = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet")).head
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+      val (nRows, stats) =
+        try (reader.getRecordCount, columnStats(reader, table))
+        finally reader.close()
+      DataFileInfo(st.getPath.toString, st.getLen, nRows,
+        bin.head._1.partitionValues,
+        valueCounts = stats._1, nullCounts = stats._2,
+        lowerBounds = stats._3, upperBounds = stats._4)
+    }
+
+    val snapshotId = UUID.nameUUIDFromBytes(
+      (table.fullName + s"-snapshot-$newSeq").getBytes(StandardCharsets.UTF_8))
+      .getMostSignificantBits & Long.MaxValue
+    val untouched = live.filterNot(f => merged.contains(f._1.path))
+    val deleted = live.filter(f => merged.contains(f._1.path))
+    val priorList = readManifestList(new Path(current.manifestList), conf)
+    // one data manifest: ADDED (new seq, inherited) + EXISTING +
+    // DELETED (original seqs, explicit)
+    val entries =
+      compacted.map(f => ManifestEntry(1, None, f)) ++
+        untouched.map { case (f, seq) => ManifestEntry(0, Some(seq), f) } ++
+        deleted.map { case (f, seq) => ManifestEntry(2, Some(seq), f) }
+    val manifest = writeManifestEntries(table, entries, metadataDir, snapshotId,
+      conf, ordinal = priorList.size)
+    val minSeq = (newSeq +: (untouched ++ deleted).map(_._2)).min
+    val listPath = writeManifestListRows(table,
+      Seq(ManifestListRow(manifest._1.toString, manifest._2,
+        sequenceNumber = newSeq, minSequenceNumber = minSeq,
+        addedFiles = compacted.size, existingFiles = untouched.size,
+        deletedFiles = deleted.size,
+        addedRows = compacted.map(_.recordCount).sum,
+        existingRows = untouched.map(_._1.recordCount).sum,
+        deletedRows = deleted.map(_._1.recordCount).sum)),
+      metadataDir, snapshotId, conf, newSeq, Some(current.snapshotId))
+    val snap = IcebergMetadata.SnapshotMeta(
+      snapshotId = snapshotId,
+      timestampMs = timestampMs,
+      manifestList = listPath.toString,
+      addedFiles = compacted.size.toLong,
+      addedRecords = compacted.map(_.recordCount).sum,
+      sequenceNumber = newSeq,
+      parentSnapshotId = Some(current.snapshotId),
+      totalFiles = current.cumulativeFiles - deleted.size + compacted.size,
+      totalRecords = current.cumulativeRecords, // rewrite: rows unchanged
+      operation = "replace",
+      deletedFiles = deleted.size.toLong,
+      deletedRecords = deleted.map(_._1.recordCount).sum)
+    val metadataLog = (2 to version).map(v =>
+      timestampMs -> new Path(metadataDir, s"v${v - 1}.metadata.json").toString) :+
+      (timestampMs -> prevMetaFile.toString)
+    val doc = IcebergMetadata.metadataJsonChain(table, tablePath,
+      lastUpdatedMs = timestampMs, snapshots = chain :+ snap,
+      metadataLog = metadataLog)
+    val metaFile = new Path(metadataDir, s"v${version + 1}.metadata.json")
+    val out = fs.create(metaFile, true)
+    try out.write(doc.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val hint = fs.create(new Path(metadataDir, "version-hint.text"), true)
+    try hint.write(s"${version + 1}\n".getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    snap
   }
 
   /** Incremental append (snapshot N+1): commit the data files that

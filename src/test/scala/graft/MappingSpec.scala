@@ -488,6 +488,59 @@ class MappingSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction: small files merge per partition into a REPLACE snapshot; " +
+      "rows, history and statuses all hold") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val ddl =
+      """CREATE TABLE S.COMPACT (
+        |  K BIGINT NOT NULL,
+        |  P INTEGER
+        |) PARTITION BY RANGE (P);""".stripMargin
+    val table = Db2Parser.parse(ddl).tables.head
+    import spark.implicits._
+    // many small files: 2 partitions × 4 tasks
+    val src = (1L to 400L).map(k => (k, (k % 2).toInt)).toDF("K", "P")
+      .repartition(4)
+    val out = java.nio.file.Files.createTempDirectory("iceberg_compact").toString
+    SchemaTranslator.migrateTable(src, table, out)
+    val before = graft.sources.IcebergSnapshot.readSnapshot(spark, out, table)
+    val nFilesBefore = before.inputFiles.length
+    assert(nFilesBefore >= 6, s"need small files to merge, got $nFilesBefore")
+
+    val snap = graft.sources.IcebergSnapshot.compactDataFiles(
+      spark, table, out, targetBytes = 512L * 1024 * 1024)
+    assert(snap.operation === "replace")
+    assert(snap.deletedFiles === nFilesBefore.toLong)
+    assert(snap.addedFiles === 2L) // one compacted file per partition
+    assert(snap.totalRecords === 400L)
+
+    // current state: fewer files, identical rows
+    val after = graft.sources.IcebergSnapshot.readSnapshot(spark, out, table)
+    assert(after.inputFiles.length === 2)
+    assert(after.count() === 400)
+    assert(after.select("K").except(before.select("K")).count() === 0)
+    assert(before.select("K").except(after.select("K")).count() === 0)
+
+    // history intact: the pre-compaction snapshot still reads the
+    // original small files (physical deletion is a separate expiry)
+    val meta = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", "v3.metadata.json")), "UTF-8"))
+    val snaps = (meta \ "snapshots").asInstanceOf[JArray].arr
+    assert(snaps.size === 2)
+    val firstId = (snaps.head \ "snapshot-id").asInstanceOf[JInt].num.toLong
+    val old = graft.sources.IcebergSnapshot.readSnapshot(spark, out, table, Some(firstId))
+    assert(old.inputFiles.length === nFilesBefore && old.count() === 400)
+    assert((snaps(1) \ "summary" \ "operation").asInstanceOf[JString].s === "replace")
+    assert((snaps(1) \ "summary" \ "deleted-data-files").asInstanceOf[JString].s
+      === nFilesBefore.toString)
+
+    // a second compaction is a no-op (everything already merged)
+    val again = graft.sources.IcebergSnapshot.compactDataFiles(
+      spark, table, out, targetBytes = 512L * 1024 * 1024)
+    assert(again.snapshotId === snap.snapshotId)
+  }
+
   test("CDC sync pipeline: change batches compact to latest-wins deltas, " +
       "each committed as one snapshot, time travel sees each state") {
     // the full migration + sync story in one flow: initial load →
