@@ -179,7 +179,12 @@ object Multimodal {
     case None => None
     case Some((w, h, _)) =>
       val n = w.toLong * h
-      if (n > (Int.MaxValue / 4).toLong) return None
+      // a run chunk emits at most 62 pixels per stream byte, so any
+      // stream too short to plausibly cover n pixels is rejected
+      // BEFORE allocating n*4 bytes — a hostile 15-byte header must
+      // not OOM the executor
+      if (n > (Int.MaxValue / 4).toLong ||
+        n > (p.length - 14).toLong * 62) return None
       val out = new Array[Byte](n.toInt * 4)
       val index = new Array[Int](64)
       var r = 0; var g = 0; var b = 0; var a = 255

@@ -410,8 +410,13 @@ object IcebergSnapshot {
       e.put("data_file", df)
       e
     }
+    // name keyed by (snapshot, ordinal): ordinal alone is NOT unique
+    // across the table's history once compaction shrinks the manifest
+    // list — a later append would reuse the count and overwrite an
+    // older snapshot's manifest, corrupting time travel
     val path = new Path(metadataDir,
-      s"${UUID.nameUUIDFromBytes((table.fullName + s"-m$ordinal").getBytes(StandardCharsets.UTF_8))}-m$ordinal.avro")
+      s"${UUID.nameUUIDFromBytes((table.fullName + s"-snap$snapshotId-m$ordinal")
+        .getBytes(StandardCharsets.UTF_8))}-$snapshotId-m$ordinal.avro")
     val specFields = JsonMethods.compact(JsonMethods.render(
       IcebergMetadata.partitionSpecJson(table) \ "fields"))
     val len = writeAvro(fs, path, schema, Seq(
@@ -581,7 +586,15 @@ object IcebergSnapshot {
         },
         totalFiles = (s \ "summary" \ "total-data-files").asInstanceOf[JString].s.toLong,
         totalRecords = (s \ "summary" \ "total-records").asInstanceOf[JString].s.toLong,
-        operation = (s \ "summary" \ "operation").asInstanceOf[JString].s)
+        operation = (s \ "summary" \ "operation").asInstanceOf[JString].s,
+        deletedFiles = (s \ "summary" \ "deleted-data-files") match {
+          case JString(v) => v.toLong
+          case _ => 0L
+        },
+        deletedRecords = (s \ "summary" \ "deleted-records") match {
+          case JString(v) => v.toLong
+          case _ => 0L
+        })
     }
   }
 
@@ -663,15 +676,35 @@ object IcebergSnapshot {
     }
   }
 
+  /** Write metadata version N+1 carrying `snapshots` and advance the
+    * version hint — the shared tail of every commit. */
+  private def writeNewMetadataVersion(table: TableDef, tablePath: String,
+      metadataDir: Path, fs: FileSystem, version: Int,
+      snapshots: Seq[IcebergMetadata.SnapshotMeta],
+      timestampMs: Long): Unit = {
+    val metadataLog = (2 to version).map(v =>
+      timestampMs -> new Path(metadataDir, s"v${v - 1}.metadata.json").toString) :+
+      (timestampMs -> new Path(metadataDir, s"v$version.metadata.json").toString)
+    val doc = IcebergMetadata.metadataJsonChain(table, tablePath,
+      lastUpdatedMs = timestampMs, snapshots = snapshots,
+      metadataLog = metadataLog)
+    val metaFile = new Path(metadataDir, s"v${version + 1}.metadata.json")
+    val out = fs.create(metaFile, true)
+    try out.write(doc.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val hint = fs.create(new Path(metadataDir, "version-hint.text"), true)
+    try hint.write(s"${version + 1}\n".getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+  }
+
   /** The live data files of the current snapshot, with each file's
     * origin data sequence number (explicit on EXISTING/DELETED rows,
     * inherited from the manifest-list row on ADDED rows). Stats maps
     * are decoded back from the manifest so a rewrite can re-list
     * files without re-reading footers. */
-  private def liveFilesWithSeq(snap: IcebergMetadata.SnapshotMeta,
+  private def liveFilesWithSeq(manifestListRows: Seq[GenericRecord],
       table: TableDef, conf: Configuration): Seq[(DataFileInfo, Long)] = {
     val pf = partitionFields(table)
-    readManifestList(new Path(snap.manifestList), conf).flatMap { m =>
+    manifestListRows.flatMap { m =>
       val listSeq = m.get("sequence_number").asInstanceOf[Long]
       readAvroRows(new Path(m.get("manifest_path").toString), conf)
         .filter(_.get("status") != 2)
@@ -734,7 +767,8 @@ object IcebergSnapshot {
     val chain = parseSnapshots(readText(prevMetaFile, conf))
     require(chain.nonEmpty, "nothing to compact: no snapshots")
     val current = chain.last
-    val live = liveFilesWithSeq(current, table, conf)
+    val priorList = readManifestList(new Path(current.manifestList), conf)
+    val live = liveFilesWithSeq(priorList, table, conf)
 
     // bin-pack per partition tuple: size-descending first-fit
     val bins = live.groupBy(_._1.partitionValues).toSeq.flatMap { case (_, fsOfPart) =>
@@ -752,12 +786,20 @@ object IcebergSnapshot {
     if (toMerge.isEmpty) return current
     val merged = toMerge.flatMap(_.map(_._1.path)).toSet
 
-    // rewrite each multi-file bin as one file under data/compact-<seq>/<i>
+    // rewrite each multi-file bin as one file under data/compact-<seq>/<i>;
+    // re-sort by the declared sort order — concatenating sorted runs
+    // would silently break the default sort order the metadata declares
     val newSeq = current.sequenceNumber + 1
+    val sortCols = table.distributeByHash.toSeq
+      .filter(table.columns.map(_.name).contains)
     val compacted = toMerge.zipWithIndex.map { case (bin, i) =>
       val dir = new Path(tablePath, s"data/compact-$newSeq-$i")
-      spark.read.parquet(bin.map(_._1.path): _*).coalesce(1)
-        .write.mode("overwrite").parquet(dir.toString)
+      val one = spark.read.parquet(bin.map(_._1.path): _*).coalesce(1)
+      val ordered =
+        if (sortCols.isEmpty) one
+        else one.sortWithinPartitions(
+          sortCols.map(org.apache.spark.sql.functions.col): _*)
+      ordered.write.mode("overwrite").parquet(dir.toString)
       val st = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet")).head
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
       val (nRows, stats) =
@@ -774,7 +816,6 @@ object IcebergSnapshot {
       .getMostSignificantBits & Long.MaxValue
     val untouched = live.filterNot(f => merged.contains(f._1.path))
     val deleted = live.filter(f => merged.contains(f._1.path))
-    val priorList = readManifestList(new Path(current.manifestList), conf)
     // one data manifest: ADDED (new seq, inherited) + EXISTING +
     // DELETED (original seqs, explicit)
     val entries =
@@ -806,18 +847,8 @@ object IcebergSnapshot {
       operation = "replace",
       deletedFiles = deleted.size.toLong,
       deletedRecords = deleted.map(_._1.recordCount).sum)
-    val metadataLog = (2 to version).map(v =>
-      timestampMs -> new Path(metadataDir, s"v${v - 1}.metadata.json").toString) :+
-      (timestampMs -> prevMetaFile.toString)
-    val doc = IcebergMetadata.metadataJsonChain(table, tablePath,
-      lastUpdatedMs = timestampMs, snapshots = chain :+ snap,
-      metadataLog = metadataLog)
-    val metaFile = new Path(metadataDir, s"v${version + 1}.metadata.json")
-    val out = fs.create(metaFile, true)
-    try out.write(doc.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val hint = fs.create(new Path(metadataDir, "version-hint.text"), true)
-    try hint.write(s"${version + 1}\n".getBytes(StandardCharsets.UTF_8))
-    finally hint.close()
+    writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
+      chain :+ snap, timestampMs)
     snap
   }
 
@@ -872,18 +903,8 @@ object IcebergSnapshot {
       totalFiles = current.cumulativeFiles + newFiles.size,
       totalRecords = current.cumulativeRecords + nRows)
 
-    val metadataLog = (2 to version).map(v =>
-      timestampMs -> new Path(metadataDir, s"v${v - 1}.metadata.json").toString) :+
-      (timestampMs -> prevMetaFile.toString)
-    val doc = IcebergMetadata.metadataJsonChain(table, tablePath,
-      lastUpdatedMs = timestampMs, snapshots = chain :+ snap,
-      metadataLog = metadataLog)
-    val metaFile = new Path(metadataDir, s"v${version + 1}.metadata.json")
-    val out = fs.create(metaFile, true)
-    try out.write(doc.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val hint = fs.create(new Path(metadataDir, "version-hint.text"), true)
-    try hint.write(s"${version + 1}\n".getBytes(StandardCharsets.UTF_8))
-    finally hint.close()
+    writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
+      chain :+ snap, timestampMs)
     snap
   }
 }

@@ -541,6 +541,57 @@ class MappingSpec extends AnyFunSuite {
     assert(again.snapshotId === snap.snapshotId)
   }
 
+  test("append after compaction must not overwrite an older snapshot's manifest; " +
+      "compacted files honor the declared sort order") {
+    val ddl =
+      """CREATE TABLE S.LIFEC (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10)
+        |);
+        |DISTRIBUTE BY HASH (K);""".stripMargin
+    val table = Db2Parser.parse(ddl).tables.head
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("iceberg_lifec").toString
+    def rows(r: Range) = r.map(k => (k.toLong, s"v$k")).toDF("K", "V").repartition(3)
+    // snap1: 100 rows; snap2: +50; snap3: compaction; snap4: +25
+    SchemaTranslator.migrateTable(rows(1 to 100), table, out)
+    SchemaTranslator.appendIncrement(rows(101 to 150), table, out)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val metaV3 = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", "v3.metadata.json")), "UTF-8"))
+    val snap2Id = (metaV3 \ "current-snapshot-id").asInstanceOf[JInt].num.toLong
+    graft.sources.IcebergSnapshot.compactDataFiles(
+      spark, table, out, targetBytes = 512L * 1024 * 1024)
+    SchemaTranslator.appendIncrement(rows(151 to 175), table, out)
+
+    // the collision scenario: snapshot 2 (pre-compaction) must still
+    // read its own 150 rows — a manifest filename keyed on list size
+    // alone would have been overwritten by the post-compaction append
+    val atSnap2 = graft.sources.IcebergSnapshot.readSnapshot(
+      spark, out, table, Some(snap2Id))
+    assert(atSnap2.count() === 150)
+    val current = graft.sources.IcebergSnapshot.readSnapshot(spark, out, table)
+    assert(current.count() === 175)
+    // a replace snapshot's deleted counts survive re-serialization by
+    // the follow-up append's metadata rewrite
+    val metaV5 = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", "v5.metadata.json")), "UTF-8"))
+    val replaceSnap = (metaV5 \ "snapshots").asInstanceOf[JArray].arr
+      .find(sn => (sn \ "summary" \ "operation").asInstanceOf[JString].s == "replace").get
+    assert((replaceSnap \ "summary" \ "deleted-data-files").isInstanceOf[JString])
+    // compacted files are sorted by the declared sort column
+    val compactFiles = new java.io.File(s"$out/data").listFiles()
+      .filter(_.getName.startsWith("compact-"))
+      .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+    assert(compactFiles.nonEmpty)
+    for (f <- compactFiles) {
+      val ks = spark.read.parquet(f.toString).select("K")
+        .collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted), s"${f.getName} not sorted after compaction")
+    }
+  }
+
   test("CDC sync pipeline: change batches compact to latest-wins deltas, " +
       "each committed as one snapshot, time travel sees each state") {
     // the full migration + sync story in one flow: initial load →

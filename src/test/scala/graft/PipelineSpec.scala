@@ -478,6 +478,12 @@ class PipelineSpec extends AnyFunSuite {
     // malformed streams return None, never throw or hang: truncated
     // mid-literal, and too few pixels for the declared dimensions
     assert(Multimodal.decodeQoiPixels(qoi.take(16)) === None)
+    // hostile header: huge declared dims with a tiny stream must be
+    // rejected BEFORE the w*h*4 allocation (no OOM from 15 bytes)
+    val huge = java.nio.ByteBuffer.allocate(15)
+    huge.put("qoif".getBytes); huge.putInt(23000); huge.putInt(23000)
+    huge.put(4.toByte); huge.put(0.toByte); huge.put(0xC0.toByte)
+    assert(Multimodal.decodeQoiPixels(huge.array()) === None)
     val short = java.nio.ByteBuffer.allocate(14 + 4)
     short.put("qoif".getBytes); short.putInt(4); short.putInt(2)
     short.put(4.toByte); short.put(0.toByte)
