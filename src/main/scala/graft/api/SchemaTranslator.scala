@@ -134,6 +134,36 @@ object SchemaTranslator {
       table, path, df.sparkSession.sparkContext.hadoopConfiguration)
   }
 
+  /** Row-level DELETE on a migrated table: commit an Iceberg v2
+    * DELETE snapshot of position delete files covering every current
+    * row matching `predicate` (merge-on-read — data files are
+    * untouched; [[graft.sources.IcebergSnapshot.readSnapshot]] and any
+    * real Iceberg reader apply the deletes; history still
+    * time-travels). */
+  def deleteWhere(spark: SparkSession, table: TableDef, path: String,
+      predicate: org.apache.spark.sql.Column): Unit = {
+    graft.sources.IcebergDeletes.commitPositionDeletes(spark, table, path, predicate)
+    ()
+  }
+
+  /** CDC upsert on a migrated table: append `updates`' rows as new
+    * data files and kill every OLDER row sharing their `keyCols` via
+    * one global equality delete file — a single atomic OVERWRITE
+    * snapshot (the Flink-CDC merge-on-read shape). Pairs with
+    * [[graft.operators.Cdc.compactLatest]]: compact a change batch to
+    * latest-wins rows, then `mergeUpsert` them into the table. */
+  def mergeUpsert(updates: DataFrame, table: TableDef, path: String,
+      keyCols: Seq[String], format: String = "parquet"): Unit = {
+    val schema = toSparkSchema(table)
+    writeMigrated(updates, table, s"$path/data", format, mode = "append")
+    val keys = updates.select(keyCols.map(k =>
+      org.apache.spark.sql.functions.col(k)
+        .cast(schema(k).dataType).as(k)): _*)
+    graft.sources.IcebergDeletes.commitUpsert(
+      updates.sparkSession, table, path, keys)
+    ()
+  }
+
   /** Full table migration in the HadoopTables directory layout: data
     * files under `<path>/data` (distributed write, RANGE-partitioned
     * when declared), CREATE-state metadata (`v1.metadata.json`), then a

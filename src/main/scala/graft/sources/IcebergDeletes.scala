@@ -1,0 +1,410 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, regexp_replace, udf}
+import org.apache.spark.sql.types.MetadataBuilder
+
+import graft.model.TableDef
+import IcebergSnapshot._
+
+/** Iceberg v2 row-level deletes (merge-on-read) for the migrated
+  * tables [[graft.api.SchemaTranslator.migrateTable]] produces — the
+  * write side of the spec's delete-file design:
+  *
+  *  - [[commitPositionDeletes]]: DELETE snapshot carrying position
+  *    delete files — `(file_path, pos)` rows under the spec's reserved
+  *    field ids (2147483546 / 2147483545), written per partition tuple
+  *    and sorted by (path, pos) as the spec requires. Row positions
+  *    come from Spark's `_metadata.row_index`, so matching rows is a
+  *    DISTRIBUTED scan — no driver-side row materialization at any
+  *    table size; only the per-partition delete-file list is
+  *    driver-side (bounded by partitions touched).
+  *  - [[commitUpsert]]: OVERWRITE snapshot pairing new data files with
+  *    one GLOBAL equality delete file (written against the table's
+  *    unpartitioned spec-1 per the spec's global-delete rule). Because
+  *    equality deletes apply to STRICTLY older sequence numbers, the
+  *    snapshot's own data files are untouched — exactly the CDC upsert
+  *    (Flink-style MoR) semantics: old rows with the same key die, new
+  *    rows live, one atomic commit.
+  *
+  * The read side ([[IcebergSnapshot.readSnapshot]]) applies both kinds
+  * under the spec's sequence rules; [[compactWithDeletes]] folds the
+  * accumulated delete files back into plain data files (major
+  * compaction), after which history before the rewrite still
+  * time-travels.
+  *
+  * Reference north-star: the converter's output is DDL for live
+  * Snowflake/Iceberg tables (`/root/reference/db2ice/converter.py:166-183`);
+  * a migration pipeline needs delete/upsert to keep those tables in
+  * sync after the initial load.
+  */
+object IcebergDeletes {
+
+  /** Spec reserved field ids for position delete files. */
+  val DeleteFilePathFieldId: Long = 2147483546L
+  val DeleteFilePosFieldId: Long = 2147483545L
+
+  private def norm(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z0-9+.-]+:/+", "/")
+
+  /** Driver-side twin of [[norm]] — same scheme-strip, NO %XX
+    * decoding, so map keys and scan-side probes agree byte-for-byte
+    * even on escaped paths. */
+  private def normKey(p: String): String =
+    p.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/")
+
+  /** Open one written parquet file and return (path, length, rows). */
+  private def statAndCount(dir: Path, fs: FileSystem,
+      conf: org.apache.hadoop.conf.Configuration): (Path, Long, Long) = {
+    val st = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+    val n = try reader.getRecordCount finally reader.close()
+    (st.getPath, st.getLen, n)
+  }
+
+  private def loadCurrent(tablePath: String,
+      conf: org.apache.hadoop.conf.Configuration) = {
+    val metadataDir = new Path(tablePath, "metadata")
+    val fs = FileSystem.get(metadataDir.toUri, conf)
+    val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
+    require(version >= 2, s"no committed snapshot (version $version)")
+    val chain = parseSnapshots(readText(
+      new Path(metadataDir, s"v$version.metadata.json"), conf))
+    require(chain.nonEmpty, "metadata carries no snapshots")
+    (metadataDir, fs, version, chain)
+  }
+
+  private def snapshotIdFor(table: TableDef, seq: Long): Long =
+    UUID.nameUUIDFromBytes(
+      (table.fullName + s"-snapshot-$seq").getBytes(StandardCharsets.UTF_8))
+      .getMostSignificantBits & Long.MaxValue
+
+  /** Delete the rows matching `predicate` from the CURRENT snapshot as
+    * a new DELETE snapshot of position delete files. The predicate may
+    * reference identity-partition columns (restored from manifests
+    * before filtering). Matching, mapping to (file, pos) and the
+    * delete-file writes all run as Spark jobs; returns the committed
+    * snapshot, or the current one unchanged when nothing matches. */
+  def commitPositionDeletes(spark: SparkSession, table: TableDef,
+      tablePath: String, predicate: Column,
+      timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (metadataDir, fs, version, chain) = loadCurrent(tablePath, conf)
+    val current = chain.last
+    val priorList = readManifestList(new Path(current.manifestList), conf)
+    val live = liveFilesWithSeq(priorList, table, conf)
+    require(live.nonEmpty, "snapshot lists no data files")
+
+    // distinct partition tuples, each with its delete-file ordinal
+    val partTuples = live.map(_._1.partitionValues).distinct.zipWithIndex.toMap
+    // normalized scan path → (manifest-recorded path, partition ordinal)
+    val byKey = live.map { case (f, _) =>
+      normKey(f.path) -> ((f.path, partTuples(f.partitionValues)))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(byKey)
+
+    val enriched = restoreIdentityColumns(spark,
+      spark.read.parquet(live.map(_._1.path): _*)
+        .withColumn("__graft_file", norm(col("_metadata.file_path")))
+        .withColumn("__graft_pos", col("_metadata.row_index")),
+      table, live.map(f => (f._1.path, f._1.partitionValues)))
+    val toManifestPath = udf((k: String) => bc.value.get(k).map(_._1).orNull)
+    val toPart = udf((k: String) => bc.value.get(k).map(_._2).getOrElse(-1))
+    val matched = enriched.filter(predicate).select(
+      toManifestPath(col("__graft_file")).as("file_path"),
+      col("__graft_pos").as("pos"),
+      toPart(col("__graft_file")).as("__part"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded: one row per partition tuple with matches
+      val perPart = matched.groupBy("__part").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      if (perPart.isEmpty) return current
+
+      val newSeq = current.sequenceNumber + 1
+      val snapshotId = snapshotIdFor(table, newSeq)
+      val fpMeta = new MetadataBuilder()
+        .putLong("parquet.field.id", DeleteFilePathFieldId).build()
+      val posMeta = new MetadataBuilder()
+        .putLong("parquet.field.id", DeleteFilePosFieldId).build()
+      val tupleOf = partTuples.map(_.swap)
+      val deleteFiles = perPart.toSeq.sortBy(_._1).map { case (ord, nRows) =>
+        val dir = new Path(tablePath, s"deletes/pos-$newSeq-p$ord")
+        // spec: position delete files are sorted by file_path then pos
+        matched.filter(col("__part") === ord)
+          .select(col("file_path").as("file_path", fpMeta),
+            col("pos").as("pos", posMeta))
+          .coalesce(1).sortWithinPartitions("file_path", "pos")
+          .write.mode("overwrite").parquet(dir.toString)
+        val (p, len, n) = statAndCount(dir, fs, conf)
+        assert(n == nRows)
+        DataFileInfo(p.toString, len, n, tupleOf(ord), content = 1)
+      }
+
+      val manifest = writeManifestEntries(table,
+        deleteFiles.map(f => ManifestEntry(1, None, f)), metadataDir,
+        snapshotId, conf, ordinal = priorList.size)
+      val nDeletes = deleteFiles.map(_.recordCount).sum
+      val listPath = writeManifestListRows(table,
+        Seq(ManifestListRow(manifest._1.toString, manifest._2,
+          sequenceNumber = newSeq, minSequenceNumber = newSeq,
+          addedFiles = deleteFiles.size, existingFiles = 0, deletedFiles = 0,
+          addedRows = nDeletes, existingRows = 0L, deletedRows = 0L,
+          content = 1)),
+        metadataDir, snapshotId, conf, newSeq, Some(current.snapshotId),
+        priorManifests = priorList)
+      val snap = IcebergMetadata.SnapshotMeta(
+        snapshotId = snapshotId,
+        timestampMs = timestampMs,
+        manifestList = listPath.toString,
+        addedFiles = 0L, addedRecords = 0L,
+        sequenceNumber = newSeq,
+        parentSnapshotId = Some(current.snapshotId),
+        totalFiles = current.cumulativeFiles,
+        totalRecords = current.cumulativeRecords,
+        operation = "delete",
+        addedDeleteFiles = deleteFiles.size.toLong,
+        addedPositionDeletes = nDeletes,
+        totalDeleteFiles = current.totalDeleteFiles + deleteFiles.size,
+        totalPositionDeletes = current.totalPositionDeletes + nDeletes,
+        totalEqualityDeletes = current.totalEqualityDeletes)
+      writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
+        chain :+ snap, timestampMs)
+      snap
+    } finally matched.unpersist()
+  }
+
+  /** Commit an upsert: the data files appended under `data/` since the
+    * current snapshot become this snapshot's ADDED files, and `keys`
+    * (the upserted rows' key columns, already in translated types)
+    * become one global equality delete file killing every OLDER row
+    * with the same key. One atomic OVERWRITE snapshot; new data files
+    * are unaffected by the delete (equality deletes apply to strictly
+    * older sequence numbers only). With no new data files this is a
+    * pure key-delete (operation "delete").
+    *
+    * Key columns must live in the data files (identity-partition
+    * source columns are directory-encoded and cannot carry an
+    * equality delete). */
+  def commitUpsert(spark: SparkSession, table: TableDef, tablePath: String,
+      keys: DataFrame, timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (metadataDir, fs, version, chain) = loadCurrent(tablePath, conf)
+    val current = chain.last
+    val priorList = readManifestList(new Path(current.manifestList), conf)
+
+    val keyCols = keys.columns.toSeq
+    val colIds = table.columns.map(_.name).zipWithIndex
+      .map { case (n, i) => n -> (i + 1) }.toMap
+    require(keyCols.nonEmpty && keyCols.forall(colIds.contains),
+      s"equality key columns must be table columns: ${keyCols.mkString(", ")}")
+    val identityCols = partitionFields(table)
+      .filter(_._3 == "identity").map(_._1).toSet
+    require(keyCols.forall(!identityCols.contains(_)),
+      "equality keys on identity-partition columns are directory-encoded " +
+        "and absent from data files; upsert on them is not supported")
+    val equalityIds = keyCols.map(colIds)
+
+    val known = priorList.flatMap(r =>
+      readManifestPaths(new Path(r.get("manifest_path").toString), conf)).toSet
+    val newFiles = listDataFiles(new Path(tablePath, "data"), table, conf)
+      .filterNot(f => known.contains(f.path))
+
+    val newSeq = current.sequenceNumber + 1
+    val snapshotId = snapshotIdFor(table, newSeq)
+
+    // one global equality delete file: distinct keys, deterministic order
+    val delDir = new Path(tablePath, s"deletes/eq-$newSeq")
+    keys.select(keyCols.map { k =>
+      val meta = new MetadataBuilder()
+        .putLong("parquet.field.id", colIds(k).toLong).build()
+      col(k).as(k, meta)
+    }: _*).distinct()
+      .coalesce(1).sortWithinPartitions(keyCols.map(col): _*)
+      .write.mode("overwrite").parquet(delDir.toString)
+    val (delPath, delLen, nKeys) = statAndCount(delDir, fs, conf)
+    val deleteFile = DataFileInfo(delPath.toString, delLen, nKeys,
+      partitionValues = Nil, content = 2, equalityIds = equalityIds)
+
+    var ordinal = priorList.size
+    val dataManifest =
+      if (newFiles.isEmpty) None
+      else {
+        val m = writeManifest(table, newFiles, metadataDir, snapshotId, conf,
+          ordinal = ordinal)
+        ordinal += 1
+        Some(m)
+      }
+    val deleteManifest = writeManifestEntries(table,
+      Seq(ManifestEntry(1, None, deleteFile)), metadataDir, snapshotId,
+      conf, ordinal = ordinal, specId = UnpartitionedSpecId)
+
+    val nRows = newFiles.map(_.recordCount).sum
+    val rows =
+      dataManifest.toSeq.map { case (p, len) =>
+        ManifestListRow(p.toString, len, newSeq, newSeq,
+          newFiles.size, 0, 0, nRows, 0L, 0L)
+      } :+
+        ManifestListRow(deleteManifest._1.toString, deleteManifest._2,
+          newSeq, newSeq, 1, 0, 0, nKeys, 0L, 0L,
+          content = 1, specId = UnpartitionedSpecId)
+    val listPath = writeManifestListRows(table, rows, metadataDir, snapshotId,
+      conf, newSeq, Some(current.snapshotId), priorManifests = priorList)
+    val snap = IcebergMetadata.SnapshotMeta(
+      snapshotId = snapshotId,
+      timestampMs = timestampMs,
+      manifestList = listPath.toString,
+      addedFiles = newFiles.size.toLong,
+      addedRecords = nRows,
+      sequenceNumber = newSeq,
+      parentSnapshotId = Some(current.snapshotId),
+      totalFiles = current.cumulativeFiles + newFiles.size,
+      totalRecords = current.cumulativeRecords + nRows,
+      operation = if (newFiles.isEmpty) "delete" else "overwrite",
+      addedDeleteFiles = 1L,
+      addedEqualityDeletes = nKeys,
+      totalDeleteFiles = current.totalDeleteFiles + 1,
+      totalPositionDeletes = current.totalPositionDeletes,
+      totalEqualityDeletes = current.totalEqualityDeletes + nKeys)
+    writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
+      chain :+ snap, timestampMs)
+    snap
+  }
+
+  /** Major compaction: materialize the CURRENT snapshot's net rows
+    * (all row-level deletes applied) as fresh data files and commit a
+    * REPLACE snapshot whose manifest list carries ONLY the rewrite —
+    * ADDED rows for the new files, DELETED rows for every prior data
+    * file and delete file (original sequence numbers preserved, so
+    * earlier snapshots still time-travel). This is the maintenance
+    * operation that stops delete files accumulating on the read path.
+    * The rewrite preserves the partition layout (one file per
+    * partition tuple here; a production rewrite would also re-bin by
+    * target size — [[IcebergSnapshot.compactDataFiles]]'s binning
+    * applies once deletes are folded in). */
+  def compactWithDeletes(spark: SparkSession, table: TableDef,
+      tablePath: String, timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (metadataDir, fs, version, chain) = loadCurrent(tablePath, conf)
+    val current = chain.last
+    val priorList = readManifestList(new Path(current.manifestList), conf)
+    val liveData = liveFilesWithSeq(priorList, table, conf)
+    val liveDeletes = liveDeleteFiles(priorList, conf)
+    if (liveDeletes.isEmpty) return current // nothing to fold in
+
+    val newSeq = current.sequenceNumber + 1
+    val snapshotId = snapshotIdFor(table, newSeq)
+
+    // net rows via the same delete-applying read the scan path uses;
+    // written back per partition tuple to preserve the layout
+    val net = readSnapshot(spark, tablePath, table)
+    val pf = partitionFields(table)
+    val identityCols = pf.filter(_._3 == "identity").map(_._1)
+    val partTuples = liveData.map(_._1.partitionValues).distinct
+    val rewritten = partTuples.zipWithIndex.map { case (tuple, i) =>
+      val dir = new Path(tablePath, s"data/rewrite-$newSeq-$i")
+      def surface(idx: Int): String = {
+        val itype = pf(idx)._2
+        tuple(idx).map {
+          case v if itype == "date" => java.time.LocalDate.ofEpochDay(
+            v.asInstanceOf[Number].longValue).toString
+          case v => v.toString
+        }.orNull
+      }
+      // slice `net` down to this partition tuple: identity fields
+      // compare on the restored (string-surfaced) column, bucket
+      // fields recompute the spec transform on the source column
+      val cond = pf.zipWithIndex.map {
+        case ((name, _, "identity"), idx) =>
+          Option(surface(idx)).fold(col(name).isNull)(v => col(name) === v)
+        case ((name, _, transform), idx) if transform.startsWith("bucket") =>
+          val source = name.stripSuffix("_bucket")
+          tuple(idx).fold(col(source).isNull) { v =>
+            graft.functions.IcebergBucket(col(source), 16) ===
+              v.asInstanceOf[Number].intValue
+          }
+      }
+      val slice = cond.foldLeft(net)(_ filter _)
+      // identity partition cols go back to directory encoding: drop
+      // them from the file contents, like the original write did
+      slice.drop(identityCols: _*).coalesce(1)
+        .write.mode("overwrite").parquet(dir.toString)
+      val (p, len, n) = statAndCount(dir, fs, conf)
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      val stats = try columnStats(reader, table) finally reader.close()
+      DataFileInfo(p.toString, len, n, tuple,
+        valueCounts = stats._1, nullCounts = stats._2,
+        lowerBounds = stats._3, upperBounds = stats._4)
+    }.filter(_.recordCount > 0)
+
+    // REPLACE commit: new manifest list of exactly one data manifest
+    // (ADDED + DELETED data rows) and one delete manifest retiring the
+    // consumed delete files
+    val dataEntries = rewritten.map(f => ManifestEntry(1, None, f)) ++
+      liveData.map { case (f, seq) => ManifestEntry(2, Some(seq), f) }
+    val dataManifest = writeManifestEntries(table, dataEntries, metadataDir,
+      snapshotId, conf, ordinal = priorList.size)
+    // delete files are per-partition (spec-0) for position deletes and
+    // global (spec-1) for equality deletes; retire each under its spec
+    val (eqDels, posDels) = liveDeletes.partition(_.content == 2)
+    def retire(dels: Seq[DeleteFileRef], specId: Int, ord: Int) =
+      if (dels.isEmpty) None
+      else Some((writeManifestEntries(table,
+        dels.map(d => ManifestEntry(2, Some(d.seq), DataFileInfo(
+          d.path, d.sizeBytes, d.recordCount,
+          partitionValues = d.partitionValues,
+          content = d.content, equalityIds = d.equalityIds))),
+        metadataDir, snapshotId, conf, ordinal = ord, specId = specId),
+        dels.size))
+    val posManifest = retire(posDels, 0, priorList.size + 1)
+    val eqManifest = retire(eqDels, UnpartitionedSpecId, priorList.size + 2)
+
+    val nRows = rewritten.map(_.recordCount).sum
+    val retiring =
+      posManifest.map { case ((p, len), n) => (p, len, n, 0) }.toSeq ++
+        eqManifest.map { case ((p, len), n) =>
+          (p, len, n, UnpartitionedSpecId)
+        }.toSeq
+    val rows = Seq(ManifestListRow(dataManifest._1.toString, dataManifest._2,
+      sequenceNumber = newSeq,
+      minSequenceNumber = (newSeq +: liveData.map(_._2)).min,
+      addedFiles = rewritten.size, existingFiles = 0,
+      deletedFiles = liveData.size,
+      addedRows = nRows, existingRows = 0L,
+      deletedRows = liveData.map(_._1.recordCount).sum)) ++
+      retiring.map { case (p, len, n, specId) =>
+        ManifestListRow(p.toString, len,
+          sequenceNumber = newSeq,
+          minSequenceNumber = (newSeq +: liveDeletes.map(_.seq)).min,
+          addedFiles = 0, existingFiles = 0, deletedFiles = n,
+          addedRows = 0L, existingRows = 0L, deletedRows = 0L,
+          content = 1, specId = specId)
+      }
+    val listPath = writeManifestListRows(table, rows, metadataDir, snapshotId,
+      conf, newSeq, Some(current.snapshotId))
+    val snap = IcebergMetadata.SnapshotMeta(
+      snapshotId = snapshotId,
+      timestampMs = timestampMs,
+      manifestList = listPath.toString,
+      addedFiles = rewritten.size.toLong,
+      addedRecords = nRows,
+      sequenceNumber = newSeq,
+      parentSnapshotId = Some(current.snapshotId),
+      totalFiles = rewritten.size.toLong,
+      totalRecords = nRows,
+      operation = "replace",
+      deletedFiles = liveData.size.toLong,
+      deletedRecords = liveData.map(_._1.recordCount).sum,
+      totalDeleteFiles = 0L, totalPositionDeletes = 0L,
+      totalEqualityDeletes = 0L)
+    writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
+      chain :+ snap, timestampMs)
+    snap
+  }
+}

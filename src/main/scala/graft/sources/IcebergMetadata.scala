@@ -129,7 +129,14 @@ object IcebergMetadata {
       totalRecords: Long = -1L,
       operation: String = "append",
       deletedFiles: Long = 0L,
-      deletedRecords: Long = 0L) {
+      deletedRecords: Long = 0L,
+      // row-level delete (v2 MoR) summary counters
+      addedDeleteFiles: Long = 0L,
+      addedPositionDeletes: Long = 0L,
+      addedEqualityDeletes: Long = 0L,
+      totalDeleteFiles: Long = 0L,
+      totalPositionDeletes: Long = 0L,
+      totalEqualityDeletes: Long = 0L) {
     def cumulativeFiles: Long = if (totalFiles >= 0) totalFiles else addedFiles
     def cumulativeRecords: Long = if (totalRecords >= 0) totalRecords else addedRecords
   }
@@ -171,12 +178,17 @@ object IcebergMetadata {
               "deleted-data-files" -> JString(s.deletedFiles.toString),
               "deleted-records" -> JString(s.deletedRecords.toString))
             else Nil) ++
+            (if (s.addedDeleteFiles > 0) List[(String, JValue)](
+              "added-delete-files" -> JString(s.addedDeleteFiles.toString),
+              "added-position-deletes" -> JString(s.addedPositionDeletes.toString),
+              "added-equality-deletes" -> JString(s.addedEqualityDeletes.toString))
+            else Nil) ++
             List[(String, JValue)](
               "total-data-files" -> JString(s.cumulativeFiles.toString),
               "total-records" -> JString(s.cumulativeRecords.toString),
-              "total-delete-files" -> JString("0"),
-              "total-equality-deletes" -> JString("0"),
-              "total-position-deletes" -> JString("0"))),
+              "total-delete-files" -> JString(s.totalDeleteFiles.toString),
+              "total-equality-deletes" -> JString(s.totalEqualityDeletes.toString),
+              "total-position-deletes" -> JString(s.totalPositionDeletes.toString))),
           "manifest-list" -> JString(s.manifestList),
           "schema-id" -> JInt(0)))
     }
@@ -193,7 +205,12 @@ object IcebergMetadata {
       "current-schema-id" -> JInt(0),
       "schemas" -> JArray(List(schemaJson(table))),
       "default-spec-id" -> JInt(0),
-      "partition-specs" -> JArray(List(spec)),
+      // spec-1 is the table's unpartitioned spec: what GLOBAL delete
+      // files (cross-partition equality deletes) are written against,
+      // per the spec's rule that a delete file's partition tuple must
+      // match its spec — global deletes ride an empty spec
+      "partition-specs" -> JArray(List(spec,
+        JObject("spec-id" -> JInt(1), "fields" -> JArray(Nil)))),
       "last-partition-id" -> JInt(999 + nPartFields),
       "default-sort-order-id" -> JInt((order \ "order-id").asInstanceOf[JInt].num),
       "sort-orders" -> JArray(List(order)),

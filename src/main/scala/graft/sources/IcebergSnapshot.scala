@@ -58,7 +58,11 @@ object IcebergSnapshot {
     * bounds) — what lets a reader skip files on a predicate without
     * opening them, the entire point of manifests at 100 TB. Columns
     * whose type has no simple bounds encoding are simply absent
-    * (spec-legal: the maps are sparse). */
+    * (spec-legal: the maps are sparse).
+    *
+    * `content` is the spec's file-content code (0 data, 1 position
+    * deletes, 2 equality deletes); `equalityIds` carries the schema
+    * field ids an equality delete file matches on (spec field 135). */
   final case class DataFileInfo(
       path: String,
       sizeBytes: Long,
@@ -67,7 +71,9 @@ object IcebergSnapshot {
       valueCounts: Map[Int, Long] = Map.empty,
       nullCounts: Map[Int, Long] = Map.empty,
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
-      upperBounds: Map[Int, Array[Byte]] = Map.empty)
+      upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      content: Int = 0,
+      equalityIds: Seq[Int] = Nil)
 
   /** (partition FIELD name, iceberg source type, transform) triples
     * for the table's spec — the single source of truth shared by the
@@ -144,25 +150,34 @@ object IcebergSnapshot {
     })
   }
 
-  private def partitionRecordSchema(table: TableDef): JObject = {
-    val fields = partitionFields(table).zipWithIndex.map {
-      case ((name, itype, transform), i) =>
-        JObject(
-          "name" -> JString(name),
-          // nullable: identity columns can hold null partition values
-          // (and a bucket of a null key lands in the null dir)
-          "type" -> JArray(List(JString("null"),
-            JString(avroPartitionType(itype, transform)))),
-          "default" -> JNull,
-          "field-id" -> JInt(1000 + i))
-    }
+  private def partitionRecordSchema(table: TableDef, specId: Int): JObject = {
+    // spec-1 is the table's unpartitioned spec (global delete files are
+    // written against it per the spec's global-equality-delete rule) —
+    // its partition record has no fields
+    val fields =
+      if (specId == UnpartitionedSpecId) Nil
+      else partitionFields(table).zipWithIndex.map {
+        case ((name, itype, transform), i) =>
+          JObject(
+            "name" -> JString(name),
+            // nullable: identity columns can hold null partition values
+            // (and a bucket of a null key lands in the null dir)
+            "type" -> JArray(List(JString("null"),
+              JString(avroPartitionType(itype, transform)))),
+            "default" -> JNull,
+            "field-id" -> JInt(1000 + i))
+      }
     JObject("type" -> JString("record"), "name" -> JString("r102"),
       "fields" -> JArray(fields.toList))
   }
 
+  /** Spec id of the always-present unpartitioned partition spec —
+    * what global (cross-partition) delete files are written against. */
+  val UnpartitionedSpecId: Int = 1
+
   /** Manifest-entry Avro schema (spec field ids; optional stats
     * columns omitted). */
-  def manifestSchemaJson(table: TableDef): String = {
+  def manifestSchemaJson(table: TableDef, specId: Int = 0): String = {
     def f(name: String, tpe: JValue, id: Int, nullable: Boolean = false): JObject =
       if (nullable)
         JObject("name" -> JString(name),
@@ -193,13 +208,19 @@ object IcebergSnapshot {
         f("content", JString("int"), 134),
         f("file_path", JString("string"), 100),
         f("file_format", JString("string"), 101),
-        f("partition", partitionRecordSchema(table), 102),
+        f("partition", partitionRecordSchema(table, specId), 102),
         f("record_count", JString("long"), 103),
         f("file_size_in_bytes", JString("long"), 104),
         mapField("value_counts", 109, 119, 120, "long"),
         mapField("null_value_counts", 110, 121, 122, "long"),
         mapField("lower_bounds", 125, 126, 127, "bytes"),
-        mapField("upper_bounds", 128, 129, 130, "bytes"))))
+        mapField("upper_bounds", 128, 129, 130, "bytes"),
+        // equality-delete match columns (spec field 135/136); null on
+        // data and position-delete files
+        f("equality_ids", JObject(
+          "type" -> JString("array"),
+          "items" -> JString("int"),
+          "element-id" -> JInt(136)), 135, nullable = true))))
     val root = JObject(
       "type" -> JString("record"), "name" -> JString("manifest_entry"),
       "fields" -> JArray(List(
@@ -279,7 +300,7 @@ object IcebergSnapshot {
     * encoding (decimals, timestamps as INT96, ...) contribute counts
     * but no bounds. Bounds are exact min/max (the spec only requires
     * lower ≤ values ≤ upper, so exactness is trivially valid). */
-  private def columnStats(reader: ParquetFileReader, table: TableDef):
+  private[sources] def columnStats(reader: ParquetFileReader, table: TableDef):
       (Map[Int, Long], Map[Int, Long], Map[Int, Array[Byte]], Map[Int, Array[Byte]]) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val fieldId = table.columns.map(_.name).zipWithIndex
@@ -363,12 +384,13 @@ object IcebergSnapshot {
 
   def writeManifestEntries(table: TableDef, entries0: Seq[ManifestEntry],
       metadataDir: Path, snapshotId: Long, conf: Configuration,
-      ordinal: Int = 0): (Path, Long) = {
+      ordinal: Int = 0, specId: Int = 0): (Path, Long) = {
     val fs = FileSystem.get(metadataDir.toUri, conf)
-    val schema = new Schema.Parser().parse(manifestSchemaJson(table))
+    val schema = new Schema.Parser().parse(manifestSchemaJson(table, specId))
     val dfSchema = schema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
-    val pf = partitionFields(table)
+    val isDeletes = entries0.exists(_.file.content != 0)
+    val pf = if (specId == UnpartitionedSpecId) Nil else partitionFields(table)
     def kvArray(field: String, entries: Map[Int, Any]): java.util.List[GenericRecord] = {
       val itemSchema = dfSchema.getField(field).schema()
         .getTypes.get(1).getElementType // [null, array<record>]
@@ -391,7 +413,7 @@ object IcebergSnapshot {
         part.put(name, v.orNull)
       }
       val df = new GenericData.Record(dfSchema)
-      df.put("content", 0)
+      df.put("content", f.content)
       df.put("file_path", f.path)
       df.put("file_format", "PARQUET")
       df.put("partition", part)
@@ -401,6 +423,13 @@ object IcebergSnapshot {
       df.put("null_value_counts", kvArray("null_value_counts", f.nullCounts))
       df.put("lower_bounds", kvArray("lower_bounds", f.lowerBounds))
       df.put("upper_bounds", kvArray("upper_bounds", f.upperBounds))
+      df.put("equality_ids",
+        if (f.equalityIds.isEmpty) null
+        else {
+          val l = new java.util.ArrayList[Integer](f.equalityIds.size)
+          f.equalityIds.foreach(id => l.add(Integer.valueOf(id)))
+          l
+        })
       val e = new GenericData.Record(schema)
       e.put("status", me.status)
       e.put("snapshot_id", snapshotId)
@@ -418,22 +447,26 @@ object IcebergSnapshot {
       s"${UUID.nameUUIDFromBytes((table.fullName + s"-snap$snapshotId-m$ordinal")
         .getBytes(StandardCharsets.UTF_8))}-$snapshotId-m$ordinal.avro")
     val specFields = JsonMethods.compact(JsonMethods.render(
-      IcebergMetadata.partitionSpecJson(table) \ "fields"))
+      if (specId == UnpartitionedSpecId) JArray(Nil)
+      else IcebergMetadata.partitionSpecJson(table) \ "fields"))
     val len = writeAvro(fs, path, schema, Seq(
       "schema" -> JsonMethods.compact(JsonMethods.render(
         IcebergMetadata.schemaJson(table))),
       "partition-spec" -> specFields,
-      "partition-spec-id" -> "0",
+      "partition-spec-id" -> specId.toString,
       "format-version" -> "2",
-      "content" -> "data"), records)
+      "content" -> (if (isDeletes) "deletes" else "data")), records)
     (path, len)
   }
 
-  /** One manifest_file row of a manifest list. */
+  /** One manifest_file row of a manifest list. `content` is the spec's
+    * manifest-content code (0 data, 1 deletes); `specId` the partition
+    * spec the manifest's files were written against. */
   final case class ManifestListRow(path: String, length: Long,
       sequenceNumber: Long, minSequenceNumber: Long,
       addedFiles: Int, existingFiles: Int, deletedFiles: Int,
-      addedRows: Long, existingRows: Long, deletedRows: Long)
+      addedRows: Long, existingRows: Long, deletedRows: Long,
+      content: Int = 0, specId: Int = 0)
 
   /** Write a manifest list from explicit rows (optionally re-listing
     * prior snapshots' manifest rows verbatim — the spec's accumulation
@@ -449,8 +482,8 @@ object IcebergSnapshot {
       val r = new GenericData.Record(schema)
       r.put("manifest_path", m.path)
       r.put("manifest_length", m.length)
-      r.put("partition_spec_id", 0)
-      r.put("content", 0)
+      r.put("partition_spec_id", m.specId)
+      r.put("content", m.content)
       r.put("sequence_number", m.sequenceNumber)
       r.put("min_sequence_number", m.minSequenceNumber)
       r.put("added_snapshot_id", snapshotId)
@@ -498,7 +531,7 @@ object IcebergSnapshot {
   /** Drain every record of an Avro file on any Hadoop FS — the one
     * reader loop behind manifest-list reads, manifest reads and the
     * time-travel scan. */
-  private def readAvroRows(path: Path,
+  private[sources] def readAvroRows(path: Path,
       conf: Configuration): Seq[org.apache.avro.generic.GenericRecord] = {
     val in = new org.apache.avro.mapred.FsInput(path, conf)
     val reader = org.apache.avro.file.DataFileReader.openReader(in,
@@ -511,7 +544,7 @@ object IcebergSnapshot {
   }
 
   /** Small-text read (version hints, metadata JSON). */
-  private def readText(p: Path, conf: Configuration): String = {
+  private[sources] def readText(p: Path, conf: Configuration): String = {
     val fs = FileSystem.get(p.toUri, conf)
     val in = fs.open(p)
     try new String(
@@ -521,12 +554,12 @@ object IcebergSnapshot {
   }
 
   /** Manifest-list rows — re-listed verbatim by follow-up commits. */
-  private def readManifestList(path: Path,
+  private[sources] def readManifestList(path: Path,
       conf: Configuration): Seq[org.apache.avro.generic.GenericRecord] =
     readAvroRows(path, conf)
 
   /** File paths recorded in an existing data manifest. */
-  private def readManifestPaths(path: Path, conf: Configuration): Set[String] =
+  private[sources] def readManifestPaths(path: Path, conf: Configuration): Set[String] =
     readAvroRows(path, conf).map(_.get("data_file")
       .asInstanceOf[org.apache.avro.generic.GenericRecord]
       .get("file_path").toString).toSet
@@ -568,11 +601,15 @@ object IcebergSnapshot {
   }
 
   /** Parse the snapshot chain out of an existing metadata document. */
-  private def parseSnapshots(metaJson: String): Seq[IcebergMetadata.SnapshotMeta] = {
+  private[sources] def parseSnapshots(metaJson: String): Seq[IcebergMetadata.SnapshotMeta] = {
     val meta = JsonMethods.parse(metaJson)
     (meta \ "snapshots").asInstanceOf[JArray].arr.map { s =>
       def str(p: String) = (s \ p).asInstanceOf[JString].s
       def num(p: String) = (s \ p).asInstanceOf[JInt].num.toLong
+      def sum0(p: String) = (s \ "summary" \ p) match {
+        case JString(v) => v.toLong
+        case _ => 0L
+      }
       IcebergMetadata.SnapshotMeta(
         snapshotId = num("snapshot-id"),
         timestampMs = num("timestamp-ms"),
@@ -587,29 +624,127 @@ object IcebergSnapshot {
         totalFiles = (s \ "summary" \ "total-data-files").asInstanceOf[JString].s.toLong,
         totalRecords = (s \ "summary" \ "total-records").asInstanceOf[JString].s.toLong,
         operation = (s \ "summary" \ "operation").asInstanceOf[JString].s,
-        deletedFiles = (s \ "summary" \ "deleted-data-files") match {
-          case JString(v) => v.toLong
-          case _ => 0L
-        },
-        deletedRecords = (s \ "summary" \ "deleted-records") match {
-          case JString(v) => v.toLong
-          case _ => 0L
-        })
+        deletedFiles = sum0("deleted-data-files"),
+        deletedRecords = sum0("deleted-records"),
+        addedDeleteFiles = sum0("added-delete-files"),
+        addedPositionDeletes = sum0("added-position-deletes"),
+        addedEqualityDeletes = sum0("added-equality-deletes"),
+        totalDeleteFiles = sum0("total-delete-files"),
+        totalPositionDeletes = sum0("total-position-deletes"),
+        totalEqualityDeletes = sum0("total-equality-deletes"))
     }
   }
 
-  /** Time-travel read: the DataFrame of EXACTLY the data files
-    * reachable from one snapshot — current by default, or any ancestor
-    * by id — resolved by walking version-hint → metadata → manifest
-    * list → manifests, the same chain an Iceberg runtime walks. Makes
-    * the committed history usable from plain Spark (no Iceberg jar):
+  /** Slash-count-insensitive path key: "file:/x" (Hadoop Path) and
+    * "file:///x" (`input_file_name`/`_metadata.file_path`) both
+    * normalize to "/x". */
+  private[sources] def pathKey(p: String): String =
+    try {
+      val u = new java.net.URI(p)
+      if (u.getScheme != null && u.getPath != null) u.getPath else p
+    } catch { case _: Exception => p }
+
+  /** Restore identity partition columns (directory-encoded, so absent
+    * from the file contents) from the manifests' recorded partition
+    * values: ONE broadcast file→values map keyed by `input_file_name`
+    * — O(1) plan depth and one broadcast at any file count (a real
+    * Iceberg scan does the same enrichment natively). Values come back
+    * in their original surface form (dates from epoch-day ints),
+    * string-typed like Hive dir inference. */
+  private[sources] def restoreIdentityColumns(
+      spark: org.apache.spark.sql.SparkSession,
+      base: org.apache.spark.sql.DataFrame, table: TableDef,
+      files: Seq[(String, Seq[Option[Any]])]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.input_file_name
+    val pf = partitionFields(table)
+    val identity = pf.filter(_._3 == "identity").map(_._1)
+      .filterNot(base.columns.contains)
+    if (identity.isEmpty) return base
+    def surface(itype: String, v: Any): String = itype match {
+      case "date" => java.time.LocalDate.ofEpochDay(
+        v.asInstanceOf[Number].longValue).toString
+      case _ => v.toString
+    }
+    val idxAndType = identity.map(n =>
+      n -> pf.indexWhere(_._1 == n)).map { case (n, i) => (n, i, pf(i)._2) }
+    val valueOf: Map[String, Array[String]] = files.map { case (p, vals) =>
+      pathKey(p) -> idxAndType.map { case (_, idx, itype) =>
+        vals(idx).map(surface(itype, _)).orNull
+      }.toArray
+    }.toMap
+    val bc = spark.sparkContext.broadcast(valueOf)
+    identity.zipWithIndex.foldLeft(base) { case (acc, (name, pos)) =>
+      val restore = org.apache.spark.sql.functions.udf((fn: String) =>
+        if (fn == null) null
+        else bc.value.get(pathKey(fn)).map(_(pos)).orNull)
+      acc.withColumn(name, restore(input_file_name()))
+    }
+  }
+
+  /** One delete file live in a snapshot: path, file content code
+    * (1 position / 2 equality), the equality field ids, the delete
+    * file's data sequence number, and its manifest metadata (partition
+    * values, size, row count — preserved when a rewrite retires it). */
+  private[sources] final case class DeleteFileRef(path: String, content: Int,
+      equalityIds: Seq[Int], seq: Long,
+      partitionValues: Seq[Option[Any]] = Nil,
+      sizeBytes: Long = 0L, recordCount: Long = 0L)
+
+  /** The live delete files listed by a manifest list (content-1
+    * manifest rows, non-DELETED entries). */
+  private[sources] def liveDeleteFiles(manifestListRows: Seq[GenericRecord],
+      conf: Configuration): Seq[DeleteFileRef] =
+    manifestListRows.filter(_.get("content").asInstanceOf[Int] == 1).flatMap { m =>
+      val listSeq = m.get("sequence_number").asInstanceOf[Long]
+      readAvroRows(new Path(m.get("manifest_path").toString), conf)
+        .filter(_.get("status") != 2)
+        .map { e =>
+          val df = e.get("data_file")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          val ids = Option(df.get("equality_ids")).toSeq.flatMap { l =>
+            val jl = l.asInstanceOf[java.util.List[Integer]]
+            (0 until jl.size).map(jl.get(_).intValue)
+          }
+          val seq = Option(e.get("sequence_number"))
+            .map(_.asInstanceOf[Long]).getOrElse(listSeq)
+          val part = df.get("partition")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          val partVals = part.getSchema.getFields.size match {
+            case 0 => Nil
+            case _ => part.getSchema.getFields.toArray.toSeq.map { f =>
+              Option(part.get(
+                f.asInstanceOf[org.apache.avro.Schema.Field].name()))
+            }
+          }
+          DeleteFileRef(df.get("file_path").toString,
+            df.get("content").asInstanceOf[Int], ids, seq,
+            partitionValues = partVals,
+            sizeBytes = df.get("file_size_in_bytes").asInstanceOf[Long],
+            recordCount = df.get("record_count").asInstanceOf[Long])
+        }
+    }
+
+  /** Time-travel read: the DataFrame of EXACTLY the rows reachable
+    * from one snapshot — current by default, or any ancestor by id —
+    * resolved by walking version-hint → metadata → manifest list →
+    * manifests, the same chain an Iceberg runtime walks. Makes the
+    * committed history usable from plain Spark (no Iceberg jar):
     * `readSnapshot(spark, path, Some(snap1))` reads the table as it
-    * was before later increments. The file-list read loses Hive
-    * partition-dir inference, so identity partition columns are
-    * restored from the manifests' recorded partition values — matching
-    * how Iceberg itself materializes identity-partitioned columns. */
+    * was before later increments.
+    *
+    * Row-level deletes (v2 merge-on-read) are applied per the spec's
+    * sequence rules: a position delete file removes rows of data files
+    * with dataSeq ≤ deleteSeq (matched on (file, row ordinal) via
+    * Spark's `_metadata.row_index`); an equality delete file removes
+    * rows of STRICTLY older data files (dataSeq < deleteSeq) matching
+    * its key columns under null-safe equality. Data files are grouped
+    * by data sequence number so each group anti-joins exactly the
+    * delete files that apply to it — plan depth is bounded by the
+    * number of distinct sequence numbers, and each anti-join's right
+    * side is the (small) delete-file scan, so Spark broadcasts it. */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String,
       table: TableDef, snapshotId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
     val conf = spark.sparkContext.hadoopConfiguration
     val metadataDir = new Path(tablePath, "metadata")
     val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
@@ -619,9 +754,10 @@ object IcebergSnapshot {
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot ${snapshotId.getOrElse("<current>")} not found"))
     val pf = partitionFields(table)
-    import org.apache.spark.sql.functions.input_file_name
-    // file → recorded partition values, via the manifest chain
-    val files = readManifestList(new Path(snap.manifestList), conf).flatMap { m =>
+    val listRows = readManifestList(new Path(snap.manifestList), conf)
+    // data files with recorded partition values + data sequence number
+    val files = listRows.filter(_.get("content").asInstanceOf[Int] == 0).flatMap { m =>
+      val listSeq = m.get("sequence_number").asInstanceOf[Long]
       readAvroRows(new Path(m.get("manifest_path").toString), conf)
         .filter(_.get("status") != 2) // DELETED entries are not live
         .map { e =>
@@ -629,56 +765,59 @@ object IcebergSnapshot {
             .asInstanceOf[org.apache.avro.generic.GenericRecord]
           val part = df.get("partition")
             .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          val seq = Option(e.get("sequence_number"))
+            .map(_.asInstanceOf[Long]).getOrElse(listSeq)
           (df.get("file_path").toString,
-            pf.map { case (name, _, _) => Option(part.get(name)) })
+            pf.map { case (name, _, _) => Option(part.get(name)) }, seq)
         }
     }
     require(files.nonEmpty, "snapshot lists no data files")
-    val base = spark.read.parquet(files.map(_._1): _*)
-    // restore identity partition columns from the manifest metadata
-    // (directory-encoded, so absent from the file contents): ONE
-    // broadcast file→values map keyed by input_file_name — O(1) plan
-    // depth and one broadcast at any file count (a real Iceberg scan
-    // does the same enrichment natively). Values come back in their
-    // original surface form (dates from epoch-day ints), string-typed
-    // like Hive dir inference.
-    val identity = pf.filter(_._3 == "identity").map(_._1)
-      .filterNot(base.columns.contains)
-    if (identity.isEmpty) base
+    val deletes = liveDeleteFiles(listRows, conf)
+    val fileVals = files.map(f => (f._1, f._2))
+    if (deletes.isEmpty)
+      restoreIdentityColumns(spark,
+        spark.read.parquet(files.map(_._1): _*), table, fileVals)
     else {
-      // slash-count-insensitive key: "file:/x" (Hadoop Path) and
-      // "file:///x" (input_file_name) both normalize to "/x"
-      def pathKey(p: String): String =
-        try {
-          val u = new java.net.URI(p)
-          if (u.getScheme != null && u.getPath != null) u.getPath else p
-        } catch { case _: Exception => p }
-      def surface(itype: String, v: Any): String = itype match {
-        case "date" => java.time.LocalDate.ofEpochDay(
-          v.asInstanceOf[Number].longValue).toString
-        case _ => v.toString
-      }
-      val idxAndType = identity.map(n =>
-        n -> pf.indexWhere(_._1 == n)).map { case (n, i) => (n, i, pf(i)._2) }
-      val valueOf: Map[String, Array[String]] = files.map { case (p, vals) =>
-        pathKey(p) -> idxAndType.map { case (_, idx, itype) =>
-          vals(idx).map(surface(itype, _)).orNull
-        }.toArray
-      }.toMap
-      val bc = spark.sparkContext.broadcast(valueOf)
-      val restored = identity.zipWithIndex.foldLeft(base) { case (acc, (name, pos)) =>
-        val restore = org.apache.spark.sql.functions.udf((fn: String) =>
-          if (fn == null) null
-          else bc.value.get(pathKey(fn)).map(_(pos)).orNull)
-        acc.withColumn(name, restore(input_file_name()))
-      }
-      restored
+      val colOfId = table.columns.map(_.name).zipWithIndex
+        .map { case (n, i) => (i + 1) -> n }.toMap
+      def norm(c: org.apache.spark.sql.Column) =
+        regexp_replace(c, "^[a-zA-Z0-9+.-]+:/+", "/")
+      val groups = files.groupBy(_._3).toSeq.sortBy(_._1)
+      groups.map { case (dataSeq, fs) =>
+        // identity restore rides input_file_name, so it must happen
+        // on the single-source scan BEFORE any join enters the plan
+        var df = restoreIdentityColumns(spark,
+          spark.read.parquet(fs.map(_._1): _*)
+            .withColumn("__graft_file", norm(col("_metadata.file_path")))
+            .withColumn("__graft_pos", col("_metadata.row_index")),
+          table, fileVals)
+        val pos = deletes.filter(d => d.content == 1 && d.seq >= dataSeq)
+        if (pos.nonEmpty) {
+          val del = spark.read.parquet(pos.map(_.path): _*)
+            .select(norm(col("file_path")).as("__dfile"),
+              col("pos").as("__dpos"))
+          df = df.join(del,
+            df("__graft_file") === del("__dfile") &&
+              df("__graft_pos") === del("__dpos"), "left_anti")
+        }
+        // group equality deletes by key-column set so each set is
+        // one anti-join regardless of how many delete files carry it
+        val eqs = deletes.filter(d => d.content == 2 && d.seq > dataSeq)
+        for ((ids, dels) <- eqs.groupBy(_.equalityIds).toSeq.sortBy(_._1.mkString(","))) {
+          val keyCols = ids.map(colOfId)
+          val del = spark.read.parquet(dels.map(_.path): _*)
+            .select(keyCols.map(col): _*).distinct()
+          val cond = keyCols.map(k => df(k) <=> del(k)).reduce(_ && _)
+          df = df.join(del, cond, "left_anti")
+        }
+        df.drop("__graft_file", "__graft_pos")
+      }.reduce(_ unionByName _)
     }
   }
 
   /** Write metadata version N+1 carrying `snapshots` and advance the
     * version hint — the shared tail of every commit. */
-  private def writeNewMetadataVersion(table: TableDef, tablePath: String,
+  private[sources] def writeNewMetadataVersion(table: TableDef, tablePath: String,
       metadataDir: Path, fs: FileSystem, version: Int,
       snapshots: Seq[IcebergMetadata.SnapshotMeta],
       timestampMs: Long): Unit = {
@@ -701,10 +840,10 @@ object IcebergSnapshot {
     * inherited from the manifest-list row on ADDED rows). Stats maps
     * are decoded back from the manifest so a rewrite can re-list
     * files without re-reading footers. */
-  private def liveFilesWithSeq(manifestListRows: Seq[GenericRecord],
+  private[sources] def liveFilesWithSeq(manifestListRows: Seq[GenericRecord],
       table: TableDef, conf: Configuration): Seq[(DataFileInfo, Long)] = {
     val pf = partitionFields(table)
-    manifestListRows.flatMap { m =>
+    manifestListRows.filter(_.get("content").asInstanceOf[Int] == 0).flatMap { m =>
       val listSeq = m.get("sequence_number").asInstanceOf[Long]
       readAvroRows(new Path(m.get("manifest_path").toString), conf)
         .filter(_.get("status") != 2)
@@ -768,6 +907,13 @@ object IcebergSnapshot {
     require(chain.nonEmpty, "nothing to compact: no snapshots")
     val current = chain.last
     val priorList = readManifestList(new Path(current.manifestList), conf)
+    // a rewrite must APPLY live row-level deletes (and drop the delete
+    // files it consumed) to preserve row content — that richer rewrite
+    // is IcebergDeletes.compactWithDeletes territory; refuse here
+    // rather than silently resurrect deleted rows
+    require(priorList.forall(_.get("content").asInstanceOf[Int] == 0),
+      "compactDataFiles with live delete files would resurrect deleted rows; " +
+        "this compaction handles data manifests only")
     val live = liveFilesWithSeq(priorList, table, conf)
 
     // bin-pack per partition tuple: size-descending first-fit

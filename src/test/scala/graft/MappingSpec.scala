@@ -768,4 +768,159 @@ class MappingSpec extends AnyFunSuite {
     val again = graft.sources.IcebergSnapshot.commitAppend(table, out)
     assert(again.snapshotId === snapId && again.addedRecords === 3L)
   }
+
+  test("row-level deletes: position-delete DELETE snapshot, equality-delete " +
+      "upsert, sequence-rule reads, time travel, delete-aware compaction") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import graft.sources.{IcebergDeletes, IcebergSnapshot}
+    def asLocal(p: String): java.nio.file.Path =
+      if (p.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(p))
+      else java.nio.file.Paths.get(p)
+    def avroRows(p: String): Seq[GenericRecord] = {
+      val r = new DataFileReader(asLocal(p).toFile,
+        new GenericDatumReader[GenericRecord]())
+      try Iterator.continually(r).takeWhile(_.hasNext).map(_.next()).toVector
+      finally r.close()
+    }
+    def metaAt(out: String, v: Int): JValue =
+      JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, "metadata", s"v$v.metadata.json")), "UTF-8"))
+    val ddl =
+      """CREATE TABLE S.DELTEST (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(20),
+        |  N INTEGER
+        |) PARTITION BY RANGE (V);""".stripMargin
+    val table = Db2Parser.parse(ddl).tables.head
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("iceberg_del").toString
+    // K 1..100, V alternates p0/p1 (identity partition), N = 10·K
+    SchemaTranslator.migrateTable(
+      (1L to 100L).map(k => (k, s"p${k % 2}", (k * 10).toInt)).toDF("K", "V", "N"),
+      table, out)
+    val snap1 = IcebergSnapshot.readSnapshot(spark, out, table)
+    assert(snap1.count() === 100)
+
+    // ---- position deletes: predicate over an identity-partition col
+    // AND a data col; odd K ≤ 20 match (10 rows)
+    val del = IcebergDeletes.commitPositionDeletes(spark, table, out,
+      col("N") <= 200 && col("V") === "p1")
+    assert(del.operation === "delete")
+    assert(del.addedPositionDeletes === 10L && del.addedDeleteFiles === 1L)
+    assert(del.totalDeleteFiles === 1L && del.totalPositionDeletes === 10L)
+    // no-op predicate: nothing matches → current snapshot returned
+    assert(IcebergDeletes.commitPositionDeletes(spark, table, out,
+      col("N") > 100000).snapshotId === del.snapshotId)
+
+    val afterDel = IcebergSnapshot.readSnapshot(spark, out, table)
+    assert(afterDel.count() === 90)
+    val gone = afterDel.filter(col("N") <= 200 && col("V") === "p1").count()
+    assert(gone === 0L)
+    // time travel: the pre-delete snapshot still shows all 100 rows
+    val firstId = (metaAt(out, 2) \ "snapshots").asInstanceOf[JArray].arr.head
+    val firstSnapId = (firstId \ "snapshot-id").asInstanceOf[JInt].num.toLong
+    assert(IcebergSnapshot.readSnapshot(spark, out, table, Some(firstSnapId))
+      .count() === 100)
+
+    // the delete manifest is a content-1 row whose Avro content key is
+    // "deletes"; entries carry content=1 and live under deletes/
+    val m3 = metaAt(out, 3)
+    val delSnap = (m3 \ "snapshots").asInstanceOf[JArray].arr.last
+    assert((delSnap \ "summary" \ "operation") === JString("delete"))
+    assert((delSnap \ "summary" \ "added-position-deletes") === JString("10"))
+    assert((delSnap \ "summary" \ "total-position-deletes") === JString("10"))
+    val list3 = avroRows((delSnap \ "manifest-list").asInstanceOf[JString].s)
+    val delManifests = list3.filter(_.get("content") === 1)
+    assert(delManifests.size === 1 &&
+      list3.count(_.get("content") === 0) === list3.size - 1)
+    val delEntries = avroRows(delManifests.head.get("manifest_path").toString)
+    assert(delEntries.size === 1)
+    val delFile = delEntries.head.get("data_file").asInstanceOf[GenericRecord]
+    assert(delFile.get("content") === 1)
+    assert(delFile.get("record_count") === 10L)
+    // the position-delete parquet carries the spec's reserved field ids
+    val delParquet = asLocal(delFile.get("file_path").toString)
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(delParquet.toUri),
+        spark.sparkContext.hadoopConfiguration))
+    val schemaFields = try footer.getFooter.getFileMetaData.getSchema.getFields
+      finally footer.close()
+    assert(schemaFields.get(0).getName === "file_path" &&
+      schemaFields.get(0).getId.intValue === 2147483546.toInt)
+    assert(schemaFields.get(1).getName === "pos" &&
+      schemaFields.get(1).getId.intValue === 2147483545.toInt)
+    // spec ordering: rows sorted by (file_path, pos)
+    val delRows = spark.read.parquet(delParquet.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(delRows === delRows.sorted)
+
+    // ---- upsert: update K=2 (lives in an old file) and insert K=101;
+    // equality delete on K kills only the OLD row, one atomic snapshot
+    SchemaTranslator.mergeUpsert(
+      Seq((2L, "p0", 999), (101L, "p1", 1010)).toDF("K", "V", "N"),
+      table, out, keyCols = Seq("K"))
+    val afterUpsert = IcebergSnapshot.readSnapshot(spark, out, table)
+    assert(afterUpsert.count() === 91)
+    val byK = afterUpsert.select("K", "N").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byK(2L) === 999 && byK(101L) === 1010 && byK(4L) === 40)
+    val m4 = metaAt(out, 4)
+    val upSnap = (m4 \ "snapshots").asInstanceOf[JArray].arr.last
+    assert((upSnap \ "summary" \ "operation") === JString("overwrite"))
+    assert((upSnap \ "summary" \ "added-equality-deletes") === JString("2"))
+    // equality delete manifest: content-1 list row at the
+    // unpartitioned spec, entry content=2 with equality_ids = [1] (K)
+    val list4 = avroRows((upSnap \ "manifest-list").asInstanceOf[JString].s)
+    val eqManifest = list4.filter(r => r.get("content") === 1 &&
+      r.get("partition_spec_id") === 1)
+    assert(eqManifest.size === 1)
+    val eqEntry = avroRows(eqManifest.head.get("manifest_path").toString).head
+      .get("data_file").asInstanceOf[GenericRecord]
+    assert(eqEntry.get("content") === 2)
+    val eqIds = eqEntry.get("equality_ids").asInstanceOf[java.util.List[Integer]]
+    assert(eqIds.size === 1 && eqIds.get(0) === 1)
+    // prior snapshots unaffected by the upsert
+    assert(IcebergSnapshot.readSnapshot(spark, out, table, Some(del.snapshotId))
+      .count() === 90)
+    assert(IcebergSnapshot.readSnapshot(spark, out, table, Some(firstSnapId))
+      .count() === 100)
+
+    // plain compaction refuses while delete files are live
+    val ex = intercept[IllegalArgumentException] {
+      IcebergSnapshot.compactDataFiles(spark, table, out, 1L << 30)
+    }
+    assert(ex.getMessage.contains("delete"))
+
+    // ---- delete-aware compaction folds deletes into fresh data files
+    val compacted = IcebergDeletes.compactWithDeletes(spark, table, out)
+    assert(compacted.operation === "replace")
+    assert(compacted.totalDeleteFiles === 0L && compacted.totalRecords === 91L)
+    val afterCompact = IcebergSnapshot.readSnapshot(spark, out, table)
+    assert(afterCompact.count() === 91)
+    val byK2 = afterCompact.select("K", "N").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byK2 === byK)
+    // identity partition column still restored post-rewrite
+    assert(afterCompact.filter(col("V") === "p1").count() ===
+      afterUpsert.filter(col("V") === "p1").count())
+    // compacted current state carries no delete manifests…
+    val m5 = metaAt(out, 5)
+    val cSnap = (m5 \ "snapshots").asInstanceOf[JArray].arr.last
+    val list5 = avroRows((cSnap \ "manifest-list").asInstanceOf[JString].s)
+    assert(list5.forall(r =>
+      r.get("content") != 1 || avroRows(r.get("manifest_path").toString)
+        .forall(_.get("status") == 2)))
+    // …and every earlier snapshot still time-travels with its deletes
+    assert(IcebergSnapshot.readSnapshot(spark, out, table, Some(del.snapshotId))
+      .count() === 90)
+    assert(IcebergSnapshot.readSnapshot(spark, out, table, Some(firstSnapId))
+      .count() === 100)
+    // idempotence: no deletes left → no-op
+    assert(IcebergDeletes.compactWithDeletes(spark, table, out)
+      .snapshotId === compacted.snapshotId)
+  }
 }
