@@ -492,4 +492,68 @@ object Dedup {
         coalesce(col("n_kept_chunks"), lit(0L)).as("n_kept_chunks"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
+
+  /** Exact duplicated-SUBSTRING removal at token granularity — the
+    * "dedup the repeated spans, not just the documents" pass of
+    * training-data pipelines: every sliding `windowTokens`-token
+    * window (stride 1) whose text occurs in ≥ `minDocs` distinct
+    * documents marks ALL its token positions for removal, in every
+    * carrier; each document is then rebuilt from its surviving tokens.
+    * Compared to [[dropRepeatedChunks]] (non-overlapping chunks,
+    * boundary-aligned), the stride-1 windows catch duplicated runs at
+    * ANY offset — the exact-substring semantics, with the span
+    * boundary resolved to tokens.
+    *
+    * Returns (idCol, n_tokens, n_kept_tokens, cleaned), one row per
+    * input document; docs shorter than `windowTokens` are never
+    * dropped from (no window fits).
+    *
+    * Scale shape: window generation is a scan-side generator; the
+    * duplicate count shuffles (gram, id) pairs — at 100 TB swap the
+    * group key for `xxhash64(gram)` (8-byte shuffle rows; identical
+    * output modulo 2⁻⁶⁴ collisions). Coverage explodes each DUP window
+    * into `windowTokens` (id, pos) rows — duplicated mass only, orders
+    * of magnitude under the corpus; the production variant would merge
+    * overlapping spans per doc before exploding. Reassembly is the
+    * same window-free `array_sort(collect_list)` as
+    * [[dropRepeatedChunks]]. */
+  def dropDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 15, minDocs: Int = 2,
+      tokenPersist: StorageLevel = StorageLevel.NONE): DataFrame = {
+    require(windowTokens > 0 && minDocs >= 2, "need windowTokens > 0, minDocs >= 2")
+    val toks0 = docs.select(col(idCol), Chunking.tokens(col(textCol)).as("__w"))
+    // two consumers (window generation, token explode) — persist knob
+    // with the same caller-owns-unpersist contract as dropRepeatedChunks
+    val toks =
+      if (tokenPersist == StorageLevel.NONE) toks0 else toks0.persist(tokenPersist)
+    val k = windowTokens
+    // stride-1 windows: 1-based start positions 1 .. n-k+1
+    val wins = toks.filter(size(col("__w")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("__w")) - (k - 1)),
+          i => concat_ws(" ", slice(col("__w"), i, lit(k))))).as(Seq("p0", "gram")))
+      .select(col(idCol), (col("p0") + 1).as("start"), col("gram"))
+    val dup = wins.groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("gram"))
+    val covered = wins.join(dup, Seq("gram"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
+      .distinct()
+    val tokens = toks
+      .select(col(idCol), posexplode(col("__w")).as(Seq("p0", "token")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("token"))
+    val kept = tokens.join(covered, Seq(idCol, "pos"), "left_anti")
+    val totals = toks.select(col(idCol), size(col("__w")).cast("bigint").as("n_tokens"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          s => s.getField("token"))).as("cleaned"))
+    totals.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
 }

@@ -330,6 +330,35 @@ object PipelineQueries {
   def q65HeavyHitters(s: SparkSession, dir: String): DataFrame =
     Sketches.tokenHeavyHittersAudit(t(s, dir, "documents"), "text", k = 20)
 
+  /** Exact duplicated-substring removal (token windows, stride 1):
+    * every 15-token span occurring in ≥2 docs is scrubbed from all
+    * carriers; docs rebuilt from surviving tokens. The full cleaned
+    * text hash-checks against the oracle (same contract as q63, which
+    * only catches boundary-ALIGNED repeats — this catches any offset). */
+  def q69SubstringDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+      windowTokens = 15, minDocs = 2,
+      tokenPersist = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .orderBy("doc_id")
+
+  /** SemDeDup (exact mode): drop every embedding with an earlier
+    * (lower-id) cosine-≥0.40 neighbor; survivors hash-checked. The
+    * clustered scale path (k-means cells bounding the quadratic term)
+    * is spec-asserted to keep a superset of these survivors. */
+  def q70SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(t(s, dir, "embeddings"), threshold = 0.40)
+      .select("vec_id").orderBy("vec_id")
+
+  /** Positional inverted index + phrase search: the top-5 trigram
+    * phrases (count desc, phrase asc) each located via the postings
+    * m-way positional self-join; per-phrase doc counts, occurrence
+    * counts and id checksums hash-check against the oracle's direct
+    * trigram formulation — two independent phrase-matching plans
+    * agreeing on the same answer. */
+  def q71PhraseSearch(s: SparkSession, dir: String): DataFrame =
+    Search.topPhraseStats(t(s, dir, "documents"), "doc_id", "text", n = 5)
+      .orderBy("phrase")
+
   // ---------------------------------------------------------------- sampling
 
   /** Deterministic train/val/test split (80/10/10 on md5(doc_id)):
@@ -1345,6 +1374,63 @@ object PipelineQueries {
         |SELECT dist, count(*) AS n_pairs,
         |  CAST(sum(d1 + d2) AS BIGINT) AS sum_ids
         |FROM p WHERE dist <= 6 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // token-position bases are 1-based on both sides; cov explodes
+    // each duplicated window into its covered positions, kept tokens
+    // anti-join coverage, reassembly is position-ordered
+    "q69_substring_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+        |  FROM documents),
+        |win AS (SELECT doc_id, i, array_to_string(list_slice(w, i, i + 14), ' ') AS gram
+        |        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 15 + 2)) AS i
+        |              FROM w WHERE len(w) >= 15)),
+        |dup AS (SELECT gram FROM win GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + 15)) AS pos
+        |        FROM win SEMI JOIN dup USING (gram)),
+        |tok AS (SELECT doc_id, unnest(w) AS token, generate_subscripts(w, 1) AS pos FROM w),
+        |kept AS (SELECT t.doc_id, t.pos, t.token FROM tok t ANTI JOIN cov USING (doc_id, pos)),
+        |tot AS (SELECT doc_id, len(w) AS n_tokens FROM w),
+        |rb AS (SELECT doc_id, count(*) AS n_kept_tokens,
+        |         string_agg(token, ' ' ORDER BY pos) AS cleaned FROM kept GROUP BY 1)
+        |SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+        |  coalesce(rb.n_kept_tokens, 0) AS n_kept_tokens,
+        |  coalesce(rb.cleaned, '') AS cleaned
+        |FROM tot t LEFT JOIN rb USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q23's cosine formulation with the dedup keep-rule on top: drop
+    // ids having any lower-id neighbor at score >= 0.40
+    "q70_semantic_dedup" ->
+      """WITH a AS (SELECT vec_id AS a_id, embedding AS a_vec FROM embeddings),
+        |b AS (SELECT vec_id AS b_id, embedding AS b_vec FROM embeddings),
+        |s AS (
+        |  SELECT a_id, b_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(a_vec) + 1),
+        |        i -> CAST(a_vec[i] AS DOUBLE) * CAST(b_vec[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(a_vec) + 1),
+        |           i -> CAST(a_vec[i] AS DOUBLE) * CAST(a_vec[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(b_vec) + 1),
+        |           i -> CAST(b_vec[i] AS DOUBLE) * CAST(b_vec[i] AS DOUBLE))))), 6) AS score
+        |  FROM a, b WHERE a_id < b_id),
+        |drop AS (SELECT DISTINCT b_id FROM s WHERE score >= 0.40)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT b_id FROM drop) ORDER BY vec_id""".stripMargin,
+    // independent formulation: phrase stats straight off the trigram
+    // table (the engine runs positional postings joins instead)
+    "q71_phrase_search" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+        |  FROM documents),
+        |tri AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS phrase
+        |        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3 + 2)) AS i
+        |              FROM w WHERE len(w) >= 3)),
+        |top AS (SELECT phrase, count(*) AS n FROM tri GROUP BY 1
+        |        ORDER BY n DESC, phrase LIMIT 5),
+        |per AS (SELECT t.phrase, t.doc_id, count(*) AS c
+        |        FROM tri t SEMI JOIN top USING (phrase) GROUP BY 1, 2)
+        |SELECT phrase, count(*) AS n_docs,
+        |  CAST(sum(c) AS BIGINT) AS n_occurrences,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM per GROUP BY 1 ORDER BY phrase""".stripMargin,
   )
 
   /** q46 carries q42's oracle verbatim: the Bloom prefilter only drops
@@ -1394,5 +1480,8 @@ object PipelineQueries {
     "q66_media_decode" -> (q66MediaDecode _),
     "q67_stratified" -> (q67Stratified _),
     "q68_fuzzy_pairs" -> (q68FuzzyPairs _),
+    "q69_substring_dedup" -> (q69SubstringDedup _),
+    "q70_semantic_dedup" -> (q70SemanticDedup _),
+    "q71_phrase_search" -> (q71PhraseSearch _),
   )
 }

@@ -205,6 +205,39 @@ object Similarity {
     }.toDF("a_id", "b_id", "score")
   }
 
+  /** SemDeDup-style semantic dedup: drop a document when an EARLIER
+    * (lower-id) document in its comparison set has cosine ≥ threshold
+    * with it; keep the rest. With `nClusters = 1` the comparison set
+    * is the whole corpus via the blocked exact kernel — the mode the
+    * q70 oracle hash-checks. With `nClusters > 1` the corpus is
+    * k-means-clustered first and comparisons are CLUSTER-LOCAL — the
+    * published SemDeDup recipe, which is what survives at 100 TB: the
+    * quadratic term is bounded by cell sizes, each cell's pairs
+    * shuffle on `cid`, and the pruned pair set is a subset of the
+    * exact mode's (cluster-local survivors ⊇ exact survivors,
+    * spec-asserted), trading a bounded recall loss for linear-ish
+    * cost exactly like q20/q25/q31 do for their exact anchors.
+    * Output: the surviving corpus rows. */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+      nClusters: Int = 1, nIters: Int = 5): DataFrame = {
+    val pairs =
+      if (nClusters <= 1) cosineNearDupPairsBlocked(corpus, threshold)
+      else {
+        val asg = Ivf.assign(corpus, Ivf.train(corpus, nClusters, nIters))
+        val a = asg.select(col("cid"), col("id").as("a_id"),
+          col("vec").as("a_vec"), sqrt(col("n2")).as("a_norm"))
+        val b = asg.select(col("cid"), col("id").as("b_id"),
+          col("vec").as("b_vec"), sqrt(col("n2")).as("b_norm"))
+        a.join(b, "cid").filter(col("a_id") < col("b_id"))
+          .withColumn("score", pairScore(col("a_vec"), col("b_vec"),
+            col("a_norm"), col("b_norm"), 0))
+          .filter(col("score") >= threshold)
+          .select(col("a_id"), col("b_id"), col("score"))
+      }
+    corpus.join(pairs.select(col("b_id").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+  }
+
   /** Recall@k of the LSH path against the exact baseline, per query. */
   def lshRecall(corpus: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int, dim: Int): DataFrame = {

@@ -1096,4 +1096,73 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(3).getAs[Int]("e") === 2 && r(3).getAs[Int]("p") === 1 && r(3).getAs[Int]("i") === 2)
     assert(r(3).getAs[String]("red") === "dual: <EMAIL> <EMAIL> <PHONE> <IP> <IP>")
   }
+
+  test("substring dedup scrubs duplicated spans at ANY offset; short docs " +
+      "and unique text survive whole") {
+    import spark.implicits._
+    val shared = (1 to 6).map(i => s"s$i").mkString(" ") // 6-token span
+    val docs = Seq(
+      // span starts at offset 0 in doc 1, offset 2 in doc 2 — a
+      // boundary-UNALIGNED repeat chunk-dedup would miss
+      (1L, s"$shared tail one two"),
+      (2L, s"pre amble $shared coda"),
+      (3L, "entirely unique text with no repeats at all whatsoever indeed"),
+      (4L, "tiny doc"), // shorter than the window: never droppable
+      (5L, "")).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicatedSpans(docs, "doc_id", "text",
+      windowTokens = 6, minDocs = 2).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(byId(1L) === ((9L, 3L, "tail one two")))
+    assert(byId(2L) === ((9L, 3L, "pre amble coda")))
+    assert(byId(3L)._1 === byId(3L)._2) // untouched
+    assert(byId(4L) === ((2L, 2L, "tiny doc")))
+    assert(byId(5L) === ((0L, 0L, "")))
+    // overlapping duplicated windows merge: coverage is a union of
+    // positions, tokens are not dropped twice
+    val n = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val both = Dedup.dropDuplicatedSpans(n, "doc_id", "text",
+      windowTokens = 4, minDocs = 2).collect()
+    assert(both.forall(r => r.getLong(2) === 0L && r.getString(3) === ""))
+  }
+
+  test("clustered SemDeDup keeps a superset of exact-mode survivors " +
+      "and agrees on the fixture's verdicts for co-clustered pairs") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val exact = Similarity.semanticDedup(emb, 0.40)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val clustered = Similarity.semanticDedup(emb, 0.40, nClusters = 4, nIters = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // cluster-local pairs ⊆ all pairs ⇒ cluster-local drops ⊆ exact drops
+    assert(exact.subsetOf(clustered))
+    val n = emb.count()
+    assert(exact.size < n, "fixture must contain semantic dups")
+    // the scale path must still prune most of what exact mode prunes
+    val dropsExact = n - exact.size
+    val dropsClustered = n - clustered.size
+    assert(dropsClustered * 2 >= dropsExact,
+      s"clustered mode pruned $dropsClustered of $dropsExact exact drops")
+  }
+
+  test("phrase search: positional joins find overlapping and repeated-token " +
+      "occurrences; postings are 1-based") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"), // "a b a" occurs at pos 1 AND 3 (overlap)
+      (2L, "x a b a y"),
+      (3L, "a a a a"), // repeated-token phrase "a a a" at pos 1 and 2
+      (4L, "b a")).toDF("doc_id", "text")
+    val post = graft.operators.Search.postings(docs, "doc_id", "text")
+    assert(post.filter(col("doc_id") === 1L && col("token") === "a")
+      .select("pos").collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 3, 5))
+    val aba = graft.operators.Search.phraseOccurrences(post, Seq("a", "b", "a"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(aba === Seq((1L, 1), (1L, 3), (2L, 2)))
+    val aaa = graft.operators.Search.phraseOccurrences(post, Seq("a", "a", "a"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(aaa === Seq((3L, 1), (3L, 2)))
+    val none = graft.operators.Search.phraseOccurrences(post, Seq("y", "x"))
+    assert(none.count() === 0)
+  }
 }
