@@ -359,6 +359,62 @@ object PipelineQueries {
     Search.topPhraseStats(t(s, dir, "documents"), "doc_id", "text", n = 5)
       .orderBy("phrase")
 
+  /** N-gram novelty ("contribution") scoring: per document, the
+    * fraction of its stride-1 8-token windows whose text FIRST occurs
+    * in an earlier (lower-id) document — the incremental-value signal
+    * a curation pipeline ranks candidate docs by. novelty = 1 −
+    * seen-fraction; short docs (no full window) score 1.0. One
+    * window-gram shuffle (min-doc aggregation) + one join back —
+    * the same shapes as q69 minus the rebuild. */
+  def q72Novelty(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      graft.operators.Chunking.tokens(col("text")).as("__w"))
+    val wins = toks.filter(size(col("__w")) >= k)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("__w")) - (k - 1)),
+          i => concat_ws(" ", slice(col("__w"), i, lit(k))))).as("gram"))
+    val firstSeen = wins.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+    val flagged = wins.join(firstSeen, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+    docs.select("doc_id").join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        when(coalesce(col("n_windows"), lit(0L)) === 0, lit(1.0))
+          .otherwise(round(lit(1.0) -
+            col("n_seen").cast("double") / col("n_windows"), 6)).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document TF-IDF top-3 distinctive terms via the bounded
+    * [[TopK]] aggregator (shuffle carries O(docs·3), never every
+    * scored term). Weighting is tf · N/df — the LINEAR inverse
+    * document frequency, chosen over the usual log damping because
+    * integer-ratio double division is bit-identical across engines
+    * (ln is not guaranteed to be); same ranking plan either way.
+    * Stopwords excluded like q47. */
+  def q73TfIdf(s: SparkSession, dir: String): DataFrame = {
+    val stop = TextFunctions.Stopwords("en").toSeq
+    val docs = t(s, dir, "documents")
+    val terms = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .filter(!col("term").isin(stop: _*) && col("term") =!= "")
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDf = docs.agg(countDistinct(col("doc_id")).cast("double").as("__n"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(nDf))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * (col("__n") / col("df")), 6).as("score"))
+    TopK.perStringKeyStringId(scored, "doc_id", "term", "score", k = 3)
+      .select(col("doc_id").cast("bigint").as("doc_id"), col("rk"),
+        col("term"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
   // ---------------------------------------------------------------- sampling
 
   /** Deterministic train/val/test split (80/10/10 on md5(doc_id)):
@@ -1414,6 +1470,40 @@ object PipelineQueries {
         |drop AS (SELECT DISTINCT b_id FROM s WHERE score >= 0.40)
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT b_id FROM drop) ORDER BY vec_id""".stripMargin,
+    "q72_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+        |  FROM documents),
+        |win AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+        |        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS i
+        |              FROM w WHERE len(w) >= 8)),
+        |fs AS (SELECT gram, min(doc_id) AS first_doc FROM win GROUP BY 1),
+        |per AS (SELECT win.doc_id, count(*) AS n_windows,
+        |          CAST(sum(CASE WHEN fs.first_doc < win.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+        |        FROM win JOIN fs USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(per.n_windows, 0) AS n_windows,
+        |  coalesce(per.n_seen, 0) AS n_seen,
+        |  CASE WHEN coalesce(per.n_windows, 0) = 0 THEN CAST(1.0 AS DOUBLE)
+        |       ELSE round(1.0 - CAST(per.n_seen AS DOUBLE) / per.n_windows, 6) END AS novelty
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // score arithmetic mirrors the Spark side op-for-op: tf · (N/df)
+    // — integer-ratio double division only, no transcendentals
+    "q73_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($WordsSql) AS term FROM documents),
+         |f AS (SELECT doc_id, term FROM tok
+         |      WHERE term NOT IN ($EnSet) AND term <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM f GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+         |s AS (SELECT doc_id, term, round(tf * (n.n / df.df), 6) AS score
+         |      FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, score,
+         |        row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY score DESC, term) AS rk FROM s)
+         |SELECT doc_id, rk, term, score FROM r WHERE rk <= 3
+         |ORDER BY doc_id, rk""".stripMargin,
     // independent formulation: phrase stats straight off the trigram
     // table (the engine runs positional postings joins instead)
     "q71_phrase_search" ->
@@ -1483,5 +1573,7 @@ object PipelineQueries {
     "q69_substring_dedup" -> (q69SubstringDedup _),
     "q70_semantic_dedup" -> (q70SemanticDedup _),
     "q71_phrase_search" -> (q71PhraseSearch _),
+    "q72_novelty" -> (q72Novelty _),
+    "q73_tfidf" -> (q73TfIdf _),
   )
 }
