@@ -415,6 +415,20 @@ object PipelineQueries {
       .orderBy("doc_id", "rk")
   }
 
+  /** Distributed BPE tokenizer training: the first 12 learned merges
+    * over the corpus (rank order). No SQL oracle — iterative tokenizer
+    * learning is not SQL-expressible (rows-only driver check, like the
+    * recall/sketch rows); exactness is spec-pinned instead: the
+    * distributed trainer equals a sequential reference implementation
+    * on the same corpus (PipelineSpec). */
+  def q74Bpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Bpe.trainMerges(t(s, dir, "documents"), "text", nMerges = 12)
+      .zipWithIndex
+      .map { case ((a, b), i) => (i + 1, a, b, a + b) }
+      .toDF("rank", "left", "right", "merged")
+  }
+
   // ---------------------------------------------------------------- sampling
 
   /** Deterministic train/val/test split (80/10/10 on md5(doc_id)):
@@ -1575,5 +1589,6 @@ object PipelineQueries {
     "q71_phrase_search" -> (q71PhraseSearch _),
     "q72_novelty" -> (q72Novelty _),
     "q73_tfidf" -> (q73TfIdf _),
+    "q74_bpe" -> (q74Bpe _),
   )
 }

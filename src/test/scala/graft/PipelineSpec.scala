@@ -1165,4 +1165,36 @@ class PipelineSpec extends AnyFunSuite {
     val none = graft.operators.Search.phraseOccurrences(post, Seq("y", "x"))
     assert(none.count() === 0)
   }
+
+  test("BPE: distributed trainer equals the sequential reference; encoding " +
+      "is greedy rank-order and reassembles the input") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    val corpus = Seq(
+      "low low low lower lower lowest",
+      "new newer newest newest newest",
+      "low lower newest")
+    val docs = corpus.toDF("text")
+    val distributed = Bpe.trainMerges(docs, "text", nMerges = 10)
+    val reference = Bpe.trainMergesLocal(corpus, nMerges = 10)
+    assert(distributed === reference)
+    assert(distributed.nonEmpty)
+    // encoding: symbols concatenate back to word + </w>; merged
+    // symbols are actually used (fewer symbols than characters)
+    val enc = docs.select(col("text"),
+      Bpe.encode(col("text"), distributed).as("syms")).collect()
+    for (r <- enc) {
+      val text = r.getString(0)
+      val syms = r.getSeq[String](1)
+      val rebuilt = syms.mkString("").replace(Bpe.EndOfWord, " ").trim
+      assert(rebuilt === text)
+      val nChars = text.split(" ").map(_.length + 1).sum // +1 per </w>
+      assert(syms.length < nChars, "merges must compress the symbol stream")
+    }
+    // overlap semantics: greedy left-to-right on "a a a"-style runs —
+    // merge (l,o) then (lo,w): "low" -> ["low</w>"] needs 3 merges on
+    // this corpus; just pin the reference on a crafted run
+    val run = Bpe.trainMergesLocal(Seq("a a a a aa aa"), 1)
+    assert(run === Seq(("a", Bpe.EndOfWord)))
+  }
 }
