@@ -332,9 +332,16 @@ object IcebergDeletes {
       }
       val slice = cond.foldLeft(net)(_ filter _)
       // identity partition cols go back to directory encoding: drop
-      // them from the file contents, like the original write did
-      slice.drop(identityCols: _*).coalesce(1)
-        .write.mode("overwrite").parquet(dir.toString)
+      // them from the file contents, like the original write did;
+      // re-sort by the declared sort order so the rewritten file
+      // still carries the order the metadata declares
+      val sortCols = table.distributeByHash.toSeq
+        .filter(table.columns.map(_.name).contains)
+      val one = slice.drop(identityCols: _*).coalesce(1)
+      val ordered =
+        if (sortCols.isEmpty) one
+        else one.sortWithinPartitions(sortCols.map(col): _*)
+      ordered.write.mode("overwrite").parquet(dir.toString)
       val (p, len, n) = statAndCount(dir, fs, conf)
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       val stats = try columnStats(reader, table) finally reader.close()
