@@ -228,6 +228,41 @@ class IcebergMetadataSpec extends AnyFunSuite {
     }
   }
 
+  test("delete/overwrite snapshot metadata validates structurally and " +
+      "round-trips the row-level-delete summary counters") {
+    val events = fixtureTables().find(_.fullName == "ANALYTICS.EVENTS").get
+    val append = IcebergMetadata.SnapshotMeta(
+      snapshotId = 1L, timestampMs = 1L, manifestList = "/w/t/metadata/l1.avro",
+      addedFiles = 4L, addedRecords = 100L)
+    val del = IcebergMetadata.SnapshotMeta(
+      snapshotId = 2L, timestampMs = 2L, manifestList = "/w/t/metadata/l2.avro",
+      addedFiles = 0L, addedRecords = 0L, sequenceNumber = 2L,
+      parentSnapshotId = Some(1L), totalFiles = 4L, totalRecords = 100L,
+      operation = "delete", addedDeleteFiles = 2L, addedPositionDeletes = 17L,
+      totalDeleteFiles = 2L, totalPositionDeletes = 17L)
+    val up = IcebergMetadata.SnapshotMeta(
+      snapshotId = 3L, timestampMs = 3L, manifestList = "/w/t/metadata/l3.avro",
+      addedFiles = 1L, addedRecords = 10L, sequenceNumber = 3L,
+      parentSnapshotId = Some(2L), totalFiles = 5L, totalRecords = 110L,
+      operation = "overwrite", addedDeleteFiles = 1L, addedEqualityDeletes = 3L,
+      totalDeleteFiles = 3L, totalPositionDeletes = 17L, totalEqualityDeletes = 3L)
+    val doc = IcebergMetadata.metadataJsonChain(events, "/w/t",
+      snapshots = Seq(append, del, up))
+    val meta = JsonMethods.parse(doc)
+    validateV2(meta, expectSnapshot = true)
+    val snaps = (meta \ "snapshots").asInstanceOf[JArray].arr
+    assert((snaps(1) \ "summary" \ "operation") === JString("delete"))
+    assert((snaps(1) \ "summary" \ "added-position-deletes") === JString("17"))
+    assert((snaps(1) \ "summary" \ "total-position-deletes") === JString("17"))
+    assert((snaps(2) \ "summary" \ "operation") === JString("overwrite"))
+    assert((snaps(2) \ "summary" \ "added-equality-deletes") === JString("3"))
+    assert((snaps(2) \ "summary" \ "total-delete-files") === JString("3"))
+    // the unpartitioned spec-1 global delete files ride is present
+    val specs = (meta \ "partition-specs").asInstanceOf[JArray].arr
+    assert(specs.exists(s => (s \ "spec-id") === JInt(1) &&
+      (s \ "fields").asInstanceOf[JArray].arr.isEmpty))
+  }
+
   test("writeTableMetadata lays out metadata/v1.metadata.json + version-hint") {
     val events = fixtureTables().find(_.fullName == "ANALYTICS.EVENTS").get
     val dir: JPath = Files.createTempDirectory("iceberg-meta")

@@ -453,4 +453,51 @@ class PlanSpec extends AnyFunSuite {
       "exchange crept between scan and chunk explode:\n" +
         lines.slice(gen, scan + 1).mkString("\n"))
   }
+
+  test("q69: substring dedup reassembles without a window; window grams " +
+      "generate in the scan stage") {
+    val df = graft.operators.Dedup.dropDuplicatedSpans(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      windowTokens = 15, minDocs = 2)
+    val plan = planString(df)
+    assert(!plan.contains("Window"),
+      "reassembly must be collect_list argsort, not a window:\n" + plan.take(2000))
+    val lines = plan.linesIterator.toVector
+    val gen = lines.indexWhere(_.contains("Generate"))
+    assert(gen >= 0, "gram explode missing:\n" + plan.take(2000))
+    val scan = lines.indexWhere(_.contains("FileScan"), gen)
+    assert(scan > gen && lines.slice(gen, scan).forall(!_.contains("Exchange")),
+      "exchange crept between scan and gram explode:\n" +
+        lines.slice(gen, scan + 1).mkString("\n"))
+  }
+
+  test("q73: per-doc TF-IDF ranks on the bounded aggregator — no rank window") {
+    val df = graft.operators.PipelineQueries.q73TfIdf(spark, dir)
+    val plan = planString(df)
+    assert(!plan.contains("Window"),
+      "tf-idf top-3 must rank via the TopK aggregator:\n" + plan.take(2000))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      "tf-idf must plan as a typed aggregation:\n" + plan.take(2000))
+  }
+
+  test("q71: phrase-search positional joins are hash equi-joins, never cartesian") {
+    val post = graft.operators.Search.postings(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    val df = graft.operators.Search.phraseOccurrences(post, Seq("a", "b", "c"))
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "positional joins must stay equi-keyed:\n" + plan.take(2000))
+    assert(plan.contains("Join"), "phrase match must plan joins:\n" + plan.take(2000))
+  }
+
+  test("q70: clustered SemDeDup pairs join cell-locally — an equi-join on cid, " +
+      "not an all-pairs cross join") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = graft.operators.Similarity.semanticDedup(emb, 0.40,
+      nClusters = 4, nIters = 1)
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct"),
+      "cluster-local pairs must not plan a cartesian:\n" + plan.take(2000))
+  }
 }
