@@ -493,6 +493,67 @@ object Dedup {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** The duplicated-span set: stride-1 `windowTokens`-token window
+    * texts occurring in ≥ `minDocs` distinct documents — the learned
+    * state [[scrubSpans]] broadcasts (the span-granularity sibling of
+    * [[repeatedChunks]]). Duplicated mass only, orders of magnitude
+    * under the corpus. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 15, minDocs: Int = 2): DataFrame = {
+    require(windowTokens > 0 && minDocs >= 2, "need windowTokens > 0, minDocs >= 2")
+    val k = windowTokens
+    docs.select(col(idCol), Chunking.tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= k)
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), size(col("__w")) - (k - 1)),
+          i => concat_ws(" ", slice(col("__w"), i, lit(k))))).as("gram"))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("gram"))
+  }
+
+  /** Streaming-safe duplicated-span scrub: rewrites `textCol` with
+    * every token position covered by a learned duplicated span
+    * removed. The span set collapses to ONE broadcast row
+    * (stream-static cross join, append-mode-safe) and the scrub is a
+    * pure per-row projection: regenerate this row's windows, find the
+    * starts whose gram is in the set, drop the covered positions —
+    * identical coverage semantics to [[dropDuplicatedSpans]] on the
+    * same rows (StreamingSpec pins scrub == batch `cleaned`), so the
+    * live ingest path can apply the batch-learned span state without
+    * aggregations or a state store.
+    *
+    * Scale note: per-row cost is O(tokens · matched-starts)
+    * interpreted HOF work — fine at micro-batch rates; the batch-side
+    * learner stays the heavy lifter. */
+  def scrubSpans(docs: DataFrame, textCol: String, windowTokens: Int,
+      spans: DataFrame): DataFrame = {
+    require(windowTokens > 0, "need windowTokens > 0")
+    val k = windowTokens
+    val bp = broadcast(spans.agg(
+      coalesce(collect_list(col("gram")), array().cast("array<string>")).as("__bp")))
+    val keepOrder = docs.columns.toSeq
+    docs.crossJoin(bp)
+      .withColumn("__w", Chunking.tokens(col(textCol)))
+      .withColumn("__starts",
+        when(size(col("__w")) >= k,
+          filter(sequence(lit(1), size(col("__w")) - (k - 1)),
+            i => array_contains(col("__bp"),
+              concat_ws(" ", slice(col("__w"), i, lit(k))))))
+          .otherwise(array().cast("array<int>")))
+      .withColumn(textCol,
+        // empty guard: Spark's sequence(1, 0) counts DOWN
+        when(size(col("__w")) === 0, lit(""))
+          .otherwise(array_join(
+            filter(transform(sequence(lit(1), size(col("__w"))),
+              p => when(exists(col("__starts"),
+                s => p >= s && p <= s + (k - 1)), lit(null))
+                .otherwise(element_at(col("__w"), p))),
+              t => t.isNotNull), " ")))
+      .select(keepOrder.map(col): _*)
+  }
+
   /** Exact duplicated-SUBSTRING removal at token granularity — the
     * "dedup the repeated spans, not just the documents" pass of
     * training-data pipelines: every sliding `windowTokens`-token

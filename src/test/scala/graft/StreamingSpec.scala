@@ -288,6 +288,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaScrub === viaBatch)
   }
 
+  test("scrubSpans equals dropDuplicatedSpans' cleaned text on the same corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val spans = graft.operators.Dedup.duplicatedSpans(docs, "doc_id", "text",
+      windowTokens = 15, minDocs = 2)
+    assert(spans.count() > 0, "fixture must contain duplicated spans")
+    val viaScrub = graft.operators.Dedup.scrubSpans(docs, "text", 15, spans)
+      .select(col("doc_id"), col("text").as("cleaned")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaBatch = graft.operators.Dedup.dropDuplicatedSpans(docs, "doc_id", "text",
+        windowTokens = 15, minDocs = 2)
+      .select(col("doc_id"), col("cleaned")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaScrub === viaBatch)
+  }
+
   test("corpus ingest stream with boilerplate scrub: two micro-batches equal the batch composition") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
