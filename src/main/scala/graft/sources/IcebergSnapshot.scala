@@ -998,6 +998,62 @@ object IcebergSnapshot {
     snap
   }
 
+  /** Snapshot expiry — the GC half of table maintenance: drop all but
+    * the last `keepLast` snapshots from the metadata and PHYSICALLY
+    * delete every file reachable only through the expired ones, per
+    * the Iceberg expiry rule: a data/delete file is removed when every
+    * snapshot listing it as LIVE (status ≠ DELETED) has expired; a
+    * manifest is removed when no retained manifest list re-lists it
+    * (appends re-list prior manifests, so shared history survives);
+    * each expired snapshot's own manifest list goes with it. Returns
+    * (new current snapshot, deleted file paths). Time travel to
+    * retained snapshots is untouched; reading an expired id now fails
+    * — which is the point: expiry is how a table stops accumulating
+    * rewrite/compaction garbage. Driver-side O(manifests + files),
+    * the same shape as a real expire commit. */
+  def expireSnapshots(table: TableDef, tablePath: String, keepLast: Int,
+      conf: Configuration = new Configuration(),
+      timestampMs: Long = 0L): (IcebergMetadata.SnapshotMeta, Seq[String]) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val metadataDir = new Path(tablePath, "metadata")
+    val fs = FileSystem.get(metadataDir.toUri, conf)
+    val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
+    val chain = parseSnapshots(readText(
+      new Path(metadataDir, s"v$version.metadata.json"), conf))
+    require(chain.nonEmpty, "metadata carries no snapshots")
+    if (chain.size <= keepLast) return (chain.last, Nil)
+    val (expired, retained) = chain.splitAt(chain.size - keepLast)
+
+    // per snapshot: its manifest list, the manifests it lists, and the
+    // files those manifests carry as LIVE
+    def reach(s: IcebergMetadata.SnapshotMeta): (String, Set[String], Set[String]) = {
+      val rows = readManifestList(new Path(s.manifestList), conf)
+      val manifests = rows.map(_.get("manifest_path").toString).toSet
+      val live = rows.flatMap { m =>
+        readAvroRows(new Path(m.get("manifest_path").toString), conf)
+          .filter(_.get("status") != 2)
+          .map(_.get("data_file")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            .get("file_path").toString)
+      }.toSet
+      (s.manifestList, manifests, live)
+    }
+    val retainedReach = retained.map(reach)
+    val expiredReach = expired.map(reach)
+    val keepManifests = retainedReach.flatMap(_._2).toSet
+    val keepFiles = retainedReach.flatMap(_._3).toSet
+    val keepLists = retained.map(_.manifestList).toSet
+    val doomed =
+      (expiredReach.map(_._1).filterNot(keepLists) ++
+        expiredReach.flatMap(_._2).filterNot(keepManifests) ++
+        expiredReach.flatMap(_._3).filterNot(keepFiles)).distinct
+    doomed.foreach(p => fs.delete(new Path(p), false))
+
+    writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
+      retained, timestampMs)
+    (retained.last, doomed)
+  }
+
   /** Incremental append (snapshot N+1): commit the data files that
     * appeared under `<tablePath>/data` SINCE the current snapshot —
     * the CDC-sync shape: an initial [[commitAppend]] migration, then

@@ -541,6 +541,61 @@ class MappingSpec extends AnyFunSuite {
     assert(again.snapshotId === snap.snapshotId)
   }
 
+  test("expireSnapshots physically deletes files reachable only through " +
+      "expired snapshots; retained history and current reads intact") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val ddl =
+      """CREATE TABLE S.EXPIRE (
+        |  K BIGINT NOT NULL,
+        |  P INTEGER
+        |) PARTITION BY RANGE (P);""".stripMargin
+    val table = Db2Parser.parse(ddl).tables.head
+    import spark.implicits._
+    val src = (1L to 400L).map(k => (k, (k % 2).toInt)).toDF("K", "P")
+      .repartition(4)
+    val out = java.nio.file.Files.createTempDirectory("iceberg_expire").toString
+    SchemaTranslator.migrateTable(src, table, out)
+    // an increment so history has a shared (re-listed) manifest, then
+    // a compaction so the small files become garbage-in-waiting
+    SchemaTranslator.appendIncrement(
+      (401L to 450L).map(k => (k, (k % 2).toInt)).toDF("K", "P"), table, out)
+    val smallFiles = graft.sources.IcebergSnapshot
+      .readSnapshot(spark, out, table).inputFiles.toSet
+    graft.sources.IcebergSnapshot.compactDataFiles(
+      spark, table, out, targetBytes = 512L * 1024 * 1024)
+    val compacted = graft.sources.IcebergSnapshot.readSnapshot(spark, out, table)
+    assert(compacted.count() === 450)
+    val keptFiles = compacted.inputFiles.toSet
+
+    // keepLast=3 keeps everything → no-op, nothing deleted
+    val (_, none) = graft.sources.IcebergSnapshot.expireSnapshots(table, out, 3)
+    assert(none.isEmpty)
+
+    // keepLast=1: snapshots 1-2 expire; every original small file is
+    // live only there, so all of them are physically deleted
+    val (cur, deleted) = graft.sources.IcebergSnapshot.expireSnapshots(table, out, 1)
+    assert(cur.operation === "replace")
+    def local(p: String) = java.nio.file.Paths.get(new java.net.URI(
+      if (p.startsWith("file:")) p else "file://" + p))
+    for (f <- smallFiles) assert(!java.nio.file.Files.exists(local(f)), f)
+    for (f <- keptFiles) assert(java.nio.file.Files.exists(local(f)), f)
+    assert(deleted.exists(_.endsWith(".avro")), "expired manifests must go too")
+
+    // metadata: only the current snapshot remains; hint advanced
+    val version = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", "version-hint.text")), "UTF-8").trim.toInt
+    val meta = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", s"v$version.metadata.json")), "UTF-8"))
+    assert((meta \ "snapshots").asInstanceOf[JArray].arr.size === 1)
+    // current still reads every row; the expired id no longer resolves
+    val after = graft.sources.IcebergSnapshot.readSnapshot(spark, out, table)
+    assert(after.count() === 450)
+    intercept[IllegalArgumentException] {
+      graft.sources.IcebergSnapshot.readSnapshot(spark, out, table, Some(1L))
+    }
+  }
+
   test("append after compaction must not overwrite an older snapshot's manifest; " +
       "compacted files honor the declared sort order") {
     val ddl =
