@@ -153,13 +153,20 @@ object StreamingOps {
   def corpusIngestStream(docs: DataFrame, minQuality: Double,
       nShards: Int, watermarkCol: Option[String] = None,
       boilerplate: Option[DataFrame] = None,
-      chunkTokens: Int = 10): DataFrame = {
+      chunkTokens: Int = 10,
+      dupSpans: Option[DataFrame] = None,
+      spanTokens: Int = 15): DataFrame = {
     import graft.functions.TextFunctions
     val gated = docs
       .filter(TextFunctions.qualityScore(org.apache.spark.sql.functions.col("text")) >= minQuality)
     val scrubbed = boilerplate.fold(gated)(bp =>
       graft.operators.Dedup.scrubChunks(gated, "text", chunkTokens, bp))
-    val keyed = scrubbed.withColumn("fp", TextFunctions.fingerprint(
+    // second scrub stage: batch-learned duplicated SPANS (stride-1,
+    // any-offset — what aligned chunks miss); same stream-static
+    // broadcast shape, still stateless
+    val despanned = dupSpans.fold(scrubbed)(sp =>
+      graft.operators.Dedup.scrubSpans(scrubbed, "text", spanTokens, sp))
+    val keyed = despanned.withColumn("fp", TextFunctions.fingerprint(
       org.apache.spark.sql.functions.col("text")))
     graft.operators.Sampling.shardByHash(
       dedupStream(keyed, Seq("fp"), watermarkCol),

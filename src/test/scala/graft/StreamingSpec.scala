@@ -347,6 +347,46 @@ class StreamingSpec extends AnyFunSuite {
     bp.unpersist()
   }
 
+  test("corpus ingest stream with chunk AND span scrub stages: two " +
+      "micro-batches equal the batch composition") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val corpus = spark.createDataset(fixture).toDF("doc_id", "text")
+    val bp = graft.operators.Dedup.repeatedChunks(corpus, "doc_id", "text",
+      chunkTokens = 10, maxDocs = 1).cache()
+    val spans = graft.operators.Dedup.duplicatedSpans(corpus, "doc_id", "text",
+      windowTokens = 15, minDocs = 2).cache()
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.corpusIngestStream(
+        mem.toDF().toDF("doc_id", "text"), minQuality = 0.5, nShards = 8,
+        boilerplate = Some(bp), dupSpans = Some(spans))
+      .writeStream.format("memory").queryName("ingest_despanned")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(fixture.take(fixture.length / 2): _*)
+    q.processAllAvailable()
+    mem.addData(fixture.drop(fixture.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ingest_despanned")
+      .select("doc_id", "fp", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // batch reference: gate → chunk scrub → span scrub → fingerprint
+    val gatedB = corpus.filter(
+      graft.functions.TextFunctions.qualityScore(col("text")) >= 0.5)
+    val batchClean = graft.operators.Dedup.scrubSpans(
+      graft.operators.Dedup.scrubChunks(gatedB, "text", 10, bp),
+      "text", 15, spans)
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+    val batchFps = batchClean.select("fp").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_._2).toSet === batchFps)
+    assert(out.length === batchFps.size, "no fingerprint emitted twice")
+    bp.unpersist(); spans.unpersist()
+  }
+
   test("streaming dedup: first row per fingerprint survives across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
