@@ -429,6 +429,82 @@ object PipelineQueries {
       .toDF("rank", "left", "right", "merged")
   }
 
+  // ---------------------------------------------------- language-model filter
+
+  /** CCNet-style LM quality filter, lookup layer: train the 1/2/3-gram
+    * count tables on a reference slice (doc_id % 5 == 0) and audit every
+    * document's stupid-backoff resolution — per doc, how many trigram
+    * positions matched at each order plus the exact count mass matched
+    * there. Integers end-to-end, so the DuckDB oracle pins the whole
+    * distributed train + triple-left-join score chain bit-for-bit; the
+    * float score in q76 builds on exactly these lookups. */
+  def q75LmBackoff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model =
+      LanguageModel.train(docs.filter(col("doc_id") % 5 === 0), "text")
+    LanguageModel.backoffStats(docs, "doc_id", "text", model).orderBy("doc_id")
+  }
+
+  /** Stupid-backoff average log-probability per document — the actual
+    * gate score (CCNet thresholds the perplexity analogue). ln() is
+    * transcendental so there is no cross-engine SQL oracle (rows-only
+    * driver check, like q74); exactness is spec-pinned instead against
+    * a sequential in-JVM scorer (LanguageModelSpec), and q75 already
+    * hash-pins the lookup layer the score folds over. */
+  def q76LmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model =
+      LanguageModel.train(docs.filter(col("doc_id") % 5 === 0), "text")
+    LanguageModel.avgLogProb(docs, "doc_id", "text", model)
+      .select(col("doc_id"), col("n_pos"),
+        round(col("avg_logprob"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** Hashed bag-of-{uni,bi}gram featurizer audit — the integer face of
+    * the quality classifier (q78): per doc, how many of the 4096
+    * hash buckets it touches, total gram mass, and a bucket-weighted
+    * checksum. Pins tokenize → n-gram → md5-fold-hash → bucket → count
+    * bit-for-bit against DuckDB. */
+  def q77LrFeatures(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val per = QualityClassifier.features(docs, "doc_id", "text", numBuckets = 4096)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("v")).cast("bigint").as("n_grams"),
+        sum(col("b") * col("v")).cast("bigint").as("checksum"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_buckets"), lit(0L)).as("n_buckets"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("checksum"), lit(0L)).as("checksum"))
+      .orderBy("doc_id")
+  }
+
+  /** fastText-style quality classifier, trained and scored in-plan:
+    * logistic regression over q77's hashed features, full-batch GD
+    * (8 iters, lr 1.0), labels distilled from the q16 quality-score
+    * gate. Iterative float training is not SQL-expressible → rows-only
+    * driver check (like q74/q76); the trainer is spec-pinned against a
+    * sequential in-JVM reference (QualityClassifierSpec) and its
+    * integer featurizer layer is q77's hash-checked oracle. */
+  def q78LrQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val labels = docs.select(col("doc_id"),
+      (TextFunctions.qualityScore(col("text")) >= 0.5).cast("int").as("label"))
+    // scanned 2× per GD iteration — persist; Verify/Bench per-query
+    // hygiene (clearCache + persistent-RDD sweep) owns the release
+    val feats = QualityClassifier.features(docs, "doc_id", "text", 4096)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = QualityClassifier.train(feats, labels, "doc_id", iters = 8, lr = 1.0)
+    QualityClassifier.score(feats, w, docs, "doc_id")
+      .join(labels, Seq("doc_id"))
+      .select(col("doc_id"), col("label"),
+        round(col("prob"), 6).as("prob"),
+        (col("prob") >= 0.5).cast("int").as("pred"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- sampling
 
   /** Deterministic train/val/test split (80/10/10 on md5(doc_id)):
@@ -1535,6 +1611,70 @@ object PipelineQueries {
         |  CAST(sum(c) AS BIGINT) AS n_occurrences,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM per GROUP BY 1 ORDER BY phrase""".stripMargin,
+    // tokenization is Chunking.tokens (raw split on ' ', empties
+    // dropped — NOT the lowercased words() the dedup oracles use)
+    "q75_lm_backoff" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+        |  FROM documents),
+        |train AS (SELECT w FROM toks WHERE doc_id % 5 = 0 AND len(w) > 0),
+        |uni AS (SELECT g AS gram, count(*) AS c1
+        |        FROM (SELECT unnest(w) AS g FROM train) GROUP BY 1),
+        |bi AS (SELECT array_to_string(list_slice(w, i, i + 1), ' ') AS gram, count(*) AS c2
+        |       FROM (SELECT w, unnest(range(1, len(w))) AS i FROM train WHERE len(w) >= 2)
+        |       GROUP BY 1),
+        |tri AS (SELECT array_to_string(list_slice(w, i, i + 2), ' ') AS gram, count(*) AS c3
+        |        FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i FROM train WHERE len(w) >= 3)
+        |        GROUP BY 1),
+        |pos AS (SELECT doc_id,
+        |          array_to_string(list_slice(w, i, i + 2), ' ') AS tg,
+        |          array_to_string(list_slice(w, i + 1, i + 2), ' ') AS bg,
+        |          w[i + 2] AS ug
+        |        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |              FROM toks WHERE len(w) >= 3)),
+        |j AS (SELECT p.doc_id,
+        |        CASE WHEN t3.c3 IS NOT NULL THEN 3
+        |             WHEN b2.c2 IS NOT NULL THEN 2
+        |             WHEN u1.c1 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+        |        t3.c3, b2.c2, u1.c1
+        |      FROM pos p
+        |      LEFT JOIN tri t3 ON p.tg = t3.gram
+        |      LEFT JOIN bi b2 ON p.bg = b2.gram
+        |      LEFT JOIN uni u1 ON p.ug = u1.gram),
+        |per AS (SELECT doc_id, count(*) AS n_pos,
+        |          CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+        |          CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+        |          CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+        |          CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |          CAST(sum(CASE WHEN lvl = 3 THEN c3 ELSE 0 END) AS BIGINT) AS sum_c3,
+        |          CAST(sum(CASE WHEN lvl = 2 THEN c2 ELSE 0 END) AS BIGINT) AS sum_c2,
+        |          CAST(sum(CASE WHEN lvl = 1 THEN c1 ELSE 0 END) AS BIGINT) AS sum_c1
+        |        FROM j GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  coalesce(n_pos, 0) AS n_pos,
+        |  coalesce(n_tri, 0) AS n_tri, coalesce(n_bi, 0) AS n_bi,
+        |  coalesce(n_uni, 0) AS n_uni, coalesce(n_oov, 0) AS n_oov,
+        |  coalesce(sum_c3, 0) AS sum_c3, coalesce(sum_c2, 0) AS sum_c2,
+        |  coalesce(sum_c1, 0) AS sum_c1
+        |FROM toks t LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // featurizer face of the quality classifier: lowercased words()
+    // tokenization, uni+bigrams, md5('qc:'||g) fold mod 4096
+    "q77_lr_features" ->
+      s"""WITH w AS (SELECT doc_id, list_filter($WordsSql, t -> len(t) > 0) AS w FROM documents),
+         |uni AS (SELECT doc_id, unnest(w) AS g FROM w),
+         |bi AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS g
+         |       FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM w WHERE len(w) >= 2)),
+         |g AS (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi),
+         |hb AS (SELECT doc_id, ($HvSql) % 4096 AS b
+         |       FROM (SELECT doc_id, md5('qc:' || g) AS h FROM g)),
+         |fb AS (SELECT doc_id, b, count(*) AS v FROM hb GROUP BY 1, 2),
+         |per AS (SELECT doc_id, count(*) AS n_buckets, CAST(sum(v) AS BIGINT) AS n_grams,
+         |        CAST(sum(b * v) AS BIGINT) AS checksum FROM fb GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_buckets, 0) AS n_buckets,
+         |  coalesce(n_grams, 0) AS n_grams, coalesce(checksum, 0) AS checksum
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
   )
 
   /** q46 carries q42's oracle verbatim: the Bloom prefilter only drops
@@ -1590,5 +1730,9 @@ object PipelineQueries {
     "q72_novelty" -> (q72Novelty _),
     "q73_tfidf" -> (q73TfIdf _),
     "q74_bpe" -> (q74Bpe _),
+    "q75_lm_backoff" -> (q75LmBackoff _),
+    "q76_lm_score" -> (q76LmScore _),
+    "q77_lr_features" -> (q77LrFeatures _),
+    "q78_lr_quality" -> (q78LrQuality _),
   )
 }

@@ -500,4 +500,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       "cluster-local pairs must not plan a cartesian:\n" + plan.take(2000))
   }
+
+  test("q75: LM count lookups are equi-joins on the gram key — never " +
+      "nested-loop (the count tables are aggregates, magnitudes smaller " +
+      "than the exploded token stream)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val model = graft.operators.LanguageModel.train(
+      docs.filter(col("doc_id") % 5 === 0), "text")
+    val plan = planString(
+      graft.operators.LanguageModel.backoffStats(docs, "doc_id", "text", model))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "count lookups must stay equi-keyed:\n" + plan.take(2000))
+  }
+
+  test("q78: the classifier margin pass broadcasts the bounded weight " +
+      "table — the feature stream never shuffles for the join") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val feats = graft.operators.QualityClassifier
+      .features(docs, "doc_id", "text", 4096)
+    val w = Seq((1, 0.5)).toDF("b", "w")
+    val plan = planString(
+      graft.operators.QualityClassifier.score(feats, w, docs, "doc_id"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "weight join must broadcast:\n" + plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
