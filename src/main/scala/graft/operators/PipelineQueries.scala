@@ -505,6 +505,31 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** BM25 ranked retrieval: 3 mined probe queries (top-9 non-stopword
+    * terms by df, 3 terms each) → top-10 docs per query through the
+    * bounded TopK aggregator. Runs the `linearIdf` variant so every
+    * per-term contribution is exact rational arithmetic and the
+    * cross-term sum DECIMAL-routes — the whole ranker hash-checks
+    * against DuckDB; the production log-idf form shares the plan and
+    * is spec-pinned (Bm25Spec). */
+  def q79Bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val probes = Bm25.minedQueries(docs, "doc_id", "text",
+      nQueries = 3, termsPerQuery = 3)
+    Bm25.search(docs, "doc_id", "text", probes, k = 10, linearIdf = true)
+      .orderBy("q_id", "rk")
+  }
+
+  /** Hard-negative mining for contrastive training: per query vector,
+    * the top-5 most-similar corpus vectors with cosine < 0.5 — near
+    * enough to teach, far enough to not be positives. Carries q22's
+    * exact-cosine oracle with the threshold folded in. */
+  def q80HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5,
+      posThreshold = 0.5).orderBy("q_id", "rk")
+  }
+
   // ---------------------------------------------------------------- sampling
 
   /** Deterministic train/val/test split (80/10/10 on md5(doc_id)):
@@ -1675,6 +1700,53 @@ object PipelineQueries {
          |  coalesce(n_grams, 0) AS n_grams, coalesce(checksum, 0) AS checksum
          |FROM documents d LEFT JOIN per USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // linear-idf BM25 (exact rationals; contributions DECIMAL-summed);
+    // // = integer floor division (plain / CASTs round in DuckDB)
+    "q79_bm25" ->
+      s"""WITH w AS (SELECT doc_id, list_filter($WordsSql, t -> len(t) > 0) AS w FROM documents),
+         |tok AS (SELECT doc_id, unnest(w) AS term FROM w),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |                 CAST(sum(len(w)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM w),
+         |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM w),
+         |mined AS (SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn
+         |          FROM (SELECT term, df FROM dfx WHERE term NOT IN ($EnSet)
+         |                ORDER BY df DESC, term LIMIT 9)),
+         |q AS (SELECT (rn - 1) // 3 + 1 AS q_id, term FROM mined),
+         |contrib AS (
+         |  SELECT q.q_id, tf.doc_id,
+         |    (((stats.n_docs - d.df + 0.5) / (d.df + 0.5)) * (CAST(tf.tf AS DOUBLE) * 2.2))
+         |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS c
+         |  FROM tf JOIN q ON tf.term = q.term
+         |  JOIN dfx d ON d.term = tf.term
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN stats),
+         |scored AS (SELECT q_id, doc_id,
+         |             round(CAST(sum(CAST(c AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+         |           FROM contrib GROUP BY 1, 2),
+         |r AS (SELECT q_id, doc_id, score,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rk
+         |      FROM scored)
+         |SELECT q_id, rk, doc_id, score FROM r WHERE rk <= 10 ORDER BY 1, 2""".stripMargin,
+    // q22's exact-cosine oracle with the positive-cut folded in
+    "q80_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+        |s AS (
+        |  SELECT q_id, c_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(q_vec) + 1),
+        |        i -> CAST(q_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(q_vec) + 1),
+        |           i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(c_vec) + 1),
+        |           i -> CAST(c_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE))))), 6) AS score
+        |  FROM q, c WHERE q_id <> c_id),
+        |r AS (SELECT q_id, c_id, score,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rk
+        |      FROM s WHERE score < 0.5)
+        |SELECT q_id, rk, c_id, score FROM r WHERE rk <= 5 ORDER BY 1, 2""".stripMargin,
   )
 
   /** q46 carries q42's oracle verbatim: the Bloom prefilter only drops
@@ -1734,5 +1806,7 @@ object PipelineQueries {
     "q76_lm_score" -> (q76LmScore _),
     "q77_lr_features" -> (q77LrFeatures _),
     "q78_lr_quality" -> (q78LrQuality _),
+    "q79_bm25" -> (q79Bm25 _),
+    "q80_hard_negatives" -> (q80HardNegatives _),
   )
 }

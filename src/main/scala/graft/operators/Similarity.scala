@@ -68,6 +68,27 @@ object Similarity {
     TopK.perKey(scored, "q_id", "c_id", "score", k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: per
+    * query, the top-k most similar corpus vectors BELOW `posThreshold`
+    * — near enough to be informative negatives, far enough to not be
+    * positives/near-dups (the SimCSE/DPR mining recipe). Same bounded
+    * shape as [[bruteForceTopKAgg]]: queries broadcast, corpus never
+    * shuffles, O(queries·k) rank exchange; the threshold compares the
+    * 6-dp-rounded score, so the cut is engine-portable. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      posThreshold: Double, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+      normNative(col("embedding")).as("c_norm"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+      normNative(col("embedding")).as("q_norm"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        pairScore(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"), dim).as("score"))
+      .filter(col("score") < posThreshold)
+    TopK.perKey(scored, "q_id", "c_id", "score", k)
+  }
+
   /** LSH-bucketed approximate top-k with multi-probe: each query probes
     * its own bucket plus all hamming-1 neighbors (nPlanes+1 probes) —
     * recovers neighbors that fell just across one hyperplane while

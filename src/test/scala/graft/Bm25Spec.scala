@@ -1,0 +1,128 @@
+package graft
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bm25
+
+/** Pins the distributed BM25 ranker to a sequential in-JVM reference
+  * (both idf variants), including the DECIMAL(28,12) routing of the
+  * cross-term sum — the linear variant additionally carries q79's
+  * DuckDB oracle. */
+class Bm25Spec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("bm25-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val corpus = Seq(
+    (1L, "spark shuffles data between stages for joins"),
+    (2L, "spark spark spark tuning shuffle partitions"),
+    (3L, "iceberg tables store snapshots and manifests"),
+    (4L, "snowflake loads iceberg tables from manifests"),
+    (5L, "a short doc"),
+    (6L, "data pipelines join spark and iceberg tables for analytics"))
+
+  private val probes = Seq((1, "spark"), (1, "shuffle"), (2, "iceberg"), (2, "tables"))
+
+  private def docsDf: DataFrame = {
+    import spark.implicits._
+    corpus.toDF("doc_id", "text")
+  }
+  private def probesDf: DataFrame = {
+    import spark.implicits._
+    probes.toDF("q_id", "term")
+  }
+
+  // ---- sequential reference -------------------------------------------
+
+  private def toks(s: String): Seq[String] =
+    s.trim.toLowerCase.split(" +").toSeq.filter(_.nonEmpty)
+
+  /** Same arithmetic as the operator: per-term double contribution,
+    * then the Spark-cast DECIMAL(28,12) sum (BigDecimal.valueOf =
+    * shortest-string semantics, HALF_UP — what Cast(double→decimal)
+    * does), rounded like round(col, 6). */
+  private def refScores(k1: Double, b: Double, linearIdf: Boolean)
+      : Map[(Int, Long), Double] = {
+    val docToks = corpus.map { case (id, t) => id -> toks(t) }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = docToks.values.map(_.size).sum.toDouble / n
+    val tf = docToks.map { case (id, ws) =>
+      id -> ws.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    }
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (w, o) => w -> o.size.toDouble }
+    (for {
+      (qid, qterms) <- probes.groupBy(_._1).toSeq
+      (docId, docTf) <- tf
+      contribs = qterms.map(_._2).filter(docTf.contains).map { term =>
+        val idfRaw = (n - df(term) + 0.5) / (df(term) + 0.5)
+        val idf = if (linearIdf) idfRaw else math.log(idfRaw + 1.0)
+        val t = docTf(term).toDouble
+        idf * (t * (k1 + 1.0)) /
+          (t + k1 * ((1.0 - b) + b * docToks(docId).size.toDouble / avgdl))
+      }
+      if contribs.nonEmpty
+    } yield {
+      val sum = contribs
+        .map(c => JBigDecimal.valueOf(c).setScale(12, RoundingMode.HALF_UP))
+        .reduce(_ add _)
+      (qid, docId) ->
+        JBigDecimal.valueOf(sum.doubleValue).setScale(6, RoundingMode.HALF_UP)
+          .doubleValue
+    }).toMap
+  }
+
+  private def runSearch(linearIdf: Boolean): Map[(Int, Long), Double] =
+    Bm25.search(docsDf, "doc_id", "text", probesDf, k = 10,
+        linearIdf = linearIdf)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(2)) -> r.getDouble(3)).toMap
+
+  test("linear-idf scores are bit-identical to the sequential reference") {
+    val got = runSearch(linearIdf = true)
+    val want = refScores(1.2, 0.75, linearIdf = true)
+    assert(got.keySet === want.keySet)
+    for ((k, v) <- want)
+      assert(java.lang.Double.compare(got(k), v) === 0,
+        s"$k: got ${got(k)} want $v")
+  }
+
+  test("log-idf scores are bit-identical to the sequential reference") {
+    val got = runSearch(linearIdf = false)
+    val want = refScores(1.2, 0.75, linearIdf = false)
+    assert(got.keySet === want.keySet)
+    for ((k, v) <- want)
+      assert(java.lang.Double.compare(got(k), v) === 0,
+        s"$k: got ${got(k)} want $v")
+  }
+
+  test("ranking: repeated-term doc wins its query; rarity beats ubiquity") {
+    val got = Bm25.search(docsDf, "doc_id", "text", probesDf, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // query 1 (spark+shuffle): doc 2 has spark×3 + shuffle — must lead
+    assert(got((1L, 1)) === 2L)
+    // query 2 (iceberg+tables): docs 3/4 carry both terms; 5 has neither
+    val q2 = got.collect { case ((2L, _), d) => d }.toSet
+    assert(Set(3L, 4L).subsetOf(q2) && !q2.contains(5L))
+  }
+
+  test("minedQueries: deterministic grouping of top-df terms") {
+    val q = Bm25.minedQueries(docsDf, "doc_id", "text",
+        nQueries = 2, termsPerQuery = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(q.length === 4)
+    assert(q.map(_._1).toSet === Set(1, 2))
+    // df order on this corpus: iceberg/spark/tables at df=3 (ties break
+    // by term), then data at df=2 ahead of manifests
+    val byQ = q.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byQ(1) === Set("iceberg", "spark"))
+    assert(byQ(2) === Set("tables", "data"))
+  }
+}

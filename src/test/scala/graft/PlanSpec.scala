@@ -528,4 +528,33 @@ class PlanSpec extends AnyFunSuite {
       "weight join must broadcast:\n" + plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("q79: BM25 probe joins broadcast the query/df side — the postings " +
+      "table never shuffles for the probe; no cartesian anywhere") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val probes = Seq((1, "the"), (1, "a"), (2, "of")).toDF("q_id", "term")
+    val plan = planString(
+      graft.operators.Bm25.search(docs, "doc_id", "text", probes, k = 10))
+    // queries + probe-restricted df both broadcast onto the tf table
+    val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBhj >= 2, s"expected >=2 broadcast hash joins, got $nBhj:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the only nested-loop is the one-row corpus-stats broadcast
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 1, s"only the one-row stats cross join may nest-loop ($bnlj):\n" + plan.take(3000))
+  }
+
+  test("q80: hard-negative mining broadcasts the query vectors — the " +
+      "corpus side never shuffles (same contract as q22/q50)") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val plan = planString(graft.operators.Similarity.hardNegatives(
+      emb, emb.filter(col("vec_id") < 10), k = 5, posThreshold = 0.5))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the sole hash exchange is the bounded O(queries·k) TopK aggregation
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx <= 1,
+      s"corpus must not shuffle — only the TopK exchange allowed ($nEx):\n" + plan.take(3000))
+  }
 }
