@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{IcebergBucket, RepetitionStats, ShingleHashes, SimHash64, VectorDot}
+import graft.functions.{GramBuckets, IcebergBucket, RepetitionStats, ShingleHashes, SimHash64, VectorDot}
 
 /** Session extensions registering the engine's native expressions for
   * SQL use (`spark.sql.extensions=graft.api.GraftExtensions` or
@@ -74,9 +74,21 @@ object GraftExtensions {
         children(1).eval().asInstanceOf[Number].intValue())
     })
 
+  val gramBucketsDescriptor: Descriptor = (
+    FunctionIdentifier("gram_buckets"),
+    new ExpressionInfo(classOf[GramBuckets].getName, "gram_buckets"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3, "gram_buckets takes exactly 3 arguments")
+      require(children(1).foldable && children(2).foldable,
+        "gram_buckets numBuckets and salt must be literals")
+      GramBuckets(children.head,
+        children(1).eval().asInstanceOf[Number].intValue(),
+        children(2).eval().toString)
+    })
+
   val descriptors: Seq[Descriptor] =
     Seq(vectorDotDescriptor, simHashDescriptor, shingleHashesDescriptor,
-      repetitionStatsDescriptor, icebergBucketDescriptor)
+      repetitionStatsDescriptor, icebergBucketDescriptor, gramBucketsDescriptor)
 
   /** Register on an already-built session (tests, REPL): the SQL
     * functions plus the HOF-dot optimizer rewrite (via

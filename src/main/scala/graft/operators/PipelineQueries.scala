@@ -490,11 +490,21 @@ object PipelineQueries {
     * integer featurizer layer is q77's hash-checked oracle. */
   def q78LrQuality(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // one row per doc but derived from a full-text qualityScore scan —
+    // persist so the 8 GD iterations don't re-run the heuristics;
+    // Verify/Bench per-query hygiene (clearCache + persistent-RDD
+    // sweep) owns the release of both persists here
     val labels = docs.select(col("doc_id"),
       (TextFunctions.qualityScore(col("text")) >= 0.5).cast("int").as("label"))
-    // scanned 2× per GD iteration — persist; Verify/Bench per-query
-    // hygiene (clearCache + persistent-RDD sweep) owns the release
+      .repartition(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // scanned 2× per GD iteration; pre-partitioned on doc_id so the
+    // cached partitioning satisfies BOTH per-iteration consumers (the
+    // margin groupBy(doc_id) and the gradient join) — per-iteration
+    // shuffle mass drops to the one-row-per-doc residual table, never
+    // the feature table (13.2 s → see BASELINE.md post-fix numbers)
     val feats = QualityClassifier.features(docs, "doc_id", "text", 4096)
+      .repartition(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = QualityClassifier.train(feats, labels, "doc_id", iters = 8, lr = 1.0)
     QualityClassifier.score(feats, w, docs, "doc_id")

@@ -38,7 +38,10 @@ import graft.functions.TextFunctions
 object QualityClassifier {
 
   /** Word uni+bigrams of the lowercased token stream — the fastText
-    * default feature set (wordNgrams=2). */
+    * default feature set (wordNgrams=2). The HOF formulation; kept as
+    * the independent reference [[featuresHof]] runs (the production
+    * path is the native [[graft.functions.GramBuckets]], spec-pinned
+    * equal). */
   private def gramsCol(text: Column): Column = {
     val w = filter(TextFunctions.words(text), t => length(t) > 0)
     // guard: sequence(1, 0) DESCENDS in Spark — size<2 must yield []
@@ -52,8 +55,20 @@ object QualityClassifier {
   /** Hashed feature counts: one row per (doc, bucket), `v` = how many
     * of the doc's grams landed in the bucket. Integer-valued, so the
     * whole featurizer is DuckDB-checkable; `bucket` is the md5 fold of
-    * [[Sampling.hashValue]] (salt "qc:") mod `numBuckets`. */
+    * [[Sampling.hashValue]] (salt "qc:") mod `numBuckets`, computed by
+    * the native [[graft.functions.GramBuckets]] expression — the
+    * interpreted-HOF gram pipeline cost 4.4 s of q78's 6.3 s
+    * featurization at sf0.1 (see BASELINE.md), and exploding int
+    * buckets instead of gram strings shrinks the explode payload. */
   def features(docs: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int): DataFrame =
+    docs.select(col(idCol),
+        explode(graft.functions.GramBuckets(col(textCol), numBuckets, "qc:")).as("b"))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("v"))
+
+  /** The pre-native HOF formulation of [[features]] — retained as the
+    * in-plan independent reference the parity spec compares against. */
+  def featuresHof(docs: DataFrame, idCol: String, textCol: String,
       numBuckets: Int): DataFrame =
     docs.select(col(idCol), explode(gramsCol(col(textCol))).as("g"))
       .select(col(idCol),

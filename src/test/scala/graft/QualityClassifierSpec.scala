@@ -113,6 +113,36 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L)) // no phantom bigrams from sequence(1,0)
   }
 
+  test("native GramBuckets featurizer equals the HOF+hashValue formulation " +
+      "on unicode, control chars and degenerate whitespace") {
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "  Multiple   spaces  and  CASE  Mixed  "),
+      (2L, "tab\tinside and new\nline stay in-token"),
+      (3L, "École ÉLÈVE STRASSE groß İstanbul ßharp"),
+      (4L, "汉字 tokens 日本語 mixed with ascii"),
+      (5L, "emoji 🎉 and zero​width stay verbatim"),
+      (6L, "solo"),
+      (7L, "   "),
+      (8L, ""),
+      (9L, "a b a b a repeated gram mass counts"))
+      .toDF("doc_id", "text")
+    def toMapOf(df: DataFrame): Map[(Long, Int), Long] = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val native = toMapOf(QualityClassifier.features(nasty, "doc_id", "text", Buckets))
+    val hof = toMapOf(QualityClassifier.featuresHof(nasty, "doc_id", "text", Buckets))
+    assert(native === hof)
+    // and via the SQL registration
+    graft.api.GraftExtensions.register(spark)
+    nasty.createOrReplaceTempView("gb_docs")
+    val viaSql = toMapOf(spark.sql(
+      s"""SELECT doc_id, b, count(*) AS v
+         |FROM (SELECT doc_id, explode(gram_buckets(text, $Buckets, 'qc:')) AS b
+         |      FROM gb_docs)
+         |GROUP BY doc_id, b""".stripMargin))
+    assert(viaSql === native)
+  }
+
   test("train+score equals the sequential reference within 1e-9") {
     val feats = QualityClassifier.features(docsDf, "doc_id", "text", Buckets)
     val w = QualityClassifier.train(feats, labelsDf, "doc_id",
