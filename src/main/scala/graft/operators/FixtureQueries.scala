@@ -23,12 +23,28 @@ object FixtureQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects; read nanos as long and convert to a
-    * microsecond timestamp (events fixture is all post-epoch). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Canonical events reader: normalizes `ts` to a UTC TIMESTAMP
+    * regardless of how the fixture stored it. Driver generations have
+    * varied — TIMESTAMP(NANOS) (reads back as nanos LongType under the
+    * legacy conf, or TIMESTAMP_NTZ without it) and TIMESTAMP(MICROS)
+    * (reads back as TIMESTAMP_NTZ under `inferTimestampNTZ`, default
+    * on) — so dispatch on the type that actually arrived instead of
+    * assuming one. Session tz is pinned to UTC here because the
+    * NTZ→LTZ cast interprets the wall-clock in session tz; pinning it
+    * makes epoch values deterministic and equal to DuckDB's naive
+    * `epoch_us(ts)`, which is what every oracle assumes. All
+    * events-reading code (queries AND specs) must come through here —
+    * never read events.parquet with a hand-rolled ts conversion. */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long era
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType => // micros era
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already a plain TIMESTAMP
+    }
   }
 
   // ---------------------------------------------------------------- A1

@@ -21,10 +21,8 @@ object Q12Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.operators.FixtureQueries.events(spark, sfDir)
     time("events count")(println(ev.count()))
     time("scan only")(ev.write.format("noop").mode("overwrite").save())
     time("day only") {

@@ -57,9 +57,12 @@ class JoinOpsSpec extends AnyFunSuite {
   }
 
   test("as-of join: matches a nested-loop range-join reference on events") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("us", col("ts").cast("long"))
+    // events MUST come through the shared helper — it owns the ts
+    // normalization for whatever schema the fixture generation used.
+    // Reading the parquet directly here has broken twice across
+    // fixture regenerations (nanos-long era, then TIMESTAMP_NTZ era).
+    val e = graft.operators.FixtureQueries.events(spark, "/root/testdata/sf0.001")
+      .withColumn("us", unix_micros(col("ts")))
     val l = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("us"), col("event_id"))
     val r = e.filter(col("event_type") === "view")
@@ -154,15 +157,15 @@ class JoinOpsSpec extends AnyFunSuite {
   }
 
   test("range join: bucketed equals naive inequality join on events") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("us", col("ts").cast("long"))
+    // shared helper, not a direct read — see the as-of test above
+    val e = graft.operators.FixtureQueries.events(spark, "/root/testdata/sf0.001")
+      .withColumn("us", unix_micros(col("ts")))
     val v = e.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id"), col("us"))
     val w = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("us").as("ws"), (col("us") + 3600000000000L).as("we"))
+      .select(col("user_id"), col("us").as("ws"), (col("us") + 3600000000L).as("we"))
     val bucketed = RangeJoin.pointsInIntervals(v, w, Seq("user_id"), "us", "ws", "we",
-        bucketWidth = 3600000000000L)
+        bucketWidth = 3600000000L)
       .select("user_id", "event_id", "ws").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val naive = v.join(w, v("user_id") === w("user_id") &&

@@ -64,9 +64,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("as-of join: one shuffle, no join operator in the plan") {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("us", col("ts").cast("long"))
+    // shared helper owns the ts normalization (fixture schema varies
+    // across driver generations) — never read events.parquet directly
+    val e = FixtureQueries.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
     val l = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("us"), col("event_id"))
     val r = e.filter(col("event_type") === "view")
@@ -84,15 +85,15 @@ class PlanSpec extends AnyFunSuite {
 
   test("range join plans as an equi-join on (key, bucket), not a nested loop") {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("us", col("ts").cast("long"))
+    // shared helper, not a direct read — see the as-of plan test
+    val e = FixtureQueries.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
     val v = e.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id"), col("us"))
     val w = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("us").as("ws"), (col("us") + 3600000000000L).as("we"))
+      .select(col("user_id"), col("us").as("ws"), (col("us") + 3600000000L).as("we"))
     val plan = planString(graft.operators.RangeJoin.pointsInIntervals(
-      v, w, Seq("user_id"), "us", "ws", "we", 3600000000000L))
+      v, w, Seq("user_id"), "us", "ws", "we", 3600000000L))
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       "range join must not plan a nested loop:\n" + plan.take(2000))
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
