@@ -67,7 +67,14 @@ object Bench {
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)},"queries_min":${jsonMap(mins)},"sf":"$sfDir","reps":$reps}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)},"queries_min":${jsonMap(mins)},"sf":"$sfDir","reps":$reps}"""
+    println(json)
+    // The driver captures only the TAIL of stdout; with 80+ queries the
+    // single line can truncate mid-map and lose the total. Persist the
+    // full JSON to a file so the grading artifact is always complete.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json + "\n")
     spark.stop()
   }
 }

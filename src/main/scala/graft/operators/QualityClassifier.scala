@@ -26,8 +26,9 @@ import graft.functions.TextFunctions
   *     partial-agg shuffle). The driver never materializes weights —
   *     no `collect`, the model stays a DataFrame end-to-end;
   *   - iteration lineage is truncated with `localCheckpoint` on the
-  *     (tiny) weight table each round, the same discipline as
-  *     [[Dedup.duplicateClusters]].
+  *     (tiny) weight table every `ckptEvery` rounds (lazy persist in
+  *     between — one eager job per cadence, not per iteration), the
+  *     same discipline as [[Dedup.duplicateClusters]].
   *
   * Floats: margins/gradients are cross-partition double sums, so
   * training is NOT bit-deterministic across partitionings — the
@@ -85,13 +86,17 @@ object QualityClassifier {
     * iteration 1's margins are exactly 0 (the empty-weight left join
     * coalesces to 0 rather than materializing a zero table). */
   def train(feats: DataFrame, labels: DataFrame, idCol: String,
-      iters: Int, lr: Double): DataFrame = {
+      iters: Int, lr: Double, ckptEvery: Int = 2): DataFrame = {
     val spark = feats.sparkSession
     val n = labels.count().toDouble // one scalar; fixed across iters
     // corpus-sized tables are scanned once per iter — persist them;
     // caller-visible lifetime, released in the caller (query/spec)
     var weights: DataFrame = null // null = all-zero weights
-    for (_ <- 1 to iters) {
+    // Intermediate (non-checkpointed) weight tables: lazily persisted so
+    // the checkpoint job reuses rather than recomputes them, unpersisted
+    // once the next checkpoint has truncated lineage past them.
+    var pending: List[DataFrame] = Nil
+    for (i <- 1 to iters) {
       val joined =
         if (weights == null) feats.withColumn("w", lit(0.0))
         else feats.join(broadcast(weights), Seq("b"), "left")
@@ -112,7 +117,28 @@ object QualityClassifier {
           .select(col("b"),
             (coalesce(col("w"), lit(0.0)) -
               lit(lr) * coalesce(col("g"), lit(0.0))).as("w"))
-      weights = next.localCheckpoint(true) // truncate iterative lineage
+      // One eager job per CADENCE, not per iteration: an eager
+      // localCheckpoint each round cost 8 scheduler round-trips for 8
+      // GD iterations (the dominant q78 overhead in the driver bench
+      // window — see BASELINE.md r6). Between checkpoints the weight
+      // table is persisted LAZILY: no job runs until the next
+      // checkpoint, whose job materializes the intermediates via cache
+      // substitution. The cadence must stay SHORT: an A/B at sf0.1
+      // measured ckptEvery=1/2/4 at par (6–9 s min) but ckptEvery=8 at
+      // 49–140 s — past a few rounds the un-truncated window re-derives
+      // exponentially instead of reusing, so 2 is the default and 4 the
+      // experimentally-safe ceiling.
+      weights =
+        if (i % ckptEvery == 0 || i == iters) {
+          val w = next.localCheckpoint(true)
+          pending.foreach(_.unpersist(false))
+          pending = Nil
+          w
+        } else {
+          val w = next.persist()
+          pending = w :: pending
+          w
+        }
     }
     if (weights == null) spark.emptyDataFrame.select(lit(0).as("b"), lit(0.0).as("w"))
     else weights

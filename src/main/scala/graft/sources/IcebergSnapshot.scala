@@ -33,8 +33,10 @@ import graft.model.TableDef
   * 100-143), sequence-number inheritance (entry-level numbers null on
   * ADDED rows, inherited from the manifest list), Avro file-key
   * metadata (`schema`, `partition-spec`, `format-version`, `content`).
-  * Optional per-file stats columns (value counts, bounds) are omitted —
-  * spec-legal, readers treat them as absent.
+  * Per-file stats columns (record/value/null counts and single-value
+  * lower/upper bound serializations) are written from the parquet
+  * footers — see the stats assembly below — and decoded back in
+  * MappingSpec's independent Avro read-back.
   *
   * The writer is deliberately runtime-jar-free (offline sandbox): plain
   * Avro + Parquet footers, both on Spark's own classpath.
