@@ -978,4 +978,101 @@ class MappingSpec extends AnyFunSuite {
     assert(IcebergDeletes.compactWithDeletes(spark, table, out)
       .snapshotId === compacted.snapshotId)
   }
+
+  test("expireSnapshots over a delete/upsert history: delete files consumed " +
+      "by a retained compaction are GC'd, live delete files survive") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import graft.sources.{IcebergDeletes, IcebergSnapshot}
+    def asLocal(p: String): java.nio.file.Path =
+      if (p.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(p))
+      else java.nio.file.Paths.get(p)
+    def avroRows(p: String): Seq[GenericRecord] = {
+      val r = new DataFileReader(asLocal(p).toFile,
+        new GenericDatumReader[GenericRecord]())
+      try Iterator.continually(r).takeWhile(_.hasNext).map(_.next()).toVector
+      finally r.close()
+    }
+    def metaAt(out: String, v: Int): JValue =
+      JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, "metadata", s"v$v.metadata.json")), "UTF-8"))
+    // all delete files (content=1 manifests, non-DELETED entries) a
+    // snapshot's manifest list still carries as live
+    def liveDeleteFiles(manifestList: String): Set[String] =
+      avroRows(manifestList).filter(_.get("content") == 1)
+        .flatMap(m => avroRows(m.get("manifest_path").toString)
+          .filter(_.get("status") != 2)
+          .map(_.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString)).toSet
+    val ddl =
+      """CREATE TABLE S.EXPDEL (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(20),
+        |  N INTEGER
+        |) PARTITION BY RANGE (V);""".stripMargin
+    val table = Db2Parser.parse(ddl).tables.head
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("iceberg_expdel").toString
+    // snapshot 1 (append): K 1..100
+    SchemaTranslator.migrateTable(
+      (1L to 100L).map(k => (k, s"p${k % 2}", (k * 10).toInt)).toDF("K", "V", "N"),
+      table, out)
+    val origFiles = IcebergSnapshot.readSnapshot(spark, out, table).inputFiles.toSet
+    // snapshot 2 (delete): position-delete 10 rows → delete file D1
+    val del = IcebergDeletes.commitPositionDeletes(spark, table, out,
+      col("N") <= 200 && col("V") === "p1")
+    val d1 = liveDeleteFiles((metaAt(out, 3) \ "snapshots")
+      .asInstanceOf[JArray].arr.last
+      .\("manifest-list").asInstanceOf[JString].s)
+    assert(d1.size === 1, "expected exactly the position-delete file live")
+    // snapshot 3 (replace): compaction CONSUMES D1 — after this, D1 is
+    // live only through expired-history reads
+    val compacted = IcebergDeletes.compactWithDeletes(spark, table, out)
+    // snapshot 4 (overwrite): upsert → equality-delete file D2, live in
+    // the retained current snapshot
+    SchemaTranslator.mergeUpsert(
+      Seq((2L, "p0", 999), (101L, "p1", 1010)).toDF("K", "V", "N"),
+      table, out, keyCols = Seq("K"))
+    val d2 = liveDeleteFiles((metaAt(out, 5) \ "snapshots")
+      .asInstanceOf[JArray].arr.last
+      .\("manifest-list").asInstanceOf[JString].s)
+    assert(d2.size === 1, "expected exactly the equality-delete file live")
+    val firstSnapId = (metaAt(out, 2) \ "snapshots").asInstanceOf[JArray].arr.head
+      .\("snapshot-id").asInstanceOf[JInt].num.toLong
+
+    // retain (compaction, upsert); expire (append, delete)
+    val (cur, deleted) = IcebergSnapshot.expireSnapshots(table, out, 2)
+    assert(cur.operation === "overwrite")
+    assert(deleted.nonEmpty)
+    // D1 was consumed by the retained compaction → GC'd with its history
+    for (f <- d1) assert(!java.nio.file.Files.exists(asLocal(f)), s"D1 kept: $f")
+    // D2 is referenced live by the retained upsert snapshot → survives
+    for (f <- d2) assert(java.nio.file.Files.exists(asLocal(f)), s"D2 GC'd: $f")
+    // the pre-compaction small data files were live only in expired
+    // snapshots → physically gone
+    for (f <- origFiles) assert(!java.nio.file.Files.exists(asLocal(f)), f)
+
+    // current state intact: 100 − 10 deleted + 1 inserted, K=2 updated
+    val after = IcebergSnapshot.readSnapshot(spark, out, table)
+    assert(after.count() === 91)
+    val byK = after.select("K", "N").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byK(2L) === 999 && byK(101L) === 1010 && byK(4L) === 40)
+    // time travel to the retained compaction still works (pre-upsert
+    // state: 90 rows, K=2 at its original value)…
+    val travel = IcebergSnapshot.readSnapshot(spark, out, table,
+      Some(compacted.snapshotId))
+    assert(travel.count() === 90)
+    assert(travel.filter(col("K") === 2L).select("N").collect()
+      .head.getInt(0) === 20)
+    // …and the expired ids no longer resolve
+    intercept[IllegalArgumentException] {
+      IcebergSnapshot.readSnapshot(spark, out, table, Some(firstSnapId))
+    }
+    intercept[IllegalArgumentException] {
+      IcebergSnapshot.readSnapshot(spark, out, table, Some(del.snapshotId))
+    }
+  }
 }
