@@ -24,8 +24,10 @@ import graft.functions.TextFunctions
   *     bounded (q_id, doc) key and rank through the bounded [[TopK]]
   *     aggregator (O(queries·k) exchange, no per-query sort);
   *   - at indexed scale the tf table is the thing you persist/bucket
-  *     by term (the inverted-index layout [[Search.postings]] already
-  *     uses); the probe plan is bucket-local joins.
+  *     by term — [[writeIndex]] materializes exactly that layout
+  *     (term-hash bucket directories + doc lengths + one-row stats)
+  *     and [[searchIndex]] probes it corpus-free with partition
+  *     pruning to the probe terms' buckets.
   *
   * Float discipline: per-row BM25 arithmetic is exact IEEE mirrored
   * op-for-op in the oracle; the cross-TERM sum per (query, doc) routes
@@ -48,6 +50,33 @@ object Bm25 {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
 
+  /** The shared probe core: identical expression trees for the
+    * in-memory [[search]] and the materialized [[searchIndex]] paths,
+    * so both produce bit-identical scores. `tf(idCol, term, tf)`,
+    * `df(term, df)` pre-restricted to the probe's terms, `dl(idCol,
+    * dl)`, `stats` a single (n_docs, avgdl) row. */
+  private def scoreProbe(tf: DataFrame, df: DataFrame, dl: DataFrame,
+      stats: DataFrame, queries: DataFrame, idCol: String, k: Int,
+      k1: Double, b: Double, linearIdf: Boolean): DataFrame = {
+    val idf: Column =
+      if (linearIdf) (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+      else log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val contrib = tf
+      .join(broadcast(queries), Seq("term")) // query side is tiny
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col(idCol),
+        (idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("c"))
+    val scored = contrib.groupBy(col("q_id"), col(idCol))
+      .agg(round(sum(col("c").cast("decimal(28,12)")).cast("double"), 6)
+        .as("score"))
+    TopK.perKey(scored, "q_id", idCol, "score", k)
+  }
+
   /** Score `queries(q_id, term)` against the corpus: one row per
     * (q_id, rk, doc, score), rk 1..k by score desc, doc id asc. */
   def search(docs: DataFrame, idCol: String, textCol: String,
@@ -66,23 +95,78 @@ object Bm25 {
     // vocabulary table is corpus-sized and must never broadcast
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
       .join(broadcast(queries.select("term").distinct()), Seq("term"))
-    val idf: Column =
-      if (linearIdf) (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-      else log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-    val contrib = tf
-      .join(broadcast(queries), Seq("term")) // query side is tiny
-      .join(broadcast(df), Seq("term"))
-      .join(dl, Seq(idCol))
-      .crossJoin(broadcast(stats))
-      .select(col("q_id"), col(idCol),
-        (idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
-          (col("tf").cast("double") +
-            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-          .as("c"))
-    val scored = contrib.groupBy(col("q_id"), col(idCol))
-      .agg(round(sum(col("c").cast("decimal(28,12)")).cast("double"), 6)
-        .as("score"))
-    TopK.perKey(scored, "q_id", idCol, "score", k)
+    scoreProbe(tf, df, dl, stats, queries, idCol, k, k1, b, linearIdf)
+  }
+
+  /** Bucket id of a term under the index layout: the term-key hash
+    * folded into `nBuckets` directory partitions. */
+  private def bucketOf(term: Column, nBuckets: Int): Column =
+    pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
+
+  /** Materialize the inverted index: ONE tokenization pass over the
+    * corpus fans into four parquet tables under `path` —
+    *
+    *   - `postings/` (idCol, term, tf) partitioned by `bucket` =
+    *     xxhash64(term) mod nBuckets — a probe reads only its terms'
+    *     bucket directories (partition pruning), never the corpus;
+    *   - `df/` (term, df) on the same bucket layout, so the
+    *     probe-restricted document frequencies prune identically;
+    *   - `doclen/` (idCol, dl) — one row per doc;
+    *   - `stats/` — a single (n_docs, avgdl, n_buckets) row; carrying
+    *     n_buckets in-band makes the index self-describing.
+    *
+    * At 100 TB this is the persist-once/probe-many layout the Bm25
+    * scaladoc promises: index build is the same one postings shuffle
+    * as a direct search, and every later probe is corpus-free. */
+  def writeIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    val toks = docs.select(col(idCol),
+      filter(TextFunctions.words(col(textCol)), t => length(t) > 0).as("w"))
+    val tf = toks.select(col(idCol), explode(col("w")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+    // cluster each bucket into one task → one file per bucket dir
+    tf.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    tf.groupBy(col("term"), col("bucket"))
+      .agg(count(lit(1)).cast("double").as("df"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/df")
+    toks.select(col(idCol), size(col("w")).cast("double").as("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclen")
+    toks.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        (sum(size(col("w"))).cast("double") / count(lit(1)).cast("double"))
+          .as("avgdl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Probe a [[writeIndex]] layout: same results (bit-identical — the
+    * scoring core is shared) as [[search]] over the live corpus, but
+    * the plan never touches the corpus: postings and df scans prune to
+    * the probe terms' bucket directories. The two driver
+    * materializations are bounded-small by contract: the one-row stats
+    * table and the probe-term bucket list (≤ one int per probe term). */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75, linearIdf: Boolean = false): DataFrame = {
+    val stats = spark.read.parquet(s"$path/stats")
+    val nBuckets = stats.select(col("n_buckets")).head().getInt(0)
+    val probeBuckets = queries
+      .select(bucketOf(col("term"), nBuckets).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    require(probeBuckets.nonEmpty, "probe carries no terms")
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(probeBuckets: _*))
+    val df = spark.read.parquet(s"$path/df")
+      .filter(col("bucket").isin(probeBuckets: _*))
+      .join(broadcast(queries.select("term").distinct()), Seq("term"))
+      .select(col("term"), col("df"))
+    val dl = spark.read.parquet(s"$path/doclen")
+    scoreProbe(tf.select(col(idCol), col("term"), col("tf")), df, dl,
+      stats.select(col("n_docs"), col("avgdl")), queries,
+      idCol, k, k1, b, linearIdf)
   }
 
   /** Deterministic probe mining for the fixture query: the top

@@ -530,6 +530,26 @@ object PipelineQueries {
       .orderBy("q_id", "rk")
   }
 
+  /** q79 over the MATERIALIZED index: build the [[Bm25.writeIndex]]
+    * bucket layout once per run (under java.io.tmpdir, keyed by the
+    * fixture dir so reps overwrite instead of accumulating), then
+    * answer the same mined probes through [[Bm25.searchIndex]]. Carries
+    * q79's oracle verbatim — the scoring core is shared, so the indexed
+    * probe must hash-match the in-memory form exactly. The index build
+    * is deliberately INSIDE the timed query: the honest comparison for
+    * a one-shot probe (build+probe) vs q79's single-pass form; the
+    * at-scale win is every probe after the first. */
+  def q79Bm25Indexed(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idx = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_bm25_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    Bm25.writeIndex(docs, "doc_id", "text", idx, nBuckets = 64)
+    val probes = Bm25.minedQueries(docs, "doc_id", "text",
+      nQueries = 3, termsPerQuery = 3)
+    Bm25.searchIndex(s, idx, probes, "doc_id", k = 10, linearIdf = true)
+      .orderBy("q_id", "rk")
+  }
+
   /** Hard-negative mining for contrastive training: per query vector,
     * the top-5 most-similar corpus vectors with cosine < 0.5 — near
     * enough to teach, far enough to not be positives. Carries q22's
@@ -1760,9 +1780,12 @@ object PipelineQueries {
   )
 
   /** q46 carries q42's oracle verbatim: the Bloom prefilter only drops
-    * provable non-members, so the two queries are row-identical. */
+    * provable non-members, so the two queries are row-identical.
+    * q79_bm25_indexed likewise carries q79's — the indexed probe shares
+    * the scoring core and must hash-match the in-memory search. */
   val oracleSql: Map[String, String] = baseOracleSql +
-    ("q46_bloom_decontaminate" -> baseOracleSql("q42_decontaminate"))
+    ("q46_bloom_decontaminate" -> baseOracleSql("q42_decontaminate")) +
+    ("q79_bm25_indexed" -> baseOracleSql("q79_bm25"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_text_stats" -> (q16TextStats _),
@@ -1817,6 +1840,7 @@ object PipelineQueries {
     "q77_lr_features" -> (q77LrFeatures _),
     "q78_lr_quality" -> (q78LrQuality _),
     "q79_bm25" -> (q79Bm25 _),
+    "q79_bm25_indexed" -> (q79Bm25Indexed _),
     "q80_hard_negatives" -> (q80HardNegatives _),
   )
 }

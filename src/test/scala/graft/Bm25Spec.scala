@@ -113,6 +113,35 @@ class Bm25Spec extends AnyFunSuite {
     assert(Set(3L, 4L).subsetOf(q2) && !q2.contains(5L))
   }
 
+  test("materialized index probe is bit-identical to the in-memory search " +
+      "(both idf variants); stats round-trips n_buckets") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Bm25.writeIndex(docsDf, "doc_id", "text", idx, nBuckets = 8)
+    for (linear <- Seq(true, false)) {
+      val direct = Bm25.search(docsDf, "doc_id", "text", probesDf, k = 10,
+          linearIdf = linear)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      val viaIndex = Bm25.searchIndex(spark, idx, probesDf, "doc_id", k = 10,
+          linearIdf = linear)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(viaIndex.length === direct.length)
+      for ((g, w) <- viaIndex.zip(direct)) {
+        assert(g._1 === w._1 && g._2 === w._2 && g._3 === w._3, s"$g vs $w")
+        assert(java.lang.Double.compare(g._4, w._4) === 0, s"$g vs $w")
+      }
+    }
+    // the index is self-describing: a probe with a different assumed
+    // bucket count would mis-prune; n_buckets must round-trip
+    val stats = spark.read.parquet(s"$idx/stats").collect()
+    assert(stats.length === 1 && stats.head.getAs[Int]("n_buckets") === 8)
+    // postings lay out one directory per occupied bucket
+    val dirs = new java.io.File(s"$idx/postings").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("bucket=")))
+  }
+
   test("minedQueries: deterministic grouping of top-df terms") {
     val q = Bm25.minedQueries(docsDf, "doc_id", "text",
         nQueries = 2, termsPerQuery = 2)

@@ -100,6 +100,23 @@ class PlanSpec extends AnyFunSuite {
       || plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("bm25 indexed probe: the plan never rescans the corpus and prunes " +
+      "postings/df to the probe terms' bucket directories") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("bm25idx_plan").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.operators.Bm25.writeIndex(docs, "doc_id", "text", idx, nBuckets = 16)
+    val probes = Seq((1, "data"), (1, "model"), (2, "spark")).toDF("q_id", "term")
+    val plan = planString(
+      graft.operators.Bm25.searchIndex(spark, idx, probes, "doc_id", k = 5))
+    assert(!plan.contains("documents.parquet"),
+      "indexed probe must never touch the corpus:\n" + plan.take(2000))
+    val pruned = "PartitionFilters: \\[[^\\]]*bucket".r.findAllIn(plan).length
+    assert(pruned >= 2, // postings AND df scans both prune
+      "expected bucket partition pruning on postings and df scans:\n" +
+        plan.take(3000))
+  }
+
   test("simhash is a pure scan projection: no shuffle, no explode") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = planString(graft.operators.Dedup.simhash(docs, "doc_id", "text"))
