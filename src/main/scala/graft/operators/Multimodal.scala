@@ -30,12 +30,15 @@ final case class MediaMeta(
   * of `mapInPandas` — one iterator per partition, amortized per-batch
   * setup). [[decode]], [[decodeQoiPixels]] and [[resizeBmp]] are REAL
   * pure-JVM implementations: BMP, binary PPM/PGM and RIFF/WAV parse
-  * header+pixels/samples directly, and QOI — an actually COMPRESSED
+  * header+pixels/samples directly; QOI — an actually COMPRESSED
   * image format — decompresses fully (run-length, color index, delta
-  * ops) per its published one-page spec. Formats needing heavy
-  * entropy coders (JPEG/PNG/MP3) have no decoder in this container,
-  * so [[decodeStub]] remains the clearly-marked deterministic FAKE
-  * standing in for them (and q24's oracle stays pinned to it).
+  * ops) per its published one-page spec; and PNG decodes for real
+  * through the JDK's own DEFLATE ([[decodePngPixels]]: chunk walk →
+  * Inflater → all five scanline filters → gray/RGB/palette/alpha
+  * expansion). Only formats needing entropy coders absent from the
+  * JDK (JPEG/MP3) remain behind [[decodeStub]], the clearly-marked
+  * deterministic FAKE standing in for them (and q24's oracle stays
+  * pinned to it).
   *
   * At 100 TB: payloads dominate storage, so every transform keeps
   * metadata extraction SEPARATE from payload movement — filters on
@@ -87,7 +90,7 @@ object Multimodal {
       media_type: String,
       source: String,
       n_bytes: Long,
-      format: String, // bmp | qoi | ppm | pgm | wav | unknown
+      format: String, // bmp | png | qoi | ppm | pgm | wav | unknown
       width: Int,
       height: Int,
       channels: Int,
@@ -240,6 +243,275 @@ object Multimodal {
       if (px == n) Some(out) else None
   }
 
+  // ---------------------------------------------------------------- PNG
+
+  /** Parse a PNG IHDR: (width, height, bitDepth, colorType). Accepts
+    * only what [[decodePngPixels]] can actually decode — bit depth 8,
+    * color types 0/2/3/4/6, compression 0, filter method 0, interlace
+    * 0 (Adam7 rejected) — so a Some here is a decodable promise, not
+    * just a sniff. The 8-byte signature makes PNG unambiguous against
+    * every other container [[decode]] knows. */
+  private[graft] def pngHeader(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (p.length < 33) return None
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    var i = 0
+    while (i < 8) { if ((p(i) & 0xff) != sig(i)) return None; i += 1 }
+    def u32be(o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    // first chunk must be IHDR with the fixed 13-byte body
+    if (u32be(8) != 13L || p(12) != 'I' || p(13) != 'H' || p(14) != 'D' ||
+      p(15) != 'R') return None
+    val w = u32be(16); val h = u32be(20)
+    val bitDepth = p(24) & 0xff; val colorType = p(25) & 0xff
+    val compression = p(26) & 0xff; val filterM = p(27) & 0xff
+    val interlace = p(28) & 0xff
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue ||
+      bitDepth != 8 ||
+      (colorType != 0 && colorType != 2 && colorType != 3 &&
+        colorType != 4 && colorType != 6) ||
+      compression != 0 || filterM != 0 || interlace != 0) None
+    else Some((w.toInt, h.toInt, bitDepth, colorType))
+  }
+
+  private def pngChannels(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case _ => 4
+  }
+
+  /** REAL PNG decode to flat RGBA bytes (4 per pixel): chunk walk →
+    * concatenated-IDAT zlib inflate (`java.util.zip.Inflater` — the
+    * JDK's own DEFLATE, no codec library) → per-scanline unfilter
+    * (None/Sub/Up/Average/Paeth) → sample expansion (gray, RGB,
+    * palette via PLTE, gray+alpha, RGBA). Returns None on any
+    * malformed, truncated, or hostile input — never throws. Bounds
+    * discipline mirrors [[decodeQoiPixels]]: claimed dimensions are
+    * checked against zlib's ~1032× maximum expansion BEFORE the raw
+    * buffer is allocated, so a 33-byte header claiming 10⁹×10⁹ cannot
+    * OOM an executor. Chunk CRCs are not verified (decode-lenient,
+    * like most readers in data pipelines — corruption surfaces as an
+    * inflate/size failure). */
+  def decodePngPixels(p: Array[Byte]): Option[Array[Byte]] = pngHeader(p) match {
+    case None => None
+    case Some((w, h, _, colorType)) =>
+      val ch = pngChannels(colorType)
+      val n = w.toLong * h
+      val stride = w.toLong * ch
+      val rawSize = (stride + 1L) * h
+      // zlib expands at most ~1032:1; anything the payload cannot
+      // plausibly cover is rejected before allocation
+      if (n > (Int.MaxValue / 4).toLong || rawSize > Int.MaxValue.toLong ||
+        rawSize > p.length.toLong * 1032L + 1024L) return None
+      def u32be(o: Int): Long =
+        ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+          ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+      // chunk walk: collect PLTE and inflate IDAT segments as they come
+      var palette: Array[Byte] = null
+      val raw = new Array[Byte](rawSize.toInt)
+      var rawOff = 0
+      val inflater = new java.util.zip.Inflater()
+      try {
+        var o = 8L
+        var done = false
+        while (!done && o + 12 <= p.length) {
+          val len = u32be(o.toInt)
+          if (o + 12 + len > p.length) return None
+          val typ = new String(p, o.toInt + 4, 4, "US-ASCII")
+          if (typ == "PLTE") {
+            if (len % 3 != 0 || len > 768) return None
+            palette = java.util.Arrays.copyOfRange(p, o.toInt + 8,
+              o.toInt + 8 + len.toInt)
+          } else if (typ == "IDAT") {
+            inflater.setInput(p, o.toInt + 8, len.toInt)
+            var progressed = true
+            while (progressed && !inflater.finished() && rawOff < raw.length) {
+              val k = inflater.inflate(raw, rawOff, raw.length - rawOff)
+              rawOff += k
+              progressed = k > 0 || !inflater.needsInput()
+            }
+          } else if (typ == "IEND") done = true
+          o += 12L + len
+        }
+        if (rawOff != raw.length || (colorType == 3 && palette == null)) return None
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inflater.end()
+
+      // unfilter in place, row by row (filter byte prefixes each row)
+      val rowBytes = stride.toInt
+      var y = 0
+      while (y < h) {
+        val rs = y * (rowBytes + 1)
+        val ft = raw(rs) & 0xff
+        if (ft > 4) return None
+        var i = 0
+        while (i < rowBytes) {
+          val x = raw(rs + 1 + i) & 0xff
+          val a = if (i >= ch) raw(rs + 1 + i - ch) & 0xff else 0
+          // earlier rows have been collapsed to the array front (no
+          // filter byte), so row y-1's samples sit at (y-1)*rowBytes
+          val b = if (y > 0) raw((y - 1) * rowBytes + i) & 0xff else 0
+          val c = if (i >= ch && y > 0) raw((y - 1) * rowBytes + i - ch) & 0xff else 0
+          val v = ft match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + ((a + b) >> 1)
+            case _ => // Paeth
+              val pp = a + b - c
+              val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+              val pc = math.abs(pp - c)
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          }
+          raw(rs + 1 + i) = (v & 0xff).toByte
+          i += 1
+        }
+        // collapse the filter byte away so row y-1's samples are at a
+        // fixed stride for the next row's Up/Paeth references
+        System.arraycopy(raw, rs + 1, raw, y * rowBytes, rowBytes)
+        y += 1
+      }
+
+      // expand samples to RGBA
+      val out = new Array[Byte](n.toInt * 4)
+      var px = 0
+      while (px < n) {
+        val s = px * ch
+        val o4 = px * 4
+        colorType match {
+          case 0 =>
+            val g = raw(s)
+            out(o4) = g; out(o4 + 1) = g; out(o4 + 2) = g; out(o4 + 3) = -1
+          case 2 =>
+            out(o4) = raw(s); out(o4 + 1) = raw(s + 1)
+            out(o4 + 2) = raw(s + 2); out(o4 + 3) = -1
+          case 3 =>
+            val idx = (raw(s) & 0xff) * 3
+            if (idx + 2 >= palette.length) return None
+            out(o4) = palette(idx); out(o4 + 1) = palette(idx + 1)
+            out(o4 + 2) = palette(idx + 2); out(o4 + 3) = -1
+          case 4 =>
+            val g = raw(s)
+            out(o4) = g; out(o4 + 1) = g; out(o4 + 2) = g
+            out(o4 + 3) = raw(s + 1)
+          case _ =>
+            out(o4) = raw(s); out(o4 + 1) = raw(s + 1)
+            out(o4 + 2) = raw(s + 2); out(o4 + 3) = raw(s + 3)
+        }
+        px += 1
+      }
+      Some(out)
+  }
+
+  /** Encode a PNG from raw sample bytes (w·h·channels, row-major) —
+    * the test/synthesis counterpart of [[decodePngPixels]]: per-row
+    * FORWARD filtering with a caller-chosen filter type (0–4, so specs
+    * and the synthetic fixture exercise every unfilter branch), one
+    * deflated IDAT, CRC'd chunks. `palette` required iff colorType 3. */
+  private[graft] def encodePng(w: Int, h: Int, colorType: Int,
+      samples: Array[Byte], rowFilter: Int => Int,
+      palette: Array[Byte] = null): Array[Byte] = {
+    val ch = pngChannels(colorType)
+    require(samples.length == w * h * ch, "samples must be w*h*channels")
+    val rowBytes = w * ch
+    val raw = new Array[Byte]((rowBytes + 1) * h)
+    var y = 0
+    while (y < h) {
+      val ft = rowFilter(y) & 0xff
+      require(ft <= 4, s"filter type $ft")
+      raw(y * (rowBytes + 1)) = ft.toByte
+      var i = 0
+      while (i < rowBytes) {
+        val x = samples(y * rowBytes + i) & 0xff
+        val a = if (i >= ch) samples(y * rowBytes + i - ch) & 0xff else 0
+        val b = if (y > 0) samples((y - 1) * rowBytes + i) & 0xff else 0
+        val c = if (i >= ch && y > 0) samples((y - 1) * rowBytes + i - ch) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - ((a + b) >> 1)
+          case _ =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+            val pc = math.abs(pp - c)
+            x - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(y * (rowBytes + 1) + 1 + i) = (v & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) bos.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val idat = bos.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(v: Long): Array[Byte] = Array((v >>> 24).toByte,
+        (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      out.write(be32(data.length.toLong))
+      val t = typ.getBytes("US-ASCII")
+      out.write(t)
+      out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      out.write(be32(crc.getValue))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    if (colorType == 3) chunk("PLTE", palette)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Deterministic PNG synthesis from the documents fixture: one RGB
+    * PNG per doc (w = 4 + id mod 11, h = 3 + id mod 5), pixel byte i =
+    * (id·31 + i) mod 256, row y filtered with type (id + y) mod 5 — so
+    * the corpus collectively exercises every PNG filter. Closed-form
+    * pixel arithmetic means a SQL oracle can recompute the decoded
+    * RGBA byte sum without a decoder (q81). */
+  def synthesizePngAssets(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        val w = 4 + (id % 11).toInt
+        val h = 3 + (id % 5).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < rgb.length) {
+          rgb(i) = ((id * 31 + i) % 256).toByte
+          i += 1
+        }
+        MediaAsset(id, "image",
+          encodePng(w, h, 2, rgb, y => ((id + y) % 5).toInt), source)
+      })
+  }
+
+  /** Per-asset sum of decoded RGBA bytes (unsigned) — the full
+    * inflate+unfilter+expand loop distilled to one oracle-checkable
+    * long per asset. Non-PNG payloads report −1. */
+  def pngPixelSums(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val sum = decodePngPixels(a.payload) match {
+        case Some(px) =>
+          var s = 0L; var i = 0
+          while (i < px.length) { s += px(i) & 0xff; i += 1 }
+          s
+        case None => -1L
+      }
+      (a.asset_id, sum)
+    }).toDF("asset_id", "pix_sum")
+  }
+
   /** Parse a RIFF/WAVE fmt + data chunk pair: (channels, sampleRate,
     * bitsPerSample, nFrames). Walks the chunk list properly (chunks
     * are (id, u32 size) pairs padded to even offsets), so extra
@@ -272,10 +544,11 @@ object Multimodal {
     else Some((channels, rate, bits, dataSize / blockAlign))
   }
 
-  /** REAL decode — BMP, QOI, binary PPM/PGM, RIFF/WAV — parsed
+  /** REAL decode — BMP, PNG, QOI, binary PPM/PGM, RIFF/WAV — parsed
     * header-first with no codec libraries (pure JVM byte arithmetic;
-    * formats needing heavy entropy coders — JPEG/PNG/MP3 — remain
-    * behind [[decodeStub]] and decode to format "unknown" here). Same
+    * formats needing entropy coders absent from the JDK — JPEG/MP3 —
+    * remain behind [[decodeStub]] and decode to format "unknown"
+    * here). Same
     * mapPartitions shape as the stub: per-partition setup amortizes,
     * metadata extraction never copies the payload; full QOI pixel
     * decompression is [[decodeQoiPixels]]. */
@@ -290,7 +563,9 @@ object Multimodal {
             format, w, h, ch, rate, n, bits, fnv(p))
         bmpHeader(p).map { case (w, h, bpp, _) =>
           base("bmp", w, h, math.max(1, bpp / 8), 0, w.toLong * h, bpp)
-        }.orElse(qoiHeader(p).map { case (w, h, ch) =>
+        }.orElse(pngHeader(p).map { case (w, h, bits, ct) =>
+          base("png", w, h, pngChannels(ct), 0, w.toLong * h, bits)
+        }).orElse(qoiHeader(p).map { case (w, h, ch) =>
           base("qoi", w, h, ch, 0, w.toLong * h, 8)
         }).orElse(pnmHeader(p).map { case (fmt, w, h, maxv, _) =>
           val bits = if (maxv > 255) 16 else 8

@@ -905,6 +905,30 @@ object PipelineQueries {
         sum(col("n_bytes")).cast("bigint").as("sum_bytes"))
       .orderBy("width")
 
+  /** Real PNG decode, oracle-audited END TO END: synthesize one RGB
+    * PNG per doc (closed-form pixel bytes, every scanline filter type
+    * across the corpus — [[Multimodal.synthesizePngAssets]]), run the
+    * real inflate→unfilter→expand decoder, and roll up BOTH the header
+    * metadata (dims through [[Multimodal.decode]]) and the decoded
+    * CONTENT (per-asset RGBA byte sum) — which the oracle recomputes
+    * arithmetically, no decoder needed. A wrong filter
+    * implementation, a mis-stitched IDAT, or a bad row reference
+    * changes pix_sum and fails the hash. */
+  def q81PngDecode(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.synthesizePngAssets(t(s, dir, "documents"))
+    val meta = Multimodal.decode(assets).toDF()
+      .select(col("asset_id"), col("format"), col("width"), col("height"),
+        col("channels"))
+    meta.join(Multimodal.pngPixelSums(assets), Seq("asset_id"))
+      .groupBy(col("width"))
+      .agg(count(lit(1)).as("n_assets"),
+        min(col("format")).as("fmt_lo"), max(col("format")).as("fmt_hi"),
+        sum(col("height")).cast("bigint").as("sum_height"),
+        sum(col("channels")).cast("bigint").as("sum_channels"),
+        sum(col("pix_sum")).cast("bigint").as("sum_pix"))
+      .orderBy("width")
+  }
+
   /** Deterministic stratified sampling: per-language Bernoulli rates
     * (en 0.5, fr 0.25, de 0.2, everything else 0.1) on the md5 content
     * hash — the corpus-shaping downsample as one scan-side filter.
@@ -1545,6 +1569,29 @@ object PipelineQueries {
         |  CAST(SUM(w * h) AS BIGINT) AS sum_samples,
         |  CAST(SUM(54 + ((w * 3 + 3) // 4) * 4 * h) AS BIGINT) AS sum_bytes
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // recomputes the decoded-RGBA byte sum arithmetically: pixel byte i
+    // of doc d is (d*31 + i) mod 256 (full 256-cycles sum to 32640) and
+    // alpha contributes a constant 255 per pixel — a decoder-free audit
+    // of inflate+unfilter+expand
+    "q81_png_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    4 + CAST(doc_id % 11 AS INT) AS w,
+        |    3 + CAST(doc_id % 5 AS INT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    (w * h * 3 // 256) * 32640
+        |      + COALESCE(list_sum(list_transform(range(0, (w * h * 3) % 256),
+        |          j -> (doc_id * 31 + j) % 256)), 0)
+        |      + 255 * w * h AS pix
+        |  FROM m)
+        |SELECT w AS width, count(*) AS n_assets,
+        |  'png' AS fmt_lo, 'png' AS fmt_hi,
+        |  CAST(sum(h) AS BIGINT) AS sum_height,
+        |  CAST(sum(3) AS BIGINT) AS sum_channels,
+        |  CAST(sum(pix) AS BIGINT) AS sum_pix
+        |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
     "q67_stratified" ->
       s"""WITH hv AS (
          |  SELECT doc_id, lang, md5('strat' || CAST(doc_id AS VARCHAR)) AS h
@@ -1842,5 +1889,6 @@ object PipelineQueries {
     "q79_bm25" -> (q79Bm25 _),
     "q79_bm25_indexed" -> (q79Bm25Indexed _),
     "q80_hard_negatives" -> (q80HardNegatives _),
+    "q81_png_decode" -> (q81PngDecode _),
   )
 }

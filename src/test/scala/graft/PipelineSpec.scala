@@ -491,6 +491,113 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodeQoiPixels(short.array()) === None)
   }
 
+  test("PNG: encode/decode round-trips every scanline filter type and " +
+      "every supported color type") {
+    val rnd = new scala.util.Random(7)
+    // RGB (ct 2): each of the five filters alone, then all mixed
+    for (f <- 0 to 5) {
+      val w = 5; val h = 6
+      val rgb = Array.fill((w * h * 3))(rnd.nextInt(256).toByte)
+      val png = Multimodal.encodePng(w, h, 2, rgb,
+        y => if (f == 5) y % 5 else f)
+      val px = Multimodal.decodePngPixels(png)
+        .getOrElse(fail(s"filter $f did not decode"))
+      for (i <- 0 until w * h) {
+        assert(px(i * 4) === rgb(i * 3) && px(i * 4 + 1) === rgb(i * 3 + 1) &&
+          px(i * 4 + 2) === rgb(i * 3 + 2) && px(i * 4 + 3) === -1,
+          s"filter $f pixel $i")
+      }
+    }
+    // grayscale (ct 0), gray+alpha (ct 4), RGBA (ct 6) — Paeth rows
+    for ((ct, ch) <- Seq((0, 1), (4, 2), (6, 4))) {
+      val w = 4; val h = 3
+      val s = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      val px = Multimodal.decodePngPixels(
+        Multimodal.encodePng(w, h, ct, s, _ => 4))
+        .getOrElse(fail(s"color type $ct did not decode"))
+      for (i <- 0 until w * h) ct match {
+        case 0 => assert(px(i * 4) === s(i) && px(i * 4 + 1) === s(i) &&
+          px(i * 4 + 2) === s(i) && px(i * 4 + 3) === -1)
+        case 4 => assert(px(i * 4) === s(i * 2) && px(i * 4 + 1) === s(i * 2) &&
+          px(i * 4 + 2) === s(i * 2) && px(i * 4 + 3) === s(i * 2 + 1))
+        case _ => assert(px(i * 4) === s(i * 4) && px(i * 4 + 1) === s(i * 4 + 1) &&
+          px(i * 4 + 2) === s(i * 4 + 2) && px(i * 4 + 3) === s(i * 4 + 3))
+      }
+    }
+    // palette (ct 3): indices resolve through PLTE
+    val pal = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90)
+    val idxs = Array[Byte](0, 1, 2, 2, 1, 0)
+    val px3 = Multimodal.decodePngPixels(
+      Multimodal.encodePng(3, 2, 3, idxs, _ => 1, pal)).get
+    assert(px3.take(4).toSeq === Seq[Byte](10, 20, 30, -1))
+    assert(px3.slice(8, 12).toSeq === Seq[Byte](70, 80, 90, -1))
+    // 1×1 edge: no left/up neighbors for Sub/Up/Average/Paeth
+    for (f <- 0 to 4) {
+      val px1 = Multimodal.decodePngPixels(
+        Multimodal.encodePng(1, 1, 2, Array[Byte](11, 22, 33), _ => f)).get
+      assert(px1.toSeq === Seq[Byte](11, 22, 33, -1), s"1x1 filter $f")
+    }
+  }
+
+  test("PNG: multi-IDAT streams decode; hostile/malformed inputs return " +
+      "None before allocating") {
+    // split the IDAT of a valid PNG into two chunks at an arbitrary byte
+    val rgb = Array.tabulate(4 * 3 * 3)(i => (i * 7).toByte)
+    val whole = Multimodal.encodePng(4, 3, 2, rgb, y => y % 5)
+    val expected = Multimodal.decodePngPixels(whole).get
+    def u32be(p: Array[Byte], o: Int): Int =
+      ((p(o) & 0xff) << 24) | ((p(o + 1) & 0xff) << 16) |
+        ((p(o + 2) & 0xff) << 8) | (p(o + 3) & 0xff)
+    val idatLen = u32be(whole, 33) // after sig(8)+IHDR(25): IDAT length
+    assert(new String(whole, 37, 4, "US-ASCII") === "IDAT")
+    val idat = whole.slice(41, 41 + idatLen)
+    val d1: Array[Byte] = idat.take(math.max(1, idatLen / 3))
+    val d2: Array[Byte] = idat.drop(math.max(1, idatLen / 3))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(whole, 0, 33) // sig + IHDR
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(v: Long): Array[Byte] = Array((v >>> 24).toByte,
+        (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      out.write(be32(data.length.toLong))
+      val t = typ.getBytes("US-ASCII"); out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+      out.write(be32(crc.getValue))
+    }
+    chunk("IDAT", d1); chunk("IDAT", d2); chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.decodePngPixels(out.toByteArray).get.toSeq === expected.toSeq)
+
+    // hostile header: 46000×46000 claimed from a 60-byte payload must be
+    // rejected BEFORE the raw/output allocation
+    val huge = java.nio.ByteBuffer.allocate(60)
+    huge.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    huge.putInt(13); huge.put("IHDR".getBytes)
+    huge.putInt(46000); huge.putInt(46000)
+    huge.put(8.toByte); huge.put(2.toByte)
+    huge.put(0.toByte); huge.put(0.toByte); huge.put(0.toByte)
+    assert(Multimodal.decodePngPixels(huge.array()) === None)
+    // truncated mid-IDAT: inflate cannot complete → None, no throw
+    assert(Multimodal.decodePngPixels(whole.take(whole.length - 20)) === None)
+    // declared chunk length past the buffer end → None, no AIOOBE
+    val lied = whole.clone()
+    lied(33) = 0x7f.toByte // IDAT length forged huge
+    assert(Multimodal.decodePngPixels(lied) === None)
+    // interlaced (Adam7) is out of scope and must be rejected at the
+    // header, not half-decoded
+    val adam = whole.clone(); adam(28) = 1.toByte
+    assert(Multimodal.pngHeader(adam) === None)
+    // palette image with an index past PLTE → None
+    val badIdx = Multimodal.encodePng(2, 1, 3, Array[Byte](0, 5),
+      _ => 0, Array[Byte](1, 2, 3))
+    assert(Multimodal.decodePngPixels(badIdx) === None)
+    // metadata flows through decode() with the real dims
+    import spark.implicits._
+    val m = Multimodal.decode(
+      Seq(graft.operators.MediaAsset(9L, "image", whole, "t")).toDS())
+      .collect().head
+    assert(m.format === "png" && m.width === 4 && m.height === 3 &&
+      m.channels === 3 && m.bits_per_sample === 8)
+  }
+
   test("real decode: hostile WAV chunk size near 2^32 terminates as unknown, no hang") {
     import spark.implicits._
     // RIFF/WAVE with a chunk whose u32 size field is 0xFFFFFFF8 — an
