@@ -35,10 +35,13 @@ final case class MediaMeta(
   * ops) per its published one-page spec; and PNG decodes for real
   * through the JDK's own DEFLATE ([[decodePngPixels]]: chunk walk →
   * Inflater → all five scanline filters → gray/RGB/palette/alpha
-  * expansion). Only formats needing entropy coders absent from the
-  * JDK (JPEG/MP3) remain behind [[decodeStub]], the clearly-marked
-  * deterministic FAKE standing in for them (and q24's oracle stays
-  * pinned to it).
+  * expansion); JPEG decodes for real through the JDK's own baseline
+  * codec (`javax.imageio`, part of java.desktop — [[decodeJpegPixels]];
+  * dims still come from the hand-rolled [[jpegHeader]] SOF parse so
+  * the metadata path stays closed-form). Only audio compression
+  * (MP3/AAC — no JDK codec) remains behind [[decodeStub]], the
+  * clearly-marked deterministic FAKE standing in for it (and q24's
+  * oracle stays pinned to it).
   *
   * At 100 TB: payloads dominate storage, so every transform keeps
   * metadata extraction SEPARATE from payload movement — filters on
@@ -90,7 +93,7 @@ object Multimodal {
       media_type: String,
       source: String,
       n_bytes: Long,
-      format: String, // bmp | png | qoi | ppm | pgm | wav | unknown
+      format: String, // bmp | png | jpeg | qoi | ppm | pgm | wav | unknown
       width: Int,
       height: Int,
       channels: Int,
@@ -512,6 +515,128 @@ object Multimodal {
     }).toDF("asset_id", "pix_sum")
   }
 
+  // ---------------------------------------------------------------- JPEG
+
+  /** Parse a JPEG SOF header: (width, height, components, bitsPerSample).
+    * Walks the marker stream (SOI, then (0xFF, marker, u16be length)
+    * segments, skipping fill bytes) to the first start-of-frame
+    * SOF0–SOF15 (excluding DHT/DAC/RST which share the range), the
+    * marker carrying the frame dimensions. Pure byte arithmetic — the
+    * metadata path stays decoder-free and closed-form like every other
+    * header parser here; only pixel access needs the entropy decoder
+    * ([[decodeJpegPixels]]). Bounds-checked against truncated and
+    * hostile streams: the cursor strictly advances (zero-length
+    * segments rejected), so no input can spin the task. */
+  private[graft] def jpegHeader(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xFF || (p(1) & 0xff) != 0xD8)
+      return None
+    def u16(o: Int): Int = ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+    var i = 2
+    while (i + 4 <= p.length) {
+      if ((p(i) & 0xff) != 0xFF) return None
+      var m = p(i + 1) & 0xff
+      while (m == 0xFF && i + 2 < p.length) { i += 1; m = p(i + 1) & 0xff } // fill bytes
+      if (m == 0xD9 || m == 0xDA) return None // EOI / SOS before any SOF
+      val isSof = (m >= 0xC0 && m <= 0xCF) && m != 0xC4 && m != 0xC8 && m != 0xCC
+      val len = u16(i + 2)
+      if (len < 2 || i + 2 + len > p.length) return None
+      if (isSof) {
+        if (len < 8) return None
+        val bits = p(i + 4) & 0xff
+        val h = u16(i + 5); val w = u16(i + 7)
+        val comps = p(i + 9) & 0xff
+        return if (w > 0 && h > 0 && comps > 0) Some((w, h, comps, bits)) else None
+      }
+      i += 2 + len
+    }
+    None
+  }
+
+  /** REAL JPEG decode to flat RGB bytes (3 per pixel) through the
+    * JDK's OWN baseline codec (`javax.imageio`, part of java.desktop —
+    * still no external codec library; the JDK ships a full huffman+
+    * IDCT JPEG implementation the same way it ships DEFLATE for PNG).
+    * Returns None on malformed input or on a platform without the
+    * reader. Lossy format, so unlike PNG/QOI there is no bit-exact
+    * byte oracle — specs pin a per-pixel error bound on the encode→
+    * decode round-trip instead, and the q82 rollup audits the
+    * closed-form header dims. */
+  def decodeJpegPixels(p: Array[Byte]): Option[Array[Byte]] =
+    jpegHeader(p).flatMap { case (w, h, _, _) =>
+      if (w.toLong * h > (Int.MaxValue / 4).toLong) return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        if (img == null || img.getWidth != w || img.getHeight != h) None
+        else {
+          val out = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val o = (y * w + x) * 3
+              out(o) = ((rgb >> 16) & 0xff).toByte
+              out(o + 1) = ((rgb >> 8) & 0xff).toByte
+              out(o + 2) = (rgb & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some(out)
+        }
+      } catch { case _: Exception => None }
+    }
+
+  /** Encode RGB samples (w·h·3, row-major) as baseline JPEG via the
+    * JDK codec — the synthesis/spec counterpart of
+    * [[decodeJpegPixels]]. */
+  private[graft] def encodeJpeg(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "samples must be w*h*3")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) |
+          (rgb(o + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "jpeg", bos), "no JPEG writer")
+    bos.toByteArray
+  }
+
+  /** Deterministic JPEG synthesis from the documents fixture: one RGB
+    * JPEG per doc (w = 8 + id mod 9, h = 8 + id mod 7), pixels a
+    * smooth id-seeded gradient (JPEG is lossy — smooth content keeps
+    * the round-trip error small and the specs' bound meaningful). */
+  def synthesizeJpegAssets(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        val w = 8 + (id % 9).toInt
+        val h = 8 + (id % 7).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val o = (y * w + x) * 3
+            rgb(o) = (((id * 7) % 160) + x * 4).toByte
+            rgb(o + 1) = (((id * 13) % 160) + y * 4).toByte
+            rgb(o + 2) = ((id * 31) % 200).toByte
+            x += 1
+          }
+          y += 1
+        }
+        MediaAsset(id, "image", encodeJpeg(w, h, rgb), source)
+      })
+  }
+
   /** Parse a RIFF/WAVE fmt + data chunk pair: (channels, sampleRate,
     * bitsPerSample, nFrames). Walks the chunk list properly (chunks
     * are (id, u32 size) pairs padded to even offsets), so extra
@@ -544,11 +669,11 @@ object Multimodal {
     else Some((channels, rate, bits, dataSize / blockAlign))
   }
 
-  /** REAL decode — BMP, PNG, QOI, binary PPM/PGM, RIFF/WAV — parsed
-    * header-first with no codec libraries (pure JVM byte arithmetic;
-    * formats needing entropy coders absent from the JDK — JPEG/MP3 —
-    * remain behind [[decodeStub]] and decode to format "unknown"
-    * here). Same
+  /** REAL decode — BMP, PNG, JPEG, QOI, binary PPM/PGM, RIFF/WAV —
+    * parsed header-first with no external codec libraries (pure JVM
+    * byte arithmetic for every header including JPEG's SOF;
+    * compressed audio — MP3/AAC — remains behind [[decodeStub]] and
+    * decodes to format "unknown" here). Same
     * mapPartitions shape as the stub: per-partition setup amortizes,
     * metadata extraction never copies the payload; full QOI pixel
     * decompression is [[decodeQoiPixels]]. */
@@ -565,6 +690,8 @@ object Multimodal {
           base("bmp", w, h, math.max(1, bpp / 8), 0, w.toLong * h, bpp)
         }.orElse(pngHeader(p).map { case (w, h, bits, ct) =>
           base("png", w, h, pngChannels(ct), 0, w.toLong * h, bits)
+        }).orElse(jpegHeader(p).map { case (w, h, comps, bits) =>
+          base("jpeg", w, h, comps, 0, w.toLong * h, bits)
         }).orElse(qoiHeader(p).map { case (w, h, ch) =>
           base("qoi", w, h, ch, 0, w.toLong * h, 8)
         }).orElse(pnmHeader(p).map { case (fmt, w, h, maxv, _) =>

@@ -929,6 +929,35 @@ object PipelineQueries {
       .orderBy("width")
   }
 
+  /** Real JPEG decode through the JDK codec, dims-audited: synthesize
+    * one JPEG per doc ([[Multimodal.synthesizeJpegAssets]]), parse the
+    * SOF header back through [[Multimodal.decode]] (closed-form — the
+    * oracle recomputes the dimension arithmetic), and COUNT the
+    * entropy decodes that succeed with header-consistent dimensions —
+    * JPEG is lossy so there is no byte-exact content oracle (the
+    * per-pixel error bound lives in PipelineSpec); a decoder failure
+    * or dim mismatch still fails the hash via n_decoded. */
+  def q82JpegDecode(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.synthesizeJpegAssets(t(s, dir, "documents"))
+    val meta = Multimodal.decode(assets).toDF()
+      .select(col("asset_id"), col("format"), col("width"), col("height"),
+        col("channels"))
+    val decoded = {
+      import s.implicits._
+      assets.mapPartitions(_.map(a =>
+        (a.asset_id, Multimodal.decodeJpegPixels(a.payload).isDefined)))
+        .toDF("asset_id", "ok")
+    }
+    meta.join(decoded, Seq("asset_id"))
+      .groupBy(col("width"))
+      .agg(count(lit(1)).as("n_assets"),
+        min(col("format")).as("fmt_lo"), max(col("format")).as("fmt_hi"),
+        sum(col("height")).cast("bigint").as("sum_height"),
+        sum(col("channels")).cast("bigint").as("sum_channels"),
+        sum(col("ok").cast("int")).cast("bigint").as("n_decoded"))
+      .orderBy("width")
+  }
+
   /** Deterministic stratified sampling: per-language Bernoulli rates
     * (en 0.5, fr 0.25, de 0.2, everything else 0.1) on the md5 content
     * hash — the corpus-shaping downsample as one scan-side filter.
@@ -1592,6 +1621,20 @@ object PipelineQueries {
         |  CAST(sum(3) AS BIGINT) AS sum_channels,
         |  CAST(sum(pix) AS BIGINT) AS sum_pix
         |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
+    // closed-form dims rollup; n_decoded == n_assets asserts every
+    // entropy decode succeeded with header-consistent dimensions
+    "q82_jpeg_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    8 + CAST(doc_id % 9 AS INT) AS w,
+        |    8 + CAST(doc_id % 7 AS INT) AS h
+        |  FROM documents)
+        |SELECT w AS width, count(*) AS n_assets,
+        |  'jpeg' AS fmt_lo, 'jpeg' AS fmt_hi,
+        |  CAST(sum(h) AS BIGINT) AS sum_height,
+        |  CAST(sum(3) AS BIGINT) AS sum_channels,
+        |  CAST(count(*) AS BIGINT) AS n_decoded
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q67_stratified" ->
       s"""WITH hv AS (
          |  SELECT doc_id, lang, md5('strat' || CAST(doc_id AS VARCHAR)) AS h
@@ -1890,5 +1933,6 @@ object PipelineQueries {
     "q79_bm25_indexed" -> (q79Bm25Indexed _),
     "q80_hard_negatives" -> (q80HardNegatives _),
     "q81_png_decode" -> (q81PngDecode _),
+    "q82_jpeg_decode" -> (q82JpegDecode _),
   )
 }

@@ -598,6 +598,46 @@ class PipelineSpec extends AnyFunSuite {
       m.channels === 3 && m.bits_per_sample === 8)
   }
 
+  test("JPEG: JDK-codec round-trip within a per-pixel error bound; " +
+      "hand-rolled SOF header parse; hostile inputs rejected") {
+    // smooth gradient (JPEG-friendly content): round-trip error stays
+    // small; a broken huffman/IDCT/upsampling path would blow the bound
+    val w = 17; val h = 11
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      rgb(o) = (40 + x * 8).toByte; rgb(o + 1) = (60 + y * 10).toByte
+      rgb(o + 2) = 90.toByte
+    }
+    val jpg = Multimodal.encodeJpeg(w, h, rgb)
+    assert(Multimodal.jpegHeader(jpg) === Some((w, h, 3, 8)))
+    val px = Multimodal.decodeJpegPixels(jpg).getOrElse(fail("decode failed"))
+    assert(px.length === w * h * 3)
+    var maxErr = 0; var sumErr = 0L
+    for (i <- px.indices) {
+      val e = math.abs((px(i) & 0xff) - (rgb(i) & 0xff))
+      maxErr = math.max(maxErr, e); sumErr += e
+    }
+    assert(maxErr <= 40, s"per-pixel error $maxErr out of bounds for smooth content")
+    assert(sumErr.toDouble / px.length <= 8.0, s"mean error ${sumErr.toDouble / px.length}")
+    // metadata flows through decode() off the SOF parse
+    import spark.implicits._
+    val m = Multimodal.decode(
+      Seq(graft.operators.MediaAsset(3L, "image", jpg, "t")).toDS()).collect().head
+    assert(m.format === "jpeg" && m.width === w && m.height === h &&
+      m.channels === 3 && m.bits_per_sample === 8)
+    // hostile: truncated before SOF → None; garbage after SOI → None;
+    // forged zero-length segment (cursor would stall) → None; EOI
+    // before any SOF → None. None of these throw.
+    assert(Multimodal.jpegHeader(jpg.take(4)) === None)
+    assert(Multimodal.jpegHeader(Array[Byte](0xFF.toByte, 0xD8.toByte, 1, 2, 3, 4)) === None)
+    val zeroLen = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 0, 0)
+    assert(Multimodal.jpegHeader(zeroLen) === None)
+    val eoiFirst = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte, 0, 0)
+    assert(Multimodal.jpegHeader(eoiFirst) === None)
+    assert(Multimodal.decodeJpegPixels(jpg.take(jpg.length / 2)) === None)
+  }
+
   test("real decode: hostile WAV chunk size near 2^32 terminates as unknown, no hang") {
     import spark.implicits._
     // RIFF/WAVE with a chunk whose u32 size field is 0xFFFFFFF8 — an
