@@ -93,7 +93,7 @@ object Multimodal {
       media_type: String,
       source: String,
       n_bytes: Long,
-      format: String, // bmp | png | jpeg | qoi | ppm | pgm | wav | unknown
+      format: String, // bmp | png | jpeg | qoi | ppm | pgm | wav | y4m | unknown
       width: Int,
       height: Int,
       channels: Int,
@@ -669,11 +669,11 @@ object Multimodal {
     else Some((channels, rate, bits, dataSize / blockAlign))
   }
 
-  /** REAL decode — BMP, PNG, JPEG, QOI, binary PPM/PGM, RIFF/WAV —
-    * parsed header-first with no external codec libraries (pure JVM
-    * byte arithmetic for every header including JPEG's SOF;
-    * compressed audio — MP3/AAC — remains behind [[decodeStub]] and
-    * decodes to format "unknown" here). Same
+  /** REAL decode — BMP, PNG, JPEG, QOI, binary PPM/PGM, RIFF/WAV,
+    * YUV4MPEG2 — parsed header-first with no external codec libraries
+    * (pure JVM byte arithmetic for every header including JPEG's SOF
+    * and Y4M's parameter line; compressed audio — MP3/AAC — remains
+    * behind [[decodeStub]] and decodes to format "unknown" here). Same
     * mapPartitions shape as the stub: per-partition setup amortizes,
     * metadata extraction never copies the payload; full QOI pixel
     * decompression is [[decodeQoiPixels]]. */
@@ -699,9 +699,260 @@ object Multimodal {
           base(fmt, w, h, if (fmt == "ppm") 3 else 1, 0, w.toLong * h, bits)
         }).orElse(wavHeader(p).map { case (ch, rate, bits, frames) =>
           base("wav", 0, 0, ch, rate, frames, bits)
+        }).orElse(y4mHeader(p).map { case (w, h, fn, fd, cs, he) =>
+          val fl = y4mFrameBytes(w, h, cs)
+          val nf = if (fl <= 0 || fl > Int.MaxValue) -1
+            else y4mWalk(p, he, fl.toInt)((_, _) => ())
+          base("y4m", w, h, 3, math.round(fn.toDouble / fd).toInt,
+            nf.toLong, 8)
         }).getOrElse(base("unknown", 0, 0, 0, 0, 0L, 0))
       }
     }
+  }
+
+  // ------------------------------------------------------------ WAV PCM
+
+  /** Locate the PCM payload of a RIFF/WAVE stream: (channels, rate,
+    * bits, dataOffset, dataBytes). Same hostile-size-safe chunk walk
+    * as [[wavHeader]], but exposes where the samples LIVE so
+    * [[wavPcmFeatures]] can read them. 8-bit (unsigned) and 16-bit
+    * (signed LE) integer PCM only — the formats WAV actually carries
+    * in practice without a codec. */
+  private[graft] def wavPcmLayout(p: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    if (p.length < 44 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+      p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E') return None
+    var i = 12L
+    var channels = 0; var rate = 0; var bits = 0; var fmt = 0
+    var dataOff = -1; var dataLen = 0
+    while (i + 8 <= p.length && (dataOff < 0 || channels == 0)) {
+      val o = i.toInt
+      val id = new String(p, o, 4, "US-ASCII")
+      val size = i32le(p, o + 4).toLong & 0xffffffffL
+      if (id == "fmt " && i + 8 + 16 <= p.length) {
+        fmt = u16le(p, o + 8)
+        channels = u16le(p, o + 10)
+        rate = i32le(p, o + 12)
+        bits = u16le(p, o + 22)
+      } else if (id == "data") {
+        dataOff = o + 8
+        dataLen = math.min(size, p.length.toLong - i - 8).toInt
+      }
+      i += 8L + size + (size & 1L)
+    }
+    if (fmt != 1 || channels <= 0 || dataOff < 0 || (bits != 8 && bits != 16)) None
+    else Some((channels, rate, bits, dataOff, dataLen))
+  }
+
+  /** Real audio feature extraction over PCM WAV payloads — integer
+    * arithmetic end to end so every feature is EXACTLY recomputable by
+    * a SQL oracle (q83): per asset, frame count, sum of squared
+    * channel-0 samples (the un-normalized RMS energy), zero-crossing
+    * count (sign flips, zero counted as non-negative), and peak
+    * |sample|. 16-bit signed LE and 8-bit unsigned (centered at 128)
+    * PCM. Non-WAV/non-PCM payloads report n_frames = −1. The shape is
+    * the real pipeline one: a per-partition batch map emitting a tiny
+    * feature row per asset, payloads never leave the scan. */
+  def wavPcmFeatures(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      wavPcmLayout(a.payload) match {
+        case Some((ch, _, bits, off, len)) =>
+          val p = a.payload
+          val bytesPerSample = bits / 8
+          val frame = ch * bytesPerSample
+          val n = len / frame
+          var sumSq = 0L; var zcr = 0L; var peak = 0L
+          var prevNonNeg = true
+          var f = 0
+          while (f < n) {
+            val o = off + f * frame // channel 0 sample of frame f
+            val s =
+              if (bits == 16) (((p(o + 1) << 8) | (p(o) & 0xff)).toShort).toInt
+              else (p(o) & 0xff) - 128
+            sumSq += s.toLong * s
+            val nonNeg = s >= 0
+            if (f > 0 && nonNeg != prevNonNeg) zcr += 1
+            prevNonNeg = nonNeg
+            if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+            f += 1
+          }
+          (a.asset_id, n.toLong, sumSq, zcr, peak)
+        case None => (a.asset_id, -1L, 0L, 0L, 0L)
+      }
+    }).toDF("asset_id", "n_frames", "sum_sq", "zcr", "peak")
+  }
+
+  /** Deterministic mono 16-bit PCM WAV synthesis from the documents
+    * fixture: n = 64 + id mod 64 frames at 8 kHz, sample i =
+    * ((id·37 + i·i) mod 2003) − 1001 — closed-form, so the q83 oracle
+    * recomputes every feature without touching a decoder. */
+  def synthesizeWavAssets(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        val n = 64 + (id % 64).toInt
+        val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+          .put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1).putInt(8000).putInt(16000)
+          .putShort(2).putShort(16)
+        bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+        var i = 0
+        while (i < n) {
+          bb.putShort((((id * 37 + i.toLong * i) % 2003) - 1001).toShort)
+          i += 1
+        }
+        MediaAsset(id, "audio", bb.array(), source)
+      })
+  }
+
+  // ---------------------------------------------------------------- Y4M
+
+  /** Parse a YUV4MPEG2 stream header: (width, height, fpsNum, fpsDen,
+    * colorspace, firstFrameOffset). The one video container simple
+    * enough to handle dependency-free — an ASCII parameter line
+    * ("YUV4MPEG2 W.. H.. F<num>:<den> .. C444\n") followed by raw
+    * "FRAME\n"-delimited planar frames. C444 (3·w·h bytes/frame) and
+    * C420 family (3·w·h/2) supported. Header line capped at 256 bytes
+    * — hostile unterminated headers terminate immediately. */
+  private[graft] def y4mHeader(p: Array[Byte]): Option[(Int, Int, Int, Int, String, Int)] = {
+    val magic = "YUV4MPEG2"
+    if (p.length < magic.length + 1) return None
+    var i = 0
+    while (i < magic.length) { if (p(i) != magic.charAt(i)) return None; i += 1 }
+    var end = i
+    val cap = math.min(p.length, 256)
+    while (end < cap && p(end) != '\n') end += 1
+    if (end >= cap || p(end) != '\n') return None
+    val params = new String(p, i, end - i, "US-ASCII").trim.split(" +")
+    var w = 0; var h = 0; var fn = 25; var fd = 1; var cs = "420"
+    params.foreach { t =>
+      if (t.nonEmpty) try t.charAt(0) match {
+        case 'W' => w = t.substring(1).toInt
+        case 'H' => h = t.substring(1).toInt
+        case 'F' =>
+          val ab = t.substring(1).split(":")
+          if (ab.length == 2) { fn = ab(0).toInt; fd = ab(1).toInt }
+        case 'C' => cs = t.substring(1)
+        case _ => ()
+      } catch { case _: NumberFormatException => return None }
+    }
+    if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) None
+    else Some((w, h, fn, fd, cs, end + 1))
+  }
+
+  private def y4mFrameBytes(w: Int, h: Int, cs: String): Long =
+    if (cs.startsWith("444")) 3L * w * h
+    else if (cs.startsWith("420")) 3L * w * h / 2
+    else -1L
+
+  /** Walk the FRAME markers of a parsed Y4M stream, calling `f` with
+    * (frameIdx, frameDataOffset). Returns the total frame count, or −1
+    * on structural corruption. Cursor strictly advances. */
+  private def y4mWalk(p: Array[Byte], headerEnd: Int, frameLen: Int)(
+      f: (Int, Int) => Unit): Int = {
+    var o = headerEnd
+    var idx = 0
+    while (o < p.length) {
+      // "FRAME" + optional parameters + '\n'
+      if (o + 5 > p.length || p(o) != 'F' || p(o + 1) != 'R' || p(o + 2) != 'A' ||
+        p(o + 3) != 'M' || p(o + 4) != 'E') return -1
+      var e = o + 5
+      val cap = math.min(p.length, e + 256)
+      while (e < cap && p(e) != '\n') e += 1
+      if (e >= cap || p(e) != '\n') return -1
+      if (e + 1 + frameLen > p.length) return -1 // truncated frame
+      f(idx, e + 1)
+      idx += 1
+      o = e + 1 + frameLen
+    }
+    idx
+  }
+
+  /** Real video frame sampling over Y4M payloads: one row per
+    * `stride`-th frame — (asset_id, frame_idx, frame bytes). The
+    * honest version of [[frameSample]]'s fixed-size chunking: actual
+    * container framing, planar frame payloads. Non-Y4M assets emit
+    * nothing. */
+  def y4mFrames(assets: Dataset[MediaAsset], stride: Int): DataFrame = {
+    import assets.sparkSession.implicits._
+    require(stride >= 1)
+    assets.mapPartitions(_.flatMap { a =>
+      y4mHeader(a.payload) match {
+        case Some((w, h, _, _, cs, he)) =>
+          val fl = y4mFrameBytes(w, h, cs)
+          if (fl <= 0 || fl > Int.MaxValue) Iterator.empty
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Array[Byte])]
+            val n = y4mWalk(a.payload, he, fl.toInt) { (idx, off) =>
+              if (idx % stride == 0)
+                out += ((a.asset_id, idx,
+                  java.util.Arrays.copyOfRange(a.payload, off, off + fl.toInt)))
+            }
+            if (n < 0) Iterator.empty else out.iterator
+          }
+        case None => Iterator.empty
+      }
+    }).toDF("asset_id", "frame_idx", "frame")
+  }
+
+  /** Per-frame byte sums over Y4M payloads — the frame walk distilled
+    * to one oracle-checkable long per frame (q84): (asset_id,
+    * frame_idx, fsum). Corrupt/non-Y4M payloads emit a single
+    * (asset_id, −1, −1) sentinel row. */
+  def y4mFrameSums(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val bad = Iterator((a.asset_id, -1, -1L))
+      y4mHeader(a.payload) match {
+        case Some((w, h, _, _, cs, he)) =>
+          val fl = y4mFrameBytes(w, h, cs)
+          if (fl <= 0 || fl > Int.MaxValue) bad
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+            val n = y4mWalk(a.payload, he, fl.toInt) { (idx, off) =>
+              var s = 0L; var i = off
+              while (i < off + fl.toInt) { s += a.payload(i) & 0xff; i += 1 }
+              out += ((a.asset_id, idx, s))
+            }
+            if (n < 0) bad else out.iterator
+          }
+        case None => bad
+      }
+    }).toDF("asset_id", "frame_idx", "fsum")
+  }
+
+  /** Deterministic C444 Y4M synthesis from the documents fixture:
+    * nf = 2 + id mod 4 frames of w = 4 + id mod 5, h = 2 + id mod 3 at
+    * 25 fps; frame f byte i = (id·17 + f·29 + i) mod 256 — closed-form
+    * for the q84 oracle. */
+  def synthesizeY4mAssets(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        val w = 4 + (id % 5).toInt
+        val h = 2 + (id % 3).toInt
+        val nf = 2 + (id % 4).toInt
+        val frameLen = 3 * w * h
+        val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n"
+          .getBytes("US-ASCII")
+        val bb = java.nio.ByteBuffer.allocate(
+          header.length + nf * (6 + frameLen))
+        bb.put(header)
+        var f = 0
+        while (f < nf) {
+          bb.put("FRAME\n".getBytes("US-ASCII"))
+          var i = 0
+          while (i < frameLen) {
+            bb.put(((id * 17 + f * 29 + i) % 256).toByte)
+            i += 1
+          }
+          f += 1
+        }
+        MediaAsset(id, "video", bb.array(), source)
+      })
   }
 
   /** Allocate a w×h 24-bit BMP with headers written; pixel bytes start

@@ -958,6 +958,35 @@ object PipelineQueries {
       .orderBy("width")
   }
 
+  /** Real PCM audio feature extraction, oracle-audited END TO END:
+    * synthesize one mono 16-bit WAV per doc (closed-form samples —
+    * [[Multimodal.synthesizeWavAssets]]), parse the RIFF layout and
+    * compute integer features (energy, zero crossings, peak) from the
+    * actual sample bytes, then roll up — the oracle regenerates the
+    * samples arithmetically and recomputes every feature. */
+  def q83WavFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavPcmFeatures(
+        Multimodal.synthesizeWavAssets(t(s, dir, "documents")))
+      .groupBy(col("n_frames"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("sum_sq")).cast("bigint").as("energy"),
+        sum(col("zcr")).cast("bigint").as("zero_crossings"),
+        max(col("peak")).cast("bigint").as("max_peak"))
+      .orderBy("n_frames")
+
+  /** Real video frame sampling, oracle-audited END TO END: synthesize
+    * one C444 Y4M clip per doc ([[Multimodal.synthesizeY4mAssets]]),
+    * walk the real FRAME framing, and roll up per-frame byte sums —
+    * recomputed arithmetically by the oracle. A mis-placed frame
+    * boundary shifts every sum and fails the hash. */
+  def q84Y4mFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.y4mFrameSums(
+        Multimodal.synthesizeY4mAssets(t(s, dir, "documents")))
+      .groupBy(col("frame_idx"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("fsum")).cast("bigint").as("sum_bytes"))
+      .orderBy("frame_idx")
+
   /** Deterministic stratified sampling: per-language Bernoulli rates
     * (en 0.5, fr 0.25, de 0.2, everything else 0.1) on the md5 content
     * hash — the corpus-shaping downsample as one scan-side filter.
@@ -1635,6 +1664,51 @@ object PipelineQueries {
         |  CAST(sum(3) AS BIGINT) AS sum_channels,
         |  CAST(count(*) AS BIGINT) AS n_decoded
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // regenerates the PCM samples arithmetically (sample i of doc d is
+    // ((d*37 + i*i) % 2003) - 1001) and recomputes energy / zero
+    // crossings / peak — a decoder-free audit of the RIFF walk and
+    // 16-bit LE sample parse
+    "q83_wav_features" ->
+      """WITH m AS (
+        |  SELECT doc_id, 64 + CAST(doc_id % 64 AS INT) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, i,
+        |    ((doc_id * 37 + i * i) % 2003) - 1001 AS v,
+        |    CASE WHEN i > 0
+        |      THEN ((doc_id * 37 + (i - 1) * (i - 1)) % 2003) - 1001 END AS pv
+        |  FROM m, unnest(range(0, n)) AS t(i)),
+        |agg AS (
+        |  SELECT doc_id, n, sum(v * v) AS ss,
+        |    sum(CASE WHEN i > 0 AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END) AS zc,
+        |    max(abs(v)) AS pk
+        |  FROM s GROUP BY 1, 2)
+        |SELECT CAST(n AS BIGINT) AS n_frames, count(*) AS n_assets,
+        |  CAST(sum(ss) AS BIGINT) AS energy,
+        |  CAST(sum(zc) AS BIGINT) AS zero_crossings,
+        |  CAST(max(pk) AS BIGINT) AS max_peak
+        |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin,
+    // regenerates each frame's byte sum arithmetically (byte i of frame
+    // f in doc d is (d*17 + f*29 + i) mod 256; full 256-cycles sum to
+    // 32640) — a decoder-free audit of the FRAME walk and frame sizing
+    "q84_y4m_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    4 + CAST(doc_id % 5 AS INT) AS w,
+        |    2 + CAST(doc_id % 3 AS INT) AS h,
+        |    2 + CAST(doc_id % 4 AS INT) AS nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, CAST(f AS INT) AS f, 3 * w * h AS len
+        |  FROM m, unnest(range(0, nf)) AS t(f)),
+        |fs AS (
+        |  SELECT doc_id, f,
+        |    (len // 256) * 32640
+        |      + COALESCE(list_sum(list_transform(range(0, len % 256),
+        |          j -> (doc_id * 17 + f * 29 + j) % 256)), 0) AS fsum
+        |  FROM fr)
+        |SELECT f AS frame_idx, count(*) AS n_frames,
+        |  CAST(sum(fsum) AS BIGINT) AS sum_bytes
+        |FROM fs GROUP BY 1 ORDER BY 1""".stripMargin,
     "q67_stratified" ->
       s"""WITH hv AS (
          |  SELECT doc_id, lang, md5('strat' || CAST(doc_id AS VARCHAR)) AS h
@@ -1934,5 +2008,7 @@ object PipelineQueries {
     "q80_hard_negatives" -> (q80HardNegatives _),
     "q81_png_decode" -> (q81PngDecode _),
     "q82_jpeg_decode" -> (q82JpegDecode _),
+    "q83_wav_features" -> (q83WavFeatures _),
+    "q84_y4m_frames" -> (q84Y4mFrames _),
   )
 }

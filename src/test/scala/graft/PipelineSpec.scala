@@ -638,6 +638,88 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodeJpegPixels(jpg.take(jpg.length / 2)) === None)
   }
 
+  test("WAV PCM features: hand-computed 16-bit and 8-bit samples; " +
+      "non-PCM rejected") {
+    import spark.implicits._
+    // mono 16-bit: samples 100, -200, 0, -1 → ss=50001, zcr=3 (+→−→+(0)→−), peak=200
+    val bb = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + 8); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+    bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(8)
+    Seq(100, -200, 0, -1).foreach(s => bb.putShort(s.toShort))
+    val f16 = Multimodal.wavPcmFeatures(
+      Seq(graft.operators.MediaAsset(1L, "audio", bb.array(), "t")).toDS())
+      .collect().head
+    assert(f16.getLong(1) === 4L) // n_frames
+    assert(f16.getLong(2) === 100L * 100 + 200L * 200 + 0 + 1) // sum_sq
+    assert(f16.getLong(3) === 3L) // zcr: +,−,0(+),−
+    assert(f16.getLong(4) === 200L) // peak
+    // stereo 8-bit unsigned: channel 0 = 128±x (centered), channel 1 ignored
+    val b8 = java.nio.ByteBuffer.allocate(44 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b8.put("RIFF".getBytes); b8.putInt(36 + 4); b8.put("WAVE".getBytes)
+    b8.put("fmt ".getBytes); b8.putInt(16); b8.putShort(1); b8.putShort(2)
+    b8.putInt(8000); b8.putInt(16000); b8.putShort(2); b8.putShort(8)
+    b8.put("data".getBytes); b8.putInt(4)
+    b8.put(138.toByte); b8.put(0.toByte) // frame 0: ch0=+10
+    b8.put(118.toByte); b8.put(0.toByte) // frame 1: ch0=−10
+    val f8 = Multimodal.wavPcmFeatures(
+      Seq(graft.operators.MediaAsset(2L, "audio", b8.array(), "t")).toDS())
+      .collect().head
+    assert(f8.getLong(1) === 2L && f8.getLong(2) === 200L &&
+      f8.getLong(3) === 1L && f8.getLong(4) === 10L)
+    // non-PCM (fmt tag 3 = IEEE float) → sentinel
+    val ff = bb.array().clone(); ff(20) = 3
+    assert(Multimodal.wavPcmFeatures(
+      Seq(graft.operators.MediaAsset(3L, "audio", ff, "t")).toDS())
+      .collect().head.getLong(1) === -1L)
+  }
+
+  test("Y4M: frame walk extracts exact frame payloads; truncated and " +
+      "hostile streams are rejected") {
+    import spark.implicits._
+    val w = 3; val h = 2; val fl = 3 * w * h
+    val f0 = Array.tabulate(fl)(i => (i + 1).toByte)
+    val f1 = Array.tabulate(fl)(i => (100 + i).toByte)
+    val head = s"YUV4MPEG2 W$w H$h F30:1 C444\n".getBytes("US-ASCII")
+    val clip = head ++ "FRAME\n".getBytes ++ f0 ++
+      "FRAME Xparam\n".getBytes ++ f1 // frame params must be skipped
+    val rows = Multimodal.y4mFrames(
+      Seq(graft.operators.MediaAsset(1L, "video", clip, "t")).toDS(), 1)
+      .collect().map(r => (r.getInt(1), r.getAs[Array[Byte]](2).toSeq)).toMap
+    assert(rows.keySet === Set(0, 1))
+    assert(rows(0) === f0.toSeq && rows(1) === f1.toSeq)
+    // stride 2 keeps only frame 0
+    assert(Multimodal.y4mFrames(
+      Seq(graft.operators.MediaAsset(1L, "video", clip, "t")).toDS(), 2)
+      .collect().map(_.getInt(1)).toSeq === Seq(0))
+    // decode() reports dims, fps, and the walked frame count
+    val m = Multimodal.decode(
+      Seq(graft.operators.MediaAsset(1L, "video", clip, "t")).toDS())
+      .collect().head
+    assert(m.format === "y4m" && m.width === w && m.height === h &&
+      m.sample_rate === 30 && m.n_samples === 2L)
+    // truncated final frame → structural reject (sentinel fsum row)
+    val trunc = clip.dropRight(3)
+    val sums = Multimodal.y4mFrameSums(
+      Seq(graft.operators.MediaAsset(2L, "video", trunc, "t")).toDS())
+      .collect()
+    assert(sums.length === 1 && sums.head.getInt(1) === -1)
+    // header without a newline inside the 256-byte cap → None, no scan
+    // of the whole payload
+    val noNl = ("YUV4MPEG2 W3 H2 " + "x" * 300).getBytes("US-ASCII")
+    assert(Multimodal.y4mHeader(noNl) === None)
+    // C420 frame sizing honored (w*h*3/2)
+    val h420 = s"YUV4MPEG2 W4 H2 C420jpeg\n".getBytes("US-ASCII")
+    val c420 = h420 ++ "FRAME\n".getBytes ++ new Array[Byte](12)
+    val m420 = Multimodal.decode(
+      Seq(graft.operators.MediaAsset(3L, "video", c420, "t")).toDS())
+      .collect().head
+    assert(m420.format === "y4m" && m420.n_samples === 1L)
+  }
+
   test("real decode: hostile WAV chunk size near 2^32 terminates as unknown, no hang") {
     import spark.implicits._
     // RIFF/WAVE with a chunk whose u32 size field is 0xFFFFFFF8 — an
