@@ -120,26 +120,40 @@ object Bm25 {
     * as a direct search, and every later probe is corpus-free. */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
-    val toks = docs.select(col(idCol),
-      filter(TextFunctions.words(col(textCol)), t => length(t) > 0).as("w"))
-    val tf = toks.select(col(idCol), explode(col("w")).as("term"))
+    val spark = docs.sparkSession
+    // ONE tokenization pass: tf is the only corpus-derived table; doc
+    // lengths fall out of it (dl = Σ tf per doc — every token counted
+    // once) and stats fall out of doclen. Without the reuse, the four
+    // write actions each re-tokenized the corpus (4× the dominant
+    // cost; BASELINE.md r7).
+    val tf = docs
+      .select(col(idCol),
+        explode(filter(TextFunctions.words(col(textCol)),
+          t => length(t) > 0)).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
-    // cluster each bucket into one task → one file per bucket dir
-    tf.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
-    tf.groupBy(col("term"), col("bucket"))
-      .agg(count(lit(1)).cast("double").as("df"))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/df")
-    toks.select(col(idCol), size(col("w")).cast("double").as("dl"))
-      .write.mode("overwrite").parquet(s"$path/doclen")
-    toks.agg(
-        count(lit(1)).cast("double").as("n_docs"),
-        (sum(size(col("w"))).cast("double") / count(lit(1)).cast("double"))
-          .as("avgdl"))
-      .withColumn("n_buckets", lit(nBuckets))
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .persist()
+    try {
+      // cluster each bucket into one task → one file per bucket dir
+      tf.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+      tf.groupBy(col("term"), col("bucket"))
+        .agg(count(lit(1)).cast("double").as("df"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/df")
+      // token-free docs still carry dl=0 rows (and count toward
+      // n_docs/avgdl — the oracle's semantics): left-join the id column
+      docs.select(col(idCol))
+        .join(tf.groupBy(col(idCol)).agg(sum(col("tf")).cast("double").as("dl")),
+          Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("dl"), lit(0.0)).as("dl"))
+        .write.mode("overwrite").parquet(s"$path/doclen")
+      spark.read.parquet(s"$path/doclen")
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          (sum(col("dl")) / count(lit(1)).cast("double")).as("avgdl"))
+        .withColumn("n_buckets", lit(nBuckets))
+        .write.mode("overwrite").parquet(s"$path/stats")
+    } finally tf.unpersist(false)
   }
 
   /** Probe a [[writeIndex]] layout: same results (bit-identical — the
@@ -174,14 +188,25 @@ object Bm25 {
     * (ties by term), grouped into consecutive runs of `termsPerQuery`
     * — a bounded table (window over ≤ dozens of rows, scale-exempt). */
   def minedQueries(docs: DataFrame, idCol: String, textCol: String,
-      nQueries: Int, termsPerQuery: Int): DataFrame = {
+      nQueries: Int, termsPerQuery: Int): DataFrame =
+    minedQueriesFromDf(
+      termFrequencies(docs, idCol, textCol)
+        .groupBy("term").agg(count(lit(1)).as("df")),
+      nQueries, termsPerQuery)
+
+  /** [[minedQueries]] over a PRECOMPUTED (term, df) table — e.g. the
+    * `df/` half of a [[writeIndex]] layout, so probe mining over a
+    * materialized index never re-tokenizes the corpus. Integral df
+    * values order identically whether long or double, so the mined
+    * probes match the live-corpus form exactly. */
+  def minedQueriesFromDf(df: DataFrame, nQueries: Int,
+      termsPerQuery: Int): DataFrame = {
     val stop = TextFunctions.Stopwords("en").toSeq
-    val df = termFrequencies(docs, idCol, textCol)
+    val top = df.select(col("term"), col("df"))
       .filter(!col("term").isin(stop: _*))
-      .groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term"))
       .limit(nQueries * termsPerQuery)
-    df.withColumn("rn",
+    top.withColumn("rn",
         row_number().over(Window.orderBy(col("df").desc, col("term"))))
       .select((((col("rn") - 1) / termsPerQuery).cast("int") + 1).as("q_id"),
         col("term"))

@@ -543,8 +543,12 @@ object PipelineQueries {
     val docs = t(s, dir, "documents")
     val idx = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_bm25_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-    Bm25.writeIndex(docs, "doc_id", "text", idx, nBuckets = 64)
-    val probes = Bm25.minedQueries(docs, "doc_id", "text",
+    // 16 buckets at fixture scale (the bucket COUNT is a sizing knob —
+    // thousands at 100 TB; the layout shape is what the query pins)
+    Bm25.writeIndex(docs, "doc_id", "text", idx, nBuckets = 16)
+    // probes mined FROM the materialized df table — after the build,
+    // nothing in this query touches the corpus again
+    val probes = Bm25.minedQueriesFromDf(s.read.parquet(s"$idx/df"),
       nQueries = 3, termsPerQuery = 3)
     Bm25.searchIndex(s, idx, probes, "doc_id", k = 10, linearIdf = true)
       .orderBy("q_id", "rk")
