@@ -1036,6 +1036,114 @@ object Multimodal {
     }
   }
 
+  /** Decode a 24-bit uncompressed BMP to flat RGBA (top-down row
+    * order, BGR→RGB swapped, 4-byte row padding honored; BMP's
+    * negative-height top-down variant handled). */
+  def decodeBmpPixels(p: Array[Byte]): Option[Array[Byte]] = bmpHeader(p) match {
+    case Some((w, h, 24, off)) if w > 0 && h > 0 =>
+      val stride = (w * 3 + 3) / 4 * 4
+      val topDown = i32le(p, 22) < 0 // raw height sign = row order
+      if (w.toLong * h > (Int.MaxValue / 4).toLong ||
+        off <= 0 || off.toLong + stride.toLong * (h - 1) + w * 3 > p.length) None
+      else {
+        val out = new Array[Byte](w * h * 4)
+        var y = 0
+        while (y < h) {
+          val src = off + (if (topDown) y else h - 1 - y) * stride
+          var x = 0
+          while (x < w) {
+            val so = src + x * 3
+            val o = (y * w + x) * 4
+            out(o) = p(so + 2); out(o + 1) = p(so + 1)
+            out(o + 2) = p(so); out(o + 3) = -1
+            x += 1
+          }
+          y += 1
+        }
+        Some(out)
+      }
+    case _ => None
+  }
+
+  /** Uniform pixel access across every image codec this engine
+    * decodes: flat RGBA, top-down — BMP, PNG, QOI bit-exact; JPEG via
+    * the JDK codec (lossy). The property that matters downstream: the
+    * SAME pixels arrive as the SAME bytes no matter which lossless
+    * container carried them. */
+  def decodeToRgba(p: Array[Byte]): Option[Array[Byte]] =
+    decodeBmpPixels(p)
+      .orElse(decodePngPixels(p))
+      .orElse(decodeQoiPixels(p))
+      .orElse(decodeJpegPixels(p).map { rgb =>
+        val out = new Array[Byte](rgb.length / 3 * 4)
+        var i = 0
+        while (i < rgb.length / 3) {
+          out(i * 4) = rgb(i * 3); out(i * 4 + 1) = rgb(i * 3 + 1)
+          out(i * 4 + 2) = rgb(i * 3 + 2); out(i * 4 + 3) = -1
+          i += 1
+        }
+        out
+      })
+
+  /** CODEC-INVARIANT feature extraction: [[featureExtract]]'s
+    * histogram computed over DECODED RGBA pixels instead of container
+    * bytes, so one image produces one embedding no matter which
+    * lossless format carried it (BMP == PNG == QOI bit-identical;
+    * JPEG lands within codec noise — spec-pinned). Bins are
+    * CONTIGUOUS value ranges ((v·dim)/256), not the mod fold
+    * [[featureExtract]] uses on opaque bytes — ±ε codec noise moves a
+    * value to an adjacent bin at worst, where a fold would scatter it
+    * arbitrarily. Assets no decoder understands fall back to the
+    * payload-byte histogram, so mixed media tables still featurize
+    * every row. */
+  def featureExtractDecoded(assets: Dataset[MediaAsset], dim: Int): DataFrame = {
+    import assets.sparkSession.implicits._
+    require(dim > 0 && dim <= 256, "dim must be in 1..256")
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val bytes = decodeToRgba(a.payload).getOrElse(a.payload)
+        val h = new Array[Float](dim)
+        var i = 0
+        while (i < bytes.length) {
+          h(((bytes(i) & 0xff) * dim) / 256) += 1f
+          i += 1
+        }
+        var n2 = 0.0
+        i = 0
+        while (i < dim) { n2 += h(i).toDouble * h(i); i += 1 }
+        if (n2 > 0) {
+          val inv = (1.0 / math.sqrt(n2)).toFloat
+          i = 0
+          while (i < dim) { h(i) *= inv; i += 1 }
+        }
+        (a.asset_id, h)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Encode RGB samples (w·h·3, row-major top-down) as a 24-bit BMP —
+    * the synthesis/spec counterpart of [[decodeBmpPixels]] (bottom-up
+    * rows, BGR order, padded stride). */
+  private[graft] def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "samples must be w*h*3")
+    val stride = (w * 3 + 3) / 4 * 4
+    val out = newBmp(w, h)
+    var y = 0
+    while (y < h) {
+      val dst = 54 + (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val so = (y * w + x) * 3
+        out(dst + x * 3) = rgb(so + 2)     // B
+        out(dst + x * 3 + 1) = rgb(so + 1) // G
+        out(dst + x * 3 + 2) = rgb(so)     // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Frame sampling: every `stride`-th fixed-size chunk of the payload
     * (a video's frame-sample analogue), exploded to one row per frame.
     * Columnar — no UDF; the payload is sliced lazily. */

@@ -720,6 +720,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(m420.format === "y4m" && m420.n_samples === 1L)
   }
 
+  test("codec-invariant features: the same pixels through BMP, PNG and QOI " +
+      "produce bit-identical embeddings; JPEG lands within codec noise") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val w = 9; val h = 5
+    val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+    // QOI: every pixel as an RGB literal + the 8-byte end marker — a
+    // valid stream any conforming encoder could have produced
+    val qoi = {
+      val bb = java.nio.ByteBuffer.allocate(14 + w * h * 4 + 8)
+      bb.put("qoif".getBytes); bb.putInt(w); bb.putInt(h)
+      bb.put(3.toByte); bb.put(0.toByte)
+      for (i <- 0 until w * h) {
+        bb.put(0xFE.toByte)
+        bb.put(rgb(i * 3)); bb.put(rgb(i * 3 + 1)); bb.put(rgb(i * 3 + 2))
+      }
+      (0 until 7).foreach(_ => bb.put(0.toByte)); bb.put(1.toByte)
+      bb.array()
+    }
+    // sanity: all three lossless decoders agree on the raw pixels
+    val viaBmp = Multimodal.decodeToRgba(Multimodal.encodeBmp(w, h, rgb)).get
+    assert(viaBmp.toSeq === Multimodal.decodePngPixels(
+      Multimodal.encodePng(w, h, 2, rgb, _ => 3)).get.toSeq)
+    assert(viaBmp.toSeq === Multimodal.decodeQoiPixels(qoi).get.toSeq)
+    val assets = Seq(
+      graft.operators.MediaAsset(1L, "image", Multimodal.encodeBmp(w, h, rgb), "t"),
+      graft.operators.MediaAsset(2L, "image",
+        Multimodal.encodePng(w, h, 2, rgb, y => y % 5), "t"),
+      graft.operators.MediaAsset(3L, "image", qoi, "t")).toDS()
+    val vecs = Multimodal.featureExtractDecoded(assets, 32).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs(1L) === vecs(2L), "BMP vs PNG embeddings must be bit-identical")
+    assert(vecs(1L) === vecs(3L), "BMP vs QOI embeddings must be bit-identical")
+    // JPEG (lossy, smooth content): high cosine to the lossless vector
+    val smooth = Array.tabulate(w * h * 3) { i =>
+      val px = i / 3; (30 + (px % w) * 6 + (px / w) * 4).toByte
+    }
+    val pair = Seq(
+      graft.operators.MediaAsset(4L, "image", Multimodal.encodeBmp(w, h, smooth), "t"),
+      graft.operators.MediaAsset(5L, "image", Multimodal.encodeJpeg(w, h, smooth), "t"))
+      .toDS()
+    val pv = Multimodal.featureExtractDecoded(pair, 32).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val cos = pv(4L).zip(pv(5L)).map { case (a, b) => a.toDouble * b }.sum
+    assert(cos > 0.98, s"JPEG embedding drifted: cosine $cos")
+    // unknown payloads fall back to the byte histogram (still featurize)
+    val fb = Multimodal.featureExtractDecoded(
+      Seq(graft.operators.MediaAsset(6L, "image", Array[Byte](1, 2, 3), "t")).toDS(), 32)
+      .collect()
+    assert(fb.length === 1 && math.abs(
+      fb.head.getSeq[Float](1).map(x => x.toDouble * x).sum - 1.0) < 1e-6)
+  }
+
   test("real decode: hostile WAV chunk size near 2^32 terminates as unknown, no hang") {
     import spark.implicits._
     // RIFF/WAVE with a chunk whose u32 size field is 0xFFFFFFF8 — an
