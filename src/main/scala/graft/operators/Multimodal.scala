@@ -1144,6 +1144,72 @@ object Multimodal {
     out
   }
 
+  /** Encode RGB samples as an all-literal QOI stream (every pixel a
+    * QOI_OP_RGB chunk + the 8-byte end marker) — a valid stream any
+    * conforming encoder could emit; the synthesis counterpart of
+    * [[decodeQoiPixels]] for mixed-codec fixtures. */
+  private[graft] def encodeQoiRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "samples must be w*h*3")
+    val bb = java.nio.ByteBuffer.allocate(14 + w * h * 4 + 8)
+    bb.put('q'.toByte).put('o'.toByte).put('i'.toByte).put('f'.toByte)
+    bb.putInt(w).putInt(h).put(3.toByte).put(0.toByte)
+    var i = 0
+    while (i < w * h) {
+      bb.put(0xFE.toByte)
+      bb.put(rgb(i * 3)).put(rgb(i * 3 + 1)).put(rgb(i * 3 + 2))
+      i += 1
+    }
+    var z = 0
+    while (z < 7) { bb.put(0.toByte); z += 1 }
+    bb.put(1.toByte)
+    bb.array()
+  }
+
+  /** Mixed-codec synthesis: the SAME closed-form pixels as
+    * [[synthesizePngAssets]] (w = 4 + id mod 11, h = 3 + id mod 5,
+    * byte i = (id·31 + i) mod 256), but each doc ships in the
+    * container its id selects — BMP, PNG, or QOI by id mod 3. A
+    * decoder that disagrees across codecs produces different pixels
+    * for different thirds of the corpus, which the q85 oracle's
+    * closed-form histogram would expose. */
+  def synthesizeMixedAssets(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        val w = 4 + (id % 11).toInt
+        val h = 3 + (id % 5).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < rgb.length) { rgb(i) = ((id * 31 + i) % 256).toByte; i += 1 }
+        val payload = (id % 3) match {
+          case 0 => encodeBmp(w, h, rgb)
+          case 1 => encodePng(w, h, 2, rgb, y => ((id + y) % 5).toInt)
+          case _ => encodeQoiRgb(w, h, rgb)
+        }
+        MediaAsset(id, "image", payload, source)
+      })
+  }
+
+  /** Per-asset decoded-RGBA histogram over `dim` contiguous value
+    * bins, exploded to (asset_id, bin, cnt) rows — the integer face of
+    * [[featureExtractDecoded]] (pre-normalization), so a SQL oracle
+    * can recompute it exactly. Undecodable payloads emit a single
+    * (asset_id, −1, −1) sentinel. */
+  def decodedHistogram(assets: Dataset[MediaAsset], dim: Int): DataFrame = {
+    import assets.sparkSession.implicits._
+    require(dim > 0 && dim <= 256, "dim must be in 1..256")
+    assets.mapPartitions(_.flatMap { a =>
+      decodeToRgba(a.payload) match {
+        case Some(px) =>
+          val h = new Array[Long](dim)
+          var i = 0
+          while (i < px.length) { h(((px(i) & 0xff) * dim) / 256) += 1L; i += 1 }
+          (0 until dim).iterator.map(b => (a.asset_id, b, h(b)))
+        case None => Iterator((a.asset_id, -1, -1L))
+      }
+    }).toDF("asset_id", "bin", "cnt")
+  }
+
   /** Frame sampling: every `stride`-th fixed-size chunk of the payload
     * (a video's frame-sample analogue), exploded to one row per frame.
     * Columnar — no UDF; the payload is sliced lazily. */

@@ -991,6 +991,25 @@ object PipelineQueries {
         sum(col("fsum")).cast("bigint").as("sum_bytes"))
       .orderBy("frame_idx")
 
+  /** Cross-codec decode agreement, oracle-audited: every doc's pixels
+    * ship in the container its id selects (BMP / PNG / QOI by id mod
+    * 3 — [[Multimodal.synthesizeMixedAssets]]), decode through the
+    * uniform [[Multimodal.decodeToRgba]] surface, and the 16-bin
+    * decoded histogram rolls up per (bin, format-class). The oracle
+    * recomputes every count closed-form FROM THE PIXEL ARITHMETIC —
+    * if any one decoder disagreed with the others (a BGR swap, a
+    * filter bug, an off-by-one row), its third of the corpus would
+    * shift mass between bins and fail the hash. */
+  def q85CodecAgreement(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.synthesizeMixedAssets(t(s, dir, "documents"))
+    Multimodal.decodedHistogram(assets, dim = 16)
+      .withColumn("fmt", pmod(col("asset_id"), lit(3)).cast("int"))
+      .groupBy(col("bin"), col("fmt"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("cnt")).cast("bigint").as("total"))
+      .orderBy("bin", "fmt")
+  }
+
   /** Deterministic stratified sampling: per-language Bernoulli rates
     * (en 0.5, fr 0.25, de 0.2, everything else 0.1) on the md5 content
     * hash — the corpus-shaping downsample as one scan-side filter.
@@ -1713,6 +1732,27 @@ object PipelineQueries {
         |SELECT f AS frame_idx, count(*) AS n_frames,
         |  CAST(sum(fsum) AS BIGINT) AS sum_bytes
         |FROM fs GROUP BY 1 ORDER BY 1""".stripMargin,
+    // recomputes the 16-bin decoded-RGBA histogram closed-form: RGB
+    // byte i of doc d is (d*31 + i) mod 256 (each full 256-cycle puts
+    // exactly 16 values in every bin) and alpha contributes w*h to the
+    // top bin — across BMP-, PNG- and QOI-carried thirds of the corpus
+    "q85_codec_agreement" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS fmt,
+        |    4 + CAST(doc_id % 11 AS INT) AS w,
+        |    3 + CAST(doc_id % 5 AS INT) AS h
+        |  FROM documents),
+        |bins AS (SELECT CAST(b AS INT) AS bin FROM unnest(range(0, 16)) AS t(b)),
+        |c AS (
+        |  SELECT m.doc_id, m.fmt, bins.bin,
+        |    (3 * w * h // 256) * 16
+        |      + COALESCE(list_sum(list_transform(range(0, (3 * w * h) % 256),
+        |          j -> CASE WHEN ((doc_id * 31 + j) % 256) // 16 = bins.bin
+        |               THEN 1 ELSE 0 END)), 0)
+        |      + CASE WHEN bins.bin = 15 THEN w * h ELSE 0 END AS cnt
+        |  FROM m CROSS JOIN bins)
+        |SELECT bin, fmt, count(*) AS n_assets, CAST(sum(cnt) AS BIGINT) AS total
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q67_stratified" ->
       s"""WITH hv AS (
          |  SELECT doc_id, lang, md5('strat' || CAST(doc_id AS VARCHAR)) AS h
@@ -2014,5 +2054,6 @@ object PipelineQueries {
     "q82_jpeg_decode" -> (q82JpegDecode _),
     "q83_wav_features" -> (q83WavFeatures _),
     "q84_y4m_frames" -> (q84Y4mFrames _),
+    "q85_codec_agreement" -> (q85CodecAgreement _),
   )
 }
