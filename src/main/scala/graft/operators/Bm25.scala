@@ -156,6 +156,62 @@ object Bm25 {
     } finally tf.unpersist(false)
   }
 
+  /** Incremental index maintenance: fold a batch of NEW documents into
+    * an existing [[writeIndex]] layout without rebuilding — the
+    * delta-load shape that makes the materialized index viable at
+    * 100 TB (a nightly corpus append must not re-tokenize the other
+    * petabyte). Postings and doc lengths are pure appends (delta rows
+    * land in their bucket directories / the doclen table); document
+    * frequencies are a GLOBAL aggregate, so the delta merges into the
+    * existing df table (a term-level sum over two SMALL aggregates —
+    * never the corpus) written to a temp dir and atomically swapped;
+    * stats recompute from the appended doclen. Caller contract: `docs`
+    * are new ids (same as any append sink). Probes over the result are
+    * bit-identical to a from-scratch index over the union —
+    * spec-pinned. */
+  def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    val nBuckets = spark.read.parquet(s"$path/stats")
+      .select(col("n_buckets")).head().getInt(0)
+    val tf = docs
+      .select(col(idCol),
+        explode(filter(TextFunctions.words(col(textCol)),
+          t => length(t) > 0)).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+      .persist()
+    try {
+      tf.repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+      val dfDelta = tf.groupBy(col("term"), col("bucket"))
+        .agg(count(lit(1)).cast("double").as("df"))
+      spark.read.parquet(s"$path/df")
+        .select(col("term"), col("df"), col("bucket"))
+        .unionByName(dfDelta)
+        .groupBy(col("term"), col("bucket")).agg(sum(col("df")).as("df"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/df_next")
+      docs.select(col(idCol))
+        .join(tf.groupBy(col(idCol)).agg(sum(col("tf")).cast("double").as("dl")),
+          Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("dl"), lit(0.0)).as("dl"))
+        .write.mode("append").parquet(s"$path/doclen")
+      spark.read.parquet(s"$path/doclen")
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          (sum(col("dl")) / count(lit(1)).cast("double")).as("avgdl"))
+        .withColumn("n_buckets", lit(nBuckets))
+        .write.mode("overwrite").parquet(s"$path/stats")
+      // atomic-ish swap: df_next replaces df only after it fully wrote
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dfPath = new org.apache.hadoop.fs.Path(s"$path/df")
+      val fs = org.apache.hadoop.fs.FileSystem.get(dfPath.toUri, conf)
+      fs.delete(dfPath, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/df_next"), dfPath),
+        s"df swap failed under $path")
+    } finally tf.unpersist(false)
+  }
+
   /** Probe a [[writeIndex]] layout: same results (bit-identical — the
     * scoring core is shared) as [[search]] over the live corpus, but
     * the plan never touches the corpus: postings and df scans prune to

@@ -677,37 +677,52 @@ object Multimodal {
     * mapPartitions shape as the stub: per-partition setup amortizes,
     * metadata extraction never copies the payload; full QOI pixel
     * decompression is [[decodeQoiPixels]]. */
+  /** The per-asset header dispatch behind [[decode]] — exposed so
+    * one-pass consumers ([[decodeWithFeatures]], the streaming ingest)
+    * can pair it with other per-asset work without a second scan. */
+  private[graft] def decodeOne(a: MediaAsset): DecodedMeta = {
+    val p = a.payload
+    def base(format: String, w: Int, h: Int, ch: Int, rate: Int,
+        n: Long, bits: Int) =
+      DecodedMeta(a.asset_id, a.media_type, a.source, p.length.toLong,
+        format, w, h, ch, rate, n, bits, fnv(p))
+    bmpHeader(p).map { case (w, h, bpp, _) =>
+      base("bmp", w, h, math.max(1, bpp / 8), 0, w.toLong * h, bpp)
+    }.orElse(pngHeader(p).map { case (w, h, bits, ct) =>
+      base("png", w, h, pngChannels(ct), 0, w.toLong * h, bits)
+    }).orElse(jpegHeader(p).map { case (w, h, comps, bits) =>
+      base("jpeg", w, h, comps, 0, w.toLong * h, bits)
+    }).orElse(qoiHeader(p).map { case (w, h, ch) =>
+      base("qoi", w, h, ch, 0, w.toLong * h, 8)
+    }).orElse(pnmHeader(p).map { case (fmt, w, h, maxv, _) =>
+      val bits = if (maxv > 255) 16 else 8
+      base(fmt, w, h, if (fmt == "ppm") 3 else 1, 0, w.toLong * h, bits)
+    }).orElse(wavHeader(p).map { case (ch, rate, bits, frames) =>
+      base("wav", 0, 0, ch, rate, frames, bits)
+    }).orElse(y4mHeader(p).map { case (w, h, fn, fd, cs, he) =>
+      val fl = y4mFrameBytes(w, h, cs)
+      val nf = if (fl <= 0 || fl > Int.MaxValue) -1
+        else y4mWalk(p, he, fl.toInt)((_, _) => ())
+      base("y4m", w, h, 3, math.round(fn.toDouble / fd).toInt,
+        nf.toLong, 8)
+    }).getOrElse(base("unknown", 0, 0, 0, 0, 0L, 0))
+  }
+
   def decode(assets: Dataset[MediaAsset]): Dataset[DecodedMeta] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions { it =>
-      it.map { a =>
-        val p = a.payload
-        def base(format: String, w: Int, h: Int, ch: Int, rate: Int,
-            n: Long, bits: Int) =
-          DecodedMeta(a.asset_id, a.media_type, a.source, p.length.toLong,
-            format, w, h, ch, rate, n, bits, fnv(p))
-        bmpHeader(p).map { case (w, h, bpp, _) =>
-          base("bmp", w, h, math.max(1, bpp / 8), 0, w.toLong * h, bpp)
-        }.orElse(pngHeader(p).map { case (w, h, bits, ct) =>
-          base("png", w, h, pngChannels(ct), 0, w.toLong * h, bits)
-        }).orElse(jpegHeader(p).map { case (w, h, comps, bits) =>
-          base("jpeg", w, h, comps, 0, w.toLong * h, bits)
-        }).orElse(qoiHeader(p).map { case (w, h, ch) =>
-          base("qoi", w, h, ch, 0, w.toLong * h, 8)
-        }).orElse(pnmHeader(p).map { case (fmt, w, h, maxv, _) =>
-          val bits = if (maxv > 255) 16 else 8
-          base(fmt, w, h, if (fmt == "ppm") 3 else 1, 0, w.toLong * h, bits)
-        }).orElse(wavHeader(p).map { case (ch, rate, bits, frames) =>
-          base("wav", 0, 0, ch, rate, frames, bits)
-        }).orElse(y4mHeader(p).map { case (w, h, fn, fd, cs, he) =>
-          val fl = y4mFrameBytes(w, h, cs)
-          val nf = if (fl <= 0 || fl > Int.MaxValue) -1
-            else y4mWalk(p, he, fl.toInt)((_, _) => ())
-          base("y4m", w, h, 3, math.round(fn.toDouble / fd).toInt,
-            nf.toLong, 8)
-        }).getOrElse(base("unknown", 0, 0, 0, 0, 0L, 0))
-      }
-    }
+    assets.mapPartitions(_.map(decodeOne))
+  }
+
+  /** Metadata AND codec-invariant embedding in ONE per-asset pass —
+    * the shape a streaming source needs (two separate lineages off one
+    * stream would force a stream-stream join). Columns: every
+    * [[DecodedMeta]] field + `embedding`. */
+  def decodeWithFeatures(assets: Dataset[MediaAsset], dim: Int): DataFrame = {
+    import assets.sparkSession.implicits._
+    require(dim > 0 && dim <= 256, "dim must be in 1..256")
+    assets.mapPartitions(_.map { a =>
+      (decodeOne(a), rgbaHistogram(decodeToRgba(a.payload).getOrElse(a.payload), dim))
+    }).select(col("_1.*"), col("_2").as("embedding"))
   }
 
   // ------------------------------------------------------------ WAV PCM
@@ -1096,29 +1111,32 @@ object Multimodal {
     * arbitrarily. Assets no decoder understands fall back to the
     * payload-byte histogram, so mixed media tables still featurize
     * every row. */
+  /** The contiguous-bin L2-normalized histogram behind
+    * [[featureExtractDecoded]] and [[decodeWithFeatures]]. */
+  private[graft] def rgbaHistogram(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val h = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) {
+      h(((bytes(i) & 0xff) * dim) / 256) += 1f
+      i += 1
+    }
+    var n2 = 0.0
+    i = 0
+    while (i < dim) { n2 += h(i).toDouble * h(i); i += 1 }
+    if (n2 > 0) {
+      val inv = (1.0 / math.sqrt(n2)).toFloat
+      i = 0
+      while (i < dim) { h(i) *= inv; i += 1 }
+    }
+    h
+  }
+
   def featureExtractDecoded(assets: Dataset[MediaAsset], dim: Int): DataFrame = {
     import assets.sparkSession.implicits._
     require(dim > 0 && dim <= 256, "dim must be in 1..256")
-    assets.mapPartitions { it =>
-      it.map { a =>
-        val bytes = decodeToRgba(a.payload).getOrElse(a.payload)
-        val h = new Array[Float](dim)
-        var i = 0
-        while (i < bytes.length) {
-          h(((bytes(i) & 0xff) * dim) / 256) += 1f
-          i += 1
-        }
-        var n2 = 0.0
-        i = 0
-        while (i < dim) { n2 += h(i).toDouble * h(i); i += 1 }
-        if (n2 > 0) {
-          val inv = (1.0 / math.sqrt(n2)).toFloat
-          i = 0
-          while (i < dim) { h(i) *= inv; i += 1 }
-        }
-        (a.asset_id, h)
-      }
-    }.toDF("vec_id", "embedding")
+    assets.mapPartitions(_.map(a =>
+      (a.asset_id, rgbaHistogram(decodeToRgba(a.payload).getOrElse(a.payload), dim))))
+      .toDF("vec_id", "embedding")
   }
 
   /** Encode RGB samples (w·h·3, row-major top-down) as a 24-bit BMP —

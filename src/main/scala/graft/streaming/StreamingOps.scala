@@ -173,6 +173,25 @@ object StreamingOps {
       org.apache.spark.sql.functions.col("doc_id"), nShards)
   }
 
+  /** Live MEDIA ingest — [[corpusIngestStream]]'s counterpart for
+    * binary asset streams: one-pass decode + codec-invariant
+    * featurization ([[graft.operators.Multimodal.decodeWithFeatures]]
+    * — a single `mapPartitions`, so no stream-stream join), an
+    * undecodable-payload gate (format "unknown" dropped — the media
+    * equivalent of the quality gate), and cross-batch CONTENT dedup on
+    * the payload checksum through the state store: the same image
+    * arriving twice — even re-sent in a later micro-batch, even under
+    * a different asset_id — ingests once. Every stage is the same
+    * code the batch path runs; only the dedup holds state. Payloads
+    * are dropped before the stateful stage — the state store and sink
+    * rows carry metadata + embedding only, never the bytes. */
+  def mediaIngestStream(assets: Dataset[graft.operators.MediaAsset],
+      dim: Int): DataFrame = {
+    val decoded = graft.operators.Multimodal.decodeWithFeatures(assets, dim)
+      .filter(org.apache.spark.sql.functions.col("format") =!= "unknown")
+    dedupStream(decoded, Seq("checksum"), watermarkCol = None)
+  }
+
   /** Convenience: run a streaming DataFrame to completion against a
     * memory sink and return the collected result table. Test/demo
     * helper — production sinks are parquet/kafka/iceberg via

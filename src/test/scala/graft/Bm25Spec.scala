@@ -142,6 +142,36 @@ class Bm25Spec extends AnyFunSuite {
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("bucket=")))
   }
 
+  test("appendToIndex: index(A) + append(B) probes bit-identically to a " +
+      "from-scratch index over A ∪ B") {
+    import spark.implicits._
+    val (a, b) = corpus.splitAt(4)
+    val grown = java.nio.file.Files.createTempDirectory("bm25idx_grow").toString
+    Bm25.writeIndex(a.toDF("doc_id", "text"), "doc_id", "text", grown, nBuckets = 8)
+    Bm25.appendToIndex(b.toDF("doc_id", "text"), "doc_id", "text", grown)
+    val scratch = java.nio.file.Files.createTempDirectory("bm25idx_full").toString
+    Bm25.writeIndex(docsDf, "doc_id", "text", scratch, nBuckets = 8)
+    for (linear <- Seq(true, false)) {
+      def probe(p: String) = Bm25.searchIndex(spark, p, probesDf, "doc_id",
+          k = 10, linearIdf = linear)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      val g = probe(grown); val s = probe(scratch)
+      assert(g.length === s.length && g.nonEmpty)
+      for ((x, y) <- g.zip(s)) {
+        assert(x._1 === y._1 && x._2 === y._2 && x._3 === y._3, s"$x vs $y")
+        assert(java.lang.Double.compare(x._4, y._4) === 0, s"$x vs $y")
+      }
+    }
+    // df merged, not duplicated: one row per (term, bucket)
+    val df = spark.read.parquet(s"$grown/df")
+    assert(df.groupBy("term").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count() === 0)
+    // stats absorbed the append
+    assert(spark.read.parquet(s"$grown/stats").head()
+      .getAs[Double]("n_docs") === corpus.size.toDouble)
+  }
+
   test("minedQueries: deterministic grouping of top-df terms") {
     val q = Bm25.minedQueries(docsDf, "doc_id", "text",
         nQueries = 2, termsPerQuery = 2)

@@ -271,6 +271,58 @@ class StreamingSpec extends AnyFunSuite {
     out.foreach { case (id, _, sh) => assert(batchShards(id) === sh) }
   }
 
+  test("media ingest stream: decode+featurize gate and cross-batch content " +
+      "dedup equal the batch pipeline") {
+    import spark.implicits._
+    import graft.operators.{MediaAsset, Multimodal}
+    implicit val sqlCtx = spark.sqlContext
+    val rgb = Array.tabulate(4 * 3 * 3)(i => (i * 11).toByte)
+    val assets = Seq(
+      MediaAsset(1L, "image", Multimodal.encodeBmp(4, 3, rgb), "a"),
+      MediaAsset(2L, "image", Multimodal.encodePng(4, 3, 2, rgb, _ => 2), "a"),
+      MediaAsset(3L, "image", Array[Byte](9, 9, 9), "a"), // undecodable → gated
+      MediaAsset(4L, "audio", {
+        val bb = java.nio.ByteBuffer.allocate(44 + 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes); bb.putInt(40); bb.put("WAVE".getBytes)
+        bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+        bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+        bb.put("data".getBytes); bb.putInt(4)
+        bb.putShort(7).putShort(-7)
+        bb.array()
+      }, "a"),
+      // batch-2 re-send of asset 1's exact payload under a NEW id —
+      // the cross-batch content dedup must drop it
+      MediaAsset(9L, "image", Multimodal.encodeBmp(4, 3, rgb), "b"))
+    val mem = MemoryStream[MediaAsset]
+    val q = StreamingOps.mediaIngestStream(mem.toDS(), dim = 16)
+      .writeStream.format("memory").queryName("media_ingest")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(assets.take(4): _*)
+    q.processAllAvailable()
+    mem.addData(assets.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("media_ingest")
+    val ids = out.select("asset_id").collect().map(_.getLong(0)).toSet
+    // 3 gated (unknown format); 9 deduped against 1's checksum
+    assert(ids === Set(1L, 2L, 4L), s"got $ids")
+    // batch reference: identical one-pass decode+featurize rows
+    val batch = Multimodal.decodeWithFeatures(
+        spark.createDataset(assets.take(4)), 16)
+      .filter(col("format") =!= "unknown")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    out.collect().foreach { r =>
+      assert(r.toSeq.drop(1) === batch(r.getLong(0)),
+        s"stream row diverged for asset ${r.getLong(0)}")
+    }
+    // the embedding column is the codec-invariant one: BMP and PNG of
+    // the same pixels embed identically even through the stream
+    val vecs = out.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](r.fieldIndex("embedding"))).toMap
+    assert(vecs(1L) === vecs(2L))
+  }
+
   test("scrubChunks equals dropRepeatedChunks' cleaned text on the same corpus") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
