@@ -108,4 +108,53 @@ class PropertySpec extends AnyFunSuite {
       StatementSplitter.split(ss.mkString(term) + term).length == ss.length
     })
   }
+
+  test("PNG: encode∘decode is the identity for arbitrary pixels, dims, " +
+      "color types and per-row filter choices") {
+    import graft.operators.Multimodal
+    val png = for {
+      w <- Gen.choose(1, 12)
+      h <- Gen.choose(1, 12)
+      ct <- Gen.oneOf(0, 2, 4, 6)
+      ch = ct match { case 0 => 1; case 2 => 3; case 4 => 2; case _ => 4 }
+      samples <- Gen.listOfN(w * h * ch, Gen.choose(0, 255)).map(_.map(_.toByte).toArray)
+      filters <- Gen.listOfN(h, Gen.choose(0, 4))
+    } yield (w, h, ct, ch, samples, filters.toArray)
+    check(Prop.forAll(png) { case (w, h, ct, ch, samples, filters) =>
+      Multimodal.decodePngPixels(
+        Multimodal.encodePng(w, h, ct, samples, y => filters(y))) match {
+        case None => false
+        case Some(px) =>
+          (0 until w * h).forall { i =>
+            val (r, g, b, a) = ct match {
+              case 0 => (samples(i), samples(i), samples(i), -1.toByte)
+              case 2 => (samples(i * 3), samples(i * 3 + 1), samples(i * 3 + 2), -1.toByte)
+              case 4 => (samples(i * 2), samples(i * 2), samples(i * 2), samples(i * 2 + 1))
+              case _ => (samples(i * 4), samples(i * 4 + 1), samples(i * 4 + 2), samples(i * 4 + 3))
+            }
+            px(i * 4) == r && px(i * 4 + 1) == g && px(i * 4 + 2) == b && px(i * 4 + 3) == a
+          }
+      }
+    })
+  }
+
+  test("BMP: encode∘decode is the identity for arbitrary pixels and dims " +
+      "(padding and bottom-up rows exercised)") {
+    import graft.operators.Multimodal
+    val bmp = for {
+      w <- Gen.choose(1, 13) // odd widths hit every stride-padding case
+      h <- Gen.choose(1, 9)
+      rgb <- Gen.listOfN(w * h * 3, Gen.choose(0, 255)).map(_.map(_.toByte).toArray)
+    } yield (w, h, rgb)
+    check(Prop.forAll(bmp) { case (w, h, rgb) =>
+      Multimodal.decodeBmpPixels(Multimodal.encodeBmp(w, h, rgb)) match {
+        case None => false
+        case Some(px) =>
+          (0 until w * h).forall { i =>
+            px(i * 4) == rgb(i * 3) && px(i * 4 + 1) == rgb(i * 3 + 1) &&
+              px(i * 4 + 2) == rgb(i * 3 + 2) && px(i * 4 + 3) == -1
+          }
+      }
+    })
+  }
 }
