@@ -515,6 +515,48 @@ object Multimodal {
     }).toDF("asset_id", "pix_sum")
   }
 
+  // ----------------------------------------------------------------- GIF
+
+  /** Parse a GIF logical screen descriptor: (width, height). Accepts
+    * GIF87a and GIF89a. Dims are u16 little-endian right after the
+    * 6-byte signature — closed-form like every header here. */
+  private[graft] def gifHeader(p: Array[Byte]): Option[(Int, Int)] = {
+    if (p.length < 13 || p(0) != 'G' || p(1) != 'I' || p(2) != 'F' ||
+      p(3) != '8' || (p(4) != '7' && p(4) != '9') || p(5) != 'a') return None
+    val w = u16le(p, 6); val h = u16le(p, 8)
+    if (w <= 0 || h <= 0) None else Some((w, h))
+  }
+
+  /** First-frame GIF decode to flat RGBA through the JDK's own LZW
+    * reader (`javax.imageio` — same zero-external-deps stance as
+    * JPEG). Returns None on malformed input. */
+  def decodeGifPixels(p: Array[Byte]): Option[Array[Byte]] =
+    gifHeader(p).flatMap { case (w, h) =>
+      if (w.toLong * h > (Int.MaxValue / 4).toLong) return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        if (img == null || img.getWidth != w || img.getHeight != h) None
+        else {
+          val out = new Array[Byte](w * h * 4)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val argb = img.getRGB(x, y)
+              val o = (y * w + x) * 4
+              out(o) = ((argb >> 16) & 0xff).toByte
+              out(o + 1) = ((argb >> 8) & 0xff).toByte
+              out(o + 2) = (argb & 0xff).toByte
+              out(o + 3) = ((argb >>> 24) & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some(out)
+        }
+      } catch { case _: Exception => None }
+    }
+
   // ---------------------------------------------------------------- JPEG
 
   /** Parse a JPEG SOF header: (width, height, components, bitsPerSample).
@@ -692,6 +734,8 @@ object Multimodal {
       base("png", w, h, pngChannels(ct), 0, w.toLong * h, bits)
     }).orElse(jpegHeader(p).map { case (w, h, comps, bits) =>
       base("jpeg", w, h, comps, 0, w.toLong * h, bits)
+    }).orElse(gifHeader(p).map { case (w, h) =>
+      base("gif", w, h, 1, 0, w.toLong * h, 8) // indexed storage
     }).orElse(qoiHeader(p).map { case (w, h, ch) =>
       base("qoi", w, h, ch, 0, w.toLong * h, 8)
     }).orElse(pnmHeader(p).map { case (fmt, w, h, maxv, _) =>
@@ -1089,6 +1133,7 @@ object Multimodal {
     decodeBmpPixels(p)
       .orElse(decodePngPixels(p))
       .orElse(decodeQoiPixels(p))
+      .orElse(decodeGifPixels(p))
       .orElse(decodeJpegPixels(p).map { rgb =>
         val out = new Array[Byte](rgb.length / 3 * 4)
         var i = 0

@@ -773,6 +773,48 @@ class PipelineSpec extends AnyFunSuite {
       fb.head.getSeq[Float](1).map(x => x.toDouble * x).sum - 1.0) < 1e-6)
   }
 
+  test("GIF: JDK-codec first-frame decode round-trips a palette-sized " +
+      "image losslessly; codec-invariant with BMP of the same pixels") {
+    import spark.implicits._
+    // ≤256 distinct colors → the GIF writer quantizes nothing; the
+    // LZW round trip is exact and the embeddings must match BMP's
+    val w = 10; val h = 6
+    val rgb = new Array[Byte](w * h * 3)
+    for (i <- 0 until w * h) {
+      val c = i % 4 // four distinct colors
+      rgb(i * 3) = (40 * c).toByte; rgb(i * 3 + 1) = (60 + 20 * c).toByte
+      rgb(i * 3 + 2) = (200 - 30 * c).toByte
+    }
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      img.setRGB(x, y, ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) |
+        (rgb(o + 2) & 0xff))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val gif = bos.toByteArray
+    assert(Multimodal.gifHeader(gif) === Some((w, h)))
+    val px = Multimodal.decodeGifPixels(gif).getOrElse(fail("gif decode failed"))
+    for (i <- 0 until w * h)
+      assert(px(i * 4) === rgb(i * 3) && px(i * 4 + 1) === rgb(i * 3 + 1) &&
+        px(i * 4 + 2) === rgb(i * 3 + 2), s"pixel $i")
+    // metadata + codec invariance through the shared surfaces
+    val assets = Seq(
+      graft.operators.MediaAsset(1L, "image", gif, "t"),
+      graft.operators.MediaAsset(2L, "image", Multimodal.encodeBmp(w, h, rgb), "t"))
+      .toDS()
+    val m = Multimodal.decode(assets).collect().map(d => d.asset_id -> d).toMap
+    assert(m(1L).format === "gif" && m(1L).width === w && m(1L).height === h)
+    val vecs = Multimodal.featureExtractDecoded(assets, 32).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs(1L) === vecs(2L), "GIF and BMP of the same pixels must embed identically")
+    // hostile: truncated header → None; truncated LZW stream → None
+    assert(Multimodal.gifHeader(gif.take(8)) === None)
+    assert(Multimodal.decodeGifPixels(gif.take(gif.length / 3)) === None)
+  }
+
   test("real decode: hostile WAV chunk size near 2^32 terminates as unknown, no hang") {
     import spark.implicits._
     // RIFF/WAVE with a chunk whose u32 size field is 0xFFFFFFF8 — an
