@@ -192,6 +192,32 @@ object StreamingOps {
     dedupStream(decoded, Seq("checksum"), watermarkCol = None)
   }
 
+  /** Streaming BM25 index maintenance: a `foreachBatch` body that
+    * folds each micro-batch of documents into a
+    * [[graft.operators.Bm25.writeIndex]] layout — bootstrap on the
+    * first non-empty batch, [[graft.operators.Bm25.appendToIndex]]
+    * thereafter, so a live document stream keeps the materialized
+    * index probe-ready without ever re-tokenizing history. Usage:
+    * `docs.writeStream.foreachBatch(bm25IndexSink("doc_id", "text",
+    * path)).start()`. Exactly-once caveat (the standard foreachBatch
+    * one): a batch replayed after a crash mid-append would double its
+    * postings — production pairs this with the batch-id dedup ledger
+    * every idempotent foreachBatch sink uses; the spec pins the
+    * happy-path equivalence (streamed index == from-scratch index,
+    * bit-identical probes). */
+  def bm25IndexSink(idCol: String, textCol: String, path: String,
+      nBuckets: Int = 64): (DataFrame, Long) => Unit = (batch, _) => {
+    if (!batch.isEmpty) {
+      val bootstrapped =
+        try { batch.sparkSession.read.parquet(s"$path/stats").head(); true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      if (bootstrapped)
+        graft.operators.Bm25.appendToIndex(batch, idCol, textCol, path)
+      else
+        graft.operators.Bm25.writeIndex(batch, idCol, textCol, path, nBuckets)
+    }
+  }
+
   /** Convenience: run a streaming DataFrame to completion against a
     * memory sink and return the collected result table. Test/demo
     * helper — production sinks are parquet/kafka/iceberg via

@@ -323,6 +323,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(vecs(1L) === vecs(2L))
   }
 
+  test("bm25IndexSink: a streamed index probes bit-identically to a " +
+      "from-scratch index over the same documents") {
+    import spark.implicits._
+    import graft.operators.Bm25
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "spark shuffles data between stages for joins"),
+      (2L, "spark spark spark tuning shuffle partitions"),
+      (3L, "iceberg tables store snapshots and manifests"),
+      (4L, "snowflake loads iceberg tables from manifests"),
+      (5L, "a short doc"),
+      (6L, "data pipelines join spark and iceberg tables for analytics"))
+    val idx = java.nio.file.Files.createTempDirectory("bm25idx_stream").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamingOps.bm25IndexSink("doc_id", "text", idx, nBuckets = 8))
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(docs.take(3): _*) // bootstrap batch
+    q.processAllAvailable()
+    mem.addData(docs.drop(3): _*) // incremental batch
+    q.processAllAvailable()
+    q.stop()
+    val scratch = java.nio.file.Files.createTempDirectory("bm25idx_stream_ref").toString
+    Bm25.writeIndex(docs.toDF("doc_id", "text"), "doc_id", "text", scratch, nBuckets = 8)
+    val probes = Seq((1, "spark"), (1, "shuffle"), (2, "iceberg"), (2, "tables"))
+      .toDF("q_id", "term")
+    def probe(p: String) = Bm25.searchIndex(spark, p, probes, "doc_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val g = probe(idx); val s = probe(scratch)
+    assert(g.length === s.length && g.nonEmpty)
+    for ((x, y) <- g.zip(s)) {
+      assert(x._1 === y._1 && x._2 === y._2 && x._3 === y._3, s"$x vs $y")
+      assert(java.lang.Double.compare(x._4, y._4) === 0, s"$x vs $y")
+    }
+  }
+
   test("scrubChunks equals dropRepeatedChunks' cleaned text on the same corpus") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
