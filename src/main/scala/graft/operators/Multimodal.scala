@@ -1124,6 +1124,34 @@ object Multimodal {
     case _ => None
   }
 
+  /** Decode a binary PPM (P6, RGB) or PGM (P5, gray) with maxval ≤ 255
+    * to flat RGBA — raw sample bytes after the ASCII header; the
+    * simplest members of the uniform pixel surface. 16-bit (maxval >
+    * 255) PNM stays metadata-only. */
+  def decodePnmPixels(p: Array[Byte]): Option[Array[Byte]] =
+    pnmHeader(p).flatMap { case (fmt, w, h, maxv, off) =>
+      val ch = if (fmt == "ppm") 3 else 1
+      if (maxv > 255 || w <= 0 || h <= 0 ||
+        w.toLong * h > (Int.MaxValue / 4).toLong ||
+        off.toLong + w.toLong * h * ch > p.length) None
+      else {
+        val out = new Array[Byte](w * h * 4)
+        var i = 0
+        while (i < w * h) {
+          val s = off + i * ch
+          val o = i * 4
+          if (ch == 3) {
+            out(o) = p(s); out(o + 1) = p(s + 1); out(o + 2) = p(s + 2)
+          } else {
+            out(o) = p(s); out(o + 1) = p(s); out(o + 2) = p(s)
+          }
+          out(o + 3) = -1
+          i += 1
+        }
+        Some(out)
+      }
+    }
+
   /** Uniform pixel access across every image codec this engine
     * decodes: flat RGBA, top-down — BMP, PNG, QOI bit-exact; JPEG via
     * the JDK codec (lossy). The property that matters downstream: the
@@ -1133,6 +1161,7 @@ object Multimodal {
     decodeBmpPixels(p)
       .orElse(decodePngPixels(p))
       .orElse(decodeQoiPixels(p))
+      .orElse(decodePnmPixels(p))
       .orElse(decodeGifPixels(p))
       .orElse(decodeJpegPixels(p).map { rgb =>
         val out = new Array[Byte](rgb.length / 3 * 4)

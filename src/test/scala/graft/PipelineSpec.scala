@@ -815,6 +815,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodeGifPixels(gif.take(gif.length / 3)) === None)
   }
 
+  test("PNM pixels join the uniform RGBA surface: P6 codec-invariant with " +
+      "BMP; P5 expands gray; 16-bit and truncated rejected") {
+    import spark.implicits._
+    val w = 5; val h = 4
+    val rgb = Array.tabulate(w * h * 3)(i => (i * 13).toByte)
+    val p6 = (s"P6\n$w $h\n255\n".getBytes("US-ASCII")) ++ rgb
+    assert(Multimodal.decodePnmPixels(p6).get.toSeq ===
+      Multimodal.decodeBmpPixels(Multimodal.encodeBmp(w, h, rgb)).get.toSeq)
+    // and through the shared embedding surface
+    val assets = Seq(
+      graft.operators.MediaAsset(1L, "image", p6, "t"),
+      graft.operators.MediaAsset(2L, "image", Multimodal.encodeBmp(w, h, rgb), "t"))
+      .toDS()
+    val vecs = Multimodal.featureExtractDecoded(assets, 32).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs(1L) === vecs(2L))
+    // P5: gray g expands to (g,g,g,255)
+    val gray = Array.tabulate(w * h)(i => (i * 7).toByte)
+    val p5 = (s"P5\n$w $h\n255\n".getBytes("US-ASCII")) ++ gray
+    val g = Multimodal.decodePnmPixels(p5).get
+    for (i <- 0 until w * h)
+      assert(g(i * 4) === gray(i) && g(i * 4 + 1) === gray(i) &&
+        g(i * 4 + 2) === gray(i) && g(i * 4 + 3) === -1)
+    // 16-bit maxval: metadata-only (None here), truncated: None
+    val p5wide = (s"P5\n$w $h\n65535\n".getBytes("US-ASCII")) ++
+      new Array[Byte](w * h * 2)
+    assert(Multimodal.decodePnmPixels(p5wide) === None)
+    assert(Multimodal.decodePnmPixels(p6.take(p6.length - 2)) === None)
+  }
+
   test("real decode: hostile WAV chunk size near 2^32 terminates as unknown, no hang") {
     import spark.implicits._
     // RIFF/WAVE with a chunk whose u32 size field is 0xFFFFFFF8 — an
