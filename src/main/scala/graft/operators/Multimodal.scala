@@ -329,6 +329,11 @@ object Multimodal {
             while (progressed && !inflater.finished() && rawOff < raw.length) {
               val k = inflater.inflate(raw, rawOff, raw.length - rawOff)
               rawOff += k
+              // needsDictionary: an FDICT zlib header demands a preset
+              // dictionary PNG never uses — inflate() then returns 0
+              // with needsInput() false forever, so treating it as
+              // progress would spin this loop on a hostile payload
+              if (inflater.needsDictionary()) return None
               progressed = k > 0 || !inflater.needsInput()
             }
           } else if (typ == "IEND") done = true
@@ -578,6 +583,9 @@ object Multimodal {
       if ((p(i) & 0xff) != 0xFF) return None
       var m = p(i + 1) & 0xff
       while (m == 0xFF && i + 2 < p.length) { i += 1; m = p(i + 1) & 0xff } // fill bytes
+      // the fill-byte walk advances i under a weaker bound than the
+      // loop header's — re-check before the 2-byte length read below
+      if (i + 4 > p.length) return None
       if (m == 0xD9 || m == 0xDA) return None // EOI / SOS before any SOF
       val isSof = (m >= 0xC0 && m <= 0xCF) && m != 0xC4 && m != 0xC8 && m != 0xCC
       val len = u16(i + 2)

@@ -20,15 +20,19 @@ import graft.functions.TextFunctions
   *     model is a bounded table of ≤ `numBuckets` rows no matter how
   *     large the corpus is;
   *   - each GD iteration is: margin = features ⋈ weights (the weight
-  *     table is KB–MB sized → AQE broadcasts it; the corpus never
+  *     table is a KB-sized broadcast LocalRelation; the corpus never
   *     shuffles), residual per doc, gradient = features ⋈ residuals
   *     re-aggregated per bucket (one bounded O(buckets·partitions)
-  *     partial-agg shuffle). The driver never materializes weights —
-  *     no `collect`, the model stays a DataFrame end-to-end;
-  *   - iteration lineage is truncated with `localCheckpoint` on the
-  *     (tiny) weight table every `ckptEvery` rounds (lazy persist in
-  *     between — one eager job per cadence, not per iteration), the
-  *     same discipline as [[Dedup.duplicateClusters]].
+  *     partial-agg shuffle);
+  *   - the ≤ `numBuckets`-row gradient is collected to the driver each
+  *     iteration and folded into an in-memory weight map that is
+  *     re-broadcast as a literal table next round — the IVF-centroid
+  *     broadcast-small contract ([[Ivf]]). Every iteration's plan is
+  *     therefore constant-depth BY CONSTRUCTION: no lineage growth, no
+  *     persist/checkpoint cadence to tune, no cache-substitution
+  *     fragility under storage-pool pressure (the round-6 driver bench
+  *     measured the previous lazy-persist strategy at 48.5 s vs its
+  *     6.6 s clean profile — see BASELINE.md).
   *
   * Floats: margins/gradients are cross-partition double sums, so
   * training is NOT bit-deterministic across partitionings — the
@@ -80,68 +84,98 @@ object QualityClassifier {
   private def sigmoid(x: Column): Column = lit(1.0) / (lit(1.0) + exp(-x))
 
   /** Full-batch logistic regression on `labels(idCol, label∈{0,1})`.
-    * Returns the weight table (b, w) — a DataFrame of ≤ numBuckets
-    * rows; never collected. Gradient is the mean over docs of
-    * (σ(margin) − y)·x with learning rate `lr`; weights start at 0 so
-    * iteration 1's margins are exactly 0 (the empty-weight left join
-    * coalesces to 0 rather than materializing a zero table). */
+    * Returns the weight table (b, w) — a LocalRelation of ≤ numBuckets
+    * rows. Gradient is the mean over docs of (σ(margin) − y)·x with
+    * learning rate `lr`; weights start at 0 so iteration 1's margins
+    * are exactly 0 (the empty weight array reads as 0 via a null-safe
+    * `get` rather than materializing a zero table).
+    *
+    * Two structural choices make every iteration's plan constant-depth
+    * and single-pass BY CONSTRUCTION (the round-6 driver bench measured
+    * the previous lazy-persist/cache-substitution strategy at 48.5 s vs
+    * its 6.6 s clean profile; this shape profiles ~3× faster per
+    * iteration than even the clean join formulation — BASELINE.md):
+    *
+    *   - DOC-MAJOR training table: feats(id, b, v) is pivoted once into
+    *     one row per labeled doc holding sorted parallel arrays
+    *     (bs, vs) plus the label — margin, sigmoid and residual are
+    *     then IN-ROW projections (a zip_with/aggregate dot product
+    *     against the literal weight array: no broadcast join, no
+    *     per-doc groupBy, no residual re-join), and the gradient is one
+    *     explode → bounded per-bucket partial agg. One feats-mass pass
+    *     per iteration instead of two joins and two aggregations.
+    *   - DRIVER-SIDE model: the ≤ numBuckets-row gradient (KBs at 4096
+    *     buckets) is collected each iteration and folded into a flat
+    *     weight array re-embedded as a literal — the IVF-centroid
+    *     broadcast-small contract ([[Ivf]]). No lineage growth, no
+    *     persist/checkpoint cadence to tune.
+    *
+    * `ckptEvery` is retained for source compatibility and ignored:
+    * there is no lineage to truncate. The doc-major table is persisted
+    * for the loop's lifetime and released before returning — callers
+    * only own the lifetime of `feats`/`labels` as before.
+    *
+    * Floats: weight doubles round-trip the driver exactly; within-doc
+    * margin terms now sum in sorted-bucket order (deterministic across
+    * runs — stricter than the old arbitrary join order); per-bucket
+    * gradient sums remain cross-partition (spec-pinned at 1e-9).
+    *
+    * 100 TB shape: the doc-major table is one bounded-width row per
+    * labeled doc, partition-parallel; only the ≤ numBuckets gradient
+    * rows and the KB-sized weight literal ever cross the driver. */
   def train(feats: DataFrame, labels: DataFrame, idCol: String,
       iters: Int, lr: Double, ckptEvery: Int = 2): DataFrame = {
     val spark = feats.sparkSession
+    import spark.implicits._
+    val _ = ckptEvery // no-op; see scaladoc
     val n = labels.count().toDouble // one scalar; fixed across iters
-    // corpus-sized tables are scanned once per iter — persist them;
-    // caller-visible lifetime, released in the caller (query/spec)
-    var weights: DataFrame = null // null = all-zero weights
-    // Intermediate (non-checkpointed) weight tables: lazily persisted so
-    // the checkpoint job reuses rather than recomputes them, unpersisted
-    // once the next checkpoint has truncated lineage past them.
-    var pending: List[DataFrame] = Nil
-    for (i <- 1 to iters) {
-      val joined =
-        if (weights == null) feats.withColumn("w", lit(0.0))
-        else feats.join(broadcast(weights), Seq("b"), "left")
-          .withColumn("w", coalesce(col("w"), lit(0.0)))
-      val margins = joined.groupBy(col(idCol))
-        .agg(sum(col("v").cast("double") * col("w")).as("m"))
-      val resid = labels.join(margins, Seq(idCol), "left")
-        .select(col(idCol),
-          ((sigmoid(coalesce(col("m"), lit(0.0))) -
-            col("label").cast("double")) / lit(n)).as("r"))
-      val grad = feats.join(resid, Seq(idCol))
-        .groupBy(col("b"))
-        .agg(sum(col("v").cast("double") * col("r")).as("g"))
-      val next =
-        if (weights == null)
-          grad.select(col("b"), (lit(-lr) * col("g")).as("w"))
-        else weights.join(grad, Seq("b"), "outer")
-          .select(col("b"),
-            (coalesce(col("w"), lit(0.0)) -
-              lit(lr) * coalesce(col("g"), lit(0.0))).as("w"))
-      // One eager job per CADENCE, not per iteration: an eager
-      // localCheckpoint each round cost 8 scheduler round-trips for 8
-      // GD iterations (the dominant q78 overhead in the driver bench
-      // window — see BASELINE.md r6). Between checkpoints the weight
-      // table is persisted LAZILY: no job runs until the next
-      // checkpoint, whose job materializes the intermediates via cache
-      // substitution. The cadence must stay SHORT: an A/B at sf0.1
-      // measured ckptEvery=1/2/4 at par (6–9 s min) but ckptEvery=8 at
-      // 49–140 s — past a few rounds the un-truncated window re-derives
-      // exponentially instead of reusing, so 2 is the default and 4 the
-      // experimentally-safe ceiling.
-      weights =
-        if (i % ckptEvery == 0 || i == iters) {
-          val w = next.localCheckpoint(true)
-          pending.foreach(_.unpersist(false))
-          pending = Nil
-          w
-        } else {
-          val w = next.persist()
-          pending = w :: pending
-          w
+    // Docs with a label but no features contribute nothing to any
+    // gradient (every term carries a v factor), so the inner join is
+    // exact; sort_array makes the in-row sum order deterministic
+    // (struct ordering is by leading field b, unique per doc).
+    val docMajor = feats
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("b"), col("v")))).as("fs"))
+      .join(labels, Seq(idCol))
+      .select(col(idCol),
+        transform(col("fs"), f => f.getField("b")).as("bs"),
+        transform(col("fs"), f => f.getField("v").cast("double")).as("vs"),
+        col("label").cast("double").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Driver-side model: flat bucket-indexed array, grown to the max
+    // bucket seen; `get` is 0-based and null-safe (no ANSI throw), so
+    // an under-sized (or empty, iteration-1) array reads as weight 0.
+    var w = Array.empty[Double]
+    val touched = scala.collection.mutable.SortedSet.empty[Int]
+    for (_ <- 1 to iters) {
+      val warr = typedlit(w.toSeq)
+      val withR = docMajor
+        .withColumn("m", aggregate(
+          zip_with(col("bs"), col("vs"),
+            (b, v) => v * coalesce(get(warr, b), lit(0.0))),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("r", (sigmoid(col("m")) - col("y")) / lit(n))
+      val grad = withR
+        .select(explode(zip_with(col("bs"), col("vs"),
+          (b, v) => struct(b.as("b"), (v * col("r")).as("g")))).as("e"))
+        .groupBy(col("e.b").as("b"))
+        .agg(sum(col("e.g")).as("g"))
+        .collect() // bounded: ≤ numBuckets rows, the broadcast-small contract
+      if (grad.nonEmpty) {
+        val maxB = grad.iterator.map(_.getInt(0)).max
+        if (maxB >= w.length) w = java.util.Arrays.copyOf(w, maxB + 1)
+        grad.foreach { r =>
+          val b = r.getInt(0)
+          touched += b
+          w(b) -= lr * r.getDouble(1)
         }
+      }
     }
-    if (weights == null) spark.emptyDataFrame.select(lit(0).as("b"), lit(0.0).as("w"))
-    else weights
+    docMajor.unpersist(false)
+    // every bucket that ever received a gradient, even if its weight
+    // folded back to exactly 0 — the same row set the old outer-join
+    // accumulation produced
+    touched.toSeq.map(b => (b, w(b))).toDF("b", "w")
   }
 
   /** Score docs under a trained weight table: margin and probability

@@ -598,6 +598,54 @@ class PipelineSpec extends AnyFunSuite {
       m.channels === 3 && m.bits_per_sample === 8)
   }
 
+  test("PNG: an FDICT zlib header (preset dictionary) is rejected, not " +
+      "spun — inflate() yields 0 forever with needsInput() false") {
+    // zlib stream demanding a preset dictionary: CMF 0x78, FLG 0x20
+    // (FDICT set, (0x7820 % 31) == 0 so the header checksum passes),
+    // then a 4-byte DICTID. PNG never uses FDICT; before the guard the
+    // IDAT loop treated "0 bytes but !needsInput" as progress and hung.
+    val zfdict = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0, 0, 0, 0)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(v: Long): Array[Byte] = Array((v >>> 24).toByte,
+        (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      out.write(be32(data.length.toLong))
+      val t = typ.getBytes("US-ASCII"); out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+      out.write(be32(crc.getValue))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(2); ihdr.putInt(1) // 2×1
+    ihdr.put(8.toByte); ihdr.put(2.toByte) // 8-bit truecolor
+    ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
+    chunk("IHDR", ihdr.array()); chunk("IDAT", zfdict)
+    chunk("IEND", Array.emptyByteArray)
+    val done = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val f = done.submit(new java.util.concurrent.Callable[Option[Array[Byte]]] {
+        def call() = Multimodal.decodePngPixels(out.toByteArray)
+      })
+      // generous bound: the decode is microseconds when it terminates
+      assert(f.get(30, java.util.concurrent.TimeUnit.SECONDS) === None)
+    } finally done.shutdownNow()
+  }
+
+  test("JPEG: trailing fill bytes at the buffer end are rejected in " +
+      "bounds — FF D8 FF FF FF E0 must not read past the array") {
+    // the fill-byte walk advances the cursor under a weaker bound than
+    // the segment-length read; this input used to AIOOBE out of
+    // jpegHeader (uncaught through decodeOne)
+    val t = Array(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xE0).map(_.toByte)
+    assert(Multimodal.jpegHeader(t) === None)
+    // longer fill runs ending anywhere near the buffer end, same class
+    for (fills <- 1 to 6) {
+      val p = (Array(0xFF, 0xD8) ++ Array.fill(fills)(0xFF) ++
+        Array(0xE0)).map(_.toByte)
+      assert(Multimodal.jpegHeader(p) === None, s"fills=$fills")
+    }
+  }
+
   test("JPEG: JDK-codec round-trip within a per-pixel error bound; " +
       "hand-rolled SOF header parse; hostile inputs rejected") {
     // smooth gradient (JPEG-friendly content): round-trip error stays
