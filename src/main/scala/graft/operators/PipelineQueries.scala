@@ -20,6 +20,43 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Content fingerprint of a fixture table from parquet FILE METADATA
+    * (sorted name/length/mtime triples — no data scan): keys the
+    * amortized on-disk index paths below, so a regenerated fixture
+    * (new mtimes) triggers a rebuild instead of probing a stale index,
+    * while repeated runs over the same files reuse it. */
+  private def fixtureFingerprint(s: SparkSession, dir: String,
+      name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val entries =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(st =>
+          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      else Array(s"${p.getName}:${fs.getFileStatus(p).getLen}:" +
+        s"${fs.getFileStatus(p).getModificationTime}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(entries.sorted.mkString("|").getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** Amortized index location for (fixture dir, family): tmpdir path
+    * keyed by the dir AND the fixture fingerprint. Returns (path,
+    * alreadyBuilt) — built = the layout's stats table exists under
+    * exactly this fingerprint. */
+  private def amortizedIndexPath(s: SparkSession, dir: String,
+      family: String): (String, Boolean) = {
+    val fp = fixtureFingerprint(s, dir, "documents")
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${family}_${Integer.toHexString(dir.hashCode)}_$fp")
+    val path = root.getAbsolutePath
+    val built = try {
+      val stats = new org.apache.hadoop.fs.Path(s"$path/stats")
+      stats.getFileSystem(s.sparkContext.hadoopConfiguration).exists(stats)
+    } catch { case _: Throwable => false }
+    (path, built)
+  }
+
   // ---------------------------------------------------------------- text
 
   /** Per-document text statistics: token counts, punctuation,
@@ -359,6 +396,23 @@ object PipelineQueries {
     Search.topPhraseStats(t(s, dir, "documents"), "doc_id", "text", n = 5)
       .orderBy("phrase")
 
+  /** q71 over the MATERIALIZED positional index: [[Search.writeIndex]]
+    * builds the token-bucketed postings layout once per fixture
+    * generation (fingerprint-keyed tmp path — a regenerated fixture
+    * rebuilds, repeat runs amortize), then every phrase answers through
+    * [[Search.phraseProbe]]'s bucket-pruned scans. Carries q71's oracle
+    * verbatim — the occurrence core is shared, so the indexed probes
+    * must hash-match the live-postings form exactly. Phrase MINING
+    * stays corpus-side (a build-time trigram aggregate, not a probe);
+    * the probes themselves never rescan the corpus (PlanSpec-pinned). */
+  def q71PhraseSearchIndexed(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (idx, built) = amortizedIndexPath(s, dir, "search_index")
+    if (!built) Search.writeIndex(docs, "doc_id", "text", idx, nBuckets = 16)
+    Search.topPhraseStatsIndexed(s, idx, docs, "doc_id", "text", n = 5)
+      .orderBy("phrase")
+  }
+
   /** N-gram novelty ("contribution") scoring: per document, the
     * fraction of its stride-1 8-token windows whose text FIRST occurs
     * in an earlier (lower-id) document — the incremental-value signal
@@ -548,6 +602,25 @@ object PipelineQueries {
     Bm25.writeIndex(docs, "doc_id", "text", idx, nBuckets = 16)
     // probes mined FROM the materialized df table — after the build,
     // nothing in this query touches the corpus again
+    val probes = Bm25.minedQueriesFromDf(s.read.parquet(s"$idx/df"),
+      nQueries = 3, termsPerQuery = 3)
+    Bm25.searchIndex(s, idx, probes, "doc_id", k = 10, linearIdf = true)
+      .orderBy("q_id", "rk")
+  }
+
+  /** The AMORTIZED face of the BM25 index: probe-only timing over a
+    * prebuilt [[Bm25.writeIndex]] layout. The index builds at most
+    * once per fixture generation (fingerprint-keyed tmp path, same
+    * staleness guard as q71_indexed); after that every run — including
+    * bench repetitions — is the corpus-free bucket-pruned probe, which
+    * is the number that makes the index's persist-once/probe-many win
+    * visible next to q79_bm25_indexed's honest one-shot build+probe.
+    * Carries q79's oracle verbatim (shared scoring core). */
+  def q79IndexedProbe(s: SparkSession, dir: String): DataFrame = {
+    val (idx, built) = amortizedIndexPath(s, dir, "bm25_index")
+    if (!built)
+      Bm25.writeIndex(t(s, dir, "documents"), "doc_id", "text", idx,
+        nBuckets = 16)
     val probes = Bm25.minedQueriesFromDf(s.read.parquet(s"$idx/df"),
       nQueries = 3, termsPerQuery = 3)
     Bm25.searchIndex(s, idx, probes, "doc_id", k = 10, linearIdf = true)
@@ -1993,7 +2066,9 @@ object PipelineQueries {
     * the scoring core and must hash-match the in-memory search. */
   val oracleSql: Map[String, String] = baseOracleSql +
     ("q46_bloom_decontaminate" -> baseOracleSql("q42_decontaminate")) +
-    ("q79_bm25_indexed" -> baseOracleSql("q79_bm25"))
+    ("q79_bm25_indexed" -> baseOracleSql("q79_bm25")) +
+    ("q79_indexed_probe" -> baseOracleSql("q79_bm25")) +
+    ("q71_indexed" -> baseOracleSql("q71_phrase_search"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_text_stats" -> (q16TextStats _),
@@ -2040,6 +2115,7 @@ object PipelineQueries {
     "q69_substring_dedup" -> (q69SubstringDedup _),
     "q70_semantic_dedup" -> (q70SemanticDedup _),
     "q71_phrase_search" -> (q71PhraseSearch _),
+    "q71_indexed" -> (q71PhraseSearchIndexed _),
     "q72_novelty" -> (q72Novelty _),
     "q73_tfidf" -> (q73TfIdf _),
     "q74_bpe" -> (q74Bpe _),
@@ -2049,6 +2125,7 @@ object PipelineQueries {
     "q78_lr_quality" -> (q78LrQuality _),
     "q79_bm25" -> (q79Bm25 _),
     "q79_bm25_indexed" -> (q79Bm25Indexed _),
+    "q79_indexed_probe" -> (q79IndexedProbe _),
     "q80_hard_negatives" -> (q80HardNegatives _),
     "q81_png_decode" -> (q81PngDecode _),
     "q82_jpeg_decode" -> (q82JpegDecode _),

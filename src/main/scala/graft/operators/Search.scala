@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Positional inverted index + phrase search over the corpus — the
@@ -10,14 +10,15 @@ import org.apache.spark.sql.functions._
   *
   * The index is the classic search-engine shape: one (token, doc, pos)
   * posting per token occurrence, partitioned by token — at 100 TB the
-  * postings table is written bucketed by token once and every phrase
-  * query is a bucket-local m-way self-join, no corpus rescan. Phrase
-  * matching is the textbook positional join: occurrences of token i
-  * at pos p must pair with token i+1 at pos p+1; each join's right
-  * side is a single token's postings (broadcast-small for all but
-  * stop-word tokens, where a real engine would reorder rarest-first —
-  * [[phraseOccurrences]] keeps left-to-right order, which is already
-  * rarest-first for the top-phrase use here).
+  * postings table is written bucketed by token once ([[writeIndex]],
+  * the same xxhash64-bucket-directory layout as [[Bm25.writeIndex]])
+  * and every phrase query is a bucket-local m-way self-join over only
+  * the phrase's buckets, no corpus rescan ([[phraseProbe]]). Phrase
+  * matching is the textbook positional join: occurrences of token i at
+  * pos p must pair with token i+1 at pos p+1; joins run RAREST-FIRST
+  * (ascending posting-list length) so the accumulator after join 1 is
+  * already no larger than the rarest list — a stop-word-leading phrase
+  * must not make join 1 the biggest relation.
   */
 object Search {
 
@@ -29,13 +30,22 @@ object Search {
       .select(col("token"), col("doc_id"), (col("p0") + 1).as("pos"))
 
   /** All occurrences of a multi-token phrase: (doc_id, pos of the
-    * phrase's first token). */
-  def phraseOccurrences(post: DataFrame, phrase: Seq[String]): DataFrame = {
+    * phrase's FIRST token). `plen` maps token → posting-list length
+    * (occurrence count); when present, joins run in ascending-length
+    * order — the result set is join-order independent, only the plan
+    * cost changes. Unknown tokens order last; ties keep left-to-right. */
+  def phraseOccurrences(post: DataFrame, phrase: Seq[String],
+      plen: Map[String, Long] = Map.empty): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    var acc = post.filter(col("token") === phrase.head)
-      .select(col("doc_id"), col("pos"))
-    for ((t, i) <- phrase.zipWithIndex.drop(1)) {
-      val nxt = post.filter(col("token") === t)
+    val order = phrase.indices
+      .sortBy(i => (plen.getOrElse(phrase(i), Long.MaxValue), i))
+    val h = order.head
+    // normalize every token's positions to the phrase's first-token
+    // position, so each join is a plain (doc_id, pos) equi-key
+    var acc = post.filter(col("token") === phrase(h))
+      .select(col("doc_id"), (col("pos") - h).as("pos"))
+    for (i <- order.drop(1)) {
+      val nxt = post.filter(col("token") === phrase(i))
         .select(col("doc_id").as("__d"), (col("pos") - i).as("__p"))
       acc = acc.join(nxt,
         acc("doc_id") === nxt("__d") && acc("pos") === nxt("__p"))
@@ -44,31 +54,153 @@ object Search {
     acc
   }
 
+  /** Bucket id of a token under the index layout (the [[Bm25]] fold). */
+  private def bucketOf(token: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(token), lit(nBuckets.toLong)).cast("int")
+
+  /** Materialize the positional index: one tokenization pass fans into
+    * three parquet tables under `path` —
+    *
+    *   - `postings/` (token, doc_id, pos) partitioned by `bucket` =
+    *     xxhash64(token) mod nBuckets — a phrase probe reads only its
+    *     tokens' bucket directories (partition pruning);
+    *   - `df/` (token, df, n_occ) on the same layout: document
+    *     frequency and posting-list length per token — the probe's
+    *     rarest-first ordering reads list lengths from here instead of
+    *     re-counting postings;
+    *   - `stats/` — a single (n_tokens, n_buckets) row; carrying
+    *     n_buckets in-band makes the index self-describing.
+    *
+    * Build cost equals one direct search's postings pass; every later
+    * probe is corpus-free. */
+  def writeIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    val post = postings(docs, idCol, textCol)
+      .withColumn("bucket", bucketOf(col("token"), nBuckets))
+      .persist()
+    try {
+      post.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+      post.groupBy(col("token"), col("bucket"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("n_occ"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/df")
+      post.agg(count(lit(1)).as("n_tokens"))
+        .withColumn("n_buckets", lit(nBuckets))
+        .write.mode("overwrite").parquet(s"$path/stats")
+    } finally post.unpersist(false)
+  }
+
+  /** All occurrences of `phrase` through a [[writeIndex]] layout:
+    * same (doc_id, first-token pos) rows as [[phraseOccurrences]] over
+    * live postings, but the postings and length scans prune to the
+    * phrase tokens' bucket directories — the corpus is never touched.
+    * Driver materialization is bounded by the phrase: ≤ m bucket ids
+    * and ≤ m list lengths. */
+  def phraseProbe(spark: SparkSession, path: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    import spark.implicits._
+    val nBuckets = spark.read.parquet(s"$path/stats")
+      .select(col("n_buckets")).head().getInt(0)
+    val toks = phrase.distinct
+    val buckets = toks.toDF("token")
+      .select(bucketOf(col("token"), nBuckets).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val plen = spark.read.parquet(s"$path/df")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("token").isin(toks: _*))
+      .select(col("token"), col("n_occ"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("token").isin(toks: _*))
+      .select(col("token"), col("doc_id"), col("pos"))
+    phraseOccurrences(post, phrase, plen)
+  }
+
   /** Mine the top-`n` trigram phrases (occurrence count desc, phrase
-    * asc — deterministic) and run each through the positional phrase
-    * search: (phrase, n_docs, n_occurrences, sum_ids). The phrase list
-    * crossing the driver is bounded by `n` (broadcast-small contract,
-    * like IVF centroids); everything else is distributed. */
-  def topPhraseStats(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 5): DataFrame = {
+    * asc — deterministic); the phrase list crossing the driver is
+    * bounded by `n` (broadcast-small contract, like IVF centroids). */
+  private[operators] def topPhrases(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): Seq[String] = {
     val w = Chunking.tokens(col(textCol))
     val tri = docs.select(col(idCol).as("doc_id"), w.as("__w"))
       .filter(size(col("__w")) >= 3)
       .select(col("doc_id"), explode(
         transform(sequence(lit(1), size(col("__w")) - 2),
           i => concat_ws(" ", slice(col("__w"), i, lit(3))))).as("phrase"))
-    val top: Seq[String] = tri.groupBy("phrase").count()
+    tri.groupBy("phrase").count()
       .orderBy(col("count").desc, col("phrase"))
       .limit(n).collect().map(_.getString(0)).toSeq
+  }
+
+  /** Per-phrase rollup shared by the live and indexed top-phrase
+    * queries: (phrase, n_docs, n_occurrences, sum_ids). */
+  private def phraseStats(occ: DataFrame, p: String): DataFrame =
+    occ.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("c")).cast("bigint").as("n_occurrences"),
+        sum(col("doc_id")).cast("bigint").as("sum_ids"))
+      .select(lit(p).as("phrase"), col("n_docs"), col("n_occurrences"),
+        col("sum_ids"))
+
+  /** Mine the top-`n` trigram phrases and run each through the
+    * positional phrase search. The postings table is PERSISTED across
+    * the per-phrase loop (it used to be re-derived from raw text once
+    * per phrase — a corpus rescan per phrase, exactly what an index
+    * avoids; release rides the caller's per-query cache hygiene), and
+    * each phrase's joins order rarest-first by posting-list length
+    * (one bounded ≤ 3n-token length lookup). */
+  def topPhraseStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val top = topPhrases(docs, idCol, textCol, n)
     val post = postings(docs, idCol, textCol)
-    top.map { p =>
-      phraseOccurrences(post, p.split(' ').toSeq)
-        .groupBy("doc_id").agg(count(lit(1)).as("c"))
-        .agg(count(lit(1)).cast("bigint").as("n_docs"),
-          sum(col("c")).cast("bigint").as("n_occurrences"),
-          sum(col("doc_id")).cast("bigint").as("sum_ids"))
-        .select(lit(p).as("phrase"), col("n_docs"), col("n_occurrences"),
-          col("sum_ids"))
-    }.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = top.flatMap(_.split(' ')).distinct
+    val plen = post.filter(col("token").isin(toks: _*))
+      .groupBy("token").agg(count(lit(1)).as("n_occ"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    top.map(p => phraseStats(phraseOccurrences(post, p.split(' ').toSeq, plen), p))
+      .reduce(_ unionByName _)
+  }
+
+  /** [[topPhraseStats]] answered through a [[writeIndex]] layout:
+    * identical rows (the occurrence core is shared), but after phrase
+    * mining nothing touches the corpus — phrases probe their bucket
+    * directories. Mining stays corpus-side by design: the trigram
+    * count is a build-time aggregate, not a probe. The index metadata
+    * (n_buckets, posting lengths) and the bucket-pruned postings scan
+    * are shared across the whole phrase batch — one stats read and one
+    * length lookup, not one per phrase. */
+  def topPhraseStatsIndexed(spark: SparkSession, path: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    import spark.implicits._
+    val top = topPhrases(docs, idCol, textCol, n)
+    val nBuckets = spark.read.parquet(s"$path/stats")
+      .select(col("n_buckets")).head().getInt(0)
+    val toks = top.flatMap(_.split(' ')).distinct
+    val buckets = toks.toDF("token")
+      .select(bucketOf(col("token"), nBuckets).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val plen = spark.read.parquet(s"$path/df")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("token").isin(toks: _*))
+      .select(col("token"), col("n_occ"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the phrase batch reads these postings 3× per phrase (one filter
+    // per token) — persist the PRUNED working set so the parquet decode
+    // happens once; this is index data bounded by the probe's tokens,
+    // not the corpus (release rides the caller's per-query hygiene)
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("token").isin(toks: _*))
+      .select(col("token"), col("doc_id"), col("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    top.map(p => phraseStats(phraseOccurrences(post, p.split(' ').toSeq, plen), p))
+      .reduce(_ unionByName _)
   }
 }

@@ -1568,6 +1568,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(none.count() === 0)
   }
 
+  test("phrase search: the materialized index answers every phrase " +
+      "identically to live postings; rarest-first ordering is " +
+      "result-invariant") {
+    import spark.implicits._
+    import graft.operators.Search
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown cat naps under the warm sun"),
+      (3L, "a quick brown fox and a quick brown fox again"),
+      (4L, "the the the quick quick brown"),
+      (5L, "")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("searchidx").toString
+    Search.writeIndex(docs, "doc_id", "text", idx, nBuckets = 4)
+    val post = Search.postings(docs, "doc_id", "text")
+    for (phrase <- Seq(Seq("quick", "brown", "fox"), Seq("the", "quick"),
+        Seq("the", "the"), Seq("fox"), Seq("missing", "phrase"))) {
+      val live = Search.phraseOccurrences(post, phrase)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      // explicit skewed length hints: ordering must not change results
+      val hinted = Search.phraseOccurrences(post, phrase,
+        phrase.zipWithIndex.map { case (t, i) => t -> (100L - i) }.toMap)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      val indexed = Search.phraseProbe(spark, idx, phrase)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      assert(hinted === live, s"ordering changed results for $phrase")
+      assert(indexed === live, s"index diverged for $phrase")
+    }
+    // the full top-phrase rollup agrees between live and indexed faces
+    val a = Search.topPhraseStats(docs, "doc_id", "text", n = 3)
+      .orderBy("phrase").collect().map(_.toSeq).toSeq
+    val b = Search.topPhraseStatsIndexed(spark, idx, docs, "doc_id", "text", n = 3)
+      .orderBy("phrase").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // df table carries true document frequency and posting length
+    val dfRow = spark.read.parquet(s"$idx/df")
+      .filter(col("token") === "the").head()
+    assert(dfRow.getAs[Long]("df") === 3L) // docs 1, 2, 4
+    assert(dfRow.getAs[Long]("n_occ") === 7L)
+  }
+
   test("BPE: distributed trainer equals the sequential reference; encoding " +
       "is greedy rank-order and reassembles the input") {
     import spark.implicits._

@@ -509,6 +509,26 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Join"), "phrase match must plan joins:\n" + plan.take(2000))
   }
 
+  test("q71_indexed: phrase probes scan only the index layout — never the " +
+      "corpus — and prune to the phrase's bucket directories") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"),
+      (2L, "beta gamma delta epsilon")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("planspec_searchidx").toString
+    graft.operators.Search.writeIndex(docs, "doc_id", "text", idx, nBuckets = 8)
+    val probe = graft.operators.Search.phraseProbe(
+      spark, idx, Seq("beta", "gamma", "delta"))
+    val plan = planString(probe)
+    assert(!plan.contains("documents") && !plan.contains(".text"),
+      "probe must not rescan the corpus:\n" + plan.take(2000))
+    assert(plan.contains(idx), "probe must scan the index layout:\n" + plan.take(2000))
+    // bucket partition pruning reaches the postings scan
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      "bucket dirs must prune at the scan:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("q70: clustered SemDeDup pairs join cell-locally — an equi-join on cid, " +
       "not an all-pairs cross join") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
