@@ -103,21 +103,119 @@ object Bm25 {
   private def bucketOf(term: Column, nBuckets: Int): Column =
     pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
 
+  // -------------------------------------------------- versioned layout
+  //
+  // Crash-safe index layout (the Iceberg version-hint pattern next
+  // door in sources/IcebergSnapshot, scaled down): every commit —
+  // initial build or append — is a VERSION n, and a tiny
+  // `version-hint.text` pointer names the current one, flipped LAST.
+  //
+  //   path/
+  //     postings/delta_v1..delta_vn/bucket=K/*.parquet  (per-commit deltas)
+  //     doclen/delta_v1..delta_vn/*.parquet
+  //     df_vn/bucket=K/*.parquet     (full table per version — small)
+  //     stats_vn/*.parquet           (one row per version)
+  //     version-hint.text            ("n", written last)
+  //
+  // A reader at version n sees postings/doclen deltas 1..n plus
+  // df_vn/stats_vn. An append writes delta_v(n+1) (overwrite mode, so
+  // a retry clobbers any partial from a crashed attempt), df_v(n+1),
+  // stats_v(n+1), THEN flips the hint — a crash anywhere before the
+  // flip leaves every version-n file untouched and the index probing
+  // the prior state; superseded df/stats versions are deleted only
+  // after the flip. If the hint itself is missing/corrupt the resolver
+  // falls back to the highest complete version on disk (hint-is-a-hint
+  // semantics, same as Iceberg).
+
+  private val HintFile = "version-hint.text"
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Current committed version of the layout under `path`; 0 = not an
+    * index. Hint first; fallback scans for the highest version whose
+    * df AND stats tables both exist (a complete commit). */
+  def currentVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val (fs, root) = fsOf(spark, path)
+    val hinted =
+      try {
+        val in = fs.open(new org.apache.hadoop.fs.Path(root, HintFile))
+        val s = try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        val n = s.toInt
+        if (n >= 1 &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$path/df_v$n")) &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"))) n
+        else 0
+      } catch { case _: Exception => 0 }
+    if (hinted >= 1) hinted
+    else try {
+      fs.listStatus(root).map(_.getPath.getName)
+        .collect { case s if s.startsWith("stats_v") => s.drop(7).toInt }
+        .filter(n => fs.exists(new org.apache.hadoop.fs.Path(s"$path/df_v$n")))
+        .sorted.lastOption.getOrElse(0)
+    } catch { case _: Exception => 0 }
+  }
+
+  /** True when a complete committed index exists under `path`. */
+  def indexExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = currentVersion(spark, path) >= 1
+
+  private def writeHint(spark: org.apache.spark.sql.SparkSession,
+      path: String, n: Int): Unit = {
+    val (fs, root) = fsOf(spark, path)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, HintFile), true)
+    try out.write(s"$n\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The version-`n` postings: union of the per-commit delta scans.
+    * Bucket filters above the union push into every scan, so pruning
+    * survives the delta split. */
+  def postingsTable(spark: org.apache.spark.sql.SparkSession, path: String,
+      n: Int): DataFrame =
+    (1 to n).map(i => spark.read.parquet(s"$path/postings/delta_v$i"))
+      .reduce(_ unionByName _)
+
+  /** The version-`n` doc lengths (one multi-path scan — no partition
+    * column to preserve). */
+  def doclenTable(spark: org.apache.spark.sql.SparkSession, path: String,
+      n: Int): DataFrame =
+    spark.read.parquet((1 to n).map(i => s"$path/doclen/delta_v$i"): _*)
+
+  /** The version-`n` document-frequency table. */
+  def dfTable(spark: org.apache.spark.sql.SparkSession, path: String,
+      n: Int): DataFrame =
+    spark.read.parquet(s"$path/df_v$n")
+
+  /** [[dfTable]] at the CURRENT version — the probe-mining entry. */
+  def dfTable(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    dfTable(spark, path, currentVersion(spark, path))
+
+  /** The version-`n` one-row stats table. */
+  def statsTable(spark: org.apache.spark.sql.SparkSession, path: String,
+      n: Int): DataFrame =
+    spark.read.parquet(s"$path/stats_v$n")
+
   /** Materialize the inverted index: ONE tokenization pass over the
-    * corpus fans into four parquet tables under `path` —
+    * corpus fans into the four tables of version 1 —
     *
-    *   - `postings/` (idCol, term, tf) partitioned by `bucket` =
-    *     xxhash64(term) mod nBuckets — a probe reads only its terms'
+    *   - `postings/delta_v1` (idCol, term, tf) partitioned by `bucket`
+    *     = xxhash64(term) mod nBuckets — a probe reads only its terms'
     *     bucket directories (partition pruning), never the corpus;
-    *   - `df/` (term, df) on the same bucket layout, so the
+    *   - `df_v1` (term, df) on the same bucket layout, so the
     *     probe-restricted document frequencies prune identically;
-    *   - `doclen/` (idCol, dl) — one row per doc;
-    *   - `stats/` — a single (n_docs, avgdl, n_buckets) row; carrying
-    *     n_buckets in-band makes the index self-describing.
+    *   - `doclen/delta_v1` (idCol, dl) — one row per doc;
+    *   - `stats_v1` — a single (n_docs, avgdl, n_buckets) row; carrying
+    *     n_buckets in-band makes the index self-describing —
     *
-    * At 100 TB this is the persist-once/probe-many layout the Bm25
-    * scaladoc promises: index build is the same one postings shuffle
-    * as a direct search, and every later probe is corpus-free. */
+    * then commits by writing the version hint. At 100 TB this is the
+    * persist-once/probe-many layout the Bm25 scaladoc promises: index
+    * build is the same one postings shuffle as a direct search, and
+    * every later probe is corpus-free. */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
     val spark = docs.sparkSession
@@ -136,23 +234,25 @@ object Bm25 {
     try {
       // cluster each bucket into one task → one file per bucket dir
       tf.repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings/delta_v1")
       tf.groupBy(col("term"), col("bucket"))
         .agg(count(lit(1)).cast("double").as("df"))
         .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/df")
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/df_v1")
       // token-free docs still carry dl=0 rows (and count toward
       // n_docs/avgdl — the oracle's semantics): left-join the id column
       docs.select(col(idCol))
         .join(tf.groupBy(col(idCol)).agg(sum(col("tf")).cast("double").as("dl")),
           Seq(idCol), "left")
         .select(col(idCol), coalesce(col("dl"), lit(0.0)).as("dl"))
-        .write.mode("overwrite").parquet(s"$path/doclen")
-      spark.read.parquet(s"$path/doclen")
+        .write.mode("overwrite").parquet(s"$path/doclen/delta_v1")
+      spark.read.parquet(s"$path/doclen/delta_v1")
         .agg(count(lit(1)).cast("double").as("n_docs"),
           (sum(col("dl")) / count(lit(1)).cast("double")).as("avgdl"))
         .withColumn("n_buckets", lit(nBuckets))
-        .write.mode("overwrite").parquet(s"$path/stats")
+        .write.mode("overwrite").parquet(s"$path/stats_v1")
+      writeHint(spark, path, 1) // commit
     } finally tf.unpersist(false)
   }
 
@@ -160,19 +260,30 @@ object Bm25 {
     * an existing [[writeIndex]] layout without rebuilding — the
     * delta-load shape that makes the materialized index viable at
     * 100 TB (a nightly corpus append must not re-tokenize the other
-    * petabyte). Postings and doc lengths are pure appends (delta rows
-    * land in their bucket directories / the doclen table); document
-    * frequencies are a GLOBAL aggregate, so the delta merges into the
-    * existing df table (a term-level sum over two SMALL aggregates —
-    * never the corpus) written to a temp dir and atomically swapped;
-    * stats recompute from the appended doclen. Caller contract: `docs`
-    * are new ids (same as any append sink). Probes over the result are
+    * petabyte). Postings and doc lengths land as version-(n+1) delta
+    * directories; document frequencies are a GLOBAL aggregate, so the
+    * delta merges with df_vn (a term-level sum over two SMALL
+    * aggregates — never the corpus) into df_v(n+1); stats recompute
+    * over all doclen deltas. The version hint flips LAST: a crash
+    * anywhere before it leaves the index probing version n exactly
+    * (spec-pinned via the abort hook). Caller contract: `docs` are new
+    * ids (same as any append sink). Probes over the result are
     * bit-identical to a from-scratch index over the union —
     * spec-pinned. */
   def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
-      path: String): Unit = {
+      path: String): Unit =
+    appendToIndexInternal(docs, idCol, textCol, path,
+      abortBeforeCommit = false)
+
+  /** [[appendToIndex]] with a test-only crash injection point:
+    * `abortBeforeCommit` returns after every data write but before the
+    * hint flip — the on-disk state a real crash in that window leaves. */
+  private[graft] def appendToIndexInternal(docs: DataFrame, idCol: String,
+      textCol: String, path: String, abortBeforeCommit: Boolean): Unit = {
     val spark = docs.sparkSession
-    val nBuckets = spark.read.parquet(s"$path/stats")
+    val n = currentVersion(spark, path)
+    require(n >= 1, s"no committed index under $path")
+    val nBuckets = statsTable(spark, path, n)
       .select(col("n_buckets")).head().getInt(0)
     val tf = docs
       .select(col(idCol),
@@ -182,33 +293,37 @@ object Bm25 {
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
       .persist()
     try {
+      // overwrite, not append: a retry after a crashed attempt clobbers
+      // the partial delta instead of doubling rows
       tf.repartition(col("bucket"))
-        .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings/delta_v${n + 1}")
       val dfDelta = tf.groupBy(col("term"), col("bucket"))
         .agg(count(lit(1)).cast("double").as("df"))
-      spark.read.parquet(s"$path/df")
+      dfTable(spark, path, n)
         .select(col("term"), col("df"), col("bucket"))
         .unionByName(dfDelta)
         .groupBy(col("term"), col("bucket")).agg(sum(col("df")).as("df"))
         .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/df_next")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/df_v${n + 1}")
       docs.select(col(idCol))
         .join(tf.groupBy(col(idCol)).agg(sum(col("tf")).cast("double").as("dl")),
           Seq(idCol), "left")
         .select(col(idCol), coalesce(col("dl"), lit(0.0)).as("dl"))
-        .write.mode("append").parquet(s"$path/doclen")
-      spark.read.parquet(s"$path/doclen")
+        .write.mode("overwrite").parquet(s"$path/doclen/delta_v${n + 1}")
+      doclenTable(spark, path, n + 1)
         .agg(count(lit(1)).cast("double").as("n_docs"),
           (sum(col("dl")) / count(lit(1)).cast("double")).as("avgdl"))
         .withColumn("n_buckets", lit(nBuckets))
-        .write.mode("overwrite").parquet(s"$path/stats")
-      // atomic-ish swap: df_next replaces df only after it fully wrote
-      val conf = spark.sparkContext.hadoopConfiguration
-      val dfPath = new org.apache.hadoop.fs.Path(s"$path/df")
-      val fs = org.apache.hadoop.fs.FileSystem.get(dfPath.toUri, conf)
-      fs.delete(dfPath, true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/df_next"), dfPath),
-        s"df swap failed under $path")
+        .write.mode("overwrite").parquet(s"$path/stats_v${n + 1}")
+      if (abortBeforeCommit) return
+      writeHint(spark, path, n + 1) // commit
+      // post-commit cleanup of the superseded version (best-effort; a
+      // crash here leaves an extra readable dir, nothing dangling)
+      val (fs, _) = fsOf(spark, path)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/df_v$n"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
     } finally tf.unpersist(false)
   }
 
@@ -221,19 +336,21 @@ object Bm25 {
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, k: Int, k1: Double = 1.2,
       b: Double = 0.75, linearIdf: Boolean = false): DataFrame = {
-    val stats = spark.read.parquet(s"$path/stats")
+    val n = currentVersion(spark, path)
+    require(n >= 1, s"no committed index under $path")
+    val stats = statsTable(spark, path, n)
     val nBuckets = stats.select(col("n_buckets")).head().getInt(0)
     val probeBuckets = queries
       .select(bucketOf(col("term"), nBuckets).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
     require(probeBuckets.nonEmpty, "probe carries no terms")
-    val tf = spark.read.parquet(s"$path/postings")
+    val tf = postingsTable(spark, path, n)
       .filter(col("bucket").isin(probeBuckets: _*))
-    val df = spark.read.parquet(s"$path/df")
+    val df = dfTable(spark, path, n)
       .filter(col("bucket").isin(probeBuckets: _*))
       .join(broadcast(queries.select("term").distinct()), Seq("term"))
       .select(col("term"), col("df"))
-    val dl = spark.read.parquet(s"$path/doclen")
+    val dl = doclenTable(spark, path, n)
     scoreProbe(tf.select(col(idCol), col("term"), col("tf")), df, dl,
       stats.select(col("n_docs"), col("avgdl")), queries,
       idCol, k, k1, b, linearIdf)

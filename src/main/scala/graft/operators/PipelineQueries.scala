@@ -42,19 +42,24 @@ object PipelineQueries {
 
   /** Amortized index location for (fixture dir, family): tmpdir path
     * keyed by the dir AND the fixture fingerprint. Returns (path,
-    * alreadyBuilt) — built = the layout's stats table exists under
-    * exactly this fingerprint. */
+    * alreadyBuilt) — built = `builtCheck(path)` says the layout's
+    * commit marker exists under exactly this fingerprint (a plain
+    * `stats` table for the Search layout; the version hint for Bm25's
+    * versioned layout — each family knows its own marker, so a stale
+    * dir from an older layout generation reads as not-built). */
   private def amortizedIndexPath(s: SparkSession, dir: String,
-      family: String): (String, Boolean) = {
+      family: String, builtCheck: String => Boolean): (String, Boolean) = {
     val fp = fixtureFingerprint(s, dir, "documents")
     val root = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_${family}_${Integer.toHexString(dir.hashCode)}_$fp")
     val path = root.getAbsolutePath
-    val built = try {
-      val stats = new org.apache.hadoop.fs.Path(s"$path/stats")
-      stats.getFileSystem(s.sparkContext.hadoopConfiguration).exists(stats)
-    } catch { case _: Throwable => false }
+    val built = try builtCheck(path) catch { case _: Throwable => false }
     (path, built)
+  }
+
+  private def plainStatsExists(s: SparkSession)(path: String): Boolean = {
+    val stats = new org.apache.hadoop.fs.Path(s"$path/stats")
+    stats.getFileSystem(s.sparkContext.hadoopConfiguration).exists(stats)
   }
 
   // ---------------------------------------------------------------- text
@@ -407,7 +412,8 @@ object PipelineQueries {
     * the probes themselves never rescan the corpus (PlanSpec-pinned). */
   def q71PhraseSearchIndexed(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val (idx, built) = amortizedIndexPath(s, dir, "search_index")
+    val (idx, built) = amortizedIndexPath(s, dir, "search_index",
+      plainStatsExists(s))
     if (!built) Search.writeIndex(docs, "doc_id", "text", idx, nBuckets = 16)
     Search.topPhraseStatsIndexed(s, idx, docs, "doc_id", "text", n = 5)
       .orderBy("phrase")
@@ -602,7 +608,7 @@ object PipelineQueries {
     Bm25.writeIndex(docs, "doc_id", "text", idx, nBuckets = 16)
     // probes mined FROM the materialized df table — after the build,
     // nothing in this query touches the corpus again
-    val probes = Bm25.minedQueriesFromDf(s.read.parquet(s"$idx/df"),
+    val probes = Bm25.minedQueriesFromDf(Bm25.dfTable(s, idx),
       nQueries = 3, termsPerQuery = 3)
     Bm25.searchIndex(s, idx, probes, "doc_id", k = 10, linearIdf = true)
       .orderBy("q_id", "rk")
@@ -617,11 +623,12 @@ object PipelineQueries {
     * visible next to q79_bm25_indexed's honest one-shot build+probe.
     * Carries q79's oracle verbatim (shared scoring core). */
   def q79IndexedProbe(s: SparkSession, dir: String): DataFrame = {
-    val (idx, built) = amortizedIndexPath(s, dir, "bm25_index")
+    val (idx, built) = amortizedIndexPath(s, dir, "bm25_index",
+      p => Bm25.indexExists(s, p))
     if (!built)
       Bm25.writeIndex(t(s, dir, "documents"), "doc_id", "text", idx,
         nBuckets = 16)
-    val probes = Bm25.minedQueriesFromDf(s.read.parquet(s"$idx/df"),
+    val probes = Bm25.minedQueriesFromDf(Bm25.dfTable(s, idx),
       nQueries = 3, termsPerQuery = 3)
     Bm25.searchIndex(s, idx, probes, "doc_id", k = 10, linearIdf = true)
       .orderBy("q_id", "rk")

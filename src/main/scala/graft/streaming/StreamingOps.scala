@@ -184,12 +184,23 @@ object StreamingOps {
     * a different asset_id — ingests once. Every stage is the same
     * code the batch path runs; only the dedup holds state. Payloads
     * are dropped before the stateful stage — the state store and sink
-    * rows carry metadata + embedding only, never the bytes. */
+    * rows carry metadata + embedding only, never the bytes.
+    *
+    * Dedup key: (checksum, n_bytes) — the payload length rides next to
+    * the 64-bit FNV-1a checksum so a bare hash collision between two
+    * different-sized assets cannot silently drop a distinct one
+    * (equal-length collisions remain the 2⁻⁶⁴-per-pair residual; a
+    * pipeline needing cryptographic certainty swaps the checksum
+    * expression, not this shape). Without `watermarkCol`, dedup state
+    * grows with distinct content — the [[dedupStream]] trade-off;
+    * pass an event-time column (plus `watermark`) to bound state for
+    * unbounded asset streams. */
   def mediaIngestStream(assets: Dataset[graft.operators.MediaAsset],
-      dim: Int): DataFrame = {
+      dim: Int, watermarkCol: Option[String] = None,
+      watermark: String = "1 hour"): DataFrame = {
     val decoded = graft.operators.Multimodal.decodeWithFeatures(assets, dim)
       .filter(org.apache.spark.sql.functions.col("format") =!= "unknown")
-    dedupStream(decoded, Seq("checksum"), watermarkCol = None)
+    dedupStream(decoded, Seq("checksum", "n_bytes"), watermarkCol, watermark)
   }
 
   /** Streaming BM25 index maintenance: a `foreachBatch` body that
@@ -209,8 +220,7 @@ object StreamingOps {
       nBuckets: Int = 64): (DataFrame, Long) => Unit = (batch, _) => {
     if (!batch.isEmpty) {
       val bootstrapped =
-        try { batch.sparkSession.read.parquet(s"$path/stats").head(); true }
-        catch { case _: org.apache.spark.sql.AnalysisException => false }
+        graft.operators.Bm25.indexExists(batch.sparkSession, path)
       if (bootstrapped)
         graft.operators.Bm25.appendToIndex(batch, idCol, textCol, path)
       else

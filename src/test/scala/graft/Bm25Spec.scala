@@ -134,12 +134,17 @@ class Bm25Spec extends AnyFunSuite {
     }
     // the index is self-describing: a probe with a different assumed
     // bucket count would mis-prune; n_buckets must round-trip
-    val stats = spark.read.parquet(s"$idx/stats").collect()
+    assert(Bm25.currentVersion(spark, idx) === 1)
+    val stats = Bm25.statsTable(spark, idx, 1).collect()
     assert(stats.length === 1 && stats.head.getAs[Int]("n_buckets") === 8)
-    // postings lay out one directory per occupied bucket
-    val dirs = new java.io.File(s"$idx/postings").listFiles()
+    // postings lay out one directory per occupied bucket in the delta
+    val dirs = new java.io.File(s"$idx/postings/delta_v1").listFiles()
       .filter(_.isDirectory).map(_.getName).toSeq
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("bucket=")))
+    // hint-is-a-hint: with the pointer gone, the resolver still finds
+    // the highest complete version on disk
+    assert(new java.io.File(s"$idx/version-hint.text").delete())
+    assert(Bm25.currentVersion(spark, idx) === 1)
   }
 
   test("appendToIndex: index(A) + append(B) probes bit-identically to a " +
@@ -164,12 +169,41 @@ class Bm25Spec extends AnyFunSuite {
       }
     }
     // df merged, not duplicated: one row per (term, bucket)
-    val df = spark.read.parquet(s"$grown/df")
+    val df = Bm25.dfTable(spark, grown)
     assert(df.groupBy("term").count()
       .filter(org.apache.spark.sql.functions.col("count") > 1).count() === 0)
-    // stats absorbed the append
-    assert(spark.read.parquet(s"$grown/stats").head()
+    // stats absorbed the append; the commit advanced the version and
+    // cleaned the superseded df/stats dirs
+    assert(Bm25.currentVersion(spark, grown) === 2)
+    assert(Bm25.statsTable(spark, grown, 2).head()
       .getAs[Double]("n_docs") === corpus.size.toDouble)
+    assert(!new java.io.File(s"$grown/df_v1").exists())
+    assert(!new java.io.File(s"$grown/stats_v1").exists())
+  }
+
+  test("appendToIndex: a crash before the hint flip leaves the index " +
+      "probing the prior state bit-identically; the retry completes") {
+    import spark.implicits._
+    val (a, b) = corpus.splitAt(4)
+    val idx = java.nio.file.Files.createTempDirectory("bm25idx_crash").toString
+    Bm25.writeIndex(a.toDF("doc_id", "text"), "doc_id", "text", idx, nBuckets = 8)
+    def probe(p: String) = Bm25.searchIndex(spark, p, probesDf, "doc_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val before = probe(idx)
+    // simulated kill in the old fatal window: every version-2 data file
+    // is on disk, the commit pointer is not
+    Bm25.appendToIndexInternal(b.toDF("doc_id", "text"), "doc_id", "text",
+      idx, abortBeforeCommit = true)
+    assert(Bm25.currentVersion(spark, idx) === 1)
+    assert(probe(idx) === before, "aborted append leaked into the probe")
+    // the retry overwrites the partial delta and commits; the result
+    // matches a from-scratch index over the union
+    Bm25.appendToIndex(b.toDF("doc_id", "text"), "doc_id", "text", idx)
+    assert(Bm25.currentVersion(spark, idx) === 2)
+    val scratch = java.nio.file.Files.createTempDirectory("bm25idx_crash_full").toString
+    Bm25.writeIndex(docsDf, "doc_id", "text", scratch, nBuckets = 8)
+    assert(probe(idx) === probe(scratch))
   }
 
   test("minedQueries: deterministic grouping of top-df terms") {
