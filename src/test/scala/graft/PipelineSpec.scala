@@ -646,6 +646,60 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("GIF: indexed-gray encode → decode is bit-exact and agrees with " +
+      "BMP/PNG/QOI on the same pixels — the q86 lossless rotation") {
+    for ((w, h, seed) <- Seq((4, 3, 7L), (14, 7, 123L), (9, 5, 3000L))) {
+      val gray = Array.tabulate(w * h)(i => ((seed * 31 + i) % 256).toByte)
+      val rgb = new Array[Byte](w * h * 3)
+      for (i <- 0 until w * h) {
+        rgb(i * 3) = gray(i); rgb(i * 3 + 1) = gray(i); rgb(i * 3 + 2) = gray(i)
+      }
+      val want = new Array[Byte](w * h * 4)
+      for (i <- 0 until w * h) {
+        want(i * 4) = gray(i); want(i * 4 + 1) = gray(i)
+        want(i * 4 + 2) = gray(i); want(i * 4 + 3) = -1
+      }
+      val viaGif = Multimodal.decodeToRgba(
+        Multimodal.encodeGifGray(w, h, gray))
+      assert(viaGif.isDefined && viaGif.get.toSeq === want.toSeq,
+        s"GIF drifted at ${w}x$h")
+      // every lossless container carries the same pixels to the same bytes
+      for ((name, payload) <- Seq(
+          "bmp" -> Multimodal.encodeBmp(w, h, rgb),
+          "png" -> Multimodal.encodePng(w, h, 2, rgb, y => (y % 5)),
+          "qoi" -> Multimodal.encodeQoiRgb(w, h, rgb))) {
+        val got = Multimodal.decodeToRgba(payload)
+        assert(got.isDefined && got.get.toSeq === want.toSeq,
+          s"$name disagreed with GIF at ${w}x$h")
+      }
+    }
+    // incompressible noise across the 512/1024/2048/4096 LZW
+    // boundaries, including the dictionary reset — the JDK reader is
+    // the independent check on every code-width transition
+    val rnd = new scala.util.Random(99)
+    val (nw, nh) = (90, 80)
+    val noise = Array.fill(nw * nh)(rnd.nextInt(256).toByte)
+    val noisy = Multimodal.decodeToRgba(Multimodal.encodeGifGray(nw, nh, noise))
+    assert(noisy.isDefined)
+    for (i <- 0 until nw * nh)
+      assert(noisy.get(i * 4) === noise(i),
+        s"noise pixel $i drifted through the LZW boundaries")
+  }
+
+  test("JPEG band agreement: the smooth color ramp lands far inside the " +
+      "q86 tolerance; an all-zero decode (worst defect) would not") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(id => (id, s"d$id")).toDF("doc_id", "text")
+    val rows = Multimodal.jpegBandAgreement(docs, dim = 4, bandPct = 15)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rows.size === 40 && rows.values.forall(identity))
+    // the band is meaningful: at 0% tolerance the same corpus fails —
+    // codec noise exists and the check is not vacuously true
+    val strict = Multimodal.jpegBandAgreement(docs, dim = 4, bandPct = 0)
+      .collect().map(_.getBoolean(1))
+    assert(strict.exists(v => !v))
+  }
+
   test("JPEG: JDK-codec round-trip within a per-pixel error bound; " +
       "hand-rolled SOF header parse; hostile inputs rejected") {
     // smooth gradient (JPEG-friendly content): round-trip error stays
