@@ -72,9 +72,14 @@ object Bench {
     println(json)
     // The driver captures only the TAIL of stdout; with 80+ queries the
     // single line can truncate mid-map and lose the total. Persist the
-    // full JSON to a file so the grading artifact is always complete.
+    // full JSON to a file so the grading artifact is always complete —
+    // AND to a git-tracked copy (bench_out.json is gitignored; round 6's
+    // medians were lost because only the ignored file survived), so
+    // committing after a bench run preserves the full artifact.
     java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json + "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_full_latest.json"), json + "\n")
     spark.stop()
   }
 }
