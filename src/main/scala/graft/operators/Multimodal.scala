@@ -875,6 +875,252 @@ object Multimodal {
       })
   }
 
+  // ---------------------------------------------------------- IMA ADPCM
+
+  /** IMA/DVI ADPCM step-size table (89 entries) and index-adaptation
+    * table — the public IMA "Recommended Practices for Enhancing
+    * Digital Audio Compatibility" tables every WAV fmt-0x11 codec
+    * shares. */
+  private val AdpcmSteps: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val AdpcmIndexAdjust: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA quantize/reconstruct step shared by encoder and decoder:
+    * given the 4-bit code and the current step, the reconstructed
+    * delta is step·(bits/4 + 1/8) computed in the canonical shift
+    * cascade (bit-identical to the reference decoder everyone ships). */
+  private def adpcmDelta(code: Int, step: Int): Int = {
+    var d = step >> 3
+    if ((code & 4) != 0) d += step
+    if ((code & 2) != 0) d += step >> 1
+    if ((code & 1) != 0) d += step >> 2
+    d
+  }
+
+  /** Encode mono 16-bit PCM as a WAV fmt-0x11 (IMA ADPCM) stream:
+    * standard block layout (4-byte header carrying the exact first
+    * sample + step index, then 4-bit nibbles low-first), a `fact`
+    * chunk with the true frame count (the final partial block is
+    * zero-nibble padded — `fact` is what bounds the decode, per the
+    * WAV spec). `samplesPerBlock` must be odd (header sample + an even
+    * nibble count), default 505 ⇒ the canonical 256-byte block. */
+  def encodeImaAdpcmWav(rate: Int, samples: Array[Short],
+      samplesPerBlock: Int = 505): Array[Byte] = {
+    require(samplesPerBlock >= 3 && samplesPerBlock % 2 == 1,
+      "samplesPerBlock must be odd and >= 3")
+    val blockAlign = 4 + (samplesPerBlock - 1) / 2
+    val nBlocks = if (samples.isEmpty) 0
+      else (samples.length + samplesPerBlock - 1) / samplesPerBlock
+    val dataLen = nBlocks * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(12 + (8 + 20) + (8 + 4) + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 28 + 12 + 8 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11).putShort(1).putInt(rate)
+      .putInt(rate * blockAlign / samplesPerBlock) // nominal byte rate
+      .putShort(blockAlign.toShort).putShort(4) // bits per (coded) sample
+      .putShort(2).putShort(samplesPerBlock.toShort) // cbSize, wSamplesPerBlock
+    bb.put("fact".getBytes("US-ASCII")).putInt(4).putInt(samples.length)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var pos = 0
+    // step index persists across blocks, and the FIRST block seeds it
+    // from the opening sample delta (the step closest to |s1−s0|) —
+    // the header carries the index, so any seed round-trips, and an
+    // unseeded cold start costs several under-tracked samples that
+    // dominate short streams. Standard encoder practice.
+    var index = 0
+    if (samples.length > 1) {
+      val d0 = math.abs(samples(1) - samples(0))
+      var best = 0
+      var i = 1
+      while (i < AdpcmSteps.length) {
+        if (math.abs(AdpcmSteps(i) - d0) < math.abs(AdpcmSteps(best) - d0)) best = i
+        i += 1
+      }
+      index = best
+    }
+    while (pos < samples.length) {
+      var predictor: Int = samples(pos)
+      bb.putShort(predictor.toShort).put(index.toByte).put(0.toByte)
+      var i = 1
+      var nibbleLo = -1
+      while (i < samplesPerBlock) {
+        val s: Int = if (pos + i < samples.length) samples(pos + i) else 0
+        val step = AdpcmSteps(index)
+        var diff = s - predictor
+        var code = 0
+        if (diff < 0) { code = 8; diff = -diff }
+        if (diff >= step) { code |= 4; diff -= step }
+        if (diff >= (step >> 1)) { code |= 2; diff -= step >> 1 }
+        if (diff >= (step >> 2)) { code |= 1 }
+        val d = adpcmDelta(code, step)
+        predictor = if ((code & 8) != 0) math.max(-32768, predictor - d)
+          else math.min(32767, predictor + d)
+        index = math.min(88, math.max(0, index + AdpcmIndexAdjust(code)))
+        if (nibbleLo < 0) nibbleLo = code
+        else { bb.put((nibbleLo | (code << 4)).toByte); nibbleLo = -1 }
+        i += 1
+      }
+      pos += samplesPerBlock
+    }
+    bb.array()
+  }
+
+  /** Locate an IMA ADPCM (fmt 0x11) mono payload: (rate,
+    * samplesPerBlock, blockAlign, dataOff, dataLen, nFrames from the
+    * fact chunk, or −1 if absent). Same hostile-size-safe chunk walk
+    * as [[wavPcmLayout]]. */
+  private[graft] def imaAdpcmLayout(p: Array[Byte])
+      : Option[(Int, Int, Int, Int, Int, Int)] = {
+    if (p.length < 44 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+      p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E') return None
+    var i = 12L
+    var fmt = 0; var channels = 0; var rate = 0
+    var blockAlign = 0; var spb = 0; var fact = -1
+    var dataOff = -1; var dataLen = 0
+    while (i + 8 <= p.length && (dataOff < 0 || channels == 0)) {
+      val o = i.toInt
+      val id = new String(p, o, 4, "US-ASCII")
+      val size = i32le(p, o + 4).toLong & 0xffffffffL
+      if (id == "fmt " && i + 8 + 20 <= p.length) {
+        fmt = u16le(p, o + 8)
+        channels = u16le(p, o + 10)
+        rate = i32le(p, o + 12)
+        blockAlign = u16le(p, o + 20)
+        spb = u16le(p, o + 26)
+      } else if (id == "fact" && i + 8 + 4 <= p.length) {
+        fact = i32le(p, o + 8)
+      } else if (id == "data") {
+        dataOff = o + 8
+        dataLen = math.min(size, p.length.toLong - i - 8).toInt
+      }
+      i += 8L + size + (size & 1L)
+    }
+    if (fmt != 0x11 || channels != 1 || dataOff < 0 || blockAlign < 4 ||
+      spb < 3 || spb % 2 == 0 || blockAlign != 4 + (spb - 1) / 2) None
+    else Some((rate, spb, blockAlign, dataOff, dataLen, fact))
+  }
+
+  /** Decode a mono IMA ADPCM WAV payload to 16-bit samples — the
+    * standard block walk: re-seed predictor/index from each 4-byte
+    * block header (the exact first sample), then one quantized step
+    * per nibble, truncated to the `fact` frame count. Returns None for
+    * non-ADPCM/malformed streams; never throws on hostile input. */
+  private[graft] def decodeImaAdpcm(p: Array[Byte]): Option[Array[Short]] =
+    imaAdpcmLayout(p).map { case (_, spb, blockAlign, off, len, fact) =>
+      val nBlocks = len / blockAlign
+      val total0 = nBlocks * spb
+      val total = if (fact >= 0) math.min(fact, total0) else total0
+      val out = new Array[Short](math.max(0, total))
+      var b = 0
+      var w = 0
+      while (b < nBlocks && w < total) {
+        val bo = off + b * blockAlign
+        var predictor: Int = ((p(bo + 1) << 8) | (p(bo) & 0xff)).toShort.toInt
+        var index = math.min(88, math.max(0, p(bo + 2) & 0xff))
+        out(w) = predictor.toShort; w += 1
+        var k = 0
+        val nNibbles = spb - 1
+        while (k < nNibbles && w < total) {
+          val byte = p(bo + 4 + (k >> 1)) & 0xff
+          val code = if ((k & 1) == 0) byte & 0xf else byte >> 4
+          val step = AdpcmSteps(index)
+          val d = adpcmDelta(code, step)
+          predictor = if ((code & 8) != 0) math.max(-32768, predictor - d)
+            else math.min(32767, predictor + d)
+          index = math.min(88, math.max(0, index + AdpcmIndexAdjust(code)))
+          out(w) = predictor.toShort; w += 1
+          k += 1
+        }
+        b += 1
+      }
+      out
+    }
+
+  /** [[wavPcmFeatures]]'s exact feature quadruple over an in-memory
+    * sample array: (n_frames, sum_sq, zcr, peak). */
+  private def pcmFeaturesOf(samples: Array[Short]): (Long, Long, Long, Long) = {
+    var sumSq = 0L; var zcr = 0L; var peak = 0L
+    var prevNonNeg = true
+    var f = 0
+    while (f < samples.length) {
+      val s: Int = samples(f)
+      sumSq += s.toLong * s
+      val nonNeg = s >= 0
+      if (f > 0 && nonNeg != prevNonNeg) zcr += 1
+      prevNonNeg = nonNeg
+      if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+      f += 1
+    }
+    (samples.length.toLong, sumSq, zcr, peak)
+  }
+
+  /** Audio features over IMA ADPCM payloads: decode (pure-JVM block
+    * walk) then the same integer quadruple [[wavPcmFeatures]] emits —
+    * one row per asset, payloads never leave the scan. Non-ADPCM
+    * payloads report n_frames = −1. */
+  def adpcmFeatures(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      decodeImaAdpcm(a.payload) match {
+        case Some(samples) =>
+          val (n, ss, zc, pk) = pcmFeaturesOf(samples)
+          (a.asset_id, n, ss, zc, pk)
+        case None => (a.asset_id, -1L, 0L, 0L, 0L)
+      }
+    }).toDF("asset_id", "n_frames", "sum_sq", "zcr", "peak")
+  }
+
+  /** The closed-form triangle wave the ADPCM audit rides: sample i of
+    * doc id is (32 − |((id+i) mod 64) − 32| − 16)·48 — a ±768 swing at
+    * slope ±48, period 64, n = 64 + id mod 64 frames. Continuous
+    * (ADPCM's design regime — a sawtooth's −1512 reset costs the codec
+    * a multi-sample recovery that blows the energy band on short
+    * signals), SQL-recomputable on the PCM leg, and the slope flips
+    * still exercise the sign bit and step adaptation. */
+  private def sawSample(id: Long, i: Int): Short =
+    ((32 - math.abs(((id + i) % 64) - 32) - 16) * 48).toShort
+
+  /** Mono 16-bit PCM WAV assets carrying the closed-form triangle. */
+  def synthesizeSawWavAssets(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        val n = 64 + (id % 64).toInt
+        val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+          .put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1).putInt(8000).putInt(16000)
+          .putShort(2).putShort(16)
+        bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+        var i = 0
+        while (i < n) { bb.putShort(sawSample(id, i)); i += 1 }
+        MediaAsset(id, "audio", bb.array(), source)
+      })
+  }
+
+  /** The same triangle pushed through [[encodeImaAdpcmWav]] — the
+    * compressed leg of the q88 codec audit. */
+  def synthesizeSawAdpcmAssets(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        val n = 64 + (id % 64).toInt
+        val samples = Array.tabulate(n)(i => sawSample(id, i))
+        MediaAsset(id, "audio", encodeImaAdpcmWav(8000, samples), source)
+      })
+  }
+
   // ---------------------------------------------------------------- Y4M
 
   /** Parse a YUV4MPEG2 stream header: (width, height, fpsNum, fpsDen,

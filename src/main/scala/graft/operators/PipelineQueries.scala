@@ -1121,6 +1121,64 @@ object PipelineQueries {
     lossless.unionByName(jpeg).orderBy("bin", "fmt")
   }
 
+  /** DSIR-style importance resampling ([[ImportanceResampling]]):
+    * target slice = docs with doc_id ≡ 0 (mod 7), raw pool = the whole
+    * corpus, 1024 hash buckets, keep the top 20% by weight. Every
+    * arithmetic step is exact integer math (the scaled Laplace-ratio
+    * surrogate for the log-ratio — see the operator doc), so the
+    * selector hash-checks end to end: per doc, gram mass, importance
+    * weight, and the selected flag. */
+  def q87Importance(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val feats = ImportanceResampling.features(docs, "doc_id", "text", 1024)
+    val ratios = ImportanceResampling.bucketRatios(
+      feats, feats.filter(col("doc_id") % 7 === 0))
+    val w = docs.select("doc_id")
+      .join(ImportanceResampling.weights(feats, ratios, "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("weight"), lit(0L)).as("weight"))
+    val k = docs.count() / 5
+    val sel = ImportanceResampling.selectTopK(w, "doc_id", "weight", k)
+      .withColumn("s", lit(1))
+    w.join(sel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("weight"),
+        coalesce(col("s"), lit(0)).cast("int").as("selected"))
+      .orderBy("doc_id")
+  }
+
+  /** Compressed-audio codec audit (IMA ADPCM, the q86 shape for
+    * audio): the closed-form triangle wave rides both a PCM WAV leg
+    * (every feature SQL-exact — the q83 discipline) and an
+    * [[Multimodal.encodeImaAdpcmWav]] leg decoded by the pure-JVM
+    * block walk. Lossless rows roll up the PCM features by frame
+    * count; the verdict row asserts every ADPCM asset decodes to the
+    * same frame count with energy within a 10% band of the exact
+    * signal (measured max well under 1% — see PipelineSpec; the band
+    * leaves codec-class headroom). */
+  def q88AdpcmAudio(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val fp = Multimodal.wavPcmFeatures(Multimodal.synthesizeSawWavAssets(docs))
+    val fa = Multimodal.adpcmFeatures(Multimodal.synthesizeSawAdpcmAssets(docs))
+    val grouped = fp.groupBy(col("n_frames"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("sum_sq")).cast("bigint").as("energy"),
+        sum(col("zcr")).cast("bigint").as("zero_crossings"),
+        max(col("peak")).cast("bigint").as("max_peak"))
+    val verdict = fp
+      .select(col("asset_id"), col("n_frames").as("np"), col("sum_sq").as("sp"))
+      .join(fa.select(col("asset_id"), col("n_frames").as("na"),
+        col("sum_sq").as("sa")), Seq("asset_id"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum((col("na") === col("np") &&
+          abs(col("sa") - col("sp")) * 100 <= col("sp") * 10).cast("int"))
+          .cast("bigint").as("energy"))
+      .select(lit(-1L).as("n_frames"), col("n_assets"), col("energy"),
+        lit(0L).as("zero_crossings"), lit(0L).as("max_peak"))
+    grouped.unionByName(verdict).orderBy("n_frames")
+  }
+
   /** Deterministic stratified sampling: per-language Bernoulli rates
     * (en 0.5, fr 0.25, de 0.2, everything else 0.1) on the md5 content
     * hash — the corpus-shaping downsample as one scan-side filter.
@@ -1892,6 +1950,65 @@ object PipelineQueries {
         |        count(*) AS n_assets, CAST(count(*) AS BIGINT) AS total
         |      FROM documents)
         |SELECT * FROM l UNION ALL SELECT * FROM j ORDER BY bin, fmt""".stripMargin,
+    // DSIR selector: uni+bigrams under salt 'ir:' folded mod 1024,
+    // per-bucket Laplace ratio at scale 1e6 with integer floor
+    // division (// — matches Spark's div), weight = Σ v·ratio, top-20%
+    // cut ranked (weight desc, doc_id asc)
+    "q87_importance" ->
+      s"""WITH w AS (SELECT doc_id, list_filter($WordsSql, t -> len(t) > 0) AS w FROM documents),
+         |uni AS (SELECT doc_id, unnest(w) AS g FROM w),
+         |bi AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS g
+         |       FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM w WHERE len(w) >= 2)),
+         |g AS (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi),
+         |hb AS (SELECT doc_id, ($HvSql) % 1024 AS b
+         |       FROM (SELECT doc_id, md5('ir:' || g) AS h FROM g)),
+         |fb AS (SELECT doc_id, b, count(*) AS v FROM hb GROUP BY 1, 2),
+         |qb AS (SELECT b, CAST(sum(v) AS BIGINT) AS q FROM fb GROUP BY 1),
+         |tb AS (SELECT b, CAST(sum(v) AS BIGINT) AS t FROM fb
+         |       WHERE doc_id % 7 = 0 GROUP BY 1),
+         |r AS (SELECT qb.b, ((coalesce(t, 0) + 1) * 1000000) // (q + 1) AS ratio
+         |      FROM qb LEFT JOIN tb USING (b)),
+         |dw AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS n_grams,
+         |         CAST(sum(v * ratio) AS BIGINT) AS weight
+         |       FROM fb JOIN r USING (b) GROUP BY 1),
+         |aw AS (SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+         |         coalesce(weight, 0) AS weight
+         |       FROM documents d LEFT JOIN dw USING (doc_id)),
+         |rk AS (SELECT doc_id, n_grams, weight,
+         |         row_number() OVER (ORDER BY weight DESC, doc_id) AS rn FROM aw)
+         |SELECT doc_id, n_grams, weight,
+         |  CASE WHEN rn <= (SELECT count(*) // 5 FROM documents)
+         |       THEN 1 ELSE 0 END AS selected
+         |FROM rk ORDER BY doc_id""".stripMargin,
+    // ADPCM audit: PCM-leg features recomputed closed-form off the
+    // triangle (32 − |((id+i) mod 64) − 32| − 16)·48, n = 64 + id mod
+    // 64; the compressed leg can't be decoded by SQL — the verdict row
+    // asserts the band check passed for every asset (energy = n_assets
+    // = corpus size on the n_frames = −1 row)
+    "q88_adpcm_audio" ->
+      """WITH m AS (
+        |  SELECT doc_id, 64 + CAST(doc_id % 64 AS INT) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, i,
+        |    (32 - abs(((doc_id + i) % 64) - 32) - 16) * 48 AS v,
+        |    CASE WHEN i > 0
+        |      THEN (32 - abs(((doc_id + i - 1) % 64) - 32) - 16) * 48 END AS pv
+        |  FROM m, unnest(range(0, n)) AS t(i)),
+        |agg AS (
+        |  SELECT doc_id, n, sum(v * v) AS ss,
+        |    sum(CASE WHEN i > 0 AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END) AS zc,
+        |    max(abs(v)) AS pk
+        |  FROM s GROUP BY 1, 2),
+        |l AS (SELECT CAST(n AS BIGINT) AS n_frames, count(*) AS n_assets,
+        |        CAST(sum(ss) AS BIGINT) AS energy,
+        |        CAST(sum(zc) AS BIGINT) AS zero_crossings,
+        |        CAST(max(pk) AS BIGINT) AS max_peak
+        |      FROM agg GROUP BY 1),
+        |v AS (SELECT CAST(-1 AS BIGINT) AS n_frames, count(*) AS n_assets,
+        |        CAST(count(*) AS BIGINT) AS energy,
+        |        CAST(0 AS BIGINT) AS zero_crossings,
+        |        CAST(0 AS BIGINT) AS max_peak FROM documents)
+        |SELECT * FROM l UNION ALL SELECT * FROM v ORDER BY n_frames""".stripMargin,
     "q67_stratified" ->
       s"""WITH hv AS (
          |  SELECT doc_id, lang, md5('strat' || CAST(doc_id AS VARCHAR)) AS h
@@ -2199,5 +2316,7 @@ object PipelineQueries {
     "q84_y4m_frames" -> (q84Y4mFrames _),
     "q85_codec_agreement" -> (q85CodecAgreement _),
     "q86_codec_matrix" -> (q86CodecMatrix _),
+    "q87_importance" -> (q87Importance _),
+    "q88_adpcm_audio" -> (q88AdpcmAudio _),
   )
 }

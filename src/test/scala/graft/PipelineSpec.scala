@@ -1693,4 +1693,84 @@ class PipelineSpec extends AnyFunSuite {
     val run = Bpe.trainMergesLocal(Seq("a a a a aa aa"), 1)
     assert(run === Seq(("a", Bpe.EndOfWord)))
   }
+
+  test("ImportanceResampling: integer DSIR weights match a sequential " +
+      "fold and selectTopK equals the global rank cut") {
+    import graft.operators.ImportanceResampling
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text")
+    val feats = ImportanceResampling.features(docs, "doc_id", "text", 64)
+    val ratios = ImportanceResampling.bucketRatios(
+      feats, feats.filter(col("doc_id") % 7 === 0), scale = 1000000L)
+    // sequential reference straight off the collected feature rows
+    val rows = feats.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val qb = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val tb = rows.filter(_._1 % 7 == 0).groupBy(_._2)
+      .view.mapValues(_.map(_._3).sum).toMap
+    val expRatio = qb.map { case (b, q) =>
+      b -> (tb.getOrElse(b, 0L) + 1L) * 1000000L / (q + 1L) }
+    val gotRatio = ratios.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(gotRatio === expRatio)
+    assert(gotRatio.values.forall(r => r >= 0L && r <= 1000000L),
+      "target subset of raw bounds the ratio by the scale")
+    val w = ImportanceResampling.weights(feats, ratios, "doc_id")
+    val expW = rows.groupBy(_._1).map { case (id, rs) =>
+      id -> (rs.map(_._3).sum, rs.map(r => r._3 * expRatio(r._2)).sum) }
+    val gotW = w.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotW === expW)
+    // the histogram-boundary cut is row-identical to the full rank
+    val k = gotW.size / 5
+    val expSel = gotW.toSeq.sortBy { case (id, (_, wt)) => (-wt, id) }
+      .take(k).map(_._1).toSet
+    val gotSel = ImportanceResampling.selectTopK(w, "doc_id", "weight", k.toLong)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotSel === expSel)
+  }
+
+  test("IMA ADPCM: encode→decode preserves frame count, first-of-block " +
+      "samples exactly, and energy within the q88 band; hostile input " +
+      "is rejected, never thrown") {
+    import graft.operators.Multimodal
+    // the q88 triangle across several ids, plus a partial-final-block
+    // length and a multi-block length
+    for (id <- Seq(0L, 1L, 7L, 63L, 130L); n <- Seq(5, 64, 127, 505, 1200)) {
+      val samples = Array.tabulate(n)(i =>
+        ((32 - math.abs(((id + i) % 64) - 32) - 16) * 48).toShort)
+      val adpcm = Multimodal.encodeImaAdpcmWav(8000, samples)
+      val decoded = Multimodal.decodeImaAdpcm(adpcm)
+        .getOrElse(fail(s"decode failed for id=$id n=$n"))
+      assert(decoded.length === n, "fact chunk must bound the decode")
+      // block-header samples are carried verbatim (505 samples/block)
+      var b = 0
+      while (b * 505 < n) { assert(decoded(b * 505) === samples(b * 505)); b += 1 }
+      // the triangle is continuous (slope ±48), so the codec tracks
+      // within step-adaptation quantization units everywhere
+      val err = samples.zip(decoded).map { case (a, c) => math.abs(a - c) }.max
+      assert(err <= 200, s"worst-sample error $err out of codec class")
+      val se = samples.map(s => s.toLong * s).sum
+      val sd = decoded.map(s => s.toLong * s).sum
+      assert(se == 0L || math.abs(sd - se) * 100 <= se * 10,
+        s"energy deviation ${math.abs(sd - se).toDouble / se} outside the q88 band")
+    }
+    // empty stream round-trips to zero frames
+    assert(Multimodal.decodeImaAdpcm(
+      Multimodal.encodeImaAdpcmWav(8000, Array.empty[Short]))
+      .exists(_.isEmpty))
+    // hostile/foreign payloads: None, no throw — PCM WAV, truncated
+    // ADPCM, garbage
+    val pcmWav = {
+      val bb = java.nio.ByteBuffer.allocate(48)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(40).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      bb.put("data".getBytes).putInt(4).putInt(0)
+      bb.array()
+    }
+    assert(Multimodal.decodeImaAdpcm(pcmWav).isEmpty)
+    val good = Multimodal.encodeImaAdpcmWav(8000, Array.tabulate(600)(_.toShort))
+    assert(Multimodal.decodeImaAdpcm(java.util.Arrays.copyOf(good, 30)).isEmpty)
+    assert(Multimodal.decodeImaAdpcm(Array.fill[Byte](64)(0x41)).isEmpty)
+  }
 }

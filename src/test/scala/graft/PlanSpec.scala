@@ -595,4 +595,21 @@ class PlanSpec extends AnyFunSuite {
     assert(nEx <= 1,
       s"corpus must not shuffle — only the TopK exchange allowed ($nEx):\n" + plan.take(3000))
   }
+
+  test("q87: the DSIR ratio table broadcasts onto the feature stream — " +
+      "the corpus-mass side never shuffles for the weight fold") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val feats = graft.operators.ImportanceResampling
+      .features(docs, "doc_id", "text", 1024)
+    val ratios = graft.operators.ImportanceResampling
+      .bucketRatios(feats, feats.filter(col("doc_id") % 7 === 0))
+    val plan = planString(
+      graft.operators.ImportanceResampling.weights(feats, ratios, "doc_id"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "ratio join must broadcast:\n" + plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "the <=numBuckets-row ratio table must never sort-merge:\n" + plan.take(2000))
+  }
 }
