@@ -93,7 +93,7 @@ object Multimodal {
       media_type: String,
       source: String,
       n_bytes: Long,
-      format: String, // bmp | png | jpeg | qoi | ppm | pgm | wav | y4m | unknown
+      format: String, // bmp | png | jpeg | qoi | ppm | pgm | wav | flac | y4m | unknown
       width: Int,
       height: Int,
       channels: Int,
@@ -751,6 +751,8 @@ object Multimodal {
       base(fmt, w, h, if (fmt == "ppm") 3 else 1, 0, w.toLong * h, bits)
     }).orElse(wavHeader(p).map { case (ch, rate, bits, frames) =>
       base("wav", 0, 0, ch, rate, frames, bits)
+    }).orElse(Flac.flacHeader(p).map { case (rate, ch, bits, total) =>
+      base("flac", 0, 0, ch, rate, total, bits)
     }).orElse(y4mHeader(p).map { case (w, h, fn, fd, cs, he) =>
       val fl = y4mFrameBytes(w, h, cs)
       val nf = if (fl <= 0 || fl > Int.MaxValue) -1
@@ -1118,6 +1120,51 @@ object Multimodal {
         val n = 64 + (id % 64).toInt
         val samples = Array.tabulate(n)(i => sawSample(id, i))
         MediaAsset(id, "audio", encodeImaAdpcmWav(8000, samples), source)
+      })
+  }
+
+  // ---------------------------------------------------------------- FLAC
+
+  /** Audio features over FLAC payloads: full pure-JVM decode
+    * ([[Flac.decode]] — frames, fixed/LPC subframes, Rice residuals,
+    * CRC-verified) then the identical integer quadruple
+    * [[wavPcmFeatures]] emits on channel 0. FLAC is LOSSLESS, so
+    * unlike the ADPCM band these features must EXACTLY equal the PCM
+    * leg's — q89 proves that at the oracle level. Non-FLAC/corrupt
+    * payloads report n_frames = −1. */
+  def flacFeatures(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      Flac.decode(a.payload) match {
+        case Some(audio) if audio.channels >= 1 =>
+          val ch0 = audio.samples(0)
+          var sumSq = 0L; var zcr = 0L; var peak = 0L
+          var prevNonNeg = true
+          var f = 0
+          while (f < ch0.length) {
+            val s = ch0(f)
+            sumSq += s.toLong * s
+            val nonNeg = s >= 0
+            if (f > 0 && nonNeg != prevNonNeg) zcr += 1
+            prevNonNeg = nonNeg
+            if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+            f += 1
+          }
+          (a.asset_id, ch0.length.toLong, sumSq, zcr, peak)
+        case _ => (a.asset_id, -1L, 0L, 0L, 0L)
+      }
+    }).toDF("asset_id", "n_frames", "sum_sq", "zcr", "peak")
+  }
+
+  /** The q88 triangle encoded as mono 16-bit FLAC — the lossless
+    * compressed leg of the q89 audit. */
+  def synthesizeSawFlacAssets(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        val n = 64 + (id % 64).toInt
+        val samples = Array.tabulate(n)(i => sawSample(id, i).toInt)
+        MediaAsset(id, "audio", Flac.encode(8000, Array(samples)), source)
       })
   }
 

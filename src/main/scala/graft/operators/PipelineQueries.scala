@@ -1179,6 +1179,24 @@ object PipelineQueries {
     grouped.unionByName(verdict).orderBy("n_frames")
   }
 
+  /** Lossless compressed-audio audit (FLAC): the q88 triangle encoded
+    * as real FLAC ([[Flac.encode]] — fixed predictors, Rice residuals,
+    * CRC'd frames) and decoded by the full pure-JVM [[Flac.decode]].
+    * FLAC is lossless, so the features of the DECODED samples must
+    * EXACTLY equal the closed-form signal — the oracle recomputes them
+    * from arithmetic alone, no band, no verdict row: a hash-level
+    * proof that encode→decode is the identity on the whole corpus. */
+  def q89FlacAudio(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Multimodal.flacFeatures(Multimodal.synthesizeSawFlacAssets(docs))
+      .groupBy(col("n_frames"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("sum_sq")).cast("bigint").as("energy"),
+        sum(col("zcr")).cast("bigint").as("zero_crossings"),
+        max(col("peak")).cast("bigint").as("max_peak"))
+      .orderBy("n_frames")
+  }
+
   /** Deterministic stratified sampling: per-language Bernoulli rates
     * (en 0.5, fr 0.25, de 0.2, everything else 0.1) on the md5 content
     * hash — the corpus-shaping downsample as one scan-side filter.
@@ -2009,6 +2027,27 @@ object PipelineQueries {
         |        CAST(0 AS BIGINT) AS zero_crossings,
         |        CAST(0 AS BIGINT) AS max_peak FROM documents)
         |SELECT * FROM l UNION ALL SELECT * FROM v ORDER BY n_frames""".stripMargin,
+    // FLAC audit: lossless, so the decoded-sample features are
+    // recomputed closed-form EXACTLY — q88's l-rows with no band row
+    "q89_flac_audio" ->
+      """WITH m AS (
+        |  SELECT doc_id, 64 + CAST(doc_id % 64 AS INT) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, i,
+        |    (32 - abs(((doc_id + i) % 64) - 32) - 16) * 48 AS v,
+        |    CASE WHEN i > 0
+        |      THEN (32 - abs(((doc_id + i - 1) % 64) - 32) - 16) * 48 END AS pv
+        |  FROM m, unnest(range(0, n)) AS t(i)),
+        |agg AS (
+        |  SELECT doc_id, n, sum(v * v) AS ss,
+        |    sum(CASE WHEN i > 0 AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END) AS zc,
+        |    max(abs(v)) AS pk
+        |  FROM s GROUP BY 1, 2)
+        |SELECT CAST(n AS BIGINT) AS n_frames, count(*) AS n_assets,
+        |  CAST(sum(ss) AS BIGINT) AS energy,
+        |  CAST(sum(zc) AS BIGINT) AS zero_crossings,
+        |  CAST(max(pk) AS BIGINT) AS max_peak
+        |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin,
     "q67_stratified" ->
       s"""WITH hv AS (
          |  SELECT doc_id, lang, md5('strat' || CAST(doc_id AS VARCHAR)) AS h
@@ -2318,5 +2357,6 @@ object PipelineQueries {
     "q86_codec_matrix" -> (q86CodecMatrix _),
     "q87_importance" -> (q87Importance _),
     "q88_adpcm_audio" -> (q88AdpcmAudio _),
+    "q89_flac_audio" -> (q89FlacAudio _),
   )
 }

@@ -1773,4 +1773,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodeImaAdpcm(java.util.Arrays.copyOf(good, 30)).isEmpty)
     assert(Multimodal.decodeImaAdpcm(Array.fill[Byte](64)(0x41)).isEmpty)
   }
+
+  test("FLAC: encode→decode is the identity across signal shapes, " +
+      "lengths and channel modes; corruption and truncation are " +
+      "rejected by CRC, never thrown") {
+    import graft.operators.Flac
+    // deterministic signal zoo: triangle, constant, extremes, an LCG
+    // noise floor — across block boundaries (4096) and partial frames
+    def lcg(seed: Long, n: Int): Array[Int] = {
+      var x = seed
+      Array.fill(n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 33) % 65536 - 32768).toInt
+      }
+    }
+    val shapes: Seq[(String, Int => Array[Int])] = Seq(
+      "triangle" -> (n => Array.tabulate(n)(i =>
+        (32 - math.abs((i % 64) - 32) - 16) * 48)),
+      "constant" -> (n => Array.fill(n)(-12345)),
+      "extremes" -> (n => Array.tabulate(n)(i =>
+        if (i % 2 == 0) 32767 else -32768)),
+      "lcg" -> (n => lcg(42L, n)))
+    for ((name, gen) <- shapes; n <- Seq(0, 1, 5, 64, 4096, 4097, 10000)) {
+      val s = gen(n)
+      val audio = Flac.decode(Flac.encode(8000, Array(s)))
+        .getOrElse(fail(s"mono decode failed: $name n=$n"))
+      assert(audio.sampleRate === 8000 && audio.channels === 1 &&
+        audio.bits === 16)
+      assert(audio.samples(0).toSeq === s.toSeq, s"$name n=$n not lossless")
+    }
+    // stereo: independent channels and the left/side decorrelated path
+    val l = lcg(7L, 5000); val r = lcg(11L, 5000)
+    for (leftSide <- Seq(false, true)) {
+      val audio = Flac.decode(Flac.encode(44100, Array(l, r), leftSide))
+        .getOrElse(fail(s"stereo decode failed leftSide=$leftSide"))
+      assert(audio.channels === 2)
+      assert(audio.samples(0).toSeq === l.toSeq)
+      assert(audio.samples(1).toSeq === r.toSeq, s"leftSide=$leftSide")
+    }
+    // hostile input: garbage, truncation at every region, frame-region
+    // bit flips (CRC must catch) — None, never a throw or a spin
+    val good = Flac.encode(8000, Array(lcg(3L, 1000)))
+    assert(Flac.decode(Array.fill[Byte](64)('x'.toByte)).isEmpty)
+    for (cut <- Seq(3, 10, 41, 50, good.length / 2, good.length - 1))
+      assert(Flac.decode(java.util.Arrays.copyOf(good, cut)).isEmpty,
+        s"truncation at $cut must be rejected")
+    for (flip <- Seq(60, 80, good.length - 3)) {
+      val bad = good.clone()
+      bad(flip) = (bad(flip) ^ 0x55).toByte
+      assert(Flac.decode(bad).isEmpty, s"bit flip at $flip must fail CRC")
+    }
+    // decodeOne dispatch surfaces FLAC metadata without full decode
+    val meta = graft.operators.Multimodal.decodeOne(
+      graft.operators.MediaAsset(1L, "audio", good, "s"))
+    assert(meta.format === "flac")
+    assert(meta.sample_rate === 8000 && meta.channels === 1 &&
+      meta.n_samples === 1000L && meta.bits_per_sample === 16)
+  }
 }
