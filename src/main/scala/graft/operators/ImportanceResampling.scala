@@ -69,6 +69,30 @@ object ImportanceResampling {
       .agg(sum("v").cast("bigint").as("n_grams"),
         sum(col("v") * col("ratio")).cast("bigint").as("weight"))
 
+  /** Freeze a [[bucketRatios]] table into a dense lookup array for
+    * the serving face: index = bucket, value = ratio; buckets never
+    * seen in the raw pool default to `scale` — exactly the formula's
+    * (0+1)·scale/(0+1), so a LIVE document hitting an unseen bucket
+    * scores as the model prescribes, not as a hole. ≤ numBuckets rows
+    * collect (the broadcast-small contract). */
+  def freezeRatios(ratios: DataFrame, numBuckets: Int,
+      scale: Long = 1000000L): Array[Long] = {
+    val arr = Array.fill(numBuckets)(scale)
+    ratios.select("b", "ratio").collect().foreach { r =>
+      arr(r.getInt(0)) = r.getLong(1)
+    }
+    arr
+  }
+
+  /** Per-row scoring column against a frozen ratio array — the
+    * SERVING face: one native generated call per row
+    * ([[graft.functions.BucketWeight]]), no explode, no join, no
+    * state, so it runs unchanged over a structured stream. Equals the
+    * training-face [[weights]] fold (spec-pinned). */
+  def scoreWith(textCol: org.apache.spark.sql.Column, numBuckets: Int,
+      ratios: Array[Long]): org.apache.spark.sql.Column =
+    graft.functions.BucketWeight(textCol, numBuckets, "ir:", ratios)
+
   /** Ids of the top-k rows by (weightCol desc, idCol asc) — the
     * resampling cut. Row-identical to a global rank ≤ k, computed via
     * [[BudgetSelect.byScoreBudget]] with unit row weights: histogram

@@ -173,6 +173,24 @@ object StreamingOps {
       org.apache.spark.sql.functions.col("doc_id"), nShards)
   }
 
+  /** Live DSIR importance scoring — the serving face of
+    * [[graft.operators.ImportanceResampling]]: score each arriving
+    * document against a FROZEN ratio table (trained offline by
+    * `bucketRatios`, frozen by `freezeRatios`) and optionally gate on
+    * a minimum weight. Entirely STATELESS — the scorer is one native
+    * generated call per row, so there is no watermark, no state store,
+    * and batch == stream by construction (spec-pinned). The threshold
+    * gate is how a live pipeline keeps only target-like documents; the
+    * batch top-k cut needs the whole corpus and stays offline. */
+  def importanceScoreStream(docs: DataFrame, numBuckets: Int,
+      ratios: Array[Long], minWeight: Option[Long] = None): DataFrame = {
+    val scored = docs.withColumn("weight",
+      graft.operators.ImportanceResampling.scoreWith(
+        org.apache.spark.sql.functions.col("text"), numBuckets, ratios))
+    minWeight.fold(scored)(t =>
+      scored.filter(org.apache.spark.sql.functions.col("weight") >= t))
+  }
+
   /** Live MEDIA ingest — [[corpusIngestStream]]'s counterpart for
     * binary asset streams: one-pass decode + codec-invariant
     * featurization ([[graft.operators.Multimodal.decodeWithFeatures]]

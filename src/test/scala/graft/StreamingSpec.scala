@@ -168,6 +168,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size === 200)
   }
 
+  test("importance scoring runs identically on a stream and in batch, " +
+      "and the serving fold equals the training-face weights") {
+    // the serving face is a stateless per-row native call, so the
+    // SAME frozen ratio table scores a live stream and a backfill
+    // identically, across any batch boundary placement
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.ImportanceResampling
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "lazy dogs sleep all day"),
+      (3L, "the quick brown fox"), (4L, "quantum flux capacitor"),
+      (5L, ""), (6L, "the the the"))
+    val batchDf = docs.toDF("doc_id", "text")
+    val feats = ImportanceResampling.features(batchDf, "doc_id", "text", 32)
+    val ratios = ImportanceResampling.bucketRatios(
+      feats, feats.filter(col("doc_id") % 2 === 0))
+    val frozen = ImportanceResampling.freezeRatios(ratios, 32)
+    // serving fold == training-face aggregate on every non-empty doc
+    val trained = ImportanceResampling.weights(feats, ratios, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val served = batchDf.select(col("doc_id"),
+        ImportanceResampling.scoreWith(col("text"), 32, frozen).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, w) <- trained) assert(served(id) === w, s"doc $id")
+    assert(served(5L) === 0L, "gramless docs score zero")
+    // stream == batch across two micro-batches, with the weight gate
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.importanceScoreStream(
+        mem.toDF().toDF("doc_id", "text"), 32, frozen,
+        minWeight = Some(1L))
+      .writeStream.format("memory").queryName("imp_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(docs.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("imp_stream").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val batch = graft.streaming.StreamingOps.importanceScoreStream(
+        batchDf, 32, frozen, minWeight = Some(1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+    assert(!streamed.contains(5L), "the weight gate drops gramless docs")
+  }
+
   test("chunking and shard assignment run identically on a stream and in batch") {
     // both are pure scan-side generators/projections — chunk geometry
     // and shard routing never depend on batch boundaries, so a live
