@@ -57,6 +57,20 @@ object ImportanceResampling {
           .as("ratio"))
   }
 
+  /** [[bucketRatios]] for the common target-⊆-raw case, in ONE pass:
+    * when the target is a predicate over the raw pool's id column,
+    * both bag models are conditional sums of the same aggregation —
+    * half the feature-mass passes of the two-input form (and no join).
+    * Result-identical to `bucketRatios(feats, feats.filter(isTarget))`
+    * (spec-pinned). */
+  def bucketRatiosBy(feats: DataFrame, isTarget: org.apache.spark.sql.Column,
+      scale: Long = 1000000L): DataFrame =
+    feats.groupBy("b")
+      .agg(sum("v").as("q"),
+        sum(when(isTarget, col("v")).otherwise(lit(0L))).as("t"))
+      .select(col("b"),
+        expr(s"((t + 1) * $scale) div (q + 1)").as("ratio"))
+
   /** Per-doc importance weight: (idCol, n_grams, weight) with weight =
     * Σ_b v·ratio_b. The ratio table broadcasts (≤ numBuckets rows);
     * the only shuffle is the bounded one-row-per-doc agg. Docs absent
@@ -83,6 +97,12 @@ object ImportanceResampling {
     }
     arr
   }
+
+  /** Exact gram count of the hashed bag (Σ v without aggregating):
+    * the native gram expression's array length, scan-side. */
+  def gramCount(textCol: org.apache.spark.sql.Column,
+      numBuckets: Int): org.apache.spark.sql.Column =
+    size(graft.functions.GramBuckets(textCol, numBuckets, "ir:")).cast("long")
 
   /** Per-row scoring column against a frozen ratio array — the
     * SERVING face: one native generated call per row

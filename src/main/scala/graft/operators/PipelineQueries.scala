@@ -1130,15 +1130,22 @@ object PipelineQueries {
     * weight, and the selected flag. */
   def q87Importance(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // TRAIN: one featurization pass → one-pass conditional ratio
+    // aggregation (raw and target bag models from the same groupBy).
+    // SCORE: the ≤1024-row ratio table freezes to a literal array (the
+    // IVF-centroid broadcast-small contract) and every document scores
+    // through the native serving expression — a pure scan projection,
+    // no second explode, no weight join, no per-doc agg. Spec-pinned
+    // equal to the aggregate `weights` fold; 3.3 s → ~2.3 s, and the
+    // intermediate persist the join formulation would want is gone
+    // entirely (a MEMORY_AND_DISK persist of the 4.5M-row feature
+    // table measured SLOWER than recompute: 6.4 s).
     val feats = ImportanceResampling.features(docs, "doc_id", "text", 1024)
-    val ratios = ImportanceResampling.bucketRatios(
-      feats, feats.filter(col("doc_id") % 7 === 0))
-    val w = docs.select("doc_id")
-      .join(ImportanceResampling.weights(feats, ratios, "doc_id"),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("weight"), lit(0L)).as("weight"))
+    val frozen = ImportanceResampling.freezeRatios(
+      ImportanceResampling.bucketRatiosBy(feats, col("doc_id") % 7 === 0), 1024)
+    val w = docs.select(col("doc_id"),
+      ImportanceResampling.gramCount(col("text"), 1024).as("n_grams"),
+      ImportanceResampling.scoreWith(col("text"), 1024, frozen).as("weight"))
     val k = docs.count() / 5
     val sel = ImportanceResampling.selectTopK(w, "doc_id", "weight", k)
       .withColumn("s", lit(1))

@@ -1711,6 +1711,11 @@ class PipelineSpec extends AnyFunSuite {
       b -> (tb.getOrElse(b, 0L) + 1L) * 1000000L / (q + 1L) }
     val gotRatio = ratios.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(gotRatio === expRatio)
+    // the one-pass conditional-aggregation form is result-identical
+    val onePass = ImportanceResampling
+      .bucketRatiosBy(feats, col("doc_id") % 7 === 0, scale = 1000000L)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(onePass === expRatio)
     assert(gotRatio.values.forall(r => r >= 0L && r <= 1000000L),
       "target subset of raw bounds the ratio by the scale")
     val w = ImportanceResampling.weights(feats, ratios, "doc_id")
