@@ -40,13 +40,23 @@ object SchemaTranslator {
       else StringType // unknown targets degrade to STRING, like the ruleset
   }
 
-  /** Spark schema for one parsed table (nullability preserved). */
-  def toSparkSchema(table: TableDef): StructType =
+  /** Spark schema for one parsed table (nullability preserved). Every
+    * field carries its Iceberg field id as `parquet.field.id` metadata
+    * — Spark's parquet writer embeds it in the files (its field-id
+    * write conf defaults on), which is what lets evolved-table reads
+    * resolve renamed columns BY ID across files written under
+    * different schema versions, exactly like a real Iceberg reader. */
+  def toSparkSchema(table: TableDef): StructType = {
+    val ids = table.fieldIdOf
     StructType(table.columns.map { c =>
       val mapping = TypeMapper.mapType(c.dataType, c.length, c.precision,
         c.scale, c.forBitData, c.ccsid)
-      StructField(c.name, icebergToSpark(mapping.targetType), nullable = c.nullable)
+      StructField(c.name, icebergToSpark(mapping.targetType),
+        nullable = c.nullable,
+        metadata = new MetadataBuilder()
+          .putLong("parquet.field.id", ids(c.name).toLong).build())
     })
+  }
 
   /** Migration read: source table over JDBC with partitioned scan.
     * (DB2 driver/URL supplied by the deployment; per-partition bounds
@@ -81,8 +91,14 @@ object SchemaTranslator {
   def writeMigrated(df: DataFrame, table: TableDef, path: String,
       format: String = "parquet", mode: String = "overwrite"): Unit = {
     val schema = toSparkSchema(table)
+    // field ids must reach the parquet footers (the .as overload WITH
+    // metadata — a bare alias would strip them), and the writer conf
+    // must be on (it defaults on in this Spark line; set explicitly so
+    // the evolution read path never depends on a default)
+    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val casted = df.select(schema.fields.map(f =>
-      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+        .as(f.name, f.metadata)): _*)
     val (toWrite, partCols) = table.partition match {
       case Some(p) if p.ptype == "RANGE" && p.columns.nonEmpty =>
         (casted, p.columns)

@@ -9,7 +9,10 @@ package graft.model
   * (nested structs + arrays; no custom Catalyst types needed).
   */
 
-/** A DB2 column definition (reference: parser.py:57-71). */
+/** A DB2 column definition (reference: parser.py:57-71).
+  * `fieldId` is the Iceberg field id once the table has been through
+  * schema evolution — None means "positional" (index + 1), the state
+  * every freshly-parsed table is in. */
 final case class Db2Column(
     name: String,
     dataType: String,
@@ -22,7 +25,8 @@ final case class Db2Column(
     ccsid: Option[String] = None,
     forBitData: Boolean = false,
     fieldproc: Option[String] = None,
-    rawDefinition: String = "")
+    rawDefinition: String = "",
+    fieldId: Option[Int] = None)
 
 /** A table constraint (reference: parser.py:74-82). */
 final case class ConstraintDef(
@@ -55,8 +59,27 @@ final case class TableDef(
     ccsid: Option[String] = None,
     volatileTable: Boolean = false,
     globalTemporary: Boolean = false,
-    rawDdl: String = "") {
+    rawDdl: String = "",
+    // Iceberg schema-evolution state (all defaults = the un-evolved
+    // table every parser/converter path produces): the current
+    // schema id, the highest field id ever assigned, and the retained
+    // prior schema versions (schemaId → columns) the metadata
+    // document must keep listing.
+    schemaId: Int = 0,
+    lastColumnId: Option[Int] = None,
+    priorSchemas: Seq[(Int, Seq[Db2Column])] = Nil) {
   def fullName: String = schema.map(s => s"$s.$name").getOrElse(name)
+
+  /** Effective Iceberg field id of each current column: explicit
+    * after evolution, positional (i+1) before. */
+  def fieldIds: Seq[Int] =
+    columns.zipWithIndex.map { case (c, i) => c.fieldId.getOrElse(i + 1) }
+
+  /** name → effective field id for the current schema. */
+  def fieldIdOf: Map[String, Int] =
+    columns.zipWithIndex.map { case (c, i) =>
+      c.name -> c.fieldId.getOrElse(i + 1)
+    }.toMap
 }
 
 /** Conversion status domain (reference: mapper.py:10-15). */

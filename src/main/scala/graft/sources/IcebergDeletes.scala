@@ -161,6 +161,7 @@ object IcebergDeletes {
         priorManifests = priorList)
       val snap = IcebergMetadata.SnapshotMeta(
         snapshotId = snapshotId,
+        schemaId = table.schemaId,
         timestampMs = timestampMs,
         manifestList = listPath.toString,
         addedFiles = 0L, addedRecords = 0L,
@@ -200,8 +201,7 @@ object IcebergDeletes {
     val priorList = readManifestList(new Path(current.manifestList), conf)
 
     val keyCols = keys.columns.toSeq
-    val colIds = table.columns.map(_.name).zipWithIndex
-      .map { case (n, i) => n -> (i + 1) }.toMap
+    val colIds = table.fieldIdOf
     require(keyCols.nonEmpty && keyCols.forall(colIds.contains),
       s"equality key columns must be table columns: ${keyCols.mkString(", ")}")
     val identityCols = partitionFields(table)
@@ -211,8 +211,11 @@ object IcebergDeletes {
         "and absent from data files; upsert on them is not supported")
     val equalityIds = keyCols.map(colIds)
 
-    val known = priorList.flatMap(r =>
-      readManifestPaths(new Path(r.get("manifest_path").toString), conf)).toSet
+    // chain-wide known set: a compaction drops older tombstone
+    // manifests from the current list, so diffing against it alone
+    // would resurrect still-on-disk time-travel files (see
+    // IcebergSnapshot.knownFilePaths)
+    val known = IcebergSnapshot.knownFilePaths(chain, conf)
     val newFiles = listDataFiles(new Path(tablePath, "data"), table, conf)
       .filterNot(f => known.contains(f.path))
 
@@ -258,6 +261,7 @@ object IcebergDeletes {
       conf, newSeq, Some(current.snapshotId), priorManifests = priorList)
     val snap = IcebergMetadata.SnapshotMeta(
       snapshotId = snapshotId,
+      schemaId = table.schemaId,
       timestampMs = timestampMs,
       manifestList = listPath.toString,
       addedFiles = newFiles.size.toLong,
@@ -397,6 +401,7 @@ object IcebergDeletes {
       conf, newSeq, Some(current.snapshotId))
     val snap = IcebergMetadata.SnapshotMeta(
       snapshotId = snapshotId,
+      schemaId = table.schemaId,
       timestampMs = timestampMs,
       manifestList = listPath.toString,
       addedFiles = rewritten.size.toLong,

@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import graft.model.{Db2Column, TableDef}
+
+/** Iceberg v2 schema evolution — add / rename / drop column with
+  * id-based correctness, per the published table spec's rules:
+  *
+  *   - field ids are assigned once and NEVER reused (`last-column-id`
+  *     is monotonic across the table's life);
+  *   - every schema version the table has ever had stays listed in
+  *     `schemas`, with `current-schema-id` naming the live one and
+  *     each snapshot recording the schema it committed under;
+  *   - added columns must be optional (rows in existing files have no
+  *     value for them — readers null-fill);
+  *   - a rename keeps the field id, which is why files written before
+  *     the rename still resolve: data files carry the id in their
+  *     parquet footers ([[graft.api.SchemaTranslator.toSparkSchema]])
+  *     and [[IcebergSnapshot.readSnapshot]] reads evolved tables
+  *     by id, exactly like a real Iceberg reader;
+  *   - partition-source and sort-order columns can't be renamed or
+  *     dropped (the spec ties specs/orders to source ids; refusing is
+  *     the conservative subset every engine supports).
+  *
+  * The ops are pure `TableDef → TableDef`; [[commitEvolution]] writes
+  * the new metadata version (same snapshot chain — evolution commits
+  * no data). Subsequent appends/deletes/compactions must be called
+  * with the EVOLVED TableDef, which carries the whole schema history
+  * forward (the metadata document is regenerated from it on every
+  * commit). */
+object IcebergEvolution {
+
+  /** Pin every column's field id explicitly (positional i+1 for a
+    * never-evolved table) and seed `lastColumnId` — the state every
+    * evolution op starts from. Idempotent. */
+  def withExplicitIds(table: TableDef): TableDef = {
+    val cols = table.columns.zipWithIndex.map { case (c, i) =>
+      if (c.fieldId.isDefined) c else c.copy(fieldId = Some(i + 1))
+    }
+    val maxId = (cols.flatMap(_.fieldId) ++ table.lastColumnId.toSeq)
+      .foldLeft(0)(math.max)
+    table.copy(columns = cols, lastColumnId = Some(maxId))
+  }
+
+  /** The evolution step shared by every op: archive the current
+    * schema, bump the schema id, install the new column list. */
+  private def evolved(table: TableDef, newCols: Seq[Db2Column],
+      newLastId: Int): TableDef = {
+    val base = withExplicitIds(table)
+    base.copy(columns = newCols,
+      schemaId = base.schemaId + 1,
+      lastColumnId = Some(newLastId),
+      priorSchemas = base.priorSchemas :+ (base.schemaId -> base.columns))
+  }
+
+  private def protectedCols(table: TableDef): Set[String] =
+    table.partition.toSeq.flatMap(_.columns).toSet ++
+      table.distributeByHash.toSet
+
+  /** ADD COLUMN: assigns the next field id; the column must be
+    * nullable (spec: rows in existing files null-fill). */
+  def addColumn(table: TableDef, column: Db2Column): TableDef = {
+    require(column.nullable, "added columns must be nullable (Iceberg spec)")
+    require(!table.columns.exists(_.name == column.name),
+      s"column ${column.name} already exists")
+    val base = withExplicitIds(table)
+    val newId = base.lastColumnId.get + 1
+    evolved(base, base.columns :+ column.copy(fieldId = Some(newId)), newId)
+  }
+
+  /** RENAME COLUMN: the field id is retained, so files written under
+    * the old name keep resolving by id. Constraint references follow
+    * the rename. */
+  def renameColumn(table: TableDef, from: String, to: String): TableDef = {
+    require(table.columns.exists(_.name == from), s"no column $from")
+    require(!table.columns.exists(_.name == to), s"column $to already exists")
+    require(!protectedCols(table).contains(from),
+      s"$from is a partition/sort source column; rename is not supported")
+    val base = withExplicitIds(table)
+    val renamed = base.copy(constraints = base.constraints.map(k =>
+      k.copy(columns = k.columns.map(c => if (c == from) to else c))))
+    evolved(renamed,
+      base.columns.map(c => if (c.name == from) c.copy(name = to) else c),
+      base.lastColumnId.get)
+  }
+
+  /** DROP COLUMN: the id disappears from the current schema but stays
+    * burned (never reused); old snapshots' manifests still reference
+    * it harmlessly. Constrained and partition/sort columns refuse. */
+  def dropColumn(table: TableDef, name: String): TableDef = {
+    require(table.columns.exists(_.name == name), s"no column $name")
+    require(table.columns.size > 1, "cannot drop the last column")
+    require(!protectedCols(table).contains(name),
+      s"$name is a partition/sort source column; drop is not supported")
+    require(!table.constraints.exists(_.columns.contains(name)),
+      s"$name is referenced by a constraint; drop the constraint first")
+    val base = withExplicitIds(table)
+    evolved(base, base.columns.filterNot(_.name == name),
+      base.lastColumnId.get)
+  }
+
+  /** Commit an evolution: write the next metadata version carrying the
+    * evolved schema list over the UNCHANGED snapshot chain (schema
+    * evolution is a metadata-only commit). Returns the table it was
+    * given, for chaining. */
+  def commitEvolution(table: TableDef, tablePath: String,
+      conf: Configuration = new Configuration(),
+      timestampMs: Long = 0L): TableDef = {
+    require(table.priorSchemas.nonEmpty,
+      "commitEvolution expects a table that has been through an evolution op")
+    val metadataDir = new Path(tablePath, "metadata")
+    val fs = FileSystem.get(metadataDir.toUri, conf)
+    val version = IcebergSnapshot.readText(
+      new Path(metadataDir, "version-hint.text"), conf).trim.toInt
+    val chain = IcebergSnapshot.parseSnapshots(IcebergSnapshot.readText(
+      new Path(metadataDir, s"v$version.metadata.json"), conf))
+    IcebergSnapshot.writeNewMetadataVersion(table, tablePath, metadataDir,
+      fs, version, chain, timestampMs)
+    table
+  }
+}

@@ -57,19 +57,24 @@ object IcebergMetadata {
   }
 
   /** Schema struct with spec-rule field ids (1..n, declaration order). */
-  def schemaJson(table: TableDef): JObject = {
-    val fields = table.columns.zipWithIndex.map { case (c, i) =>
+  def schemaJson(table: TableDef): JObject =
+    schemaJsonOf(table.schemaId, table.columns)
+
+  /** One schema document: explicit field ids when evolution has
+    * assigned them, positional (i+1) otherwise. */
+  def schemaJsonOf(schemaId: Int, columns: Seq[graft.model.Db2Column]): JObject = {
+    val fields = columns.zipWithIndex.map { case (c, i) =>
       val mapping = TypeMapper.mapType(c.dataType, c.length, c.precision,
         c.scale, c.forBitData, c.ccsid)
       JObject(
-        "id" -> JInt(i + 1),
+        "id" -> JInt(c.fieldId.getOrElse(i + 1): Int),
         "name" -> JString(c.name),
         "required" -> JBool(!c.nullable),
         "type" -> JString(icebergType(mapping.targetType)))
     }
     JObject(
       "type" -> JString("struct"),
-      "schema-id" -> JInt(0),
+      "schema-id" -> JInt(schemaId),
       "fields" -> JArray(fields.toList))
   }
 
@@ -80,7 +85,7 @@ object IcebergMetadata {
     * fields take the conventional `<col>_bucket` name; partition
     * field-ids start at 1000 per the spec. */
   def partitionSpecJson(table: TableDef): JObject = {
-    val colId = table.columns.map(_.name).zipWithIndex.toMap
+    val colId = table.fieldIdOf
     val partCols = table.partition.toSeq.flatMap { p =>
       val transform = if (p.ptype == "HASH") "bucket[16]" else "identity"
       p.columns.filter(colId.contains).map(c => (c, transform))
@@ -90,7 +95,7 @@ object IcebergMetadata {
         "name" -> JString(
           if (transform.startsWith("bucket")) s"${name}_bucket" else name),
         "transform" -> JString(transform),
-        "source-id" -> JInt(colId(name) + 1),
+        "source-id" -> JInt(colId(name)),
         "field-id" -> JInt(1000 + i))
     }
     JObject("spec-id" -> JInt(0), "fields" -> JArray(fields.toList))
@@ -99,11 +104,11 @@ object IcebergMetadata {
   /** Sort order: `DISTRIBUTE BY HASH` renders as `CLUSTER BY` in the
     * DDL; its Iceberg analogue is the table's default sort order. */
   def sortOrderJson(table: TableDef): JObject = {
-    val colId = table.columns.map(_.name).zipWithIndex.toMap
+    val colId = table.fieldIdOf
     val fields = table.distributeByHash.toSeq.filter(colId.contains).map { c =>
       JObject(
         "transform" -> JString("identity"),
-        "source-id" -> JInt(colId(c) + 1),
+        "source-id" -> JInt(colId(c)),
         "direction" -> JString("asc"),
         "null-order" -> JString("nulls-first"))
     }
@@ -136,7 +141,10 @@ object IcebergMetadata {
       addedEqualityDeletes: Long = 0L,
       totalDeleteFiles: Long = 0L,
       totalPositionDeletes: Long = 0L,
-      totalEqualityDeletes: Long = 0L) {
+      totalEqualityDeletes: Long = 0L,
+      // the table schema-id this snapshot committed under (0 until
+      // schema evolution assigns later ids)
+      schemaId: Int = 0) {
     def cumulativeFiles: Long = if (totalFiles >= 0) totalFiles else addedFiles
     def cumulativeRecords: Long = if (totalRecords >= 0) totalRecords else addedRecords
   }
@@ -190,7 +198,7 @@ object IcebergMetadata {
               "total-equality-deletes" -> JString(s.totalEqualityDeletes.toString),
               "total-position-deletes" -> JString(s.totalPositionDeletes.toString))),
           "manifest-list" -> JString(s.manifestList),
-          "schema-id" -> JInt(0)))
+          "schema-id" -> JInt(s.schemaId)))
     }
     val doc = JObject(
       "format-version" -> JInt(2),
@@ -201,9 +209,13 @@ object IcebergMetadata {
         snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L))),
       "last-updated-ms" -> JInt(BigInt(
         current.map(_.timestampMs).getOrElse(lastUpdatedMs))),
-      "last-column-id" -> JInt(table.columns.size),
-      "current-schema-id" -> JInt(0),
-      "schemas" -> JArray(List(schemaJson(table))),
+      "last-column-id" -> JInt(
+        table.lastColumnId.getOrElse(table.columns.size): Int),
+      "current-schema-id" -> JInt(table.schemaId),
+      "schemas" -> JArray(
+        table.priorSchemas.toList.map { case (id, cols) =>
+          schemaJsonOf(id, cols)
+        } :+ schemaJson(table)),
       "default-spec-id" -> JInt(0),
       // spec-1 is the table's unpartitioned spec: what GLOBAL delete
       // files (cross-partition equality deletes) are written against,

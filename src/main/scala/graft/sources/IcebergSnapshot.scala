@@ -305,8 +305,7 @@ object IcebergSnapshot {
   private[sources] def columnStats(reader: ParquetFileReader, table: TableDef):
       (Map[Int, Long], Map[Int, Long], Map[Int, Array[Byte]], Map[Int, Array[Byte]]) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    val fieldId = table.columns.map(_.name).zipWithIndex
-      .map { case (n, i) => n -> (i + 1) }.toMap
+    val fieldId = table.fieldIdOf
     val values = scala.collection.mutable.Map.empty[Int, Long]
     val nulls = scala.collection.mutable.Map.empty[Int, Long]
     val mins = scala.collection.mutable.Map.empty[Int, Comparable[_]]
@@ -566,6 +565,25 @@ object IcebergSnapshot {
       .asInstanceOf[org.apache.avro.generic.GenericRecord]
       .get("file_path").toString).toSet
 
+  /** Every file path any RETAINED snapshot references — the "known"
+    * set an incremental append diffs the data directory against.
+    * It must span the WHOLE chain, not just the current snapshot: a
+    * compaction rewrites the manifest list and drops older tombstone
+    * manifests, so a file tombstoned two commits ago is absent from
+    * the current list while still on disk (time travel needs it) —
+    * diffing against the current list alone RESURRECTS it (caught by
+    * the randomized lifecycle property test on the sequence
+    * Append→Compact→Upsert→CompactWithDeletes→Append). Expiry
+    * physically deletes unreachable files, so the set stays bounded
+    * by retained history. */
+  private[sources] def knownFilePaths(chain: Seq[IcebergMetadata.SnapshotMeta],
+      conf: Configuration): Set[String] = {
+    val manifests = chain.flatMap(s =>
+      readManifestList(new Path(s.manifestList), conf)
+        .map(_.get("manifest_path").toString)).distinct
+    manifests.flatMap(m => readManifestPaths(new Path(m), conf)).toSet
+  }
+
   /** Commit the files under `<tablePath>/data` as append snapshot 1:
     * manifest + manifest list + `v2.metadata.json` (with a
     * metadata-log entry pointing at v1) + version hint. Idempotent and
@@ -586,6 +604,7 @@ object IcebergSnapshot {
       metadataDir, snapshotId, conf)
     val snap = IcebergMetadata.SnapshotMeta(
       snapshotId = snapshotId,
+      schemaId = table.schemaId,
       timestampMs = timestampMs,
       manifestList = listPath.toString,
       addedFiles = files.size.toLong,
@@ -633,7 +652,11 @@ object IcebergSnapshot {
         addedEqualityDeletes = sum0("added-equality-deletes"),
         totalDeleteFiles = sum0("total-delete-files"),
         totalPositionDeletes = sum0("total-position-deletes"),
-        totalEqualityDeletes = sum0("total-equality-deletes"))
+        totalEqualityDeletes = sum0("total-equality-deletes"),
+        schemaId = (s \ "schema-id") match {
+          case JInt(v) => v.toInt
+          case _ => 0
+        })
     }
   }
 
@@ -756,6 +779,27 @@ object IcebergSnapshot {
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot ${snapshotId.getOrElse("<current>")} not found"))
     val pf = partitionFields(table)
+    // Evolved tables read BY FIELD ID, like a real Iceberg reader: the
+    // explicit read schema carries each column's id (parquet.field.id
+    // metadata), Spark's field-id resolution matches it against the
+    // ids the writer embedded in the footers — so files written before
+    // a rename resolve to the renamed column, and files written before
+    // an ADD null-fill (ignoreMissing). Identity-partition columns are
+    // directory-encoded, not in the files, and are restored from the
+    // manifests below as always. Un-evolved tables keep the inferred-
+    // schema read (files written before this feature carry no ids).
+    val evolvedRead = table.priorSchemas.nonEmpty
+    if (evolvedRead) {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    }
+    val identityCols = pf.filter(_._3 == "identity").map(_._1).toSet
+    def scanFiles(paths: Seq[String]): org.apache.spark.sql.DataFrame =
+      if (!evolvedRead) spark.read.parquet(paths: _*)
+      else spark.read.schema(org.apache.spark.sql.types.StructType(
+        graft.api.SchemaTranslator.toSparkSchema(table)
+          .fields.filterNot(f => identityCols.contains(f.name))))
+        .parquet(paths: _*)
     val listRows = readManifestList(new Path(snap.manifestList), conf)
     // data files with recorded partition values + data sequence number
     val files = listRows.filter(_.get("content").asInstanceOf[Int] == 0).flatMap { m =>
@@ -778,10 +822,9 @@ object IcebergSnapshot {
     val fileVals = files.map(f => (f._1, f._2))
     if (deletes.isEmpty)
       restoreIdentityColumns(spark,
-        spark.read.parquet(files.map(_._1): _*), table, fileVals)
+        scanFiles(files.map(_._1)), table, fileVals)
     else {
-      val colOfId = table.columns.map(_.name).zipWithIndex
-        .map { case (n, i) => (i + 1) -> n }.toMap
+      val colOfId = table.fieldIdOf.map(_.swap)
       def norm(c: org.apache.spark.sql.Column) =
         regexp_replace(c, "^[a-zA-Z0-9+.-]+:/+", "/")
       val groups = files.groupBy(_._3).toSeq.sortBy(_._1)
@@ -789,7 +832,7 @@ object IcebergSnapshot {
         // identity restore rides input_file_name, so it must happen
         // on the single-source scan BEFORE any join enters the plan
         var df = restoreIdentityColumns(spark,
-          spark.read.parquet(fs.map(_._1): _*)
+          scanFiles(fs.map(_._1))
             .withColumn("__graft_file", norm(col("_metadata.file_path")))
             .withColumn("__graft_pos", col("_metadata.row_index")),
           table, fileVals)
@@ -988,6 +1031,7 @@ object IcebergSnapshot {
       metadataDir, snapshotId, conf, newSeq, Some(current.snapshotId))
     val snap = IcebergMetadata.SnapshotMeta(
       snapshotId = snapshotId,
+      schemaId = table.schemaId,
       timestampMs = timestampMs,
       manifestList = listPath.toString,
       addedFiles = compacted.size.toLong,
@@ -1084,8 +1128,7 @@ object IcebergSnapshot {
     val current = chain.last
 
     val priorList = readManifestList(new Path(current.manifestList), conf)
-    val known = priorList.flatMap(r =>
-      readManifestPaths(new Path(r.get("manifest_path").toString), conf)).toSet
+    val known = knownFilePaths(chain, conf)
     val newFiles = listDataFiles(new Path(tablePath, "data"), table, conf)
       .filterNot(f => known.contains(f.path))
     if (newFiles.isEmpty) return current
@@ -1102,6 +1145,7 @@ object IcebergSnapshot {
       parentSnapshotId = Some(current.snapshotId), priorManifests = priorList)
     val snap = IcebergMetadata.SnapshotMeta(
       snapshotId = snapshotId,
+      schemaId = table.schemaId,
       timestampMs = timestampMs,
       manifestList = listPath.toString,
       addedFiles = newFiles.size.toLong,

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.SchemaTranslator
+import graft.model.Db2Column
+import graft.parse.Db2Parser
+import graft.sources.{IcebergEvolution, IcebergSnapshot}
+
+/** Schema evolution against the v2 writer: add / rename / drop column
+  * as metadata-only commits, with reads resolving BY FIELD ID across
+  * files written under different schema versions — the property a real
+  * Iceberg reader provides and the reason renames don't rewrite data.
+  * The structural validator runs after every step. */
+class IcebergEvolutionSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("iceberg-evolution-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def currentMeta(out: String): JValue = {
+    val v = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", "version-hint.text")), "UTF-8").trim.toInt
+    JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", s"v$v.metadata.json")), "UTF-8"))
+  }
+
+  private def metaInt(m: JValue, field: String): Int =
+    (m \ field).asInstanceOf[JInt].num.toInt
+
+  test("add → append → rename → drop: id-based reads span schema versions, " +
+      "metadata keeps every schema, refusals guard spec invariants") {
+    import spark.implicits._
+    val t0 = Db2Parser.parse(
+      """CREATE TABLE S.EVO (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10),
+        |  N INTEGER
+        |) PARTITION BY RANGE (V);""".stripMargin).tables.head
+    val out = java.nio.file.Files.createTempDirectory("iceberg_evo").toString
+
+    // snapshot 1 under schema 0
+    SchemaTranslator.migrateTable(
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("K", "V", "N"), t0, out)
+    IcebergV2Validation.validateV2(currentMeta(out), expectSnapshot = true)
+
+    // ---- ADD COLUMN M (metadata-only commit) ----
+    val t1 = IcebergEvolution.commitEvolution(
+      IcebergEvolution.addColumn(t0, Db2Column("M", "INTEGER")), out)
+    val m1 = currentMeta(out)
+    IcebergV2Validation.validateV2(m1, expectSnapshot = true)
+    assert(metaInt(m1, "current-schema-id") === 1)
+    assert(metaInt(m1, "last-column-id") === 4)
+    assert((m1 \ "schemas").asInstanceOf[JArray].arr.size === 2,
+      "both schema versions stay listed")
+
+    // append rows that HAVE the new column
+    SchemaTranslator.appendIncrement(
+      Seq((3L, "a", 30, 300), (4L, "c", 40, 400)).toDF("K", "V", "N", "M"),
+      t1, out)
+    IcebergV2Validation.validateV2(currentMeta(out), expectSnapshot = true)
+    val afterAdd = IcebergSnapshot.readSnapshot(spark, out, t1)
+      .select("K", "V", "N", "M").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)))).toSet
+    assert(afterAdd === Set(
+      (1L, "a", 10, None), (2L, "b", 20, None), // pre-ADD files null-fill
+      (3L, "a", 30, Some(300)), (4L, "c", 40, Some(400))))
+
+    // ---- RENAME N → QTY: old files must resolve BY ID ----
+    val t2 = IcebergEvolution.commitEvolution(
+      IcebergEvolution.renameColumn(t1, "N", "QTY"), out)
+    val m2 = currentMeta(out)
+    IcebergV2Validation.validateV2(m2, expectSnapshot = true)
+    assert(metaInt(m2, "current-schema-id") === 2)
+    assert(metaInt(m2, "last-column-id") === 4, "rename burns no new id")
+    val afterRename = IcebergSnapshot.readSnapshot(spark, out, t2)
+      .select("K", "QTY").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(afterRename === Map(1L -> 10, 2L -> 20, 3L -> 30, 4L -> 40),
+      "files written before the rename must resolve through the field id")
+
+    // appends under the new name keep working
+    SchemaTranslator.appendIncrement(
+      Seq((5L, "b", 50, 500)).toDF("K", "V", "QTY", "M"), t2, out)
+    assert(IcebergSnapshot.readSnapshot(spark, out, t2)
+      .select("K", "QTY").collect().map(r => r.getLong(0) -> r.getInt(1))
+      .toMap === Map(1L -> 10, 2L -> 20, 3L -> 30, 4L -> 40, 5L -> 50))
+
+    // time travel to snapshot 1 still reads (current schema's names)
+    val chain = (currentMeta(out) \ "snapshots").asInstanceOf[JArray].arr
+      .map(s => (s \ "snapshot-id").asInstanceOf[JInt].num.toLong)
+    val tt = IcebergSnapshot.readSnapshot(spark, out, t2, Some(chain.head))
+      .select("K", "QTY").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tt === Map(1L -> 10, 2L -> 20))
+    // each snapshot records the schema it committed under
+    val snapSchemaIds = (currentMeta(out) \ "snapshots").asInstanceOf[JArray].arr
+      .map(s => (s \ "schema-id").asInstanceOf[JInt].num.toInt)
+    assert(snapSchemaIds === List(0, 1, 2))
+
+    // ---- DROP M ----
+    val t3 = IcebergEvolution.commitEvolution(
+      IcebergEvolution.dropColumn(t2, "M"), out)
+    val m3 = currentMeta(out)
+    IcebergV2Validation.validateV2(m3, expectSnapshot = true)
+    assert(metaInt(m3, "current-schema-id") === 3)
+    assert(metaInt(m3, "last-column-id") === 4, "dropped ids stay burned")
+    assert((m3 \ "schemas").asInstanceOf[JArray].arr.size === 4)
+    val afterDrop = IcebergSnapshot.readSnapshot(spark, out, t3)
+    assert(!afterDrop.columns.contains("M"))
+    assert(afterDrop.select("K", "QTY").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      === Map(1L -> 10, 2L -> 20, 3L -> 30, 4L -> 40, 5L -> 50))
+
+    // a column re-added after a drop gets a FRESH id (no reuse)
+    val t4 = IcebergEvolution.addColumn(t3, Db2Column("M", "INTEGER"))
+    assert(t4.columns.find(_.name == "M").flatMap(_.fieldId) === Some(5))
+
+    // ---- refusals ----
+    intercept[IllegalArgumentException] { // added columns must be nullable
+      IcebergEvolution.addColumn(t3, Db2Column("X", "INTEGER", nullable = false))
+    }
+    intercept[IllegalArgumentException] { // partition source column
+      IcebergEvolution.renameColumn(t3, "V", "V2")
+    }
+    intercept[IllegalArgumentException] {
+      IcebergEvolution.dropColumn(t3, "V")
+    }
+    intercept[IllegalArgumentException] { // duplicate name
+      IcebergEvolution.addColumn(t3, Db2Column("QTY", "INTEGER"))
+    }
+  }
+}
