@@ -101,6 +101,50 @@ object IcebergEvolution {
       base.lastColumnId.get)
   }
 
+  /** The iceberg type of a column under the reference type ruleset. */
+  private def icebergTypeOf(c: Db2Column): String = {
+    val m = graft.mapping.TypeMapper.mapType(c.dataType, c.length,
+      c.precision, c.scale, c.forBitData, c.ccsid)
+    IcebergMetadata.icebergType(m.targetType)
+  }
+
+  private val DecimalType = """decimal\((\d+),(\d+)\)""".r
+
+  /** TYPE PROMOTION (widen): the v2 spec's legal set — int → long,
+    * float → double, decimal(P,S) → decimal(P',S) with P' > P. The
+    * field id is retained; existing files read through Spark's
+    * widened parquet read (int32 pages under a long read schema etc.
+    * — verified supported by this Spark line), so no data rewrites.
+    * Any other type change refuses: narrowing or cross-family changes
+    * would corrupt existing files' values. */
+  def promoteColumn(table: TableDef, name: String, toDb2Type: String,
+      precision: Option[Int] = None, scale: Option[Int] = None): TableDef = {
+    val cur = table.columns.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    val next = cur.copy(dataType = toDb2Type, precision = precision,
+      scale = scale, length = None)
+    val (from, to) = (icebergTypeOf(cur), icebergTypeOf(next))
+    val legal = (from, to) match {
+      case ("int", "long") | ("float", "double") => true
+      case (DecimalType(p1, s1), DecimalType(p2, s2)) =>
+        s1 == s2 && p2.toInt > p1.toInt
+      case _ => false
+    }
+    require(legal, s"illegal promotion $from -> $to for $name " +
+      "(v2 allows int->long, float->double, decimal precision widening)")
+    // spec-legal on partition sources in principle (bucket hashes int
+    // as long), but historical directory values and transform results
+    // are easiest kept single-typed — same conservative subset as
+    // rename/drop
+    require(!protectedCols(table).contains(name),
+      s"$name is a partition/sort source column; promotion is not supported")
+    val base = withExplicitIds(table)
+    evolved(base,
+      base.columns.map(c => if (c.name == name)
+        next.copy(fieldId = c.fieldId) else c),
+      base.lastColumnId.get)
+  }
+
   /** Commit an evolution: write the next metadata version carrying the
     * evolved schema list over the UNCHANGED snapshot chain (schema
     * evolution is a metadata-only commit). Returns the table it was

@@ -136,4 +136,61 @@ class IcebergEvolutionSpec extends AnyFunSuite {
       IcebergEvolution.addColumn(t3, Db2Column("QTY", "INTEGER"))
     }
   }
+
+  test("type promotion: int→long widens in place — files written as int32 " +
+      "read back through the widened schema; illegal changes refuse") {
+    import spark.implicits._
+    val t0 = Db2Parser.parse(
+      """CREATE TABLE S.WIDE (
+        |  K BIGINT NOT NULL,
+        |  N INTEGER,
+        |  R REAL
+        |);""".stripMargin).tables.head
+    val out = java.nio.file.Files.createTempDirectory("iceberg_wide").toString
+    SchemaTranslator.migrateTable(
+      Seq((1L, 10, 1.5f), (2L, 20, 2.5f)).toDF("K", "N", "R"), t0, out)
+
+    // promote N int→long and R float→double in two evolution commits
+    val t1 = IcebergEvolution.commitEvolution(
+      IcebergEvolution.promoteColumn(t0, "N", "BIGINT"), out)
+    val t2 = IcebergEvolution.commitEvolution(
+      IcebergEvolution.promoteColumn(t1, "R", "DOUBLE"), out)
+    IcebergV2Validation.validateV2(currentMeta(out), expectSnapshot = true)
+    assert(metaInt(currentMeta(out), "current-schema-id") === 2)
+    assert(metaInt(currentMeta(out), "last-column-id") === 3,
+      "promotion burns no new ids")
+
+    // the int32/float files read back under the widened schema
+    val widened = IcebergSnapshot.readSnapshot(spark, out, t2)
+      .select("K", "N", "R").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(widened === Set((1L, 10L, 1.5), (2L, 20L, 2.5)))
+
+    // appends under the widened schema coexist with the narrow files
+    SchemaTranslator.appendIncrement(
+      Seq((3L, 5000000000L, 3.25)).toDF("K", "N", "R"), t2, out)
+    val mixed = IcebergSnapshot.readSnapshot(spark, out, t2)
+      .select("K", "N", "R").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mixed === Set((1L, 10L, 1.5), (2L, 20L, 2.5),
+      (3L, 5000000000L, 3.25)))
+
+    // refusals: narrowing, cross-family, decimal scale change
+    intercept[IllegalArgumentException] {
+      IcebergEvolution.promoteColumn(t2, "N", "INTEGER") // narrow
+    }
+    intercept[IllegalArgumentException] {
+      IcebergEvolution.promoteColumn(t2, "K", "DOUBLE") // cross-family
+    }
+    // decimal widening is legal, scale change is not
+    val td = Db2Parser.parse(
+      "CREATE TABLE S.D (A DECIMAL(5,2), B BIGINT);").tables.head
+    val wide = IcebergEvolution.promoteColumn(td, "A", "DECIMAL",
+      precision = Some(10), scale = Some(2))
+    assert(wide.columns.head.precision === Some(10))
+    intercept[IllegalArgumentException] {
+      IcebergEvolution.promoteColumn(td, "A", "DECIMAL",
+        precision = Some(10), scale = Some(4))
+    }
+  }
 }
