@@ -127,49 +127,23 @@ object Bm25 {
   // falls back to the highest complete version on disk (hint-is-a-hint
   // semantics, same as Iceberg).
 
-  private val HintFile = "version-hint.text"
-
-  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
+  // the pointer/resolver machinery is shared with [[Search]]'s
+  // positional index — see [[VersionedIndex]]
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
+    VersionedIndex.fsOf(spark, path)
 
   /** Current committed version of the layout under `path`; 0 = not an
     * index. Hint first; fallback scans for the highest version whose
     * df AND stats tables both exist (a complete commit). */
   def currentVersion(spark: org.apache.spark.sql.SparkSession,
-      path: String): Int = {
-    val (fs, root) = fsOf(spark, path)
-    val hinted =
-      try {
-        val in = fs.open(new org.apache.hadoop.fs.Path(root, HintFile))
-        val s = try scala.io.Source.fromInputStream(in).mkString.trim
-          finally in.close()
-        val n = s.toInt
-        if (n >= 1 &&
-          fs.exists(new org.apache.hadoop.fs.Path(s"$path/df_v$n")) &&
-          fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"))) n
-        else 0
-      } catch { case _: Exception => 0 }
-    if (hinted >= 1) hinted
-    else try {
-      fs.listStatus(root).map(_.getPath.getName)
-        .collect { case s if s.startsWith("stats_v") => s.drop(7).toInt }
-        .filter(n => fs.exists(new org.apache.hadoop.fs.Path(s"$path/df_v$n")))
-        .sorted.lastOption.getOrElse(0)
-    } catch { case _: Exception => 0 }
-  }
+      path: String): Int = VersionedIndex.currentVersion(spark, path)
 
   /** True when a complete committed index exists under `path`. */
   def indexExists(spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean = currentVersion(spark, path) >= 1
 
   private def writeHint(spark: org.apache.spark.sql.SparkSession,
-      path: String, n: Int): Unit = {
-    val (fs, root) = fsOf(spark, path)
-    val out = fs.create(new org.apache.hadoop.fs.Path(root, HintFile), true)
-    try out.write(s"$n\n".getBytes("UTF-8")) finally out.close()
-  }
+      path: String, n: Int): Unit = VersionedIndex.writeHint(spark, path, n)
 
   /** The version-`n` postings: union of the per-commit delta scans.
     * Bucket filters above the union push into every scan, so pruning

@@ -57,11 +57,6 @@ object PipelineQueries {
     (path, built)
   }
 
-  private def plainStatsExists(s: SparkSession)(path: String): Boolean = {
-    val stats = new org.apache.hadoop.fs.Path(s"$path/stats")
-    stats.getFileSystem(s.sparkContext.hadoopConfiguration).exists(stats)
-  }
-
   // ---------------------------------------------------------------- text
 
   /** Per-document text statistics: token counts, punctuation,
@@ -413,7 +408,7 @@ object PipelineQueries {
   def q71PhraseSearchIndexed(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val (idx, built) = amortizedIndexPath(s, dir, "search_index",
-      plainStatsExists(s))
+      p => Search.indexExists(s, p))
     if (!built) Search.writeIndex(docs, "doc_id", "text", idx, nBuckets = 16)
     Search.topPhraseStatsIndexed(s, idx, docs, "doc_id", "text", n = 5)
       .orderBy("phrase")

@@ -58,21 +58,48 @@ object Search {
   private def bucketOf(token: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(token), lit(nBuckets.toLong)).cast("int")
 
+  /** Current committed version of the layout under `path` (0 = not an
+    * index) — the [[VersionedIndex]] pointer shared with [[Bm25]]. */
+  def currentVersion(spark: SparkSession, path: String): Int =
+    VersionedIndex.currentVersion(spark, path)
+
+  /** True when a complete committed index exists under `path`. */
+  def indexExists(spark: SparkSession, path: String): Boolean =
+    currentVersion(spark, path) >= 1
+
+  /** The version-`n` postings: union of the per-commit delta scans.
+    * Bucket filters above the union push into every scan, so pruning
+    * survives the delta split. */
+  def postingsTable(spark: SparkSession, path: String, n: Int): DataFrame =
+    (1 to n).map(i => spark.read.parquet(s"$path/postings/delta_v$i"))
+      .reduce(_ unionByName _)
+
+  /** The version-`n` per-token (df, n_occ) table. */
+  def dfTable(spark: SparkSession, path: String, n: Int): DataFrame =
+    spark.read.parquet(s"$path/df_v$n")
+
+  /** The version-`n` one-row stats table. */
+  def statsTable(spark: SparkSession, path: String, n: Int): DataFrame =
+    spark.read.parquet(s"$path/stats_v$n")
+
   /** Materialize the positional index: one tokenization pass fans into
-    * three parquet tables under `path` —
+    * the crash-safe [[VersionedIndex]] layout under `path` —
     *
-    *   - `postings/` (token, doc_id, pos) partitioned by `bucket` =
-    *     xxhash64(token) mod nBuckets — a phrase probe reads only its
-    *     tokens' bucket directories (partition pruning);
-    *   - `df/` (token, df, n_occ) on the same layout: document
+    *   - `postings/delta_v1` (token, doc_id, pos) partitioned by
+    *     `bucket` = xxhash64(token) mod nBuckets — a phrase probe
+    *     reads only its tokens' bucket directories (partition
+    *     pruning);
+    *   - `df_v1` (token, df, n_occ) on the same layout: document
     *     frequency and posting-list length per token — the probe's
     *     rarest-first ordering reads list lengths from here instead of
     *     re-counting postings;
-    *   - `stats/` — a single (n_tokens, n_buckets) row; carrying
-    *     n_buckets in-band makes the index self-describing.
+    *   - `stats_v1` — a single (n_tokens, n_buckets) row; carrying
+    *     n_buckets in-band makes the index self-describing —
     *
-    * Build cost equals one direct search's postings pass; every later
-    * probe is corpus-free. */
+    * then commits by flipping `version-hint.text`. Build cost equals
+    * one direct search's postings pass; every later probe is
+    * corpus-free, and [[appendToIndex]] folds new documents in
+    * without re-tokenizing history. */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
     val spark = docs.sparkSession
@@ -81,15 +108,74 @@ object Search {
       .persist()
     try {
       post.repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings/delta_v1")
       post.groupBy(col("token"), col("bucket"))
         .agg(countDistinct(col("doc_id")).as("df"),
           count(lit(1)).as("n_occ"))
         .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/df")
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/df_v1")
       post.agg(count(lit(1)).as("n_tokens"))
         .withColumn("n_buckets", lit(nBuckets))
-        .write.mode("overwrite").parquet(s"$path/stats")
+        .write.mode("overwrite").parquet(s"$path/stats_v1")
+      VersionedIndex.writeHint(spark, path, 1) // commit
+    } finally post.unpersist(false)
+  }
+
+  /** Incremental positional-index maintenance: fold a batch of NEW
+    * documents into an existing [[writeIndex]] layout without
+    * rebuilding — postings land as a version-(n+1) delta, the
+    * per-token (df, n_occ) aggregate merges delta-into-existing over
+    * two SMALL tables (never the corpus), stats add up, and the
+    * version hint flips LAST (a crash anywhere before it leaves the
+    * index probing version n exactly — same contract as
+    * [[Bm25.appendToIndex]], spec-pinned via the abort hook). Caller
+    * contract: `docs` are new ids — df counts distinct docs per
+    * token, so re-appending an existing id would double-count it. */
+  def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit =
+    appendToIndexInternal(docs, idCol, textCol, path,
+      abortBeforeCommit = false)
+
+  private[graft] def appendToIndexInternal(docs: DataFrame, idCol: String,
+      textCol: String, path: String, abortBeforeCommit: Boolean): Unit = {
+    val spark = docs.sparkSession
+    val n = currentVersion(spark, path)
+    require(n >= 1, s"no committed index under $path")
+    val nBuckets = statsTable(spark, path, n)
+      .select(col("n_buckets")).head().getInt(0)
+    val post = postings(docs, idCol, textCol)
+      .withColumn("bucket", bucketOf(col("token"), nBuckets))
+      .persist()
+    try {
+      // overwrite, not append: a retry after a crashed attempt clobbers
+      // the partial delta instead of doubling rows
+      post.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings/delta_v${n + 1}")
+      val dfDelta = post.groupBy(col("token"), col("bucket"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("n_occ"))
+      dfTable(spark, path, n)
+        .select(col("token"), col("df"), col("n_occ"), col("bucket"))
+        .unionByName(dfDelta
+          .select(col("token"), col("df"), col("n_occ"), col("bucket")))
+        .groupBy(col("token"), col("bucket"))
+        .agg(sum(col("df")).as("df"), sum(col("n_occ")).as("n_occ"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/df_v${n + 1}")
+      val prevTokens = statsTable(spark, path, n)
+        .select(col("n_tokens")).head().getLong(0)
+      post.agg((count(lit(1)) + lit(prevTokens)).as("n_tokens"))
+        .withColumn("n_buckets", lit(nBuckets))
+        .write.mode("overwrite").parquet(s"$path/stats_v${n + 1}")
+      if (abortBeforeCommit) return
+      VersionedIndex.writeHint(spark, path, n + 1) // commit
+      // post-commit cleanup of the superseded version (best-effort)
+      val (fs, _) = VersionedIndex.fsOf(spark, path)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/df_v$n"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
     } finally post.unpersist(false)
   }
 
@@ -103,18 +189,20 @@ object Search {
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
     import spark.implicits._
-    val nBuckets = spark.read.parquet(s"$path/stats")
+    val n = currentVersion(spark, path)
+    require(n >= 1, s"no committed index under $path")
+    val nBuckets = statsTable(spark, path, n)
       .select(col("n_buckets")).head().getInt(0)
     val toks = phrase.distinct
     val buckets = toks.toDF("token")
       .select(bucketOf(col("token"), nBuckets).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val plen = spark.read.parquet(s"$path/df")
+    val plen = dfTable(spark, path, n)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("token").isin(toks: _*))
       .select(col("token"), col("n_occ"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val post = spark.read.parquet(s"$path/postings")
+    val post = postingsTable(spark, path, n)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("token").isin(toks: _*))
       .select(col("token"), col("doc_id"), col("pos"))
@@ -180,13 +268,15 @@ object Search {
       n: Int = 5): DataFrame = {
     import spark.implicits._
     val top = topPhrases(docs, idCol, textCol, n)
-    val nBuckets = spark.read.parquet(s"$path/stats")
+    val v = currentVersion(spark, path)
+    require(v >= 1, s"no committed index under $path")
+    val nBuckets = statsTable(spark, path, v)
       .select(col("n_buckets")).head().getInt(0)
     val toks = top.flatMap(_.split(' ')).distinct
     val buckets = toks.toDF("token")
       .select(bucketOf(col("token"), nBuckets).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val plen = spark.read.parquet(s"$path/df")
+    val plen = dfTable(spark, path, v)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("token").isin(toks: _*))
       .select(col("token"), col("n_occ"))
@@ -195,7 +285,7 @@ object Search {
     // per token) — persist the PRUNED working set so the parquet decode
     // happens once; this is index data bounded by the probe's tokens,
     // not the corpus (release rides the caller's per-query hygiene)
-    val post = spark.read.parquet(s"$path/postings")
+    val post = postingsTable(spark, path, v)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("token").isin(toks: _*))
       .select(col("token"), col("doc_id"), col("pos"))

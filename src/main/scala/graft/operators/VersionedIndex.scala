@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** The crash-safe versioned index layout shared by [[Bm25]] and
+  * [[Search]] (the Iceberg version-hint pattern from
+  * `sources/IcebergSnapshot`, scaled down): every commit is a version
+  * n whose completeness is defined by `df_vn` AND `stats_vn` both
+  * existing, and a tiny `version-hint.text` pointer names the current
+  * one, flipped LAST. A crash anywhere before the flip leaves every
+  * version-n file untouched and the index probing the prior state; a
+  * missing/corrupt hint falls back to the highest complete version on
+  * disk (hint-is-a-hint semantics, same as Iceberg). */
+private[operators] object VersionedIndex {
+
+  val HintFile = "version-hint.text"
+
+  def fsOf(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Current committed version under `path`; 0 = not an index. Hint
+    * first; fallback scans for the highest version whose df AND stats
+    * tables both exist (a complete commit). */
+  def currentVersion(spark: SparkSession, path: String): Int = {
+    val (fs, root) = fsOf(spark, path)
+    val hinted =
+      try {
+        val in = fs.open(new org.apache.hadoop.fs.Path(root, HintFile))
+        val s = try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        val n = s.toInt
+        if (n >= 1 &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$path/df_v$n")) &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"))) n
+        else 0
+      } catch { case _: Exception => 0 }
+    if (hinted >= 1) hinted
+    else try {
+      fs.listStatus(root).map(_.getPath.getName)
+        .collect { case s if s.startsWith("stats_v") => s.drop(7).toInt }
+        .filter(n => fs.exists(new org.apache.hadoop.fs.Path(s"$path/df_v$n")))
+        .sorted.lastOption.getOrElse(0)
+    } catch { case _: Exception => 0 }
+  }
+
+  def writeHint(spark: SparkSession, path: String, n: Int): Unit = {
+    val (fs, root) = fsOf(spark, path)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, HintFile), true)
+    try out.write(s"$n\n".getBytes("UTF-8")) finally out.close()
+  }
+}

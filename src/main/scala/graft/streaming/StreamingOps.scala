@@ -246,6 +246,28 @@ object StreamingOps {
     }
   }
 
+  /** Streaming positional-index maintenance — [[bm25IndexSink]]'s
+    * counterpart for the phrase-search index: a `foreachBatch` body
+    * that folds each micro-batch of documents into a
+    * [[graft.operators.Search.writeIndex]] layout (bootstrap on the
+    * first non-empty batch, [[graft.operators.Search.appendToIndex]]
+    * thereafter) so a live document stream keeps exact-phrase lookup
+    * current without re-tokenizing history. Same exactly-once caveat
+    * as every foreachBatch sink: a batch replayed after a crash
+    * mid-append would double its postings — production pairs this
+    * with a batch-id dedup ledger; the spec pins the happy-path
+    * equivalence (streamed index == from-scratch index, identical
+    * probes). */
+  def phraseIndexSink(idCol: String, textCol: String, path: String,
+      nBuckets: Int = 64): (DataFrame, Long) => Unit = (batch, _) => {
+    if (!batch.isEmpty) {
+      if (graft.operators.Search.indexExists(batch.sparkSession, path))
+        graft.operators.Search.appendToIndex(batch, idCol, textCol, path)
+      else
+        graft.operators.Search.writeIndex(batch, idCol, textCol, path, nBuckets)
+    }
+  }
+
   /** Convenience: run a streaming DataFrame to completion against a
     * memory sink and return the collected result table. Test/demo
     * helper — production sinks are parquet/kafka/iceberg via

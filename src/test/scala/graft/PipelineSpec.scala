@@ -1656,10 +1656,46 @@ class PipelineSpec extends AnyFunSuite {
       .orderBy("phrase").collect().map(_.toSeq).toSeq
     assert(a === b)
     // df table carries true document frequency and posting length
-    val dfRow = spark.read.parquet(s"$idx/df")
+    val dfRow = Search.dfTable(spark, idx, Search.currentVersion(spark, idx))
       .filter(col("token") === "the").head()
     assert(dfRow.getAs[Long]("df") === 3L) // docs 1, 2, 4
     assert(dfRow.getAs[Long]("n_occ") === 7L)
+    // ---- incremental append: index(A)+append(B) probes identically
+    // to a from-scratch index over A∪B, and a crash before the hint
+    // flip leaves the prior version probing exactly ----
+    val more = Seq(
+      (6L, "quick brown fox on the run"),
+      (7L, "the lazy dog sleeps")).toDF("doc_id", "text")
+    val all = docs.unionByName(more)
+    // crash injection: abort after data writes, before the commit
+    Search.appendToIndexInternal(more, "doc_id", "text", idx,
+      abortBeforeCommit = true)
+    assert(Search.currentVersion(spark, idx) === 1,
+      "aborted append must leave version 1 current")
+    val preCrash = Search.phraseProbe(spark, idx, Seq("quick", "brown"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val liveOld = Search.phraseOccurrences(post, Seq("quick", "brown"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(preCrash === liveOld, "aborted append must not change probes")
+    // the retry clobbers the partial delta and commits
+    Search.appendToIndex(more, "doc_id", "text", idx)
+    assert(Search.currentVersion(spark, idx) === 2)
+    val scratch = java.nio.file.Files.createTempDirectory("searchidx2").toString
+    Search.writeIndex(all, "doc_id", "text", scratch, nBuckets = 4)
+    for (phrase <- Seq(Seq("quick", "brown", "fox"), Seq("the", "lazy"),
+        Seq("the"), Seq("missing", "phrase"))) {
+      val appended = Search.phraseProbe(spark, idx, phrase)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      val rebuilt = Search.phraseProbe(spark, scratch, phrase)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      assert(appended === rebuilt, s"append diverged from rebuild for $phrase")
+    }
+    // merged df survives the append (docs 1, 2, 4, 6, 7 carry "the")
+    val v2 = Search.currentVersion(spark, idx)
+    val dfRow2 = Search.dfTable(spark, idx, v2)
+      .filter(col("token") === "the").head()
+    assert(dfRow2.getAs[Long]("df") === 5L)
+    assert(dfRow2.getAs[Long]("n_occ") === 9L)
   }
 
   test("BPE: distributed trainer equals the sequential reference; encoding " +

@@ -406,6 +406,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("phraseIndexSink: a streamed positional index answers phrases " +
+      "identically to a from-scratch index over the same documents") {
+    import spark.implicits._
+    import graft.operators.Search
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox and a quick brown fox again"),
+      (3L, "the lazy dog sleeps in the warm sun"),
+      (4L, "quick brown foxes are rarely lazy"))
+    val idx = java.nio.file.Files.createTempDirectory("searchidx_stream").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamingOps.phraseIndexSink("doc_id", "text", idx, nBuckets = 8))
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(docs.take(2): _*) // bootstrap batch
+    q.processAllAvailable()
+    mem.addData(docs.drop(2): _*) // incremental batch
+    q.processAllAvailable()
+    q.stop()
+    val scratch = java.nio.file.Files
+      .createTempDirectory("searchidx_stream_ref").toString
+    Search.writeIndex(docs.toDF("doc_id", "text"), "doc_id", "text",
+      scratch, nBuckets = 8)
+    for (phrase <- Seq(Seq("quick", "brown", "fox"), Seq("the", "lazy"),
+        Seq("lazy"), Seq("missing", "phrase"))) {
+      def probe(p: String) = Search.phraseProbe(spark, p, phrase)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      assert(probe(idx) === probe(scratch), s"diverged for $phrase")
+    }
+  }
+
   test("scrubChunks equals dropRepeatedChunks' cleaned text on the same corpus") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
