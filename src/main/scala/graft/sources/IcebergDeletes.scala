@@ -345,6 +345,11 @@ object IcebergDeletes {
       val ordered =
         if (sortCols.isEmpty) one
         else one.sortWithinPartitions(sortCols.map(col): _*)
+      // rewritten files must keep their field ids (evolved tables read
+      // by id): the read schema's parquet.field.id metadata propagates
+      // through the plan, and the writer conf must be on even in a
+      // session that never ran writeMigrated
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
       ordered.write.mode("overwrite").parquet(dir.toString)
       val (p, len, n) = statAndCount(dir, fs, conf)
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))

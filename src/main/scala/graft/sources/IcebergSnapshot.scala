@@ -994,6 +994,8 @@ object IcebergSnapshot {
         if (sortCols.isEmpty) one
         else one.sortWithinPartitions(
           sortCols.map(org.apache.spark.sql.functions.col): _*)
+      // keep field ids in rewritten files — evolved tables read by id
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
       ordered.write.mode("overwrite").parquet(dir.toString)
       val st = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet")).head
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))

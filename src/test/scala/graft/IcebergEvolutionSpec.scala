@@ -137,6 +137,55 @@ class IcebergEvolutionSpec extends AnyFunSuite {
     }
   }
 
+  test("evolution composes with row-level deletes and compaction: files a " +
+      "compaction rewrites keep resolving by id through later renames") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IcebergDeletes
+    val t0 = Db2Parser.parse(
+      """CREATE TABLE S.EVC (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10),
+        |  N INTEGER
+        |) PARTITION BY RANGE (V);""".stripMargin).tables.head
+    val out = java.nio.file.Files.createTempDirectory("iceberg_evc").toString
+    SchemaTranslator.migrateTable(
+      (1L to 6L).map(k => (k, s"p${k % 2}", k.toInt * 10)).toDF("K", "V", "N"),
+      t0, out)
+    // rename N→QTY, then upsert + delete UNDER THE EVOLVED SCHEMA
+    val t1 = IcebergEvolution.commitEvolution(
+      IcebergEvolution.renameColumn(t0, "N", "QTY"), out)
+    SchemaTranslator.mergeUpsert(
+      Seq((2L, "p0", 999), (7L, "p1", 70)).toDF("K", "V", "QTY"),
+      t1, out, keyCols = Seq("K"))
+    IcebergDeletes.commitPositionDeletes(spark, t1, out, col("K") === 5L)
+    def read(t: graft.model.TableDef, qtyName: String) =
+      IcebergSnapshot.readSnapshot(spark, out, t)
+        .select(col("K"), col(qtyName)).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = Map(1L -> 10, 2L -> 999, 3L -> 30, 4L -> 40, 6L -> 60, 7L -> 70)
+    assert(read(t1, "QTY") === want)
+    // compaction folds the deletes in and REWRITES files; the
+    // rewritten files must still carry field ids…
+    IcebergDeletes.compactWithDeletes(spark, t1, out)
+    IcebergV2Validation.validateV2(currentMeta(out), expectSnapshot = true)
+    assert(read(t1, "QTY") === want, "compaction changed the evolved read")
+    // …which a FURTHER rename proves: QTY→AMOUNT resolves the
+    // compaction-written files by id, not name
+    val t2 = IcebergEvolution.commitEvolution(
+      IcebergEvolution.renameColumn(t1, "QTY", "AMOUNT"), out)
+    assert(read(t2, "AMOUNT") === want,
+      "compaction-rewritten files must resolve through the next rename")
+    // PLAIN compaction (inferred-schema read of the evolved files)
+    // must also preserve ids: compact, then rename once more
+    IcebergSnapshot.compactDataFiles(spark, t2, out, 1L << 30)
+    assert(read(t2, "AMOUNT") === want)
+    val t3 = IcebergEvolution.commitEvolution(
+      IcebergEvolution.renameColumn(t2, "AMOUNT", "AMT"), out)
+    assert(read(t3, "AMT") === want,
+      "plain-compaction files must resolve through a further rename")
+  }
+
   test("type promotion: int→long widens in place — files written as int32 " +
       "read back through the widened schema; illegal changes refuse") {
     import spark.implicits._

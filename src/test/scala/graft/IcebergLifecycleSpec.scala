@@ -45,6 +45,12 @@ class IcebergLifecycleSpec extends AnyFunSuite {
   private case object Compact extends Op
   private case object CompactWithDeletes extends Op
   private case class Expire(keep: Int) extends Op
+  // schema evolution interleaved with the data ops: add / rename /
+  // drop an EXTRA integer column (base columns stay fixed so
+  // time-travel expectations remain comparable across schemas)
+  private case class AddCol(seed: Int) extends Op
+  private case object RenameCol extends Op
+  private case object DropCol extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
     4 -> Gen.choose(1, 12).map(Append(_)),
@@ -54,7 +60,10 @@ class IcebergLifecycleSpec extends AnyFunSuite {
       yield Upsert(u, i max (if (u == 0) 1 else 0))),
     1 -> Gen.const(Compact),
     2 -> Gen.const(CompactWithDeletes),
-    2 -> Gen.choose(1, 3).map(Expire(_)))
+    2 -> Gen.choose(1, 3).map(Expire(_)),
+    2 -> Gen.choose(3, 97).map(AddCol(_)),
+    1 -> Gen.const(RenameCol),
+    1 -> Gen.const(DropCol))
 
   private val seqGen: Gen[List[Op]] =
     Gen.choose(4, 7).flatMap(n => Gen.listOfN(n, opGen))
@@ -79,8 +88,7 @@ class IcebergLifecycleSpec extends AnyFunSuite {
   // ------------------------------------------------------------ driver
 
   private def runSequence(ops: List[Op], seqNo: Int): Unit = {
-    import spark.implicits._
-    val table = Db2Parser.parse(
+    var table = Db2Parser.parse(
       """CREATE TABLE S.LIFE (
         |  K BIGINT NOT NULL,
         |  V VARCHAR(10),
@@ -88,35 +96,76 @@ class IcebergLifecycleSpec extends AnyFunSuite {
         |) PARTITION BY RANGE (V);""".stripMargin).tables.head
     val out = java.nio.file.Files
       .createTempDirectory(s"iceberg_life_$seqNo").toString
-    def rowsDf(rows: Seq[(Long, String, Int)]) = rows.toDF("K", "V", "N")
-    def freshRows(from: Long, n: Int): Seq[(Long, String, Int)] =
-      (from until from + n).map(k => (k, s"p${k % 3}", (k * 7).toInt))
+    // evolving extra columns: (current name, value seed); the seed
+    // rides a rename so appended values stay deterministic per column
+    var extras = Vector.empty[(String, Int)]
+    var evoCounter = 0
 
-    var model = Map.empty[Long, (String, Int)]
+    // one row = base (K, V, N) + a value per extra column PRESENT AT
+    // WRITE TIME; the model stores exactly the values written
+    def rowOf(k: Long): (Long, String, Int, Map[String, Int]) =
+      (k, s"p${k % 3}", (k * 7).toInt,
+        extras.map { case (e, seed) => e -> ((k * seed) % 10000).toInt }.toMap)
+    def rowsDf(rows: Seq[(Long, String, Int, Map[String, Int])])
+        : org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(
+        Seq(StructField("K", LongType, nullable = false),
+          StructField("V", StringType), StructField("N", IntegerType)) ++
+          extras.map { case (e, _) => StructField(e, IntegerType) })
+      val data = rows.map { case (k, v, n, ex) =>
+        org.apache.spark.sql.Row.fromSeq(
+          Seq(k, v, n) ++ extras.map { case (e, _) =>
+            ex.get(e).map(Integer.valueOf).orNull
+          })
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 2), schema)
+    }
+    def freshRows(from: Long, n: Int) = (from until from + n).map(rowOf)
+
+    // model value: (V, N, extras values written for the row — absent
+    // key = the column didn't exist / carried null at write time)
+    var model = Map.empty[Long, (String, Int, Map[String, Int])]
     var nextKey = 1L
     var liveDeletes = false
-    // snapshot id → the row set it committed (time-travel expectations)
+    // snapshot id → the BASE row set it committed (time-travel reads
+    // run under the CURRENT schema, so only the stable base columns
+    // are comparable across schema versions)
     var history = Map.empty[Long, Map[Long, (String, Int)]]
 
-    def readRows(snapshotId: Option[Long] = None): Map[Long, (String, Int)] =
+    def readRows(snapshotId: Option[Long] = None)
+        : Map[Long, (String, Int, Map[String, Int])] =
       IcebergSnapshot.readSnapshot(spark, out, table, snapshotId)
-        .select("K", "V", "N").collect()
-        .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+        .select((Seq("K", "V", "N") ++ extras.map(_._1))
+          .map(org.apache.spark.sql.functions.col): _*)
+        .collect()
+        .map { r =>
+          val ex = extras.zipWithIndex.flatMap { case ((e, _), i) =>
+            if (r.isNullAt(3 + i)) None else Some(e -> r.getInt(3 + i))
+          }.toMap
+          r.getLong(0) -> ((r.getString(1), r.getInt(2), ex))
+        }.toMap
+    def baseOf(m: Map[Long, (String, Int, Map[String, Int])]) =
+      m.map { case (k, (v, n, _)) => k -> ((v, n)) }
+    def readBase(snapshotId: Option[Long]): Map[Long, (String, Int)] =
+      baseOf(readRows(snapshotId))
 
     // initial migration: create + snapshot 1
     val init = freshRows(nextKey, 5); nextKey += 5
     SchemaTranslator.migrateTable(rowsDf(init), table, out)
-    model = init.map(r => r._1 -> (r._2, r._3)).toMap
+    model = init.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
 
     def afterOp(label: String): Unit = {
       assert(readRows() == model, s"[$label] current read != model")
       val ids = chainIds(out)
-      history += ids.last -> model
+      history += ids.last -> baseOf(model)
       history = history.filter { case (id, _) => ids.contains(id) }
       IcebergV2Validation.validateV2(currentMeta(out), expectSnapshot = true)
-      // one random retained snapshot still time-travels
+      // one random retained snapshot still time-travels (compared on
+      // the schema-stable base columns)
       val (id, want) = history.toSeq(scala.util.Random.nextInt(history.size))
-      assert(readRows(Some(id)) == want, s"[$label] time travel to $id drifted")
+      assert(readBase(Some(id)) == want, s"[$label] time travel to $id drifted")
     }
     afterOp("init")
 
@@ -126,7 +175,7 @@ class IcebergLifecycleSpec extends AnyFunSuite {
         case Append(n) =>
           val rows = freshRows(nextKey, n); nextKey += n
           SchemaTranslator.appendIncrement(rowsDf(rows), table, out)
-          model ++= rows.map(r => r._1 -> (r._2, r._3))
+          model ++= rows.map(r => r._1 -> ((r._2, r._3, r._4)))
 
         case Delete(m, r) =>
           val matches = model.keys.filter(_ % m == r).toSet
@@ -137,13 +186,16 @@ class IcebergLifecycleSpec extends AnyFunSuite {
 
         case Upsert(nUpd, nIns) =>
           val updKeys = model.keys.toSeq.sorted.take(nUpd)
-          val upd = updKeys.map(k => (k, s"p${k % 3}", model(k)._2 + 1000))
+          val upd = updKeys.map { k =>
+            val fresh = rowOf(k)
+            (k, s"p${k % 3}", model(k)._2 + 1000, fresh._4)
+          }
           val ins = freshRows(nextKey, nIns); nextKey += nIns
           val batch = upd ++ ins
           if (batch.nonEmpty) {
             SchemaTranslator.mergeUpsert(rowsDf(batch), table, out,
               keyCols = Seq("K"))
-            model ++= batch.map(r => r._1 -> (r._2, r._3))
+            model ++= batch.map(r => r._1 -> ((r._2, r._3, r._4)))
             liveDeletes = true
           }
 
@@ -174,6 +226,39 @@ class IcebergLifecycleSpec extends AnyFunSuite {
           // an expired id no longer resolves
           for (id <- expiredIds.headOption)
             intercept[Exception] { readRows(Some(id)) }
+
+        case AddCol(seed) =>
+          val name = s"E$evoCounter"; evoCounter += 1
+          table = graft.sources.IcebergEvolution.commitEvolution(
+            graft.sources.IcebergEvolution.addColumn(table,
+              graft.model.Db2Column(name, "INTEGER")), out)
+          extras :+= (name -> seed)
+          // existing rows have no value for it: model untouched
+
+        case RenameCol =>
+          if (extras.nonEmpty) {
+            val (from, seed) = extras.head
+            val to = s"E${evoCounter}R"; evoCounter += 1
+            table = graft.sources.IcebergEvolution.commitEvolution(
+              graft.sources.IcebergEvolution.renameColumn(table, from, to), out)
+            extras = extras.map { case (e, s2) =>
+              if (e == from) (to, seed) else (e, s2) }
+            model = model.map { case (k, (v, n, ex)) =>
+              k -> ((v, n, ex.map { case (e, x) =>
+                (if (e == from) to else e) -> x }))
+            }
+          }
+
+        case DropCol =>
+          if (extras.nonEmpty) {
+            val (victim, _) = extras.last
+            table = graft.sources.IcebergEvolution.commitEvolution(
+              graft.sources.IcebergEvolution.dropColumn(table, victim), out)
+            extras = extras.filterNot(_._1 == victim)
+            model = model.map { case (k, (v, n, ex)) =>
+              k -> ((v, n, ex - victim))
+            }
+          }
       }
       afterOp(label)
     }
