@@ -1199,6 +1199,24 @@ object PipelineQueries {
       .orderBy("n_frames")
   }
 
+  /** Weighted sampling without replacement ([[Sampling.weightedSample]]
+    * — Efraimidis–Spirakis with the exact integer max-of-draws keys):
+    * weight 1 + doc_id mod 8, keep the top 10%. Output is every doc's
+    * competition key plus the selected flag, so both the draw
+    * construction AND the histogram-cut ranking hash-check. */
+  def q90WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val draws = Sampling.weightedDraws(docs, "doc_id",
+      lit(1) + col("doc_id") % 8, salt = "wrs:")
+    val k = docs.count() / 10
+    val sel = ImportanceResampling.selectTopK(draws, "doc_id", "draw", k)
+      .withColumn("s", lit(1))
+    draws.join(sel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("weight"), col("draw"),
+        coalesce(col("s"), lit(0)).cast("int").as("selected"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified sampling: per-language Bernoulli rates
     * (en 0.5, fr 0.25, de 0.2, everything else 0.1) on the md5 content
     * hash — the corpus-shaping downsample as one scan-side filter.
@@ -2050,6 +2068,25 @@ object PipelineQueries {
         |  CAST(sum(zc) AS BIGINT) AS zero_crossings,
         |  CAST(max(pk) AS BIGINT) AS max_peak
         |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin,
+    // WRS: draw = max over j in 1..w of the md5 fold of
+    // 'wrs:' || doc_id || ':' || j; top-k by (draw desc, doc_id asc)
+    "q90_weighted_sample" ->
+      s"""WITH w AS (SELECT doc_id, 1 + CAST(doc_id % 8 AS INT) AS weight
+         |           FROM documents),
+         |d AS (SELECT doc_id, weight, ($HvSql) AS hv
+         |      FROM (SELECT doc_id, weight,
+         |              md5('wrs:' || CAST(doc_id AS VARCHAR) || ':'
+         |                || CAST(j AS VARCHAR)) AS h
+         |            FROM w, unnest(range(1, weight + 1)) AS t(j))),
+         |m AS (SELECT doc_id, CAST(max(weight) AS INT) AS weight,
+         |        CAST(max(hv) AS BIGINT) AS draw
+         |      FROM d GROUP BY 1),
+         |rk AS (SELECT doc_id, weight, draw,
+         |         row_number() OVER (ORDER BY draw DESC, doc_id) AS rn FROM m)
+         |SELECT doc_id, weight, draw,
+         |  CASE WHEN rn <= (SELECT count(*) // 10 FROM documents)
+         |       THEN 1 ELSE 0 END AS selected
+         |FROM rk ORDER BY doc_id""".stripMargin,
     "q67_stratified" ->
       s"""WITH hv AS (
          |  SELECT doc_id, lang, md5('strat' || CAST(doc_id AS VARCHAR)) AS h
@@ -2360,5 +2397,6 @@ object PipelineQueries {
     "q87_importance" -> (q87Importance _),
     "q88_adpcm_audio" -> (q88AdpcmAudio _),
     "q89_flac_audio" -> (q89FlacAudio _),
+    "q90_weighted_sample" -> (q90WeightedSample _),
   )
 }

@@ -98,6 +98,48 @@ object Sampling {
     * rate table would broadcast-join, never shuffle the corpus).
     * The standard corpus-shaping move: downsample over-represented
     * languages/sources at per-stratum rates in one pass. */
+  /** Deterministic weighted sampling WITHOUT replacement — the
+    * Efraimidis–Spirakis scheme: every item competes with a key
+    * distributed as u^(1/w), and the k largest keys win (items with
+    * twice the weight are twice as likely to beat any given rival,
+    * without ever being drawn twice). Integer weights use the EXACT
+    * equivalent construction — the max of w independent hashed draws
+    * (max of w uniforms ≡ u^(1/w) in distribution) — so every step is
+    * integer arithmetic on md5 folds and the whole sampler
+    * hash-checks against a SQL oracle: no pow, no ln, no
+    * engine-specific float libm. Weights clamp to [1, maxWeight]; the
+    * draw fan-out is w per row (scan-side generate, map-side max
+    * combine, one one-row-per-item shuffle). At weights beyond the
+    * clamp, production switches to the float-key u^(1/w) form — same
+    * ranking contract, O(1) draws, no exact oracle.
+    *
+    * Returns the (idCol, weight, draw) rows of the k winners, ranked
+    * (draw desc, id asc) through [[BudgetSelect]]'s histogram cut (no
+    * global sort — the [[ImportanceResampling.selectTopK]] path). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+      k: Long, salt: String = "wrs:", maxWeight: Int = 64): DataFrame = {
+    require(maxWeight >= 1)
+    val draws = weightedDraws(df, idCol, weightCol, salt, maxWeight)
+    draws.join(
+      ImportanceResampling.selectTopK(draws, idCol, "draw", k),
+      Seq(idCol), "left_semi")
+  }
+
+  /** The per-item competition keys behind [[weightedSample]]:
+    * (idCol, weight, draw) with draw = max of `weight` hashed draws. */
+  def weightedDraws(df: DataFrame, idCol: String, weightCol: Column,
+      salt: String = "wrs:", maxWeight: Int = 64): DataFrame =
+    df.select(col(idCol),
+        least(greatest(weightCol.cast("int"), lit(1)), lit(maxWeight))
+          .as("weight"))
+      .select(col(idCol), col("weight"),
+        explode(sequence(lit(1), col("weight"))).as("j"))
+      .select(col(idCol), col("weight"),
+        hashValue(concat(col(idCol).cast("string"), lit(":"),
+          col("j").cast("string")), salt).as("hv"))
+      .groupBy(col(idCol))
+      .agg(max(col("weight")).as("weight"), max(col("hv")).as("draw"))
+
   def stratifiedSample(df: DataFrame, strataCol: String, key: Column,
       rates: Seq[(String, Double)], defaultRate: Double = 0.0,
       salt: String = "strat"): DataFrame = {

@@ -1769,6 +1769,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(gotSel === expSel)
   }
 
+  test("weighted sampling without replacement: draws equal the sequential " +
+      "max-of-hashes, the cut equals the global rank, and weight biases " +
+      "selection") {
+    import graft.operators.{ImportanceResampling, Sampling}
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id")
+    val draws = Sampling.weightedDraws(docs, "doc_id",
+      lit(1) + col("doc_id") % 8)
+    // sequential reference: same md5 fold, max over j in 1..w
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hv(s: String): Long = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val got = draws.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    for ((id, (w, draw)) <- got) {
+      assert(w === 1 + (id % 8).toInt)
+      val exp = (1 to w).map(j => hv(s"wrs:$id:$j")).max
+      assert(draw === exp, s"doc $id")
+    }
+    // the k winners are exactly the global (draw desc, id asc) prefix
+    val k = got.size / 10
+    val expSel = got.toSeq.sortBy { case (id, (_, d)) => (-d, id) }
+      .take(k).map(_._1).toSet
+    val sel = Sampling.weightedSample(docs, "doc_id",
+      lit(1) + col("doc_id") % 8, k.toLong)
+    assert(sel.collect().map(_.getLong(0)).toSet === expSel)
+    // weight bias: the average selected weight exceeds the pool's
+    val avgAll = got.values.map(_._1).sum.toDouble / got.size
+    val avgSel = expSel.toSeq.map(id => got(id)._1).sum.toDouble / expSel.size
+    assert(avgSel > avgAll,
+      s"selection must favor heavy items ($avgSel vs $avgAll)")
+  }
+
   test("IMA ADPCM: encode→decode preserves frame count, first-of-block " +
       "samples exactly, and energy within the q88 band; hostile input " +
       "is rejected, never thrown") {
