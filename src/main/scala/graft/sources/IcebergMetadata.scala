@@ -162,11 +162,14 @@ object IcebergMetadata {
     metadataJsonChain(table, location, lastUpdatedMs, snapshot.toList, metadataLog)
 
   /** [[metadataJson]] for a CHAIN of append snapshots (the last one is
-    * current) — the state after N incremental commits. */
+    * current) — the state after N incremental commits. `extraRefs`
+    * are named refs beyond the implicit `main` branch: (name,
+    * snapshot-id, "tag"|"branch") triples, the spec's refs map. */
   def metadataJsonChain(table: TableDef, location: String,
       lastUpdatedMs: Long = 0L,
       snapshots: Seq[SnapshotMeta] = Nil,
-      metadataLog: Seq[(Long, String)] = Nil): String = {
+      metadataLog: Seq[(Long, String)] = Nil,
+      extraRefs: Seq[(String, Long, String)] = Nil): String = {
     val spec = partitionSpecJson(table)
     val nPartFields = (spec \ "fields").asInstanceOf[JArray].arr.size
     val order = sortOrderJson(table)
@@ -229,9 +232,15 @@ object IcebergMetadata {
       "properties" -> JObject("write.format.default" -> JString("parquet")),
       "current-snapshot-id" -> current.fold[JValue](JInt(-1))(s => JInt(s.snapshotId)),
       "refs" -> current.fold[JValue](JObject())(s => JObject(
-        "main" -> JObject(
+        ("main" -> (JObject(
           "snapshot-id" -> JInt(s.snapshotId),
-          "type" -> JString("branch")))),
+          "type" -> JString("branch")): JValue)) ::
+          extraRefs.filterNot(_._1 == "main").toList.map {
+            case (name, id, rtype) =>
+              name -> (JObject(
+                "snapshot-id" -> JInt(id),
+                "type" -> JString(rtype)): JValue)
+          })),
       "snapshots" -> JArray(snapJson),
       "snapshot-log" -> JArray(snapshots.toList.map(s => JObject(
         "timestamp-ms" -> JInt(BigInt(s.timestampMs)),

@@ -767,6 +767,31 @@ object IcebergSnapshot {
     * delete files that apply to it — plan depth is bounded by the
     * number of distinct sequence numbers, and each anti-join's right
     * side is the (small) delete-file scan, so Spark broadcasts it. */
+  /** Scan a set of DATA FILES under the table's CURRENT schema — the
+    * one scan every reader (snapshot read, both compactions) must
+    * share. Un-evolved tables use the inferred-schema read (their
+    * files may predate field ids). Evolved tables read BY FIELD ID
+    * with an explicit schema: inference over a mixed-schema file set
+    * elects ONE file's schema and silently drops columns the elected
+    * file lacks — the lifecycle property test caught plain compaction
+    * doing exactly that (added-column values vanished for bins whose
+    * elected file predated the ADD). Identity-partition columns are
+    * directory-encoded and excluded (restored from manifests by the
+    * snapshot reader). */
+  private[sources] def scanDataFiles(spark: org.apache.spark.sql.SparkSession,
+      table: TableDef, paths: Seq[String]): org.apache.spark.sql.DataFrame =
+    if (table.priorSchemas.isEmpty) spark.read.parquet(paths: _*)
+    else {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+      val identityCols = partitionFields(table)
+        .filter(_._3 == "identity").map(_._1).toSet
+      spark.read.schema(org.apache.spark.sql.types.StructType(
+        graft.api.SchemaTranslator.toSparkSchema(table)
+          .fields.filterNot(f => identityCols.contains(f.name))))
+        .parquet(paths: _*)
+    }
+
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String,
       table: TableDef, snapshotId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_replace}
@@ -779,27 +804,8 @@ object IcebergSnapshot {
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot ${snapshotId.getOrElse("<current>")} not found"))
     val pf = partitionFields(table)
-    // Evolved tables read BY FIELD ID, like a real Iceberg reader: the
-    // explicit read schema carries each column's id (parquet.field.id
-    // metadata), Spark's field-id resolution matches it against the
-    // ids the writer embedded in the footers — so files written before
-    // a rename resolve to the renamed column, and files written before
-    // an ADD null-fill (ignoreMissing). Identity-partition columns are
-    // directory-encoded, not in the files, and are restored from the
-    // manifests below as always. Un-evolved tables keep the inferred-
-    // schema read (files written before this feature carry no ids).
-    val evolvedRead = table.priorSchemas.nonEmpty
-    if (evolvedRead) {
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
-    }
-    val identityCols = pf.filter(_._3 == "identity").map(_._1).toSet
     def scanFiles(paths: Seq[String]): org.apache.spark.sql.DataFrame =
-      if (!evolvedRead) spark.read.parquet(paths: _*)
-      else spark.read.schema(org.apache.spark.sql.types.StructType(
-        graft.api.SchemaTranslator.toSparkSchema(table)
-          .fields.filterNot(f => identityCols.contains(f.name))))
-        .parquet(paths: _*)
+      scanDataFiles(spark, table, paths) // evolved-aware, see its doc
     val listRows = readManifestList(new Path(snap.manifestList), conf)
     // data files with recorded partition values + data sequence number
     val files = listRows.filter(_.get("content").asInstanceOf[Int] == 0).flatMap { m =>
@@ -862,16 +868,40 @@ object IcebergSnapshot {
 
   /** Write metadata version N+1 carrying `snapshots` and advance the
     * version hint — the shared tail of every commit. */
+  /** Named refs beyond `main`: (name, snapshot-id, type) triples. */
+  private[sources] def parseRefs(metaJson: String): Seq[(String, Long, String)] =
+    (JsonMethods.parse(metaJson) \ "refs") match {
+      case JObject(fields) => fields.collect {
+        case (name, v) if name != "main" =>
+          (name, (v \ "snapshot-id").asInstanceOf[JInt].num.toLong,
+            (v \ "type").asInstanceOf[JString].s)
+      }
+      case _ => Nil
+    }
+
   private[sources] def writeNewMetadataVersion(table: TableDef, tablePath: String,
       metadataDir: Path, fs: FileSystem, version: Int,
       snapshots: Seq[IcebergMetadata.SnapshotMeta],
-      timestampMs: Long): Unit = {
+      timestampMs: Long,
+      addRefs: Seq[(String, Long, String)] = Nil,
+      removeRefs: Set[String] = Set.empty): Unit = {
     val metadataLog = (2 to version).map(v =>
       timestampMs -> new Path(metadataDir, s"v${v - 1}.metadata.json").toString) :+
       (timestampMs -> new Path(metadataDir, s"v$version.metadata.json").toString)
+    // refs carry forward across commits: the prior version's named
+    // refs survive (filtered to snapshots still in the chain — expiry
+    // retains ref'd snapshots, so a dropped ref is the only way one
+    // disappears), minus removals, plus/overridden-by additions
+    val ids = snapshots.map(_.snapshotId).toSet
+    val prior = try parseRefs(readText(
+      new Path(metadataDir, s"v$version.metadata.json"),
+      fs.getConf)) catch { case _: Exception => Nil }
+    val refs = (prior.filterNot(r => removeRefs.contains(r._1))
+      .filterNot(r => addRefs.exists(_._1 == r._1)) ++ addRefs)
+      .filter(r => ids.contains(r._2))
     val doc = IcebergMetadata.metadataJsonChain(table, tablePath,
       lastUpdatedMs = timestampMs, snapshots = snapshots,
-      metadataLog = metadataLog)
+      metadataLog = metadataLog, extraRefs = refs)
     val metaFile = new Path(metadataDir, s"v${version + 1}.metadata.json")
     val out = fs.create(metaFile, true)
     try out.write(doc.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -989,7 +1019,9 @@ object IcebergSnapshot {
       .filter(table.columns.map(_.name).contains)
     val compacted = toMerge.zipWithIndex.map { case (bin, i) =>
       val dir = new Path(tablePath, s"data/compact-$newSeq-$i")
-      val one = spark.read.parquet(bin.map(_._1.path): _*).coalesce(1)
+      // the shared evolved-aware scan: a mixed-schema bin read by
+      // inference would elect one file's schema and drop the rest
+      val one = scanDataFiles(spark, table, bin.map(_._1.path)).coalesce(1)
       val ordered =
         if (sortCols.isEmpty) one
         else one.sortWithinPartitions(
@@ -1073,8 +1105,18 @@ object IcebergSnapshot {
     val chain = parseSnapshots(readText(
       new Path(metadataDir, s"v$version.metadata.json"), conf))
     require(chain.nonEmpty, "metadata carries no snapshots")
-    if (chain.size <= keepLast) return (chain.last, Nil)
-    val (expired, retained) = chain.splitAt(chain.size - keepLast)
+    // snapshots referenced by named refs (tags/branches) are protected
+    // from expiry, per the spec's ref-retention semantics — dropping
+    // the ref is the only way to release them
+    val protectedIds = parseRefs(readText(
+      new Path(metadataDir, s"v$version.metadata.json"), conf))
+      .map(_._2).toSet
+    val lastK = chain.takeRight(keepLast).map(_.snapshotId).toSet
+    val retained = chain.filter(s =>
+      lastK.contains(s.snapshotId) || protectedIds.contains(s.snapshotId))
+    val expired = chain.filterNot(s =>
+      lastK.contains(s.snapshotId) || protectedIds.contains(s.snapshotId))
+    if (expired.isEmpty) return (chain.last, Nil)
 
     // per snapshot: its manifest list, the manifests it lists, and the
     // files those manifests carry as LIVE
@@ -1104,6 +1146,60 @@ object IcebergSnapshot {
     writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
       retained, timestampMs)
     (retained.last, doomed)
+  }
+
+  /** Create (or move) a named ref — a TAG pins a snapshot for
+    * audit/reproducibility, a BRANCH names an alternate head; both
+    * protect their snapshot from [[expireSnapshots]] until the ref is
+    * dropped. Metadata-only commit (the spec's refs map). */
+  def createRef(table: TableDef, tablePath: String, name: String,
+      snapshotId: Long, refType: String = "tag",
+      conf: Configuration = new Configuration(),
+      timestampMs: Long = 0L): Unit = {
+    require(name.nonEmpty && name != "main", "ref name must not be 'main'")
+    require(refType == "tag" || refType == "branch",
+      s"ref type must be tag|branch, got $refType")
+    val metadataDir = new Path(tablePath, "metadata")
+    val fs = FileSystem.get(metadataDir.toUri, conf)
+    val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
+    val chain = parseSnapshots(readText(
+      new Path(metadataDir, s"v$version.metadata.json"), conf))
+    require(chain.exists(_.snapshotId == snapshotId),
+      s"snapshot $snapshotId not found")
+    writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
+      chain, timestampMs, addRefs = Seq((name, snapshotId, refType)))
+  }
+
+  /** Drop a named ref — its snapshot becomes expirable again. */
+  def dropRef(table: TableDef, tablePath: String, name: String,
+      conf: Configuration = new Configuration(),
+      timestampMs: Long = 0L): Unit = {
+    val metadataDir = new Path(tablePath, "metadata")
+    val fs = FileSystem.get(metadataDir.toUri, conf)
+    val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
+    val chain = parseSnapshots(readText(
+      new Path(metadataDir, s"v$version.metadata.json"), conf))
+    writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
+      chain, timestampMs, removeRefs = Set(name))
+  }
+
+  /** The current named refs of the table (name, snapshot-id, type). */
+  def listRefs(tablePath: String,
+      conf: Configuration = new Configuration()): Seq[(String, Long, String)] = {
+    val metadataDir = new Path(tablePath, "metadata")
+    val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
+    parseRefs(readText(new Path(metadataDir, s"v$version.metadata.json"), conf))
+  }
+
+  /** [[readSnapshot]] addressed by ref name instead of snapshot id. */
+  def readSnapshotAtRef(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, table: TableDef,
+      refName: String): org.apache.spark.sql.DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val id = listRefs(tablePath, conf).collectFirst {
+      case (n, sid, _) if n == refName => sid
+    }.getOrElse(throw new IllegalArgumentException(s"no ref $refName"))
+    readSnapshot(spark, tablePath, table, Some(id))
   }
 
   /** Incremental append (snapshot N+1): commit the data files that

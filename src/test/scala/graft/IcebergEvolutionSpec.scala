@@ -186,6 +186,55 @@ class IcebergEvolutionSpec extends AnyFunSuite {
       "plain-compaction files must resolve through a further rename")
   }
 
+  test("snapshot refs: tags pin snapshots through expiry, read by name, " +
+      "and release on drop") {
+    import spark.implicits._
+    val t0 = Db2Parser.parse(
+      "CREATE TABLE S.REFS (K BIGINT NOT NULL, N INTEGER);").tables.head
+    val out = java.nio.file.Files.createTempDirectory("iceberg_refs").toString
+    SchemaTranslator.migrateTable(
+      Seq((1L, 10), (2L, 20)).toDF("K", "N"), t0, out)
+    SchemaTranslator.appendIncrement(Seq((3L, 30)).toDF("K", "N"), t0, out)
+    SchemaTranslator.appendIncrement(Seq((4L, 40)).toDF("K", "N"), t0, out)
+    def ids = (currentMeta(out) \ "snapshots").asInstanceOf[JArray].arr
+      .map(s => (s \ "snapshot-id").asInstanceOf[JInt].num.toLong)
+    val first = ids.head
+    val conf = spark.sparkContext.hadoopConfiguration
+    // tag snapshot 1, then expire keeping only the last: the tagged
+    // snapshot SURVIVES and still reads — by id and by name
+    IcebergSnapshot.createRef(t0, out, "baseline", first, "tag", conf)
+    IcebergV2Validation.validateV2(currentMeta(out), expectSnapshot = true)
+    assert(IcebergSnapshot.listRefs(out, conf) ===
+      Seq(("baseline", first, "tag")))
+    IcebergSnapshot.expireSnapshots(t0, out, keepLast = 1, conf)
+    assert(ids.contains(first), "tagged snapshot must survive expiry")
+    assert(ids.size === 2) // the tag + the current head
+    IcebergV2Validation.validateV2(currentMeta(out), expectSnapshot = true)
+    val byRef = IcebergSnapshot.readSnapshotAtRef(spark, out, t0, "baseline")
+      .select("K", "N").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byRef === Map(1L -> 10, 2L -> 20))
+    // refs survive ordinary commits
+    SchemaTranslator.appendIncrement(Seq((5L, 50)).toDF("K", "N"), t0, out)
+    assert(IcebergSnapshot.listRefs(out, conf).map(_._1) === Seq("baseline"))
+    // dropping the tag releases the snapshot: the next expiry
+    // physically deletes what only it reached
+    IcebergSnapshot.dropRef(t0, out, "baseline", conf)
+    assert(IcebergSnapshot.listRefs(out, conf).isEmpty)
+    val (_, deleted) = IcebergSnapshot.expireSnapshots(t0, out, 1, conf)
+    assert(!ids.contains(first), "dropped tag must expire")
+    assert(deleted.nonEmpty)
+    intercept[Exception] {
+      IcebergSnapshot.readSnapshotAtRef(spark, out, t0, "baseline")
+    }
+    // guard rails
+    intercept[IllegalArgumentException] {
+      IcebergSnapshot.createRef(t0, out, "main", ids.last, "tag", conf)
+    }
+    intercept[IllegalArgumentException] {
+      IcebergSnapshot.createRef(t0, out, "x", 123456L, "tag", conf)
+    }
+  }
+
   test("type promotion: int→long widens in place — files written as int32 " +
       "read back through the widened schema; illegal changes refuse") {
     import spark.implicits._

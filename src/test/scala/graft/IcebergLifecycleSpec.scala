@@ -51,6 +51,10 @@ class IcebergLifecycleSpec extends AnyFunSuite {
   private case class AddCol(seed: Int) extends Op
   private case object RenameCol extends Op
   private case object DropCol extends Op
+  // named refs: tag a random retained snapshot (protects it from
+  // expiry until dropped)
+  private case class TagSnap(pick: Int) extends Op
+  private case object DropTag extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
     4 -> Gen.choose(1, 12).map(Append(_)),
@@ -63,7 +67,9 @@ class IcebergLifecycleSpec extends AnyFunSuite {
     2 -> Gen.choose(1, 3).map(Expire(_)),
     2 -> Gen.choose(3, 97).map(AddCol(_)),
     1 -> Gen.const(RenameCol),
-    1 -> Gen.const(DropCol))
+    1 -> Gen.const(DropCol),
+    1 -> Gen.choose(0, 9).map(TagSnap(_)),
+    1 -> Gen.const(DropTag))
 
   private val seqGen: Gen[List[Op]] =
     Gen.choose(4, 7).flatMap(n => Gen.listOfN(n, opGen))
@@ -129,6 +135,8 @@ class IcebergLifecycleSpec extends AnyFunSuite {
     var model = Map.empty[Long, (String, Int, Map[String, Int])]
     var nextKey = 1L
     var liveDeletes = false
+    var tagCounter = 0
+    var tagged = Map.empty[String, Long] // ref name → snapshot id
     // snapshot id → the BASE row set it committed (time-travel reads
     // run under the CURRENT schema, so only the stable base columns
     // are comparable across schema versions)
@@ -214,18 +222,41 @@ class IcebergLifecycleSpec extends AnyFunSuite {
           liveDeletes = false
 
         case Expire(keep) =>
-          val retainedBefore = chainIds(out).takeRight(keep)
-          val expiredIds = chainIds(out).dropRight(keep)
+          val before = chainIds(out)
+          val lastK = before.takeRight(keep).toSet
+          val protectedIds = tagged.values.toSet
+          val retainedBefore =
+            before.filter(id => lastK(id) || protectedIds(id))
+          val expiredIds =
+            before.filterNot(id => lastK(id) || protectedIds(id))
           val (_, deleted) = IcebergSnapshot.expireSnapshots(table, out, keep,
             spark.sparkContext.hadoopConfiguration)
           for (f <- deleted)
             assert(!java.nio.file.Files.exists(asLocal(f)),
               s"[$label] expired file survives: $f")
           assert(chainIds(out) == retainedBefore,
-            s"[$label] retained chain mismatch")
-          // an expired id no longer resolves
+            s"[$label] retained chain mismatch (tags must pin)")
+          // an expired id no longer resolves; every tagged one does
           for (id <- expiredIds.headOption)
             intercept[Exception] { readRows(Some(id)) }
+          for ((name, _) <- tagged.headOption)
+            IcebergSnapshot.readSnapshotAtRef(spark, out, table, name)
+
+        case TagSnap(pick) =>
+          val ids = chainIds(out)
+          val id = ids(pick % ids.size)
+          val name = s"t$tagCounter"; tagCounter += 1
+          IcebergSnapshot.createRef(table, out, name, id, "tag",
+            spark.sparkContext.hadoopConfiguration)
+          tagged += name -> id
+
+        case DropTag =>
+          if (tagged.nonEmpty) {
+            val name = tagged.keys.min
+            IcebergSnapshot.dropRef(table, out, name,
+              spark.sparkContext.hadoopConfiguration)
+            tagged -= name
+          }
 
         case AddCol(seed) =>
           val name = s"E$evoCounter"; evoCounter += 1
@@ -283,6 +314,12 @@ class IcebergLifecycleSpec extends AnyFunSuite {
     runSequence(List(Append(4), Compact, Upsert(4, 0), CompactWithDeletes,
       Append(10)), 9001)
     runSequence(List(Append(3), Compact, Append(2), Compact, Append(5)), 9002)
+    // second find: plain compaction over a MIXED-schema bin (files
+    // from before and after an ADD COLUMN) used the inferred-schema
+    // read, which elects one file's schema — bins whose elected file
+    // predated the ADD silently dropped the new column's values.
+    // Fixed by the shared evolved-aware scan (explicit id schema).
+    runSequence(List(AddCol(66), Append(7), Expire(2), Compact), 9003)
   }
 
   test("randomized lifecycle sequences uphold read==model, time travel, " +

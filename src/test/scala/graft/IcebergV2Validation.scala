@@ -68,6 +68,18 @@ object IcebergV2Validation {
       assert((snap \ "summary" \ "operation").isInstanceOf[JString])
       assert((meta \ "refs" \ "main" \ "snapshot-id").asInstanceOf[JInt].num.toLong == cur)
       assert((meta \ "refs" \ "main" \ "type") == JString("branch"))
+      // every named ref resolves into the snapshot list with a legal type
+      (meta \ "refs") match {
+        case JObject(fields) => fields.foreach { case (name, v) =>
+          val rid = (v \ "snapshot-id").asInstanceOf[JInt].num.toLong
+          assert(snaps.exists(s =>
+            (s \ "snapshot-id").asInstanceOf[JInt].num.toLong == rid),
+            s"ref $name dangles")
+          assert(Set("tag", "branch").contains(
+            (v \ "type").asInstanceOf[JString].s), s"ref $name type")
+        }
+        case _ => ()
+      }
       // snapshot-log's last entry is the current snapshot
       val log = (meta \ "snapshot-log").asInstanceOf[JArray].arr
       assert(log.nonEmpty &&
