@@ -1217,6 +1217,23 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe GROUP-level split: the train/val/test assignment
+    * hashes the SOURCE, not the document, so every doc of a source
+    * lands in the same split — near-duplicates within a source can
+    * never straddle the holdout boundary (the standard contamination
+    * guard for web corpora: split by domain, not by page). Fractions
+    * are binary (0.75/0.125/0.125) so the threshold arithmetic is
+    * exact across engines, per the [[Sampling]] contract. */
+  def q91GroupSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.assignSplit(t(s, dir, "documents"), col("source"),
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125),
+        salt = "gsplit:")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("doc_id")).cast("bigint").as("sum_ids"))
+      .orderBy("split")
+
   /** Deterministic stratified sampling: per-language Bernoulli rates
     * (en 0.5, fr 0.25, de 0.2, everything else 0.1) on the md5 content
     * hash — the corpus-shaping downsample as one scan-side filter.
@@ -2018,6 +2035,23 @@ object PipelineQueries {
          |  CASE WHEN rn <= (SELECT count(*) // 5 FROM documents)
          |       THEN 1 ELSE 0 END AS selected
          |FROM rk ORDER BY doc_id""".stripMargin,
+    // group-level split: u = md5('gsplit:' || source) fold / 2^32;
+    // binary fractions make the boundaries exact doubles
+    "q91_group_split" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, source,
+         |    CAST($HvSql AS DOUBLE) / CAST(4294967296 AS DOUBLE) AS u
+         |  FROM (SELECT doc_id, source,
+         |          md5('gsplit:' || source) AS h FROM documents)),
+         |sp AS (SELECT doc_id, source,
+         |         CASE WHEN u < CAST(0.75 AS DOUBLE) THEN 'train'
+         |              WHEN u < CAST(0.875 AS DOUBLE) THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM u)
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT source) AS n_sources,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
     // ADPCM audit: PCM-leg features recomputed closed-form off the
     // triangle (32 − |((id+i) mod 64) − 32| − 16)·48, n = 64 + id mod
     // 64; the compressed leg can't be decoded by SQL — the verdict row
@@ -2398,5 +2432,6 @@ object PipelineQueries {
     "q88_adpcm_audio" -> (q88AdpcmAudio _),
     "q89_flac_audio" -> (q89FlacAudio _),
     "q90_weighted_sample" -> (q90WeightedSample _),
+    "q91_group_split" -> (q91GroupSplit _),
   )
 }

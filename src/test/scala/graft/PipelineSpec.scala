@@ -1805,6 +1805,20 @@ class PipelineSpec extends AnyFunSuite {
       s"selection must favor heavy items ($avgSel vs $avgAll)")
   }
 
+  test("group-level split: no source straddles the holdout boundary") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "source")
+    val sp = Sampling.assignSplit(docs, col("source"),
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), salt = "gsplit:")
+    val perSource = sp.groupBy("source")
+      .agg(countDistinct(col("split")).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(perSource === 1L, "a source must land in exactly one split")
+    // all three splits are populated on the fixture
+    assert(sp.select("split").distinct().count() === 3L)
+  }
+
   test("IMA ADPCM: encode→decode preserves frame count, first-of-block " +
       "samples exactly, and energy within the q88 band; hostile input " +
       "is rejected, never thrown") {
