@@ -28,8 +28,23 @@ object BudgetSelect {
   def byScoreBudget(df: DataFrame, groupCol: String, idCol: String,
       weightCol: String, scoreCol: String, budget: Long,
       nBuckets: Int = 1024): DataFrame = {
+    // Integral scores keep their exact 64-bit type end to end: ordering
+    // and tie-breaks never pass through a double, so weights above 2^53
+    // (reachable for [[ImportanceResampling.selectTopK]]'s exact integer
+    // ratio weights at scale) still rank identically to the integer
+    // oracle. The lossy double PROJECTION below is used only for bucket
+    // ASSIGNMENT, where long→double rounding being monotone means a
+    // collision merely co-buckets neighbors — bucket order still refines
+    // exact score order.
+    val qIsIntegral = df.schema(scoreCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
-      col(weightCol).cast("long").as("w"), col(scoreCol).cast("double").as("q"))
+      col(weightCol).cast("long").as("w"),
+      (if (qIsIntegral) col(scoreCol).cast("long")
+       else col(scoreCol).cast("double")).as("q"))
     // per-group score range → fixed bucket width (tiny, broadcast
     // back). localCheckpoint, not persist: same leak-avoidance
     // rationale as Quantiles.exactQuantiles — checkpoint blocks are
@@ -39,10 +54,12 @@ object BudgetSelect {
     val stats = base.groupBy("g").agg(min("q").as("vmin"), max("q").as("vmax"))
       .localCheckpoint()
     val wb = base.join(broadcast(stats), "g")
-      .withColumn("bw", (col("vmax") - col("vmin")) / lit(nBuckets.toDouble))
+      .withColumn("bw", (col("vmax").cast("double") - col("vmin").cast("double"))
+        / lit(nBuckets.toDouble))
       .withColumn("bucket",
         when(col("bw") === 0.0, lit(0))
-          .otherwise(least(floor((col("q") - col("vmin")) / col("bw")),
+          .otherwise(least(floor(
+            (col("q").cast("double") - col("vmin").cast("double")) / col("bw")),
             lit((nBuckets - 1).toLong)).cast("int")))
     // weight-mass histogram + cumulative mass of higher-score buckets
     val hist = wb.groupBy("g", "bucket").agg(sum("w").as("mass"))

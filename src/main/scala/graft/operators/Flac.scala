@@ -113,7 +113,8 @@ object Flac {
     def readSigned(n: Int): Int = {
       val u = readBits(n)
       if (n == 0) 0
-      else if ((u & (1 << (n - 1))) != 0) u - (1 << n)
+      else if (n == 32) u // readBits already yields the two's-complement value
+      else if ((u & (1 << (n - 1))) != 0) (u.toLong - (1L << n)).toInt
       else u
     }
 
@@ -341,7 +342,13 @@ object Flac {
     try {
       val (siRate, siCh, siBits, siTotal) = flacStreamInfo(p).getOrElse(return None)
       if (siCh < 1 || siCh > 8 || siBits < 4 || siBits > 32) return None
-      if (siTotal > (1L << 31)) return None // bounded output contract
+      if (siTotal >= (1L << 31)) return None // bounded output contract
+      // Bound the claimed total against the payload before any allocation: a
+      // frame is >= ~10 bytes and covers <= 65535 samples (constant subframes
+      // are the densest legal case), so samples can never exceed ~6554x the
+      // byte length. Rejects tiny crafted payloads claiming huge totals, which
+      // would otherwise allocate up to 8 GB per channel here.
+      if (siTotal > p.length.toLong * 8192) return None
       val start = frameRegionStart(p)
       val nTotal = siTotal.toInt
       val chans = Array.fill(siCh)(new Array[Int](nTotal))
@@ -442,7 +449,9 @@ object Flac {
         off = frameEnd + 2
       }
       Some(FlacAudio(siRate, siCh, siBits, chans))
-    } catch { case Malformed | _: ArrayIndexOutOfBoundsException => None }
+    } catch {
+      case Malformed | _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None
+    }
 
   // ------------------------------------------------------------- encoder
 

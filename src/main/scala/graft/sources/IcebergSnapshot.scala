@@ -782,14 +782,54 @@ object IcebergSnapshot {
       table: TableDef, paths: Seq[String]): org.apache.spark.sql.DataFrame =
     if (table.priorSchemas.isEmpty) spark.read.parquet(paths: _*)
     else {
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+      import org.apache.spark.sql.functions.{col, lit}
+      import scala.jdk.CollectionConverters._
+      val hconf = spark.sparkContext.hadoopConfiguration
       val identityCols = partitionFields(table)
         .filter(_._3 == "identity").map(_._1).toSet
-      spark.read.schema(org.apache.spark.sql.types.StructType(
-        graft.api.SchemaTranslator.toSparkSchema(table)
-          .fields.filterNot(f => identityCols.contains(f.name))))
-        .parquet(paths: _*)
+      val current = graft.api.SchemaTranslator.toSparkSchema(table)
+        .fields.filterNot(f => identityCols.contains(f.name))
+      val idOf = table.fieldIdOf
+      // Field-id resolution WITHOUT mutating the session's fieldId.read
+      // confs (they would leak: every later unrelated parquet read in
+      // the session would silently null-fill instead of erroring). Read
+      // each file's footer ids on the driver — the commit path already
+      // does an O(#files) footer pass for stats under the same scale
+      // contract — and group files by their id→name mapping. A file
+      // with no field ids cannot be resolved against an evolved schema
+      // and fails loudly rather than reading as all-NULL columns.
+      val mappings: Seq[(String, Map[Int, String])] = paths.map { p =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(p), hconf))
+        val fields =
+          try reader.getFooter.getFileMetaData.getSchema.getFields.asScala.toList
+          finally reader.close()
+        val m = fields.flatMap(f =>
+          Option(f.getId).map(id => id.intValue() -> f.getName)).toMap
+        if (m.isEmpty) throw new IllegalStateException(
+          s"data file $p of evolved table ${table.fullName} carries no " +
+          "parquet field ids and cannot be resolved against the evolved " +
+          "schema; rewrite it (compaction) or append via the migration writer")
+        p -> m
+      }
+      val groups = mappings.groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
+      groups.map { case (m, groupPaths) =>
+        // Request ONLY the columns this file group physically has, under
+        // the FILE's names but the CURRENT (possibly widened) types —
+        // Spark 4's parquet reader widens int→long / float→double /
+        // decimal in place. Renamed columns resolve because the request
+        // name comes from the footer id map; columns added after these
+        // files were written are null-filled as literals (never read by
+        // name, so a dropped-then-readded name can't shadow).
+        val present = current.filter(f => m.contains(idOf(f.name)))
+        val readSchema = org.apache.spark.sql.types.StructType(
+          present.map(f => f.copy(name = m(idOf(f.name)))))
+        spark.read.schema(readSchema).parquet(groupPaths: _*)
+          .select(current.map { f =>
+            if (m.contains(idOf(f.name))) col(m(idOf(f.name))).as(f.name, f.metadata)
+            else lit(null).cast(f.dataType).as(f.name, f.metadata)
+          }: _*)
+      }.reduce(_.unionByName(_))
     }
 
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String,

@@ -1920,5 +1920,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(meta.format === "flac")
     assert(meta.sample_rate === 8000 && meta.channels === 1 &&
       meta.n_samples === 1000L && meta.bits_per_sample === 16)
+    // hostile STREAMINFO totals: patch the 36-bit total-samples field
+    // (bits 28..63 of STREAMINFO, i.e. low nibble of byte 21 + bytes
+    // 22..25). A claimed total of 2^31 overflows toInt; a tiny payload
+    // claiming 2^31-1 would allocate ~8 GB per channel before any frame
+    // validation. Both must return None immediately, never throw or
+    // allocate (the payload-length bound rejects them up front).
+    def withTotal(total: Long): Array[Byte] = {
+      val bad = good.clone()
+      bad(21) = ((bad(21) & 0xf0) | ((total >> 32) & 0xf).toInt).toByte
+      bad(22) = ((total >> 24) & 0xff).toByte
+      bad(23) = ((total >> 16) & 0xff).toByte
+      bad(24) = ((total >> 8) & 0xff).toByte
+      bad(25) = (total & 0xff).toByte
+      bad
+    }
+    for (total <- Seq(1L << 31, (1L << 31) - 1, (1L << 36) - 1, 1L << 30))
+      assert(Flac.decode(withTotal(total)).isEmpty,
+        s"hostile claimed total=$total must be rejected without allocation")
   }
 }
