@@ -98,7 +98,7 @@ object Ivf {
   /** Local centroid table → a (cid, c_vec, c_n2) DataFrame (a
     * LocalRelation: nCentroids rows that broadcast for free in
     * [[nearest]]'s joins). */
-  private def centroidsDF(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def centroidsDF(spark: org.apache.spark.sql.SparkSession,
       cents: Array[Array[Double]]): DataFrame = {
     import spark.implicits._
     cents.zipWithIndex.map { case (v, i) => (i + 1, v.toSeq) }.toSeq

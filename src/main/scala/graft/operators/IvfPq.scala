@@ -77,6 +77,220 @@ object IvfPq {
     searchIndex(buildIndex(corpus, centroids, cb), queries, k, centroids,
       nProbe, cb, rerank, corpus.select(col("vec_id"), col("embedding")))
 
+  // ----------------------------------------------- materialized index
+  //
+  // The on-disk face of IVF+PQ on the shared crash-safe
+  // [[VersionedIndex]] layout (same commit protocol as [[Bm25]] and
+  // [[Search]]: version n is complete iff model_vn AND stats_vn exist,
+  // `version-hint.text` flips LAST):
+  //
+  //   codes/delta_vN/   (c_id, code, c_norm) partitioned by `cid` — the
+  //                     codes-only inverted file; a probe reads only its
+  //                     nProbe cells' partition directories
+  //   vectors/delta_vN/ (vec_id, embedding) — raw vectors for the exact
+  //                     re-rank refinement (the standard refine-flat
+  //                     companion table: PQ codes bound MEMORY, raw
+  //                     vectors live on DISK and are point-fetched by
+  //                     candidate id only — rerank rows per query)
+  //   model_vN/         (kind, i, j, vec) — coarse centroids
+  //                     (kind=centroid, i=cid) and PQ codebooks
+  //                     (kind=codeword, i=subspace, j=codeword id);
+  //                     bounded-small by the IVF/PQ contract
+  //   stats_vN/         one row (n_vecs, dim, n_sub, sub_dim,
+  //                     n_centroids, n_codewords) — self-describing
+  //
+  // Centroid-drift contract: the model (centroids + codebooks) is
+  // FROZEN at [[writeIndex]] time. [[appendToIndex]] folds new vectors
+  // into their nearest EXISTING cells without retraining — exactness
+  // under full probe+rerank is unaffected (spec-pinned), but recall at
+  // small nProbe can drift if the appended distribution shifts away
+  // from the training sample; retraining = a fresh [[writeIndex]].
+  // This is the standard IVF maintenance tradeoff (retraining would
+  // re-encode every historical vector — exactly the re-tokenize-history
+  // cost the delta layout exists to avoid).
+
+  import VersionedIndex.writeHint
+
+  /** Current committed version of the layout under `path` (0 = not an
+    * index) — the [[VersionedIndex]] pointer with this layout's
+    * completeness pair (model + stats). */
+  def currentVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    VersionedIndex.currentVersion(spark, path, Seq("model", "stats"))
+
+  private def vCurrent(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = currentVersion(spark, path)
+
+  def indexExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = vCurrent(spark, path) >= 1
+
+  /** The version-`n` codes: union of the per-commit delta scans. A cid
+    * filter above the union pushes into every scan, so cell partition
+    * pruning survives the delta split. */
+  def codesTable(spark: org.apache.spark.sql.SparkSession, path: String,
+      n: Int): DataFrame =
+    (1 to n).map(i => spark.read.parquet(s"$path/codes/delta_v$i"))
+      .reduce(_ unionByName _)
+
+  /** The version-`n` raw-vector table (re-rank point-fetch side). */
+  def vectorsTable(spark: org.apache.spark.sql.SparkSession, path: String,
+      n: Int): DataFrame =
+    spark.read.parquet((1 to n).map(i => s"$path/vectors/delta_v$i"): _*)
+
+  /** The version-`n` one-row stats table. */
+  def statsTable(spark: org.apache.spark.sql.SparkSession, path: String,
+      n: Int): DataFrame =
+    spark.read.parquet(s"$path/stats_v$n")
+
+  /** [[statsTable]] / [[vectorsTable]] at the CURRENT version — the
+    * probe-side entries (mirrors [[Bm25.dfTable]]'s overload). */
+  def statsTable(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    statsTable(spark, path, vCurrent(spark, path))
+
+  def vectorsTable(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    vectorsTable(spark, path, vCurrent(spark, path))
+
+  /** Load the frozen model of version `n`: the (cid, c_vec, c_n2)
+    * centroid table (re-entered as a LocalRelation — broadcast-small by
+    * the IVF contract) and the PQ codebooks. The driver
+    * materialization is nCentroids·dim + nSub·k·subDim doubles. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String,
+      n: Int): (DataFrame, Pq.Codebooks) = {
+    val stats = statsTable(spark, path, n).head()
+    val subDim = stats.getAs[Int]("sub_dim")
+    val nCentroids = stats.getAs[Int]("n_centroids")
+    val nSub = stats.getAs[Int]("n_sub")
+    val nCw = stats.getAs[Int]("n_codewords")
+    val rows = spark.read.parquet(s"$path/model_v$n").collect()
+    val cents = new Array[Array[Double]](nCentroids)
+    val books = Array.ofDim[Array[Double]](nSub, nCw)
+    rows.foreach { r =>
+      val vec = r.getAs[scala.collection.Seq[Double]]("vec").toArray
+      r.getAs[String]("kind") match {
+        case "centroid" => cents(r.getAs[Int]("i") - 1) = vec
+        case "codeword" => books(r.getAs[Int]("i"))(r.getAs[Int]("j")) = vec
+      }
+    }
+    (Ivf.centroidsDF(spark, cents), Pq.Codebooks(subDim, books))
+  }
+
+  private def writeStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, n: Int, nVecs: Long, dim: Int, cb: Pq.Codebooks,
+      nCentroids: Int): Unit = {
+    import spark.implicits._
+    Seq((nVecs, dim, cb.nSub, cb.subDim, nCentroids, cb.k))
+      .toDF("n_vecs", "dim", "n_sub", "sub_dim", "n_centroids", "n_codewords")
+      .write.mode("overwrite").parquet(s"$path/stats_v$n")
+  }
+
+  private def modelDF(spark: org.apache.spark.sql.SparkSession,
+      centroids: DataFrame, cb: Pq.Codebooks): DataFrame = {
+    import spark.implicits._
+    val cRows = centroids.select(col("cid"),
+        transform(col("c_vec"), x => x.cast("double")).as("v"))
+      .collect()
+      .map(r => ("centroid", r.getAs[Int]("cid"), 0,
+        r.getAs[scala.collection.Seq[Double]]("v").toSeq))
+    val bRows = for { m <- cb.books.indices; j <- cb.books(m).indices }
+      yield ("codeword", m, j, cb.books(m)(j).toSeq)
+    (cRows.toSeq ++ bRows).toDF("kind", "i", "j", "vec")
+  }
+
+  private def writeCodesAndVectors(corpus: DataFrame, path: String,
+      n: Int, centroids: DataFrame, cb: Pq.Codebooks): Unit = {
+    // overwrite, not append: a retry after a crashed attempt clobbers
+    // the partial delta instead of doubling rows (the Bm25 rule)
+    buildIndex(corpus, centroids, cb)
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$path/codes/delta_v$n")
+    corpus.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/vectors/delta_v$n")
+  }
+
+  /** Train the model on `corpus` and materialize version 1 of the
+    * index. One corpus scan builds the codes (plus the raw-vector copy
+    * for re-rank); the model tables are driver-small. The version hint
+    * is written LAST — a crash anywhere earlier leaves no readable
+    * index (and a retry's overwrites clobber the partial files). */
+  def writeIndex(corpus: DataFrame, path: String, nCentroids: Int,
+      centroidIters: Int, dim: Int, nSub: Int, codewords: Int,
+      pqIters: Int): Unit = {
+    val spark = corpus.sparkSession
+    val centroids = Ivf.train(corpus, nCentroids, centroidIters)
+    val cb = Pq.train(corpus, dim, nSub, codewords, pqIters)
+    writeCodesAndVectors(corpus, path, 1, centroids, cb)
+    modelDF(spark, centroids, cb)
+      .write.mode("overwrite").parquet(s"$path/model_v1")
+    writeStats(spark, path, 1, corpus.count(), dim, cb, nCentroids)
+    writeHint(spark, path, 1) // commit
+  }
+
+  /** Fold new vectors into an existing index without retraining: the
+    * frozen model assigns and encodes them (one scan over the BATCH,
+    * never history), codes and raw vectors land as version-(n+1)
+    * deltas, stats update, the hint flips LAST. See the centroid-drift
+    * contract in the layout note above. Caller contract: `vectors` are
+    * new vec_ids (same as any append sink). */
+  def appendToIndex(vectors: DataFrame, path: String): Unit =
+    appendToIndexInternal(vectors, path, abortBeforeCommit = false)
+
+  /** [[appendToIndex]] with the test-only crash-injection point used by
+    * the abort-window spec: returns after every data write but before
+    * the hint flip — the on-disk state a real crash in that window
+    * leaves. */
+  private[graft] def appendToIndexInternal(vectors: DataFrame,
+      path: String, abortBeforeCommit: Boolean): Unit = {
+    val spark = vectors.sparkSession
+    val n = vCurrent(spark, path)
+    require(n >= 1, s"no committed index under $path")
+    val stats = statsTable(spark, path, n).head()
+    val (centroids, cb) = loadModel(spark, path, n)
+    writeCodesAndVectors(vectors, path, n + 1, centroids, cb)
+    // model is frozen: rebuild the tiny table from the loaded model
+    // under the new version (a read→write copy of the same path family
+    // is avoided on purpose — no self-overwrite hazard)
+    modelDF(spark, centroids, cb)
+      .write.mode("overwrite").parquet(s"$path/model_v${n + 1}")
+    writeStats(spark, path, n + 1,
+      stats.getAs[Long]("n_vecs") + vectors.count(),
+      stats.getAs[Int]("dim"), cb, stats.getAs[Int]("n_centroids"))
+    if (abortBeforeCommit) return
+    writeHint(spark, path, n + 1) // commit
+    // post-commit cleanup of the superseded version (best-effort; a
+    // crash here leaves an extra readable dir, nothing dangling)
+    val (fs, _) = VersionedIndex.fsOf(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/model_v$n"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
+  }
+
+  /** Probe a materialized index corpus-free: the model loads
+    * driver-side (bounded small), the probe cell ids collect
+    * driver-side (≤ |queries|·nProbe ints — bounded by the
+    * broadcast-small query contract) and prune the codes scan to those
+    * cells' partition directories STATICALLY (an `isin` over the cid
+    * partition column — PlanSpec pins both the pruning and that the
+    * plan never touches the source embeddings table). `rerank > 0`
+    * point-fetches candidates' true vectors from the index's OWN
+    * vectors table, so even the exact refinement stays corpus-free.
+    * With nProbe ≥ n_centroids and rerank ≥ n_vecs the result is
+    * exactly [[Similarity.bruteForceTopK]] over the indexed vectors —
+    * the degeneracy that carries q22's oracle (q60_indexed_probe). */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int, rerank: Int): DataFrame = {
+    val n = vCurrent(spark, path)
+    require(n >= 1, s"no committed index under $path")
+    val (centroids, cb) = loadModel(spark, path, n)
+    val probeCids = Ivf.probes(queries, centroids, nProbe)
+      .select("cid").distinct().collect().map(_.getInt(0)).toSeq
+    val index = codesTable(spark, path, n)
+      .filter(col("cid").isin(probeCids: _*))
+    searchIndex(index, queries, k, centroids, nProbe, cb, rerank,
+      if (rerank > 0) vectorsTable(spark, path, n) else null)
+  }
+
   /** Recall@k of IVF+PQ against the exact baseline, per query (mirrors
     * [[Ivf.recallVsExact]] / [[Pq.recallVsExact]]). */
   def recallVsExact(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -48,8 +48,9 @@ object PipelineQueries {
     * versioned layout — each family knows its own marker, so a stale
     * dir from an older layout generation reads as not-built). */
   private def amortizedIndexPath(s: SparkSession, dir: String,
-      family: String, builtCheck: String => Boolean): (String, Boolean) = {
-    val fp = fixtureFingerprint(s, dir, "documents")
+      family: String, builtCheck: String => Boolean,
+      table: String = "documents"): (String, Boolean) = {
+    val fp = fixtureFingerprint(s, dir, table)
     val root = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_${family}_${Integer.toHexString(dir.hashCode)}_$fp")
     val path = root.getAbsolutePath
@@ -209,6 +210,33 @@ object PipelineQueries {
       nCentroids = 16, centroidIters = 2, nProbe = 4,
       dim = 64, nSub = 8, codewords = 16, pqIters = 1, rerank = 20)
       .orderBy("q_id")
+  }
+
+  /** The AMORTIZED, fully corpus-free face of the IVF+PQ index
+    * (q79_indexed_probe's pattern for the vector family): probe a
+    * prebuilt [[IvfPq.writeIndex]] layout. The index builds at most
+    * once per fixture generation (fingerprint-keyed tmp path); after
+    * that every run is the probe, whose plan reads ONLY the index —
+    * queries and the exact-re-rank vectors both come from the index's
+    * own tables, never the embeddings fixture (PlanSpec-pinned).
+    * Probes run the degenerate-exact configuration (probe every cell,
+    * re-rank everything), so the result is exactly brute-force cosine
+    * top-3 and carries q22's DuckDB oracle VERBATIM — the strongest
+    * form of the family's degeneracy anchor. Production params
+    * (nProbe=4, rerank=20) share the plan; their recall is what q60
+    * measures. */
+  def q60IndexedProbe(s: SparkSession, dir: String): DataFrame = {
+    val (idx, built) = amortizedIndexPath(s, dir, "ivfpq_index",
+      p => IvfPq.indexExists(s, p), table = "embeddings")
+    if (!built)
+      IvfPq.writeIndex(t(s, dir, "embeddings"), idx, nCentroids = 16,
+        centroidIters = 2, dim = 64, nSub = 8, codewords = 16, pqIters = 1)
+    val stats = IvfPq.statsTable(s, idx).head()
+    val queries = IvfPq.vectorsTable(s, idx).filter(col("vec_id") < 10)
+    IvfPq.searchIndex(s, idx, queries, k = 3,
+      nProbe = stats.getAs[Int]("n_centroids"),
+      rerank = stats.getAs[Long]("n_vecs").toInt)
+      .orderBy("q_id", "rk")
   }
 
   /** Per-label embedding statistics: count and L2-norm rollups — the
@@ -412,6 +440,32 @@ object PipelineQueries {
     if (!built) Search.writeIndex(docs, "doc_id", "text", idx, nBuckets = 16)
     Search.topPhraseStatsIndexed(s, idx, docs, "doc_id", "text", n = 5)
       .orderBy("phrase")
+  }
+
+  /** The AMORTIZED, fully corpus-free face of the phrase index
+    * (q79_indexed_probe's pattern): probe-only timing over a prebuilt
+    * [[Search.writeIndex]] layout. The phrase list is mined ONCE at
+    * build time (a build artifact, like the index itself) and saved
+    * beside the layout; after first touch every run reads the 5-phrase
+    * list plus the phrases' bucket directories and nothing else —
+    * q71_indexed still times mining (an intentional corpus-side
+    * aggregate); this row is the bare probe's number. Carries q71's
+    * oracle verbatim (shared occurrence core). */
+  def q71IndexedProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val (idx, built) = amortizedIndexPath(s, dir, "search_index",
+      p => Search.indexExists(s, p))
+    if (!built) Search.writeIndex(docs, "doc_id", "text", idx, nBuckets = 16)
+    val phrasesPath = s"$idx/phrases"
+    val fs = new org.apache.hadoop.fs.Path(phrasesPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(phrasesPath)))
+      Search.topPhrases(docs, "doc_id", "text", 5).toDF("phrase")
+        .coalesce(1).write.mode("overwrite").parquet(phrasesPath)
+    val phrases = s.read.parquet(phrasesPath)
+      .collect().map(_.getString(0)).sorted.toSeq
+    Search.phraseStatsProbe(s, idx, phrases).orderBy("phrase")
   }
 
   /** N-gram novelty ("contribution") scoring: per document, the
@@ -2363,7 +2417,9 @@ object PipelineQueries {
     ("q46_bloom_decontaminate" -> baseOracleSql("q42_decontaminate")) +
     ("q79_bm25_indexed" -> baseOracleSql("q79_bm25")) +
     ("q79_indexed_probe" -> baseOracleSql("q79_bm25")) +
-    ("q71_indexed" -> baseOracleSql("q71_phrase_search"))
+    ("q71_indexed" -> baseOracleSql("q71_phrase_search")) +
+    ("q71_indexed_probe" -> baseOracleSql("q71_phrase_search")) +
+    ("q60_indexed_probe" -> baseOracleSql("q22_cosine_topk"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_text_stats" -> (q16TextStats _),
@@ -2399,6 +2455,7 @@ object PipelineQueries {
     "q58_datacard" -> (q58Datacard _),
     "q59_pq_recall" -> (q59PqRecall _),
     "q60_ivfpq_recall" -> (q60IvfPqRecall _),
+    "q60_indexed_probe" -> (q60IndexedProbe _),
     "q61_repetition" -> (q61Repetition _),
     "q62_pii_redact" -> (q62PiiRedact _),
     "q63_line_dedup" -> (q63LineDedup _),
@@ -2411,6 +2468,7 @@ object PipelineQueries {
     "q70_semantic_dedup" -> (q70SemanticDedup _),
     "q71_phrase_search" -> (q71PhraseSearch _),
     "q71_indexed" -> (q71PhraseSearchIndexed _),
+    "q71_indexed_probe" -> (q71IndexedProbe _),
     "q72_novelty" -> (q72Novelty _),
     "q73_tfidf" -> (q73TfIdf _),
     "q74_bpe" -> (q74Bpe _),

@@ -265,9 +265,18 @@ object Search {
     * length lookup, not one per phrase. */
   def topPhraseStatsIndexed(spark: SparkSession, path: String,
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 5): DataFrame = {
+      n: Int = 5): DataFrame =
+    phraseStatsProbe(spark, path, topPhrases(docs, idCol, textCol, n))
+
+  /** The fully corpus-free probe face: per-phrase occurrence stats for
+    * a GIVEN phrase list over a [[writeIndex]] layout — nothing in the
+    * plan touches any corpus table (PlanSpec-pinned via
+    * q71_indexed_probe). The phrase list is the caller's (mined at
+    * build time, read from a config, etc.); driver materializations
+    * are bounded by it (≤ 3n bucket ids + length lookups). */
+  def phraseStatsProbe(spark: SparkSession, path: String,
+      top: Seq[String]): DataFrame = {
     import spark.implicits._
-    val top = topPhrases(docs, idCol, textCol, n)
     val v = currentVersion(spark, path)
     require(v >= 1, s"no committed index under $path")
     val nBuckets = statsTable(spark, path, v)

@@ -22,26 +22,28 @@ private[operators] object VersionedIndex {
   }
 
   /** Current committed version under `path`; 0 = not an index. Hint
-    * first; fallback scans for the highest version whose df AND stats
-    * tables both exist (a complete commit). */
-  def currentVersion(spark: SparkSession, path: String): Int = {
+    * first; fallback scans for the highest version whose required
+    * version-suffixed tables ALL exist (a complete commit). `required`
+    * names the layout's completeness pair — `df` + `stats` for the
+    * token indexes, `model` + `stats` for the vector index. */
+  def currentVersion(spark: SparkSession, path: String,
+      required: Seq[String] = Seq("df", "stats")): Int = {
     val (fs, root) = fsOf(spark, path)
+    def complete(n: Int): Boolean = required.forall(t =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/${t}_v$n")))
     val hinted =
       try {
         val in = fs.open(new org.apache.hadoop.fs.Path(root, HintFile))
         val s = try scala.io.Source.fromInputStream(in).mkString.trim
           finally in.close()
         val n = s.toInt
-        if (n >= 1 &&
-          fs.exists(new org.apache.hadoop.fs.Path(s"$path/df_v$n")) &&
-          fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"))) n
-        else 0
+        if (n >= 1 && complete(n)) n else 0
       } catch { case _: Exception => 0 }
     if (hinted >= 1) hinted
     else try {
       fs.listStatus(root).map(_.getPath.getName)
         .collect { case s if s.startsWith("stats_v") => s.drop(7).toInt }
-        .filter(n => fs.exists(new org.apache.hadoop.fs.Path(s"$path/df_v$n")))
+        .filter(complete)
         .sorted.lastOption.getOrElse(0)
     } catch { case _: Exception => 0 }
   }

@@ -268,6 +268,31 @@ object StreamingOps {
     }
   }
 
+  /** Streaming vector-index maintenance — [[bm25IndexSink]]'s
+    * counterpart for the IVF+PQ ANN index: a `foreachBatch` body that
+    * folds each micro-batch of (vec_id, embedding) rows into a
+    * [[graft.operators.IvfPq.writeIndex]] layout. The FIRST non-empty
+    * batch trains the model (centroids + codebooks) and bootstraps
+    * version 1; every later batch is assigned and encoded under the
+    * FROZEN model ([[graft.operators.IvfPq.appendToIndex]] — see its
+    * centroid-drift contract: recall at small nProbe can degrade if the
+    * stream's distribution drifts from the bootstrap sample; retrain =
+    * rebuild). Same exactly-once caveat as every foreachBatch sink: a
+    * replayed batch would double its cell entries — production pairs
+    * this with a batch-id dedup ledger; the spec pins the happy-path
+    * equivalence (streamed index probes == batch-built index probes). */
+  def ivfPqIndexSink(path: String, nCentroids: Int, centroidIters: Int,
+      dim: Int, nSub: Int, codewords: Int,
+      pqIters: Int): (DataFrame, Long) => Unit = (batch, _) => {
+    if (!batch.isEmpty) {
+      if (graft.operators.IvfPq.indexExists(batch.sparkSession, path))
+        graft.operators.IvfPq.appendToIndex(batch, path)
+      else
+        graft.operators.IvfPq.writeIndex(batch, path, nCentroids,
+          centroidIters, dim, nSub, codewords, pqIters)
+    }
+  }
+
   /** Convenience: run a streaming DataFrame to completion against a
     * memory sink and return the collected result table. Test/demo
     * helper — production sinks are parquet/kafka/iceberg via

@@ -1939,4 +1939,56 @@ class PipelineSpec extends AnyFunSuite {
       assert(Flac.decode(withTotal(total)).isEmpty,
         s"hostile claimed total=$total must be rejected without allocation")
   }
+
+  test("IvfPq materialized index: degenerate-exact probes equal brute force, " +
+      "append folds under the frozen model, a crash before the hint flip " +
+      "leaves the prior version probing bit-identically") {
+    import graft.operators.IvfPq
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val a = emb.filter(col("vec_id") < 400)
+    val b = emb.filter(col("vec_id") >= 400)
+    val queries = emb.filter(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    IvfPq.writeIndex(a, idx, nCentroids = 8, centroidIters = 1,
+      dim = 64, nSub = 8, codewords = 16, pqIters = 1)
+    def probe(p: String, rerank: Int) =
+      IvfPq.searchIndex(spark, p, queries, k = 3, nProbe = 8, rerank = rerank)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    def brute(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(corpus, queries, 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    // probe all cells + re-rank everything == exact brute force over the
+    // indexed vectors (the q60_indexed_probe oracle anchor), and the
+    // re-rank vectors come from the index's own table — corpus-free
+    assert(probe(idx, rerank = 400) === brute(a))
+    // crash injection: every version-2 data file on disk, pointer not
+    // flipped — the index must keep probing version 1 bit-identically
+    val before = probe(idx, rerank = 400)
+    IvfPq.appendToIndexInternal(b, idx, abortBeforeCommit = true)
+    assert(IvfPq.currentVersion(spark, idx) === 1,
+      "aborted append must leave version 1 current")
+    assert(probe(idx, rerank = 400) === before,
+      "aborted append leaked into the probe")
+    // the retry clobbers the partial delta and commits: degenerate-exact
+    // probes now equal brute force over the UNION — exactness under full
+    // probe+rerank is model-independent, the frozen-centroid contract
+    assert(IvfPq.statsTable(spark, idx).head().getAs[Long]("n_vecs") === 400L)
+    IvfPq.appendToIndex(b, idx)
+    assert(probe(idx, rerank = 500) === brute(emb))
+    assert(IvfPq.statsTable(spark, idx).head().getAs[Long]("n_vecs") === 500L)
+    // superseded model/stats cleaned up post-commit
+    assert(!new java.io.File(s"$idx/model_v1").exists())
+    assert(!new java.io.File(s"$idx/stats_v1").exists())
+    // a small-nProbe probe still returns k rows per query (recall is
+    // q60's measurement; here we pin shape + determinism across runs)
+    val narrow = IvfPq.searchIndex(spark, idx, queries, k = 3, nProbe = 2,
+      rerank = 10).collect()
+    assert(narrow.length === queries.count() * 3)
+    val narrow2 = IvfPq.searchIndex(spark, idx, queries, k = 3, nProbe = 2,
+      rerank = 10).collect()
+    assert(narrow.map(_.toSeq).toSeq === narrow2.map(_.toSeq).toSeq)
+  }
 }

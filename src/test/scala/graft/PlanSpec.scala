@@ -117,6 +117,41 @@ class PlanSpec extends AnyFunSuite {
         plan.take(3000))
   }
 
+  test("ivfpq indexed probe: the plan never rescans the embeddings fixture " +
+      "and prunes the codes scan to the probed cells' partitions; the " +
+      "phrase-index probe face likewise never touches the corpus") {
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_plan").toString
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    graft.operators.IvfPq.writeIndex(emb, idx, nCentroids = 8,
+      centroidIters = 1, dim = 64, nSub = 8, codewords = 16, pqIters = 1)
+    // queries come from the index's own vector table — the probe is
+    // fully corpus-free, including the exact re-rank point-fetch
+    val queries = graft.operators.IvfPq.vectorsTable(spark, idx)
+      .filter(col("vec_id") < 5)
+    val plan = planString(graft.operators.IvfPq.searchIndex(
+      spark, idx, queries, k = 3, nProbe = 2, rerank = 10))
+    assert(!plan.contains("embeddings.parquet"),
+      "indexed probe must never touch the source embeddings:\n" + plan.take(2000))
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findAllIn(plan).nonEmpty,
+      "expected cid partition pruning on the codes scan:\n" + plan.take(3000))
+    // the codes scan stays codes-only: no embedding bytes ride it
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(readSchemas.exists(s => s.contains("code") && !s.contains("embedding")),
+      plan.take(3000))
+    // phrase probe face: given a prebuilt layout and an explicit phrase
+    // list, the stats plan reads only the index
+    import spark.implicits._
+    val sidx = java.nio.file.Files.createTempDirectory("searchidx_plan").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.operators.Search.writeIndex(docs, "doc_id", "text", sidx, nBuckets = 16)
+    val pplan = planString(graft.operators.Search.phraseStatsProbe(
+      spark, sidx, Seq("the quick brown", "data model spark")))
+    assert(!pplan.contains("documents.parquet"),
+      "phrase probe must never touch the corpus:\n" + pplan.take(2000))
+  }
+
   test("simhash is a pure scan projection: no shuffle, no explode") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = planString(graft.operators.Dedup.simhash(docs, "doc_id", "text"))

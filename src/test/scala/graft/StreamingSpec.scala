@@ -438,6 +438,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqIndexSink: a streamed vector index's degenerate-exact probes " +
+      "equal brute force over everything streamed (model frozen at bootstrap)") {
+    import spark.implicits._
+    import graft.operators.{IvfPq, Similarity}
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val rows = emb.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_stream").toString
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(StreamingOps.ivfPqIndexSink(idx, nCentroids = 8,
+        centroidIters = 1, dim = 64, nSub = 8, codewords = 16, pqIters = 1))
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(rows.take(300): _*) // bootstrap batch: trains the model
+    q.processAllAvailable()
+    mem.addData(rows.drop(300): _*) // incremental: frozen-model append
+    q.processAllAvailable()
+    q.stop()
+    assert(IvfPq.currentVersion(spark, idx) === 2)
+    val queries = emb.filter(col("vec_id") < 5)
+    // full probe + full re-rank is exact regardless of where the model
+    // was trained — the invariant a drifting stream cannot break
+    val streamed = IvfPq.searchIndex(spark, idx, queries, k = 3,
+        nProbe = 8, rerank = rows.length)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val exact = Similarity.bruteForceTopK(emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed === exact)
+  }
+
   test("scrubChunks equals dropRepeatedChunks' cleaned text on the same corpus") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
