@@ -99,28 +99,51 @@ object SchemaTranslator {
     val casted = df.select(schema.fields.map(f =>
       org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
         .as(f.name, f.metadata)): _*)
-    val (toWrite, partCols) = table.partition match {
-      case Some(p) if p.ptype == "RANGE" && p.columns.nonEmpty =>
-        (casted, p.columns)
-      case Some(p) if p.ptype == "HASH" && p.columns.nonEmpty =>
-        // bucket only the spec's valid bucket sources (int/long/date/
-        // timestamp/decimal/string); a key of any other type (float,
-        // boolean, binary — also invalid per the spec) degrades to an
-        // unbucketed write rather than failing the whole migration
-        def bucketable(dt: DataType): Boolean = dt match {
-          case IntegerType | LongType | DateType | TimestampType |
-              TimestampNTZType | StringType | _: DecimalType => true
-          case _ => false
-        }
-        val cols = p.columns.filter(c =>
-          schema.fields.exists(f => f.name == c && bucketable(f.dataType)))
-        val withBuckets = cols.foldLeft(casted) { (d, c) =>
-          d.withColumn(s"${c}_bucket", graft.functions.IcebergBucket(
-            org.apache.spark.sql.functions.col(c), 16))
-        }
-        (withBuckets, cols.map(c => s"${c}_bucket"))
-      case _ => (casted, Nil)
+    // bucket only the spec's valid bucket sources (int/long/date/
+    // timestamp/decimal/string); a key of any other type (float,
+    // boolean, binary — also invalid per the spec) degrades to an
+    // unbucketed write rather than failing the whole migration
+    def bucketable(dt: DataType): Boolean = dt match {
+      case IntegerType | LongType | DateType | TimestampType |
+          TimestampNTZType | StringType | _: DecimalType => true
+      case _ => false
     }
+    val (toWrite, partCols) =
+      if (table.partitionSpecs.nonEmpty) {
+        // evolved default spec: new files are laid out by ITS fields —
+        // identity fields whose name matches the source column are
+        // directory-encoded; bucket fields materialize the transform
+        val colOfId = table.columns.zipWithIndex.map { case (c, i) =>
+          c.fieldId.getOrElse(i + 1) -> c.name
+        }.toMap
+        val defs = graft.sources.IcebergMetadata.specFieldDefs(
+          table, graft.sources.IcebergMetadata.defaultSpecIdOf(table))
+        val (acc, cols) = defs.foldLeft((casted, Seq.empty[String])) {
+          case ((d, cs), f) =>
+            val src = colOfId(f.sourceId)
+            if (f.transform.startsWith("bucket"))
+              (d.withColumn(f.name, graft.functions.IcebergBucket(
+                org.apache.spark.sql.functions.col(src), 16)), cs :+ f.name)
+            else if (f.name == src) (d, cs :+ f.name)
+            else // renamed identity field: dir under the FIELD name,
+              // source column stays physical in the file
+              (d.withColumn(f.name,
+                org.apache.spark.sql.functions.col(src)), cs :+ f.name)
+        }
+        (acc, cols)
+      } else table.partition match {
+        case Some(p) if p.ptype == "RANGE" && p.columns.nonEmpty =>
+          (casted, p.columns)
+        case Some(p) if p.ptype == "HASH" && p.columns.nonEmpty =>
+          val cols = p.columns.filter(c =>
+            schema.fields.exists(f => f.name == c && bucketable(f.dataType)))
+          val withBuckets = cols.foldLeft(casted) { (d, c) =>
+            d.withColumn(s"${c}_bucket", graft.functions.IcebergBucket(
+              org.apache.spark.sql.functions.col(c), 16))
+          }
+          (withBuckets, cols.map(c => s"${c}_bucket"))
+        case _ => (casted, Nil)
+      }
     // honor the declared sort order (DISTRIBUTE BY HASH → CLUSTER BY →
     // Iceberg default sort order): sort within tasks by (partition
     // cols, sort cols) so the files actually carry the order the

@@ -43,6 +43,17 @@ final case class PartitionSpecDef(
     columns: Seq[String] = Nil,
     rawDefinition: String = "")
 
+/** One field of an Iceberg partition spec in the v2 table-spec's
+  * explicit form (name, transform, source column id, partition field
+  * id) — the representation partition-spec EVOLUTION works on. Before
+  * any spec evolution the single spec is derived from
+  * [[PartitionSpecDef]]; the first evolution op materializes it. */
+final case class IcebergPartitionField(
+    name: String,
+    transform: String, // "identity" | "bucket[16]"
+    sourceId: Int,
+    fieldId: Int)
+
 /** A complete DB2 table definition (reference: parser.py:94-117). */
 final case class TableDef(
     schema: Option[String] = None,
@@ -67,7 +78,17 @@ final case class TableDef(
     // document must keep listing.
     schemaId: Int = 0,
     lastColumnId: Option[Int] = None,
-    priorSchemas: Seq[(Int, Seq[Db2Column])] = Nil) {
+    priorSchemas: Seq[(Int, Seq[Db2Column])] = Nil,
+    // Iceberg partition-spec-evolution state (defaults = the
+    // never-evolved table): once an evolution op runs, partitionSpecs
+    // holds EVERY spec the table has ever had (specId → fields,
+    // including the original spec 0; the reserved unpartitioned
+    // delete spec 1 is implicit), defaultSpecId names the spec new
+    // data files are written under, and lastPartitionId is the
+    // monotonically-increasing partition field id high-water mark.
+    partitionSpecs: Seq[(Int, Seq[IcebergPartitionField])] = Nil,
+    defaultSpecId: Int = 0,
+    lastPartitionId: Option[Int] = None) {
   def fullName: String = schema.map(s => s"$s.$name").getOrElse(name)
 
   /** Effective Iceberg field id of each current column: explicit

@@ -101,19 +101,39 @@ object IcebergDeletes {
     val live = liveFilesWithSeq(priorList, table, conf)
     require(live.nonEmpty, "snapshot lists no data files")
 
-    // distinct partition tuples, each with its delete-file ordinal
-    val partTuples = live.map(_._1.partitionValues).distinct.zipWithIndex.toMap
+    // distinct partition tuples, each with its delete-file ordinal.
+    // Once partition specs have evolved, live files' tuples are shaped
+    // by DIFFERENT specs — the deletes collapse to ONE global position
+    // delete file under the reserved unpartitioned spec (spec-legal:
+    // position deletes match rows by (path, pos), partition scoping is
+    // only a pruning aid)
+    val specEvolved = table.partitionSpecs.nonEmpty
+    val partTuples: Map[Seq[Option[Any]], Int] =
+      if (specEvolved) Map(Seq.empty[Option[Any]] -> 0)
+      else live.map(_._1.partitionValues).distinct.zipWithIndex.toMap
     // normalized scan path → (manifest-recorded path, partition ordinal)
     val byKey = live.map { case (f, _) =>
-      normKey(f.path) -> ((f.path, partTuples(f.partitionValues)))
+      normKey(f.path) ->
+        ((f.path, if (specEvolved) 0 else partTuples(f.partitionValues)))
     }.toMap
     val bc = spark.sparkContext.broadcast(byKey)
 
-    val enriched = restoreIdentityColumns(spark,
-      spark.read.parquet(live.map(_._1.path): _*)
-        .withColumn("__graft_file", norm(col("_metadata.file_path")))
-        .withColumn("__graft_pos", col("_metadata.row_index")),
-      table, live.map(f => (f._1.path, f._1.partitionValues)))
+    // one scan + identity restore per SPEC group (a column that is
+    // dir-encoded under one spec is physical under another)
+    val enriched = live.groupBy(_._1.specId).toSeq.sortBy(_._1).map {
+      case (sid, lf) =>
+        restoreIdentityColumnsFor(spark,
+          spark.read.parquet(lf.map(_._1.path): _*)
+            .withColumn("__graft_file", norm(col("_metadata.file_path")))
+            .withColumn("__graft_pos", col("_metadata.row_index")),
+          table, partitionFieldsOf(table, sid),
+          dirEncodedIdentityCols(table, sid),
+          lf.map(f => (f._1.path, f._1.partitionValues)),
+          castToDeclared = specEvolved)
+    // allowMissingColumns: groups read by inference can differ in
+    // later-added columns (predicates over them null-fill, which is
+    // exactly the added-column read semantics)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
     val toManifestPath = udf((k: String) => bc.value.get(k).map(_._1).orNull)
     val toPart = udf((k: String) => bc.value.get(k).map(_._2).getOrElse(-1))
     val matched = enriched.filter(predicate).select(
@@ -144,19 +164,21 @@ object IcebergDeletes {
           .write.mode("overwrite").parquet(dir.toString)
         val (p, len, n) = statAndCount(dir, fs, conf)
         assert(n == nRows)
-        DataFileInfo(p.toString, len, n, tupleOf(ord), content = 1)
+        DataFileInfo(p.toString, len, n, tupleOf(ord), content = 1,
+          specId = if (specEvolved) UnpartitionedSpecId else 0)
       }
 
+      val posSpec = if (specEvolved) UnpartitionedSpecId else 0
       val manifest = writeManifestEntries(table,
         deleteFiles.map(f => ManifestEntry(1, None, f)), metadataDir,
-        snapshotId, conf, ordinal = priorList.size)
+        snapshotId, conf, ordinal = priorList.size, specId = posSpec)
       val nDeletes = deleteFiles.map(_.recordCount).sum
       val listPath = writeManifestListRows(table,
         Seq(ManifestListRow(manifest._1.toString, manifest._2,
           sequenceNumber = newSeq, minSequenceNumber = newSeq,
           addedFiles = deleteFiles.size, existingFiles = 0, deletedFiles = 0,
           addedRows = nDeletes, existingRows = 0L, deletedRows = 0L,
-          content = 1)),
+          content = 1, specId = posSpec)),
         metadataDir, snapshotId, conf, newSeq, Some(current.snapshotId),
         priorManifests = priorList)
       val snap = IcebergMetadata.SnapshotMeta(
@@ -252,7 +274,8 @@ object IcebergDeletes {
     val rows =
       dataManifest.toSeq.map { case (p, len) =>
         ManifestListRow(p.toString, len, newSeq, newSeq,
-          newFiles.size, 0, 0, nRows, 0L, 0L)
+          newFiles.size, 0, 0, nRows, 0L, 0L,
+          specId = IcebergMetadata.defaultSpecIdOf(table))
       } :+
         ManifestListRow(deleteManifest._1.toString, deleteManifest._2,
           newSeq, newSeq, 1, 0, 0, nKeys, 0L, 0L,
@@ -306,8 +329,17 @@ object IcebergDeletes {
     val snapshotId = snapshotIdFor(table, newSeq)
 
     // net rows via the same delete-applying read the scan path uses;
-    // written back per partition tuple to preserve the layout
+    // written back per partition tuple to preserve the layout. Once
+    // partition specs have evolved this rewrite RE-STAMPS every row
+    // under the CURRENT default spec (tuples derived from the data,
+    // not the mixed-spec manifests) — the REPLACE that migrates a
+    // table's live files to its new layout, which is exactly how a
+    // real engine's rewrite_data_files migrates after spec evolution.
     val net = readSnapshot(spark, tablePath, table)
+    if (table.partitionSpecs.nonEmpty)
+      return compactEvolvedSpec(spark, table, tablePath, timestampMs,
+        metadataDir, fs, version, chain, current, priorList, liveData,
+        liveDeletes, net)
     val pf = partitionFields(table)
     val identityCols = pf.filter(_._3 == "identity").map(_._1)
     val partTuples = liveData.map(_._1.partitionValues).distinct
@@ -423,5 +455,146 @@ object IcebergDeletes {
     writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
       chain :+ snap, timestampMs)
     snap
+  }
+
+  /** [[compactWithDeletes]] once partition specs have evolved: the
+    * REPLACE rewrite that also MIGRATES every live row to the current
+    * default spec. Partition tuples are derived from the DATA (the
+    * mixed-spec manifests can't enumerate default-spec tuples), each
+    * tuple's slice is written as one file stamped with the default
+    * spec, and retired delete files group by the spec they were
+    * written under. */
+  private def compactEvolvedSpec(spark: SparkSession, table: TableDef,
+      tablePath: String, timestampMs: Long,
+      metadataDir: Path, fs: FileSystem, version: Int,
+      chain: Seq[IcebergMetadata.SnapshotMeta],
+      current: IcebergMetadata.SnapshotMeta,
+      priorList: Seq[org.apache.avro.generic.GenericRecord],
+      liveData: Seq[(DataFileInfo, Long)],
+      liveDeletes: Seq[DeleteFileRef],
+      net: DataFrame): IcebergMetadata.SnapshotMeta = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val newSeq = current.sequenceNumber + 1
+    val snapshotId = snapshotIdFor(table, newSeq)
+    val sid = IcebergMetadata.defaultSpecIdOf(table)
+    val defs = IcebergMetadata.specFieldDefs(table, sid)
+    val pf = partitionFieldsOf(table, sid)
+    val colOfId = table.columns.zipWithIndex.map { case (c, i) =>
+      c.fieldId.getOrElse(i + 1) -> c.name
+    }.toMap
+    // tuple columns under the DEFAULT spec, computed from the data
+    val tupleCols: Seq[Column] = defs.map { f =>
+      val src = colOfId(f.sourceId)
+      if (f.transform.startsWith("bucket"))
+        graft.functions.IcebergBucket(col(src), 16)
+      else col(src)
+    }
+    val netP = net.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded by the table's partition count, like any commit
+      val tuples = netP.select(tupleCols.zipWithIndex.map {
+        case (c, i) => c.as(s"__t$i") }: _*).distinct().collect()
+      val dirEncoded = dirEncodedIdentityCols(table, sid)
+      val sortCols = table.distributeByHash.toSeq
+        .filter(table.columns.map(_.name).contains)
+      // manifest Avro surface for a tuple value (dates ride as
+      // epoch-day ints; bucket ordinals are already ints)
+      def avroVal(itype: String, v: Any): Any = v match {
+        case null => null
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+        case d: java.time.LocalDate => d.toEpochDay.toInt
+        case n @ (_: java.lang.Integer | _: java.lang.Long |
+                  _: java.lang.Float | _: java.lang.Double |
+                  _: java.lang.Boolean) if itype != "string" => n
+        case other => other.toString
+      }
+      val rewritten = tuples.toSeq.zipWithIndex.map { case (row, i) =>
+        val dir = new Path(tablePath, s"data/rewrite-$newSeq-$i")
+        val cond = tupleCols.zipWithIndex.map { case (c, j) =>
+          if (row.isNullAt(j)) c.isNull else c === org.apache.spark.sql.functions.lit(row.get(j))
+        }
+        val slice = cond.foldLeft(netP: DataFrame)(_ filter _)
+        val one = slice.drop(dirEncoded.toSeq: _*).coalesce(1)
+        val ordered =
+          if (sortCols.isEmpty) one
+          else one.sortWithinPartitions(sortCols.map(col): _*)
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        ordered.write.mode("overwrite").parquet(dir.toString)
+        val (p, len, n) = statAndCount(dir, fs, conf)
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        val stats = try columnStats(reader, table) finally reader.close()
+        val tuple = pf.zipWithIndex.map { case ((_, itype, _), j) =>
+          Option(avroVal(itype, if (row.isNullAt(j)) null else row.get(j)))
+        }
+        DataFileInfo(p.toString, len, n, tuple,
+          valueCounts = stats._1, nullCounts = stats._2,
+          lowerBounds = stats._3, upperBounds = stats._4, specId = sid)
+      }.filter(_.recordCount > 0)
+
+      // data entries: ADDED under the default spec; DELETED rows keep
+      // their original specs — one manifest per spec group
+      var ordinal = priorList.size
+      def nextOrdinal(): Int = { val o = ordinal; ordinal += 1; o }
+      val addedManifest = writeManifestEntries(table,
+        rewritten.map(f => ManifestEntry(1, None, f)), metadataDir,
+        snapshotId, conf, ordinal = nextOrdinal(), specId = sid)
+      val retiredDataRows = liveData.groupBy(_._1.specId).toSeq.sortBy(_._1)
+        .map { case (s, lf) =>
+          val m = writeManifestEntries(table,
+            lf.map { case (f, seq) => ManifestEntry(2, Some(seq), f) },
+            metadataDir, snapshotId, conf, ordinal = nextOrdinal(), specId = s)
+          ManifestListRow(m._1.toString, m._2,
+            sequenceNumber = newSeq,
+            minSequenceNumber = (newSeq +: lf.map(_._2)).min,
+            addedFiles = 0, existingFiles = 0, deletedFiles = lf.size,
+            addedRows = 0L, existingRows = 0L,
+            deletedRows = lf.map(_._1.recordCount).sum, specId = s)
+        }
+      val retiredDeleteRows = liveDeletes.groupBy(_.specId).toSeq.sortBy(_._1)
+        .map { case (s, dels) =>
+          val m = writeManifestEntries(table,
+            dels.map(d => ManifestEntry(2, Some(d.seq), DataFileInfo(
+              d.path, d.sizeBytes, d.recordCount,
+              partitionValues = d.partitionValues,
+              content = d.content, equalityIds = d.equalityIds,
+              specId = s))),
+            metadataDir, snapshotId, conf, ordinal = nextOrdinal(), specId = s)
+          ManifestListRow(m._1.toString, m._2,
+            sequenceNumber = newSeq,
+            minSequenceNumber = (newSeq +: dels.map(_.seq)).min,
+            addedFiles = 0, existingFiles = 0, deletedFiles = dels.size,
+            addedRows = 0L, existingRows = 0L, deletedRows = 0L,
+            content = 1, specId = s)
+        }
+
+      val nRows = rewritten.map(_.recordCount).sum
+      val rows = ManifestListRow(addedManifest._1.toString, addedManifest._2,
+        sequenceNumber = newSeq,
+        minSequenceNumber = (newSeq +: liveData.map(_._2)).min,
+        addedFiles = rewritten.size, existingFiles = 0, deletedFiles = 0,
+        addedRows = nRows, existingRows = 0L, deletedRows = 0L,
+        specId = sid) +: (retiredDataRows ++ retiredDeleteRows)
+      val listPath = writeManifestListRows(table, rows, metadataDir,
+        snapshotId, conf, newSeq, Some(current.snapshotId))
+      val snap = IcebergMetadata.SnapshotMeta(
+        snapshotId = snapshotId,
+        schemaId = table.schemaId,
+        timestampMs = timestampMs,
+        manifestList = listPath.toString,
+        addedFiles = rewritten.size.toLong,
+        addedRecords = nRows,
+        sequenceNumber = newSeq,
+        parentSnapshotId = Some(current.snapshotId),
+        totalFiles = rewritten.size.toLong,
+        totalRecords = nRows,
+        operation = "replace",
+        deletedFiles = liveData.size.toLong,
+        deletedRecords = liveData.map(_._1.recordCount).sum,
+        totalDeleteFiles = 0L, totalPositionDeletes = 0L,
+        totalEqualityDeletes = 0L)
+      writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
+        chain :+ snap, timestampMs)
+      snap
+    } finally { netP.unpersist(false); () }
   }
 }

@@ -55,9 +55,18 @@ object IcebergEvolution {
       priorSchemas = base.priorSchemas :+ (base.schemaId -> base.columns))
   }
 
-  private def protectedCols(table: TableDef): Set[String] =
+  private def protectedCols(table: TableDef): Set[String] = {
+    // once specs have evolved, the source columns of EVERY spec stay
+    // protected — old data files still resolve partition values
+    // against their original spec's sources
+    val nameOfId = table.columns.zipWithIndex.map { case (c, i) =>
+      c.fieldId.getOrElse(i + 1) -> c.name
+    }.toMap
     table.partition.toSeq.flatMap(_.columns).toSet ++
+      table.partitionSpecs.flatMap(_._2).flatMap(f =>
+        nameOfId.get(f.sourceId)).toSet ++
       table.distributeByHash.toSet
+  }
 
   /** ADD COLUMN: assigns the next field id; the column must be
     * nullable (spec: rows in existing files null-fill). */
@@ -145,6 +154,105 @@ object IcebergEvolution {
       base.lastColumnId.get)
   }
 
+  // --------------------------------------- partition-spec evolution
+  //
+  // The v2 spec's second evolution axis: a table's partition layout
+  // can change WITHOUT rewriting data. Every spec the table ever had
+  // stays listed in `partition-specs`; `default-spec-id` names the one
+  // new files are written under; old files keep their original spec
+  // and readers plan across specs (IcebergSnapshot groups every scan
+  // by the manifest's spec). Partition FIELD ids are monotonic
+  // (`last-partition-id`) and a re-added (source, transform) pair
+  // reuses its original field id, per the spec's field-id rules.
+  // Evolved spec ids start at 2: id 0 is the original spec, id 1 the
+  // reserved unpartitioned (global-delete) spec.
+
+  /** Materialize the implicit spec 0 into explicit evolution state —
+    * the step every spec op starts from. Idempotent. */
+  def withExplicitSpecs(table: TableDef): TableDef = {
+    val base = withExplicitIds(table)
+    if (base.partitionSpecs.nonEmpty) base
+    else {
+      val spec0 = IcebergMetadata.derivedSpec0(base)
+      base.copy(
+        partitionSpecs = Seq(0 -> spec0),
+        defaultSpecId = 0,
+        lastPartitionId = Some(
+          (999 +: spec0.map(_.fieldId)).max))
+    }
+  }
+
+  private def nextSpecId(table: TableDef): Int =
+    (IcebergSnapshot.UnpartitionedSpecId +: table.partitionSpecs.map(_._1)).max + 1
+
+  private def installSpec(table: TableDef,
+      fields: Seq[graft.model.IcebergPartitionField]): TableDef = {
+    val id = nextSpecId(table)
+    table.copy(
+      partitionSpecs = table.partitionSpecs :+ (id -> fields),
+      defaultSpecId = id,
+      lastPartitionId = Some(
+        (table.lastPartitionId.getOrElse(999) +: fields.map(_.fieldId)).max))
+  }
+
+  private def defaultSpecFields(table: TableDef): Seq[graft.model.IcebergPartitionField] =
+    IcebergMetadata.specFieldDefs(table, table.defaultSpecId)
+
+  /** ADD PARTITION FIELD: a new spec (metadata-only commit) appending
+    * `transform(sourceCol)`. Identity fields take the source column's
+    * name; bucket fields the conventional `<col>_bucket`. The field id
+    * is REUSED if any prior spec had the same (source, transform) —
+    * otherwise the next id is burned. */
+  def addPartitionField(table: TableDef, sourceCol: String,
+      transform: String = "identity"): TableDef = {
+    require(transform == "identity" || transform == "bucket[16]",
+      s"unsupported transform $transform (identity and bucket[16] are implemented)")
+    val base = withExplicitSpecs(table)
+    val src = base.columns.find(_.name == sourceCol).getOrElse(
+      throw new IllegalArgumentException(s"no column $sourceCol"))
+    val sourceId = src.fieldId.get
+    val cur = defaultSpecFields(base)
+    require(!cur.exists(f => f.sourceId == sourceId && f.transform == transform),
+      s"the default spec already partitions by $transform($sourceCol)")
+    val name =
+      if (transform.startsWith("bucket")) s"${sourceCol}_bucket" else sourceCol
+    require(!cur.exists(_.name == name),
+      s"partition field name $name already in use in the default spec")
+    // field-id stability: same (source, transform) in ANY prior spec
+    // resurfaces under its original id
+    val recycled = base.partitionSpecs.flatMap(_._2)
+      .find(f => f.sourceId == sourceId && f.transform == transform)
+      .map(_.fieldId)
+    val fid = recycled.getOrElse(base.lastPartitionId.getOrElse(999) + 1)
+    installSpec(base, cur :+ graft.model.IcebergPartitionField(
+      name, transform, sourceId, fid))
+  }
+
+  /** DROP PARTITION FIELD (by field name): a new spec without it —
+    * in v2 the field is simply removed (no void-transform ghost).
+    * Dropping the last field leaves an empty (unpartitioned) default
+    * spec, which is legal. */
+  def dropPartitionField(table: TableDef, fieldName: String): TableDef = {
+    val base = withExplicitSpecs(table)
+    val cur = defaultSpecFields(base)
+    require(cur.exists(_.name == fieldName),
+      s"no partition field $fieldName in the default spec")
+    installSpec(base, cur.filterNot(_.name == fieldName))
+  }
+
+  /** RENAME PARTITION FIELD: a new spec with the field renamed, SAME
+    * field id and transform (renames never burn ids). Note an identity
+    * field renamed away from its source column stops being
+    * directory-encoded in new files (the column stays physical). */
+  def renamePartitionField(table: TableDef, from: String, to: String): TableDef = {
+    val base = withExplicitSpecs(table)
+    val cur = defaultSpecFields(base)
+    require(cur.exists(_.name == from), s"no partition field $from")
+    require(!cur.exists(_.name == to), s"partition field $to already exists")
+    installSpec(base, cur.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+  }
+
   /** Commit an evolution: write the next metadata version carrying the
     * evolved schema list over the UNCHANGED snapshot chain (schema
     * evolution is a metadata-only commit). Returns the table it was
@@ -152,7 +260,7 @@ object IcebergEvolution {
   def commitEvolution(table: TableDef, tablePath: String,
       conf: Configuration = new Configuration(),
       timestampMs: Long = 0L): TableDef = {
-    require(table.priorSchemas.nonEmpty,
+    require(table.priorSchemas.nonEmpty || table.partitionSpecs.nonEmpty,
       "commitEvolution expects a table that has been through an evolution op")
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)

@@ -84,21 +84,58 @@ object IcebergMetadata {
     * murmur3 transform — [[graft.functions.IcebergBucket]]). Bucket
     * fields take the conventional `<col>_bucket` name; partition
     * field-ids start at 1000 per the spec. */
-  def partitionSpecJson(table: TableDef): JObject = {
+  def partitionSpecJson(table: TableDef): JObject =
+    partitionSpecJsonOf(table, defaultSpecIdOf(table))
+
+  /** The spec id new DATA files are written under: 0 until the first
+    * partition-spec evolution, the recorded default thereafter. */
+  def defaultSpecIdOf(table: TableDef): Int =
+    if (table.partitionSpecs.isEmpty) 0 else table.defaultSpecId
+
+  /** The ORIGINAL (spec-0) field list derived from the DB2 partition
+    * clause: RANGE columns → identity, HASH → bucket[16] under the
+    * conventional `<col>_bucket` name; partition field ids start at
+    * 1000 per the spec. */
+  private[sources] def derivedSpec0(table: TableDef): Seq[graft.model.IcebergPartitionField] = {
     val colId = table.fieldIdOf
     val partCols = table.partition.toSeq.flatMap { p =>
       val transform = if (p.ptype == "HASH") "bucket[16]" else "identity"
       p.columns.filter(colId.contains).map(c => (c, transform))
     }
-    val fields = partCols.zipWithIndex.map { case ((name, transform), i) =>
-      JObject(
-        "name" -> JString(
-          if (transform.startsWith("bucket")) s"${name}_bucket" else name),
-        "transform" -> JString(transform),
-        "source-id" -> JInt(colId(name)),
-        "field-id" -> JInt(1000 + i))
+    partCols.zipWithIndex.map { case ((name, transform), i) =>
+      graft.model.IcebergPartitionField(
+        if (transform.startsWith("bucket")) s"${name}_bucket" else name,
+        transform, colId(name), 1000 + i)
     }
-    JObject("spec-id" -> JInt(0), "fields" -> JArray(fields.toList))
+  }
+
+  /** The explicit field list of partition spec `specId` — the single
+    * canonical lookup every writer and reader shares. Never-evolved
+    * tables derive spec 0 on the fly; evolved tables look the id up in
+    * the recorded spec history. Spec 1 is always the reserved
+    * unpartitioned (global-delete) spec. */
+  def specFieldDefs(table: TableDef, specId: Int): Seq[graft.model.IcebergPartitionField] =
+    if (specId == 1) Nil // IcebergSnapshot.UnpartitionedSpecId
+    else if (table.partitionSpecs.nonEmpty)
+      table.partitionSpecs.find(_._1 == specId).map(_._2).getOrElse(
+        throw new IllegalArgumentException(
+          s"unknown partition spec $specId for ${table.fullName}"))
+    else {
+      require(specId == 0,
+        s"unknown partition spec $specId for ${table.fullName}")
+      derivedSpec0(table)
+    }
+
+  /** One spec rendered to the v2 spec's JSON form. */
+  def partitionSpecJsonOf(table: TableDef, specId: Int): JObject = {
+    val fields = specFieldDefs(table, specId).map { f =>
+      JObject(
+        "name" -> JString(f.name),
+        "transform" -> JString(f.transform),
+        "source-id" -> JInt(f.sourceId),
+        "field-id" -> JInt(f.fieldId))
+    }
+    JObject("spec-id" -> JInt(specId), "fields" -> JArray(fields.toList))
   }
 
   /** Sort order: `DISTRIBUTE BY HASH` renders as `CLUSTER BY` in the
@@ -219,14 +256,20 @@ object IcebergMetadata {
         table.priorSchemas.toList.map { case (id, cols) =>
           schemaJsonOf(id, cols)
         } :+ schemaJson(table)),
-      "default-spec-id" -> JInt(0),
+      "default-spec-id" -> JInt(defaultSpecIdOf(table)),
       // spec-1 is the table's unpartitioned spec: what GLOBAL delete
       // files (cross-partition equality deletes) are written against,
       // per the spec's rule that a delete file's partition tuple must
-      // match its spec — global deletes ride an empty spec
-      "partition-specs" -> JArray(List(spec,
-        JObject("spec-id" -> JInt(1), "fields" -> JArray(Nil)))),
-      "last-partition-id" -> JInt(999 + nPartFields),
+      // match its spec — global deletes ride an empty spec. Once spec
+      // evolution has begun, EVERY spec the table ever had stays
+      // listed (old data files keep referencing their original spec).
+      "partition-specs" -> JArray(
+        (if (table.partitionSpecs.isEmpty) List(spec)
+         else table.partitionSpecs.toList.map(s =>
+           partitionSpecJsonOf(table, s._1))) :+
+          JObject("spec-id" -> JInt(1), "fields" -> JArray(Nil))),
+      "last-partition-id" -> JInt(
+        table.lastPartitionId.getOrElse(999 + nPartFields): Int),
       "default-sort-order-id" -> JInt((order \ "order-id").asInstanceOf[JInt].num),
       "sort-orders" -> JArray(List(order)),
       "properties" -> JObject("write.format.default" -> JString("parquet")),

@@ -75,7 +75,10 @@ object IcebergSnapshot {
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
       upperBounds: Map[Int, Array[Byte]] = Map.empty,
       content: Int = 0,
-      equalityIds: Seq[Int] = Nil)
+      equalityIds: Seq[Int] = Nil,
+      // partition spec the file's partition tuple is shaped by — only
+      // meaningful once specs have evolved (old files keep theirs)
+      specId: Int = 0)
 
   /** (partition FIELD name, iceberg source type, transform) triples
     * for the table's spec — the single source of truth shared by the
@@ -83,18 +86,43 @@ object IcebergSnapshot {
     * fields carry the conventional `<col>_bucket` name, matching both
     * [[IcebergMetadata.partitionSpecJson]] and the directory names
     * [[graft.api.SchemaTranslator.writeMigrated]] produces. */
-  def partitionFields(table: TableDef): Seq[(String, String, String)] = {
-    val types = table.columns.map { c =>
+  def partitionFields(table: TableDef): Seq[(String, String, String)] =
+    partitionFieldsOf(table, IcebergMetadata.defaultSpecIdOf(table))
+
+  /** [[partitionFields]] for an arbitrary spec id — the per-manifest
+    * lookup once partition specs have evolved (a manifest's partition
+    * record is shaped by ITS spec, not the default). Types resolve
+    * from the source column BY FIELD ID, so column renames of
+    * non-source columns and schema evolution don't disturb them. */
+  def partitionFieldsOf(table: TableDef,
+      specId: Int): Seq[(String, String, String)] = {
+    val typeOfId = table.columns.zipWithIndex.map { case (c, i) =>
       val m = TypeMapper.mapType(c.dataType, c.length, c.precision,
         c.scale, c.forBitData, c.ccsid)
-      c.name -> IcebergMetadata.icebergType(m.targetType)
+      c.fieldId.getOrElse(i + 1) -> IcebergMetadata.icebergType(m.targetType)
     }.toMap
-    table.partition.toSeq.flatMap { p =>
-      p.columns.filter(types.contains).map { c =>
-        if (p.ptype == "HASH") (s"${c}_bucket", types(c), "bucket[16]")
-        else (c, types(c), "identity")
-      }
-    }
+    IcebergMetadata.specFieldDefs(table, specId).map(f =>
+      (f.name, typeOfId.getOrElse(f.sourceId,
+        throw new IllegalStateException(
+          s"partition source id ${f.sourceId} not in current schema of ${table.fullName}")),
+        f.transform))
+  }
+
+  /** Identity-transform fields of a spec whose values are
+    * DIRECTORY-ENCODED (absent from file contents): exactly those
+    * whose field name equals the source column's current name — the
+    * writer partitions by them, so the parquet loses the column. An
+    * identity field whose name diverged from its source column (a
+    * spec-level rename) keeps the column physical in new files. */
+  private[sources] def dirEncodedIdentityCols(table: TableDef,
+      specId: Int): Set[String] = {
+    val nameOfId = table.columns.zipWithIndex.map { case (c, i) =>
+      c.fieldId.getOrElse(i + 1) -> c.name
+    }.toMap
+    IcebergMetadata.specFieldDefs(table, specId)
+      .filter(f => f.transform == "identity" &&
+        nameOfId.get(f.sourceId).contains(f.name))
+      .map(_.name).toSet
   }
 
   /** Avro type name for a partition value of the given iceberg type
@@ -155,20 +183,20 @@ object IcebergSnapshot {
   private def partitionRecordSchema(table: TableDef, specId: Int): JObject = {
     // spec-1 is the table's unpartitioned spec (global delete files are
     // written against it per the spec's global-equality-delete rule) —
-    // its partition record has no fields
-    val fields =
-      if (specId == UnpartitionedSpecId) Nil
-      else partitionFields(table).zipWithIndex.map {
-        case ((name, itype, transform), i) =>
-          JObject(
-            "name" -> JString(name),
-            // nullable: identity columns can hold null partition values
-            // (and a bucket of a null key lands in the null dir)
-            "type" -> JArray(List(JString("null"),
-              JString(avroPartitionType(itype, transform)))),
-            "default" -> JNull,
-            "field-id" -> JInt(1000 + i))
-      }
+    // its partition record has no fields. Field ids come from the SPEC
+    // (stable across evolution), not positional renumbering.
+    val defs = IcebergMetadata.specFieldDefs(table, specId)
+    val fields = partitionFieldsOf(table, specId).zip(defs).map {
+      case ((name, itype, transform), d) =>
+        JObject(
+          "name" -> JString(name),
+          // nullable: identity columns can hold null partition values
+          // (and a bucket of a null key lands in the null dir)
+          "type" -> JArray(List(JString("null"),
+            JString(avroPartitionType(itype, transform)))),
+          "default" -> JNull,
+          "field-id" -> JInt(d.fieldId))
+    }
     JObject("type" -> JString("record"), "name" -> JString("r102"),
       "fields" -> JArray(fields.toList))
   }
@@ -288,7 +316,8 @@ object IcebergSnapshot {
         }
         out += DataFileInfo(p.toString, st.getLen, nRows, values,
           valueCounts = stats._1, nullCounts = stats._2,
-          lowerBounds = stats._3, upperBounds = stats._4)
+          lowerBounds = stats._3, upperBounds = stats._4,
+          specId = IcebergMetadata.defaultSpecIdOf(table))
       }
     }
     out.toSeq.sortBy(_.path) // deterministic manifest order
@@ -383,15 +412,19 @@ object IcebergSnapshot {
       files.map(f => ManifestEntry(1, None, f)), metadataDir, snapshotId,
       conf, ordinal)
 
+  /** `specId = -1` (the default) resolves to the table's current
+    * default spec — un-evolved tables keep writing spec 0. */
   def writeManifestEntries(table: TableDef, entries0: Seq[ManifestEntry],
       metadataDir: Path, snapshotId: Long, conf: Configuration,
-      ordinal: Int = 0, specId: Int = 0): (Path, Long) = {
+      ordinal: Int = 0, specId: Int = -1): (Path, Long) = {
+    val sid =
+      if (specId < 0) IcebergMetadata.defaultSpecIdOf(table) else specId
     val fs = FileSystem.get(metadataDir.toUri, conf)
-    val schema = new Schema.Parser().parse(manifestSchemaJson(table, specId))
+    val schema = new Schema.Parser().parse(manifestSchemaJson(table, sid))
     val dfSchema = schema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
     val isDeletes = entries0.exists(_.file.content != 0)
-    val pf = if (specId == UnpartitionedSpecId) Nil else partitionFields(table)
+    val pf = partitionFieldsOf(table, sid)
     def kvArray(field: String, entries: Map[Int, Any]): java.util.List[GenericRecord] = {
       val itemSchema = dfSchema.getField(field).schema()
         .getTypes.get(1).getElementType // [null, array<record>]
@@ -448,13 +481,12 @@ object IcebergSnapshot {
       s"${UUID.nameUUIDFromBytes((table.fullName + s"-snap$snapshotId-m$ordinal")
         .getBytes(StandardCharsets.UTF_8))}-$snapshotId-m$ordinal.avro")
     val specFields = JsonMethods.compact(JsonMethods.render(
-      if (specId == UnpartitionedSpecId) JArray(Nil)
-      else IcebergMetadata.partitionSpecJson(table) \ "fields"))
+      IcebergMetadata.partitionSpecJsonOf(table, sid) \ "fields"))
     val len = writeAvro(fs, path, schema, Seq(
       "schema" -> JsonMethods.compact(JsonMethods.render(
         IcebergMetadata.schemaJson(table))),
       "partition-spec" -> specFields,
-      "partition-spec-id" -> specId.toString,
+      "partition-spec-id" -> sid.toString,
       "format-version" -> "2",
       "content" -> (if (isDeletes) "deletes" else "data")), records)
     (path, len)
@@ -525,7 +557,8 @@ object IcebergSnapshot {
     writeManifestListRows(table,
       Seq(ManifestListRow(manifest._1.toString, manifest._2,
         sequenceNumber, sequenceNumber,
-        nFiles.toInt, 0, 0, nRows, 0L, 0L)),
+        nFiles.toInt, 0, 0, nRows, 0L, 0L,
+        specId = IcebergMetadata.defaultSpecIdOf(table))),
       metadataDir, snapshotId, conf, sequenceNumber, parentSnapshotId,
       priorManifests)
 
@@ -679,10 +712,27 @@ object IcebergSnapshot {
   private[sources] def restoreIdentityColumns(
       spark: org.apache.spark.sql.SparkSession,
       base: org.apache.spark.sql.DataFrame, table: TableDef,
-      files: Seq[(String, Seq[Option[Any]])]): org.apache.spark.sql.DataFrame = {
+      files: Seq[(String, Seq[Option[Any]])]): org.apache.spark.sql.DataFrame =
+    restoreIdentityColumnsFor(spark, base, table, partitionFields(table),
+      dirEncodedIdentityCols(table, IcebergMetadata.defaultSpecIdOf(table)),
+      files, castToDeclared = false)
+
+  /** [[restoreIdentityColumns]] for an explicit spec's fields (the
+    * per-spec-group form evolved reads use): `pf` and `dirEncoded`
+    * describe the GROUP's spec, `files` its (path → values) rows, and
+    * `castToDeclared` casts restored columns to the table's declared
+    * Spark types so unions across spec groups type-align. */
+  private[sources] def restoreIdentityColumnsFor(
+      spark: org.apache.spark.sql.SparkSession,
+      base: org.apache.spark.sql.DataFrame, table: TableDef,
+      pf: Seq[(String, String, String)], dirEncoded: Set[String],
+      files: Seq[(String, Seq[Option[Any]])],
+      castToDeclared: Boolean): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.input_file_name
-    val pf = partitionFields(table)
+    val declared = graft.api.SchemaTranslator.toSparkSchema(table)
+      .fields.map(f => f.name -> f.dataType).toMap
     val identity = pf.filter(_._3 == "identity").map(_._1)
+      .filter(dirEncoded.contains)
       .filterNot(base.columns.contains)
     if (identity.isEmpty) return base
     def surface(itype: String, v: Any): String = itype match {
@@ -713,7 +763,8 @@ object IcebergSnapshot {
   private[sources] final case class DeleteFileRef(path: String, content: Int,
       equalityIds: Seq[Int], seq: Long,
       partitionValues: Seq[Option[Any]] = Nil,
-      sizeBytes: Long = 0L, recordCount: Long = 0L)
+      sizeBytes: Long = 0L, recordCount: Long = 0L,
+      specId: Int = 0)
 
   /** The live delete files listed by a manifest list (content-1
     * manifest rows, non-DELETED entries). */
@@ -745,7 +796,8 @@ object IcebergSnapshot {
             df.get("content").asInstanceOf[Int], ids, seq,
             partitionValues = partVals,
             sizeBytes = df.get("file_size_in_bytes").asInstanceOf[Long],
-            recordCount = df.get("record_count").asInstanceOf[Long])
+            recordCount = df.get("record_count").asInstanceOf[Long],
+            specId = m.get("partition_spec_id").asInstanceOf[Int])
         }
     }
 
@@ -779,14 +831,17 @@ object IcebergSnapshot {
     * directory-encoded and excluded (restored from manifests by the
     * snapshot reader). */
   private[sources] def scanDataFiles(spark: org.apache.spark.sql.SparkSession,
-      table: TableDef, paths: Seq[String]): org.apache.spark.sql.DataFrame =
+      table: TableDef, paths: Seq[String],
+      specId: Int = -1): org.apache.spark.sql.DataFrame = {
+    val sid = if (specId < 0) IcebergMetadata.defaultSpecIdOf(table) else specId
     if (table.priorSchemas.isEmpty) spark.read.parquet(paths: _*)
     else {
       import org.apache.spark.sql.functions.{col, lit}
       import scala.jdk.CollectionConverters._
       val hconf = spark.sparkContext.hadoopConfiguration
-      val identityCols = partitionFields(table)
-        .filter(_._3 == "identity").map(_._1).toSet
+      // the GROUP's spec decides which identity columns are directory-
+      // encoded (callers pass same-spec file groups after evolution)
+      val identityCols = dirEncodedIdentityCols(table, sid)
       val current = graft.api.SchemaTranslator.toSparkSchema(table)
         .fields.filterNot(f => identityCols.contains(f.name))
       val idOf = table.fieldIdOf
@@ -831,6 +886,7 @@ object IcebergSnapshot {
           }: _*)
       }.reduce(_.unionByName(_))
     }
+  }
 
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String,
       table: TableDef, snapshotId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
@@ -843,13 +899,13 @@ object IcebergSnapshot {
     val snap = snapshotId.fold(chain.lastOption)(id => chain.find(_.snapshotId == id))
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot ${snapshotId.getOrElse("<current>")} not found"))
-    val pf = partitionFields(table)
-    def scanFiles(paths: Seq[String]): org.apache.spark.sql.DataFrame =
-      scanDataFiles(spark, table, paths) // evolved-aware, see its doc
     val listRows = readManifestList(new Path(snap.manifestList), conf)
-    // data files with recorded partition values + data sequence number
+    // data files with (spec id, recorded partition values, data seq) —
+    // partition values are shaped by each MANIFEST's spec
     val files = listRows.filter(_.get("content").asInstanceOf[Int] == 0).flatMap { m =>
       val listSeq = m.get("sequence_number").asInstanceOf[Long]
+      val mSpec = m.get("partition_spec_id").asInstanceOf[Int]
+      val pf = partitionFieldsOf(table, mSpec)
       readAvroRows(new Path(m.get("manifest_path").toString), conf)
         .filter(_.get("status") != 2) // DELETED entries are not live
         .map { e =>
@@ -859,29 +915,43 @@ object IcebergSnapshot {
             .asInstanceOf[org.apache.avro.generic.GenericRecord]
           val seq = Option(e.get("sequence_number"))
             .map(_.asInstanceOf[Long]).getOrElse(listSeq)
-          (df.get("file_path").toString,
+          (df.get("file_path").toString, mSpec,
             pf.map { case (name, _, _) => Option(part.get(name)) }, seq)
         }
     }
     require(files.nonEmpty, "snapshot lists no data files")
     val deletes = liveDeleteFiles(listRows, conf)
-    val fileVals = files.map(f => (f._1, f._2))
+    // one scan + identity restore per SPEC group: a column that is
+    // directory-encoded under one spec is physical under another, so
+    // mixed-spec files can never share a scan; restored columns cast
+    // to the declared type once specs have evolved, so the cross-spec
+    // union type-aligns (legacy single-spec reads keep the string
+    // surface Hive-style dir inference produces)
+    def scanRestored(sid: Int,
+        fs: Seq[(String, Int, Seq[Option[Any]], Long)],
+        withMeta: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      restoreIdentityColumnsFor(spark,
+        withMeta(scanDataFiles(spark, table, fs.map(_._1), sid)),
+        table, partitionFieldsOf(table, sid),
+        dirEncodedIdentityCols(table, sid),
+        fs.map(f => (f._1, f._3)),
+        castToDeclared = table.partitionSpecs.nonEmpty)
     if (deletes.isEmpty)
-      restoreIdentityColumns(spark,
-        scanFiles(files.map(_._1)), table, fileVals)
+      files.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (sid, fs) => scanRestored(sid, fs, identity) }
+        .reduce(_ unionByName _)
     else {
       val colOfId = table.fieldIdOf.map(_.swap)
       def norm(c: org.apache.spark.sql.Column) =
         regexp_replace(c, "^[a-zA-Z0-9+.-]+:/+", "/")
-      val groups = files.groupBy(_._3).toSeq.sortBy(_._1)
-      groups.map { case (dataSeq, fs) =>
+      val groups = files.groupBy(f => (f._4, f._2)).toSeq.sortBy(_._1)
+      groups.map { case ((dataSeq, sid), fs) =>
         // identity restore rides input_file_name, so it must happen
         // on the single-source scan BEFORE any join enters the plan
-        var df = restoreIdentityColumns(spark,
-          scanFiles(fs.map(_._1))
-            .withColumn("__graft_file", norm(col("_metadata.file_path")))
-            .withColumn("__graft_pos", col("_metadata.row_index")),
-          table, fileVals)
+        var df = scanRestored(sid, fs, base => base
+          .withColumn("__graft_file", norm(col("_metadata.file_path")))
+          .withColumn("__graft_pos", col("_metadata.row_index")))
         val pos = deletes.filter(d => d.content == 1 && d.seq >= dataSeq)
         if (pos.nonEmpty) {
           val del = spark.read.parquet(pos.map(_.path): _*)
@@ -957,9 +1027,12 @@ object IcebergSnapshot {
     * files without re-reading footers. */
   private[sources] def liveFilesWithSeq(manifestListRows: Seq[GenericRecord],
       table: TableDef, conf: Configuration): Seq[(DataFileInfo, Long)] = {
-    val pf = partitionFields(table)
     manifestListRows.filter(_.get("content").asInstanceOf[Int] == 0).flatMap { m =>
       val listSeq = m.get("sequence_number").asInstanceOf[Long]
+      // partition values are shaped by the MANIFEST's spec (old files
+      // keep their original spec after spec evolution)
+      val manifestSpecId = m.get("partition_spec_id").asInstanceOf[Int]
+      val pf = partitionFieldsOf(table, manifestSpecId)
       readAvroRows(new Path(m.get("manifest_path").toString), conf)
         .filter(_.get("status") != 2)
         .map { e =>
@@ -989,7 +1062,8 @@ object IcebergSnapshot {
             valueCounts = kv("value_counts")(_.asInstanceOf[Long]),
             nullCounts = kv("null_value_counts")(_.asInstanceOf[Long]),
             lowerBounds = kv("lower_bounds")(bytesOf),
-            upperBounds = kv("upper_bounds")(bytesOf))
+            upperBounds = kv("upper_bounds")(bytesOf),
+            specId = manifestSpecId)
           val seq = Option(e.get("sequence_number"))
             .map(_.asInstanceOf[Long]).getOrElse(listSeq)
           (info, seq)
@@ -1035,8 +1109,12 @@ object IcebergSnapshot {
         "this compaction handles data manifests only")
     val live = liveFilesWithSeq(priorList, table, conf)
 
-    // bin-pack per partition tuple: size-descending first-fit
-    val bins = live.groupBy(_._1.partitionValues).toSeq.flatMap { case (_, fsOfPart) =>
+    // bin-pack per (spec, partition tuple): size-descending first-fit;
+    // bins never cross specs — a rewritten file keeps its original
+    // spec (the v2 old-files-retain-their-spec rule), and a manifest's
+    // partition record is shaped by exactly one spec
+    val bins = live.groupBy(f => (f._1.specId, f._1.partitionValues))
+      .toSeq.flatMap { case (_, fsOfPart) =>
       val sorted = fsOfPart.sortBy(f => (-f._1.sizeBytes, f._1.path))
       val acc = ArrayBuffer.empty[(ArrayBuffer[(DataFileInfo, Long)], Long)]
       for (f <- sorted) {
@@ -1060,8 +1138,10 @@ object IcebergSnapshot {
     val compacted = toMerge.zipWithIndex.map { case (bin, i) =>
       val dir = new Path(tablePath, s"data/compact-$newSeq-$i")
       // the shared evolved-aware scan: a mixed-schema bin read by
-      // inference would elect one file's schema and drop the rest
-      val one = scanDataFiles(spark, table, bin.map(_._1.path)).coalesce(1)
+      // inference would elect one file's schema and drop the rest;
+      // the bin's spec decides which identity columns are dir-encoded
+      val one = scanDataFiles(spark, table, bin.map(_._1.path),
+        bin.head._1.specId).coalesce(1)
       val ordered =
         if (sortCols.isEmpty) one
         else one.sortWithinPartitions(
@@ -1077,7 +1157,8 @@ object IcebergSnapshot {
       DataFileInfo(st.getPath.toString, st.getLen, nRows,
         bin.head._1.partitionValues,
         valueCounts = stats._1, nullCounts = stats._2,
-        lowerBounds = stats._3, upperBounds = stats._4)
+        lowerBounds = stats._3, upperBounds = stats._4,
+        specId = bin.head._1.specId)
     }
 
     val snapshotId = UUID.nameUUIDFromBytes(
@@ -1085,23 +1166,34 @@ object IcebergSnapshot {
       .getMostSignificantBits & Long.MaxValue
     val untouched = live.filterNot(f => merged.contains(f._1.path))
     val deleted = live.filter(f => merged.contains(f._1.path))
-    // one data manifest: ADDED (new seq, inherited) + EXISTING +
-    // DELETED (original seqs, explicit)
-    val entries =
-      compacted.map(f => ManifestEntry(1, None, f)) ++
-        untouched.map { case (f, seq) => ManifestEntry(0, Some(seq), f) } ++
-        deleted.map { case (f, seq) => ManifestEntry(2, Some(seq), f) }
-    val manifest = writeManifestEntries(table, entries, metadataDir, snapshotId,
-      conf, ordinal = priorList.size)
-    val minSeq = (newSeq +: (untouched ++ deleted).map(_._2)).min
-    val listPath = writeManifestListRows(table,
-      Seq(ManifestListRow(manifest._1.toString, manifest._2,
-        sequenceNumber = newSeq, minSequenceNumber = minSeq,
-        addedFiles = compacted.size, existingFiles = untouched.size,
-        deletedFiles = deleted.size,
-        addedRows = compacted.map(_.recordCount).sum,
-        existingRows = untouched.map(_._1.recordCount).sum,
-        deletedRows = deleted.map(_._1.recordCount).sum)),
+    // one data manifest PER SPEC: ADDED (new seq, inherited) +
+    // EXISTING + DELETED (original seqs, explicit). Un-evolved tables
+    // have a single spec group — one manifest, exactly as before.
+    val tagged: Seq[(Int, ManifestEntry)] =
+      compacted.map(f => f.specId -> ManifestEntry(1, None, f)) ++
+        untouched.map { case (f, seq) =>
+          f.specId -> ManifestEntry(0, Some(seq), f) } ++
+        deleted.map { case (f, seq) =>
+          f.specId -> ManifestEntry(2, Some(seq), f) }
+    val rows = tagged.groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((sid, tagEntries), i) =>
+        val entries = tagEntries.map(_._2)
+        val manifest = writeManifestEntries(table, entries, metadataDir,
+          snapshotId, conf, ordinal = priorList.size + i, specId = sid)
+        val added = entries.filter(_.status == 1).map(_.file)
+        val existing = entries.filter(_.status == 0).map(_.file)
+        val removed = entries.filter(_.status == 2).map(_.file)
+        ManifestListRow(manifest._1.toString, manifest._2,
+          sequenceNumber = newSeq,
+          minSequenceNumber = (newSeq +: entries.flatMap(_.sequenceNumber)).min,
+          addedFiles = added.size, existingFiles = existing.size,
+          deletedFiles = removed.size,
+          addedRows = added.map(_.recordCount).sum,
+          existingRows = existing.map(_.recordCount).sum,
+          deletedRows = removed.map(_.recordCount).sum,
+          specId = sid)
+    }
+    val listPath = writeManifestListRows(table, rows,
       metadataDir, snapshotId, conf, newSeq, Some(current.snapshotId))
     val snap = IcebergMetadata.SnapshotMeta(
       snapshotId = snapshotId,

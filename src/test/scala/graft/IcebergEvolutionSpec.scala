@@ -137,6 +137,149 @@ class IcebergEvolutionSpec extends AnyFunSuite {
     }
   }
 
+  test("partition-spec evolution: add/drop/rename/re-add are metadata-only " +
+      "commits; old files keep their spec and reads plan across specs; " +
+      "field ids recycle; compaction migrates to the default spec") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IcebergDeletes
+    val t0 = Db2Parser.parse(
+      """CREATE TABLE S.SPE (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10),
+        |  N INTEGER
+        |) PARTITION BY RANGE (V);""".stripMargin).tables.head
+    val out = java.nio.file.Files.createTempDirectory("iceberg_spe").toString
+
+    // snapshot 1 under the original identity(V) spec 0
+    SchemaTranslator.migrateTable(
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("K", "V", "N"), t0, out)
+    IcebergV2Validation.validateV2(currentMeta(out), expectSnapshot = true)
+
+    def readAll(t: graft.model.TableDef): Set[(Long, String, Int)] =
+      IcebergSnapshot.readSnapshot(spark, out, t)
+        .select(col("K"), col("V"), col("N")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+
+    // ---- ADD bucket[16](K): spec 2 becomes the default ----
+    val t1 = IcebergEvolution.commitEvolution(
+      IcebergEvolution.addPartitionField(t0, "K", "bucket[16]"), out)
+    val m1 = currentMeta(out)
+    IcebergV2Validation.validateV2(m1, expectSnapshot = true)
+    assert(metaInt(m1, "default-spec-id") === 2)
+    assert(metaInt(m1, "last-partition-id") === 1001)
+    assert((m1 \ "partition-specs").asInstanceOf[JArray].arr.size === 3,
+      "spec 0, spec 2 and the reserved unpartitioned spec 1 all stay listed")
+    // appends land under spec 2 (V and K_bucket both dir-encoded);
+    // spec-0 files read alongside them
+    SchemaTranslator.appendIncrement(
+      Seq((3L, "a", 30), (4L, "c", 40)).toDF("K", "V", "N"), t1, out)
+    IcebergV2Validation.validateV2(currentMeta(out), expectSnapshot = true)
+    assert(readAll(t1) === Set(
+      (1L, "a", 10), (2L, "b", 20), (3L, "a", 30), (4L, "c", 40)),
+      "identity values must restore across BOTH specs")
+
+    // time travel to snapshot 1 (pure spec-0 world) still reads
+    val chain1 = (currentMeta(out) \ "snapshots").asInstanceOf[JArray].arr
+      .map(s => (s \ "snapshot-id").asInstanceOf[JInt].num.toLong)
+    assert(IcebergSnapshot.readSnapshot(spark, out, t1, Some(chain1.head))
+      .select("K").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+
+    // ---- DROP the identity V field: spec 3 = bucket(K) only ----
+    val t2 = IcebergEvolution.commitEvolution(
+      IcebergEvolution.dropPartitionField(t1, "V"), out)
+    assert(metaInt(currentMeta(out), "default-spec-id") === 3)
+    // new files carry V PHYSICALLY (no longer dir-encoded)
+    SchemaTranslator.appendIncrement(
+      Seq((5L, "b", 50)).toDF("K", "V", "N"), t2, out)
+    IcebergV2Validation.validateV2(currentMeta(out), expectSnapshot = true)
+    assert(readAll(t2) === Set(
+      (1L, "a", 10), (2L, "b", 20), (3L, "a", 30), (4L, "c", 40),
+      (5L, "b", 50)), "V must read from dirs (specs 0/2) AND files (spec 3)")
+
+    // ---- RE-ADD identity V: the field id RECYCLES (spec rule) ----
+    val t3 = IcebergEvolution.commitEvolution(
+      IcebergEvolution.addPartitionField(t2, "V"), out)
+    val reAdded = graft.sources.IcebergMetadata
+      .specFieldDefs(t3, t3.defaultSpecId).find(_.name == "V").get
+    assert(reAdded.fieldId === 1000,
+      "re-added (source, transform) must resurface under its original id")
+    assert(metaInt(currentMeta(out), "last-partition-id") === 1001,
+      "recycling burns no new partition field id")
+    SchemaTranslator.appendIncrement(
+      Seq((6L, "c", 60)).toDF("K", "V", "N"), t3, out)
+    assert(readAll(t3).size === 6)
+
+    // ---- RENAME the identity field: dir name changes, column stays
+    // physical in new files, field id retained ----
+    val t4 = IcebergEvolution.commitEvolution(
+      IcebergEvolution.renamePartitionField(t3, "V", "V_PART"), out)
+    val renamed = graft.sources.IcebergMetadata
+      .specFieldDefs(t4, t4.defaultSpecId).find(_.name == "V_PART").get
+    assert(renamed.fieldId === 1000, "rename keeps the field id")
+    SchemaTranslator.appendIncrement(
+      Seq((7L, "d", 70)).toDF("K", "V", "N"), t4, out)
+    IcebergV2Validation.validateV2(currentMeta(out), expectSnapshot = true)
+    assert(readAll(t4) === Set(
+      (1L, "a", 10), (2L, "b", 20), (3L, "a", 30), (4L, "c", 40),
+      (5L, "b", 50), (6L, "c", 60), (7L, "d", 70)))
+
+    // ---- row-level deletes compose: position delete across specs ----
+    IcebergDeletes.commitPositionDeletes(spark, t4, out, col("K") === 4L)
+    assert(readAll(t4).map(_._1) === Set(1L, 2L, 3L, 5L, 6L, 7L))
+
+    // ---- compactWithDeletes migrates every live row to the default
+    // spec; reads and another append still work after ----
+    IcebergDeletes.compactWithDeletes(spark, t4, out)
+    IcebergV2Validation.validateV2(currentMeta(out), expectSnapshot = true)
+    assert(readAll(t4).map(_._1) === Set(1L, 2L, 3L, 5L, 6L, 7L))
+    val listPath = (((currentMeta(out) \ "snapshots").asInstanceOf[JArray]
+      .arr.last) \ "manifest-list").asInstanceOf[JString].s
+    val postList = {
+      val in = new org.apache.avro.mapred.FsInput(
+        new org.apache.hadoop.fs.Path(listPath),
+        spark.sparkContext.hadoopConfiguration)
+      val rd = org.apache.avro.file.DataFileReader.openReader(in,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.avro.generic.GenericRecord]
+        while (rd.hasNext) buf += rd.next()
+        buf.toSeq
+      } finally rd.close()
+    }
+    val addedSpecs = postList
+      .filter(_.get("content").asInstanceOf[Int] == 0)
+      .filter(_.get("added_files_count").asInstanceOf[Int] > 0)
+      .map(_.get("partition_spec_id").asInstanceOf[Int]).toSet
+    assert(addedSpecs === Set(t4.defaultSpecId),
+      "the rewrite must stamp every added file with the default spec")
+    SchemaTranslator.appendIncrement(
+      Seq((8L, "a", 80)).toDF("K", "V", "N"), t4, out)
+    assert(readAll(t4).map(_._1) === Set(1L, 2L, 3L, 5L, 6L, 7L, 8L))
+
+    // ---- refusals ----
+    intercept[IllegalArgumentException] {
+      IcebergEvolution.addPartitionField(t4, "NOPE")
+    }
+    intercept[IllegalArgumentException] { // already partitioned this way
+      IcebergEvolution.addPartitionField(t4, "K", "bucket[16]")
+    }
+    intercept[IllegalArgumentException] {
+      IcebergEvolution.dropPartitionField(t4, "GHOST")
+    }
+    intercept[IllegalArgumentException] {
+      IcebergEvolution.renamePartitionField(t4, "GHOST", "X")
+    }
+    intercept[IllegalArgumentException] { // unsupported transform
+      IcebergEvolution.addPartitionField(t4, "N", "truncate[4]")
+    }
+    intercept[IllegalArgumentException] { // spec source columns protected
+      IcebergEvolution.dropColumn(t4, "K")
+    }
+  }
+
   test("evolution composes with row-level deletes and compaction: files a " +
       "compaction rewrites keep resolving by id through later renames") {
     import spark.implicits._

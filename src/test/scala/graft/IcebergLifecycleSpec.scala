@@ -55,6 +55,13 @@ class IcebergLifecycleSpec extends AnyFunSuite {
   // expiry until dropped)
   private case class TagSnap(pick: Int) extends Op
   private case object DropTag extends Op
+  // partition-spec evolution interleaved with everything else:
+  // add bucket(K) to the default spec / drop its first field / rename
+  // its first field — each a metadata-only commit; old files keep
+  // their spec and the read path must plan across them
+  private case object SpecAddBucket extends Op
+  private case object SpecDropField extends Op
+  private case object SpecRenameField extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
     4 -> Gen.choose(1, 12).map(Append(_)),
@@ -69,7 +76,10 @@ class IcebergLifecycleSpec extends AnyFunSuite {
     1 -> Gen.const(RenameCol),
     1 -> Gen.const(DropCol),
     1 -> Gen.choose(0, 9).map(TagSnap(_)),
-    1 -> Gen.const(DropTag))
+    1 -> Gen.const(DropTag),
+    2 -> Gen.const(SpecAddBucket),
+    1 -> Gen.const(SpecDropField),
+    1 -> Gen.const(SpecRenameField))
 
   private val seqGen: Gen[List[Op]] =
     Gen.choose(4, 7).flatMap(n => Gen.listOfN(n, opGen))
@@ -289,6 +299,38 @@ class IcebergLifecycleSpec extends AnyFunSuite {
             model = model.map { case (k, (v, n, ex)) =>
               k -> ((v, n, ex - victim))
             }
+          }
+
+        case SpecAddBucket =>
+          // no-op when the default spec already buckets K (the op's
+          // own refusal guards the invariant)
+          val t = graft.sources.IcebergEvolution.withExplicitSpecs(table)
+          val kId = t.columns.find(_.name == "K").get.fieldId.get
+          val cur = graft.sources.IcebergMetadata
+            .specFieldDefs(t, t.defaultSpecId)
+          if (!cur.exists(f => f.sourceId == kId && f.transform == "bucket[16]"))
+            table = graft.sources.IcebergEvolution.commitEvolution(
+              graft.sources.IcebergEvolution.addPartitionField(
+                t, "K", "bucket[16]"), out)
+
+        case SpecDropField =>
+          val t = graft.sources.IcebergEvolution.withExplicitSpecs(table)
+          val cur = graft.sources.IcebergMetadata
+            .specFieldDefs(t, t.defaultSpecId)
+          if (cur.nonEmpty)
+            table = graft.sources.IcebergEvolution.commitEvolution(
+              graft.sources.IcebergEvolution.dropPartitionField(
+                t, cur.head.name), out)
+
+        case SpecRenameField =>
+          val t = graft.sources.IcebergEvolution.withExplicitSpecs(table)
+          val cur = graft.sources.IcebergMetadata
+            .specFieldDefs(t, t.defaultSpecId)
+          if (cur.nonEmpty) {
+            val to = s"PF$evoCounter"; evoCounter += 1
+            table = graft.sources.IcebergEvolution.commitEvolution(
+              graft.sources.IcebergEvolution.renamePartitionField(
+                t, cur.head.name, to), out)
           }
       }
       afterOp(label)
