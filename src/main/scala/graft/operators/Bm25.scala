@@ -57,11 +57,19 @@ object Bm25 {
     * dl)`, `stats` a single (n_docs, avgdl) row. */
   private def scoreProbe(tf: DataFrame, df: DataFrame, dl: DataFrame,
       stats: DataFrame, queries: DataFrame, idCol: String, k: Int,
-      k1: Double, b: Double, linearIdf: Boolean): DataFrame = {
+      k1: Double, b: Double, linearIdf: Boolean,
+      restrictTo: Option[DataFrame] = None): DataFrame = {
     val idf: Column =
       if (linearIdf) (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
       else log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-    val contrib = tf
+    // candidate restriction (e.g. the phrase-match doc set) applies
+    // BEFORE scoring and ranking: the TopK aggregator then only ever
+    // sees restricted candidates. Plain left-semi, not a forced
+    // broadcast — the restriction set is query-dependent and AQE
+    // picks the join side at runtime.
+    val tfr = restrictTo.fold(tf)(ds =>
+      tf.join(ds.select(col(idCol)).distinct(), Seq(idCol), "left_semi"))
+    val contrib = tfr
       .join(broadcast(queries), Seq("term")) // query side is tiny
       .join(broadcast(df), Seq("term"))
       .join(dl, Seq(idCol))
@@ -309,7 +317,8 @@ object Bm25 {
     * table and the probe-term bucket list (≤ one int per probe term). */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, k: Int, k1: Double = 1.2,
-      b: Double = 0.75, linearIdf: Boolean = false): DataFrame = {
+      b: Double = 0.75, linearIdf: Boolean = false,
+      restrictTo: Option[DataFrame] = None): DataFrame = {
     val n = currentVersion(spark, path)
     require(n >= 1, s"no committed index under $path")
     val stats = statsTable(spark, path, n)
@@ -327,7 +336,38 @@ object Bm25 {
     val dl = doclenTable(spark, path, n)
     scoreProbe(tf.select(col(idCol), col("term"), col("tf")), df, dl,
       stats.select(col("n_docs"), col("avgdl")), queries,
-      idCol, k, k1, b, linearIdf)
+      idCol, k, k1, b, linearIdf, restrictTo)
+  }
+
+  /** Ranked phrase retrieval — the query neither sibling index serves
+    * alone: "rank the documents containing this EXACT phrase by BM25
+    * over the phrase's terms". Composition of the two
+    * [[VersionedIndex]] layouts, fully corpus-free: the positional
+    * index ([[Search.phraseProbe]]) answers WHICH documents match
+    * (bucket-pruned positional join), the BM25 index scores those
+    * documents for the phrase's word terms (bucket-pruned tf/df
+    * probes), and the match set restricts the contribution table
+    * BEFORE the bounded TopK — the exchange stays O(phrases·k).
+    * Tokenizations remain each index's own contract: phrase adjacency
+    * on raw space-split tokens, scoring on lowercased `words()` terms
+    * (a raw token's lowercase IS its words() term — same split).
+    * Output: (phrase, rk, doc_id, score). */
+  def phraseRankedSearch(spark: org.apache.spark.sql.SparkSession,
+      bm25Path: String, phrasePath: String, phrases: Seq[String],
+      idCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      linearIdf: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(phrases.nonEmpty, "no phrases")
+    phrases.map { p =>
+      val toks = p.split(' ').filter(_.nonEmpty).toSeq
+      val docSet = Search.phraseProbe(spark, phrasePath, toks)
+        .select(col("doc_id").as(idCol)).distinct()
+      val probe = toks.map(_.toLowerCase).distinct.map(t => (1, t))
+        .toDF("q_id", "term")
+      searchIndex(spark, bm25Path, probe, idCol, k, k1, b, linearIdf,
+        restrictTo = Some(docSet))
+        .select(lit(p).as("phrase"), col("rk"), col(idCol), col("score"))
+    }.reduce(_ unionByName _)
   }
 
   /** Deterministic probe mining for the fixture query: the top

@@ -38,8 +38,11 @@ final case class MediaMeta(
   * expansion); JPEG decodes for real through the JDK's own baseline
   * codec (`javax.imageio`, part of java.desktop — [[decodeJpegPixels]];
   * dims still come from the hand-rolled [[jpegHeader]] SOF parse so
-  * the metadata path stays closed-form). Only audio compression
-  * (MP3/AAC — no JDK codec) remains behind [[decodeStub]], the
+  * the metadata path stays closed-form). MP3/AAC decode is formally
+  * OUT OF SCOPE (SURVEY §8 scope note: no JDK codec, no external
+  * deps allowed; WAV + FLAC + ADPCM close the audio family raw/
+  * lossless/lossy, and a deployment plugs a real decoder in as a
+  * leaf-function swap in [[decodeOne]]) — [[decodeStub]] is the
   * clearly-marked deterministic FAKE standing in for it (and q24's
   * oracle stays pinned to it).
   *
@@ -722,8 +725,8 @@ object Multimodal {
   /** REAL decode — BMP, PNG, JPEG, QOI, binary PPM/PGM, RIFF/WAV,
     * YUV4MPEG2 — parsed header-first with no external codec libraries
     * (pure JVM byte arithmetic for every header including JPEG's SOF
-    * and Y4M's parameter line; compressed audio — MP3/AAC — remains
-    * behind [[decodeStub]] and decodes to format "unknown" here). Same
+    * and Y4M's parameter line; MP3/AAC are out of scope per the
+    * SURVEY §8 scope note and decode to format "unknown" here). Same
     * mapPartitions shape as the stub: per-partition setup amortizes,
     * metadata extraction never copies the payload; full QOI pixel
     * decompression is [[decodeQoiPixels]]. */

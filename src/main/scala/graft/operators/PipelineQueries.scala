@@ -452,20 +452,53 @@ object PipelineQueries {
     * aggregate); this row is the bare probe's number. Carries q71's
     * oracle verbatim (shared occurrence core). */
   def q71IndexedProbe(s: SparkSession, dir: String): DataFrame = {
+    val (idx, phrases) = amortizedPhraseIndex(s, dir)
+    Search.phraseStatsProbe(s, idx, phrases).orderBy("phrase")
+  }
+
+  /** The amortized phrase-index build shared by q71_indexed_probe and
+    * q92: the [[Search.writeIndex]] layout plus the 5-phrase mining
+    * artifact saved beside it at build time (mining is a build-time
+    * corpus aggregate, like the index). Returns (index path, sorted
+    * phrase list); after first touch nothing here scans the corpus. */
+  private def amortizedPhraseIndex(s: SparkSession,
+      dir: String): (String, Seq[String]) = {
     import s.implicits._
-    val docs = t(s, dir, "documents")
     val (idx, built) = amortizedIndexPath(s, dir, "search_index",
       p => Search.indexExists(s, p))
-    if (!built) Search.writeIndex(docs, "doc_id", "text", idx, nBuckets = 16)
+    if (!built)
+      Search.writeIndex(t(s, dir, "documents"), "doc_id", "text", idx,
+        nBuckets = 16)
     val phrasesPath = s"$idx/phrases"
     val fs = new org.apache.hadoop.fs.Path(phrasesPath)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(phrasesPath)))
-      Search.topPhrases(docs, "doc_id", "text", 5).toDF("phrase")
+      Search.topPhrases(t(s, dir, "documents"), "doc_id", "text", 5)
+        .toDF("phrase")
         .coalesce(1).write.mode("overwrite").parquet(phrasesPath)
     val phrases = s.read.parquet(phrasesPath)
       .collect().map(_.getString(0)).sorted.toSeq
-    Search.phraseStatsProbe(s, idx, phrases).orderBy("phrase")
+    (idx, phrases)
+  }
+
+  /** Ranked phrase retrieval — the composition of the two sibling
+    * index layouts ([[Bm25.phraseRankedSearch]]): per mined phrase,
+    * the documents containing it EXACTLY (positional index), ranked
+    * by BM25 over the phrase's terms (BM25 index), top-10. Runs the
+    * `linearIdf` exact-rational variant so the whole composed ranker
+    * hash-checks against DuckDB (q79's float discipline); both
+    * indexes and the phrase list amortize per fixture generation, so
+    * repeat runs are corpus-free end to end. */
+  def q92PhraseRankedBm25(s: SparkSession, dir: String): DataFrame = {
+    val (sIdx, phrases) = amortizedPhraseIndex(s, dir)
+    val (bIdx, bBuilt) = amortizedIndexPath(s, dir, "bm25_index",
+      p => Bm25.indexExists(s, p))
+    if (!bBuilt)
+      Bm25.writeIndex(t(s, dir, "documents"), "doc_id", "text", bIdx,
+        nBuckets = 16)
+    Bm25.phraseRankedSearch(s, bIdx, sIdx, phrases, "doc_id", k = 10,
+      linearIdf = true)
+      .orderBy("phrase", "rk")
   }
 
   /** N-gram novelty ("contribution") scoring: per document, the
@@ -2389,6 +2422,46 @@ object PipelineQueries {
          |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rk
          |      FROM scored)
          |SELECT q_id, rk, doc_id, score FROM r WHERE rk <= 10 ORDER BY 1, 2""".stripMargin,
+    // ranked phrase retrieval: q71's raw-token trigram mining and
+    // phrase matching composed with q79's linear-idf BM25 scoring,
+    // restricted to the phrase-matching documents before ranking
+    "q92_phrase_ranked" ->
+      s"""WITH w0 AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS rw
+         |            FROM documents),
+         |tri AS (SELECT doc_id, array_to_string(list_slice(rw, i, i + 2), ' ') AS phrase
+         |        FROM (SELECT doc_id, rw, unnest(range(1, len(rw) - 3 + 2)) AS i
+         |              FROM w0 WHERE len(rw) >= 3)),
+         |top AS (SELECT phrase, count(*) AS n FROM tri GROUP BY 1
+         |        ORDER BY n DESC, phrase LIMIT 5),
+         |mtch AS (SELECT DISTINCT t.phrase, t.doc_id
+         |         FROM tri t SEMI JOIN top USING (phrase)),
+         |w AS (SELECT doc_id, list_filter($WordsSql, t -> len(t) > 0) AS w FROM documents),
+         |tok AS (SELECT doc_id, unnest(w) AS term FROM w),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |                 CAST(sum(len(w)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM w),
+         |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM w),
+         |q AS (SELECT DISTINCT phrase, lower(pt) AS term
+         |      FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS pt FROM top)),
+         |contrib AS (
+         |  SELECT q.phrase, tf.doc_id,
+         |    (((stats.n_docs - d.df + 0.5) / (d.df + 0.5)) * (CAST(tf.tf AS DOUBLE) * 2.2))
+         |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS c
+         |  FROM tf JOIN q ON tf.term = q.term
+         |  JOIN dfx d ON d.term = tf.term
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN stats),
+         |restricted AS (SELECT c.phrase, c.doc_id, c.c
+         |               FROM contrib c JOIN mtch m
+         |                 ON m.phrase = c.phrase AND m.doc_id = c.doc_id),
+         |scored AS (SELECT phrase, doc_id,
+         |             round(CAST(sum(CAST(c AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+         |           FROM restricted GROUP BY 1, 2),
+         |r AS (SELECT phrase, doc_id, score,
+         |        row_number() OVER (PARTITION BY phrase ORDER BY score DESC, doc_id) AS rk
+         |      FROM scored)
+         |SELECT phrase, rk, doc_id, score FROM r WHERE rk <= 10 ORDER BY 1, 2""".stripMargin,
     // q22's exact-cosine oracle with the positive-cut folded in
     "q80_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
@@ -2491,5 +2564,6 @@ object PipelineQueries {
     "q89_flac_audio" -> (q89FlacAudio _),
     "q90_weighted_sample" -> (q90WeightedSample _),
     "q91_group_split" -> (q91GroupSplit _),
+    "q92_phrase_ranked" -> (q92PhraseRankedBm25 _),
   )
 }

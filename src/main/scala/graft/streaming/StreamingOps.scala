@@ -209,17 +209,36 @@ object StreamingOps {
     * different-sized assets cannot silently drop a distinct one
     * (equal-length collisions remain the 2⁻⁶⁴-per-pair residual; a
     * pipeline needing cryptographic certainty swaps the checksum
-    * expression, not this shape). Without `watermarkCol`, dedup state
-    * grows with distinct content — the [[dedupStream]] trade-off;
-    * pass an event-time column (plus `watermark`) to bound state for
-    * unbounded asset streams. */
+    * expression, not this shape).
+    *
+    * Watermarked BY DEFAULT: unbounded dedup state requires an
+    * explicit opt-out. The default watermarkCol is a synthetic
+    * processing-time column (assigned at decode, dropped from the
+    * output), so dedup state for content unseen for `watermark` (1 h)
+    * is reclaimed — a duplicate re-arriving beyond that horizon
+    * re-ingests, the standard bounded-state trade-off. Pass a real
+    * event-time column to watermark on event time instead, or
+    * `watermarkCol = None` for exact all-history dedup (state then
+    * grows with distinct content — only for bounded backfills). */
   def mediaIngestStream(assets: Dataset[graft.operators.MediaAsset],
-      dim: Int, watermarkCol: Option[String] = None,
+      dim: Int, watermarkCol: Option[String] = Some(MediaIngestTsCol),
       watermark: String = "1 hour"): DataFrame = {
     val decoded = graft.operators.Multimodal.decodeWithFeatures(assets, dim)
       .filter(org.apache.spark.sql.functions.col("format") =!= "unknown")
-    dedupStream(decoded, Seq("checksum", "n_bytes"), watermarkCol, watermark)
+    val synthetic = watermarkCol.contains(MediaIngestTsCol) &&
+      !decoded.columns.contains(MediaIngestTsCol)
+    val withTs =
+      if (synthetic) decoded.withColumn(MediaIngestTsCol,
+        org.apache.spark.sql.functions.current_timestamp())
+      else decoded
+    val deduped =
+      dedupStream(withTs, Seq("checksum", "n_bytes"), watermarkCol, watermark)
+    if (synthetic) deduped.drop(MediaIngestTsCol) else deduped
   }
+
+  /** The synthetic processing-time column [[mediaIngestStream]]
+    * watermarks on by default (never surfaced in the output). */
+  val MediaIngestTsCol: String = "__graft_ingest_ts"
 
   /** Streaming BM25 index maintenance: a `foreachBatch` body that
     * folds each micro-batch of documents into a

@@ -1,0 +1,128 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe (not part of the driver contract): measures
+  * how the heaviest pipeline queries' wall time grows from sf0.1 to a
+  * generated 10× slice ("sf1"), so the 100 TB claims rest on a
+  * measured scaling exponent per query instead of a plan-shape
+  * argument alone.
+  *
+  * The sf1 slice upsamples the sf0.1 `documents`/`embeddings` fixtures
+  * 10×: ids re-keyed (`id*10 + copy`), text gets a copy-specific
+  * suffix token and embeddings a tiny deterministic per-copy
+  * perturbation — so the slice is near-dup-rich like real crawl data
+  * but not degenerate (10 exact copies of everything would collapse
+  * every dedup query to one cluster and measure nothing).
+  *
+  * Output: one JSON line (also written to BENCH_scale_rNN.json via
+  * SPARK_GRAFT_SCALE_OUT) with per-query seconds at both scales and
+  * the fitted exponent e = log10(t_sf1 / t_sf01); e ≈ 1 is linear,
+  * e ≈ 2 quadratic. Exact all-pairs anchors (q23) are EXPECTED
+  * quadratic — their at-scale substitutes are the LSH/IVF/SemDeDup
+  * paths — and are reported as such.
+  *
+  * Usage: `runMain graft.tools.ScaleBench` with SPARK_GRAFT_SF_DIR
+  * pointing at the sf0.1 fixture dir (default) and the slice cached
+  * under java.io.tmpdir keyed by the base dir.
+  */
+object ScaleBench {
+
+  /** The probe set: the verdict's "heaviest pipeline queries" list
+    * plus q16 as the linear scan control. */
+  private val ProbeQueries = Seq(
+    "q16_text_stats",
+    "q19_ngram_jaccard",
+    "q23_embed_neardup",
+    "q43_dup_clusters",
+    "q69_substring_dedup",
+    "q70_semantic_dedup",
+    "q72_novelty",
+    "q78_lr_quality",
+    "q79_bm25")
+
+  private def generateSf1(spark: SparkSession, baseDir: String,
+      outDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/_DONE"))) return
+    val copies = explode(sequence(lit(0), lit(9))).as("__c")
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    docs.select(col("*"), copies)
+      .select(
+        (col("doc_id") * 10 + col("__c")).as("doc_id"),
+        // the copy token keeps copies near-dup (realistic) not exact-dup
+        concat(col("text"), lit(" cpy"), col("__c")).as("text"),
+        col("lang"), col("source"),
+        (col("n_chars") + lit(5)).as("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    emb.select(col("*"), copies)
+      .select(
+        (col("vec_id") * 10 + col("__c")).as("vec_id"),
+        // deterministic tiny perturbation: distinct vectors per copy,
+        // neighborhood structure preserved
+        transform(col("embedding"),
+          (x, i) => x + (pmod(col("__c") * 31 + i, lit(7)) - lit(3))
+            .cast("float") * lit(0.001f)).as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_DONE"), true).close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sf1Dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_scale_sf1_" + Integer.toHexString(baseDir.hashCode)).getAbsolutePath
+    generateSf1(spark, baseDir, sf1Dir)
+
+    val queries = graft.SparkEntry.queries
+    def run(dir: String): Map[String, Double] = {
+      // warm-up scan absorbs codegen/JIT startup
+      spark.read.parquet(s"$dir/documents.parquet")
+        .write.format("noop").mode("overwrite").save()
+      val samples = (0 until reps).map { _ =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        ProbeQueries.map { name =>
+          val t0 = System.nanoTime()
+          queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+          name -> (System.nanoTime() - t0) / 1e9
+        }.toMap
+      }
+      ProbeQueries.map(n => n -> samples.map(_(n)).min).toMap
+    }
+
+    val t01 = run(baseDir)
+    val t1 = run(sf1Dir)
+    def jsonMap(m: Map[String, Double]): String =
+      ProbeQueries.map(n => "\"" + n + f"""\":${m(n)}%.3f""").mkString("{", ",", "}")
+    val exps = ProbeQueries.map { n =>
+      n -> math.log10(t1(n) / t01(n))
+    }.toMap
+    val json =
+      s"""{"metric":"scale_probe","base":"$baseDir","factor":10,""" +
+        s""""sf01_sec":${jsonMap(t01)},"sf1_sec":${jsonMap(t1)},""" +
+        s""""exponent":${jsonMap(exps)},"reps":$reps}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale_r08.json")),
+      json + "\n")
+    spark.stop()
+  }
+}

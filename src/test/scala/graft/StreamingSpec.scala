@@ -318,7 +318,8 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("media ingest stream: decode+featurize gate and cross-batch content " +
-      "dedup equal the batch pipeline") {
+      "dedup equal the batch pipeline — watermarked by default (synthetic " +
+      "processing-time column, never surfaced)") {
     import spark.implicits._
     import graft.operators.{MediaAsset, Multimodal}
     implicit val sqlCtx = spark.sqlContext
@@ -341,7 +342,16 @@ class StreamingSpec extends AnyFunSuite {
       // the cross-batch content dedup must drop it
       MediaAsset(9L, "image", Multimodal.encodeBmp(4, 3, rgb), "b"))
     val mem = MemoryStream[MediaAsset]
-    val q = StreamingOps.mediaIngestStream(mem.toDS(), dim = 16)
+    // DEFAULT call: the dedup state is watermarked on the synthetic
+    // processing-time column — unbounded state now requires an
+    // explicit watermarkCol = None opt-out
+    val stream = StreamingOps.mediaIngestStream(mem.toDS(), dim = 16)
+    assert(!stream.columns.contains(StreamingOps.MediaIngestTsCol),
+      "the synthetic watermark column must not surface in the output")
+    assert(stream.queryExecution.analyzed.toString
+      .contains("EventTimeWatermark"),
+      "the default plan must carry a watermark (bounded dedup state)")
+    val q = stream
       .writeStream.format("memory").queryName("media_ingest")
       .outputMode(OutputMode.Append()).start()
     mem.addData(assets.take(4): _*)
