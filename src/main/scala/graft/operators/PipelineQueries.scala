@@ -24,7 +24,11 @@ object PipelineQueries {
     * (sorted name/length/mtime triples — no data scan): keys the
     * amortized on-disk index paths below, so a regenerated fixture
     * (new mtimes) triggers a rebuild instead of probing a stale index,
-    * while repeated runs over the same files reuse it. */
+    * while repeated runs over the same files reuse it. Deliberate
+    * trade-off: mtimes are part of the key, so a byte-identical
+    * fixture COPIED to another host (fresh mtimes) rebuilds rather
+    * than reuses — fail-safe in the stale direction; fold a footer
+    * content hash in here if cross-host reuse ever matters. */
   private def fixtureFingerprint(s: SparkSession, dir: String,
       name: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
