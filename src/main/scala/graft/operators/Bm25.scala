@@ -63,13 +63,17 @@ object Bm25 {
       if (linearIdf) (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
       else log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     // candidate restriction (e.g. the phrase-match doc set) applies
-    // BEFORE scoring and ranking: the TopK aggregator then only ever
-    // sees restricted candidates. Plain left-semi, not a forced
+    // BEFORE ranking: the TopK aggregator then only ever sees
+    // restricted candidates. A restriction carrying a `q_id` column
+    // restricts PER QUERY (the multi-phrase batch: each phrase ranks
+    // only its own matching docs); either way the doc union
+    // pre-filters the tf side too. Plain left-semi, not a forced
     // broadcast — the restriction set is query-dependent and AQE
     // picks the join side at runtime.
+    val perQuery = restrictTo.exists(_.columns.contains("q_id"))
     val tfr = restrictTo.fold(tf)(ds =>
       tf.join(ds.select(col(idCol)).distinct(), Seq(idCol), "left_semi"))
-    val contrib = tfr
+    val contrib0 = tfr
       .join(broadcast(queries), Seq("term")) // query side is tiny
       .join(broadcast(df), Seq("term"))
       .join(dl, Seq(idCol))
@@ -79,6 +83,11 @@ object Bm25 {
           (col("tf").cast("double") +
             lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
           .as("c"))
+    val contrib =
+      if (!perQuery) contrib0
+      else contrib0.join(
+        restrictTo.get.select(col("q_id"), col(idCol)).distinct(),
+        Seq("q_id", idCol), "left_semi")
     val scored = contrib.groupBy(col("q_id"), col(idCol))
       .agg(round(sum(col("c").cast("decimal(28,12)")).cast("double"), 6)
         .as("score"))
@@ -358,16 +367,25 @@ object Bm25 {
       linearIdf: Boolean = false): DataFrame = {
     import spark.implicits._
     require(phrases.nonEmpty, "no phrases")
-    phrases.map { p =>
-      val toks = p.split(' ').filter(_.nonEmpty).toSeq
-      val docSet = Search.phraseProbe(spark, phrasePath, toks)
-        .select(col("doc_id").as(idCol)).distinct()
-      val probe = toks.map(_.toLowerCase).distinct.map(t => (1, t))
-        .toDF("q_id", "term")
-      searchIndex(spark, bm25Path, probe, idCol, k, k1, b, linearIdf,
-        restrictTo = Some(docSet))
-        .select(lit(p).as("phrase"), col("rk"), col(idCol), col("score"))
-    }.reduce(_ unionByName _)
+    val ordered = phrases.toIndexedSeq
+    // the WHOLE batch runs as one job per side: one shared-metadata
+    // pass over the positional index for every phrase's doc set, one
+    // BM25 probe for every phrase's terms with a per-(q_id, doc)
+    // restriction — per-phrase sequential jobs would pay the driver
+    // round-trips (stats/df/bucket lookups) once per phrase
+    val qid = ordered.zipWithIndex.map { case (p, i) => (p, i + 1) }
+      .toDF("phrase", "q_id")
+    val restrict = Search.phraseDocsProbe(spark, phrasePath, ordered)
+      .join(broadcast(qid), "phrase")
+      .select(col("q_id"), col("doc_id").as(idCol))
+    val probe = ordered.zipWithIndex.flatMap { case (p, i) =>
+      p.split(' ').filter(_.nonEmpty).map(_.toLowerCase).distinct
+        .map(t => (i + 1, t))
+    }.toDF("q_id", "term")
+    searchIndex(spark, bm25Path, probe, idCol, k, k1, b, linearIdf,
+      restrictTo = Some(restrict))
+      .join(broadcast(qid), "q_id")
+      .select(col("phrase"), col("rk"), col(idCol), col("score"))
   }
 
   /** Deterministic probe mining for the fixture query: the top

@@ -268,14 +268,12 @@ object Search {
       n: Int = 5): DataFrame =
     phraseStatsProbe(spark, path, topPhrases(docs, idCol, textCol, n))
 
-  /** The fully corpus-free probe face: per-phrase occurrence stats for
-    * a GIVEN phrase list over a [[writeIndex]] layout — nothing in the
-    * plan touches any corpus table (PlanSpec-pinned via
-    * q71_indexed_probe). The phrase list is the caller's (mined at
-    * build time, read from a config, etc.); driver materializations
-    * are bounded by it (≤ 3n bucket ids + length lookups). */
-  def phraseStatsProbe(spark: SparkSession, path: String,
-      top: Seq[String]): DataFrame = {
+  /** ONE metadata pass for a whole phrase batch — the shared head of
+    * every batched probe: version, pruned+persisted postings working
+    * set, posting-length map. Driver materializations are bounded by
+    * the batch's tokens (≤ 3n bucket ids + length lookups). */
+  private def batchProbeState(spark: SparkSession, path: String,
+      top: Seq[String]): (DataFrame, Map[String, Long]) = {
     import spark.implicits._
     val v = currentVersion(spark, path)
     require(v >= 1, s"no committed index under $path")
@@ -299,7 +297,32 @@ object Search {
       .filter(col("token").isin(toks: _*))
       .select(col("token"), col("doc_id"), col("pos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (post, plen)
+  }
+
+  /** The fully corpus-free probe face: per-phrase occurrence stats for
+    * a GIVEN phrase list over a [[writeIndex]] layout — nothing in the
+    * plan touches any corpus table (PlanSpec-pinned via
+    * q71_indexed_probe). The phrase list is the caller's (mined at
+    * build time, read from a config, etc.). */
+  def phraseStatsProbe(spark: SparkSession, path: String,
+      top: Seq[String]): DataFrame = {
+    val (post, plen) = batchProbeState(spark, path, top)
     top.map(p => phraseStats(phraseOccurrences(post, p.split(' ').toSeq, plen), p))
       .reduce(_ unionByName _)
+  }
+
+  /** The matching-DOCUMENT sets of a phrase batch, in one pass:
+    * (phrase, doc_id) distinct rows over a [[writeIndex]] layout,
+    * corpus-free with the shared pruned-postings working set — the
+    * retrieval half [[Bm25.phraseRankedSearch]] composes with BM25
+    * ranking. */
+  def phraseDocsProbe(spark: SparkSession, path: String,
+      top: Seq[String]): DataFrame = {
+    val (post, plen) = batchProbeState(spark, path, top)
+    top.map { p =>
+      phraseOccurrences(post, p.split(' ').toSeq, plen)
+        .select(lit(p).as("phrase"), col("doc_id")).distinct()
+    }.reduce(_ unionByName _)
   }
 }
