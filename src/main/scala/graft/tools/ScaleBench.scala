@@ -29,18 +29,28 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  /** The probe set: the verdict's "heaviest pipeline queries" list
-    * plus q16 as the linear scan control. */
+  /** The probe set: the verdict's "heaviest pipeline queries" list,
+    * q16 as the linear scan control, q20 as q23's at-scale substitute
+    * (MinHash+LSH should stay ~linear where exact all-pairs goes
+    * quadratic), and the four indexed/amortized probes (their indexes
+    * build on first touch of the slice's fingerprint, so the
+    * min-over-reps reflects the PROBE — the persist-once/probe-many
+    * claim, measured). */
   private val ProbeQueries = Seq(
     "q16_text_stats",
     "q19_ngram_jaccard",
+    "q20_minhash_lsh",
     "q23_embed_neardup",
     "q43_dup_clusters",
     "q69_substring_dedup",
     "q70_semantic_dedup",
     "q72_novelty",
     "q78_lr_quality",
-    "q79_bm25")
+    "q79_bm25",
+    "q60_indexed_probe",
+    "q71_indexed_probe",
+    "q79_indexed_probe",
+    "q92_phrase_ranked")
 
   private def generateSf1(spark: SparkSession, baseDir: String,
       outDir: String): Unit = {

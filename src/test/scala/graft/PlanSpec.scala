@@ -150,6 +150,16 @@ class PlanSpec extends AnyFunSuite {
       spark, sidx, Seq("the quick brown", "data model spark")))
     assert(!pplan.contains("documents.parquet"),
       "phrase probe must never touch the corpus:\n" + pplan.take(2000))
+    // the COMPOSED ranked-phrase query (q92) is corpus-free end to
+    // end: phrase docs from the positional index, BM25 ranking from
+    // the BM25 index, nothing else
+    val bidx = java.nio.file.Files.createTempDirectory("bm25idx_q92").toString
+    graft.operators.Bm25.writeIndex(docs, "doc_id", "text", bidx, nBuckets = 16)
+    val rplan = planString(graft.operators.Bm25.phraseRankedSearch(
+      spark, bidx, sidx, Seq("the quick brown", "data model spark"),
+      "doc_id", k = 5, linearIdf = true))
+    assert(!rplan.contains("documents.parquet"),
+      "ranked phrase retrieval must never touch the corpus:\n" + rplan.take(2000))
   }
 
   test("simhash is a pure scan projection: no shuffle, no explode") {
