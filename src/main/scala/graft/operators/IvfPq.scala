@@ -124,18 +124,40 @@ object IvfPq {
   def indexExists(spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean = vCurrent(spark, path) >= 1
 
+  /** Delta dirs of a table family that actually exist at version `n`
+    * — deltas are SPARSE: an append commits codes+vectors but no
+    * tombstones, a delete commits tombstones but no codes/vectors. */
+  private def existingDeltas(spark: org.apache.spark.sql.SparkSession,
+      path: String, family: String, n: Int): Seq[String] = {
+    val (fs, _) = VersionedIndex.fsOf(spark, path)
+    (1 to n).map(i => s"$path/$family/delta_v$i")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+  }
+
   /** The version-`n` codes: union of the per-commit delta scans. A cid
     * filter above the union pushes into every scan, so cell partition
     * pruning survives the delta split. */
   def codesTable(spark: org.apache.spark.sql.SparkSession, path: String,
       n: Int): DataFrame =
-    (1 to n).map(i => spark.read.parquet(s"$path/codes/delta_v$i"))
-      .reduce(_ unionByName _)
+    existingDeltas(spark, path, "codes", n)
+      .map(spark.read.parquet(_)).reduce(_ unionByName _)
 
   /** The version-`n` raw-vector table (re-rank point-fetch side). */
   def vectorsTable(spark: org.apache.spark.sql.SparkSession, path: String,
       n: Int): DataFrame =
-    spark.read.parquet((1 to n).map(i => s"$path/vectors/delta_v$i"): _*)
+    spark.read.parquet(existingDeltas(spark, path, "vectors", n): _*)
+
+  /** The version-`n` tombstone table (vec_id rows; empty DataFrame when
+    * no delete has ever committed). Deltas are sparse — only versions
+    * committed by [[deleteFromIndex]] have one. */
+  def tombstonesTable(spark: org.apache.spark.sql.SparkSession, path: String,
+      n: Int): DataFrame = {
+    val dirs = existingDeltas(spark, path, "tombstones", n)
+    if (dirs.isEmpty) {
+      import spark.implicits._
+      Seq.empty[Long].toDF("vec_id")
+    } else spark.read.parquet(dirs: _*)
+  }
 
   /** The version-`n` one-row stats table. */
   def statsTable(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -266,6 +288,49 @@ object IvfPq {
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
   }
 
+  /** Remove vectors from the index WITHOUT rewriting codes — the
+    * merge-on-read delete of the vector family (same shape as the
+    * Iceberg equality-delete story next door): `ids` (a `vec_id`
+    * column) land as a `tombstones/delta_v(n+1)` table, probes
+    * anti-join it before scoring, and the commit follows the shared
+    * hint-flips-LAST protocol. Contract: a tombstone is GLOBAL — a
+    * deleted vec_id must not be re-appended later (the anti-join
+    * would kill the new row too; an id-versioning layer is the
+    * caller's if it needs resurrection). Stats track the LIVE count:
+    * only ids actually present and not already tombstoned decrement
+    * n_vecs, so the rerank-everything degeneracy stays exact. */
+  def deleteFromIndex(ids: DataFrame, path: String): Unit =
+    deleteFromIndexInternal(ids, path, abortBeforeCommit = false)
+
+  /** [[deleteFromIndex]] with the test-only crash-injection point:
+    * returns after every data write but before the hint flip. */
+  private[graft] def deleteFromIndexInternal(ids: DataFrame, path: String,
+      abortBeforeCommit: Boolean): Unit = {
+    val spark = ids.sparkSession
+    val n = vCurrent(spark, path)
+    require(n >= 1, s"no committed index under $path")
+    val stats = statsTable(spark, path, n).head()
+    val (centroids, cb) = loadModel(spark, path, n)
+    val fresh = ids.select(col("vec_id")).distinct()
+      .join(vectorsTable(spark, path, n), Seq("vec_id"), "left_semi")
+      .join(tombstonesTable(spark, path, n), Seq("vec_id"), "left_anti")
+    // overwrite, not append: a retry clobbers a crashed attempt's delta
+    fresh.write.mode("overwrite")
+      .parquet(s"$path/tombstones/delta_v${n + 1}")
+    val nDeleted = spark.read
+      .parquet(s"$path/tombstones/delta_v${n + 1}").count()
+    modelDF(spark, centroids, cb)
+      .write.mode("overwrite").parquet(s"$path/model_v${n + 1}")
+    writeStats(spark, path, n + 1,
+      stats.getAs[Long]("n_vecs") - nDeleted,
+      stats.getAs[Int]("dim"), cb, stats.getAs[Int]("n_centroids"))
+    if (abortBeforeCommit) return
+    writeHint(spark, path, n + 1) // commit
+    val (fs, _) = VersionedIndex.fsOf(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/model_v$n"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
+  }
+
   /** Probe a materialized index corpus-free: the model loads
     * driver-side (bounded small), the probe cell ids collect
     * driver-side (≤ |queries|·nProbe ints — bounded by the
@@ -285,8 +350,14 @@ object IvfPq {
     val (centroids, cb) = loadModel(spark, path, n)
     val probeCids = Ivf.probes(queries, centroids, nProbe)
       .select("cid").distinct().collect().map(_.getInt(0)).toSeq
+    // merge-on-read deletes: tombstoned vectors never score (the
+    // anti-join's right side is the tombstone table — empty and free
+    // until the first delete commits)
+    val tomb = tombstonesTable(spark, path, n)
+      .select(col("vec_id").as("c_id"))
     val index = codesTable(spark, path, n)
       .filter(col("cid").isin(probeCids: _*))
+      .join(tomb, Seq("c_id"), "left_anti")
     searchIndex(index, queries, k, centroids, nProbe, cb, rerank,
       if (rerank > 0) vectorsTable(spark, path, n) else null)
   }

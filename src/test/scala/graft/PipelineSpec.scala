@@ -1990,5 +1990,26 @@ class PipelineSpec extends AnyFunSuite {
     val narrow2 = IvfPq.searchIndex(spark, idx, queries, k = 3, nProbe = 2,
       rerank = 10).collect()
     assert(narrow.map(_.toSeq).toSeq === narrow2.map(_.toSeq).toSeq)
+    // ---- merge-on-read DELETE: tombstones kill rows at probe time,
+    // codes are never rewritten; crash before the hint flip leaves the
+    // prior state ----
+    val dels = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
+    IvfPq.deleteFromIndexInternal(dels, idx, abortBeforeCommit = true)
+    assert(IvfPq.currentVersion(spark, idx) === 2,
+      "aborted delete must leave version 2 current")
+    assert(probe(idx, rerank = 500) === brute(emb),
+      "aborted delete leaked into the probe")
+    IvfPq.deleteFromIndex(dels, idx)
+    assert(IvfPq.currentVersion(spark, idx) === 3)
+    val survivors = emb.filter(col("vec_id") % 7 =!= 0)
+    assert(probe(idx, rerank = 500) === brute(survivors),
+      "degenerate-exact probe after delete must equal brute force over survivors")
+    assert(IvfPq.statsTable(spark, idx).head().getAs[Long]("n_vecs")
+      === 500L - dels.count())
+    // deleting already-tombstoned ids is a no-op on the live count
+    IvfPq.deleteFromIndex(dels, idx)
+    assert(IvfPq.statsTable(spark, idx).head().getAs[Long]("n_vecs")
+      === 500L - dels.count())
+    assert(probe(idx, rerank = 500) === brute(survivors))
   }
 }
