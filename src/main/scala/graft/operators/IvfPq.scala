@@ -124,35 +124,44 @@ object IvfPq {
   def indexExists(spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean = vCurrent(spark, path) >= 1
 
-  /** Delta dirs of a table family that actually exist at version `n`
-    * — deltas are SPARSE: an append commits codes+vectors but no
-    * tombstones, a delete commits tombstones but no codes/vectors. */
-  private def existingDeltas(spark: org.apache.spark.sql.SparkSession,
+  /** Resolve a table family's live dirs at version `n`: the highest
+    * `base_vB` with B ≤ n (a compaction's consolidated rewrite) plus
+    * every `delta_vI` with B < I ≤ n. Deltas are SPARSE (an append
+    * commits codes+vectors but no tombstones, a delete the reverse),
+    * and dirs ABOVE the resolved version — a crashed attempt's
+    * leftovers — or BELOW the base — superseded, awaiting the
+    * best-effort post-commit cleanup — are never read, which is what
+    * makes the hint-flips-LAST protocol safe for compaction too. */
+  private def familyDirs(spark: org.apache.spark.sql.SparkSession,
       path: String, family: String, n: Int): Seq[String] = {
     val (fs, _) = VersionedIndex.fsOf(spark, path)
-    (1 to n).map(i => s"$path/$family/delta_v$i")
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    def exists(d: String) = fs.exists(new org.apache.hadoop.fs.Path(d))
+    val base = (n to 1 by -1)
+      .map(i => i -> s"$path/$family/base_v$i").find(p => exists(p._2))
+    val from = base.map(_._1).getOrElse(0)
+    base.map(_._2).toSeq ++
+      ((from + 1) to n).map(i => s"$path/$family/delta_v$i").filter(exists)
   }
 
-  /** The version-`n` codes: union of the per-commit delta scans. A cid
-    * filter above the union pushes into every scan, so cell partition
-    * pruning survives the delta split. */
+  /** The version-`n` codes: the resolved base + delta scans unioned. A
+    * cid filter above the union pushes into every scan, so cell
+    * partition pruning survives the split. */
   def codesTable(spark: org.apache.spark.sql.SparkSession, path: String,
       n: Int): DataFrame =
-    existingDeltas(spark, path, "codes", n)
+    familyDirs(spark, path, "codes", n)
       .map(spark.read.parquet(_)).reduce(_ unionByName _)
 
   /** The version-`n` raw-vector table (re-rank point-fetch side). */
   def vectorsTable(spark: org.apache.spark.sql.SparkSession, path: String,
       n: Int): DataFrame =
-    spark.read.parquet(existingDeltas(spark, path, "vectors", n): _*)
+    spark.read.parquet(familyDirs(spark, path, "vectors", n): _*)
 
   /** The version-`n` tombstone table (vec_id rows; empty DataFrame when
-    * no delete has ever committed). Deltas are sparse — only versions
-    * committed by [[deleteFromIndex]] have one. */
+    * no delete is live — compaction folds tombstones in and clears
+    * them). */
   def tombstonesTable(spark: org.apache.spark.sql.SparkSession, path: String,
       n: Int): DataFrame = {
-    val dirs = existingDeltas(spark, path, "tombstones", n)
+    val dirs = familyDirs(spark, path, "tombstones", n)
     if (dirs.isEmpty) {
       import spark.implicits._
       Seq.empty[Long].toDF("vec_id")
@@ -327,6 +336,61 @@ object IvfPq {
     if (abortBeforeCommit) return
     writeHint(spark, path, n + 1) // commit
     val (fs, _) = VersionedIndex.fsOf(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/model_v$n"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
+  }
+
+  /** Consolidate the index: rewrite the codes and vectors as ONE base
+    * per family with every tombstoned row dropped and the delta chain
+    * collapsed — the maintenance op that keeps probe plans reading a
+    * handful of files after months of appends/deletes (the
+    * [[IcebergSnapshot.compactDataFiles]] of the vector family). The
+    * model is untouched (still frozen); stats carry over (the live
+    * count is already tombstone-adjusted). Commit protocol unchanged:
+    * base_v(n+1) dirs land first, the hint flips LAST (a crash before
+    * it leaves version n resolving exactly — bases above the hint are
+    * never read), and superseded delta/base/tombstone dirs are
+    * deleted best-effort AFTER the flip (a crash mid-cleanup leaves
+    * unreferenced dirs, never double-reads: resolution starts at the
+    * highest committed base). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    compactIndexInternal(spark, path, abortBeforeCommit = false)
+
+  private[graft] def compactIndexInternal(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      abortBeforeCommit: Boolean): Unit = {
+    import spark.implicits._
+    val n = vCurrent(spark, path)
+    require(n >= 1, s"no committed index under $path")
+    val stats = statsTable(spark, path, n).head()
+    val (centroids, cb) = loadModel(spark, path, n)
+    val tomb = tombstonesTable(spark, path, n)
+      .select(col("vec_id"))
+    codesTable(spark, path, n)
+      .join(tomb.select(col("vec_id").as("c_id")), Seq("c_id"), "left_anti")
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$path/codes/base_v${n + 1}")
+    vectorsTable(spark, path, n)
+      .join(tomb, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$path/vectors/base_v${n + 1}")
+    // tombstones are folded in: an EMPTY base resets the family so the
+    // old tombstone deltas stop resolving
+    Seq.empty[Long].toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$path/tombstones/base_v${n + 1}")
+    modelDF(spark, centroids, cb)
+      .write.mode("overwrite").parquet(s"$path/model_v${n + 1}")
+    writeStats(spark, path, n + 1, stats.getAs[Long]("n_vecs"),
+      stats.getAs[Int]("dim"), cb, stats.getAs[Int]("n_centroids"))
+    if (abortBeforeCommit) return
+    writeHint(spark, path, n + 1) // commit
+    // post-commit cleanup of everything the new bases supersede
+    val (fs, _) = VersionedIndex.fsOf(spark, path)
+    for (fam <- Seq("codes", "vectors", "tombstones"); i <- 1 to n) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$fam/delta_v$i"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$fam/base_v$i"), true)
+    }
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/model_v$n"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
   }

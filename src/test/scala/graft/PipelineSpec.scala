@@ -2011,5 +2011,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(IvfPq.statsTable(spark, idx).head().getAs[Long]("n_vecs")
       === 500L - dels.count())
     assert(probe(idx, rerank = 500) === brute(survivors))
+    // ---- COMPACTION: consolidate deltas+tombstones into one base per
+    // family — probes bit-identical, superseded dirs cleaned up, and
+    // the crash window still protects the prior version ----
+    IvfPq.compactIndexInternal(spark, idx, abortBeforeCommit = true)
+    assert(IvfPq.currentVersion(spark, idx) === 4,
+      "aborted compaction must leave version 4 current")
+    assert(probe(idx, rerank = 500) === brute(survivors),
+      "aborted compaction leaked into the probe (bases above the hint read)")
+    IvfPq.compactIndex(spark, idx)
+    assert(IvfPq.currentVersion(spark, idx) === 5)
+    assert(probe(idx, rerank = 500) === brute(survivors),
+      "compaction changed probe results")
+    assert(IvfPq.statsTable(spark, idx).head().getAs[Long]("n_vecs")
+      === 500L - dels.count())
+    assert(new java.io.File(s"$idx/codes/base_v5").exists())
+    assert(!new java.io.File(s"$idx/codes/delta_v1").exists(),
+      "superseded code deltas must be cleaned up post-commit")
+    assert(!new java.io.File(s"$idx/tombstones/delta_v3").exists(),
+      "folded-in tombstones must be cleaned up post-commit")
+    // the compacted index keeps evolving: a delete AFTER compaction
+    // rides a delta over the new base
+    val dels2 = emb.filter(col("vec_id") % 7 =!= 0 && col("vec_id") % 11 === 1)
+      .select("vec_id")
+    IvfPq.deleteFromIndex(dels2, idx)
+    val survivors2 = emb.filter(col("vec_id") % 7 =!= 0 &&
+      col("vec_id") % 11 =!= 1)
+    assert(probe(idx, rerank = 500) === brute(survivors2),
+      "post-compaction delete must apply over the consolidated base")
   }
 }
