@@ -162,19 +162,21 @@ object Bm25 {
   private def writeHint(spark: org.apache.spark.sql.SparkSession,
       path: String, n: Int): Unit = VersionedIndex.writeHint(spark, path, n)
 
-  /** The version-`n` postings: union of the per-commit delta scans.
-    * Bucket filters above the union push into every scan, so pruning
-    * survives the delta split. */
+  /** The version-`n` postings: union of the resolved base + delta
+    * scans ([[VersionedIndex.familyDirs]] — [[compactIndex]] collapses
+    * the chain into one base). Bucket filters above the union push
+    * into every scan, so pruning survives the split. */
   def postingsTable(spark: org.apache.spark.sql.SparkSession, path: String,
       n: Int): DataFrame =
-    (1 to n).map(i => spark.read.parquet(s"$path/postings/delta_v$i"))
-      .reduce(_ unionByName _)
+    VersionedIndex.familyDirs(spark, path, "postings", n)
+      .map(spark.read.parquet(_)).reduce(_ unionByName _)
 
   /** The version-`n` doc lengths (one multi-path scan — no partition
     * column to preserve). */
   def doclenTable(spark: org.apache.spark.sql.SparkSession, path: String,
       n: Int): DataFrame =
-    spark.read.parquet((1 to n).map(i => s"$path/doclen/delta_v$i"): _*)
+    spark.read.parquet(
+      VersionedIndex.familyDirs(spark, path, "doclen", n): _*)
 
   /** The version-`n` document-frequency table. */
   def dfTable(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -316,6 +318,48 @@ object Bm25 {
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/df_v$n"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
     } finally tf.unpersist(false)
+  }
+
+  /** Consolidate the index: rewrite postings and doc lengths as ONE
+    * base per family with the delta chain collapsed — the maintenance
+    * op that keeps probe plans reading a handful of files after months
+    * of streamed appends (the vector family's [[IvfPq.compactIndex]]
+    * sibling). df and stats are already per-version full tables and
+    * carry forward unchanged. Commit protocol unchanged: bases land
+    * first, the hint flips LAST, superseded dirs are deleted
+    * best-effort AFTER (resolution starts at the highest committed
+    * base, so a crash anywhere leaves either the old or the new state
+    * resolving exactly — never a double-read). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    compactIndexInternal(spark, path, abortBeforeCommit = false)
+
+  private[graft] def compactIndexInternal(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      abortBeforeCommit: Boolean): Unit = {
+    val n = currentVersion(spark, path)
+    require(n >= 1, s"no committed index under $path")
+    postingsTable(spark, path, n)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings/base_v${n + 1}")
+    doclenTable(spark, path, n)
+      .write.mode("overwrite").parquet(s"$path/doclen/base_v${n + 1}")
+    dfTable(spark, path, n)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/df_v${n + 1}")
+    statsTable(spark, path, n)
+      .write.mode("overwrite").parquet(s"$path/stats_v${n + 1}")
+    if (abortBeforeCommit) return
+    writeHint(spark, path, n + 1) // commit
+    val (fs, _) = fsOf(spark, path)
+    for (fam <- Seq("postings", "doclen"); i <- 1 to n) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$fam/delta_v$i"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$fam/base_v$i"), true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/df_v$n"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
   }
 
   /** Probe a [[writeIndex]] layout: same results (bit-identical — the

@@ -124,24 +124,13 @@ object IvfPq {
   def indexExists(spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean = vCurrent(spark, path) >= 1
 
-  /** Resolve a table family's live dirs at version `n`: the highest
-    * `base_vB` with B ≤ n (a compaction's consolidated rewrite) plus
-    * every `delta_vI` with B < I ≤ n. Deltas are SPARSE (an append
-    * commits codes+vectors but no tombstones, a delete the reverse),
-    * and dirs ABOVE the resolved version — a crashed attempt's
-    * leftovers — or BELOW the base — superseded, awaiting the
-    * best-effort post-commit cleanup — are never read, which is what
-    * makes the hint-flips-LAST protocol safe for compaction too. */
+  /** Resolved live dirs of a family at version `n` — base+delta
+    * semantics shared across index families; see
+    * [[VersionedIndex.familyDirs]]. Deltas here are SPARSE: an append
+    * commits codes+vectors but no tombstones, a delete the reverse. */
   private def familyDirs(spark: org.apache.spark.sql.SparkSession,
-      path: String, family: String, n: Int): Seq[String] = {
-    val (fs, _) = VersionedIndex.fsOf(spark, path)
-    def exists(d: String) = fs.exists(new org.apache.hadoop.fs.Path(d))
-    val base = (n to 1 by -1)
-      .map(i => i -> s"$path/$family/base_v$i").find(p => exists(p._2))
-    val from = base.map(_._1).getOrElse(0)
-    base.map(_._2).toSeq ++
-      ((from + 1) to n).map(i => s"$path/$family/delta_v$i").filter(exists)
-  }
+      path: String, family: String, n: Int): Seq[String] =
+    VersionedIndex.familyDirs(spark, path, family, n)
 
   /** The version-`n` codes: the resolved base + delta scans unioned. A
     * cid filter above the union pushes into every scan, so cell

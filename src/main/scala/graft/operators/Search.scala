@@ -67,12 +67,44 @@ object Search {
   def indexExists(spark: SparkSession, path: String): Boolean =
     currentVersion(spark, path) >= 1
 
-  /** The version-`n` postings: union of the per-commit delta scans.
-    * Bucket filters above the union push into every scan, so pruning
-    * survives the delta split. */
+  /** The version-`n` postings: union of the resolved base + delta
+    * scans ([[VersionedIndex.familyDirs]] — [[compactIndex]] collapses
+    * the chain into one base). Bucket filters above the union push
+    * into every scan, so pruning survives the split. */
   def postingsTable(spark: SparkSession, path: String, n: Int): DataFrame =
-    (1 to n).map(i => spark.read.parquet(s"$path/postings/delta_v$i"))
-      .reduce(_ unionByName _)
+    VersionedIndex.familyDirs(spark, path, "postings", n)
+      .map(spark.read.parquet(_)).reduce(_ unionByName _)
+
+  /** Consolidate the positional index: one postings base, delta chain
+    * collapsed — [[Bm25.compactIndex]]'s sibling, same commit
+    * protocol (bases first, hint LAST, best-effort cleanup after). */
+  def compactIndex(spark: SparkSession, path: String): Unit =
+    compactIndexInternal(spark, path, abortBeforeCommit = false)
+
+  private[graft] def compactIndexInternal(spark: SparkSession,
+      path: String, abortBeforeCommit: Boolean): Unit = {
+    val n = currentVersion(spark, path)
+    require(n >= 1, s"no committed index under $path")
+    postingsTable(spark, path, n)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings/base_v${n + 1}")
+    dfTable(spark, path, n)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/df_v${n + 1}")
+    statsTable(spark, path, n)
+      .write.mode("overwrite").parquet(s"$path/stats_v${n + 1}")
+    if (abortBeforeCommit) return
+    VersionedIndex.writeHint(spark, path, n + 1) // commit
+    val (fs, _) = VersionedIndex.fsOf(spark, path)
+    for (i <- 1 to n) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings/delta_v$i"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings/base_v$i"), true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/df_v$n"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
+  }
 
   /** The version-`n` per-token (df, n_occ) table. */
   def dfTable(spark: SparkSession, path: String, n: Int): DataFrame =

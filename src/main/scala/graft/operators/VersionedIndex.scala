@@ -53,4 +53,23 @@ private[operators] object VersionedIndex {
     val out = fs.create(new org.apache.hadoop.fs.Path(root, HintFile), true)
     try out.write(s"$n\n".getBytes("UTF-8")) finally out.close()
   }
+
+  /** Resolve a table family's live dirs at version `n`: the highest
+    * `base_vB` with B ≤ n (a compaction's consolidated rewrite) plus
+    * every `delta_vI` with B < I ≤ n. Deltas may be SPARSE, and dirs
+    * above the resolved version (a crashed attempt's leftovers) or
+    * below the base (superseded, awaiting best-effort cleanup) are
+    * never read — what makes the hint-flips-LAST protocol safe for
+    * compaction too. Shared by every index family (BM25, phrase,
+    * vector). */
+  def familyDirs(spark: SparkSession, path: String, family: String,
+      n: Int): Seq[String] = {
+    val (fs, _) = fsOf(spark, path)
+    def exists(d: String) = fs.exists(new org.apache.hadoop.fs.Path(d))
+    val base = (n to 1 by -1)
+      .map(i => i -> s"$path/$family/base_v$i").find(p => exists(p._2))
+    val from = base.map(_._1).getOrElse(0)
+    base.map(_._2).toSeq ++
+      ((from + 1) to n).map(i => s"$path/$family/delta_v$i").filter(exists)
+  }
 }

@@ -514,7 +514,20 @@ object IcebergDeletes {
           if (row.isNullAt(j)) c.isNull else c === org.apache.spark.sql.functions.lit(row.get(j))
         }
         val slice = cond.foldLeft(netP: DataFrame)(_ filter _)
-        val one = slice.drop(dirEncoded.toSeq: _*).coalesce(1)
+        // re-stamp EVERY written column with its declared field id
+        // (the writeMigrated discipline): a column RESTORED from
+        // manifests — e.g. the source of a renamed identity field,
+        // which stays physical under the new spec — carries no
+        // parquet.field.id metadata from the restore UDF, and a
+        // rewritten file missing the id would null-fill on the next
+        // id-resolved read (found by the randomized lifecycle harness:
+        // AddCol→SpecRenameField→Upsert→CompactWithDeletes)
+        val declared = graft.api.SchemaTranslator.toSparkSchema(table)
+        val kept = slice.drop(dirEncoded.toSeq: _*)
+        val one = kept.select(declared.fields
+          .filter(f => kept.columns.contains(f.name))
+          .map(f => col(f.name).cast(f.dataType).as(f.name, f.metadata)): _*)
+          .coalesce(1)
         val ordered =
           if (sortCols.isEmpty) one
           else one.sortWithinPartitions(sortCols.map(col): _*)

@@ -204,6 +204,30 @@ class Bm25Spec extends AnyFunSuite {
     val scratch = java.nio.file.Files.createTempDirectory("bm25idx_crash_full").toString
     Bm25.writeIndex(docsDf, "doc_id", "text", scratch, nBuckets = 8)
     assert(probe(idx) === probe(scratch))
+    // ---- compaction: the delta chain collapses into one base, probes
+    // stay bit-identical; crash before the flip leaves version 2 ----
+    val preCompact = probe(idx)
+    Bm25.compactIndexInternal(spark, idx, abortBeforeCommit = true)
+    assert(Bm25.currentVersion(spark, idx) === 2,
+      "aborted compaction must leave version 2 current")
+    assert(probe(idx) === preCompact,
+      "aborted compaction leaked into the probe")
+    Bm25.compactIndex(spark, idx)
+    assert(Bm25.currentVersion(spark, idx) === 3)
+    assert(probe(idx) === preCompact, "compaction changed probe results")
+    assert(new java.io.File(s"$idx/postings/base_v3").exists())
+    assert(!new java.io.File(s"$idx/postings/delta_v1").exists(),
+      "superseded postings deltas must be cleaned up post-commit")
+    // the compacted index keeps evolving: an append rides a delta
+    // over the new base and still equals a from-scratch rebuild
+    val extra = Seq((100L, "spark iceberg data pipelines"))
+    Bm25.appendToIndex(extra.toDF("doc_id", "text"), "doc_id", "text", idx)
+    val scratch2 = java.nio.file.Files
+      .createTempDirectory("bm25idx_postcompact").toString
+    Bm25.writeIndex(docsDf.unionByName(extra.toDF("doc_id", "text")),
+      "doc_id", "text", scratch2, nBuckets = 8)
+    assert(probe(idx) === probe(scratch2),
+      "post-compaction append diverged from rebuild")
   }
 
   test("minedQueries: deterministic grouping of top-df terms") {

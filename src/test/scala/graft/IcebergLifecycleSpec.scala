@@ -362,6 +362,15 @@ class IcebergLifecycleSpec extends AnyFunSuite {
     // predated the ADD silently dropped the new column's values.
     // Fixed by the shared evolved-aware scan (explicit id schema).
     runSequence(List(AddCol(66), Append(7), Expire(2), Compact), 9003)
+    // third find (round 8, by the spec-evolution-extended generator):
+    // an identity field RENAMED away from its source column keeps the
+    // column physical in new files, so the evolved rewrite WRITES the
+    // manifest-restored column back — without its parquet field id
+    // (the restore UDF carries no metadata), which made the next
+    // id-resolved read null-fill it. The rewrite now re-stamps every
+    // written column with its declared field id.
+    runSequence(List(AddCol(12), SpecRenameField, Upsert(4, 1),
+      CompactWithDeletes), 9004)
   }
 
   test("randomized lifecycle sequences uphold read==model, time travel, " +

@@ -1690,6 +1690,26 @@ class PipelineSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
       assert(appended === rebuilt, s"append diverged from rebuild for $phrase")
     }
+    // ---- compaction: delta chain collapses into one base, phrase
+    // probes stay identical; aborted compaction leaves version 2 ----
+    def probeQBF(p: String) = Search.phraseProbe(spark, p,
+      Seq("quick", "brown", "fox"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val preCompact = probeQBF(idx)
+    Search.compactIndexInternal(spark, idx, abortBeforeCommit = true)
+    assert(Search.currentVersion(spark, idx) === 2)
+    assert(probeQBF(idx) === preCompact,
+      "aborted compaction leaked into the probe")
+    Search.compactIndex(spark, idx)
+    assert(Search.currentVersion(spark, idx) === 3)
+    assert(probeQBF(idx) === preCompact, "compaction changed probe results")
+    assert(new java.io.File(s"$idx/postings/base_v3").exists())
+    assert(!new java.io.File(s"$idx/postings/delta_v1").exists())
+    // post-compaction appends ride deltas over the base
+    Search.appendToIndex(Seq((8L, "quick brown fox returns"))
+      .toDF("doc_id", "text"), "doc_id", "text", idx)
+    assert(probeQBF(idx) === (preCompact :+ ((8L, 1))).sorted,
+      "post-compaction append must surface in phrase probes")
     // merged df survives the append (docs 1, 2, 4, 6, 7 carry "the")
     val v2 = Search.currentVersion(spark, idx)
     val dfRow2 = Search.dfTable(spark, idx, v2)
