@@ -210,6 +210,18 @@ object IcebergEvolution {
     val base = withExplicitSpecs(table)
     val src = base.columns.find(_.name == sourceCol).getOrElse(
       throw new IllegalArgumentException(s"no column $sourceCol"))
+    if (transform.startsWith("bucket")) {
+      // the v2 spec's legal bucket sources (float/double/boolean/binary
+      // are invalid) — same set the migration writer enforces
+      val itype = icebergTypeOf(src)
+      val ok = itype match {
+        case "int" | "long" | "date" | "string" => true
+        case t if t.startsWith("decimal") || t.startsWith("timestamp") => true
+        case _ => false
+      }
+      require(ok, s"cannot bucket $sourceCol: $itype is not a legal " +
+        "bucket source (v2 spec)")
+    }
     val sourceId = src.fieldId.get
     val cur = defaultSpecFields(base)
     require(!cur.exists(f => f.sourceId == sourceId && f.transform == transform),

@@ -275,6 +275,12 @@ class IcebergEvolutionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { // unsupported transform
       IcebergEvolution.addPartitionField(t4, "N", "truncate[4]")
     }
+    intercept[IllegalArgumentException] { // illegal bucket source type
+      val tf = Db2Parser.parse(
+        """CREATE TABLE S.FLT (K BIGINT NOT NULL, F REAL);""")
+        .tables.head
+      IcebergEvolution.addPartitionField(tf, "F", "bucket[16]")
+    }
     intercept[IllegalArgumentException] { // spec source columns protected
       IcebergEvolution.dropColumn(t4, "K")
     }
