@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted CROSS-RUN dedup ledger — the operator that answers
+  * "dedup today's crawl against everything ever ingested" without
+  * rescanning history: a bucket-partitioned fingerprint set on the
+  * shared crash-safe [[VersionedIndex]] layout (same commit protocol
+  * as the BM25/phrase/vector indexes: version n is complete iff
+  * stats_vn exists, `version-hint.text` flips LAST; base+delta
+  * resolution via [[VersionedIndex.familyDirs]]).
+  *
+  * The ledger is fingerprint-AGNOSTIC: it stores whatever `fp` column
+  * the caller computes (md5 of normalized text, a MinHash band key, a
+  * media checksum — any deterministic identity). In-batch duplicates
+  * are the caller's concern ([[Dedup]] has every flavor); the ledger
+  * owns cross-run identity only.
+  *
+  * Layout under `path`:
+  *   fps/delta_vN (fp) partitioned by `bucket` = xxhash64(fp) mod
+  *     nBuckets — at 100 TB both sides of the dedup anti-join hash on
+  *     fp, so the ledger side is already laid out for the exchange,
+  *     and [[compactLedger]] keeps the file count flat over years of
+  *     daily appends;
+  *   stats_vN — one (n_fps, n_buckets) row (the completeness marker).
+  *
+  * Scale shape: [[dedupAgainst]] is ONE anti-join keyed on fp — the
+  * batch shuffles by fp once, the ledger side scans fp+bucket columns
+  * only (never documents). [[appendToLedger]] writes only the NEW
+  * fingerprints of a batch (one anti-join + one bucketed write) — the
+  * nightly cost is proportional to the day's novel content, never to
+  * history.
+  */
+object FingerprintLedger {
+
+  private def bucketOf(fp: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(fp), lit(nBuckets.toLong)).cast("int")
+
+  /** Current committed version (0 = not a ledger): stats is the
+    * completeness marker (fps deltas are sparse-resolved). */
+  def currentVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    VersionedIndex.currentVersion(spark, path, Seq("stats"))
+
+  def ledgerExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = currentVersion(spark, path) >= 1
+
+  /** The version-`n` fingerprint set (fp, bucket). */
+  def fpsTable(spark: org.apache.spark.sql.SparkSession, path: String,
+      n: Int): DataFrame =
+    VersionedIndex.familyDirs(spark, path, "fps", n)
+      .map(spark.read.parquet(_)).reduce(_ unionByName _)
+
+  def statsTable(spark: org.apache.spark.sql.SparkSession, path: String,
+      n: Int): DataFrame =
+    spark.read.parquet(s"$path/stats_v$n")
+
+  private def writeStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, n: Int, nFps: Long, nBuckets: Int): Unit = {
+    import spark.implicits._
+    Seq((nFps, nBuckets)).toDF("n_fps", "n_buckets")
+      .write.mode("overwrite").parquet(s"$path/stats_v$n")
+  }
+
+  /** Bootstrap the ledger from a batch's `fp` column (distinct fps,
+    * bucket-partitioned). Hint flips LAST. */
+  def writeLedger(fps: DataFrame, path: String, nBuckets: Int = 64): Unit = {
+    val spark = fps.sparkSession
+    val distinctFps = fps.select(col("fp")).distinct()
+      .withColumn("bucket", bucketOf(col("fp"), nBuckets))
+    distinctFps.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/fps/delta_v1")
+    val n = spark.read.parquet(s"$path/fps/delta_v1").count()
+    writeStats(spark, path, 1, n, nBuckets)
+    VersionedIndex.writeHint(spark, path, 1) // commit
+  }
+
+  /** Fold a batch's fingerprints in: only fps NOT already present
+    * land as the version-(n+1) delta (the ledger stays a SET), stats
+    * add up, hint flips LAST — the abort window leaves version n
+    * exactly (spec-pinned). */
+  def appendToLedger(fps: DataFrame, path: String): Unit =
+    appendToLedgerInternal(fps, path, abortBeforeCommit = false)
+
+  private[graft] def appendToLedgerInternal(fps: DataFrame, path: String,
+      abortBeforeCommit: Boolean): Unit = {
+    val spark = fps.sparkSession
+    val n = currentVersion(spark, path)
+    require(n >= 1, s"no committed ledger under $path")
+    val stats = statsTable(spark, path, n).head()
+    val nBuckets = stats.getAs[Int]("n_buckets")
+    // overwrite, not append: a retry clobbers a crashed attempt's delta
+    fps.select(col("fp")).distinct()
+      .join(fpsTable(spark, path, n).select(col("fp")), Seq("fp"), "left_anti")
+      .withColumn("bucket", bucketOf(col("fp"), nBuckets))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/fps/delta_v${n + 1}")
+    val added = spark.read.parquet(s"$path/fps/delta_v${n + 1}").count()
+    writeStats(spark, path, n + 1, stats.getAs[Long]("n_fps") + added, nBuckets)
+    if (abortBeforeCommit) return
+    VersionedIndex.writeHint(spark, path, n + 1) // commit
+    val (fs, _) = VersionedIndex.fsOf(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
+  }
+
+  /** The rows of `df` whose `fpCol` has NEVER been seen by the ledger
+    * — one anti-join keyed on the fingerprint; the ledger side scans
+    * fp+bucket only. In-batch duplicates both survive (in-batch dedup
+    * is [[Dedup]]'s job, run it first). */
+  def dedupAgainst(df: DataFrame, fpCol: String, path: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = currentVersion(spark, path)
+    require(n >= 1, s"no committed ledger under $path")
+    val seen = fpsTable(spark, path, n).select(col("fp"))
+    df.join(seen, df(fpCol) === seen("fp"), "left_anti")
+  }
+
+  /** Consolidate the delta chain into one base (the
+    * [[Bm25.compactIndex]] pattern — resolution starts at the highest
+    * committed base, so the crash windows stay safe). */
+  def compactLedger(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    compactLedgerInternal(spark, path, abortBeforeCommit = false)
+
+  private[graft] def compactLedgerInternal(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      abortBeforeCommit: Boolean): Unit = {
+    val n = currentVersion(spark, path)
+    require(n >= 1, s"no committed ledger under $path")
+    val stats = statsTable(spark, path, n).head()
+    fpsTable(spark, path, n)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/fps/base_v${n + 1}")
+    writeStats(spark, path, n + 1, stats.getAs[Long]("n_fps"),
+      stats.getAs[Int]("n_buckets"))
+    if (abortBeforeCommit) return
+    VersionedIndex.writeHint(spark, path, n + 1) // commit
+    val (fs, _) = VersionedIndex.fsOf(spark, path)
+    for (i <- 1 to n) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/fps/delta_v$i"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/fps/base_v$i"), true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
+  }
+}

@@ -243,6 +243,37 @@ object PipelineQueries {
       .orderBy("q_id", "rk")
   }
 
+  /** Cross-run dedup through the persisted fingerprint ledger
+    * ([[FingerprintLedger]]): "day 1" (even doc_ids) bootstraps the
+    * ledger once per fixture generation (amortized path, corpus-free
+    * probes thereafter); "day 2" (odd ids) anti-joins it — one
+    * fp-keyed exchange, history never rescanned. Fingerprints are
+    * md5(text) (q18's exact-dedup convention), so the whole
+    * two-day flow — per-lang day-2 counts, never-seen survivors and
+    * their id checksum — hash-checks against DuckDB. */
+  def q93LedgerDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (led, built) = amortizedIndexPath(s, dir, "fp_ledger",
+      p => FingerprintLedger.ledgerExists(s, p))
+    if (!built)
+      FingerprintLedger.writeLedger(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(md5(col("text")).as("fp")),
+        led, nBuckets = 16)
+    val day2 = docs.filter(col("doc_id") % 2 =!= 0)
+      .withColumn("fp", md5(col("text")))
+    val surv = FingerprintLedger.dedupAgainst(day2, "fp", led)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_new"),
+        sum(col("doc_id")).cast("bigint").as("sum_new_ids"))
+    day2.groupBy("lang").agg(count(lit(1)).as("n_day2"))
+      .join(surv, Seq("lang"), "left")
+      .select(col("lang"), col("n_day2"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("sum_new_ids"), lit(0L)).as("sum_new_ids"))
+      .orderBy("lang")
+  }
+
   /** Per-label embedding statistics: count and L2-norm rollups — the
     * quick corpus-health check before ANN indexing (degenerate or
     * unnormalized embedding batches show up as norm outliers). Norms
@@ -2466,6 +2497,18 @@ object PipelineQueries {
          |        row_number() OVER (PARTITION BY phrase ORDER BY score DESC, doc_id) AS rk
          |      FROM scored)
          |SELECT phrase, rk, doc_id, score FROM r WHERE rk <= 10 ORDER BY 1, 2""".stripMargin,
+    // cross-run ledger dedup: day-1 fingerprints (even ids) are the
+    // ledger, day-2 rows (odd ids) survive iff never seen
+    "q93_ledger_dedup" ->
+      """WITH d1 AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+        |d2 AS (SELECT doc_id, lang, md5(text) AS fp FROM documents WHERE doc_id % 2 <> 0),
+        |flagged AS (SELECT d2.*, CASE WHEN d1.fp IS NULL THEN 1 ELSE 0 END AS is_new
+        |            FROM d2 LEFT JOIN d1 ON d2.fp = d1.fp)
+        |SELECT lang,
+        |  count(*) AS n_day2,
+        |  CAST(sum(is_new) AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN is_new = 1 THEN doc_id ELSE 0 END) AS BIGINT) AS sum_new_ids
+        |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin,
     // q22's exact-cosine oracle with the positive-cut folded in
     "q80_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
@@ -2569,5 +2612,6 @@ object PipelineQueries {
     "q90_weighted_sample" -> (q90WeightedSample _),
     "q91_group_split" -> (q91GroupSplit _),
     "q92_phrase_ranked" -> (q92PhraseRankedBm25 _),
+    "q93_ledger_dedup" -> (q93LedgerDedup _),
   )
 }

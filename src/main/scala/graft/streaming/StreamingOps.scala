@@ -312,6 +312,39 @@ object StreamingOps {
     }
   }
 
+  /** Streaming CROSS-RUN dedup through the persisted fingerprint
+    * ledger ([[graft.operators.FingerprintLedger]]): a `foreachBatch`
+    * body that writes each micro-batch's never-seen-before rows
+    * (ledger anti-join on `fpCol`) to `outPath` and folds their
+    * fingerprints into the ledger — so a restarted or re-pointed
+    * stream never re-emits content any PREVIOUS run ingested, which
+    * the state-store dedup (bounded by its watermark, private to one
+    * query) cannot promise. Caller contract: rows within one batch
+    * are already fp-distinct (run in-batch dedup upstream). Same
+    * exactly-once caveat as every foreachBatch sink: a batch replayed
+    * after a crash between the output write and the ledger append
+    * would re-emit its rows — production pairs this with a batch-id
+    * ledger; the spec pins the happy path (streamed output ==
+    * batch-pipeline output). */
+  def ledgerDedupSink(fpCol: String, path: String, outPath: String,
+      nBuckets: Int = 64): (DataFrame, Long) => Unit = (batch, _) => {
+    if (!batch.isEmpty) {
+      import graft.operators.FingerprintLedger
+      val exists = FingerprintLedger.ledgerExists(batch.sparkSession, path)
+      val survivors =
+        (if (exists) FingerprintLedger.dedupAgainst(batch, fpCol, path)
+         else batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        survivors.write.mode("append").parquet(outPath)
+        val fps = survivors.select(
+          org.apache.spark.sql.functions.col(fpCol).as("fp"))
+        if (exists) FingerprintLedger.appendToLedger(fps, path)
+        else FingerprintLedger.writeLedger(fps, path, nBuckets)
+      } finally { survivors.unpersist(false); () }
+    }
+  }
+
   /** Convenience: run a streaming DataFrame to completion against a
     * memory sink and return the collected result table. Test/demo
     * helper — production sinks are parquet/kafka/iceberg via

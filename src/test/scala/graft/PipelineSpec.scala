@@ -1960,6 +1960,54 @@ class PipelineSpec extends AnyFunSuite {
         s"hostile claimed total=$total must be rejected without allocation")
   }
 
+  test("FingerprintLedger: cross-run dedup against persisted fingerprints — " +
+      "appends fold only novel fps, crash windows protect the prior state, " +
+      "compaction is behavior-invisible") {
+    import spark.implicits._
+    import graft.operators.FingerprintLedger
+    def withFp(rows: Seq[(Long, String)]) =
+      rows.toDF("id", "text").withColumn("fp", md5(col("text")))
+    val led = java.nio.file.Files.createTempDirectory("fp_ledger").toString
+    val day1 = withFp(Seq((1L, "a a"), (2L, "b b"), (3L, "a a")))
+    FingerprintLedger.writeLedger(day1.select("fp"), led, nBuckets = 4)
+    assert(FingerprintLedger.currentVersion(spark, led) === 1)
+    assert(FingerprintLedger.statsTable(spark, led, 1).head()
+      .getAs[Long]("n_fps") === 2L, "the ledger is a SET")
+    assert(FingerprintLedger.dedupAgainst(day1, "fp", led).count() === 0,
+      "everything day 1 ingested is seen")
+    val day2 = withFp(Seq((4L, "b b"), (5L, "c c"), (6L, "d d")))
+    def survivors() = FingerprintLedger.dedupAgainst(day2, "fp", led)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(survivors() === Set(5L, 6L), "cross-run dup (b b) must drop")
+    // crash injection: delta+stats on disk, pointer not flipped
+    FingerprintLedger.appendToLedgerInternal(
+      day2.select("fp"), led, abortBeforeCommit = true)
+    assert(FingerprintLedger.currentVersion(spark, led) === 1)
+    assert(survivors() === Set(5L, 6L), "aborted append leaked")
+    FingerprintLedger.appendToLedger(day2.select("fp"), led)
+    assert(FingerprintLedger.currentVersion(spark, led) === 2)
+    assert(FingerprintLedger.statsTable(spark, led, 2).head()
+      .getAs[Long]("n_fps") === 4L, "only NOVEL fps fold in")
+    assert(survivors() === Set.empty[Long])
+    // compaction: one base, same answers, superseded dirs gone
+    FingerprintLedger.compactLedgerInternal(spark, led,
+      abortBeforeCommit = true)
+    assert(FingerprintLedger.currentVersion(spark, led) === 2)
+    FingerprintLedger.compactLedger(spark, led)
+    assert(FingerprintLedger.currentVersion(spark, led) === 3)
+    assert(new java.io.File(s"$led/fps/base_v3").exists())
+    assert(!new java.io.File(s"$led/fps/delta_v1").exists())
+    assert(survivors() === Set.empty[Long])
+    val day3 = withFp(Seq((7L, "c c"), (8L, "e e")))
+    assert(FingerprintLedger.dedupAgainst(day3, "fp", led)
+      .select("id").collect().map(_.getLong(0)).toSet === Set(8L),
+      "post-compaction probes still see the whole history")
+    FingerprintLedger.appendToLedger(day3.select("fp"), led)
+    assert(FingerprintLedger.statsTable(spark, led, 4).head()
+      .getAs[Long]("n_fps") === 5L,
+      "post-compaction appends ride deltas over the base")
+  }
+
   test("IvfPq materialized index: degenerate-exact probes equal brute force, " +
       "append folds under the frozen model, a crash before the hint flip " +
       "leaves the prior version probing bit-identically") {

@@ -481,6 +481,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === exact)
   }
 
+  test("ledgerDedupSink: a SECOND stream run re-emits nothing the first " +
+      "run ingested — the cross-run promise state-store dedup can't make") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val led = java.nio.file.Files.createTempDirectory("ledger_stream").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ledger_out").toString
+    def docsDf(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text").withColumn("fp", md5(col("text")))
+    // RUN 1: two micro-batches (bootstrap + append)
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = mem1.toDF().toDF("doc_id", "text")
+      .withColumn("fp", md5(col("text")))
+      .writeStream
+      .foreachBatch(StreamingOps.ledgerDedupSink("fp", led, outDir, nBuckets = 4))
+      .outputMode(OutputMode.Append()).start()
+    mem1.addData((1L, "alpha text"), (2L, "beta text"))
+    q1.processAllAvailable()
+    mem1.addData((3L, "gamma text"))
+    q1.processAllAvailable()
+    q1.stop()
+    // RUN 2: a fresh query (new checkpoint-less stream, empty state
+    // store) replays old content under new ids plus one novel doc
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = mem2.toDF().toDF("doc_id", "text")
+      .withColumn("fp", md5(col("text")))
+      .writeStream
+      .foreachBatch(StreamingOps.ledgerDedupSink("fp", led, outDir, nBuckets = 4))
+      .outputMode(OutputMode.Append()).start()
+    mem2.addData((9L, "alpha text"), (10L, "delta text"), (11L, "beta text"))
+    q2.processAllAvailable()
+    q2.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L, 10L),
+      "run-2 re-sends of run-1 content must not re-emit")
+    assert(out.select("fp").distinct().count() === out.count(),
+      "each fingerprint ingests exactly once across runs")
+  }
+
   test("scrubChunks equals dropRepeatedChunks' cleaned text on the same corpus") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
