@@ -162,6 +162,27 @@ class PlanSpec extends AnyFunSuite {
       "ranked phrase retrieval must never touch the corpus:\n" + rplan.take(2000))
   }
 
+  test("ledger dedup: the ledger side scans fingerprints only — document " +
+      "text never rides the cross-run anti-join") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val led = java.nio.file.Files.createTempDirectory("ledger_plan").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.operators.FingerprintLedger.writeLedger(
+      docs.filter(col("doc_id") % 2 === 0).select(md5(col("text")).as("fp")),
+      led, nBuckets = 8)
+    val day2 = docs.filter(col("doc_id") % 2 =!= 0)
+      .withColumn("fp", md5(col("text")))
+    val plan = planString(
+      graft.operators.FingerprintLedger.dedupAgainst(day2, "fp", led))
+    // the ledger-path scan projects fp (+ bucket partition col) only
+    val ledgerScans = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+      .filter(_ => true)
+    assert("fps/delta_v1".r.findAllIn(plan).nonEmpty ||
+      plan.contains("ledger_plan"), plan.take(2000))
+    assert(ledgerScans.exists(s => s.contains("fp") && !s.contains("text")),
+      "ledger scan must be fingerprint-only:\n" + plan.take(3000))
+  }
+
   test("simhash is a pure scan projection: no shuffle, no explode") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = planString(graft.operators.Dedup.simhash(docs, "doc_id", "text"))
