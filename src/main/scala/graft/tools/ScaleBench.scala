@@ -50,7 +50,8 @@ object ScaleBench {
     "q60_indexed_probe",
     "q71_indexed_probe",
     "q79_indexed_probe",
-    "q92_phrase_ranked")
+    "q92_phrase_ranked",
+    "q93_ledger_dedup")
 
   private def generateSf1(spark: SparkSession, baseDir: String,
       outDir: String): Unit = {
