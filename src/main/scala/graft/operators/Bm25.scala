@@ -210,8 +210,11 @@ object Bm25 {
     * build is the same one postings shuffle as a direct search, and
     * every later probe is corpus-free. */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int = 64): Unit = {
+      path: String, nBuckets: Int = 64,
+      txn: Option[IndexCommitTxn] = None): Unit = {
     val spark = docs.sparkSession
+    VersionedIndex.clearCrashedAttempt(spark, path, 1,
+      Seq("postings", "doclen"))
     // ONE tokenization pass: tf is the only corpus-derived table; doc
     // lengths fall out of it (dl = Σ tf per doc — every token counted
     // once) and stats fall out of doclen. Without the reuse, the four
@@ -245,9 +248,17 @@ object Bm25 {
           (sum(col("dl")) / count(lit(1)).cast("double")).as("avgdl"))
         .withColumn("n_buckets", lit(nBuckets))
         .write.mode("overwrite").parquet(s"$path/stats_v1")
+      VersionedIndex.writeTxn(spark, path, 1, txn)
       writeHint(spark, path, 1) // commit
     } finally tf.unpersist(false)
   }
+
+  /** The sink transaction the current version committed with (None if
+    * none) — the foreachBatch sinks' replay guard
+    * ([[VersionedIndex.committedTxn]]). */
+  def committedTxn(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[IndexCommitTxn] =
+    VersionedIndex.committedTxn(spark, path, currentVersion(spark, path))
 
   /** Incremental index maintenance: fold a batch of NEW documents into
     * an existing [[writeIndex]] layout without rebuilding — the
@@ -264,18 +275,21 @@ object Bm25 {
     * bit-identical to a from-scratch index over the union —
     * spec-pinned. */
   def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
-      path: String): Unit =
+      path: String, txn: Option[IndexCommitTxn] = None): Unit =
     appendToIndexInternal(docs, idCol, textCol, path,
-      abortBeforeCommit = false)
+      abortBeforeCommit = false, txn = txn)
 
   /** [[appendToIndex]] with a test-only crash injection point:
     * `abortBeforeCommit` returns after every data write but before the
     * hint flip — the on-disk state a real crash in that window leaves. */
   private[graft] def appendToIndexInternal(docs: DataFrame, idCol: String,
-      textCol: String, path: String, abortBeforeCommit: Boolean): Unit = {
+      textCol: String, path: String, abortBeforeCommit: Boolean,
+      txn: Option[IndexCommitTxn] = None): Unit = {
     val spark = docs.sparkSession
     val n = currentVersion(spark, path)
     require(n >= 1, s"no committed index under $path")
+    VersionedIndex.clearCrashedAttempt(spark, path, n + 1,
+      Seq("postings", "doclen"))
     val nBuckets = statsTable(spark, path, n)
       .select(col("n_buckets")).head().getInt(0)
     val tf = docs
@@ -310,6 +324,10 @@ object Bm25 {
           (sum(col("dl")) / count(lit(1)).cast("double")).as("avgdl"))
         .withColumn("n_buckets", lit(nBuckets))
         .write.mode("overwrite").parquet(s"$path/stats_v${n + 1}")
+      // sink commits record their batch id; manual appends CARRY the
+      // prior one forward so the replay guard survives interleaving
+      VersionedIndex.writeTxn(spark, path, n + 1,
+        txn.orElse(VersionedIndex.committedTxn(spark, path, n)))
       if (abortBeforeCommit) return
       writeHint(spark, path, n + 1) // commit
       // post-commit cleanup of the superseded version (best-effort; a
@@ -317,6 +335,7 @@ object Bm25 {
       val (fs, _) = fsOf(spark, path)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/df_v$n"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/batchid_v$n"), true)
     } finally tf.unpersist(false)
   }
 
@@ -339,6 +358,8 @@ object Bm25 {
       abortBeforeCommit: Boolean): Unit = {
     val n = currentVersion(spark, path)
     require(n >= 1, s"no committed index under $path")
+    VersionedIndex.clearCrashedAttempt(spark, path, n + 1,
+      Seq("postings", "doclen"))
     postingsTable(spark, path, n)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
@@ -351,6 +372,10 @@ object Bm25 {
       .parquet(s"$path/df_v${n + 1}")
     statsTable(spark, path, n)
       .write.mode("overwrite").parquet(s"$path/stats_v${n + 1}")
+    // carry the committed batch id forward: a compaction between
+    // stream batches must not reset the sinks' replay guard
+    VersionedIndex.writeTxn(spark, path, n + 1,
+      VersionedIndex.committedTxn(spark, path, n))
     if (abortBeforeCommit) return
     writeHint(spark, path, n + 1) // commit
     val (fs, _) = fsOf(spark, path)
@@ -360,6 +385,7 @@ object Bm25 {
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/df_v$n"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/batchid_v$n"), true)
   }
 
   /** Probe a [[writeIndex]] layout: same results (bit-identical — the

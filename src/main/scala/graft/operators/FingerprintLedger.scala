@@ -63,10 +63,19 @@ object FingerprintLedger {
       .write.mode("overwrite").parquet(s"$path/stats_v$n")
   }
 
+  /** The sink transaction the current version committed with (None if
+    * none) — the foreachBatch sinks' replay guard
+    * ([[VersionedIndex.committedTxn]]). */
+  def committedTxn(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[IndexCommitTxn] =
+    VersionedIndex.committedTxn(spark, path, currentVersion(spark, path))
+
   /** Bootstrap the ledger from a batch's `fp` column (distinct fps,
     * bucket-partitioned). Hint flips LAST. */
-  def writeLedger(fps: DataFrame, path: String, nBuckets: Int = 64): Unit = {
+  def writeLedger(fps: DataFrame, path: String, nBuckets: Int = 64,
+      txn: Option[IndexCommitTxn] = None): Unit = {
     val spark = fps.sparkSession
+    VersionedIndex.clearCrashedAttempt(spark, path, 1, Seq("fps"))
     val distinctFps = fps.select(col("fp")).distinct()
       .withColumn("bucket", bucketOf(col("fp"), nBuckets))
     distinctFps.repartition(col("bucket"))
@@ -74,21 +83,33 @@ object FingerprintLedger {
       .parquet(s"$path/fps/delta_v1")
     val n = spark.read.parquet(s"$path/fps/delta_v1").count()
     writeStats(spark, path, 1, n, nBuckets)
+    VersionedIndex.writeTxn(spark, path, 1, txn)
     VersionedIndex.writeHint(spark, path, 1) // commit
   }
 
   /** Fold a batch's fingerprints in: only fps NOT already present
     * land as the version-(n+1) delta (the ledger stays a SET), stats
     * add up, hint flips LAST — the abort window leaves version n
-    * exactly (spec-pinned). */
-  def appendToLedger(fps: DataFrame, path: String): Unit =
-    appendToLedgerInternal(fps, path, abortBeforeCommit = false)
+    * exactly (spec-pinned).
+    *
+    * Reader-window contract (single-writer, concurrent readers): an
+    * append keeps the JUST-superseded version n fully readable — its
+    * fps deltas are untouched and its stats table survives one more
+    * commit cycle (only stats_v(n-1) is reclaimed here) — so a reader
+    * that resolved version n before the flip finishes its scan
+    * unharmed. Only [[compactLedger]] reclaims the delta chain itself;
+    * run it in a write-quiet window. */
+  def appendToLedger(fps: DataFrame, path: String,
+      txn: Option[IndexCommitTxn] = None): Unit =
+    appendToLedgerInternal(fps, path, abortBeforeCommit = false,
+      txn = txn)
 
   private[graft] def appendToLedgerInternal(fps: DataFrame, path: String,
-      abortBeforeCommit: Boolean): Unit = {
+      abortBeforeCommit: Boolean, txn: Option[IndexCommitTxn] = None): Unit = {
     val spark = fps.sparkSession
     val n = currentVersion(spark, path)
     require(n >= 1, s"no committed ledger under $path")
+    VersionedIndex.clearCrashedAttempt(spark, path, n + 1, Seq("fps"))
     val stats = statsTable(spark, path, n).head()
     val nBuckets = stats.getAs[Int]("n_buckets")
     // overwrite, not append: a retry clobbers a crashed attempt's delta
@@ -100,10 +121,19 @@ object FingerprintLedger {
       .parquet(s"$path/fps/delta_v${n + 1}")
     val added = spark.read.parquet(s"$path/fps/delta_v${n + 1}").count()
     writeStats(spark, path, n + 1, stats.getAs[Long]("n_fps") + added, nBuckets)
+    // sink commits record their batch id; manual appends CARRY the
+    // prior one forward so the replay guard survives interleaving
+    VersionedIndex.writeTxn(spark, path, n + 1,
+      txn.orElse(VersionedIndex.committedTxn(spark, path, n)))
     if (abortBeforeCommit) return
     VersionedIndex.writeHint(spark, path, n + 1) // commit
-    val (fs, _) = VersionedIndex.fsOf(spark, path)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
+    // reclaim TWO versions back only: version n stays readable for the
+    // concurrent-reader grace window (see scaladoc contract above)
+    if (n >= 2) {
+      val (fs, _) = VersionedIndex.fsOf(spark, path)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v${n - 1}"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/batchid_v${n - 1}"), true)
+    }
   }
 
   /** The rows of `df` whose `fpCol` has NEVER been seen by the ledger
@@ -120,7 +150,11 @@ object FingerprintLedger {
 
   /** Consolidate the delta chain into one base (the
     * [[Bm25.compactIndex]] pattern — resolution starts at the highest
-    * committed base, so the crash windows stay safe). */
+    * committed base, so the crash windows stay safe). This is the ONE
+    * op that reclaims dirs a concurrent reader could hold (the
+    * superseded deltas and every old stats table) — run it in a
+    * write-quiet window; appends never reclaim more than the
+    * two-versions-back stats (see [[appendToLedger]]). */
   def compactLedger(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit =
     compactLedgerInternal(spark, path, abortBeforeCommit = false)
@@ -130,6 +164,7 @@ object FingerprintLedger {
       abortBeforeCommit: Boolean): Unit = {
     val n = currentVersion(spark, path)
     require(n >= 1, s"no committed ledger under $path")
+    VersionedIndex.clearCrashedAttempt(spark, path, n + 1, Seq("fps"))
     val stats = statsTable(spark, path, n).head()
     fpsTable(spark, path, n)
       .repartition(col("bucket"))
@@ -137,13 +172,17 @@ object FingerprintLedger {
       .parquet(s"$path/fps/base_v${n + 1}")
     writeStats(spark, path, n + 1, stats.getAs[Long]("n_fps"),
       stats.getAs[Int]("n_buckets"))
+    // carry the committed batch id forward (sink replay guard)
+    VersionedIndex.writeTxn(spark, path, n + 1,
+      VersionedIndex.committedTxn(spark, path, n))
     if (abortBeforeCommit) return
     VersionedIndex.writeHint(spark, path, n + 1) // commit
     val (fs, _) = VersionedIndex.fsOf(spark, path)
     for (i <- 1 to n) {
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/fps/delta_v$i"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/fps/base_v$i"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$i"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/batchid_v$i"), true)
     }
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
   }
 }

@@ -237,16 +237,26 @@ object IvfPq {
     * index (and a retry's overwrites clobber the partial files). */
   def writeIndex(corpus: DataFrame, path: String, nCentroids: Int,
       centroidIters: Int, dim: Int, nSub: Int, codewords: Int,
-      pqIters: Int): Unit = {
+      pqIters: Int, txn: Option[IndexCommitTxn] = None): Unit = {
     val spark = corpus.sparkSession
+    VersionedIndex.clearCrashedAttempt(spark, path, 1,
+      Seq("codes", "vectors", "tombstones"))
     val centroids = Ivf.train(corpus, nCentroids, centroidIters)
     val cb = Pq.train(corpus, dim, nSub, codewords, pqIters)
     writeCodesAndVectors(corpus, path, 1, centroids, cb)
     modelDF(spark, centroids, cb)
       .write.mode("overwrite").parquet(s"$path/model_v1")
     writeStats(spark, path, 1, corpus.count(), dim, cb, nCentroids)
+    VersionedIndex.writeTxn(spark, path, 1, txn)
     writeHint(spark, path, 1) // commit
   }
+
+  /** The sink transaction the current version committed with (None if
+    * none) — the foreachBatch sinks' replay guard
+    * ([[VersionedIndex.committedTxn]]). */
+  def committedTxn(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[IndexCommitTxn] =
+    VersionedIndex.committedTxn(spark, path, vCurrent(spark, path))
 
   /** Fold new vectors into an existing index without retraining: the
     * frozen model assigns and encodes them (one scan over the BATCH,
@@ -254,18 +264,23 @@ object IvfPq {
     * deltas, stats update, the hint flips LAST. See the centroid-drift
     * contract in the layout note above. Caller contract: `vectors` are
     * new vec_ids (same as any append sink). */
-  def appendToIndex(vectors: DataFrame, path: String): Unit =
-    appendToIndexInternal(vectors, path, abortBeforeCommit = false)
+  def appendToIndex(vectors: DataFrame, path: String,
+      txn: Option[IndexCommitTxn] = None): Unit =
+    appendToIndexInternal(vectors, path, abortBeforeCommit = false,
+      txn = txn)
 
   /** [[appendToIndex]] with the test-only crash-injection point used by
     * the abort-window spec: returns after every data write but before
     * the hint flip — the on-disk state a real crash in that window
     * leaves. */
   private[graft] def appendToIndexInternal(vectors: DataFrame,
-      path: String, abortBeforeCommit: Boolean): Unit = {
+      path: String, abortBeforeCommit: Boolean,
+      txn: Option[IndexCommitTxn] = None): Unit = {
     val spark = vectors.sparkSession
     val n = vCurrent(spark, path)
     require(n >= 1, s"no committed index under $path")
+    VersionedIndex.clearCrashedAttempt(spark, path, n + 1,
+      Seq("codes", "vectors", "tombstones"))
     val stats = statsTable(spark, path, n).head()
     val (centroids, cb) = loadModel(spark, path, n)
     writeCodesAndVectors(vectors, path, n + 1, centroids, cb)
@@ -277,6 +292,10 @@ object IvfPq {
     writeStats(spark, path, n + 1,
       stats.getAs[Long]("n_vecs") + vectors.count(),
       stats.getAs[Int]("dim"), cb, stats.getAs[Int]("n_centroids"))
+    // sink commits record their batch id; manual appends CARRY the
+    // prior one forward so the replay guard survives interleaving
+    VersionedIndex.writeTxn(spark, path, n + 1,
+      txn.orElse(VersionedIndex.committedTxn(spark, path, n)))
     if (abortBeforeCommit) return
     writeHint(spark, path, n + 1) // commit
     // post-commit cleanup of the superseded version (best-effort; a
@@ -284,6 +303,7 @@ object IvfPq {
     val (fs, _) = VersionedIndex.fsOf(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/model_v$n"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/batchid_v$n"), true)
   }
 
   /** Remove vectors from the index WITHOUT rewriting codes — the
@@ -307,6 +327,8 @@ object IvfPq {
     val spark = ids.sparkSession
     val n = vCurrent(spark, path)
     require(n >= 1, s"no committed index under $path")
+    VersionedIndex.clearCrashedAttempt(spark, path, n + 1,
+      Seq("codes", "vectors", "tombstones"))
     val stats = statsTable(spark, path, n).head()
     val (centroids, cb) = loadModel(spark, path, n)
     val fresh = ids.select(col("vec_id")).distinct()
@@ -322,11 +344,15 @@ object IvfPq {
     writeStats(spark, path, n + 1,
       stats.getAs[Long]("n_vecs") - nDeleted,
       stats.getAs[Int]("dim"), cb, stats.getAs[Int]("n_centroids"))
+    // carry the committed batch id forward (sinks' replay guard)
+    VersionedIndex.writeTxn(spark, path, n + 1,
+      VersionedIndex.committedTxn(spark, path, n))
     if (abortBeforeCommit) return
     writeHint(spark, path, n + 1) // commit
     val (fs, _) = VersionedIndex.fsOf(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/model_v$n"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/batchid_v$n"), true)
   }
 
   /** Consolidate the index: rewrite the codes and vectors as ONE base
@@ -352,6 +378,8 @@ object IvfPq {
     import spark.implicits._
     val n = vCurrent(spark, path)
     require(n >= 1, s"no committed index under $path")
+    VersionedIndex.clearCrashedAttempt(spark, path, n + 1,
+      Seq("codes", "vectors", "tombstones"))
     val stats = statsTable(spark, path, n).head()
     val (centroids, cb) = loadModel(spark, path, n)
     val tomb = tombstonesTable(spark, path, n)
@@ -372,6 +400,9 @@ object IvfPq {
       .write.mode("overwrite").parquet(s"$path/model_v${n + 1}")
     writeStats(spark, path, n + 1, stats.getAs[Long]("n_vecs"),
       stats.getAs[Int]("dim"), cb, stats.getAs[Int]("n_centroids"))
+    // carry the committed batch id forward (sinks' replay guard)
+    VersionedIndex.writeTxn(spark, path, n + 1,
+      VersionedIndex.committedTxn(spark, path, n))
     if (abortBeforeCommit) return
     writeHint(spark, path, n + 1) // commit
     // post-commit cleanup of everything the new bases supersede
@@ -382,6 +413,7 @@ object IvfPq {
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/model_v$n"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/batchid_v$n"), true)
   }
 
   /** Probe a materialized index corpus-free: the model loads

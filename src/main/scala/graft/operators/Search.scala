@@ -85,6 +85,7 @@ object Search {
       path: String, abortBeforeCommit: Boolean): Unit = {
     val n = currentVersion(spark, path)
     require(n >= 1, s"no committed index under $path")
+    VersionedIndex.clearCrashedAttempt(spark, path, n + 1, Seq("postings"))
     postingsTable(spark, path, n)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
@@ -95,6 +96,9 @@ object Search {
       .parquet(s"$path/df_v${n + 1}")
     statsTable(spark, path, n)
       .write.mode("overwrite").parquet(s"$path/stats_v${n + 1}")
+    // carry the committed batch id forward (sinks' replay guard)
+    VersionedIndex.writeTxn(spark, path, n + 1,
+      VersionedIndex.committedTxn(spark, path, n))
     if (abortBeforeCommit) return
     VersionedIndex.writeHint(spark, path, n + 1) // commit
     val (fs, _) = VersionedIndex.fsOf(spark, path)
@@ -104,7 +108,14 @@ object Search {
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/df_v$n"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/batchid_v$n"), true)
   }
+
+  /** The sink transaction the current version committed with (None if
+    * none) — the foreachBatch sinks' replay guard
+    * ([[VersionedIndex.committedTxn]]). */
+  def committedTxn(spark: SparkSession, path: String): Option[IndexCommitTxn] =
+    VersionedIndex.committedTxn(spark, path, currentVersion(spark, path))
 
   /** The version-`n` per-token (df, n_occ) table. */
   def dfTable(spark: SparkSession, path: String, n: Int): DataFrame =
@@ -133,8 +144,10 @@ object Search {
     * corpus-free, and [[appendToIndex]] folds new documents in
     * without re-tokenizing history. */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int = 64): Unit = {
+      path: String, nBuckets: Int = 64,
+      txn: Option[IndexCommitTxn] = None): Unit = {
     val spark = docs.sparkSession
+    VersionedIndex.clearCrashedAttempt(spark, path, 1, Seq("postings"))
     val post = postings(docs, idCol, textCol)
       .withColumn("bucket", bucketOf(col("token"), nBuckets))
       .persist()
@@ -150,6 +163,7 @@ object Search {
       post.agg(count(lit(1)).as("n_tokens"))
         .withColumn("n_buckets", lit(nBuckets))
         .write.mode("overwrite").parquet(s"$path/stats_v1")
+      VersionedIndex.writeTxn(spark, path, 1, txn)
       VersionedIndex.writeHint(spark, path, 1) // commit
     } finally post.unpersist(false)
   }
@@ -165,15 +179,17 @@ object Search {
     * contract: `docs` are new ids — df counts distinct docs per
     * token, so re-appending an existing id would double-count it. */
   def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
-      path: String): Unit =
+      path: String, txn: Option[IndexCommitTxn] = None): Unit =
     appendToIndexInternal(docs, idCol, textCol, path,
-      abortBeforeCommit = false)
+      abortBeforeCommit = false, txn = txn)
 
   private[graft] def appendToIndexInternal(docs: DataFrame, idCol: String,
-      textCol: String, path: String, abortBeforeCommit: Boolean): Unit = {
+      textCol: String, path: String, abortBeforeCommit: Boolean,
+      txn: Option[IndexCommitTxn] = None): Unit = {
     val spark = docs.sparkSession
     val n = currentVersion(spark, path)
     require(n >= 1, s"no committed index under $path")
+    VersionedIndex.clearCrashedAttempt(spark, path, n + 1, Seq("postings"))
     val nBuckets = statsTable(spark, path, n)
       .select(col("n_buckets")).head().getInt(0)
     val post = postings(docs, idCol, textCol)
@@ -202,12 +218,17 @@ object Search {
       post.agg((count(lit(1)) + lit(prevTokens)).as("n_tokens"))
         .withColumn("n_buckets", lit(nBuckets))
         .write.mode("overwrite").parquet(s"$path/stats_v${n + 1}")
+      // sink commits record their batch id; manual appends CARRY the
+      // prior one forward so the replay guard survives interleaving
+      VersionedIndex.writeTxn(spark, path, n + 1,
+        txn.orElse(VersionedIndex.committedTxn(spark, path, n)))
       if (abortBeforeCommit) return
       VersionedIndex.writeHint(spark, path, n + 1) // commit
       // post-commit cleanup of the superseded version (best-effort)
       val (fs, _) = VersionedIndex.fsOf(spark, path)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/df_v$n"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/batchid_v$n"), true)
     } finally post.unpersist(false)
   }
 

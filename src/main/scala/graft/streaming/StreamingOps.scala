@@ -211,6 +211,14 @@ object StreamingOps {
     * pipeline needing cryptographic certainty swaps the checksum
     * expression, not this shape).
     *
+    * '''BEHAVIOR CHANGE (r8)''': earlier releases defaulted to
+    * `watermarkCol = None` (exact all-history dedup, unbounded state).
+    * The default is now the bounded 1-hour synthetic watermark below —
+    * a duplicate re-arriving MORE than `watermark` after its original
+    * is re-ingested where it was previously dropped. Call sites that
+    * relied on all-history dedup must now pass `watermarkCol = None`
+    * explicitly.
+    *
     * Watermarked BY DEFAULT: unbounded dedup state requires an
     * explicit opt-out. The default watermarkCol is a synthetic
     * processing-time column (assigned at decode, dropped from the
@@ -247,21 +255,37 @@ object StreamingOps {
     * thereafter, so a live document stream keeps the materialized
     * index probe-ready without ever re-tokenizing history. Usage:
     * `docs.writeStream.foreachBatch(bm25IndexSink("doc_id", "text",
-    * path)).start()`. Exactly-once caveat (the standard foreachBatch
-    * one): a batch replayed after a crash mid-append would double its
-    * postings — production pairs this with the batch-id dedup ledger
-    * every idempotent foreachBatch sink uses; the spec pins the
-    * happy-path equivalence (streamed index == from-scratch index,
-    * bit-identical probes). */
+    * path)).start()`. EXACTLY-ONCE: each commit records its
+    * transaction — (appId, foreachBatch id), the Delta
+    * txnAppId/txnVersion pattern — in the index's own versioned
+    * metadata, atomic with the hint flip. A batch replayed after a
+    * crash is re-run cleanly (pre-commit crash — the retry's
+    * overwrites clobber the partial attempt) or skipped (post-commit
+    * replay: same appId, id ≤ the committed one). Pass a STABLE
+    * `txnAppId` (e.g. derived from the checkpoint location) to make
+    * the guard survive JVM restarts; the default is a fresh UUID per
+    * sink instance, which covers in-process retries only — a fresh
+    * appId's ids legitimately restart at 0 and are never mistaken for
+    * replays. Spec-pinned by killing a batch mid-append and replaying
+    * it — probes stay bit-identical to the from-scratch index. */
   def bm25IndexSink(idCol: String, textCol: String, path: String,
-      nBuckets: Int = 64): (DataFrame, Long) => Unit = (batch, _) => {
-    if (!batch.isEmpty) {
-      val bootstrapped =
-        graft.operators.Bm25.indexExists(batch.sparkSession, path)
-      if (bootstrapped)
-        graft.operators.Bm25.appendToIndex(batch, idCol, textCol, path)
-      else
-        graft.operators.Bm25.writeIndex(batch, idCol, textCol, path, nBuckets)
+      nBuckets: Int = 64,
+      txnAppId: Option[String] = None): (DataFrame, Long) => Unit = {
+    val app = txnAppId.getOrElse(java.util.UUID.randomUUID().toString)
+    (batch, bid) => {
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val txn = Some(graft.operators.IndexCommitTxn(app, bid))
+        if (graft.operators.Bm25.indexExists(spark, path)) {
+          val replay = graft.operators.Bm25.committedTxn(spark, path)
+            .exists(t => t.appId == app && bid <= t.batchId)
+          if (!replay)
+            graft.operators.Bm25.appendToIndex(batch, idCol, textCol, path,
+              txn = txn)
+        } else
+          graft.operators.Bm25.writeIndex(batch, idCol, textCol, path,
+            nBuckets, txn = txn)
+      }
     }
   }
 
@@ -271,19 +295,29 @@ object StreamingOps {
     * [[graft.operators.Search.writeIndex]] layout (bootstrap on the
     * first non-empty batch, [[graft.operators.Search.appendToIndex]]
     * thereafter) so a live document stream keeps exact-phrase lookup
-    * current without re-tokenizing history. Same exactly-once caveat
-    * as every foreachBatch sink: a batch replayed after a crash
-    * mid-append would double its postings — production pairs this
-    * with a batch-id dedup ledger; the spec pins the happy-path
-    * equivalence (streamed index == from-scratch index, identical
-    * probes). */
+    * current without re-tokenizing history. EXACTLY-ONCE via the same
+    * committed-transaction guard as [[bm25IndexSink]] (see its
+    * `txnAppId` contract): a replayed batch is re-run cleanly after a
+    * pre-commit crash and skipped after a post-commit one
+    * (spec-pinned kill-and-replay). */
   def phraseIndexSink(idCol: String, textCol: String, path: String,
-      nBuckets: Int = 64): (DataFrame, Long) => Unit = (batch, _) => {
-    if (!batch.isEmpty) {
-      if (graft.operators.Search.indexExists(batch.sparkSession, path))
-        graft.operators.Search.appendToIndex(batch, idCol, textCol, path)
-      else
-        graft.operators.Search.writeIndex(batch, idCol, textCol, path, nBuckets)
+      nBuckets: Int = 64,
+      txnAppId: Option[String] = None): (DataFrame, Long) => Unit = {
+    val app = txnAppId.getOrElse(java.util.UUID.randomUUID().toString)
+    (batch, bid) => {
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val txn = Some(graft.operators.IndexCommitTxn(app, bid))
+        if (graft.operators.Search.indexExists(spark, path)) {
+          val replay = graft.operators.Search.committedTxn(spark, path)
+            .exists(t => t.appId == app && bid <= t.batchId)
+          if (!replay)
+            graft.operators.Search.appendToIndex(batch, idCol, textCol, path,
+              txn = txn)
+        } else
+          graft.operators.Search.writeIndex(batch, idCol, textCol, path,
+            nBuckets, txn = txn)
+      }
     }
   }
 
@@ -296,19 +330,27 @@ object StreamingOps {
     * FROZEN model ([[graft.operators.IvfPq.appendToIndex]] — see its
     * centroid-drift contract: recall at small nProbe can degrade if the
     * stream's distribution drifts from the bootstrap sample; retrain =
-    * rebuild). Same exactly-once caveat as every foreachBatch sink: a
-    * replayed batch would double its cell entries — production pairs
-    * this with a batch-id dedup ledger; the spec pins the happy-path
-    * equivalence (streamed index probes == batch-built index probes). */
+    * rebuild). EXACTLY-ONCE via the same committed-transaction guard
+    * as [[bm25IndexSink]] (see its `txnAppId` contract): a replayed
+    * batch is re-run cleanly after a pre-commit crash and skipped
+    * after a post-commit one (spec-pinned kill-and-replay). */
   def ivfPqIndexSink(path: String, nCentroids: Int, centroidIters: Int,
-      dim: Int, nSub: Int, codewords: Int,
-      pqIters: Int): (DataFrame, Long) => Unit = (batch, _) => {
-    if (!batch.isEmpty) {
-      if (graft.operators.IvfPq.indexExists(batch.sparkSession, path))
-        graft.operators.IvfPq.appendToIndex(batch, path)
-      else
-        graft.operators.IvfPq.writeIndex(batch, path, nCentroids,
-          centroidIters, dim, nSub, codewords, pqIters)
+      dim: Int, nSub: Int, codewords: Int, pqIters: Int,
+      txnAppId: Option[String] = None): (DataFrame, Long) => Unit = {
+    val app = txnAppId.getOrElse(java.util.UUID.randomUUID().toString)
+    (batch, bid) => {
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val txn = Some(graft.operators.IndexCommitTxn(app, bid))
+        if (graft.operators.IvfPq.indexExists(spark, path)) {
+          val replay = graft.operators.IvfPq.committedTxn(spark, path)
+            .exists(t => t.appId == app && bid <= t.batchId)
+          if (!replay)
+            graft.operators.IvfPq.appendToIndex(batch, path, txn = txn)
+        } else
+          graft.operators.IvfPq.writeIndex(batch, path, nCentroids,
+            centroidIters, dim, nSub, codewords, pqIters, txn = txn)
+      }
     }
   }
 
@@ -320,28 +362,49 @@ object StreamingOps {
     * stream never re-emits content any PREVIOUS run ingested, which
     * the state-store dedup (bounded by its watermark, private to one
     * query) cannot promise. Caller contract: rows within one batch
-    * are already fp-distinct (run in-batch dedup upstream). Same
-    * exactly-once caveat as every foreachBatch sink: a batch replayed
-    * after a crash between the output write and the ledger append
-    * would re-emit its rows — production pairs this with a batch-id
-    * ledger; the spec pins the happy path (streamed output ==
-    * batch-pipeline output). */
+    * are already fp-distinct (run in-batch dedup upstream).
+    *
+    * EXACTLY-ONCE, output included: survivors land under
+    * `outPath/txn_app=<appId>/batch_id=<id>` (standard partition
+    * discovery — reads of `outPath` carry `txn_app` and `batch_id`
+    * columns) in OVERWRITE mode, so a replayed batch clobbers its own
+    * partial output instead of doubling it; the ledger append then
+    * commits the (appId, batch id) transaction atomically with the
+    * hint flip, and a post-commit replay (same appId, id ≤ the
+    * ledger's committed id) skips both writes. A crash between the
+    * output write and the ledger commit replays into the same
+    * survivor set (the ledger state is unchanged) and overwrites the
+    * same partition — spec-pinned kill-and-replay. See
+    * [[bm25IndexSink]] for the `txnAppId` stability contract. */
   def ledgerDedupSink(fpCol: String, path: String, outPath: String,
-      nBuckets: Int = 64): (DataFrame, Long) => Unit = (batch, _) => {
-    if (!batch.isEmpty) {
-      import graft.operators.FingerprintLedger
-      val exists = FingerprintLedger.ledgerExists(batch.sparkSession, path)
-      val survivors =
-        (if (exists) FingerprintLedger.dedupAgainst(batch, fpCol, path)
-         else batch)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        survivors.write.mode("append").parquet(outPath)
-        val fps = survivors.select(
-          org.apache.spark.sql.functions.col(fpCol).as("fp"))
-        if (exists) FingerprintLedger.appendToLedger(fps, path)
-        else FingerprintLedger.writeLedger(fps, path, nBuckets)
-      } finally { survivors.unpersist(false); () }
+      nBuckets: Int = 64,
+      txnAppId: Option[String] = None): (DataFrame, Long) => Unit = {
+    val app = txnAppId.getOrElse(java.util.UUID.randomUUID().toString)
+    (batch, bid) => {
+      if (!batch.isEmpty) {
+        import graft.operators.FingerprintLedger
+        val spark = batch.sparkSession
+        val txn = Some(graft.operators.IndexCommitTxn(app, bid))
+        val exists = FingerprintLedger.ledgerExists(spark, path)
+        val replay = exists && FingerprintLedger.committedTxn(spark, path)
+          .exists(t => t.appId == app && bid <= t.batchId)
+        if (!replay) {
+          val survivors =
+            (if (exists) FingerprintLedger.dedupAgainst(batch, fpCol, path)
+             else batch)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            survivors.write.mode("overwrite")
+              .parquet(s"$outPath/txn_app=$app/batch_id=$bid")
+            val fps = survivors.select(
+              org.apache.spark.sql.functions.col(fpCol).as("fp"))
+            if (exists)
+              FingerprintLedger.appendToLedger(fps, path, txn = txn)
+            else
+              FingerprintLedger.writeLedger(fps, path, nBuckets, txn = txn)
+          } finally { survivors.unpersist(false); () }
+        }
+      }
     }
   }
 

@@ -230,6 +230,34 @@ class Bm25Spec extends AnyFunSuite {
       "post-compaction append diverged from rebuild")
   }
 
+  test("a CRASHED compaction's leftover base must not poison the next " +
+      "append at the same version number") {
+    import spark.implicits._
+    val (a, b) = corpus.splitAt(4)
+    val idx = java.nio.file.Files.createTempDirectory("bm25idx_poison").toString
+    Bm25.writeIndex(a.toDF("doc_id", "text"), "doc_id", "text", idx, nBuckets = 8)
+    // compaction dies after its consolidated base_v2 lands, before the flip
+    Bm25.compactIndexInternal(spark, idx, abortBeforeCommit = true)
+    assert(new java.io.File(s"$idx/postings/base_v2").exists(),
+      "precondition: the crashed compaction left its base behind")
+    assert(Bm25.currentVersion(spark, idx) === 1)
+    // the next append also commits at version 2: without the stale-dir
+    // clear, familyDirs(2) would resolve the crashed base and silently
+    // drop this delta (and compute stats over the poisoned resolution)
+    Bm25.appendToIndex(b.toDF("doc_id", "text"), "doc_id", "text", idx)
+    assert(Bm25.currentVersion(spark, idx) === 2)
+    val scratch = java.nio.file.Files.createTempDirectory("bm25idx_poison2").toString
+    Bm25.writeIndex(docsDf, "doc_id", "text", scratch, nBuckets = 8)
+    def probe(p: String) = Bm25.searchIndex(spark, p, probesDf, "doc_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(probe(idx) === probe(scratch),
+      "append after a crashed compaction must match a from-scratch rebuild")
+    assert(Bm25.statsTable(spark, idx, 2).head()
+      .getAs[Double]("n_docs") === corpus.size.toDouble,
+      "stats must be computed over the cleared (not poisoned) resolution")
+  }
+
   test("minedQueries: deterministic grouping of top-df terms") {
     val q = Bm25.minedQueries(docsDf, "doc_id", "text",
         nQueries = 2, termsPerQuery = 2)

@@ -2108,4 +2108,82 @@ class PipelineSpec extends AnyFunSuite {
     assert(probe(idx, rerank = 500) === brute(survivors2),
       "post-compaction delete must apply over the consolidated base")
   }
+
+  test("a CRASHED compaction's leftover base must not poison the NEXT " +
+      "commit at the same version (stale dirs cleared by every committer)") {
+    import spark.implicits._
+    import graft.operators.{FingerprintLedger, IvfPq, Search}
+    // ---- phrase index: abort-compact leaves postings/base_v2; the next
+    // append commits at the SAME version 2 and must not be masked ----
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox again")).toDF("doc_id", "text")
+    val more = Seq((3L, "quick brown fox on the run")).toDF("doc_id", "text")
+    val sIdx = java.nio.file.Files.createTempDirectory("search_poison").toString
+    Search.writeIndex(docs, "doc_id", "text", sIdx, nBuckets = 4)
+    Search.compactIndexInternal(spark, sIdx, abortBeforeCommit = true)
+    assert(new java.io.File(s"$sIdx/postings/base_v2").exists(),
+      "precondition: the crashed compaction left its base behind")
+    Search.appendToIndex(more, "doc_id", "text", sIdx)
+    val scratch = java.nio.file.Files.createTempDirectory("search_poison2").toString
+    Search.writeIndex(docs.unionByName(more), "doc_id", "text", scratch, nBuckets = 4)
+    def phrase(p: String) = Search.phraseProbe(spark, p, Seq("quick", "brown", "fox"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(phrase(sIdx) === phrase(scratch),
+      "append after a crashed compaction must not vanish behind the stale base")
+    // ---- vector index: the aborted compaction's EMPTY tombstones base
+    // must not resurrect deletes, nor mask the appended codes ----
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val a = emb.filter(col("vec_id") < 400)
+    val b = emb.filter(col("vec_id") >= 400)
+    val queries = emb.filter(col("vec_id") < 5)
+    val vIdx = java.nio.file.Files.createTempDirectory("ivfpq_poison").toString
+    IvfPq.writeIndex(a, vIdx, nCentroids = 8, centroidIters = 1,
+      dim = 64, nSub = 8, codewords = 16, pqIters = 1)
+    val dels = a.filter(col("vec_id") % 7 === 0).select("vec_id")
+    IvfPq.deleteFromIndex(dels, vIdx)
+    IvfPq.compactIndexInternal(spark, vIdx, abortBeforeCommit = true)
+    assert(new java.io.File(s"$vIdx/tombstones/base_v3").exists(),
+      "precondition: the crashed compaction left its (empty) tombstones base")
+    IvfPq.appendToIndex(b, vIdx)
+    def probeAll() =
+      IvfPq.searchIndex(spark, vIdx, queries, k = 3, nProbe = 8, rerank = 500)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    def brute(corpus: org.apache.spark.sql.DataFrame) =
+      graft.operators.Similarity.bruteForceTopK(corpus, queries, 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val expected = a.filter(col("vec_id") % 7 =!= 0).unionByName(b)
+    assert(probeAll() === brute(expected),
+      "append after a crashed compaction: new vectors must surface AND " +
+        "prior deletes must not resurrect through the empty tombstones base")
+    // ---- the dual hole: a CRASHED DELETE's orphan tombstone delta must
+    // not be phantom-committed by the next append ----
+    val dels2 = a.filter(col("vec_id") % 5 === 1).select("vec_id")
+    IvfPq.deleteFromIndexInternal(dels2, vIdx, abortBeforeCommit = true)
+    IvfPq.appendToIndex(
+      b.select(col("vec_id") + 1000, col("embedding"))
+        .toDF("vec_id", "embedding"), vIdx)
+    val expected2 = expected.unionByName(
+      b.select(col("vec_id") + 1000, col("embedding")).toDF("vec_id", "embedding"))
+    assert(probeAll() === brute(expected2),
+      "an aborted delete's tombstones must NOT apply after an unrelated append")
+    // ---- ledger: abort-compact leaves fps/base_v2; the next append's
+    // novel fingerprints must not vanish behind it ----
+    def withFp(rows: Seq[(Long, String)]) =
+      rows.toDF("id", "text").withColumn("fp", md5(col("text")))
+    val led = java.nio.file.Files.createTempDirectory("ledger_poison").toString
+    val day1 = withFp(Seq((1L, "a a"), (2L, "b b")))
+    val day2 = withFp(Seq((3L, "c c"), (4L, "d d")))
+    FingerprintLedger.writeLedger(day1.select("fp"), led, nBuckets = 4)
+    FingerprintLedger.compactLedgerInternal(spark, led, abortBeforeCommit = true)
+    assert(new java.io.File(s"$led/fps/base_v2").exists(),
+      "precondition: the crashed compaction left its base behind")
+    FingerprintLedger.appendToLedger(day2.select("fp"), led)
+    assert(FingerprintLedger.dedupAgainst(
+        day1.unionByName(day2), "fp", led).count() === 0,
+      "fingerprints appended after a crashed compaction must stay seen")
+  }
 }

@@ -520,6 +520,114 @@ class StreamingSpec extends AnyFunSuite {
       "each fingerprint ingests exactly once across runs")
   }
 
+  test("index sinks are EXACTLY-ONCE: a committed batch replays as a no-op, " +
+      "a batch killed mid-append re-runs cleanly, a fresh lineage's batch 0 " +
+      "is not mistaken for a replay") {
+    import spark.implicits._
+    import graft.operators.{Bm25, IndexCommitTxn, IvfPq, Search}
+    // ---- bm25: the full contract ----
+    val docs = Seq(
+      (1L, "spark shuffles data between stages for joins"),
+      (2L, "spark spark spark tuning shuffle partitions"),
+      (3L, "iceberg tables store snapshots and manifests"),
+      (4L, "snowflake loads iceberg tables from manifests"),
+      (5L, "data pipelines join spark and iceberg tables"),
+      (6L, "the final lineage document about spark"))
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val probes = Seq((1, "spark"), (2, "iceberg"), (2, "tables"))
+      .toDF("q_id", "term")
+    def probe(p: String) = Bm25.searchIndex(spark, p, probes, "doc_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    def scratchOver(rows: Seq[(Long, String)]) = {
+      val d = java.nio.file.Files.createTempDirectory("bm25_eo_ref").toString
+      Bm25.writeIndex(df(rows), "doc_id", "text", d, nBuckets = 8); d
+    }
+    val idx = java.nio.file.Files.createTempDirectory("bm25_eo").toString
+    val sink = StreamingOps.bm25IndexSink("doc_id", "text", idx,
+      nBuckets = 8, txnAppId = Some("app-1"))
+    sink(df(docs.take(2)), 0) // bootstrap
+    sink(df(docs.slice(2, 4)), 1) // append
+    assert(Bm25.currentVersion(spark, idx) === 2)
+    val committed = probe(idx)
+    // post-commit replay of batch 1: skipped entirely
+    sink(df(docs.slice(2, 4)), 1)
+    assert(Bm25.currentVersion(spark, idx) === 2,
+      "a committed batch's replay must not create a new version")
+    assert(probe(idx) === committed)
+    // batch 2 killed mid-append (all data written, hint not flipped):
+    // the replay sees id 2 > committed 1 and re-runs cleanly
+    Bm25.appendToIndexInternal(df(docs.slice(4, 5)), "doc_id", "text", idx,
+      abortBeforeCommit = true, txn = Some(IndexCommitTxn("app-1", 2)))
+    assert(Bm25.currentVersion(spark, idx) === 2)
+    sink(df(docs.slice(4, 5)), 2)
+    assert(Bm25.currentVersion(spark, idx) === 3)
+    assert(probe(idx) === probe(scratchOver(docs.take(5))),
+      "the replayed batch must land exactly once")
+    // a NEW lineage (fresh checkpoint) restarts at batch 0 — it must
+    // append, not be skipped as a replay of app-1's batch 0
+    val sink2 = StreamingOps.bm25IndexSink("doc_id", "text", idx,
+      nBuckets = 8, txnAppId = Some("app-2"))
+    sink2(df(docs.slice(5, 6)), 0)
+    assert(probe(idx) === probe(scratchOver(docs)),
+      "a fresh lineage's batch 0 must not be mistaken for a replay")
+    // ---- phrase sink: replay skip ----
+    val pIdx = java.nio.file.Files.createTempDirectory("phrase_eo").toString
+    val pSink = StreamingOps.phraseIndexSink("doc_id", "text", pIdx,
+      nBuckets = 8, txnAppId = Some("app-1"))
+    pSink(df(docs.take(3)), 0)
+    pSink(df(docs.slice(3, 5)), 1)
+    assert(Search.currentVersion(spark, pIdx) === 2)
+    pSink(df(docs.slice(3, 5)), 1) // replay
+    assert(Search.currentVersion(spark, pIdx) === 2)
+    val pScratch = java.nio.file.Files.createTempDirectory("phrase_eo_ref").toString
+    Search.writeIndex(df(docs.take(5)), "doc_id", "text", pScratch, nBuckets = 8)
+    def pProbe(p: String) = Search.phraseProbe(spark, p, Seq("iceberg", "tables"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(pProbe(pIdx) === pProbe(pScratch))
+    // ---- vector sink: replay skip ----
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val vIdx = java.nio.file.Files.createTempDirectory("ivfpq_eo").toString
+    val vSink = StreamingOps.ivfPqIndexSink(vIdx, nCentroids = 8,
+      centroidIters = 1, dim = 64, nSub = 8, codewords = 16, pqIters = 1,
+      txnAppId = Some("app-1"))
+    vSink(emb.filter(col("vec_id") < 300), 0)
+    vSink(emb.filter(col("vec_id") >= 300), 1)
+    assert(IvfPq.currentVersion(spark, vIdx) === 2)
+    val nVecs = IvfPq.statsTable(spark, vIdx).head().getAs[Long]("n_vecs")
+    vSink(emb.filter(col("vec_id") >= 300), 1) // replay
+    assert(IvfPq.currentVersion(spark, vIdx) === 2,
+      "a committed vector batch's replay must not re-append")
+    assert(IvfPq.statsTable(spark, vIdx).head().getAs[Long]("n_vecs") === nVecs)
+  }
+
+  test("ledgerDedupSink is EXACTLY-ONCE including its OUTPUT: a replayed " +
+      "batch overwrites its own partition instead of doubling rows") {
+    import spark.implicits._
+    import graft.operators.FingerprintLedger
+    val led = java.nio.file.Files.createTempDirectory("ledger_eo").toString
+    val out = java.nio.file.Files.createTempDirectory("ledger_eo_out").toString
+    def docsDf(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text").withColumn("fp", md5(col("text")))
+    val sink = StreamingOps.ledgerDedupSink("fp", led, out, nBuckets = 4,
+      txnAppId = Some("app-1"))
+    sink(docsDf(Seq((1L, "alpha"), (2L, "beta"))), 0)
+    // simulate the crash window of batch 1: its (partial) OUTPUT landed
+    // but the ledger commit did not — the replay must clobber it
+    docsDf(Seq((99L, "partial garbage"))).write.mode("overwrite")
+      .parquet(s"$out/txn_app=app-1/batch_id=1")
+    sink(docsDf(Seq((3L, "beta"), (4L, "gamma"))), 1)
+    // post-commit replay of batch 1: skipped (output AND ledger)
+    sink(docsDf(Seq((3L, "beta"), (4L, "gamma"))), 1)
+    val rows = spark.read.parquet(out)
+    assert(rows.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 4L),
+      "replay must neither double survivors nor leave crashed partials")
+    assert(rows.select("fp").distinct().count() === rows.count())
+    assert(FingerprintLedger.currentVersion(spark, led) === 2)
+  }
+
   test("scrubChunks equals dropRepeatedChunks' cleaned text on the same corpus") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
