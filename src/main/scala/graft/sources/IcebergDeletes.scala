@@ -119,20 +119,26 @@ object IcebergDeletes {
     val bc = spark.sparkContext.broadcast(byKey)
 
     // one scan + identity restore per SPEC group (a column that is
-    // dir-encoded under one spec is physical under another)
+    // dir-encoded under one spec is physical under another), routed
+    // through the shared id-resolving scanDataFiles — a plain
+    // inference read would surface RENAMED columns under their old
+    // physical names on pre-rename files, null-fill the predicate and
+    // silently SKIP rows that should be deleted (readSnapshot and
+    // both compactions already scan this way)
     val enriched = live.groupBy(_._1.specId).toSeq.sortBy(_._1).map {
       case (sid, lf) =>
         restoreIdentityColumnsFor(spark,
-          spark.read.parquet(lf.map(_._1.path): _*)
-            .withColumn("__graft_file", norm(col("_metadata.file_path")))
-            .withColumn("__graft_pos", col("_metadata.row_index")),
+          scanDataFiles(spark, table, lf.map(_._1.path), sid,
+            withRowMeta = true)
+            .withColumn(RowMetaFileCol, norm(col(RowMetaFileCol))),
           table, partitionFieldsOf(table, sid),
           dirEncodedIdentityCols(table, sid),
           lf.map(f => (f._1.path, f._1.partitionValues)),
           castToDeclared = specEvolved)
-    // allowMissingColumns: groups read by inference can differ in
-    // later-added columns (predicates over them null-fill, which is
-    // exactly the added-column read semantics)
+    // allowMissingColumns: un-evolved tables read by inference, where
+    // groups can differ in later-added columns (predicates over them
+    // null-fill — exactly the added-column read semantics); evolved
+    // groups all surface the full current schema
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     val toManifestPath = udf((k: String) => bc.value.get(k).map(_._1).orNull)
     val toPart = udf((k: String) => bc.value.get(k).map(_._2).getOrElse(-1))

@@ -693,6 +693,11 @@ object IcebergSnapshot {
     }
   }
 
+  /** Row-metadata column names [[scanDataFiles]] materializes when
+    * `withRowMeta` is requested (the delete paths' (file, pos) key). */
+  private[sources] val RowMetaFileCol = "__graft_file"
+  private[sources] val RowMetaPosCol = "__graft_pos"
+
   /** Slash-count-insensitive path key: "file:/x" (Hadoop Path) and
     * "file:///x" (`input_file_name`/`_metadata.file_path`) both
     * normalize to "/x". */
@@ -752,7 +757,18 @@ object IcebergSnapshot {
       val restore = org.apache.spark.sql.functions.udf((fn: String) =>
         if (fn == null) null
         else bc.value.get(pathKey(fn)).map(_(pos)).orNull)
-      acc.withColumn(name, restore(input_file_name()))
+      // cross-spec unions need the DECLARED type: a column dir-encoded
+      // (string surface) under this spec can be physical (e.g. bigint,
+      // date) under another, and Spark's union type promotion would
+      // otherwise silently widen the whole column to string — feeding
+      // strings into bucket-transform tuple computation downstream.
+      // Legacy single-spec reads keep the Hive-style string surface.
+      val restored = restore(input_file_name())
+      val typed =
+        if (castToDeclared)
+          declared.get(name).fold(restored)(t => restored.cast(t))
+        else restored
+      acc.withColumn(name, typed)
     }
   }
 
@@ -832,9 +848,23 @@ object IcebergSnapshot {
     * snapshot reader). */
   private[sources] def scanDataFiles(spark: org.apache.spark.sql.SparkSession,
       table: TableDef, paths: Seq[String],
-      specId: Int = -1): org.apache.spark.sql.DataFrame = {
+      specId: Int = -1,
+      withRowMeta: Boolean = false): org.apache.spark.sql.DataFrame = {
     val sid = if (specId < 0) IcebergMetadata.defaultSpecIdOf(table) else specId
-    if (table.priorSchemas.isEmpty) spark.read.parquet(paths: _*)
+    // row-position metadata must be materialized INSIDE each group's
+    // scan: `_metadata` resolves through a Project but NOT through the
+    // evolved branch's Union (mixed footer-id mappings → several
+    // per-group scans), so callers that need (file, pos) — the delete
+    // paths — request it here instead of withColumn-ing after
+    def meta(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      if (!withRowMeta) df
+      else df
+        .withColumn(RowMetaFileCol,
+          org.apache.spark.sql.functions.col("_metadata.file_path"))
+        .withColumn(RowMetaPosCol,
+          org.apache.spark.sql.functions.col("_metadata.row_index"))
+    if (table.priorSchemas.isEmpty) meta(spark.read.parquet(paths: _*))
     else {
       import org.apache.spark.sql.functions.{col, lit}
       import scala.jdk.CollectionConverters._
@@ -879,11 +909,14 @@ object IcebergSnapshot {
         val present = current.filter(f => m.contains(idOf(f.name)))
         val readSchema = org.apache.spark.sql.types.StructType(
           present.map(f => f.copy(name = m(idOf(f.name)))))
-        spark.read.schema(readSchema).parquet(groupPaths: _*)
+        val metaCols =
+          if (withRowMeta) Seq(col(RowMetaFileCol), col(RowMetaPosCol))
+          else Nil
+        meta(spark.read.schema(readSchema).parquet(groupPaths: _*))
           .select(current.map { f =>
             if (m.contains(idOf(f.name))) col(m(idOf(f.name))).as(f.name, f.metadata)
             else lit(null).cast(f.dataType).as(f.name, f.metadata)
-          }: _*)
+          } ++ metaCols: _*)
       }.reduce(_.unionByName(_))
     }
   }
@@ -929,17 +962,17 @@ object IcebergSnapshot {
     // surface Hive-style dir inference produces)
     def scanRestored(sid: Int,
         fs: Seq[(String, Int, Seq[Option[Any]], Long)],
-        withMeta: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
-        : org.apache.spark.sql.DataFrame =
+        withRowMeta: Boolean): org.apache.spark.sql.DataFrame =
       restoreIdentityColumnsFor(spark,
-        withMeta(scanDataFiles(spark, table, fs.map(_._1), sid)),
+        scanDataFiles(spark, table, fs.map(_._1), sid,
+          withRowMeta = withRowMeta),
         table, partitionFieldsOf(table, sid),
         dirEncodedIdentityCols(table, sid),
         fs.map(f => (f._1, f._3)),
         castToDeclared = table.partitionSpecs.nonEmpty)
     if (deletes.isEmpty)
       files.groupBy(_._2).toSeq.sortBy(_._1)
-        .map { case (sid, fs) => scanRestored(sid, fs, identity) }
+        .map { case (sid, fs) => scanRestored(sid, fs, withRowMeta = false) }
         .reduce(_ unionByName _)
     else {
       val colOfId = table.fieldIdOf.map(_.swap)
@@ -948,10 +981,11 @@ object IcebergSnapshot {
       val groups = files.groupBy(f => (f._4, f._2)).toSeq.sortBy(_._1)
       groups.map { case ((dataSeq, sid), fs) =>
         // identity restore rides input_file_name, so it must happen
-        // on the single-source scan BEFORE any join enters the plan
-        var df = scanRestored(sid, fs, base => base
-          .withColumn("__graft_file", norm(col("_metadata.file_path")))
-          .withColumn("__graft_pos", col("_metadata.row_index")))
+        // on the single-source scan BEFORE any join enters the plan;
+        // the (file, pos) key is materialized inside the scan (see
+        // scanDataFiles' withRowMeta note) and normalized here
+        var df = scanRestored(sid, fs, withRowMeta = true)
+          .withColumn(RowMetaFileCol, norm(col(RowMetaFileCol)))
         val pos = deletes.filter(d => d.content == 1 && d.seq >= dataSeq)
         if (pos.nonEmpty) {
           val del = spark.read.parquet(pos.map(_.path): _*)

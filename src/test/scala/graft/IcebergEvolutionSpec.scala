@@ -286,6 +286,96 @@ class IcebergEvolutionSpec extends AnyFunSuite {
     }
   }
 
+  test("a BIGINT/DATE identity partition column that evolves to PHYSICAL " +
+      "keeps its declared type across the cross-spec union (restored " +
+      "values cast to declared, not string-promoted)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DateType, LongType}
+    import graft.sources.IcebergDeletes
+    // ---- BIGINT identity partition ----
+    val t0 = Db2Parser.parse(
+      """CREATE TABLE S.BIGP (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10)
+        |) PARTITION BY RANGE (K);""".stripMargin).tables.head
+    val out = java.nio.file.Files.createTempDirectory("iceberg_bigp").toString
+    SchemaTranslator.migrateTable(
+      Seq((1L, "a"), (2L, "b")).toDF("K", "V"), t0, out)
+    // drop the sole identity field: later appends carry K PHYSICALLY
+    // (int64 in-file) while spec-0 files restore it from manifests
+    val t1 = IcebergEvolution.commitEvolution(
+      IcebergEvolution.dropPartitionField(
+        IcebergEvolution.withExplicitSpecs(t0), "K"), out)
+    SchemaTranslator.appendIncrement(
+      Seq((3L, "c"), (4L, "d")).toDF("K", "V"), t1, out)
+    val df = IcebergSnapshot.readSnapshot(spark, out, t1)
+    assert(df.schema("K").dataType === LongType,
+      "the cross-spec union must surface the DECLARED bigint, not the " +
+        "string the dir-restored group would promote the column to")
+    assert(df.select(col("K"), col("V")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // a typed predicate lands on BOTH groups (restored and physical)
+    IcebergDeletes.commitPositionDeletes(spark, t1, out, col("K") % 2 === 0)
+    assert(IcebergSnapshot.readSnapshot(spark, out, t1)
+      .select("K").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    IcebergV2Validation.validateV2(currentMeta(out), expectSnapshot = true)
+
+    // ---- DATE identity partition: restored epoch-day surface casts
+    // back to a date column ----
+    val d0 = Db2Parser.parse(
+      """CREATE TABLE S.DATP (
+        |  K BIGINT NOT NULL,
+        |  D DATE
+        |) PARTITION BY RANGE (D);""".stripMargin).tables.head
+    val dOut = java.nio.file.Files.createTempDirectory("iceberg_datp").toString
+    def d(s: String) = java.sql.Date.valueOf(s)
+    SchemaTranslator.migrateTable(
+      Seq((1L, d("2024-01-01")), (2L, d("2024-02-03"))).toDF("K", "D"),
+      d0, dOut)
+    val d1 = IcebergEvolution.commitEvolution(
+      IcebergEvolution.dropPartitionField(
+        IcebergEvolution.withExplicitSpecs(d0), "D"), dOut)
+    SchemaTranslator.appendIncrement(
+      Seq((3L, d("2024-03-05"))).toDF("K", "D"), d1, dOut)
+    val dDf = IcebergSnapshot.readSnapshot(spark, dOut, d1)
+    assert(dDf.schema("D").dataType === DateType)
+    assert(dDf.select(col("K"), col("D")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString)).toSet
+      === Set((1L, "2024-01-01"), (2L, "2024-02-03"), (3L, "2024-03-05")))
+  }
+
+  test("position deletes resolve RENAMED columns by field id: a predicate " +
+      "over the current name must hit rows in PRE-rename files instead of " +
+      "null-filling and silently skipping them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IcebergDeletes
+    val t0 = Db2Parser.parse(
+      """CREATE TABLE S.RDEL (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10),
+        |  N INTEGER
+        |) PARTITION BY RANGE (V);""".stripMargin).tables.head
+    val out = java.nio.file.Files.createTempDirectory("iceberg_rdel").toString
+    // snapshot 1's files carry the column under its OLD physical name
+    SchemaTranslator.migrateTable(
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("K", "V", "N"), t0, out)
+    val t1 = IcebergEvolution.commitEvolution(
+      IcebergEvolution.renameColumn(t0, "N", "N2"), out)
+    SchemaTranslator.appendIncrement(
+      Seq((3L, "c", 30)).toDF("K", "V", "N2"), t1, out)
+    // the delete predicate references the CURRENT name; rows 1 and 2
+    // live in pre-rename files — an inference read would surface their
+    // column as "N", null-fill "N2" and skip them
+    IcebergDeletes.commitPositionDeletes(spark, t1, out, col("N2") <= 20)
+    assert(IcebergSnapshot.readSnapshot(spark, out, t1)
+      .select("K").collect().map(_.getLong(0)).toSet === Set(3L),
+      "rows matching through their renamed column must be deleted")
+    IcebergV2Validation.validateV2(currentMeta(out), expectSnapshot = true)
+  }
+
   test("evolution composes with row-level deletes and compaction: files a " +
       "compaction rewrites keep resolving by id through later renames") {
     import spark.implicits._

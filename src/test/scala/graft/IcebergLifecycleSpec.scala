@@ -371,6 +371,19 @@ class IcebergLifecycleSpec extends AnyFunSuite {
     // written column with its declared field id.
     runSequence(List(AddCol(12), SpecRenameField, Upsert(4, 1),
       CompactWithDeletes), 9004)
+    // fourth find (round 9, by the IcebergEvolutionSpec deterministic
+    // tests): commitPositionDeletes read spec groups by schema
+    // INFERENCE — pre-rename files surfaced renamed columns under
+    // their old physical names, so predicates over the current name
+    // null-filled and the delete silently skipped those rows. The scan
+    // now routes through the shared id-resolving scanDataFiles (whose
+    // evolved-branch Union also could not resolve `_metadata` —
+    // row-meta columns are now materialized inside each group's scan).
+    // The renamed-predicate case is pinned in IcebergEvolutionSpec;
+    // this sequence pins rename+delete composing through the harness
+    // model.
+    runSequence(List(AddCol(5), Append(4), RenameCol, Delete(2, 0),
+      CompactWithDeletes, Append(3)), 9005)
   }
 
   test("randomized lifecycle sequences uphold read==model, time travel, " +
