@@ -132,17 +132,28 @@ object Dedup {
       shingleK: Int, numPerm: Int): DataFrame =
     signaturesFromShingles(shinglePairs(docs, idCol, textCol, shingleK), numPerm)
 
-  /** LSH candidate pairs from banded MinHash signatures: docs sharing
-    * any band bucket. numPerm must be divisible by bands. */
-  def minhashCandidates(signatures: DataFrame, bands: Int): DataFrame = {
+  /** Per-doc LSH band keys from MinHash signatures: one (doc_id, band,
+    * bucket) row per band, bucket = xxhash64 over the band's signature
+    * slice (the band index rides inside the hash input, so bucket
+    * values are already band-disjoint). This is the storable identity
+    * of the LSH scheme — what a cross-run near-dup ledger persists
+    * ([[graft.operators.FingerprintLedger]], q94). numPerm must be
+    * divisible by bands. */
+  def bandBuckets(signatures: DataFrame, bands: Int): DataFrame = {
     val rowsPerBand = (size(col("sig")) / lit(bands)).cast("int")
-    val banded = signatures.select(
+    signatures.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_", lit("band"), b.cast("string"),
           to_json(slice(col("sig"), b * rowsPerBand + lit(1), rowsPerBand)))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+  }
+
+  /** LSH candidate pairs from banded MinHash signatures: docs sharing
+    * any band bucket. numPerm must be divisible by bands. */
+  def minhashCandidates(signatures: DataFrame, bands: Int): DataFrame = {
+    val banded = bandBuckets(signatures, bands)
     val l = banded.select(col("doc_id").as("d1"), col("band").as("band1"), col("bucket").as("bucket1"))
     val r = banded.select(col("doc_id").as("d2"), col("band").as("band2"), col("bucket").as("bucket2"))
     l.join(r, col("band1") === col("band2") && col("bucket1") === col("bucket2") &&
@@ -184,6 +195,45 @@ object Dedup {
     shared
       .join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_shingles", "n1"), "d1")
       .join(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_shingles", "n2"), "d2")
+      .withColumn("jaccard", round(col("shared").cast("double") /
+        (col("n1") + col("n2") - col("shared")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
+  }
+
+  /** CROSS-corpus [[minhashVerifiedPairs]]: near-dup pairs BETWEEN two
+    * corpora (never within one) — the verify stage of the cross-run
+    * near-dup flow (q94): candidates are (left, right) docs sharing an
+    * LSH band bucket, then exact n-gram Jaccard verifies only those.
+    * Same 64/16 boundary-miss argument as the single-corpus form, so
+    * the output equals the exact cross-corpus all-pairs result while
+    * the join stays bucket-local. Output: (d1 ∈ left, d2 ∈ right,
+    * shared, jaccard ≥ threshold). */
+  def crossMinhashVerifiedPairs(left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String, shingleK: Int, numPerm: Int,
+      bands: Int, threshold: Double,
+      shinglePersist: StorageLevel = StorageLevel.NONE): DataFrame = {
+    def prep(docs: DataFrame): (DataFrame, DataFrame) = {
+      val sh0 = shinglePairs(docs, idCol, textCol, shingleK)
+      val sh = if (shinglePersist == StorageLevel.NONE) sh0
+        else sh0.persist(shinglePersist)
+      (sh, bandBuckets(signaturesFromShingles(sh, numPerm), bands))
+    }
+    val (sh1, k1) = prep(left)
+    val (sh2, k2) = prep(right)
+    val cand = k1.select(col("doc_id").as("d1"), col("band"), col("bucket"))
+      .join(k2.select(col("doc_id").as("d2"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("d1", "d2").distinct()
+    val c1 = sh1.groupBy("doc_id").agg(count(lit(1)).as("n1"))
+      .withColumnRenamed("doc_id", "d1")
+    val c2 = sh2.groupBy("doc_id").agg(count(lit(1)).as("n2"))
+      .withColumnRenamed("doc_id", "d2")
+    val shared = cand
+      .join(sh1.select(col("doc_id").as("d1"), col("s")), "d1")
+      .join(sh2.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+    shared.join(c1, "d1").join(c2, "d2")
       .withColumn("jaccard", round(col("shared").cast("double") /
         (col("n1") + col("n2") - col("shared")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)

@@ -148,6 +148,20 @@ object FingerprintLedger {
     df.join(seen, df(fpCol) === seen("fp"), "left_anti")
   }
 
+  /** The rows of `df` whose `fpCol` HAS been seen by the ledger —
+    * [[dedupAgainst]]'s complement (one left-semi join on fp). The
+    * prune step of verify-only-ledger-hits flows: with MinHash band
+    * keys as fingerprints (q94), a row with no seen band key can have
+    * no near-dup in history, so only [[seenRows]] proceed to the
+    * expensive exact verify. */
+  def seenRows(df: DataFrame, fpCol: String, path: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = currentVersion(spark, path)
+    require(n >= 1, s"no committed ledger under $path")
+    val seen = fpsTable(spark, path, n).select(col("fp"))
+    df.join(seen, df(fpCol) === seen("fp"), "left_semi")
+  }
+
   /** Consolidate the delta chain into one base (the
     * [[Bm25.compactIndex]] pattern — resolution starts at the highest
     * committed base, so the crash windows stay safe). This is the ONE

@@ -274,6 +274,112 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** Cross-run NEAR-dup through the persisted ledger — q93's
+    * exact-match sibling and the proof of the ledger's fingerprint-
+    * AGNOSTIC design: "day 1" (even ids) stores its MinHash BAND KEYS
+    * (q20's 64-perm/16-band scheme) as ledger fingerprints; "day 2"
+    * (odd ids) computes its own keys and PRUNES by one semi-join
+    * ([[FingerprintLedger.seenRows]] — a doc with NO seen band key
+    * cannot near-dup history, so it skips the verify entirely); only
+    * the hits flow into [[Dedup.crossMinhashVerifiedPairs]]'s exact
+    * n-gram-Jaccard verify against day 1. At 100 TB the prune is the
+    * whole point: the nightly batch anti-joins a corpus-free key set,
+    * and the expensive shingle verify touches only docs with band
+    * evidence. Oracle: q20's exact all-pairs SQL restricted to
+    * cross-day pairs — the prune is lossless w.r.t. the LSH candidate
+    * set (no seen key ⇒ no shared band ⇒ no candidate), and the 64/16
+    * boundary-miss probability at j ≥ 0.9 is ~4e-8 (q20's argument). */
+  def q94LedgerNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val day1 = docs.filter(col("doc_id") % 2 === 0)
+    val day2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val (led, built) = amortizedIndexPath(s, dir, "mh_ledger",
+      p => FingerprintLedger.ledgerExists(s, p))
+    if (!built)
+      FingerprintLedger.writeLedger(
+        Dedup.bandBuckets(
+          Dedup.minhashSignatures(day1, "doc_id", "text",
+            shingleK = 3, numPerm = 64), bands = 16)
+          .select(col("bucket").as("fp")),
+        led, nBuckets = 16)
+    val day2Keys = Dedup.bandBuckets(
+      Dedup.minhashSignatures(day2, "doc_id", "text",
+        shingleK = 3, numPerm = 64), bands = 16)
+    val hitIds = FingerprintLedger.seenRows(day2Keys, "bucket", led)
+      .select("doc_id").distinct()
+    val day2Hits = day2.join(hitIds, Seq("doc_id"), "left_semi")
+    Dedup.crossMinhashVerifiedPairs(day1, day2Hits, "doc_id", "text",
+      shingleK = 3, numPerm = 64, bands = 16, threshold = 0.9,
+      shinglePersist = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .orderBy("d1", "d2")
+  }
+
+  /** The FULL-PIPELINE capstone: the canonical curation sequence —
+    * quality gate → boilerplate scrub → exact dedup → 13-gram
+    * decontaminate → budget select → shard — composed as ONE batch
+    * query with ONE end-to-end DuckDB oracle, so a regression at any
+    * stage boundary (column drift, tokenization mismatch, fingerprint
+    * timing) trips a single wire. Every stage is the exact operator
+    * its standalone query proves (q53's gate scoring, q63's scrub,
+    * q18's dedup convention, q56's decontaminate, q57's budget cut,
+    * q52's shard), chained on the data each prior stage emits:
+    * the scrub learns its boilerplate on the GATED corpus, dedup
+    * fingerprints the CLEANED text, the split and grams run post-dedup,
+    * and the budget scores the cleaned survivors. Docs that scrub to
+    * EMPTY are dropped (pure boilerplate). Scale shape: the corpus-
+    * sized rows shuffle at the chunk learn, the dedup key, the gram
+    * semi-join and the budget histogram — each keyed, none cartesian;
+    * the boilerplate set, split thresholds, budget stats and shard
+    * assignment are broadcast/scan-side. */
+  def q95CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // 1. quality gate on the raw text (q16's scorer, fixed threshold)
+    val gated = docs
+      .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+      .select(col("doc_id"), col("source"), col("text"))
+      // 3 downstream consumers of the gated rows (chunk learn, scrub,
+      // and the scrub's own text rewrite) — persist the narrow slice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 2. boilerplate scrub: chunk set learned ON the gated corpus
+    val bp = Dedup.repeatedChunks(gated, "doc_id", "text",
+      chunkTokens = 10, maxDocs = 1)
+    val scrubbed = Dedup.scrubChunks(gated, "text", 10, bp)
+      .filter(length(col("text")) > 0) // pure-boilerplate docs drop out
+    // 3. exact dedup on the cleaned text: keep the min doc_id per
+    //    fingerprint (no per-key window — bounded min aggregate)
+    val keeper = scrubbed
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val deduped = scrubbed.join(keeper, Seq("doc_id"), "left_semi")
+    // 4. deterministic split + 13-gram decontaminate on cleaned text
+    val split = Sampling.assignSplit(deduped, col("doc_id"),
+      Seq("train" -> 0.9, "test" -> 0.1))
+    val grams = split.select(col("doc_id"), col("split"),
+      explode(TextFunctions.ngrams(words(col("text")), 13)).as("gram"))
+    val testGrams = grams.filter(col("split") === "test")
+      .select("gram").distinct()
+    val flagged = grams.filter(col("split") === "train")
+      .join(testGrams, Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+    val clean = split.filter(col("split") === "train")
+      .join(flagged, Seq("doc_id"), "left_anti")
+    // 5. budget select: highest-quality 5000 tokens per source,
+    //    scored on the CLEANED text
+    val scored = clean.select(col("doc_id"), col("source"),
+      size(words(col("text"))).as("w"),
+      TextFunctions.qualityScore(col("text")).as("q"))
+    val selected = BudgetSelect.byScoreBudget(scored, "source", "doc_id",
+      "w", "q", budget = 5000L)
+    // 6. shard assignment + the export rollup
+    Sampling.shardByHash(selected, col("doc_id"), 8, "shard")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("bigint").as("sum_ids"),
+        sum(col("w")).cast("bigint").as("sum_toks"))
+      .orderBy("shard")
+  }
+
   /** Per-label embedding statistics: count and L2-norm rollups — the
     * quick corpus-health check before ANN indexing (degenerate or
     * unnormalized embedding batches show up as norm outliers). Norms
@@ -2509,6 +2615,101 @@ object PipelineQueries {
         |  CAST(sum(is_new) AS BIGINT) AS n_new,
         |  CAST(sum(CASE WHEN is_new = 1 THEN doc_id ELSE 0 END) AS BIGINT) AS sum_new_ids
         |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // cross-run NEAR-dup through the ledger: q20's exact all-pairs
+    // oracle restricted to cross-day (even d1, odd d2) pairs — the
+    // band-key prune is lossless w.r.t. the LSH candidate set and the
+    // 64/16 boundary miss at j >= 0.9 is ~4e-8 (q20's argument)
+    "q94_ledger_near_dup" ->
+      s"""WITH w AS (SELECT doc_id, $WordsSql AS w FROM documents),
+         |idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM w WHERE len(w) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.s = b.s
+         |    AND a.doc_id % 2 = 0 AND b.doc_id % 2 <> 0
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, shared,
+         |  round(CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE), 6) AS jaccard
+         |FROM pairs
+         |JOIN cnt ca ON ca.doc_id = d1
+         |JOIN cnt cb ON cb.doc_id = d2
+         |WHERE round(CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE), 6) >= 0.9
+         |ORDER BY 1, 2""".stripMargin,
+    // the full-pipeline capstone: every stage's proven oracle block
+    // chained end-to-end (q16 gate → q63 scrub → q18-style dedup →
+    // q56 split/grams → q57 budget cut → q52 shard)
+    "q95_curation_pipeline" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, source, text,
+         |    len($WordsSql) AS n_tokens,
+         |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+         |    len(list_filter($WordsSql, w -> w IN ($EnSet))) AS n_stopwords
+         |  FROM documents),
+         |g0 AS (
+         |  SELECT doc_id, source, text FROM d0
+         |  WHERE least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |    + greatest(1.0 - (CASE WHEN length(text) > 0
+         |        THEN CAST(n_punct AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 5.0, 0.0) * 0.3
+         |    + least((CASE WHEN n_tokens > 0
+         |        THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 10.0, 1.0) * 0.3
+         |    >= 0.5),
+         |w1 AS (
+         |  SELECT doc_id, source, list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+         |  FROM g0),
+         |ch AS (SELECT doc_id, unnest(range(1, len(w) + 1, 10)) AS i, w
+         |       FROM w1 WHERE len(w) > 0),
+         |c2 AS (SELECT doc_id, (i - 1) // 10 AS pos,
+         |         array_to_string(list_slice(w, i, i + 9), ' ') AS chunk FROM ch),
+         |rep AS (SELECT chunk FROM c2 GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+         |kept AS (SELECT c2.doc_id, c2.pos, c2.chunk FROM c2 ANTI JOIN rep USING (chunk)),
+         |rb AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS cleaned
+         |       FROM kept GROUP BY 1),
+         |cleaned AS (
+         |  SELECT g0.doc_id, g0.source, rb.cleaned AS text
+         |  FROM g0 JOIN rb USING (doc_id)
+         |  WHERE length(rb.cleaned) > 0),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM cleaned GROUP BY md5(text)),
+         |dd AS (SELECT c.* FROM cleaned c SEMI JOIN keep USING (doc_id)),
+         |hv AS (SELECT doc_id, source, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM dd),
+         |sp AS (
+         |  SELECT doc_id, source, text, $WordsSql AS toks,
+         |    CASE WHEN CAST($HvSql AS DOUBLE) / CAST(4294967296 AS DOUBLE)
+         |              < CAST(0.9 AS DOUBLE)
+         |         THEN 'train' ELSE 'test' END AS split
+         |  FROM hv),
+         |g AS (SELECT doc_id, split,
+         |    unnest(list_transform(range(1, len(toks) - 11),
+         |      i -> array_to_string(toks[i:i+12], ' '))) AS gram
+         |  FROM sp WHERE len(toks) >= 13),
+         |te AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+         |fl AS (SELECT DISTINCT doc_id FROM g
+         |       WHERE split = 'train' AND gram IN (SELECT gram FROM te)),
+         |clean AS (
+         |  SELECT doc_id, source, text, toks FROM sp
+         |  WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM fl)),
+         |q1 AS (
+         |  SELECT doc_id, source, len(toks) AS w,
+         |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+         |    + greatest(1.0 - (CASE WHEN length(text) > 0
+         |        THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+         |             / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 5.0, 0.0) * 0.3
+         |    + least((CASE WHEN len(toks) > 0
+         |        THEN CAST(len(list_filter(toks, x -> x IN ($EnSet))) AS DOUBLE)
+         |             / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) * 10.0, 1.0) * 0.3
+         |    AS q
+         |  FROM clean),
+         |c3 AS (SELECT source, doc_id, w,
+         |    sum(w) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM q1),
+         |sel AS (SELECT doc_id, w FROM c3 WHERE cum <= 5000),
+         |sh2 AS (SELECT doc_id, w, md5('shard' || CAST(doc_id AS VARCHAR)) AS h FROM sel),
+         |f AS (SELECT ($HvSql) % 8 AS shard, doc_id, w FROM sh2)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |  CAST(sum(w) AS BIGINT) AS sum_toks
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     // q22's exact-cosine oracle with the positive-cut folded in
     "q80_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
@@ -2613,5 +2814,7 @@ object PipelineQueries {
     "q91_group_split" -> (q91GroupSplit _),
     "q92_phrase_ranked" -> (q92PhraseRankedBm25 _),
     "q93_ledger_dedup" -> (q93LedgerDedup _),
+    "q94_ledger_near_dup" -> (q94LedgerNearDup _),
+    "q95_curation_pipeline" -> (q95CurationPipeline _),
   )
 }

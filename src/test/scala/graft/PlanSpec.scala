@@ -183,6 +183,57 @@ class PlanSpec extends AnyFunSuite {
       "ledger scan must be fingerprint-only:\n" + plan.take(3000))
   }
 
+  test("q94 near-dup ledger: the probe side scans band keys only and the " +
+      "composed plan is never cartesian") {
+    import org.apache.spark.sql.functions.col
+    val led = java.nio.file.Files.createTempDirectory("mh_ledger_plan").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val day1 = docs.filter(col("doc_id") % 2 === 0)
+    val day2 = docs.filter(col("doc_id") % 2 =!= 0)
+    graft.operators.FingerprintLedger.writeLedger(
+      graft.operators.Dedup.bandBuckets(
+        graft.operators.Dedup.minhashSignatures(day1, "doc_id", "text", 3, 64),
+        16).select(col("bucket").as("fp")),
+      led, nBuckets = 8)
+    val day2Keys = graft.operators.Dedup.bandBuckets(
+      graft.operators.Dedup.minhashSignatures(day2, "doc_id", "text", 3, 64), 16)
+    val probe = planString(
+      graft.operators.FingerprintLedger.seenRows(day2Keys, "bucket", led))
+    // the ledger side of the semi-join is fingerprint-only — history's
+    // documents are NEVER rescanned by the prune
+    val ledgerScans = "ReadSchema: [^\\n]*".r.findAllIn(probe).toSeq
+    assert(ledgerScans.exists(s => s.contains("fp") && !s.contains("text")),
+      "ledger probe must scan fingerprints only:\n" + probe.take(3000))
+    // the verify stage stays bucket-local: band-key equi-join, no
+    // cartesian anywhere in the cross-corpus pair generation
+    val verify = planString(graft.operators.Dedup.crossMinhashVerifiedPairs(
+      day1, day2, "doc_id", "text", 3, 64, 16, 0.9))
+    assert(!verify.contains("CartesianProduct") &&
+      !verify.contains("BroadcastNestedLoopJoin"),
+      "cross verify must be keyed, never cartesian:\n" + verify.take(3000))
+  }
+
+  test("q95 capstone pipeline: every corpus shuffle is keyed — no cartesian, " +
+      "and the only nested-loop join is the one-row boilerplate broadcast") {
+    val df = graft.operators.PipelineQueries.q95CurationPipeline(spark, dir)
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // scrubChunks' single-row collect_list broadcast is the one
+    // permitted condition-less join shape (a 1-row side is O(n)); the
+    // subtree replicates per consumer in the plan TEXT, so pin the
+    // logical invariant instead of counting occurrences: every join
+    // without a condition must have a provably one-row side
+    val freeJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.isEmpty => j
+    }
+    assert(freeJoins.nonEmpty, "expected the boilerplate broadcast join")
+    assert(freeJoins.forall(j =>
+        j.right.maxRows.contains(1L) || j.left.maxRows.contains(1L)),
+      "every condition-less join must broadcast a one-row side:\n" +
+        plan.take(3000))
+  }
+
   test("simhash is a pure scan projection: no shuffle, no explode") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = planString(graft.operators.Dedup.simhash(docs, "doc_id", "text"))
