@@ -425,6 +425,135 @@ class IcebergEvolutionSpec extends AnyFunSuite {
       "plain-compaction files must resolve through a further rename")
   }
 
+  test("inspection tables: snapshots/history/refs/files/partitions read the " +
+      "writer's own metadata through a migrate→append→tag→delete→compact " +
+      "chain; file stats cross-check the independent Avro reader") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{IcebergDeletes, IcebergInspect}
+    val t0 = Db2Parser.parse(
+      """CREATE TABLE S.INSP (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10),
+        |  N INTEGER
+        |) PARTITION BY RANGE (V);""".stripMargin).tables.head
+    val out = java.nio.file.Files.createTempDirectory("iceberg_insp").toString
+    SchemaTranslator.migrateTable(
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "a", 30)).toDF("K", "V", "N"),
+      t0, out)
+    SchemaTranslator.appendIncrement(
+      Seq((4L, "c", 40), (5L, "a", 50)).toDF("K", "V", "N"), t0, out)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val idsAfterAppend = (currentMeta(out) \ "snapshots")
+      .asInstanceOf[JArray].arr
+      .map(s => (s \ "snapshot-id").asInstanceOf[JInt].num.toLong)
+    IcebergSnapshot.createRef(t0, out, "rel1", idsAfterAppend.last, "tag", conf)
+    IcebergDeletes.commitPositionDeletes(spark, t0, out, col("K") === 2L)
+    IcebergDeletes.compactWithDeletes(spark, t0, out)
+
+    // ---- snapshots: one row per commit, operations in order, parent
+    // chain linked, summary carries the spec's counters ----
+    val snaps = IcebergInspect.snapshotsTable(spark, out)
+      .orderBy("snapshot_id").collect()
+      .sortBy(_.getAs[java.sql.Timestamp]("committed_at").getTime)
+    val chain = parseChainOps(out)
+    assert(snaps.length === 4)
+    assert(chain.map(_._2) === Seq("append", "append", "delete", "replace"))
+    val byId = snaps.map(r => r.getAs[Long]("snapshot_id") -> r).toMap
+    for (((id, op), i) <- chain.zipWithIndex) {
+      val r = byId(id)
+      assert(r.getAs[String]("operation") === op)
+      val expectedParent = if (i == 0) None else Some(chain(i - 1)._1)
+      assert(Option(r.getAs[java.lang.Long]("parent_id")).map(_.toLong)
+        === expectedParent, s"parent of $op")
+      assert(r.getAs[Map[String, String]]("summary")
+        .contains("total-records"))
+    }
+    assert(byId(chain.last._1).getAs[Map[String, String]]("summary")(
+      "total-records") === "4") // 5 appended − 1 deleted
+
+    // ---- history: every retained entry is a current ancestor (main
+    // only moves forward), timestamps non-decreasing ----
+    val hist = IcebergInspect.historyTable(spark, out).collect()
+    assert(hist.length === 4)
+    assert(hist.forall(_.getAs[Boolean]("is_current_ancestor")))
+    assert(hist.map(_.getAs[Long]("snapshot_id")).toSeq === chain.map(_._1))
+
+    // ---- refs: main tracks the head, the tag pins its snapshot ----
+    val refs = IcebergInspect.refsTable(spark, out).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(refs("main") === (("branch", chain.last._1)))
+    assert(refs("rel1") === (("tag", idsAfterAppend.last)))
+
+    // ---- files at the DELETE snapshot: data files + ONE position
+    // delete file carrying exactly the matched row ----
+    val delSnapId = chain(2)._1
+    val filesAtDelete = IcebergInspect.filesTable(spark, out, t0,
+      Some(delSnapId)).collect()
+    val posDeletes = filesAtDelete.filter(_.getAs[Int]("content") == 1)
+    assert(posDeletes.length === 1)
+    assert(posDeletes.head.getAs[Long]("record_count") === 1L)
+    assert(filesAtDelete.filter(_.getAs[Int]("content") == 0)
+      .map(_.getAs[Long]("record_count")).sum === 5L)
+
+    // ---- files at HEAD (post-compaction): deletes folded in, live
+    // record mass equals what readSnapshot actually returns ----
+    val files = IcebergInspect.filesTable(spark, out, t0).collect()
+    assert(files.forall(_.getAs[Int]("content") == 0),
+      "compactWithDeletes must fold every delete file away")
+    assert(files.map(_.getAs[Long]("record_count")).sum
+      === IcebergSnapshot.readSnapshot(spark, out, t0).count())
+    // partition tuples surface under the spec's field name
+    assert(files.forall(r =>
+      r.getAs[Map[String, String]]("partition").keySet === Set("V")))
+
+    // ---- partitions: per-V rollup matches the model (K=2 under V=b
+    // deleted; a: rows 1,3,5; c: row 4) ----
+    val parts = IcebergInspect.partitionsTable(spark, out, t0).collect()
+      .map(r => r.getAs[Map[String, String]]("partition")("V") ->
+        ((r.getAs[Long]("record_count"), r.getAs[Long]("file_count"))))
+      .toMap
+    assert(parts("a")._1 === 3L && parts("c")._1 === 1L)
+    assert(!parts.contains("b") || parts("b")._1 === 0L,
+      "the fully-deleted partition must carry no live rows")
+
+    // ---- independent Avro cross-check: read the HEAD manifest list
+    // and its manifests directly; per-file record counts must equal
+    // the files table row for row ----
+    val listPath = byId(chain.last._1).getAs[String]("manifest_list")
+    def avroRows(p: String): Seq[org.apache.avro.generic.GenericRecord] = {
+      val in = new org.apache.avro.mapred.FsInput(
+        new org.apache.hadoop.fs.Path(p), conf)
+      val rd = org.apache.avro.file.DataFileReader.openReader(in,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.avro.generic.GenericRecord]
+        while (rd.hasNext) buf += rd.next()
+        buf.toSeq
+      } finally rd.close()
+    }
+    val avroFiles = avroRows(listPath)
+      .filter(_.get("content").asInstanceOf[Int] == 0)
+      .flatMap(m => avroRows(m.get("manifest_path").toString))
+      .filter(_.get("status") != 2)
+      .map(_.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord])
+      .map(df => df.get("file_path").toString ->
+        df.get("record_count").asInstanceOf[Long]).toMap
+    val tableFiles = files
+      .map(r => r.getAs[String]("file_path") -> r.getAs[Long]("record_count"))
+      .toMap
+    assert(tableFiles === avroFiles,
+      "files table must agree with the raw Avro manifests file-for-file")
+  }
+
+  private def parseChainOps(out: String): Seq[(Long, String)] =
+    (currentMeta(out) \ "snapshots").asInstanceOf[JArray].arr.map { s =>
+      ((s \ "snapshot-id").asInstanceOf[JInt].num.toLong,
+        (s \ "summary" \ "operation").asInstanceOf[JString].s)
+    }
+
   test("snapshot refs: tags pin snapshots through expiry, read by name, " +
       "and release on drop") {
     import spark.implicits._
