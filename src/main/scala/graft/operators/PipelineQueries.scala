@@ -51,7 +51,7 @@ object PipelineQueries {
     * `stats` table for the Search layout; the version hint for Bm25's
     * versioned layout — each family knows its own marker, so a stale
     * dir from an older layout generation reads as not-built). */
-  private def amortizedIndexPath(s: SparkSession, dir: String,
+  private[graft] def amortizedIndexPath(s: SparkSession, dir: String,
       family: String, builtCheck: String => Boolean,
       table: String = "documents"): (String, Boolean) = {
     val fp = fixtureFingerprint(s, dir, table)
@@ -379,6 +379,23 @@ object PipelineQueries {
         sum(col("w")).cast("bigint").as("sum_toks"))
       .orderBy("shard")
   }
+
+  /** Mergeable KLL quantile sketch ([[Kll.groupQuantiles]]) in its
+    * degenerate-EXACT mode: k exceeds every group's size, so no
+    * compaction ever fires anywhere (map side, merge side), every
+    * value survives at weight 1, and the answer is EXACTLY the value
+    * at rank ⌊p·(n−1)⌋ — independent of partitioning and merge order,
+    * which is what lets a rank-selection DuckDB oracle hash-check the
+    * whole mapPartitions → shuffle-sketches → merge machine
+    * end-to-end (the q60_indexed_probe pattern). Production runs use
+    * k≈200 (a few KB per sketch, O(1/k) rank error) — strictly
+    * CHEAPER than this anchor; SketchSpec asserts that regime's
+    * error bound and mergeability. */
+  def q96KllQuantiles(s: SparkSession, dir: String): DataFrame =
+    Kll.groupQuantiles(t(s, dir, "documents"), "lang", "n_chars",
+        ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9),
+        k = 1 << 20)
+      .orderBy("lang")
 
   /** Per-label embedding statistics: count and L2-norm rollups — the
     * quick corpus-health check before ANN indexing (degenerate or
@@ -2710,6 +2727,22 @@ object PipelineQueries {
          |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
          |  CAST(sum(w) AS BIGINT) AS sum_toks
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // KLL in degenerate-exact mode == rank selection at ⌊p·(n−1)⌋;
+    // spelled with row_number (not quantile_disc) so the rank
+    // convention is explicit and engine-agnostic
+    "q96_kll_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS r,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang,
+        |  max(CASE WHEN r = CAST(floor(0.25 * (n - 1)) AS BIGINT) THEN v END) AS p25,
+        |  max(CASE WHEN r = CAST(floor(0.5 * (n - 1)) AS BIGINT) THEN v END) AS p50,
+        |  max(CASE WHEN r = CAST(floor(0.75 * (n - 1)) AS BIGINT) THEN v END) AS p75,
+        |  max(CASE WHEN r = CAST(floor(0.9 * (n - 1)) AS BIGINT) THEN v END) AS p90,
+        |  max(n) AS n
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
     // q22's exact-cosine oracle with the positive-cut folded in
     "q80_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
@@ -2816,5 +2849,6 @@ object PipelineQueries {
     "q93_ledger_dedup" -> (q93LedgerDedup _),
     "q94_ledger_near_dup" -> (q94LedgerNearDup _),
     "q95_curation_pipeline" -> (q95CurationPipeline _),
+    "q96_kll_quantiles" -> (q96KllQuantiles _),
   )
 }

@@ -21,8 +21,9 @@ private[operators] object ScoreOrder {
 }
 
 /** Encodable buffer/output roots (Spark's product encoders need a
-  * concrete Product at the root, not a bare collection). */
-final case class TopKBuffer(values: List[Scored])
+  * concrete Product at the root, not a bare collection). The buffer
+  * is UNSORTED and carries its own length (List.length is O(n)). */
+final case class TopKBuffer(values: List[Scored], n: Int)
 final case class TopKResult(values: Seq[Scored])
 
 /** Bounded top-k typed Aggregator (SURVEY.md §2.11's deferred
@@ -30,37 +31,43 @@ final case class TopKResult(values: Seq[Scored])
   *
   * Why not `Window.orderBy + row_number <= k`: the window form sorts
   * EVERY candidate of a key on the reduce side. This Aggregator keeps
-  * only k elements per key at all times and — crucially — runs as a
-  * partial aggregation: each map task reduces its partition to ≤k
+  * at most 2k elements per key at all times and — crucially — runs as
+  * a partial aggregation: each map task reduces its partition to ≤2k
   * candidates per key before the shuffle, so at 1000 executors the
   * exchange carries O(keys·k), not O(candidates).
   *
   * Ordering contract matches the ANN queries: score descending, id
   * ascending on ties — the merged output equals the window form's.
-  * k is small, so a sorted-list insert beats heap constants.
-  */
+  *
+  * Cost per insert is amortized O(log k), NOT O(k): the buffer stays
+  * unsorted (O(1) prepend) and one sort selects the k best each time
+  * the 2k bound trips — ~one O(k log k) sort per k inserts. The
+  * previous sorted-list insert was O(k) per row, invisible at the
+  * typical k ≤ 100 but QUADRATIC in the rerank-everything degeneracy
+  * (q60_indexed_probe sets k = corpus size to carry the exact
+  * oracle): at 100× sf0.1 two reduce tasks sat in List.span for 400+ s
+  * before this rewrite. */
 abstract class TopKAggregatorBase[IN](k: Int)
     extends Aggregator[IN, TopKBuffer, TopKResult] {
 
   protected def toScored(row: IN): Scored
 
-  private def better(a: Scored, b: Scored): Boolean = {
+  private def rank(a: Scored, b: Scored): Boolean = {
     val c = ScoreOrder.cmp(a.score, b.score)
     c > 0 || (c == 0 && a.id < b.id)
   }
 
-  private def insert(buf: List[Scored], x: Scored): List[Scored] = {
-    val (front, back) = buf.span(better(_, x))
-    val merged = front ::: x :: back
-    if (merged.length > k) merged.take(k) else merged
-  }
+  private def trimmed(values: List[Scored], n: Int): TopKBuffer =
+    if (n <= math.max(2 * k, 16)) TopKBuffer(values, n)
+    else TopKBuffer(values.sortWith(rank).take(k), k)
 
-  override def zero: TopKBuffer = TopKBuffer(Nil)
+  override def zero: TopKBuffer = TopKBuffer(Nil, 0)
   override def reduce(buf: TopKBuffer, row: IN): TopKBuffer =
-    TopKBuffer(insert(buf.values, toScored(row)))
+    trimmed(toScored(row) :: buf.values, buf.n + 1)
   override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer =
-    TopKBuffer(b.values.foldLeft(a.values)(insert))
-  override def finish(buf: TopKBuffer): TopKResult = TopKResult(buf.values)
+    trimmed(a.values ::: b.values, a.n + b.n)
+  override def finish(buf: TopKBuffer): TopKResult =
+    TopKResult(buf.values.sortWith(rank).take(k))
   override def bufferEncoder: Encoder[TopKBuffer] = Encoders.product[TopKBuffer]
   override def outputEncoder: Encoder[TopKResult] = Encoders.product[TopKResult]
 }
@@ -79,40 +86,42 @@ class TopKAggregatorS(k: Int) extends TopKAggregatorBase[(String, Long, Double)]
 
 /** [[Scored]] with a string id (terms, domains, urls). */
 final case class ScoredS(id: String, score: Double)
-final case class TopKBufferS(values: List[ScoredS])
+final case class TopKBufferS(values: List[ScoredS], n: Int)
 final case class TopKResultS(values: Seq[ScoredS])
 
 /** [[TopKAggregatorBase]] for string-identified candidates — same
-  * bounded buffer and ordering contract (score desc, id asc on ties,
-  * here by binary UTF-8 string order, matching both Spark's and
-  * DuckDB's default string comparison). Java's `String` compareTo is
-  * UTF-16 code-unit order, which diverges from UTF-8 byte order for
-  * supplementary-plane ids (emoji, rare CJK) — ties go through
-  * UTF8String.binaryCompare so the aggregator agrees with the window
-  * row_number form on ANY id. */
+  * unsorted 2k-bounded buffer and ordering contract (score desc, id
+  * asc on ties, here by binary UTF-8 string order, matching both
+  * Spark's and DuckDB's default string comparison). Java's `String`
+  * compareTo is UTF-16 code-unit order, which diverges from UTF-8
+  * byte order for supplementary-plane ids (emoji, rare CJK) — ties go
+  * through UTF8String.binaryCompare so the aggregator agrees with the
+  * window row_number form on ANY id. The sort converts each id to
+  * UTF8String ONCE (decorate-sort-undecorate), not per comparison. */
 class TopKAggregatorStr(k: Int)
     extends Aggregator[(String, String, Double), TopKBufferS, TopKResultS] {
 
-  private def insert(buf: List[ScoredS], x: ScoredS): List[ScoredS] = {
-    // convert the incoming id ONCE per insert — doing it inside the
-    // span predicate re-encodes it for every buffered element
-    val xU = org.apache.spark.unsafe.types.UTF8String.fromString(x.id)
-    def beforeX(a: ScoredS): Boolean = {
-      val c = ScoreOrder.cmp(a.score, x.score)
-      c > 0 || (c == 0 &&
-        org.apache.spark.unsafe.types.UTF8String.fromString(a.id).binaryCompare(xU) < 0)
-    }
-    val (front, back) = buf.span(beforeX)
-    val merged = front ::: x :: back
-    if (merged.length > k) merged.take(k) else merged
-  }
+  private def sortedK(values: List[ScoredS]): List[ScoredS] =
+    values.iterator.map(s =>
+        (s, org.apache.spark.unsafe.types.UTF8String.fromString(s.id)))
+      .toArray
+      .sortWith { (x, y) =>
+        val c = ScoreOrder.cmp(x._1.score, y._1.score)
+        c > 0 || (c == 0 && x._2.binaryCompare(y._2) < 0)
+      }
+      .iterator.map(_._1).take(k).toList
 
-  override def zero: TopKBufferS = TopKBufferS(Nil)
+  private def trimmed(values: List[ScoredS], n: Int): TopKBufferS =
+    if (n <= math.max(2 * k, 16)) TopKBufferS(values, n)
+    else TopKBufferS(sortedK(values), k)
+
+  override def zero: TopKBufferS = TopKBufferS(Nil, 0)
   override def reduce(buf: TopKBufferS, row: (String, String, Double)): TopKBufferS =
-    TopKBufferS(insert(buf.values, ScoredS(row._2, row._3)))
+    trimmed(ScoredS(row._2, row._3) :: buf.values, buf.n + 1)
   override def merge(a: TopKBufferS, b: TopKBufferS): TopKBufferS =
-    TopKBufferS(b.values.foldLeft(a.values)(insert))
-  override def finish(buf: TopKBufferS): TopKResultS = TopKResultS(buf.values)
+    trimmed(a.values ::: b.values, a.n + b.n)
+  override def finish(buf: TopKBufferS): TopKResultS =
+    TopKResultS(sortedK(buf.values))
   override def bufferEncoder: Encoder[TopKBufferS] = Encoders.product[TopKBufferS]
   override def outputEncoder: Encoder[TopKResultS] = Encoders.product[TopKResultS]
 }

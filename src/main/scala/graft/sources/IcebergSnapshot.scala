@@ -952,7 +952,33 @@ object IcebergSnapshot {
             pf.map { case (name, _, _) => Option(part.get(name)) }, seq)
         }
     }
-    require(files.nonEmpty, "snapshot lists no data files")
+    if (files.isEmpty) {
+      // An EMPTY table is a legal snapshot state (delete every row,
+      // then compact the deletes in: the REPLACE commits zero data
+      // files) — found by the randomized lifecycle harness (fourth
+      // find, pinned as the delete-all→compact regression). Read it
+      // as zero rows under the SAME column shape a non-empty read
+      // produces (physical columns in declared order, dir-encoded
+      // identity columns restored LAST — string-surfaced until specs
+      // have evolved, declared-typed after), so downstream unions and
+      // positional diffs are insensitive to the table being empty.
+      val sid = IcebergMetadata.defaultSpecIdOf(table)
+      val dirEncoded = dirEncodedIdentityCols(table, sid)
+      val identity = partitionFieldsOf(table, sid)
+        .filter(_._3 == "identity").map(_._1).filter(dirEncoded.contains)
+      val declared = graft.api.SchemaTranslator.toSparkSchema(table)
+      val castDecl = table.partitionSpecs.nonEmpty
+      val shape = org.apache.spark.sql.types.StructType(
+        declared.fields.filterNot(f => identity.contains(f.name)) ++
+          identity.map { n =>
+            val f = declared.fields.find(_.name == n).get
+            if (castDecl) f.copy(nullable = true)
+            else org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.StringType)
+          })
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape)
+    }
     val deletes = liveDeleteFiles(listRows, conf)
     // one scan + identity restore per SPEC group: a column that is
     // directory-encoded under one spec is physical under another, so

@@ -53,26 +53,27 @@ object ScaleBench {
     "q92_phrase_ranked",
     "q93_ledger_dedup")
 
-  private def generateSf1(spark: SparkSession, baseDir: String,
-      outDir: String): Unit = {
+  private[tools] def generateSlice(spark: SparkSession, baseDir: String,
+      outDir: String, factor: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/_DONE"))) return
-    val copies = explode(sequence(lit(0), lit(9))).as("__c")
+    val copies = explode(sequence(lit(0), lit(factor - 1))).as("__c")
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     docs.select(col("*"), copies)
       .select(
-        (col("doc_id") * 10 + col("__c")).as("doc_id"),
+        (col("doc_id") * factor + col("__c")).as("doc_id"),
         // the copy token keeps copies near-dup (realistic) not exact-dup
         concat(col("text"), lit(" cpy"), col("__c")).as("text"),
         col("lang"), col("source"),
-        (col("n_chars") + lit(5)).as("n_chars"))
+        (col("n_chars") + lit(4) +
+          length(col("__c").cast("string"))).as("n_chars"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
     emb.select(col("*"), copies)
       .select(
-        (col("vec_id") * 10 + col("__c")).as("vec_id"),
+        (col("vec_id") * factor + col("__c")).as("vec_id"),
         // deterministic tiny perturbation: distinct vectors per copy,
         // neighborhood structure preserved
         transform(col("embedding"),
@@ -83,6 +84,9 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_DONE"), true).close()
   }
+
+  private def generateSf1(spark: SparkSession, baseDir: String,
+      outDir: String): Unit = generateSlice(spark, baseDir, outDir, 10)
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -133,6 +137,105 @@ object ScaleBench {
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale_r08.json")),
+      json + "\n")
+    spark.stop()
+  }
+}
+
+/** The second decade: measure the FLAT rows — the four index probes,
+  * the composed ranker and the ledger — at 1× / 10× / 100× of sf0.1,
+  * so the "stays flat" claim rests on TWO measured decades. Each
+  * amortized index builds once per slice fingerprint (first touch
+  * pays it; min-over-reps reflects the probe). Alongside the
+  * registered q60_indexed_probe (the DEGENERATE rerank-everything
+  * oracle anchor, whose linear rerank term is expected to surface at
+  * 100×), `q60_production_probe` measures the production shape
+  * (nProbe=4, rerank=20) over the same index — the number the 100 TB
+  * claim actually rides on. q93's anti-join scans the full day-2
+  * batch, so its honest shape is linear-in-batch, flat-in-history.
+  *
+  * Usage: `runMain graft.tools.ScaleDeep` (SPARK_GRAFT_SF_DIR =
+  * sf0.1 fixture dir; SPARK_GRAFT_SCALE_OUT = output JSON). */
+object ScaleDeep {
+
+  private val FlatQueries = Seq(
+    "q60_indexed_probe",
+    "q71_indexed_probe",
+    "q79_indexed_probe",
+    "q92_phrase_ranked",
+    "q93_ledger_dedup")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def sliceDir(tag: String) = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_scale_${tag}_" + Integer.toHexString(baseDir.hashCode))
+      .getAbsolutePath
+    val sf1Dir = sliceDir("sf1")
+    val sf10Dir = sliceDir("sf10")
+    ScaleBench.generateSlice(spark, baseDir, sf1Dir, 10)
+    ScaleBench.generateSlice(spark, baseDir, sf10Dir, 100)
+
+    val queries = graft.SparkEntry.queries
+    def productionProbe(dir: String): org.apache.spark.sql.DataFrame = {
+      // same prebuilt index q60_indexed_probe uses; production params
+      val (idx, built) = graft.operators.PipelineQueries
+        .amortizedIndexPath(spark, dir, "ivfpq_index",
+          p => graft.operators.IvfPq.indexExists(spark, p),
+          table = "embeddings")
+      require(built, s"q60_indexed_probe must have built the index at $dir")
+      val queries = graft.operators.IvfPq.vectorsTable(spark, idx,
+        graft.operators.IvfPq.currentVersion(spark, idx))
+        .filter(col("vec_id") < 10)
+      graft.operators.IvfPq.searchIndex(spark, idx, queries, k = 3,
+        nProbe = 4, rerank = 20)
+    }
+    val names = FlatQueries :+ "q60_production_probe"
+    def run(dir: String): Map[String, Double] = {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .write.format("noop").mode("overwrite").save()
+      val samples = (0 until reps).map { _ =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        names.map { name =>
+          val t0 = System.nanoTime()
+          val df =
+            if (name == "q60_production_probe") productionProbe(dir)
+            else queries(name)(spark, dir)
+          df.write.format("noop").mode("overwrite").save()
+          name -> (System.nanoTime() - t0) / 1e9
+        }.toMap
+      }
+      names.map(n => n -> samples.map(_(n)).min).toMap
+    }
+
+    val t1 = run(baseDir)
+    val t10 = run(sf1Dir)
+    val t100 = run(sf10Dir)
+    def jsonMap(m: Map[String, Double]): String =
+      names.map(n => "\"" + n + f"""\":${m(n)}%.3f""").mkString("{", ",", "}")
+    val e1 = names.map(n => n -> math.log10(t10(n) / t1(n))).toMap
+    val e2 = names.map(n => n -> math.log10(t100(n) / t10(n))).toMap
+    val eAll = names.map(n => n -> math.log10(t100(n) / t1(n)) / 2).toMap
+    val json =
+      s"""{"metric":"scale_probe_deep","base":"$baseDir","factors":[1,10,100],""" +
+        s""""t_1x":${jsonMap(t1)},"t_10x":${jsonMap(t10)},"t_100x":${jsonMap(t100)},""" +
+        s""""e_decade1":${jsonMap(e1)},"e_decade2":${jsonMap(e2)},""" +
+        s""""e_overall":${jsonMap(eAll)},"reps":$reps}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale_r09.json")),
       json + "\n")
     spark.stop()
   }

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.SchemaTranslator
+import graft.parse.Db2Parser
+import graft.sources.{IcebergChanges, IcebergDeletes, IcebergSnapshot}
+
+/** Incremental / changelog reads over the v2 writer: an append-only
+  * incremental scan returns exactly the rows the in-range snapshots
+  * committed (discriminated by the manifest entries' own snapshot
+  * ids), refuses ranges that remove rows, skips compactions; the CDC
+  * changesTable reproduces the model's per-snapshot insert/delete
+  * diff for every operation, with compaction diffing to nothing. The
+  * table is identity-partitioned so both paths exercise the
+  * dir-encoded restore. */
+class IcebergChangesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("iceberg-changes-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val table = Db2Parser.parse(
+    """CREATE TABLE S.CHG (
+      |  K BIGINT NOT NULL,
+      |  V VARCHAR(10),
+      |  N INTEGER
+      |) PARTITION BY RANGE (V);""".stripMargin).tables.head
+
+  private def rowsDf(rows: Seq[(Long, String, Int)]) = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("K", LongType, nullable = false),
+      StructField("V", StringType), StructField("N", IntegerType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)), 2),
+      schema)
+  }
+
+  private def mk(k: Long): (Long, String, Int) = (k, s"p${k % 2}", (k * 7).toInt)
+
+  private def chainIds(out: String): Seq[Long] = {
+    val v = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", "version-hint.text")), "UTF-8")
+      .trim.toInt
+    val meta = org.json4s.jackson.JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, "metadata", s"v$v.metadata.json")), "UTF-8"))
+    import org.json4s._
+    (meta \ "snapshots").asInstanceOf[JArray].arr
+      .map(s => (s \ "snapshot-id").asInstanceOf[JInt].num.toLong)
+  }
+
+  private def collectChanges(df: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Int, String, Long)] =
+    df.select(col("K"), col("N"), col("_change_type"),
+        col("_commit_snapshot_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+
+  /** migrate(1-5) → append(6-9) → append(10-12) → pos-delete(K%3==0)
+    * → upsert(update K=1, insert 13) → compactWithDeletes. */
+  private lazy val fixture: (String, Seq[Long]) = {
+    val out = java.nio.file.Files.createTempDirectory("iceberg_chg").toString
+    SchemaTranslator.migrateTable(rowsDf((1L to 5L).map(mk)), table, out)
+    SchemaTranslator.appendIncrement(rowsDf((6L to 9L).map(mk)), table, out)
+    SchemaTranslator.appendIncrement(rowsDf((10L to 12L).map(mk)), table, out)
+    IcebergDeletes.commitPositionDeletes(spark, table, out, col("K") % 3 === 0)
+    SchemaTranslator.mergeUpsert(
+      rowsDf(Seq((1L, "p1", 9999), mk(13L))), table, out, keyCols = Seq("K"))
+    IcebergDeletes.compactWithDeletes(spark, table, out)
+    val ids = chainIds(out)
+    assert(ids.size === 6)
+    (out, ids)
+  }
+
+  test("incrementalAppendScan returns exactly the in-range snapshots' rows, " +
+      "tagged with their committer") {
+    val (out, ids) = fixture
+    val inc = IcebergChanges.incrementalAppendScan(spark, out, table,
+      fromSnapshotId = Some(ids(0)), toSnapshotId = Some(ids(2)))
+    val got = collectChanges(inc)
+    val want = ((6L to 9L).map(k => (k, (k * 7).toInt, "insert", ids(1))) ++
+      (10L to 12L).map(k => (k, (k * 7).toInt, "insert", ids(2)))).toSet
+    assert(got === want)
+    // the restored identity column comes back too
+    assert(inc.filter(col("V") === "p0").count() ===
+      (6L to 12L).count(_ % 2 == 0).toLong)
+    // from None = since table creation (append-only prefix)
+    val all = IcebergChanges.incrementalAppendScan(spark, out, table,
+      fromSnapshotId = None, toSnapshotId = Some(ids(2)))
+    assert(all.count() === 12L)
+    assert(all.filter(col("_commit_snapshot_id") === ids(0)).count() === 5L)
+    // ordinals follow commit order within the requested range
+    assert(all.select("_change_ordinal").distinct().count() === 3L)
+  }
+
+  test("incrementalAppendScan refuses row-removing snapshots in strict " +
+      "mode, reports only adds with strict=false, skips REPLACE") {
+    val (out, ids) = fixture
+    val ex = intercept[IllegalArgumentException] {
+      IcebergChanges.incrementalAppendScan(spark, out, table,
+        fromSnapshotId = Some(ids(2)))
+    }
+    assert(ex.getMessage.contains("changesTable"))
+    // non-strict: the delete snapshot contributes nothing, the upsert
+    // contributes its data file's rows, the compaction is skipped
+    val lax = IcebergChanges.incrementalAppendScan(spark, out, table,
+      fromSnapshotId = Some(ids(2)), strict = false)
+    val got = collectChanges(lax)
+    assert(got === Set((1L, 9999, "insert", ids(4)),
+      (13L, 13 * 7, "insert", ids(4))))
+    // an all-append range below the deletes stays strict-clean
+    IcebergChanges.incrementalAppendScan(spark, out, table,
+      fromSnapshotId = Some(ids(0)), toSnapshotId = Some(ids(2)))
+  }
+
+  test("incrementalAppendScan reads ONLY the in-range snapshots' files — " +
+      "the O(rows added), table-size-independent contract") {
+    val (out, ids) = fixture
+    def inputsOf(from: Option[Long], to: Option[Long]) =
+      IcebergChanges.incrementalAppendScan(spark, out, table, from, to)
+        .inputFiles.toSet
+    val snap1Files = inputsOf(None, Some(ids(0)))
+    val snap2Files = inputsOf(Some(ids(0)), Some(ids(1)))
+    val snap3Files = inputsOf(Some(ids(1)), Some(ids(2)))
+    assert(snap1Files.nonEmpty && snap2Files.nonEmpty && snap3Files.nonEmpty)
+    // per-snapshot scans are pairwise disjoint: no range ever re-reads
+    // an earlier commit's files
+    assert((snap1Files & snap2Files).isEmpty)
+    assert((snap1Files & snap3Files).isEmpty)
+    assert((snap2Files & snap3Files).isEmpty)
+    // and a sub-range's scan is exactly its snapshots' union
+    assert(inputsOf(Some(ids(0)), Some(ids(2))) === snap2Files ++ snap3Files)
+  }
+
+  test("changesTable reproduces the per-snapshot insert/delete diff; " +
+      "compaction emits nothing") {
+    val (out, ids) = fixture
+    val all = IcebergChanges.changesTable(spark, out, table,
+      fromSnapshotId = None)
+    def at(id: Long) = collectChanges(
+      all.filter(col("_commit_snapshot_id") === id))
+    assert(at(ids(0)) ===
+      (1L to 5L).map(k => (k, (k * 7).toInt, "insert", ids(0))).toSet)
+    assert(at(ids(1)) ===
+      (6L to 9L).map(k => (k, (k * 7).toInt, "insert", ids(1))).toSet)
+    // position delete: K % 3 == 0 among 1..12
+    assert(at(ids(3)) ===
+      Seq(3L, 6L, 9L, 12L).map(k => (k, (k * 7).toInt, "delete", ids(3))).toSet)
+    // upsert: K=1 old row out, new row in; K=13 pure insert
+    assert(at(ids(4)) === Set(
+      (1L, 7, "delete", ids(4)), (1L, 9999, "insert", ids(4)),
+      (13L, 13 * 7, "insert", ids(4))))
+    // compaction: bytes moved, no logical change
+    assert(at(ids(5)) === Set.empty)
+    // a mid-chain range carries only its snapshots
+    val mid = IcebergChanges.changesTable(spark, out, table,
+      fromSnapshotId = Some(ids(2)), toSnapshotId = Some(ids(3)))
+    assert(collectChanges(mid) ===
+      Seq(3L, 6L, 9L, 12L).map(k => (k, (k * 7).toInt, "delete", ids(3))).toSet)
+    // unknown from-snapshot fails loudly
+    intercept[IllegalArgumentException] {
+      IcebergChanges.changesTable(spark, out, table, fromSnapshotId = Some(42L))
+    }
+  }
+}

@@ -384,6 +384,16 @@ class IcebergLifecycleSpec extends AnyFunSuite {
     // model.
     runSequence(List(AddCol(5), Append(4), RenameCol, Delete(2, 0),
       CompactWithDeletes, Append(3)), 9005)
+    // fifth find (round 9, fresh-seed pass): deleting EVERY row and
+    // then compacting the deletes in commits a REPLACE with zero data
+    // files — a legal empty-table state readSnapshot refused
+    // ("snapshot lists no data files") instead of reading as zero
+    // rows. The read now returns an empty DataFrame under the usual
+    // column shape; life continues after empty (append, delete,
+    // compact again) and time travel to the pre-compact snapshots
+    // still sees the rows.
+    runSequence(List(Delete(2, 0), Delete(2, 1), CompactWithDeletes,
+      Append(4), Delete(3, 1), CompactWithDeletes), 9006)
   }
 
   test("randomized lifecycle sequences uphold read==model, time travel, " +

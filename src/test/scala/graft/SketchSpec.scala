@@ -66,4 +66,82 @@ class SketchSpec extends AnyFunSuite {
       .collect()
     assert(hh.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  // ------------------------------------------------------------------- KLL
+
+  /** True normalized rank of `v` in `xs` (min distance over the tie
+    * range, so an estimate landing anywhere inside a run of equal
+    * values counts as that run's rank). */
+  private def rankError(xs: Array[Double], v: Double, p: Double): Double = {
+    val n = xs.length
+    val lo = xs.count(_ < v)          // lowest rank v could occupy
+    val hi = xs.count(_ <= v) - 1     // highest rank v could occupy
+    val target = math.floor(p * (n - 1)).toLong
+    if (target >= lo && target <= hi) 0.0
+    else math.min(math.abs(target - lo), math.abs(target - hi)).toDouble / n
+  }
+
+  test("KLL degenerate-exact mode (k >= n): every quantile equals rank selection") {
+    val rng = new scala.util.Random(7)
+    val xs = Array.fill(5000)(rng.nextDouble() * 1000.0)
+    val sk = new graft.operators.KllDoubleSketch(8192)
+    xs.foreach(sk.update)
+    assert(sk.n === 5000L)
+    val sorted = xs.sorted
+    for (p <- Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)) {
+      val want = sorted(math.floor(p * (xs.length - 1)).toInt)
+      assert(sk.quantile(p) === want, s"p=$p")
+    }
+  }
+
+  test("KLL compacted mode: rank error <= 2.5/k sequential and merged, " +
+      "n exact, serialization round-trips") {
+    val k = 200
+    val rng = new scala.util.Random(42)
+    // skewed data (exponential-ish) so compaction bias would show
+    val xs = Array.fill(50000)(-math.log(1.0 - rng.nextDouble()) * 100.0)
+    val seq = new graft.operators.KllDoubleSketch(k)
+    xs.foreach(seq.update)
+    assert(seq.n === xs.length.toLong)
+    // merged build: 16 disjoint chunks, pairwise-merged out of order —
+    // the Spark shuffle shape
+    val parts = xs.grouped(math.ceil(xs.length / 16.0).toInt).map { chunk =>
+      val s = new graft.operators.KllDoubleSketch(k)
+      chunk.foreach(s.update)
+      s
+    }.toSeq
+    val merged = new scala.util.Random(3)
+      .shuffle(parts).reduce((a, b) => a.merge(b))
+    assert(merged.n === xs.length.toLong)
+    val bound = 2.5 / k
+    for (p <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99);
+         sk <- Seq(seq, merged)) {
+      val e = rankError(xs, sk.quantile(p), p)
+      assert(e <= bound, s"p=$p: normalized rank error $e > $bound")
+    }
+    // byte round-trip preserves the full state, not just answers
+    val rt = graft.operators.KllDoubleSketch.deserialize(merged.serialize)
+    assert(rt.n === merged.n)
+    for (p <- Seq(0.1, 0.5, 0.9))
+      assert(rt.quantile(p) === merged.quantile(p))
+  }
+
+  test("q96: Kll.groupQuantiles in exact mode matches the rank-selection " +
+      "oracle computed independently") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.PipelineQueries.q96KllQuantiles(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    assert(got.keySet === langs.toSet)
+    for (lang <- langs) {
+      val vs = docs.filter(col("lang") === lang)
+        .select(col("n_chars").cast("double")).collect().map(_.getDouble(0)).sorted
+      val r = got(lang)
+      assert(r.getAs[Long]("n") === vs.length.toLong)
+      for ((nm, p) <- Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9)) {
+        val want = vs(math.floor(p * (vs.length - 1)).toInt)
+        assert(r.getAs[Double](nm) === want, s"$lang/$nm")
+      }
+    }
+  }
 }
