@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{GramBuckets, IcebergBucket, RepetitionStats, ShingleHashes, SimHash64, VectorDot}
+import graft.functions.{GramBuckets, HtmlText, IcebergBucket, RepetitionStats, ShingleHashes, SimHash64, VectorDot}
 
 /** Session extensions registering the engine's native expressions for
   * SQL use (`spark.sql.extensions=graft.api.GraftExtensions` or
@@ -16,7 +16,8 @@ import graft.functions.{GramBuckets, IcebergBucket, RepetitionStats, ShingleHash
   * — k must be a literal), `repetition_stats(text, n)` (per-doc
   * repetition signals — n must be a literal), `iceberg_bucket(v, n)`
   * (the Iceberg spec's murmur3 bucket transform — n must be a
-  * literal) — so pure-SQL pipelines get the same hot paths as the
+  * literal), `html_text(html)` (crawl HTML → whitespace-normalized
+  * plain text) — so pure-SQL pipelines get the same hot paths as the
   * Column API. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -86,9 +87,18 @@ object GraftExtensions {
         children(2).eval().toString)
     })
 
+  val htmlTextDescriptor: Descriptor = (
+    FunctionIdentifier("html_text"),
+    new ExpressionInfo(classOf[HtmlText].getName, "html_text"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "html_text takes exactly 1 argument")
+      HtmlText(children.head)
+    })
+
   val descriptors: Seq[Descriptor] =
     Seq(vectorDotDescriptor, simHashDescriptor, shingleHashesDescriptor,
-      repetitionStatsDescriptor, icebergBucketDescriptor, gramBucketsDescriptor)
+      repetitionStatsDescriptor, icebergBucketDescriptor, gramBucketsDescriptor,
+      htmlTextDescriptor)
 
   /** Register on an already-built session (tests, REPL): the SQL
     * functions plus the HOF-dot optimizer rewrite (via

@@ -330,20 +330,38 @@ object PipelineQueries {
     * sized rows shuffle at the chunk learn, the dedup key, the gram
     * semi-join and the budget histogram — each keyed, none cartesian;
     * the boilerplate set, split thresholds, budget stats and shard
-    * assignment are broadcast/scan-side. */
-  def q95CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    * assignment are broadcast/scan-side.
+    *
+    * Materialization: the DAG fans out from two expensive nodes — the
+    * scrubbed corpus feeds dedup (agg + semi-join), the split, the
+    * gram explode and the budget scorer, and the 13-gram explode feeds
+    * both decontaminate branches. Without a persist each consumer
+    * re-runs the whole interpreted-HOF scrub chain (measured 33 s at
+    * sf0.1; 6.5 s persisted). `level` follows the dropRepeatedChunks
+    * chunkPersist contract: MEMORY_AND_DISK for the registered query,
+    * NONE to keep every operator visible in one plan (PlanSpec pins
+    * the unpersisted variant; the persisted one differs only by cache
+    * boundaries). */
+  def q95CurationPipeline(s: SparkSession, dir: String): DataFrame =
+    q95Curation(s, dir, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private[graft] def q95Curation(s: SparkSession, dir: String,
+      level: org.apache.spark.storage.StorageLevel): DataFrame = {
+    def mat(df: DataFrame): DataFrame =
+      if (level == org.apache.spark.storage.StorageLevel.NONE) df
+      else df.persist(level)
     val docs = t(s, dir, "documents")
-    // 1. quality gate on the raw text (q16's scorer, fixed threshold)
-    val gated = docs
+    // 1. quality gate on the raw text (q16's scorer, fixed threshold);
+    //    two consumers (chunk learn, scrub) — materialize the slice
+    val gated = mat(docs
       .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
-      .select(col("doc_id"), col("source"), col("text"))
-      // 3 downstream consumers of the gated rows (chunk learn, scrub,
-      // and the scrub's own text rewrite) — persist the narrow slice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 2. boilerplate scrub: chunk set learned ON the gated corpus
+      .select(col("doc_id"), col("source"), col("text")))
+    // 2. boilerplate scrub: chunk set learned ON the gated corpus.
+    //    Materialized BEFORE the emptiness filter so the filter reads
+    //    cached rows instead of re-evaluating the scrub expression.
     val bp = Dedup.repeatedChunks(gated, "doc_id", "text",
       chunkTokens = 10, maxDocs = 1)
-    val scrubbed = Dedup.scrubChunks(gated, "text", 10, bp)
+    val scrubbed = mat(Dedup.scrubChunks(gated, "text", 10, bp))
       .filter(length(col("text")) > 0) // pure-boilerplate docs drop out
     // 3. exact dedup on the cleaned text: keep the min doc_id per
     //    fingerprint (no per-key window — bounded min aggregate)
@@ -355,8 +373,8 @@ object PipelineQueries {
     // 4. deterministic split + 13-gram decontaminate on cleaned text
     val split = Sampling.assignSplit(deduped, col("doc_id"),
       Seq("train" -> 0.9, "test" -> 0.1))
-    val grams = split.select(col("doc_id"), col("split"),
-      explode(TextFunctions.ngrams(words(col("text")), 13)).as("gram"))
+    val grams = mat(split.select(col("doc_id"), col("split"),
+      explode(TextFunctions.ngrams(words(col("text")), 13)).as("gram")))
     val testGrams = grams.filter(col("split") === "test")
       .select("gram").distinct()
     val flagged = grams.filter(col("split") === "train")

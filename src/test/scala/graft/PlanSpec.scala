@@ -215,7 +215,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("q95 capstone pipeline: every corpus shuffle is keyed — no cartesian, " +
       "and the only nested-loop join is the one-row boilerplate broadcast") {
-    val df = graft.operators.PipelineQueries.q95CurationPipeline(spark, dir)
+    // the UNPERSISTED variant keeps every operator visible in one plan
+    // (the registered query materializes the scrub/gram fan-out nodes,
+    // which hides their subtrees inside InMemoryRelation)
+    val df = graft.operators.PipelineQueries.q95Curation(spark, dir,
+      org.apache.spark.storage.StorageLevel.NONE)
     val plan = planString(df)
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     // scrubChunks' single-row collect_list broadcast is the one

@@ -1,0 +1,175 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.HtmlText
+import graft.sources.Warc
+
+/** WARC ingest (ISO 28500) + html_text: records parse from plain and
+  * per-record-gzip-member files, HTTP response payloads split off
+  * their header block, oversize bodies truncate WITH a flag, torn
+  * tails end the file quietly, and the crawl→text composition
+  * (html_text over response payloads) feeds the quality gates. */
+class WarcSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("warc-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val Html =
+    """<!DOCTYPE html><html><head><title>T</title>
+      |<style>body { color: red; }</style>
+      |<script type="text/javascript">var x = "<p>not text</p>";</script>
+      |</head><body>
+      |<!-- a comment -->
+      |<h1>Hello &amp; welcome</h1>
+      |<p>caf&#233; &lt;tag&gt; &#x41;B&nbsp;C</p>
+      |</body></html>""".stripMargin
+
+  private def record(wtype: String, uri: String, block: Array[Byte],
+      ctype: String = "application/http; msgtype=response"): Array[Byte] = {
+    val h = new StringBuilder
+    h ++= "WARC/1.0\r\n"
+    h ++= s"WARC-Type: $wtype\r\n"
+    h ++= s"WARC-Record-ID: <urn:uuid:$wtype-${uri.hashCode}>\r\n"
+    h ++= s"WARC-Target-URI: $uri\r\n"
+    h ++= "WARC-Date: 2026-08-14T00:00:00Z\r\n"
+    h ++= s"Content-Type: $ctype\r\n"
+    h ++= s"Content-Length: ${block.length}\r\n"
+    h ++= "\r\n"
+    h.toString.getBytes(StandardCharsets.UTF_8) ++ block ++
+      "\r\n\r\n".getBytes(StandardCharsets.UTF_8)
+  }
+
+  private def httpResponse(payload: Array[Byte],
+      ctype: String = "text/html; charset=utf-8"): Array[Byte] =
+    (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8) ++ payload
+
+  private def writeWarc(dir: java.nio.file.Path, name: String,
+      records: Seq[Array[Byte]], gzipPerRecord: Boolean): String = {
+    val f = dir.resolve(name).toFile
+    val out = new FileOutputStream(f)
+    try {
+      if (gzipPerRecord) records.foreach { r =>
+        // one gzip MEMBER per record — the CommonCrawl layout
+        val bos = new ByteArrayOutputStream()
+        val gz = new GZIPOutputStream(bos)
+        gz.write(r); gz.finish()
+        out.write(bos.toByteArray)
+      }
+      else records.foreach(out.write)
+    } finally out.close()
+    f.getAbsolutePath
+  }
+
+  private def fixtureRecords: Seq[Array[Byte]] = Seq(
+    record("warcinfo", "urn:info",
+      "software: graft-test\r\n".getBytes(StandardCharsets.UTF_8),
+      ctype = "application/warc-fields"),
+    record("request", "http://example.com/a",
+      "GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n"
+        .getBytes(StandardCharsets.UTF_8),
+      ctype = "application/http; msgtype=request"),
+    record("response", "http://example.com/a",
+      httpResponse(Html.getBytes(StandardCharsets.UTF_8))),
+    record("response", "http://example.com/b",
+      httpResponse("plain text body".getBytes(StandardCharsets.UTF_8),
+        ctype = "text/plain")))
+
+  test("plain and per-record-gzipped WARC parse identically; responses " +
+      "split the HTTP header block off") {
+    val dir = java.nio.file.Files.createTempDirectory("warc")
+    writeWarc(dir, "a.warc", fixtureRecords, gzipPerRecord = false)
+    writeWarc(dir, "a.warc.gz", fixtureRecords, gzipPerRecord = true)
+    val df = Warc.records(spark, dir.toString + "/*")
+    val rows = df.collect()
+    assert(rows.length === 8) // 4 records × 2 files
+    for (variant <- Seq("a.warc", "a.warc.gz")) {
+      val rs = rows.filter(_.getAs[String]("source_file").endsWith(variant))
+      assert(rs.map(_.getAs[String]("warc_type")).sorted.toSeq ===
+        Seq("request", "response", "response", "warcinfo"))
+      val resp = rs.filter(r => r.getAs[String]("warc_type") == "response" &&
+        r.getAs[String]("target_uri") == "http://example.com/a").head
+      assert(resp.getAs[Int]("http_status") === 200)
+      assert(resp.getAs[String]("http_content_type")
+        .startsWith("text/html"))
+      assert(new String(resp.getAs[Array[Byte]]("body"),
+        StandardCharsets.UTF_8) === Html)
+      assert(!resp.getAs[Boolean]("truncated"))
+      // non-http records keep their raw block
+      val info = rs.filter(_.getAs[String]("warc_type") == "warcinfo").head
+      assert(new String(info.getAs[Array[Byte]]("body"),
+        StandardCharsets.UTF_8).startsWith("software:"))
+      assert(info.isNullAt(info.fieldIndex("http_status")))
+    }
+  }
+
+  test("oversize bodies truncate WITH the flag; a torn tail keeps the " +
+      "records before it") {
+    val dir = java.nio.file.Files.createTempDirectory("warc2")
+    writeWarc(dir, "big.warc", fixtureRecords, gzipPerRecord = false)
+    val small = Warc.records(spark, dir.resolve("big.warc").toString,
+      maxBodyBytes = 64).collect()
+    assert(small.length === 4)
+    val bigResp = small.filter(r =>
+      r.getAs[String]("warc_type") == "response" &&
+        r.getAs[String]("target_uri") == "http://example.com/a").head
+    assert(bigResp.getAs[Boolean]("truncated"))
+    // declared length survives truncation for accounting
+    assert(bigResp.getAs[Long]("content_length") > 64L)
+    // torn tail: a record whose declared length exceeds the bytes left
+    val torn = fixtureRecords :+
+      record("response", "http://example.com/torn",
+        httpResponse("x".getBytes(StandardCharsets.UTF_8)))
+    val all = torn.flatMap(_.toSeq).toArray
+    val cut = java.util.Arrays.copyOfRange(all, 0, all.length - 30)
+    val f = new FileOutputStream(dir.resolve("torn.warc").toFile)
+    try f.write(cut) finally f.close()
+    val parsed = Warc.records(spark, dir.resolve("torn.warc").toString)
+      .collect()
+    assert(parsed.length === 4) // the intact prefix, not an exception
+  }
+
+  test("html_text: tags/scripts/styles/comments out, entities decoded " +
+      "AFTER stripping, whitespace normalized; composes crawl -> text") {
+    val dir = java.nio.file.Files.createTempDirectory("warc3")
+    writeWarc(dir, "c.warc.gz", fixtureRecords, gzipPerRecord = true)
+    val txt = Warc.records(spark, dir.resolve("c.warc.gz").toString)
+      .filter(col("warc_type") === "response" &&
+        col("http_content_type").startsWith("text/html"))
+      .select(col("target_uri"),
+        HtmlText(col("body").cast("string")).as("text"))
+      .collect()
+    assert(txt.length === 1)
+    val t = txt.head.getAs[String]("text")
+    assert(t === "T Hello & welcome café <tag> AB C")
+    // the SQL registration agrees with the Column API
+    graft.api.GraftExtensions.register(spark)
+    import spark.implicits._
+    val viaSql = Seq(Html).toDF("h")
+      .selectExpr("html_text(h) AS t").head.getString(0)
+    assert(viaSql === t)
+    // decoding order: an entity-encoded tag must NOT be stripped
+    val sneaky = Seq("a &lt;script&gt;alert(1)&lt;/script&gt; b").toDF("h")
+      .select(HtmlText(col("h")).as("t")).head.getString(0)
+    assert(sneaky === "a <script>alert(1)</script> b")
+    // null/garbage safety
+    val nulls = Seq[String](null, "", "<p", "&#xD800; &#999999999;").toDF("h")
+      .select(HtmlText(col("h")).as("t")).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getString(0))
+    assert(nulls(0) === null)
+    assert(nulls(1) === "")
+    assert(nulls(3) === "&#xD800; &#999999999;")
+  }
+}
