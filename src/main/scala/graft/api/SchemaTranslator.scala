@@ -173,6 +173,29 @@ object SchemaTranslator {
       table, path, df.sparkSession.sparkContext.hadoopConfiguration)
   }
 
+  /** Write-audit-publish staging: land `df` as an append on an audit
+    * branch — readers of main see nothing until [[publishBranch]]
+    * fast-forwards it (or the branch is abandoned via
+    * [[graft.sources.IcebergSnapshot.dropRef]] + expiry). The daily
+    * curation-batch shape: stage, gate on
+    * [[graft.sources.IcebergSnapshot.readSnapshotAtRef]], publish. */
+  def stageAppendToBranch(df: DataFrame, table: TableDef, path: String,
+      branch: String, format: String = "parquet"): Unit = {
+    writeMigrated(df, table, s"$path/data", format, mode = "append")
+    graft.sources.IcebergWap.commitAppendToBranch(table, path, branch,
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    ()
+  }
+
+  /** Publish a staged audit branch: fast-forward main to its head
+    * (refuses if main advanced past the fork). */
+  def publishBranch(spark: SparkSession, table: TableDef, path: String,
+      branch: String): Unit = {
+    graft.sources.IcebergWap.fastForwardMain(table, path, branch,
+      spark.sparkContext.hadoopConfiguration)
+    ()
+  }
+
   /** Row-level DELETE on a migrated table: commit an Iceberg v2
     * DELETE snapshot of position delete files covering every current
     * row matching `predicate` (merge-on-read — data files are

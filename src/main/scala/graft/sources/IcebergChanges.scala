@@ -43,14 +43,19 @@ import IcebergSnapshot._
   * range, 0-based — commit order, not timestamp order). */
 object IcebergChanges {
 
+  /** (chain, main head id) — the default `toSnapshotId` is the MAIN
+    * head, not the array tail: a staged WAP branch snapshot must not
+    * leak into an unbounded incremental read. */
   private def chainOf(spark: SparkSession, tablePath: String)
-      : Seq[IcebergMetadata.SnapshotMeta] = {
+      : (Seq[IcebergMetadata.SnapshotMeta], Option[Long]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val metadataDir = new Path(tablePath, "metadata")
     val version = readText(new Path(metadataDir, "version-hint.text"), conf)
       .trim.toInt
-    parseSnapshots(readText(
-      new Path(metadataDir, s"v$version.metadata.json"), conf))
+    val metaText = readText(
+      new Path(metadataDir, s"v$version.metadata.json"), conf)
+    val chain = parseSnapshots(metaText)
+    (chain, currentSnapshotOf(metaText, chain).map(_.snapshotId))
   }
 
   /** Snapshots strictly after `fromId` (None = table creation) up to
@@ -91,7 +96,8 @@ object IcebergChanges {
       toSnapshotId: Option[Long] = None,
       strict: Boolean = true): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val snaps = range(chainOf(spark, tablePath), fromSnapshotId, toSnapshotId)
+    val (chain, mainId) = chainOf(spark, tablePath)
+    val snaps = range(chain, fromSnapshotId, toSnapshotId.orElse(mainId))
     val considered = snaps.filterNot(_.operation == "replace")
     if (strict) {
       val bad = considered.filter(s =>
@@ -155,8 +161,8 @@ object IcebergChanges {
   def changesTable(spark: SparkSession, tablePath: String, table: TableDef,
       fromSnapshotId: Option[Long],
       toSnapshotId: Option[Long] = None): DataFrame = {
-    val chain = chainOf(spark, tablePath)
-    val snaps = range(chain, fromSnapshotId, toSnapshotId)
+    val (chain, mainId) = chainOf(spark, tablePath)
+    val snaps = range(chain, fromSnapshotId, toSnapshotId.orElse(mainId))
     val byId = chain.map(s => s.snapshotId -> s).toMap
     def stateAt(id: Option[Long]): DataFrame = id match {
       case None => emptyLike(spark, table)

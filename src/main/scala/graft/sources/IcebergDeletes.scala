@@ -74,10 +74,14 @@ object IcebergDeletes {
     val fs = FileSystem.get(metadataDir.toUri, conf)
     val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
     require(version >= 2, s"no committed snapshot (version $version)")
-    val chain = parseSnapshots(readText(
-      new Path(metadataDir, s"v$version.metadata.json"), conf))
+    val metaText = readText(
+      new Path(metadataDir, s"v$version.metadata.json"), conf)
+    val chain = parseSnapshots(metaText)
     require(chain.nonEmpty, "metadata carries no snapshots")
-    (metadataDir, fs, version, chain)
+    // the MAIN head, not the array tail — a staged WAP branch snapshot
+    // may trail it (see IcebergSnapshot.currentSnapshotOf)
+    (metadataDir, fs, version, chain,
+      IcebergSnapshot.currentSnapshotOf(metaText, chain).get)
   }
 
   private def snapshotIdFor(table: TableDef, seq: Long): Long =
@@ -95,8 +99,7 @@ object IcebergDeletes {
       tablePath: String, predicate: Column,
       timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val (metadataDir, fs, version, chain) = loadCurrent(tablePath, conf)
-    val current = chain.last
+    val (metadataDir, fs, version, chain, current) = loadCurrent(tablePath, conf)
     val priorList = readManifestList(new Path(current.manifestList), conf)
     val live = liveFilesWithSeq(priorList, table, conf)
     require(live.nonEmpty, "snapshot lists no data files")
@@ -153,7 +156,7 @@ object IcebergDeletes {
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
       if (perPart.isEmpty) return current
 
-      val newSeq = current.sequenceNumber + 1
+      val newSeq = chain.map(_.sequenceNumber).max + 1
       val snapshotId = snapshotIdFor(table, newSeq)
       val fpMeta = new MetadataBuilder()
         .putLong("parquet.field.id", DeleteFilePathFieldId).build()
@@ -224,8 +227,7 @@ object IcebergDeletes {
   def commitUpsert(spark: SparkSession, table: TableDef, tablePath: String,
       keys: DataFrame, timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val (metadataDir, fs, version, chain) = loadCurrent(tablePath, conf)
-    val current = chain.last
+    val (metadataDir, fs, version, chain, current) = loadCurrent(tablePath, conf)
     val priorList = readManifestList(new Path(current.manifestList), conf)
 
     val keyCols = keys.columns.toSeq
@@ -247,7 +249,7 @@ object IcebergDeletes {
     val newFiles = listDataFiles(new Path(tablePath, "data"), table, conf)
       .filterNot(f => known.contains(f.path))
 
-    val newSeq = current.sequenceNumber + 1
+    val newSeq = chain.map(_.sequenceNumber).max + 1
     val snapshotId = snapshotIdFor(table, newSeq)
 
     // one global equality delete file: distinct keys, deterministic order
@@ -324,14 +326,13 @@ object IcebergDeletes {
   def compactWithDeletes(spark: SparkSession, table: TableDef,
       tablePath: String, timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val (metadataDir, fs, version, chain) = loadCurrent(tablePath, conf)
-    val current = chain.last
+    val (metadataDir, fs, version, chain, current) = loadCurrent(tablePath, conf)
     val priorList = readManifestList(new Path(current.manifestList), conf)
     val liveData = liveFilesWithSeq(priorList, table, conf)
     val liveDeletes = liveDeleteFiles(priorList, conf)
     if (liveDeletes.isEmpty) return current // nothing to fold in
 
-    val newSeq = current.sequenceNumber + 1
+    val newSeq = chain.map(_.sequenceNumber).max + 1
     val snapshotId = snapshotIdFor(table, newSeq)
 
     // net rows via the same delete-applying read the scan path uses;
@@ -480,7 +481,7 @@ object IcebergDeletes {
       liveDeletes: Seq[DeleteFileRef],
       net: DataFrame): IcebergMetadata.SnapshotMeta = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val newSeq = current.sequenceNumber + 1
+    val newSeq = chain.map(_.sequenceNumber).max + 1
     val snapshotId = snapshotIdFor(table, newSeq)
     val sid = IcebergMetadata.defaultSpecIdOf(table)
     val defs = IcebergMetadata.specFieldDefs(table, sid)

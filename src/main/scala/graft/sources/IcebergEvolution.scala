@@ -278,10 +278,12 @@ object IcebergEvolution {
     val fs = FileSystem.get(metadataDir.toUri, conf)
     val version = IcebergSnapshot.readText(
       new Path(metadataDir, "version-hint.text"), conf).trim.toInt
-    val chain = IcebergSnapshot.parseSnapshots(IcebergSnapshot.readText(
-      new Path(metadataDir, s"v$version.metadata.json"), conf))
+    val metaText = IcebergSnapshot.readText(
+      new Path(metadataDir, s"v$version.metadata.json"), conf)
+    val chain = IcebergSnapshot.parseSnapshots(metaText)
     IcebergSnapshot.writeNewMetadataVersion(table, tablePath, metadataDir,
-      fs, version, chain, timestampMs)
+      fs, version, chain, timestampMs,
+      currentIdOverride = IcebergSnapshot.currentIdOf(metaText))
     table
   }
 }

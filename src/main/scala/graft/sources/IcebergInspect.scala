@@ -135,8 +135,9 @@ object IcebergInspect {
       snapshotId: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
-    val chain = parseSnapshots(currentMetaText(spark, tablePath))
-    val snap = snapshotId.fold(chain.lastOption)(id =>
+    val metaText = currentMetaText(spark, tablePath)
+    val chain = parseSnapshots(metaText)
+    val snap = snapshotId.fold(currentSnapshotOf(metaText, chain))(id =>
         chain.find(_.snapshotId == id))
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot ${snapshotId.getOrElse("<current>")} not found"))
@@ -167,8 +168,9 @@ object IcebergInspect {
       table: TableDef, snapshotId: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
-    val chain = parseSnapshots(currentMetaText(spark, tablePath))
-    val snap = snapshotId.fold(chain.lastOption)(id =>
+    val metaText = currentMetaText(spark, tablePath)
+    val chain = parseSnapshots(metaText)
+    val snap = snapshotId.fold(currentSnapshotOf(metaText, chain))(id =>
         chain.find(_.snapshotId == id))
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot ${snapshotId.getOrElse("<current>")} not found"))

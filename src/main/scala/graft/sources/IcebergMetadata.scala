@@ -201,16 +201,39 @@ object IcebergMetadata {
   /** [[metadataJson]] for a CHAIN of append snapshots (the last one is
     * current) — the state after N incremental commits. `extraRefs`
     * are named refs beyond the implicit `main` branch: (name,
-    * snapshot-id, "tag"|"branch") triples, the spec's refs map. */
+    * snapshot-id, "tag"|"branch") triples, the spec's refs map.
+    *
+    * `currentIdOverride` decouples the MAIN head from the chain tail —
+    * the write-audit-publish shape: a snapshot staged on an audit
+    * branch sits in the snapshots list while `current-snapshot-id`
+    * (and the main ref) keep pointing at the published head. When the
+    * override diverges from the tail, the snapshot-log is filtered to
+    * the main head's ancestry (parent links), preserving the spec rule
+    * that the log's last entry IS the current snapshot; with no
+    * override (every linear-history committer) the output is
+    * byte-identical to before the parameter existed. */
   def metadataJsonChain(table: TableDef, location: String,
       lastUpdatedMs: Long = 0L,
       snapshots: Seq[SnapshotMeta] = Nil,
       metadataLog: Seq[(Long, String)] = Nil,
-      extraRefs: Seq[(String, Long, String)] = Nil): String = {
+      extraRefs: Seq[(String, Long, String)] = Nil,
+      currentIdOverride: Option[Long] = None): String = {
     val spec = partitionSpecJson(table)
     val nPartFields = (spec \ "fields").asInstanceOf[JArray].arr.size
     val order = sortOrderJson(table)
     val current = snapshots.lastOption
+    // the MAIN head: the override when staging diverges, else the tail
+    val head = currentIdOverride
+      .flatMap(id => snapshots.find(_.snapshotId == id)).orElse(current)
+    // snapshot-log entries: main-ancestry only while a staged branch
+    // head trails the array (chain order preserved)
+    val logSnapshots =
+      if (head.exists(h => current.exists(_.snapshotId != h.snapshotId))) {
+        val byId = snapshots.map(s => s.snapshotId -> s).toMap
+        val ancestry = Iterator.iterate(head)(_.flatMap(_.parentSnapshotId)
+          .flatMap(byId.get)).takeWhile(_.isDefined).map(_.get.snapshotId).toSet
+        snapshots.filter(s => ancestry.contains(s.snapshotId))
+      } else snapshots
     val snapJson = snapshots.toList.map { s =>
       JObject(List(
         "snapshot-id" -> JInt(s.snapshotId),
@@ -273,8 +296,8 @@ object IcebergMetadata {
       "default-sort-order-id" -> JInt((order \ "order-id").asInstanceOf[JInt].num),
       "sort-orders" -> JArray(List(order)),
       "properties" -> JObject("write.format.default" -> JString("parquet")),
-      "current-snapshot-id" -> current.fold[JValue](JInt(-1))(s => JInt(s.snapshotId)),
-      "refs" -> current.fold[JValue](JObject())(s => JObject(
+      "current-snapshot-id" -> head.fold[JValue](JInt(-1))(s => JInt(s.snapshotId)),
+      "refs" -> head.fold[JValue](JObject())(s => JObject(
         ("main" -> (JObject(
           "snapshot-id" -> JInt(s.snapshotId),
           "type" -> JString("branch")): JValue)) ::
@@ -285,7 +308,7 @@ object IcebergMetadata {
                 "type" -> JString(rtype)): JValue)
           })),
       "snapshots" -> JArray(snapJson),
-      "snapshot-log" -> JArray(snapshots.toList.map(s => JObject(
+      "snapshot-log" -> JArray(logSnapshots.toList.map(s => JObject(
         "timestamp-ms" -> JInt(BigInt(s.timestampMs)),
         "snapshot-id" -> JInt(s.snapshotId)))),
       "metadata-log" -> JArray(metadataLog.toList.map { case (ts, file) =>

@@ -927,9 +927,10 @@ object IcebergSnapshot {
     val conf = spark.sparkContext.hadoopConfiguration
     val metadataDir = new Path(tablePath, "metadata")
     val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
-    val chain = parseSnapshots(readText(
-      new Path(metadataDir, s"v$version.metadata.json"), conf))
-    val snap = snapshotId.fold(chain.lastOption)(id => chain.find(_.snapshotId == id))
+    val metaText = readText(new Path(metadataDir, s"v$version.metadata.json"), conf)
+    val chain = parseSnapshots(metaText)
+    val snap = snapshotId.fold(currentSnapshotOf(metaText, chain))(id =>
+      chain.find(_.snapshotId == id))
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot ${snapshotId.getOrElse("<current>")} not found"))
     val listRows = readManifestList(new Path(snap.manifestList), conf)
@@ -1039,6 +1040,25 @@ object IcebergSnapshot {
   /** Write metadata version N+1 carrying `snapshots` and advance the
     * version hint — the shared tail of every commit. */
   /** Named refs beyond `main`: (name, snapshot-id, type) triples. */
+  /** The MAIN head recorded in a metadata document, if any — with
+    * write-audit-publish in play the published head need not be the
+    * snapshots-array tail (a staged branch snapshot trails it), so
+    * every reader/committer that means "the current table state"
+    * resolves through here instead of `chain.last`. */
+  private[sources] def currentIdOf(metaJson: String): Option[Long] =
+    (JsonMethods.parse(metaJson) \ "current-snapshot-id") match {
+      case JInt(id) if id >= 0 => Some(id.toLong)
+      case _ => None
+    }
+
+  /** [[currentIdOf]] resolved into the chain; falls back to the tail
+    * (pre-override metadata, or a hand-built chain). */
+  private[sources] def currentSnapshotOf(metaJson: String,
+      chain: Seq[IcebergMetadata.SnapshotMeta])
+      : Option[IcebergMetadata.SnapshotMeta] =
+    currentIdOf(metaJson).flatMap(id => chain.find(_.snapshotId == id))
+      .orElse(chain.lastOption)
+
   private[sources] def parseRefs(metaJson: String): Seq[(String, Long, String)] =
     (JsonMethods.parse(metaJson) \ "refs") match {
       case JObject(fields) => fields.collect {
@@ -1054,7 +1074,8 @@ object IcebergSnapshot {
       snapshots: Seq[IcebergMetadata.SnapshotMeta],
       timestampMs: Long,
       addRefs: Seq[(String, Long, String)] = Nil,
-      removeRefs: Set[String] = Set.empty): Unit = {
+      removeRefs: Set[String] = Set.empty,
+      currentIdOverride: Option[Long] = None): Unit = {
     val metadataLog = (2 to version).map(v =>
       timestampMs -> new Path(metadataDir, s"v${v - 1}.metadata.json").toString) :+
       (timestampMs -> new Path(metadataDir, s"v$version.metadata.json").toString)
@@ -1071,7 +1092,8 @@ object IcebergSnapshot {
       .filter(r => ids.contains(r._2))
     val doc = IcebergMetadata.metadataJsonChain(table, tablePath,
       lastUpdatedMs = timestampMs, snapshots = snapshots,
-      metadataLog = metadataLog, extraRefs = refs)
+      metadataLog = metadataLog, extraRefs = refs,
+      currentIdOverride = currentIdOverride)
     val metaFile = new Path(metadataDir, s"v${version + 1}.metadata.json")
     val out = fs.create(metaFile, true)
     try out.write(doc.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -1152,9 +1174,10 @@ object IcebergSnapshot {
     val fs = FileSystem.get(metadataDir.toUri, conf)
     val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
     val prevMetaFile = new Path(metadataDir, s"v$version.metadata.json")
-    val chain = parseSnapshots(readText(prevMetaFile, conf))
+    val prevMetaText = readText(prevMetaFile, conf)
+    val chain = parseSnapshots(prevMetaText)
     require(chain.nonEmpty, "nothing to compact: no snapshots")
-    val current = chain.last
+    val current = currentSnapshotOf(prevMetaText, chain).get
     val priorList = readManifestList(new Path(current.manifestList), conf)
     // a rewrite must APPLY live row-level deletes (and drop the delete
     // files it consumed) to preserve row content — that richer rewrite
@@ -1192,7 +1215,7 @@ object IcebergSnapshot {
     // rewrite each multi-file bin as one file under data/compact-<seq>/<i>;
     // re-sort by the declared sort order — concatenating sorted runs
     // would silently break the default sort order the metadata declares
-    val newSeq = current.sequenceNumber + 1
+    val newSeq = chain.map(_.sequenceNumber).max + 1
     val sortCols = table.distributeByHash.toSeq
       .filter(table.columns.map(_.name).contains)
     val compacted = toMerge.zipWithIndex.map { case (bin, i) =>
@@ -1294,21 +1317,24 @@ object IcebergSnapshot {
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)
     val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
-    val chain = parseSnapshots(readText(
-      new Path(metadataDir, s"v$version.metadata.json"), conf))
+    val metaText = readText(
+      new Path(metadataDir, s"v$version.metadata.json"), conf)
+    val chain = parseSnapshots(metaText)
     require(chain.nonEmpty, "metadata carries no snapshots")
+    val mainHead = currentSnapshotOf(metaText, chain).get
     // snapshots referenced by named refs (tags/branches) are protected
     // from expiry, per the spec's ref-retention semantics — dropping
-    // the ref is the only way to release them
-    val protectedIds = parseRefs(readText(
-      new Path(metadataDir, s"v$version.metadata.json"), conf))
-      .map(_._2).toSet
+    // the ref is the only way to release them. The MAIN head is always
+    // protected (with a staged WAP branch it need not sit in the
+    // array-tail keepLast window).
+    val protectedIds =
+      parseRefs(metaText).map(_._2).toSet + mainHead.snapshotId
     val lastK = chain.takeRight(keepLast).map(_.snapshotId).toSet
     val retained = chain.filter(s =>
       lastK.contains(s.snapshotId) || protectedIds.contains(s.snapshotId))
     val expired = chain.filterNot(s =>
       lastK.contains(s.snapshotId) || protectedIds.contains(s.snapshotId))
-    if (expired.isEmpty) return (chain.last, Nil)
+    if (expired.isEmpty) return (mainHead, Nil)
 
     // per snapshot: its manifest list, the manifests it lists, and the
     // files those manifests carry as LIVE
@@ -1336,8 +1362,9 @@ object IcebergSnapshot {
     doomed.foreach(p => fs.delete(new Path(p), false))
 
     writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
-      retained, timestampMs)
-    (retained.last, doomed)
+      retained, timestampMs,
+      currentIdOverride = Some(mainHead.snapshotId))
+    (mainHead, doomed)
   }
 
   /** Create (or move) a named ref — a TAG pins a snapshot for
@@ -1354,12 +1381,13 @@ object IcebergSnapshot {
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)
     val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
-    val chain = parseSnapshots(readText(
-      new Path(metadataDir, s"v$version.metadata.json"), conf))
+    val metaText = readText(new Path(metadataDir, s"v$version.metadata.json"), conf)
+    val chain = parseSnapshots(metaText)
     require(chain.exists(_.snapshotId == snapshotId),
       s"snapshot $snapshotId not found")
     writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
-      chain, timestampMs, addRefs = Seq((name, snapshotId, refType)))
+      chain, timestampMs, addRefs = Seq((name, snapshotId, refType)),
+      currentIdOverride = currentIdOf(metaText))
   }
 
   /** Drop a named ref — its snapshot becomes expirable again. */
@@ -1369,10 +1397,11 @@ object IcebergSnapshot {
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)
     val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
-    val chain = parseSnapshots(readText(
-      new Path(metadataDir, s"v$version.metadata.json"), conf))
+    val metaText = readText(new Path(metadataDir, s"v$version.metadata.json"), conf)
+    val chain = parseSnapshots(metaText)
     writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
-      chain, timestampMs, removeRefs = Set(name))
+      chain, timestampMs, removeRefs = Set(name),
+      currentIdOverride = currentIdOf(metaText))
   }
 
   /** The current named refs of the table (name, snapshot-id, type). */
@@ -1388,6 +1417,7 @@ object IcebergSnapshot {
       tablePath: String, table: TableDef,
       refName: String): org.apache.spark.sql.DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
+    if (refName == "main") return readSnapshot(spark, tablePath, table)
     val id = listRefs(tablePath, conf).collectFirst {
       case (n, sid, _) if n == refName => sid
     }.getOrElse(throw new IllegalArgumentException(s"no ref $refName"))
@@ -1413,9 +1443,10 @@ object IcebergSnapshot {
     val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
     require(version >= 2, s"no committed snapshot to increment (version $version)")
     val prevMetaFile = new Path(metadataDir, s"v$version.metadata.json")
-    val chain = parseSnapshots(readText(prevMetaFile, conf))
+    val prevMetaText = readText(prevMetaFile, conf)
+    val chain = parseSnapshots(prevMetaText)
     require(chain.nonEmpty, "metadata carries no snapshots")
-    val current = chain.last
+    val current = currentSnapshotOf(prevMetaText, chain).get
 
     val priorList = readManifestList(new Path(current.manifestList), conf)
     val known = knownFilePaths(chain, conf)
@@ -1423,7 +1454,7 @@ object IcebergSnapshot {
       .filterNot(f => known.contains(f.path))
     if (newFiles.isEmpty) return current
 
-    val newSeq = current.sequenceNumber + 1
+    val newSeq = chain.map(_.sequenceNumber).max + 1
     val snapshotId = UUID.nameUUIDFromBytes(
       (table.fullName + s"-snapshot-$newSeq").getBytes(StandardCharsets.UTF_8))
       .getMostSignificantBits & Long.MaxValue

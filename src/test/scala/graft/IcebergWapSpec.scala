@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.SchemaTranslator
+import graft.parse.Db2Parser
+import graft.sources.{IcebergChanges, IcebergInspect, IcebergSnapshot, IcebergWap}
+
+/** Write-audit-publish over the Iceberg v2 writer: staged branch
+  * appends are invisible on main, auditable through the branch read,
+  * published atomically by fast-forward, refused when main advanced
+  * past the fork, and GC'd when abandoned. Also pins that every
+  * main-anchored face (reads, inspection defaults, incremental scans,
+  * main-side commits, expiry, the structural validator) resolves the
+  * MAIN head rather than the snapshots-array tail while a staged
+  * snapshot trails it. */
+class IcebergWapSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("iceberg-wap-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def mkTable(name: String) = Db2Parser.parse(
+    s"""CREATE TABLE S.$name (
+       |  K BIGINT NOT NULL,
+       |  V VARCHAR(10),
+       |  N INTEGER
+       |) PARTITION BY RANGE (V);""".stripMargin).tables.head
+
+  private def df(ks: Seq[Long]) = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("K", LongType, nullable = false),
+      StructField("V", StringType), StructField("N", IntegerType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ks.map(k => org.apache.spark.sql.Row(k, s"p${k % 3}", (k * 7).toInt)), 2),
+      schema)
+  }
+
+  private def ksOf(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+    d.select("K").collect().map(_.getLong(0)).sorted.toSeq
+
+  private def metaText(out: String): String = {
+    val v = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", "version-hint.text")), "UTF-8")
+      .trim.toInt
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", s"v$v.metadata.json")), "UTF-8")
+  }
+
+  test("stage → audit → publish: main is untouched until fast-forward") {
+    val table = mkTable("WAP1")
+    val out = java.nio.file.Files.createTempDirectory("wap1").toString
+    SchemaTranslator.migrateTable(df(1L to 4L), table, out)
+
+    // stage day 2 on the audit branch — main still reads day 1 only
+    SchemaTranslator.stageAppendToBranch(df(5L to 7L), table, out, "audit")
+    assert(ksOf(IcebergSnapshot.readSnapshot(spark, out, table)) === (1L to 4L))
+    assert(ksOf(IcebergSnapshot.readSnapshotAtRef(spark, out, table, "audit"))
+      === (1L to 7L))
+
+    // the staged metadata stays structurally valid (current-snapshot-id,
+    // main ref, log-last == current, no dangling refs)
+    IcebergV2Validation.validateV2(
+      org.json4s.jackson.JsonMethods.parse(metaText(out)), expectSnapshot = true)
+
+    // inspection surfaces: refs show the staged branch ahead of main;
+    // files/partitions DEFAULT to the published head
+    val refs = IcebergInspect.refsTable(spark, out).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(refs.contains("main") && refs.contains("audit"))
+    assert(refs("main") !== refs("audit"))
+    assert(IcebergInspect.filesTable(spark, out, table)
+      .agg(org.apache.spark.sql.functions.sum("record_count")).collect()
+      .head.getLong(0) === 4L)
+
+    // incremental scan with default bounds stops at main's head
+    assert(IcebergChanges.incrementalAppendScan(spark, out, table, None)
+      .count() === 4L)
+
+    // quality gate over the branch read (the audit step), then publish
+    assert(IcebergSnapshot.readSnapshotAtRef(spark, out, table, "audit")
+      .filter(col("N") < 0).count() === 0L)
+    SchemaTranslator.publishBranch(spark, table, out, "audit")
+    assert(ksOf(IcebergSnapshot.readSnapshot(spark, out, table)) === (1L to 7L))
+    IcebergV2Validation.validateV2(
+      org.json4s.jackson.JsonMethods.parse(metaText(out)), expectSnapshot = true)
+
+    // a second staging round on the same branch works the same way
+    SchemaTranslator.stageAppendToBranch(df(8L to 9L), table, out, "audit")
+    assert(ksOf(IcebergSnapshot.readSnapshot(spark, out, table)) === (1L to 7L))
+    assert(ksOf(IcebergSnapshot.readSnapshotAtRef(spark, out, table, "audit"))
+      === (1L to 9L))
+    SchemaTranslator.publishBranch(spark, table, out, "audit")
+    assert(ksOf(IcebergSnapshot.readSnapshot(spark, out, table)) === (1L to 9L))
+
+    // publish is idempotent once main is at the branch head
+    IcebergWap.fastForwardMain(table, out, "audit",
+      spark.sparkContext.hadoopConfiguration)
+    assert(ksOf(IcebergSnapshot.readSnapshot(spark, out, table)) === (1L to 9L))
+  }
+
+  test("main-side commits while staged build on MAIN; diverged publish refuses; abandon GCs") {
+    val table = mkTable("WAP2")
+    val out = java.nio.file.Files.createTempDirectory("wap2").toString
+    SchemaTranslator.migrateTable(df(1L to 4L), table, out)
+    SchemaTranslator.stageAppendToBranch(df(5L to 6L), table, out, "audit")
+
+    // a main-side append anchors at MAIN's head, not the staged tail
+    SchemaTranslator.appendIncrement(df(10L to 11L), table, out)
+    assert(ksOf(IcebergSnapshot.readSnapshot(spark, out, table))
+      === Seq(1L, 2L, 3L, 4L, 10L, 11L))
+    assert(ksOf(IcebergSnapshot.readSnapshotAtRef(spark, out, table, "audit"))
+      === (1L to 6L))
+    IcebergV2Validation.validateV2(
+      org.json4s.jackson.JsonMethods.parse(metaText(out)), expectSnapshot = true)
+
+    // a main-side DELETE also anchors at main (the staged rows are not
+    // candidates), and main's history stays linear
+    SchemaTranslator.deleteWhere(spark, table, out, col("K") === 10L)
+    assert(ksOf(IcebergSnapshot.readSnapshot(spark, out, table))
+      === Seq(1L, 2L, 3L, 4L, 11L))
+    assert(ksOf(IcebergSnapshot.readSnapshotAtRef(spark, out, table, "audit"))
+      === (1L to 6L))
+
+    // main advanced past the fork — publishing the stale branch refuses
+    val err = intercept[IllegalArgumentException] {
+      IcebergWap.fastForwardMain(table, out, "audit",
+        spark.sparkContext.hadoopConfiguration)
+    }
+    assert(err.getMessage.contains("not an ancestor"))
+
+    // abandon: drop the ref, expire — the staged snapshot's files are
+    // GC'd, main reads on unchanged
+    val staged = IcebergSnapshot.listRefs(out,
+      spark.sparkContext.hadoopConfiguration)
+      .collectFirst { case ("audit", id, _) => id }.get
+    IcebergSnapshot.dropRef(table, out, "audit",
+      spark.sparkContext.hadoopConfiguration)
+    val (head, doomed) = IcebergSnapshot.expireSnapshots(table, out,
+      keepLast = 1, spark.sparkContext.hadoopConfiguration)
+    assert(doomed.nonEmpty)
+    assert(ksOf(IcebergSnapshot.readSnapshot(spark, out, table))
+      === Seq(1L, 2L, 3L, 4L, 11L))
+    assert(head.snapshotId !== staged)
+    intercept[IllegalArgumentException] {
+      IcebergSnapshot.readSnapshot(spark, out, table, Some(staged))
+    }
+    IcebergV2Validation.validateV2(
+      org.json4s.jackson.JsonMethods.parse(metaText(out)), expectSnapshot = true)
+  }
+}
