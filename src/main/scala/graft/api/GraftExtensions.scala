@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{GramBuckets, HtmlText, IcebergBucket, RepetitionStats, ShingleHashes, SimHash64, VectorDot}
+import graft.functions.{CharsetDecode, GramBuckets, HtmlText, IcebergBucket, RepetitionStats, ShingleHashes, SimHash64, VectorDot}
 
 /** Session extensions registering the engine's native expressions for
   * SQL use (`spark.sql.extensions=graft.api.GraftExtensions` or
@@ -95,10 +95,22 @@ object GraftExtensions {
       HtmlText(children.head)
     })
 
+  val decodeTextDescriptor: Descriptor = (
+    FunctionIdentifier("decode_text"),
+    new ExpressionInfo(classOf[CharsetDecode].getName, "decode_text"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "decode_text takes exactly 2 arguments")
+      // null content-type (non-HTTP records) means "absent" — the
+      // sniff/default path — not a null result
+      CharsetDecode(children.head,
+        org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(children(1),
+          org.apache.spark.sql.catalyst.expressions.Literal(""))))
+    })
+
   val descriptors: Seq[Descriptor] =
     Seq(vectorDotDescriptor, simHashDescriptor, shingleHashesDescriptor,
       repetitionStatsDescriptor, icebergBucketDescriptor, gramBucketsDescriptor,
-      htmlTextDescriptor)
+      htmlTextDescriptor, decodeTextDescriptor)
 
   /** Register on an already-built session (tests, REPL): the SQL
     * functions plus the HOF-dot optimizer rewrite (via

@@ -183,6 +183,17 @@ object Bm25 {
       n: Int): DataFrame =
     spark.read.parquet(s"$path/df_v$n")
 
+  /** The version-`n` tombstoned doc ids (one id column named like the
+    * doclen id column), or None when the index has never seen a delete
+    * — probes skip the anti-joins entirely then, keeping never-deleted
+    * indexes plan-identical to the pre-delete layout. */
+  def tombstonesTable(spark: org.apache.spark.sql.SparkSession,
+      path: String, n: Int): Option[DataFrame] = {
+    val dirs = VersionedIndex.familyDirs(spark, path, "tombstones", n)
+    if (dirs.isEmpty) None
+    else Some(dirs.map(spark.read.parquet(_)).reduce(_ unionByName _))
+  }
+
   /** [[dfTable]] at the CURRENT version — the probe-mining entry. */
   def dfTable(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
@@ -214,7 +225,7 @@ object Bm25 {
       txn: Option[IndexCommitTxn] = None): Unit = {
     val spark = docs.sparkSession
     VersionedIndex.clearCrashedAttempt(spark, path, 1,
-      Seq("postings", "doclen"))
+      Seq("postings", "doclen", "tombstones"))
     // ONE tokenization pass: tf is the only corpus-derived table; doc
     // lengths fall out of it (dl = Σ tf per doc — every token counted
     // once) and stats fall out of doclen. Without the reuse, the four
@@ -289,7 +300,7 @@ object Bm25 {
     val n = currentVersion(spark, path)
     require(n >= 1, s"no committed index under $path")
     VersionedIndex.clearCrashedAttempt(spark, path, n + 1,
-      Seq("postings", "doclen"))
+      Seq("postings", "doclen", "tombstones"))
     val nBuckets = statsTable(spark, path, n)
       .select(col("n_buckets")).head().getInt(0)
     val tf = docs
@@ -319,7 +330,13 @@ object Bm25 {
           Seq(idCol), "left")
         .select(col(idCol), coalesce(col("dl"), lit(0.0)).as("dl"))
         .write.mode("overwrite").parquet(s"$path/doclen/delta_v${n + 1}")
-      doclenTable(spark, path, n + 1)
+      // survivors only: doclen deltas keep tombstoned rows until
+      // compaction, so stats must anti-join the tombstone chain or an
+      // append after a delete would resurrect deleted docs into
+      // n_docs/avgdl
+      val dlAll = doclenTable(spark, path, n + 1)
+      tombstonesTable(spark, path, n)
+        .fold(dlAll)(t => dlAll.join(t, Seq(idCol), "left_anti"))
         .agg(count(lit(1)).cast("double").as("n_docs"),
           (sum(col("dl")) / count(lit(1)).cast("double")).as("avgdl"))
         .withColumn("n_buckets", lit(nBuckets))
@@ -339,16 +356,83 @@ object Bm25 {
     } finally tf.unpersist(false)
   }
 
+  /** Remove documents from the index WITHOUT rewriting postings — the
+    * merge-on-read delete of the text-index family (the takedown/GDPR
+    * path; [[IvfPq.deleteFromIndex]]'s tombstone pattern). `ids` (one
+    * id column) land as a `tombstones/delta_v(n+1)` table; probes
+    * anti-join postings against it and subtract the tombstoned docs'
+    * term counts from the PRUNED df scan (so document frequencies stay
+    * exact without touching any unprobed bucket); [[compactIndex]]
+    * folds the tombstones in permanently. Stats (n_docs, avgdl)
+    * re-derive from the surviving doclen rows AT DELETE TIME — doclen
+    * is one row per doc, so the delete never scans postings. Commit
+    * follows the shared hint-flips-LAST protocol; re-deleting already
+    * tombstoned or unknown ids is a no-op (idempotent). Contract: a
+    * tombstone is GLOBAL — a deleted id must not be re-appended later
+    * (the anti-join would kill the new rows too). */
+  def deleteFromIndex(ids: DataFrame, path: String): Unit =
+    deleteFromIndexInternal(ids, path, abortBeforeCommit = false)
+
+  /** [[deleteFromIndex]] with the test-only crash-injection point:
+    * returns after every data write but before the hint flip. */
+  private[graft] def deleteFromIndexInternal(ids: DataFrame, path: String,
+      abortBeforeCommit: Boolean): Unit = {
+    val spark = ids.sparkSession
+    val n = currentVersion(spark, path)
+    require(n >= 1, s"no committed index under $path")
+    VersionedIndex.clearCrashedAttempt(spark, path, n + 1,
+      Seq("postings", "doclen", "tombstones"))
+    val stats = statsTable(spark, path, n)
+    val nBuckets = stats.select(col("n_buckets")).head().getInt(0)
+    // the doclen schema names the id column the index was built with
+    val dl = doclenTable(spark, path, n)
+    val idCol = dl.schema.fields.head.name
+    val fresh = ids.toDF(idCol).select(col(idCol)).distinct()
+      .join(dl, Seq(idCol), "left_semi")
+    val deduped = tombstonesTable(spark, path, n)
+      .fold(fresh)(t => fresh.join(t, Seq(idCol), "left_anti"))
+    // overwrite, not append: a retry clobbers a crashed attempt's delta
+    deduped.write.mode("overwrite")
+      .parquet(s"$path/tombstones/delta_v${n + 1}")
+    // stats over SURVIVORS: dl values are integral doubles, so the sum
+    // is exact in any order and avgdl stays bit-identical to a
+    // from-scratch index over the surviving corpus
+    val tombAll = tombstonesTable(spark, path, n + 1).get
+    dl.join(tombAll, Seq(idCol), "left_anti")
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl")) / count(lit(1)).cast("double")).as("avgdl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$path/stats_v${n + 1}")
+    // df carries forward unchanged — probe-time subtraction keeps it
+    // exact on the pruned buckets; compaction rebuilds it globally
+    dfTable(spark, path, n)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/df_v${n + 1}")
+    // carry the committed batch id forward (sinks' replay guard)
+    VersionedIndex.writeTxn(spark, path, n + 1,
+      VersionedIndex.committedTxn(spark, path, n))
+    if (abortBeforeCommit) return
+    writeHint(spark, path, n + 1) // commit
+    val (fs, _) = fsOf(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/df_v$n"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/batchid_v$n"), true)
+  }
+
   /** Consolidate the index: rewrite postings and doc lengths as ONE
-    * base per family with the delta chain collapsed — the maintenance
-    * op that keeps probe plans reading a handful of files after months
-    * of streamed appends (the vector family's [[IvfPq.compactIndex]]
-    * sibling). df and stats are already per-version full tables and
-    * carry forward unchanged. Commit protocol unchanged: bases land
-    * first, the hint flips LAST, superseded dirs are deleted
-    * best-effort AFTER (resolution starts at the highest committed
-    * base, so a crash anywhere leaves either the old or the new state
-    * resolving exactly — never a double-read). */
+    * base per family with every tombstoned document dropped and the
+    * delta chain collapsed — the maintenance op that keeps probe plans
+    * reading a handful of files after months of streamed appends (the
+    * vector family's [[IvfPq.compactIndex]] sibling). With tombstones
+    * present the df table is REBUILT from the compacted postings (the
+    * permanent fold of the probe-time subtraction); untouched indexes
+    * carry df forward as before. Stats carry over (already
+    * survivor-adjusted at delete time). Commit protocol unchanged:
+    * bases land first, the hint flips LAST, superseded dirs are
+    * deleted best-effort AFTER (resolution starts at the highest
+    * committed base, so a crash anywhere leaves either the old or the
+    * new state resolving exactly — never a double-read). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit =
     compactIndexInternal(spark, path, abortBeforeCommit = false)
@@ -359,17 +443,32 @@ object Bm25 {
     val n = currentVersion(spark, path)
     require(n >= 1, s"no committed index under $path")
     VersionedIndex.clearCrashedAttempt(spark, path, n + 1,
-      Seq("postings", "doclen"))
-    postingsTable(spark, path, n)
-      .repartition(col("bucket"))
+      Seq("postings", "doclen", "tombstones"))
+    val tomb = tombstonesTable(spark, path, n)
+    val dl = doclenTable(spark, path, n)
+    val idCol = dl.schema.fields.head.name
+    val post = tomb.fold(postingsTable(spark, path, n))(t =>
+      postingsTable(spark, path, n).join(t, Seq(idCol), "left_anti"))
+    post.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings/base_v${n + 1}")
-    doclenTable(spark, path, n)
+    tomb.fold(dl)(t => dl.join(t, Seq(idCol), "left_anti"))
       .write.mode("overwrite").parquet(s"$path/doclen/base_v${n + 1}")
-    dfTable(spark, path, n)
-      .repartition(col("bucket"))
+    tomb.fold(dfTable(spark, path, n)) { _ =>
+      // rebuild from the COMPACTED postings: count == surviving docs
+      // per term, same expression as writeIndex — dropped terms vanish
+      spark.read.parquet(s"$path/postings/base_v${n + 1}")
+        .groupBy(col("term"), col("bucket"))
+        .agg(count(lit(1)).cast("double").as("df"))
+    }.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/df_v${n + 1}")
+    // tombstones are folded in: an EMPTY base resets the family so the
+    // old tombstone deltas stop resolving (only written once deletes
+    // have ever created the family — never-deleted indexes keep their
+    // tombstone-free probe plans)
+    tomb.foreach(t => t.limit(0).write.mode("overwrite")
+      .parquet(s"$path/tombstones/base_v${n + 1}"))
     statsTable(spark, path, n)
       .write.mode("overwrite").parquet(s"$path/stats_v${n + 1}")
     // carry the committed batch id forward: a compaction between
@@ -379,7 +478,7 @@ object Bm25 {
     if (abortBeforeCommit) return
     writeHint(spark, path, n + 1) // commit
     val (fs, _) = fsOf(spark, path)
-    for (fam <- Seq("postings", "doclen"); i <- 1 to n) {
+    for (fam <- Seq("postings", "doclen", "tombstones"); i <- 1 to n) {
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/$fam/delta_v$i"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/$fam/base_v$i"), true)
     }
@@ -406,12 +505,30 @@ object Bm25 {
       .select(bucketOf(col("term"), nBuckets).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
     require(probeBuckets.nonEmpty, "probe carries no terms")
-    val tf = postingsTable(spark, path, n)
+    val tomb = tombstonesTable(spark, path, n)
+    val tfAll = postingsTable(spark, path, n)
       .filter(col("bucket").isin(probeBuckets: _*))
-    val df = dfTable(spark, path, n)
+    val tf = tomb.fold(tfAll)(t => tfAll.join(t, Seq(idCol), "left_anti"))
+    val dfRaw = dfTable(spark, path, n)
       .filter(col("bucket").isin(probeBuckets: _*))
       .join(broadcast(queries.select("term").distinct()), Seq("term"))
       .select(col("term"), col("df"))
+    // merge-on-read df: subtract the tombstoned docs' term counts from
+    // the PRUNED scan only — document frequencies stay exact for the
+    // probe terms without ever touching an unprobed bucket; compaction
+    // makes this permanent. Counts are exact integers in double, so
+    // the subtraction is bit-identical to a from-scratch df.
+    val df = tomb.fold(dfRaw) { t =>
+      val ddf = tfAll
+        .join(broadcast(queries.select("term").distinct()), Seq("term"))
+        .join(t, Seq(idCol), "left_semi")
+        .groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("__ddf"))
+      dfRaw.join(ddf, Seq("term"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("__ddf"), lit(0.0))).as("df"))
+        .filter(col("df") > 0)
+    }
     val dl = doclenTable(spark, path, n)
     scoreProbe(tf.select(col(idCol), col("term"), col("tf")), df, dl,
       stats.select(col("n_docs"), col("avgdl")), queries,

@@ -57,8 +57,14 @@ final class KllDoubleSketch(val k: Int) extends Serializable {
     compress()
   }
 
-  /** Fold `other` in (associative up to compaction order). */
+  /** Fold `other` in (associative up to compaction order). Both
+    * sketches must share `k` — a silent mixed-k merge would weaken the
+    * O(1/k) rank-error bound and break the degenerate-exact-mode
+    * guarantee q96 relies on (deserialize restores k, so mismatches
+    * are always detectable). */
   def merge(other: KllDoubleSketch): this.type = {
+    require(other.k == k,
+      s"cannot merge KLL sketches with different k: $k vs ${other.k}")
     var i = 0
     while (i < other.levels.length) {
       grow(i)

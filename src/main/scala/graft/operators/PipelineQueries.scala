@@ -20,27 +20,40 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Content fingerprint of a fixture table from parquet FILE METADATA
-    * (sorted name/length/mtime triples — no data scan): keys the
-    * amortized on-disk index paths below, so a regenerated fixture
-    * (new mtimes) triggers a rebuild instead of probing a stale index,
-    * while repeated runs over the same files reuse it. Deliberate
-    * trade-off: mtimes are part of the key, so a byte-identical
-    * fixture COPIED to another host (fresh mtimes) rebuilds rather
-    * than reuses — fail-safe in the stale direction; fold a footer
-    * content hash in here if cross-host reuse ever matters. */
+  /** CONTENT fingerprint of a fixture table: sorted per-file
+    * (name, length, md5 of the first+last 4 KiB) — keys the amortized
+    * on-disk index paths below, so a regenerated fixture triggers a
+    * rebuild instead of probing a stale index, while repeated runs —
+    * including a byte-identical fixture COPIED to another host — reuse
+    * it. The tail window covers the parquet FOOTER (schema, row-group
+    * offsets and min/max statistics), so any data change moves the
+    * key without scanning file bodies; driver-side, a few files ×
+    * 8 KiB each. */
   private def fixtureFingerprint(s: SparkSession, dir: String,
       name: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val entries =
+    val files =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(st =>
-          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      else Array(s"${p.getName}:${fs.getFileStatus(p).getLen}:" +
-        s"${fs.getFileStatus(p).getModificationTime}")
+        fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+      else Array(fs.getFileStatus(p))
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(entries.sorted.mkString("|").getBytes("UTF-8"))
+    val win = 4096
+    files.foreach { st =>
+      md.update(s"${st.getPath.getName}:${st.getLen}:".getBytes("UTF-8"))
+      val in = fs.open(st.getPath)
+      try {
+        val head = new Array[Byte](math.min(win.toLong, st.getLen).toInt)
+        in.readFully(0L, head)
+        md.update(head)
+        if (st.getLen > win) {
+          val tailLen = math.min(win.toLong, st.getLen - win).toInt
+          val tail = new Array[Byte](tailLen)
+          in.readFully(st.getLen - tailLen, tail)
+          md.update(tail)
+        }
+      } finally in.close()
+    }
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
 
@@ -414,6 +427,45 @@ object PipelineQueries {
         ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9),
         k = 1 << 20)
       .orderBy("lang")
+
+  /** The crawl front end-to-end under the hard oracle signal: a
+    * deterministic WARC corpus (one HTTP response per doc, closed-form
+    * HTML; [[graft.sources.Warc.synthesizeFixture]] — half the files
+    * plain, half per-record-gzip members, three charset legs:
+    * header-declared UTF-8 / header-declared windows-1252 /
+    * windows-1252 via `<meta charset>` sniff) is parsed by the real
+    * [[graft.sources.Warc.records]], payloads decoded charset-aware by
+    * the native `decode_text` ([[graft.functions.CharsetDecode]] —
+    * errors counted, charset surfaced), stripped by the native
+    * `html_text`, and token-counted. The oracle reconstructs the
+    * extracted text ARITHMETICALLY ('Doc id' + the doc text + the
+    * non-ASCII suffix) — any drift in record framing, gzip member
+    * handling, the HTTP split, charset resolution, replacement
+    * accounting, or tag stripping changes text_md5/n_tokens/
+    * decode_errors and goes red. Fixture amortized per fingerprint
+    * (the q60/q71 pattern); the parse itself is one task per file with
+    * no shuffle — the 100 TB crawl shape. */
+  def q97WarcIngest(s: SparkSession, dir: String): DataFrame = {
+    val (path, built) = amortizedIndexPath(s, dir, "warc",
+      p => new java.io.File(p, "_built").isFile)
+    if (!built)
+      graft.sources.Warc.synthesizeFixture(t(s, dir, "documents"), path)
+    graft.sources.Warc.records(s, s"$path/part-*.warc*")
+      .filter(col("warc_type") === "response")
+      .withColumn("doc_id",
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("bigint"))
+      .withColumn("d",
+        graft.functions.CharsetDecode(col("body"), col("http_content_type")))
+      .select(col("doc_id"), col("d.charset").as("charset"),
+        col("d.decode_errors").as("decode_errors"),
+        graft.functions.HtmlText(col("d.text")).as("etext"),
+        col("truncated"))
+      .select(col("doc_id"), col("charset"), col("decode_errors"),
+        tokenCount(col("etext")).as("n_tokens"),
+        md5(col("etext")).as("text_md5"),
+        col("truncated"))
+      .orderBy("doc_id")
+  }
 
   /** Per-label embedding statistics: count and L2-norm rollups — the
     * quick corpus-health check before ANN indexing (degenerate or
@@ -2761,6 +2813,24 @@ object PipelineQueries {
         |  max(CASE WHEN r = CAST(floor(0.9 * (n - 1)) AS BIGINT) THEN v END) AS p90,
         |  max(n) AS n
         |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+    // reconstructs the WARC fixture's extracted text arithmetically:
+    // synthesizeFixture wraps each doc's text in closed-form HTML
+    // ('Doc id' title + text + the non-ASCII suffix inside <p>), every
+    // charset leg decodes losslessly, and html_text reduces the page
+    // to exactly this string — no WARC/HTML machinery oracle-side
+    "q97_warc_ingest" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+        |      || ' café révisé' AS etext,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'utf-8'
+        |         ELSE 'windows-1252' END AS charset
+        |  FROM documents)
+        |SELECT doc_id, charset, 0 AS decode_errors,
+        |  len(string_split_regex(lower(trim(etext)), ' +')) AS n_tokens,
+        |  md5(etext) AS text_md5,
+        |  false AS truncated
+        |FROM e ORDER BY doc_id""".stripMargin,
     // q22's exact-cosine oracle with the positive-cut folded in
     "q80_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
@@ -2868,5 +2938,6 @@ object PipelineQueries {
     "q94_ledger_near_dup" -> (q94LedgerNearDup _),
     "q95_curation_pipeline" -> (q95CurationPipeline _),
     "q96_kll_quantiles" -> (q96KllQuantiles _),
+    "q97_warc_ingest" -> (q97WarcIngest _),
   )
 }

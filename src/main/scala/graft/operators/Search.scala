@@ -75,21 +75,49 @@ object Search {
     VersionedIndex.familyDirs(spark, path, "postings", n)
       .map(spark.read.parquet(_)).reduce(_ unionByName _)
 
-  /** Consolidate the positional index: one postings base, delta chain
-    * collapsed — [[Bm25.compactIndex]]'s sibling, same commit
-    * protocol (bases first, hint LAST, best-effort cleanup after). */
-  def compactIndex(spark: SparkSession, path: String): Unit =
-    compactIndexInternal(spark, path, abortBeforeCommit = false)
+  /** The version-`n` tombstoned doc ids (`doc_id` column), or None
+    * when the index has never seen a delete — probes skip the
+    * anti-join entirely then, keeping never-deleted indexes
+    * plan-identical to the pre-delete layout. */
+  def tombstonesTable(spark: SparkSession, path: String,
+      n: Int): Option[DataFrame] = {
+    val dirs = VersionedIndex.familyDirs(spark, path, "tombstones", n)
+    if (dirs.isEmpty) None
+    else Some(dirs.map(spark.read.parquet(_)).reduce(_ unionByName _))
+  }
 
-  private[graft] def compactIndexInternal(spark: SparkSession,
-      path: String, abortBeforeCommit: Boolean): Unit = {
+  /** Remove documents from the positional index WITHOUT rewriting
+    * postings — [[Bm25.deleteFromIndex]]'s sibling (the takedown/GDPR
+    * path): `ids` (one `doc_id` column) land as a
+    * `tombstones/delta_v(n+1)` table, every probe anti-joins its
+    * bucket-pruned postings against the chain, and [[compactIndex]]
+    * folds the tombstones in permanently (rebuilding the per-token
+    * df/n_occ aggregate from the surviving postings). Between delete
+    * and compaction the df table's n_occ is slightly stale — it only
+    * steers rarest-first JOIN ORDER, never the result set
+    * (join-order independence is [[phraseOccurrences]]' contract);
+    * `n_tokens` in stats likewise reconciles at compaction. Commit
+    * follows the shared hint-flips-LAST protocol; re-deletes are
+    * idempotent. Contract: tombstones are GLOBAL — a deleted id must
+    * not be re-appended later. */
+  def deleteFromIndex(ids: DataFrame, path: String): Unit =
+    deleteFromIndexInternal(ids, path, abortBeforeCommit = false)
+
+  /** [[deleteFromIndex]] with the test-only crash-injection point:
+    * returns after every data write but before the hint flip. */
+  private[graft] def deleteFromIndexInternal(ids: DataFrame, path: String,
+      abortBeforeCommit: Boolean): Unit = {
+    val spark = ids.sparkSession
     val n = currentVersion(spark, path)
     require(n >= 1, s"no committed index under $path")
-    VersionedIndex.clearCrashedAttempt(spark, path, n + 1, Seq("postings"))
-    postingsTable(spark, path, n)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/postings/base_v${n + 1}")
+    VersionedIndex.clearCrashedAttempt(spark, path, n + 1,
+      Seq("postings", "tombstones"))
+    val fresh = ids.toDF("doc_id").select(col("doc_id")).distinct()
+    val deduped = tombstonesTable(spark, path, n)
+      .fold(fresh)(t => fresh.join(t, Seq("doc_id"), "left_anti"))
+    // overwrite, not append: a retry clobbers a crashed attempt's delta
+    deduped.write.mode("overwrite")
+      .parquet(s"$path/tombstones/delta_v${n + 1}")
     dfTable(spark, path, n)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
@@ -102,9 +130,63 @@ object Search {
     if (abortBeforeCommit) return
     VersionedIndex.writeHint(spark, path, n + 1) // commit
     val (fs, _) = VersionedIndex.fsOf(spark, path)
-    for (i <- 1 to n) {
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings/delta_v$i"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings/base_v$i"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/df_v$n"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/batchid_v$n"), true)
+  }
+
+  /** Consolidate the positional index: one postings base with every
+    * tombstoned document dropped and the delta chain collapsed —
+    * [[Bm25.compactIndex]]'s sibling, same commit protocol (bases
+    * first, hint LAST, best-effort cleanup after). With tombstones
+    * present, df/n_occ and stats REBUILD from the surviving postings
+    * (the permanent fold); untouched indexes carry them forward. */
+  def compactIndex(spark: SparkSession, path: String): Unit =
+    compactIndexInternal(spark, path, abortBeforeCommit = false)
+
+  private[graft] def compactIndexInternal(spark: SparkSession,
+      path: String, abortBeforeCommit: Boolean): Unit = {
+    val n = currentVersion(spark, path)
+    require(n >= 1, s"no committed index under $path")
+    VersionedIndex.clearCrashedAttempt(spark, path, n + 1,
+      Seq("postings", "tombstones"))
+    val tomb = tombstonesTable(spark, path, n)
+    val post = tomb.fold(postingsTable(spark, path, n))(t =>
+      postingsTable(spark, path, n).join(t, Seq("doc_id"), "left_anti"))
+    post.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings/base_v${n + 1}")
+    tomb.fold(dfTable(spark, path, n)) { _ =>
+      // rebuild from the COMPACTED postings (same expression as
+      // writeIndex) — tombstoned docs leave df/n_occ for good
+      spark.read.parquet(s"$path/postings/base_v${n + 1}")
+        .groupBy(col("token"), col("bucket"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("n_occ"))
+    }.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/df_v${n + 1}")
+    tomb.fold(statsTable(spark, path, n)) { _ =>
+      val nBuckets = statsTable(spark, path, n)
+        .select(col("n_buckets")).head().getInt(0)
+      spark.read.parquet(s"$path/postings/base_v${n + 1}")
+        .agg(count(lit(1)).as("n_tokens"))
+        .withColumn("n_buckets", lit(nBuckets))
+    }.write.mode("overwrite").parquet(s"$path/stats_v${n + 1}")
+    // tombstones folded in: an EMPTY base resets the family (only
+    // written once deletes have created it — never-deleted indexes
+    // keep their tombstone-free probe plans)
+    tomb.foreach(t => t.limit(0).write.mode("overwrite")
+      .parquet(s"$path/tombstones/base_v${n + 1}"))
+    // carry the committed batch id forward (sinks' replay guard)
+    VersionedIndex.writeTxn(spark, path, n + 1,
+      VersionedIndex.committedTxn(spark, path, n))
+    if (abortBeforeCommit) return
+    VersionedIndex.writeHint(spark, path, n + 1) // commit
+    val (fs, _) = VersionedIndex.fsOf(spark, path)
+    for (fam <- Seq("postings", "tombstones"); i <- 1 to n) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$fam/delta_v$i"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$fam/base_v$i"), true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/df_v$n"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$n"), true)
@@ -147,7 +229,8 @@ object Search {
       path: String, nBuckets: Int = 64,
       txn: Option[IndexCommitTxn] = None): Unit = {
     val spark = docs.sparkSession
-    VersionedIndex.clearCrashedAttempt(spark, path, 1, Seq("postings"))
+    VersionedIndex.clearCrashedAttempt(spark, path, 1,
+      Seq("postings", "tombstones"))
     val post = postings(docs, idCol, textCol)
       .withColumn("bucket", bucketOf(col("token"), nBuckets))
       .persist()
@@ -189,7 +272,8 @@ object Search {
     val spark = docs.sparkSession
     val n = currentVersion(spark, path)
     require(n >= 1, s"no committed index under $path")
-    VersionedIndex.clearCrashedAttempt(spark, path, n + 1, Seq("postings"))
+    VersionedIndex.clearCrashedAttempt(spark, path, n + 1,
+      Seq("postings", "tombstones"))
     val nBuckets = statsTable(spark, path, n)
       .select(col("n_buckets")).head().getInt(0)
     val post = postings(docs, idCol, textCol)
@@ -255,10 +339,12 @@ object Search {
       .filter(col("token").isin(toks: _*))
       .select(col("token"), col("n_occ"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val post = postingsTable(spark, path, n)
+    val pruned = postingsTable(spark, path, n)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("token").isin(toks: _*))
       .select(col("token"), col("doc_id"), col("pos"))
+    val post = tombstonesTable(spark, path, n)
+      .fold(pruned)(t => pruned.join(t, Seq("doc_id"), "left_anti"))
     phraseOccurrences(post, phrase, plen)
   }
 
@@ -345,10 +431,12 @@ object Search {
     // per token) — persist the PRUNED working set so the parquet decode
     // happens once; this is index data bounded by the probe's tokens,
     // not the corpus (release rides the caller's per-query hygiene)
-    val post = postingsTable(spark, path, v)
+    val pruned = postingsTable(spark, path, v)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("token").isin(toks: _*))
       .select(col("token"), col("doc_id"), col("pos"))
+    val post = tombstonesTable(spark, path, v)
+      .fold(pruned)(t => pruned.join(t, Seq("doc_id"), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (post, plen)
   }

@@ -59,19 +59,30 @@ object IcebergChanges {
   }
 
   /** Snapshots strictly after `fromId` (None = table creation) up to
-    * and including `toId` (None = current), in commit order. */
+    * and including `toId` (None = current), in commit order — filtered
+    * to the `toId` head's PARENT-LINK ancestry first, not array
+    * position: with a WAP branch staged mid-chain ([A, B_staged,
+    * C_main]) a read over (A, C] must not surface the unpublished B as
+    * a committed insert. A caller that explicitly bounds at a staged
+    * branch head gets that branch's coherent ancestry instead. */
   private def range(chain: Seq[IcebergMetadata.SnapshotMeta],
       fromId: Option[Long], toId: Option[Long])
       : Seq[IcebergMetadata.SnapshotMeta] = {
-    val upto = toId.fold(chain) { id =>
-      val i = chain.indexWhere(_.snapshotId == id)
-      require(i >= 0, s"to-snapshot $id not in the retained chain")
-      chain.take(i + 1)
-    }
+    val head = toId.map { id =>
+      val s = chain.find(_.snapshotId == id)
+      require(s.isDefined, s"to-snapshot $id not in the retained chain")
+      s.get
+    }.orElse(chain.lastOption)
+    val byId = chain.map(s => s.snapshotId -> s).toMap
+    val ancestry = Iterator.iterate(head)(_.flatMap(_.parentSnapshotId)
+      .flatMap(byId.get)).takeWhile(_.isDefined)
+      .map(_.get.snapshotId).toSet
+    val upto = chain.filter(s => ancestry.contains(s.snapshotId))
     fromId.fold(upto) { id =>
       val i = upto.indexWhere(_.snapshotId == id)
-      require(i >= 0, s"from-snapshot $id not in the retained chain " +
-        "(expired? changesTable needs the parent of every snapshot in range)")
+      require(i >= 0, s"from-snapshot $id not in the retained chain's " +
+        "to-head ancestry (expired, or on a different branch? " +
+        "changesTable needs the parent of every snapshot in range)")
       upto.drop(i + 1)
     }
   }

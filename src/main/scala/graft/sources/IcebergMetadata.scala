@@ -225,15 +225,19 @@ object IcebergMetadata {
     // the MAIN head: the override when staging diverges, else the tail
     val head = currentIdOverride
       .flatMap(id => snapshots.find(_.snapshotId == id)).orElse(current)
-    // snapshot-log entries: main-ancestry only while a staged branch
-    // head trails the array (chain order preserved)
-    val logSnapshots =
-      if (head.exists(h => current.exists(_.snapshotId != h.snapshotId))) {
-        val byId = snapshots.map(s => s.snapshotId -> s).toMap
-        val ancestry = Iterator.iterate(head)(_.flatMap(_.parentSnapshotId)
-          .flatMap(byId.get)).takeWhile(_.isDefined).map(_.get.snapshotId).toSet
-        snapshots.filter(s => ancestry.contains(s.snapshotId))
-      } else snapshots
+    // snapshot-log entries: ALWAYS the main head's parent-link
+    // ancestry (chain order preserved) — per the spec only snapshots
+    // that were actually made current belong in the log, and a staged
+    // branch snapshot sitting mid-chain must not claim an entry even
+    // when a later main-side commit makes head == tail again. On
+    // linear history the filter is the identity, so unstaged tables'
+    // metadata bytes are unchanged.
+    val logSnapshots = {
+      val byId = snapshots.map(s => s.snapshotId -> s).toMap
+      val ancestry = Iterator.iterate(head)(_.flatMap(_.parentSnapshotId)
+        .flatMap(byId.get)).takeWhile(_.isDefined).map(_.get.snapshotId).toSet
+      snapshots.filter(s => ancestry.contains(s.snapshotId))
+    }
     val snapJson = snapshots.toList.map { s =>
       JObject(List(
         "snapshot-id" -> JInt(s.snapshotId),

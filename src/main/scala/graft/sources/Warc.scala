@@ -67,18 +67,100 @@ object Warc {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Synthesize a deterministic WARC corpus from the documents table —
+    * the q81/q83 fixture discipline applied to the crawl front: one
+    * HTTP response record per doc whose HTML body, charset and
+    * Content-Type are CLOSED-FORM in doc_id, so a DuckDB oracle can
+    * recompute the whole ingest → decode → html_text path
+    * arithmetically with no WARC machinery of its own
+    * (q97_warc_ingest). Three charset legs by doc_id mod 3:
+    * 0 = UTF-8 declared in the header; 1 = windows-1252 declared in
+    * the header; 2 = windows-1252 declared only by `<meta charset>`
+    * (the sniff path). Even file ids are plain `.warc`, odd are
+    * per-record-gzip-member `.warc.gz`, so both container forms sit
+    * in the oracle-checked signal.
+    *
+    * Fixture-scale generator (driver of a registered query, written
+    * once per fixture fingerprint): records of one output file are
+    * grouped in memory — fine for the nFiles≈8 test corpus; a real
+    * crawl is READ by [[records]], never produced here. */
+  def synthesizeFixture(docs: org.apache.spark.sql.DataFrame,
+      outDir: String, nFiles: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    docs.select("doc_id", "text").rdd
+      .map { r =>
+        val id = r.getLong(0)
+        (id % nFiles, (id, recordBytesFor(id, r.getString(1))))
+      }
+      .groupByKey(nFiles)
+      .foreach { case (fid, recs) =>
+        val gz = fid % 2 == 1
+        val name = f"part-$fid%05d.warc" + (if (gz) ".gz" else "")
+        val p = new org.apache.hadoop.fs.Path(outDir, name)
+        val fs = p.getFileSystem(confSer.value)
+        val out = fs.create(p, true)
+        try recs.toSeq.sortBy(_._1).foreach { case (_, bytes) =>
+          if (gz) {
+            val bos = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            g.write(bytes); g.finish()
+            out.write(bos.toByteArray)
+          } else out.write(bytes)
+        } finally out.close()
+      }
+    val marker = new org.apache.hadoop.fs.Path(outDir, "_built")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(marker, true)
+    try o.write("1\n".getBytes(StandardCharsets.UTF_8)) finally o.close()
+  }
+
+  /** One synthesized record's bytes — see [[synthesizeFixture]] for
+    * the closed-form contract the oracle mirrors. */
+  private def recordBytesFor(id: Long, text: String): Array[Byte] = {
+    val leg = (id % 3).toInt
+    val meta = if (leg == 2) "<meta charset=\"windows-1252\">" else ""
+    val html = s"<html><head><title>Doc $id</title>$meta" +
+      "<style>p{margin:0}</style></head><body><!-- synthetic -->" +
+      s"<p>$text café révisé</p>" +
+      "<script>var a=\"<b>no</b>\";</script></body></html>"
+    val (charsetName, ctParam) = leg match {
+      case 0 => ("UTF-8", "; charset=utf-8")
+      case 1 => ("windows-1252", "; charset=windows-1252")
+      case _ => ("windows-1252", "")
+    }
+    val payload = html.getBytes(charsetName)
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html$ctParam\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val block = http ++ payload
+    val header = (s"WARC/1.0\r\n" +
+      s"WARC-Type: response\r\n" +
+      s"WARC-Record-ID: <urn:graft:$id>\r\n" +
+      s"WARC-Target-URI: http://corpus.test/doc/$id\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${block.length}\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8)
+    header ++ block ++ "\r\n\r\n".getBytes(StandardCharsets.UTF_8)
+  }
+
   // ------------------------------------------------------------ parser
 
-  /** Read one CRLF- (or LF-) terminated header line; None at EOF. */
+  /** Read one CRLF- (or LF-) terminated header line; None at EOF.
+    * Bytes are accumulated raw and decoded as UTF-8 — WARC 1.0 headers
+    * are UTF-8, so a non-ASCII `WARC-Target-URI` must not be mangled
+    * by a per-byte Latin-1 char cast. */
   private def readLine(in: InputStream): Option[String] = {
-    val sb = new java.lang.StringBuilder(96)
+    val buf = new java.io.ByteArrayOutputStream(96)
     var c = in.read()
     if (c < 0) return None
     while (c >= 0 && c != '\n') {
-      if (c != '\r') sb.append(c.toChar)
+      if (c != '\r') buf.write(c)
       c = in.read()
     }
-    Some(sb.toString)
+    Some(new String(buf.toByteArray, StandardCharsets.UTF_8))
   }
 
   private def readFully(in: InputStream, n: Long, cap: Int)

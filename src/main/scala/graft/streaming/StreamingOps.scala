@@ -374,14 +374,40 @@ object StreamingOps {
     * ledger's committed id) skips both writes. A crash between the
     * output write and the ledger commit replays into the same
     * survivor set (the ledger state is unchanged) and overwrites the
-    * same partition — spec-pinned kill-and-replay. See
-    * [[bm25IndexSink]] for the `txnAppId` stability contract. */
+    * same partition — spec-pinned kill-and-replay.
+    *
+    * `txnAppId` is REQUIRED here (unlike the index sinks, whose
+    * default fresh-UUID covers in-process retries): the output
+    * partition layout embeds the appId, so a JVM restart under a
+    * fresh random appId would replay a crashed batch into a NEW
+    * `txn_app=` partition while the old partial partition survives —
+    * duplicated output the overwrite can no longer clobber. Derive it
+    * from the query's checkpoint location (one stable id per logical
+    * stream; a genuinely new stream lineage gets a new id so its
+    * batch 0 is never mistaken for a replay).
+    *
+    * Layout guard: `outPath` must not already hold FLAT parquet (the
+    * pre-partitioned layout) — mixing bare part-files with
+    * `txn_app=…/batch_id=…` subdirs breaks partition discovery on
+    * read, so the first batch refuses loudly instead. */
   def ledgerDedupSink(fpCol: String, path: String, outPath: String,
-      nBuckets: Int = 64,
-      txnAppId: Option[String] = None): (DataFrame, Long) => Unit = {
-    val app = txnAppId.getOrElse(java.util.UUID.randomUUID().toString)
+      txnAppId: String, nBuckets: Int = 64): (DataFrame, Long) => Unit = {
+    val app = txnAppId
+    require(app.nonEmpty, "ledgerDedupSink needs a non-empty txnAppId")
     (batch, bid) => {
       if (!batch.isEmpty) {
+        val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val out = new org.apache.hadoop.fs.Path(outPath)
+        val ofs = out.getFileSystem(hconf)
+        if (ofs.exists(out)) {
+          val flat = ofs.listStatus(out).exists(st =>
+            st.isFile && st.getPath.getName.endsWith(".parquet"))
+          require(!flat, s"$outPath holds flat parquet from a " +
+            "pre-partitioned ledgerDedupSink layout; partition " +
+            "discovery cannot mix bare files with txn_app=/batch_id= " +
+            "dirs — migrate the old files into a partition dir or " +
+            "use a fresh outPath")
+        }
         import graft.operators.FingerprintLedger
         val spark = batch.sparkSession
         val txn = Some(graft.operators.IndexCommitTxn(app, bid))

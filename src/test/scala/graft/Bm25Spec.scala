@@ -258,6 +258,76 @@ class Bm25Spec extends AnyFunSuite {
       "stats must be computed over the cleared (not poisoned) resolution")
   }
 
+  test("deleteFromIndex: probes are bit-identical to a scratch index over " +
+      "the survivors — before AND after compaction; re-deletes idempotent; " +
+      "aborted delete leaves the prior state; append after delete is exact") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("bm25idx_del").toString
+    Bm25.writeIndex(docsDf, "doc_id", "text", idx, nBuckets = 8)
+    def probe(p: String) = Bm25.searchIndex(spark, p, probesDf, "doc_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    def assertSame(g: Seq[(Long, Int, Long, Double)],
+        w: Seq[(Long, Int, Long, Double)], label: String): Unit = {
+      assert(g.length === w.length, label)
+      for ((x, y) <- g.zip(w)) {
+        assert(x._1 === y._1 && x._2 === y._2 && x._3 === y._3,
+          s"$label: $x vs $y")
+        assert(java.lang.Double.compare(x._4, y._4) === 0, s"$label: $x vs $y")
+      }
+    }
+    val full = probe(idx)
+    // aborted delete: every v2 file on disk, pointer not flipped —
+    // version 1 keeps probing bit-identically
+    Bm25.deleteFromIndexInternal(Seq(2L).toDF("doc_id"), idx,
+      abortBeforeCommit = true)
+    assert(Bm25.currentVersion(spark, idx) === 1)
+    assertSame(probe(idx), full, "aborted delete leaked into the probe")
+    // real delete (docs 2 and 4; 99 unknown — ignored); n_docs adjusts
+    Bm25.deleteFromIndex(Seq(2L, 4L, 99L).toDF("doc_id"), idx)
+    assert(Bm25.currentVersion(spark, idx) === 2)
+    assert(Bm25.statsTable(spark, idx, 2).head()
+      .getAs[Double]("n_docs") === (corpus.size - 2).toDouble)
+    val survivors = corpus.filterNot(t => Set(2L, 4L).contains(t._1))
+    val scratch = java.nio.file.Files.createTempDirectory("bm25idx_del_s").toString
+    Bm25.writeIndex(survivors.toDF("doc_id", "text"), "doc_id", "text",
+      scratch, nBuckets = 8)
+    assertSame(probe(idx), probe(scratch), "delete diverged from rebuild")
+    // idempotent re-delete: same probes, n_docs unchanged
+    Bm25.deleteFromIndex(Seq(2L, 4L).toDF("doc_id"), idx)
+    assert(Bm25.statsTable(spark, idx, Bm25.currentVersion(spark, idx)).head()
+      .getAs[Double]("n_docs") === (corpus.size - 2).toDouble)
+    assertSame(probe(idx), probe(scratch), "re-delete changed probes")
+    // append after delete: stats must not resurrect tombstoned docs
+    val extra = Seq((200L, "spark iceberg tables shuffle"))
+    Bm25.appendToIndex(extra.toDF("doc_id", "text"), "doc_id", "text", idx)
+    val scratch2 = java.nio.file.Files.createTempDirectory("bm25idx_del_s2").toString
+    Bm25.writeIndex((survivors ++ extra).toDF("doc_id", "text"), "doc_id",
+      "text", scratch2, nBuckets = 8)
+    assertSame(probe(idx), probe(scratch2), "append-after-delete diverged")
+    // compaction folds the tombstones permanently (df rebuilt); the
+    // family resets and probes stay identical
+    Bm25.compactIndex(spark, idx)
+    assertSame(probe(idx), probe(scratch2), "compaction diverged")
+    assert(spark.read.parquet(s"$idx/postings/base_v" +
+        Bm25.currentVersion(spark, idx))
+      .filter(org.apache.spark.sql.functions.col("doc_id").isin(2L, 4L))
+      .count() === 0L, "compaction must drop tombstoned postings")
+    // a crashed DELETE's orphan tombstone delta must not be
+    // phantom-committed by the next append at the same version
+    val idx2 = java.nio.file.Files.createTempDirectory("bm25idx_del_p").toString
+    val (a, b) = corpus.splitAt(4)
+    Bm25.writeIndex(a.toDF("doc_id", "text"), "doc_id", "text", idx2, nBuckets = 8)
+    Bm25.deleteFromIndexInternal(Seq(1L).toDF("doc_id"), idx2,
+      abortBeforeCommit = true)
+    Bm25.appendToIndex(b.toDF("doc_id", "text"), "doc_id", "text", idx2)
+    val scratchAll = java.nio.file.Files
+      .createTempDirectory("bm25idx_del_p2").toString
+    Bm25.writeIndex(docsDf, "doc_id", "text", scratchAll, nBuckets = 8)
+    assertSame(probe(idx2), probe(scratchAll),
+      "crashed delete's tombstones leaked into the committed append")
+  }
+
   test("minedQueries: deterministic grouping of top-df terms") {
     val q = Bm25.minedQueries(docsDf, "doc_id", "text",
         nQueries = 2, termsPerQuery = 2)

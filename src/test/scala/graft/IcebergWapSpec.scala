@@ -120,6 +120,41 @@ class IcebergWapSpec extends AnyFunSuite {
     IcebergV2Validation.validateV2(
       org.json4s.jackson.JsonMethods.parse(metaText(out)), expectSnapshot = true)
 
+    // the staged snapshot must not LEAK into main-ancestry reads even
+    // now that the main head is the array tail again (chain is
+    // [A, B_staged, C_main]): incremental and CDC reads over (_, C]
+    // follow parent links, not array position …
+    val stagedId = IcebergSnapshot.listRefs(out,
+      spark.sparkContext.hadoopConfiguration)
+      .collectFirst { case ("audit", id, _) => id }.get
+    val inc = IcebergChanges.incrementalAppendScan(spark, out, table, None)
+    assert(ksOf(inc.drop("_change_type", "_commit_snapshot_id",
+      "_change_ordinal")) === Seq(1L, 2L, 3L, 4L, 10L, 11L),
+      "a staged WAP snapshot must not surface as committed inserts")
+    assert(!inc.select("_commit_snapshot_id").distinct().collect()
+      .map(_.getLong(0)).contains(stagedId))
+    val cdc = IcebergChanges.changesTable(spark, out, table, None)
+    assert(!cdc.select("_commit_snapshot_id").distinct().collect()
+      .map(_.getLong(0)).contains(stagedId))
+    assert(cdc.filter(col("_change_type") === "insert").count() === 6L)
+    // … and the snapshot-log never claims the staged snapshot was
+    // made current (head == tail, so the old head!=tail guard alone
+    // would have missed it)
+    val metaDoc = org.json4s.jackson.JsonMethods.parse(metaText(out))
+    val logIds = (metaDoc \ "snapshot-log").asInstanceOf[org.json4s.JArray]
+      .arr.map(e => (e \ "snapshot-id").asInstanceOf[org.json4s.JInt].num.toLong)
+    assert(!logIds.contains(stagedId),
+      "snapshot-log must hold main-ancestry entries only")
+    val allIds = (metaDoc \ "snapshots").asInstanceOf[org.json4s.JArray]
+      .arr.map(e => (e \ "snapshot-id").asInstanceOf[org.json4s.JInt].num.toLong)
+    assert(allIds.contains(stagedId), "the staged snapshot stays retained")
+    // an EXPLICIT branch-head bound reads that branch's coherent
+    // ancestry instead (A + B, not C)
+    val branchInc = IcebergChanges.incrementalAppendScan(spark, out, table,
+      None, toSnapshotId = Some(stagedId))
+    assert(ksOf(branchInc.drop("_change_type", "_commit_snapshot_id",
+      "_change_ordinal")) === (1L to 6L))
+
     // a main-side DELETE also anchors at main (the staged rows are not
     // candidates), and main's history stays linear
     SchemaTranslator.deleteWhere(spark, table, out, col("K") === 10L)

@@ -1718,6 +1718,82 @@ class PipelineSpec extends AnyFunSuite {
     assert(dfRow2.getAs[Long]("n_occ") === 9L)
   }
 
+  test("phrase index deleteFromIndex: probes equal a scratch index over " +
+      "the survivors, across compaction; aborted delete leaves prior " +
+      "state; re-deletes idempotent; crashed tombstones don't leak") {
+    import spark.implicits._
+    import graft.operators.Search
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown cat naps under the warm sun"),
+      (3L, "a quick brown fox and a quick brown fox again"),
+      (4L, "the the the quick quick brown"),
+      (5L, "quick brown fox trails off")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("searchdel").toString
+    Search.writeIndex(docs, "doc_id", "text", idx, nBuckets = 4)
+    val phrases = Seq(Seq("quick", "brown", "fox"), Seq("the", "quick"),
+      Seq("quick"), Seq("missing", "phrase"))
+    def probeAll(p: String): Seq[Seq[(Long, Int)]] = phrases.map(ph =>
+      Search.phraseProbe(spark, p, ph)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq)
+    val full = probeAll(idx)
+    // aborted delete: version 1 keeps probing exactly
+    Search.deleteFromIndexInternal(Seq(3L).toDF("doc_id"), idx,
+      abortBeforeCommit = true)
+    assert(Search.currentVersion(spark, idx) === 1)
+    assert(probeAll(idx) === full, "aborted delete leaked into probes")
+    // real delete (3 and 5; 99 unknown — ignored)
+    Search.deleteFromIndex(Seq(3L, 5L, 99L).toDF("doc_id"), idx)
+    assert(Search.currentVersion(spark, idx) === 2)
+    val scratch = java.nio.file.Files.createTempDirectory("searchdel_s").toString
+    Search.writeIndex(docs.filter(!col("doc_id").isin(3L, 5L)),
+      "doc_id", "text", scratch, nBuckets = 4)
+    assert(probeAll(idx) === probeAll(scratch), "delete diverged from rebuild")
+    // the batched faces see the tombstones too
+    assert(Search.phraseDocsProbe(spark, idx, Seq("quick brown fox"))
+      .collect().map(_.getLong(1)).sorted.toSeq === Seq(1L),
+      "phraseDocsProbe must anti-join tombstones")
+    // idempotent re-delete
+    Search.deleteFromIndex(Seq(3L).toDF("doc_id"), idx)
+    assert(probeAll(idx) === probeAll(scratch), "re-delete changed probes")
+    // compaction folds tombstones; df/n_occ and stats rebuild exactly
+    Search.compactIndex(spark, idx)
+    assert(probeAll(idx) === probeAll(scratch), "compaction diverged")
+    val v = Search.currentVersion(spark, idx)
+    assert(spark.read.parquet(s"$idx/postings/base_v$v")
+      .filter(col("doc_id").isin(3L, 5L)).count() === 0L)
+    val want = Search.dfTable(spark, scratch, 1)
+      .select("token", "df", "n_occ").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val got = Search.dfTable(spark, idx, v)
+      .select("token", "df", "n_occ").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got === want, "compacted df must equal the survivors' rebuild")
+    assert(Search.statsTable(spark, idx, v).head().getAs[Long]("n_tokens")
+      === Search.statsTable(spark, scratch, 1).head().getAs[Long]("n_tokens"))
+    // post-compaction delete works over the reset family
+    Search.deleteFromIndex(Seq(4L).toDF("doc_id"), idx)
+    val scratch2 = java.nio.file.Files.createTempDirectory("searchdel_s2").toString
+    Search.writeIndex(docs.filter(!col("doc_id").isin(3L, 4L, 5L)),
+      "doc_id", "text", scratch2, nBuckets = 4)
+    assert(probeAll(idx) === probeAll(scratch2),
+      "post-compaction delete diverged")
+    // a crashed DELETE's orphan tombstone delta must not be
+    // phantom-committed by the next append at the same version
+    val idx2 = java.nio.file.Files.createTempDirectory("searchdel_p").toString
+    Search.writeIndex(docs.filter(col("doc_id") <= 3L), "doc_id", "text",
+      idx2, nBuckets = 4)
+    Search.deleteFromIndexInternal(Seq(1L).toDF("doc_id"), idx2,
+      abortBeforeCommit = true)
+    Search.appendToIndex(docs.filter(col("doc_id") > 3L), "doc_id", "text",
+      idx2)
+    val scratchAll = java.nio.file.Files
+      .createTempDirectory("searchdel_p2").toString
+    Search.writeIndex(docs, "doc_id", "text", scratchAll, nBuckets = 4)
+    assert(probeAll(idx2) === probeAll(scratchAll),
+      "crashed delete's tombstones leaked into the committed append")
+  }
+
   test("BPE: distributed trainer equals the sequential reference; encoding " +
       "is greedy rank-order and reassembles the input") {
     import spark.implicits._

@@ -94,6 +94,15 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("KLL merge refuses a different k — a silent mixed-k merge would " +
+      "void the rank-error bound") {
+    val a = new graft.operators.KllDoubleSketch(64)
+    val b = new graft.operators.KllDoubleSketch(128)
+    a.update(1.0); b.update(2.0)
+    val err = intercept[IllegalArgumentException](a.merge(b))
+    assert(err.getMessage.contains("different k"))
+  }
+
   test("KLL compacted mode: rank error <= 2.5/k sequential and merged, " +
       "n exact, serialization round-trips") {
     val k = 200

@@ -494,7 +494,8 @@ class StreamingSpec extends AnyFunSuite {
     val q1 = mem1.toDF().toDF("doc_id", "text")
       .withColumn("fp", md5(col("text")))
       .writeStream
-      .foreachBatch(StreamingOps.ledgerDedupSink("fp", led, outDir, nBuckets = 4))
+      .foreachBatch(StreamingOps.ledgerDedupSink("fp", led, outDir,
+        txnAppId = "run-1", nBuckets = 4))
       .outputMode(OutputMode.Append()).start()
     mem1.addData((1L, "alpha text"), (2L, "beta text"))
     q1.processAllAvailable()
@@ -507,7 +508,8 @@ class StreamingSpec extends AnyFunSuite {
     val q2 = mem2.toDF().toDF("doc_id", "text")
       .withColumn("fp", md5(col("text")))
       .writeStream
-      .foreachBatch(StreamingOps.ledgerDedupSink("fp", led, outDir, nBuckets = 4))
+      .foreachBatch(StreamingOps.ledgerDedupSink("fp", led, outDir,
+        txnAppId = "run-2", nBuckets = 4))
       .outputMode(OutputMode.Append()).start()
     mem2.addData((9L, "alpha text"), (10L, "delta text"), (11L, "beta text"))
     q2.processAllAvailable()
@@ -610,8 +612,8 @@ class StreamingSpec extends AnyFunSuite {
     val out = java.nio.file.Files.createTempDirectory("ledger_eo_out").toString
     def docsDf(rows: Seq[(Long, String)]) =
       rows.toDF("doc_id", "text").withColumn("fp", md5(col("text")))
-    val sink = StreamingOps.ledgerDedupSink("fp", led, out, nBuckets = 4,
-      txnAppId = Some("app-1"))
+    val sink = StreamingOps.ledgerDedupSink("fp", led, out,
+      txnAppId = "app-1", nBuckets = 4)
     sink(docsDf(Seq((1L, "alpha"), (2L, "beta"))), 0)
     // simulate the crash window of batch 1: its (partial) OUTPUT landed
     // but the ledger commit did not — the replay must clobber it

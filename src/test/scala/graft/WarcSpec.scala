@@ -172,4 +172,65 @@ class WarcSpec extends AnyFunSuite {
     assert(nulls(1) === "")
     assert(nulls(3) === "&#xD800; &#999999999;")
   }
+
+  test("WARC headers are UTF-8: a non-ASCII target URI round-trips " +
+      "instead of being mangled per-byte") {
+    val dir = java.nio.file.Files.createTempDirectory("warc4")
+    val uri = "http://example.com/café/日本語"
+    writeWarc(dir, "u.warc", Seq(
+      record("response", uri,
+        httpResponse("ok".getBytes(StandardCharsets.UTF_8)))),
+      gzipPerRecord = false)
+    val row = Warc.records(spark, dir.resolve("u.warc").toString)
+      .collect().head
+    assert(row.getAs[String]("target_uri") === uri)
+  }
+
+  test("decode_text: charset= header wins, <meta charset> sniff next, " +
+      "UTF-8 default; replacement errors are COUNTED; SQL == Column") {
+    import spark.implicits._
+    graft.api.GraftExtensions.register(spark)
+    val text = "café naïve — résumé"
+    val sjText = "日本語のテキスト"
+    val metaPage = "<html><head><meta charset=\"windows-1252\"></head>" +
+      s"<body>$text</body></html>"
+    val rows = Seq(
+      // 1: header charset (windows-1252 bytes would garble as UTF-8)
+      (1L, text.getBytes("windows-1252"), "text/html; charset=windows-1252"),
+      // 2: Shift-JIS via header
+      (2L, sjText.getBytes("Shift_JIS"), "text/html; charset=Shift_JIS"),
+      // 3: no header param -> <meta charset> sniff
+      (3L, metaPage.getBytes("windows-1252"), "text/html"),
+      // 4: nothing declared -> UTF-8 default
+      (4L, text.getBytes(StandardCharsets.UTF_8), null),
+      // 5: ISO-8859-1 bytes mislabeled utf-8 -> replacement + count
+      (5L, text.getBytes("ISO-8859-1"), "text/html; charset=utf-8"),
+      // 6: typo'd charset name -> falls back to UTF-8, decodes fine
+      (6L, text.getBytes(StandardCharsets.UTF_8), "text/html; charset=bogus-9"))
+      .toDF("id", "body", "ct")
+    val got = rows.select(col("id"),
+      graft.functions.CharsetDecode(col("body"), col("ct")).as("d"))
+      .select(col("id"), col("d.text"), col("d.charset"),
+        col("d.decode_errors"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getInt(3)))).toMap
+    assert(got(1L) === ((text, "windows-1252", 0)))
+    assert(got(2L) === ((sjText, "shift_jis", 0)))
+    assert(got(3L) === ((metaPage, "windows-1252", 0)))
+    assert(got(4L) === ((text, "utf-8", 0)))
+    // mislabeled: each of the 4 non-ASCII latin-1 bytes (é×3, ï; the
+    // em-dash is unmappable in latin-1 and became '?' on encode) is
+    // malformed UTF-8 and must surface as one counted U+FFFD each
+    assert(got(5L)._2 === "utf-8")
+    assert(got(5L)._3 === 4)
+    assert(got(5L)._1 === "caf� na�ve ? r�sum�")
+    assert(got(6L) === ((text, "utf-8", 0)))
+    // SQL face, incl. null content-type passthrough
+    val viaSql = rows.selectExpr("id",
+        "decode_text(body, ct) AS d")
+      .selectExpr("id", "d.text", "d.charset", "d.decode_errors")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getInt(3)))).toMap
+    assert(viaSql === got)
+  }
 }
