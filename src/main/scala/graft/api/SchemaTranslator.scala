@@ -196,6 +196,15 @@ object SchemaTranslator {
     ()
   }
 
+  /** Roll main back to a retained ancestor snapshot (bad-publish
+    * recovery; refuses non-ancestors). */
+  def rollbackMain(spark: SparkSession, table: TableDef, path: String,
+      snapshotId: Long): Unit = {
+    graft.sources.IcebergWap.rollbackMain(table, path, snapshotId,
+      spark.sparkContext.hadoopConfiguration)
+    ()
+  }
+
   /** Row-level DELETE on a migrated table: commit an Iceberg v2
     * DELETE snapshot of position delete files covering every current
     * row matching `predicate` (merge-on-read — data files are

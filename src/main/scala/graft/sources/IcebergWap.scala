@@ -142,4 +142,41 @@ object IcebergWap {
       chain, timestampMs, currentIdOverride = Some(target.snapshotId))
     target
   }
+
+  /** Roll `main` back to a retained ANCESTOR snapshot — the first
+    * thing an operator wants after a bad publish (Iceberg's
+    * `rollback_to_snapshot`). Metadata-only: `current-snapshot-id`
+    * (and the main ref) move back to `snapshotId`; every snapshot
+    * stays in the array, so the rolled-back-PAST descendants remain
+    * re-publishable (a branch ref still pointing at the bad head can
+    * fast-forward main onto it again) and become expirable once no
+    * ref protects them — expiry always protects the main head, i.e.
+    * the rolled-back-TO snapshot. Refuses a target that is not on the
+    * main head's parent-link ancestry (a staged branch snapshot or an
+    * expired id is not a rollback — it would silently abandon
+    * history sideways). The snapshot-log, which this writer derives
+    * from main's ancestry, truncates to the restored head (keeping
+    * the spec's log-last == current invariant) rather than appending
+    * a duplicate made-current entry. No-op when already current. */
+  def rollbackMain(table: TableDef, tablePath: String, snapshotId: Long,
+      conf: Configuration = new Configuration(),
+      timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+    val (metadataDir, fs, version, metaText, chain) = load(tablePath, conf)
+    val mainHead = currentSnapshotOf(metaText, chain).get
+    if (snapshotId == mainHead.snapshotId) return mainHead
+    val target = chain.find(_.snapshotId == snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot $snapshotId not in the retained chain (expired?)"))
+    val byId = chain.map(s => s.snapshotId -> s).toMap
+    val ancestry = Iterator.iterate(Option(mainHead))(
+      _.flatMap(_.parentSnapshotId).flatMap(byId.get))
+      .takeWhile(_.isDefined).map(_.get.snapshotId).toSet
+    require(ancestry.contains(snapshotId),
+      s"snapshot $snapshotId is not an ancestor of main " +
+        s"(${mainHead.snapshotId}) — rollback only walks main's own " +
+        "history; use fastForwardMain for branch heads")
+    writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
+      chain, timestampMs, currentIdOverride = Some(snapshotId))
+    target
+  }
 }

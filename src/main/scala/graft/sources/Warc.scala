@@ -36,6 +36,14 @@ import org.apache.spark.sql.types._
   */
 object Warc {
 
+  /** One parsed record — the typed face of [[schema]] (field order and
+    * names match exactly; the streaming path encodes it directly). */
+  final case class WarcRecord(
+      warc_type: String, record_id: String, target_uri: String,
+      warc_date: String, content_type: String, content_length: Long,
+      http_status: Option[Int], http_content_type: String,
+      body: Array[Byte], truncated: Boolean, source_file: String)
+
   val schema: StructType = StructType(Seq(
     StructField("warc_type", StringType),
     StructField("record_id", StringType),
@@ -65,6 +73,51 @@ object Warc {
         recordIterator(in, file, maxBodyBytes)
     }
     spark.createDataFrame(rows, schema)
+  }
+
+  /** STREAMING face of [[records]]: a `readStream` over a crawl DROP
+    * DIRECTORY — each newly-arrived `.warc`/`.warc.gz` file becomes one
+    * micro-batch contribution, parsed by the same record iterator as
+    * the batch path (same schema, same truncation/torn-tail/gzip
+    * semantics; batch == stream is spec-pinned). This is the first
+    * mile of the live crawl pipeline: compose with `decode_text` →
+    * `html_text` → [[graft.streaming.StreamingOps.corpusIngestStream]]
+    * and the index sinks.
+    *
+    * Source contract: Spark's `binaryFile` streaming source tracks
+    * arrival (file-name log) and materializes each file's bytes as one
+    * row — so a file is ONE task's memory here, unlike the batch
+    * path's PortableDataStream. CommonCrawl-sized (~1 GB) segments are
+    * fine; cap ingestion rate with `maxFilesPerTrigger` and raise
+    * `spark.sql.sources.binaryFile.maxLength` for oversized shards. */
+  def recordsStream(spark: SparkSession, dropDir: String,
+      maxBodyBytes: Int = 1 << 20,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    // binaryFile's fixed schema, spelled out: streaming file sources
+    // refuse inference
+    val binSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val reader = spark.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("pathGlobFilter", "*.warc*")
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader.load(dropDir)
+      .select(org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val raw = new java.io.ByteArrayInputStream(bytes)
+        val in = new BufferedInputStream(
+          if (path.endsWith(".gz")) new GZIPInputStream(raw) else raw,
+          64 * 1024)
+        typedRecordIterator(in, path, maxBodyBytes)
+      }
+      .toDF(schema.fieldNames.toIndexedSeq: _*)
   }
 
   /** Synthesize a deterministic WARC corpus from the documents table —
@@ -189,8 +242,17 @@ object Warc {
   /** Lazily yields the records of ONE stream; stops (rather than
     * throws) on a torn tail. Closes the stream when exhausted. */
   private[sources] def recordIterator(in: InputStream, file: String,
-      maxBodyBytes: Int): Iterator[Row] = new Iterator[Row] {
-    private var nextRow: Row = null
+      maxBodyBytes: Int): Iterator[Row] =
+    typedRecordIterator(in, file, maxBodyBytes).map(r =>
+      Row(r.warc_type, r.record_id, r.target_uri, r.warc_date,
+        r.content_type, r.content_length,
+        r.http_status.map(Integer.valueOf).orNull, r.http_content_type,
+        r.body, r.truncated, r.source_file))
+
+  /** [[recordIterator]]'s typed core. */
+  private[sources] def typedRecordIterator(in: InputStream, file: String,
+      maxBodyBytes: Int): Iterator[WarcRecord] = new Iterator[WarcRecord] {
+    private var nextRow: WarcRecord = null
     private var done = false
 
     private def advance(): Unit = {
@@ -232,11 +294,12 @@ object Warc {
           val (st, hct, payload) = splitHttp(block)
           status = st; httpCt = hct; body = payload
         }
-        nextRow = Row(wtype,
+        nextRow = WarcRecord(wtype,
           headers.getOrElse("warc-record-id", null),
           headers.getOrElse("warc-target-uri", null),
           headers.getOrElse("warc-date", null),
-          ctype, len, status, httpCt, body, truncated, file)
+          ctype, len, Option(status).map(_.intValue), httpCt, body,
+          truncated, file)
       } catch {
         case _: EOFException | _: NumberFormatException =>
           done = true
@@ -245,7 +308,7 @@ object Warc {
     }
 
     override def hasNext: Boolean = { advance(); nextRow != null }
-    override def next(): Row = {
+    override def next(): WarcRecord = {
       advance()
       if (nextRow == null) throw new NoSuchElementException
       val r = nextRow; nextRow = null; r

@@ -136,6 +136,59 @@ object StreamingOps {
       case None => rows.dropDuplicates(fingerprintCols)
     }
 
+  /** The live crawl's first mile: a drop-directory WARC stream
+    * ([[graft.sources.Warc.recordsStream]]) reduced to clean page text
+    * — HTTP responses only (truncated bodies dropped: a cut-off page
+    * must not enter the corpus as a shorter document), charset-aware
+    * payload decode (`decode_text` — rows whose bytes failed to decode
+    * are gated by `maxDecodeErrors`), `html_text` tag strip. Output:
+    * (doc_id = xxhash64 of the WARC record id, url, charset,
+    * decode_errors, text) — ready for [[corpusIngestStream]], which
+    * [[crawlIngestStream]] composes. Entirely stateless (scan-side
+    * expressions), so batch == stream by construction; spec-pinned
+    * against the batch path over the same files. */
+  def crawlTextStream(spark: org.apache.spark.sql.SparkSession,
+      dropDir: String, maxBodyBytes: Int = 1 << 20,
+      maxFilesPerTrigger: Option[Int] = None,
+      maxDecodeErrors: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    crawlTextStages(
+      graft.sources.Warc.recordsStream(spark, dropDir, maxBodyBytes,
+        maxFilesPerTrigger), maxDecodeErrors)
+  }
+
+  /** The stream/batch-shared projection of [[crawlTextStream]] — one
+    * code path, two sources (spec pins stream == batch through it). */
+  def crawlTextStages(records: DataFrame,
+      maxDecodeErrors: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    records
+      .filter(col("warc_type") === "response" && !col("truncated"))
+      .withColumn("__d", graft.functions.CharsetDecode(col("body"),
+        col("http_content_type")))
+      .filter(col("__d.decode_errors") <= maxDecodeErrors)
+      .select(xxhash64(col("record_id")).as("doc_id"),
+        col("target_uri").as("url"),
+        col("__d.charset").as("charset"),
+        col("__d.decode_errors").as("decode_errors"),
+        graft.functions.HtmlText(col("__d.text")).as("text"))
+  }
+
+  /** End-to-end live crawl ingest: [[crawlTextStream]] composed with
+    * [[corpusIngestStream]]'s quality gate / scrub / cross-batch dedup
+    * / shard routing — drop a CommonCrawl segment into `dropDir` and
+    * sharded clean documents come out. */
+  def crawlIngestStream(spark: org.apache.spark.sql.SparkSession,
+      dropDir: String, minQuality: Double, nShards: Int,
+      maxBodyBytes: Int = 1 << 20,
+      maxFilesPerTrigger: Option[Int] = None,
+      maxDecodeErrors: Int = Int.MaxValue,
+      boilerplate: Option[DataFrame] = None): DataFrame =
+    corpusIngestStream(
+      crawlTextStream(spark, dropDir, maxBodyBytes, maxFilesPerTrigger,
+        maxDecodeErrors),
+      minQuality, nShards, boilerplate = boilerplate)
+
   /** Live corpus ingest — the batch pipeline's operators composed
     * under structured streaming: per-row quality gate (scan-side
     * expression), boilerplate chunk scrub (stream-static broadcast

@@ -51,7 +51,12 @@ object ScaleBench {
     "q71_indexed_probe",
     "q79_indexed_probe",
     "q92_phrase_ranked",
-    "q93_ledger_dedup")
+    "q93_ledger_dedup",
+    // the capstone: six sublinear stages composed with three
+    // MEMORY_AND_DISK materializations — the storage-pool pressure
+    // shape r4's q44 lesson punished; its exponent is the evidence
+    // the composition (not just each stage) survives scale
+    "q95_curation_pipeline")
 
   private[tools] def generateSlice(spark: SparkSession, baseDir: String,
       outDir: String, factor: Int): Unit = {

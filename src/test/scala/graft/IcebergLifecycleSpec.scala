@@ -62,6 +62,14 @@ class IcebergLifecycleSpec extends AnyFunSuite {
   private case object SpecAddBucket extends Op
   private case object SpecDropField extends Op
   private case object SpecRenameField extends Op
+  // write-audit-publish + rollback interleaved with everything else:
+  // stage rows on the "wap" audit branch (main untouched), publish by
+  // fast-forward when main is still on the branch's ancestry (else
+  // assert the refusal and abandon the branch), and roll main back to
+  // a random retained ancestor whose full state the model recorded
+  private case class StageBranch(n: Int) extends Op
+  private case object PublishOrAbandon extends Op
+  private case class Rollback(pick: Int) extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
     4 -> Gen.choose(1, 12).map(Append(_)),
@@ -79,7 +87,10 @@ class IcebergLifecycleSpec extends AnyFunSuite {
     1 -> Gen.const(DropTag),
     2 -> Gen.const(SpecAddBucket),
     1 -> Gen.const(SpecDropField),
-    1 -> Gen.const(SpecRenameField))
+    1 -> Gen.const(SpecRenameField),
+    2 -> Gen.choose(1, 6).map(StageBranch(_)),
+    2 -> Gen.const(PublishOrAbandon),
+    2 -> Gen.choose(0, 9).map(Rollback(_)))
 
   private val seqGen: Gen[List[Op]] =
     Gen.choose(4, 7).flatMap(n => Gen.listOfN(n, opGen))
@@ -96,6 +107,37 @@ class IcebergLifecycleSpec extends AnyFunSuite {
   private def chainIds(out: String): Seq[Long] =
     (currentMeta(out) \ "snapshots").asInstanceOf[JArray].arr
       .map(s => (s \ "snapshot-id").asInstanceOf[JInt].num.toLong)
+
+  private def mainHeadId(out: String): Long =
+    (currentMeta(out) \ "current-snapshot-id").asInstanceOf[JInt].num.toLong
+
+  /** `from`'s parent-link ancestry over the RETAINED chain, in
+    * head→root order — the harness's own walk, mirroring (and thereby
+    * cross-checking) the writer's ancestry logic. */
+  private def ancestryOf(out: String, from: Long): Seq[Long] = {
+    val arr = (currentMeta(out) \ "snapshots").asInstanceOf[JArray].arr
+    val parent = arr.map { s =>
+      (s \ "snapshot-id").asInstanceOf[JInt].num.toLong ->
+        (s \ "parent-snapshot-id" match {
+          case JInt(p) => Some(p.toLong)
+          case _ => None
+        })
+    }.toMap
+    Iterator.iterate(Option(from))(
+      _.flatMap(parent.get).flatten.filter(parent.contains))
+      .takeWhile(_.isDefined).map(_.get).toSeq
+  }
+
+  private def mainAncestry(out: String): Seq[Long] =
+    ancestryOf(out, mainHeadId(out))
+
+  private def refIds(out: String): Map[String, Long] =
+    (currentMeta(out) \ "refs") match {
+      case JObject(fields) => fields.map { case (n, v) =>
+        n -> (v \ "snapshot-id").asInstanceOf[JInt].num.toLong
+      }.toMap
+      case _ => Map.empty
+    }
 
   private def asLocal(p: String): java.nio.file.Path =
     if (p.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(p))
@@ -151,6 +193,18 @@ class IcebergLifecycleSpec extends AnyFunSuite {
     // run under the CURRENT schema, so only the stable base columns
     // are comparable across schema versions)
     var history = Map.empty[Long, Map[Long, (String, Int)]]
+    // MAIN-head snapshot id → (full model, live-delete flag) — what a
+    // rollback restores; rename/drop ops rewrite these entries the
+    // same way they rewrite `model` (renames are metadata-only, so
+    // old snapshots read under the NEW names)
+    var fullHistory =
+      Map.empty[Long, (Map[Long, (String, Int, Map[String, Int])], Boolean)]
+    // write-audit-publish state: rows staged on the "wap" branch, plus
+    // the full main state the branch forked from (what a publish lands
+    // on top of)
+    var stagedPending = Map.empty[Long, (String, Int, Map[String, Int])]
+    var wapBase: Option[(Map[Long, (String, Int, Map[String, Int])], Boolean)] =
+      None
 
     def readRows(snapshotId: Option[Long] = None)
         : Map[Long, (String, Int, Map[String, Int])] =
@@ -177,8 +231,13 @@ class IcebergLifecycleSpec extends AnyFunSuite {
     def afterOp(label: String): Unit = {
       assert(readRows() == model, s"[$label] current read != model")
       val ids = chainIds(out)
-      history += ids.last -> baseOf(model)
+      // key by the MAIN head, not the array tail — a staged WAP
+      // snapshot (or a rollback) legitimately leaves the tail off main
+      val head = mainHeadId(out)
+      history += head -> baseOf(model)
       history = history.filter { case (id, _) => ids.contains(id) }
+      fullHistory += head -> ((model, liveDeletes))
+      fullHistory = fullHistory.filter { case (id, _) => ids.contains(id) }
       IcebergV2Validation.validateV2(currentMeta(out), expectSnapshot = true)
       // one random retained snapshot still time-travels (compared on
       // the schema-stable base columns)
@@ -234,7 +293,9 @@ class IcebergLifecycleSpec extends AnyFunSuite {
         case Expire(keep) =>
           val before = chainIds(out)
           val lastK = before.takeRight(keep).toSet
-          val protectedIds = tagged.values.toSet
+          // every named ref (tags + a staged wap branch) plus the main
+          // head (which a rollback may have moved off the tail window)
+          val protectedIds = refIds(out).values.toSet + mainHeadId(out)
           val retainedBefore =
             before.filter(id => lastK(id) || protectedIds(id))
           val expiredIds =
@@ -284,10 +345,19 @@ class IcebergLifecycleSpec extends AnyFunSuite {
               graft.sources.IcebergEvolution.renameColumn(table, from, to), out)
             extras = extras.map { case (e, s2) =>
               if (e == from) (to, seed) else (e, s2) }
-            model = model.map { case (k, (v, n, ex)) =>
-              k -> ((v, n, ex.map { case (e, x) =>
-                (if (e == from) to else e) -> x }))
-            }
+            def ren(m: Map[Long, (String, Int, Map[String, Int])]) =
+              m.map { case (k, (v, n, ex)) =>
+                k -> ((v, n, ex.map { case (e, x) =>
+                  (if (e == from) to else e) -> x }))
+              }
+            // renames are metadata-only: every recorded past state
+            // (rollback targets, the staged branch, its fork base)
+            // reads under the NEW name too
+            model = ren(model)
+            fullHistory = fullHistory.view
+              .mapValues { case (m, ld) => (ren(m), ld) }.toMap
+            stagedPending = ren(stagedPending)
+            wapBase = wapBase.map { case (m, ld) => (ren(m), ld) }
           }
 
         case DropCol =>
@@ -296,9 +366,13 @@ class IcebergLifecycleSpec extends AnyFunSuite {
             table = graft.sources.IcebergEvolution.commitEvolution(
               graft.sources.IcebergEvolution.dropColumn(table, victim), out)
             extras = extras.filterNot(_._1 == victim)
-            model = model.map { case (k, (v, n, ex)) =>
-              k -> ((v, n, ex - victim))
-            }
+            def drop(m: Map[Long, (String, Int, Map[String, Int])]) =
+              m.map { case (k, (v, n, ex)) => k -> ((v, n, ex - victim)) }
+            model = drop(model)
+            fullHistory = fullHistory.view
+              .mapValues { case (m, ld) => (drop(m), ld) }.toMap
+            stagedPending = drop(stagedPending)
+            wapBase = wapBase.map { case (m, ld) => (drop(m), ld) }
           }
 
         case SpecAddBucket =>
@@ -332,6 +406,58 @@ class IcebergLifecycleSpec extends AnyFunSuite {
               graft.sources.IcebergEvolution.renamePartitionField(
                 t, cur.head.name, to), out)
           }
+
+        case StageBranch(n) =>
+          if (wapBase.isEmpty) wapBase = Some((model, liveDeletes))
+          val rows = freshRows(nextKey, n); nextKey += n
+          SchemaTranslator.stageAppendToBranch(rowsDf(rows), table, out, "wap")
+          stagedPending ++= rows.map(r => r._1 -> ((r._2, r._3, r._4)))
+          // main untouched (afterOp asserts read == model); the branch
+          // read sees fork base + every staged row (base columns —
+          // schema-stable across interleaved evolution)
+          val branchRead = IcebergSnapshot
+            .readSnapshotAtRef(spark, out, table, "wap")
+            .select("K", "V", "N").collect()
+            .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+          assert(branchRead ==
+            baseOf(wapBase.get._1 ++ stagedPending),
+            s"[$label] branch read != fork base + staged rows")
+
+        case PublishOrAbandon =>
+          if (refIds(out).contains("wap") && wapBase.nonEmpty) {
+            val branchHead = refIds(out)("wap")
+            val legal =
+              ancestryOf(out, branchHead).contains(mainHeadId(out))
+            if (legal) {
+              graft.sources.IcebergWap.fastForwardMain(table, out, "wap",
+                spark.sparkContext.hadoopConfiguration)
+              model = wapBase.get._1 ++ stagedPending
+              liveDeletes = wapBase.get._2
+            } else {
+              // main advanced (or rolled back) off the branch ancestry
+              // — publish must refuse; abandon the branch
+              val before = readRows()
+              intercept[IllegalArgumentException] {
+                graft.sources.IcebergWap.fastForwardMain(table, out, "wap",
+                  spark.sparkContext.hadoopConfiguration)
+              }
+              assert(readRows() == before,
+                s"[$label] refused publish must not change main")
+              IcebergSnapshot.dropRef(table, out, "wap",
+                spark.sparkContext.hadoopConfiguration)
+            }
+            stagedPending = Map.empty
+            wapBase = None
+          }
+
+        case Rollback(pick) =>
+          val candidates = mainAncestry(out).filter(fullHistory.contains)
+          val target = candidates(pick % candidates.size)
+          graft.sources.IcebergWap.rollbackMain(table, out, target,
+            spark.sparkContext.hadoopConfiguration)
+          val (m, ld) = fullHistory(target)
+          model = m
+          liveDeletes = ld
       }
       afterOp(label)
     }

@@ -189,4 +189,79 @@ class IcebergWapSpec extends AnyFunSuite {
     IcebergV2Validation.validateV2(
       org.json4s.jackson.JsonMethods.parse(metaText(out)), expectSnapshot = true)
   }
+
+  test("rollbackMain: publish → rollback → re-publish; non-ancestors " +
+      "refuse; expiry protects the restored head; CDC ranges follow it") {
+    val table = mkTable("WAP3")
+    val out = java.nio.file.Files.createTempDirectory("wap3").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    SchemaTranslator.migrateTable(df(1L to 4L), table, out)
+    def mainRef(): Long = IcebergInspect.refsTable(spark, out).collect()
+      .collectFirst { case r if r.getString(0) == "main" => r.getLong(2) }.get
+    val day1 = mainRef()
+
+    // stage + publish a bad batch
+    SchemaTranslator.stageAppendToBranch(df(5L to 7L), table, out, "audit")
+    val staged = IcebergSnapshot.listRefs(out, conf)
+      .collectFirst { case ("audit", id, _) => id }.get
+    SchemaTranslator.publishBranch(spark, table, out, "audit")
+    assert(ksOf(IcebergSnapshot.readSnapshot(spark, out, table)) === (1L to 7L))
+
+    // the published batch turns out bad — roll main back to day 1
+    assert(mainRef() === staged)
+    val restored = IcebergWap.rollbackMain(table, out, day1, conf)
+    assert(restored.snapshotId === day1)
+    assert(ksOf(IcebergSnapshot.readSnapshot(spark, out, table)) === (1L to 4L))
+    IcebergV2Validation.validateV2(
+      org.json4s.jackson.JsonMethods.parse(metaText(out)), expectSnapshot = true)
+    // snapshot-log last entry IS the restored head; the abandoned
+    // descendant holds no log entry
+    val metaDoc = org.json4s.jackson.JsonMethods.parse(metaText(out))
+    val logIds = (metaDoc \ "snapshot-log").asInstanceOf[org.json4s.JArray]
+      .arr.map(e => (e \ "snapshot-id").asInstanceOf[org.json4s.JInt].num.toLong)
+    assert(logIds.last === day1 && !logIds.contains(staged))
+    // incremental reads over main see only day 1 now
+    assert(IcebergChanges.incrementalAppendScan(spark, out, table, None)
+      .count() === 4L)
+    // rollback is idempotent; rolling back to a non-ancestor refuses
+    assert(IcebergWap.rollbackMain(table, out, day1, conf).snapshotId === day1)
+    SchemaTranslator.stageAppendToBranch(df(8L to 9L), table, out, "side")
+    val sideHead = IcebergSnapshot.listRefs(out, conf)
+      .collectFirst { case ("side", id, _) => id }.get
+    val err = intercept[IllegalArgumentException] {
+      IcebergWap.rollbackMain(table, out, sideHead, conf)
+    }
+    assert(err.getMessage.contains("not an ancestor"))
+    intercept[IllegalArgumentException] {
+      IcebergWap.rollbackMain(table, out, 424242L, conf)
+    }
+
+    // re-publish: the audit ref still points at the rolled-back-past
+    // head; fast-forward restores it
+    SchemaTranslator.publishBranch(spark, table, out, "audit")
+    assert(ksOf(IcebergSnapshot.readSnapshot(spark, out, table)) === (1L to 7L))
+
+    // roll back again and expire: the restored head (main) survives
+    // expiry even when outside the keepLast tail window; the abandoned
+    // published head survives only through its audit ref
+    IcebergWap.rollbackMain(table, out, day1, conf)
+    IcebergSnapshot.dropRef(table, out, "audit", conf)
+    IcebergSnapshot.dropRef(table, out, "side", conf)
+    val (head, doomed) = IcebergSnapshot.expireSnapshots(table, out,
+      keepLast = 1, conf)
+    assert(head.snapshotId === day1,
+      "expiry must protect the rolled-back-to main head")
+    assert(doomed.nonEmpty, "abandoned unref'd snapshots must GC")
+    assert(ksOf(IcebergSnapshot.readSnapshot(spark, out, table)) === (1L to 4L))
+    // the expired bad head is gone for good
+    intercept[IllegalArgumentException] {
+      IcebergWap.rollbackMain(table, out, staged, conf)
+    }
+    // life goes on: appends after a rollback anchor at the restored head
+    SchemaTranslator.appendIncrement(df(20L to 21L), table, out)
+    assert(ksOf(IcebergSnapshot.readSnapshot(spark, out, table))
+      === Seq(1L, 2L, 3L, 4L, 20L, 21L))
+    IcebergV2Validation.validateV2(
+      org.json4s.jackson.JsonMethods.parse(metaText(out)), expectSnapshot = true)
+  }
 }

@@ -767,6 +767,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.keySet === Set("a", "b", "c"))
   }
 
+  test("crawlTextStream: a drop-directory WARC stream equals the batch " +
+      "crawl stages over the same files; a second file wave appends") {
+    import spark.implicits._
+    import graft.sources.Warc
+    val drop = Files.createTempDirectory("warc_drop").toString
+    def dropWave(ids: Range, prefix: String): Unit = {
+      val docs = ids.map(i => (i.toLong,
+        s"wave doc $i carries some plain words for the crawl"))
+        .toDF("doc_id", "text")
+      val tmp = Files.createTempDirectory("warc_wave").toString
+      Warc.synthesizeFixture(docs, tmp, nFiles = 2)
+      for (f <- new java.io.File(tmp).listFiles()
+          if f.getName.startsWith("part-"))
+        Files.copy(f.toPath,
+          java.nio.file.Paths.get(drop, prefix + f.getName))
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "url", "charset", "decode_errors", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getString(4))).toSet
+    dropWave(0 until 8, "w1-")
+    val q = StreamingOps.crawlTextStream(spark, drop)
+      .writeStream.format("memory").queryName("crawl_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val batch1 = canon(StreamingOps.crawlTextStages(
+        Warc.records(spark, s"$drop/*.warc*")))
+      assert(batch1.nonEmpty)
+      assert(canon(spark.table("crawl_stream")) === batch1,
+        "stream != batch after wave 1")
+      // the second wave lands as new files and appends; ids disjoint
+      dropWave(100 until 106, "w2-")
+      q.processAllAvailable()
+      val batchAll = canon(StreamingOps.crawlTextStages(
+        Warc.records(spark, s"$drop/*.warc*")))
+      assert(batchAll.size > batch1.size)
+      assert(canon(spark.table("crawl_stream")) === batchAll,
+        "stream != batch after wave 2")
+      // the charset legs all decoded losslessly through the stream
+      assert(spark.table("crawl_stream")
+        .filter(col("decode_errors") =!= 0).count() === 0L)
+      assert(spark.table("crawl_stream").select("charset").distinct()
+        .collect().map(_.getString(0)).toSet
+        === Set("utf-8", "windows-1252"))
+    } finally q.stop()
+    // the full composition keeps shard routing + dedup stages live:
+    // two batches of the END-TO-END crawlIngestStream equal the batch
+    // pipeline over the same files
+    val q2 = StreamingOps.crawlIngestStream(spark, drop,
+        minQuality = 0.0, nShards = 4)
+      .writeStream.format("memory").queryName("crawl_ingest")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("crawl_ingest")
+      assert(got.count() ===
+        Warc.records(spark, s"$drop/*.warc*")
+          .filter(col("warc_type") === "response").count(),
+        "every page passes the open quality gate exactly once")
+      assert(got.select("shard").distinct().count() > 1L,
+        "shard routing must spread documents")
+    } finally q2.stop()
+  }
+
   test("session_window batch agg: gap merge semantics") {
     import spark.implicits._
     val data = Seq(
