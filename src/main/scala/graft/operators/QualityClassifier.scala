@@ -124,7 +124,8 @@ object QualityClassifier {
     * labeled doc, partition-parallel; only the ≤ numBuckets gradient
     * rows and the KB-sized weight literal ever cross the driver. */
   def train(feats: DataFrame, labels: DataFrame, idCol: String,
-      iters: Int, lr: Double, ckptEvery: Int = 2): DataFrame = {
+      iters: Int, lr: Double, ckptEvery: Int = 2,
+      onIter: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
     val spark = feats.sparkSession
     import spark.implicits._
     val _ = ckptEvery // no-op; see scaladoc
@@ -133,6 +134,15 @@ object QualityClassifier {
     // gradient (every term carries a v factor), so the inner join is
     // exact; sort_array makes the in-row sum order deterministic
     // (struct ordering is by leading field b, unique per doc).
+    // Partition count sized to the LABELED row count (one bounded-width
+    // row per labeled doc): the training loop pays a full job per GD
+    // iteration, so surplus partitions multiply the per-iteration task
+    // floor 8× over the loop — at fixture scale (5k docs) one or two
+    // partitions carry the whole table, while a 100 TB label set still
+    // gets full parallelism. The extra exchange is one shuffle of the
+    // tiny doc-major rows, paid once, persisted.
+    val docParts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, math.ceil(n / 20000.0).toInt))
     val docMajor = feats
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("b"), col("v")))).as("fs"))
@@ -141,13 +151,15 @@ object QualityClassifier {
         transform(col("fs"), f => f.getField("b")).as("bs"),
         transform(col("fs"), f => f.getField("v").cast("double")).as("vs"),
         col("label").cast("double").as("y"))
+      .repartition(docParts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Driver-side model: flat bucket-indexed array, grown to the max
     // bucket seen; `get` is 0-based and null-safe (no ANSI throw), so
     // an under-sized (or empty, iteration-1) array reads as weight 0.
     var w = Array.empty[Double]
     val touched = scala.collection.mutable.SortedSet.empty[Int]
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
+      val t0 = System.nanoTime()
       val warr = typedlit(w.toSeq)
       val withR = docMajor
         .withColumn("m", aggregate(
@@ -170,6 +182,7 @@ object QualityClassifier {
           w(b) -= lr * r.getDouble(1)
         }
       }
+      onIter(it, (System.nanoTime() - t0) / 1e9)
     }
     docMajor.unpersist(false)
     // every bucket that ever received a gradient, even if its weight
