@@ -227,4 +227,30 @@ object TextFunctions {
   val UrlHostRe = "https?://(?:[^/@ ]*@)?([A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)*)"
   def extractDomain(text: Column): Column =
     regexp_extract(text, UrlHostRe, 1)
+
+  /** Canonical form of a crawled URL — the revisit-dedup key: the same
+    * page fetched as `HTTPS://Site.ORG:443/p?id=1&utm_source=feed#top`
+    * and `https://site.org/p?id=1` must collapse to one document.
+    * Rules, applied in order (each a codegen'd built-in regexp — no
+    * UDF — and each mirrored op-for-op by the q98 oracle):
+    *   1. fragment stripped (`#…` is client-side only);
+    *   2. tracking parameters removed (`utm_*`, `gclid`, `fbclid` —
+    *      matched as `&param=…`, i.e. never the FIRST query param:
+    *      crawl URLs carry the real resource params first; a
+    *      tracking-only query string is out of the supported shape);
+    *   3. scheme+host lowercased (the path stays case-sensitive per
+    *      RFC 3986 — only the authority is case-insensitive);
+    *   4. default ports (:80, :443) dropped.
+    * Scan-side projection: the 100 TB crawl canonicalizes during
+    * ingest, then revisit-dedup is a plain groupBy on the key. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noTrack = regexp_replace(noFrag,
+      "&(utm_[a-z]+|gclid|fbclid)=[^&]*", "")
+    val hostRe = "^[a-zA-Z]+://[^/]*"
+    val lowered = concat(
+      lower(regexp_extract(noTrack, hostRe, 0)),
+      regexp_replace(noTrack, hostRe, ""))
+    regexp_replace(lowered, ":(80|443)/", "/")
+  }
 }

@@ -467,6 +467,45 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** URL canonicalization + revisit dedup — the crawl-frontier
+    * operation between fetch and corpus: the same page arrives under
+    * case-varied hosts, explicit default ports, tracking parameters
+    * and fragments, and must collapse to ONE document before any
+    * content-level dedup runs (content dedup alone misses revisits
+    * whose boilerplate shifted). URL variants are synthesized
+    * closed-form from doc_id (5 variant shapes × 50 canonical pages,
+    * decorrelated so every page sees every shape), canonicalized by
+    * the codegen'd [[TextFunctions.canonicalUrl]] regexp chain, and
+    * revisit groups roll up (keeper = min doc_id, the ledger rule).
+    * The oracle mirrors the chain regexp-for-regexp — any divergence
+    * in rule order or pattern semantics regroups pages and goes red.
+    * Scale shape: canonicalize is scan-side; the dedup is one groupBy
+    * on the canonical key. */
+  def q98UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val g = pmod(col("doc_id"), lit(50)).cast("string")
+    val idStr = col("doc_id").cast("string")
+    val variant = pmod(floor(col("doc_id") / 50), lit(5)).cast("int")
+    val base = concat(lit("example"), g, lit(".org/articles/a"), g,
+      lit("?p=1"))
+    val url = when(variant === 0, concat(lit("https://"), base))
+      .when(variant === 1, concat(lit("HTTPS://EXAMPLE"), g,
+        lit(".ORG/articles/a"), g, lit("?p=1")))
+      .when(variant === 2, concat(lit("https://example"), g,
+        lit(".org:443/articles/a"), g, lit("?p=1")))
+      .when(variant === 3, concat(lit("https://"), base,
+        lit("&utm_source=feed&gclid=x"), idStr))
+      .otherwise(concat(lit("https://"), base, lit("#sec"), idStr))
+    t(s, dir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("curl", graft.functions.TextFunctions
+        .canonicalUrl(col("url")))
+      .groupBy(col("curl"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_revisits"),
+        sum(col("doc_id")).cast("bigint").as("sum_ids"))
+      .orderBy("curl")
+  }
+
   /** Per-label embedding statistics: count and L2-norm rollups — the
     * quick corpus-health check before ANN indexing (degenerate or
     * unnormalized embedding batches show up as norm outliers). Norms
@@ -2831,6 +2870,38 @@ object PipelineQueries {
         |  md5(etext) AS text_md5,
         |  false AS truncated
         |FROM e ORDER BY doc_id""".stripMargin,
+    // mirrors canonicalUrl's regexp chain op-for-op (DuckDB needs the
+    // explicit 'g' flag where Spark replaces all; anchored/one-shot
+    // steps need none)
+    "q98_url_dedup" ->
+      """WITH v AS (
+        |  SELECT doc_id, CAST(doc_id % 50 AS VARCHAR) AS g,
+        |    CAST(doc_id AS VARCHAR) AS ids,
+        |    CAST((doc_id // 50) % 5 AS INT) AS var
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |    CASE var
+        |      WHEN 0 THEN 'https://example' || g || '.org/articles/a' || g || '?p=1'
+        |      WHEN 1 THEN 'HTTPS://EXAMPLE' || g || '.ORG/articles/a' || g || '?p=1'
+        |      WHEN 2 THEN 'https://example' || g || '.org:443/articles/a' || g || '?p=1'
+        |      WHEN 3 THEN 'https://example' || g || '.org/articles/a' || g || '?p=1&utm_source=feed&gclid=x' || ids
+        |      ELSE 'https://example' || g || '.org/articles/a' || g || '?p=1#sec' || ids
+        |    END AS url
+        |  FROM v),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS x FROM u),
+        |s2 AS (SELECT doc_id,
+        |         regexp_replace(x, '&(utm_[a-z]+|gclid|fbclid)=[^&]*', '', 'g') AS x
+        |       FROM s1),
+        |s3 AS (SELECT doc_id,
+        |         lower(regexp_extract(x, '^[a-zA-Z]+://[^/]*'))
+        |           || regexp_replace(x, '^[a-zA-Z]+://[^/]*', '') AS x
+        |       FROM s2),
+        |c AS (SELECT doc_id, regexp_replace(x, ':(80|443)/', '/') AS curl
+        |      FROM s3)
+        |SELECT curl, min(doc_id) AS keep_id, count(*) AS n_revisits,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // q22's exact-cosine oracle with the positive-cut folded in
     "q80_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
@@ -2939,5 +3010,6 @@ object PipelineQueries {
     "q95_curation_pipeline" -> (q95CurationPipeline _),
     "q96_kll_quantiles" -> (q96KllQuantiles _),
     "q97_warc_ingest" -> (q97WarcIngest _),
+    "q98_url_dedup" -> (q98UrlDedup _),
   )
 }
