@@ -196,6 +196,16 @@ object SchemaTranslator {
     ()
   }
 
+  /** Re-apply a diverged staged branch's appends onto the current
+    * main head (the constructive alternative to abandoning after a
+    * refused publish; refuses non-append segments). */
+  def cherryPickBranch(spark: SparkSession, table: TableDef, path: String,
+      branch: String): Unit = {
+    graft.sources.IcebergWap.cherryPickAppend(table, path, branch,
+      spark.sparkContext.hadoopConfiguration)
+    ()
+  }
+
   /** Roll main back to a retained ancestor snapshot (bad-publish
     * recovery; refuses non-ancestors). */
   def rollbackMain(spark: SparkSession, table: TableDef, path: String,

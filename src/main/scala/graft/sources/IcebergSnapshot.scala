@@ -1107,6 +1107,39 @@ object IcebergSnapshot {
     * inherited from the manifest-list row on ADDED rows). Stats maps
     * are decoded back from the manifest so a rewrite can re-list
     * files without re-reading footers. */
+  /** Decode one manifest `data_file` record back to [[DataFileInfo]]
+    * (stats maps included) — shared by [[liveFilesWithSeq]] and the
+    * cherry-pick re-commit, so a rewrite can re-list files without
+    * re-reading parquet footers. */
+  private[sources] def decodeDataFileInfo(df: GenericRecord,
+      pf: Seq[(String, String, String)], specId: Int): DataFileInfo = {
+    val part = df.get("partition").asInstanceOf[GenericRecord]
+    def kv[T](field: String)(f: Any => T): Map[Int, T] = {
+      val arr = df.get(field)
+      if (arr == null) Map.empty
+      else {
+        val l = arr.asInstanceOf[java.util.List[GenericRecord]]
+        (0 until l.size).map { i =>
+          l.get(i).get("key").asInstanceOf[Int] -> f(l.get(i).get("value"))
+        }.toMap
+      }
+    }
+    def bytesOf(v: Any): Array[Byte] = {
+      val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+      val out = new Array[Byte](bb.remaining); bb.get(out); out
+    }
+    DataFileInfo(
+      path = df.get("file_path").toString,
+      sizeBytes = df.get("file_size_in_bytes").asInstanceOf[Long],
+      recordCount = df.get("record_count").asInstanceOf[Long],
+      partitionValues = pf.map { case (name, _, _) => Option(part.get(name)) },
+      valueCounts = kv("value_counts")(_.asInstanceOf[Long]),
+      nullCounts = kv("null_value_counts")(_.asInstanceOf[Long]),
+      lowerBounds = kv("lower_bounds")(bytesOf),
+      upperBounds = kv("upper_bounds")(bytesOf),
+      specId = specId)
+  }
+
   private[sources] def liveFilesWithSeq(manifestListRows: Seq[GenericRecord],
       table: TableDef, conf: Configuration): Seq[(DataFileInfo, Long)] = {
     manifestListRows.filter(_.get("content").asInstanceOf[Int] == 0).flatMap { m =>
@@ -1120,32 +1153,7 @@ object IcebergSnapshot {
         .map { e =>
           val df = e.get("data_file")
             .asInstanceOf[org.apache.avro.generic.GenericRecord]
-          val part = df.get("partition")
-            .asInstanceOf[org.apache.avro.generic.GenericRecord]
-          def kv[T](field: String)(f: Any => T): Map[Int, T] = {
-            val arr = df.get(field)
-            if (arr == null) Map.empty
-            else {
-              val l = arr.asInstanceOf[java.util.List[org.apache.avro.generic.GenericRecord]]
-              (0 until l.size).map { i =>
-                l.get(i).get("key").asInstanceOf[Int] -> f(l.get(i).get("value"))
-              }.toMap
-            }
-          }
-          def bytesOf(v: Any): Array[Byte] = {
-            val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
-            val out = new Array[Byte](bb.remaining); bb.get(out); out
-          }
-          val info = DataFileInfo(
-            path = df.get("file_path").toString,
-            sizeBytes = df.get("file_size_in_bytes").asInstanceOf[Long],
-            recordCount = df.get("record_count").asInstanceOf[Long],
-            partitionValues = pf.map { case (name, _, _) => Option(part.get(name)) },
-            valueCounts = kv("value_counts")(_.asInstanceOf[Long]),
-            nullCounts = kv("null_value_counts")(_.asInstanceOf[Long]),
-            lowerBounds = kv("lower_bounds")(bytesOf),
-            upperBounds = kv("upper_bounds")(bytesOf),
-            specId = manifestSpecId)
+          val info = decodeDataFileInfo(df, pf, manifestSpecId)
           val seq = Option(e.get("sequence_number"))
             .map(_.asInstanceOf[Long]).getOrElse(listSeq)
           (info, seq)

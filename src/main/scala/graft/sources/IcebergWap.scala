@@ -143,6 +143,113 @@ object IcebergWap {
     target
   }
 
+  /** Re-apply a staged branch's APPENDS onto the CURRENT main head —
+    * Iceberg's `cherrypick_snapshot`, and the constructive answer to
+    * [[fastForwardMain]]'s diverged-publish refusal: when main moved
+    * past the fork, the staged rows need not be abandoned — appends
+    * never conflict, so their data files re-commit as a NEW append
+    * snapshot on top of today's main. Mechanics: the branch segment
+    * (branch-head ancestry until it meets main's) must be appends
+    * only (delete/overwrite segments refuse — replaying row removal
+    * onto a moved base is not conflict-free); their ADDED data files
+    * are read back from the manifests (stats included — no parquet
+    * footer re-reads) and committed under FRESH manifests carrying
+    * the cherry-pick snapshot's own id, so incremental scans
+    * attribute the rows to the commit that actually published them.
+    * The new files take the new snapshot's data sequence number —
+    * deletes committed on main before the cherry-pick do not apply
+    * to them, which is correct: the staged rows were never visible
+    * to those deletes. The audit branch ref MOVES to the cherry-pick
+    * snapshot — publication consumes the branch (same as a
+    * fast-forward leaves ref == main head), which makes the pick
+    * IDEMPOTENT (a second call sees the branch on main's ancestry
+    * and no-ops instead of re-adding the same files) and releases
+    * the staged originals to expiry; their data files survive GC
+    * because the fresh manifests re-list the same paths. No-op when
+    * the branch head is already on main's ancestry. */
+  def cherryPickAppend(table: TableDef, tablePath: String, branch: String,
+      conf: Configuration = new Configuration(),
+      timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+    val (metadataDir, fs, version, metaText, chain) = load(tablePath, conf)
+    val mainHead = currentSnapshotOf(metaText, chain).get
+    val target = branchHeadOf(metaText, chain, branch).getOrElse(
+      throw new IllegalArgumentException(s"no branch $branch"))
+    val byId = chain.map(s => s.snapshotId -> s).toMap
+    def ancestry(from: IcebergMetadata.SnapshotMeta) =
+      Iterator.iterate(Option(from))(
+        _.flatMap(_.parentSnapshotId).flatMap(byId.get))
+        .takeWhile(_.isDefined).map(_.get).toSeq
+    val mainAnc = ancestry(mainHead).map(_.snapshotId).toSet
+    if (mainAnc.contains(target.snapshotId)) return mainHead
+    val segment = ancestry(target)
+      .takeWhile(s => !mainAnc.contains(s.snapshotId))
+    require(ancestry(target).drop(segment.size).nonEmpty,
+      s"branch $branch does not fork from main's retained history — " +
+        "cannot cherry-pick (fork expired?)")
+    val nonAppend = segment.filterNot(_.operation == "append")
+    require(nonAppend.isEmpty,
+      s"only append snapshots cherry-pick; staged segment contains " +
+        nonAppend.map(s => s"${s.snapshotId}(${s.operation})").mkString(", "))
+    val segIds = segment.map(_.snapshotId).toSet
+    // the branch head's manifest list re-lists the whole segment
+    val bySpec = readManifestList(new Path(target.manifestList), conf)
+      .filter(_.get("content").asInstanceOf[Int] == 0)
+      .flatMap { m =>
+        val mSpec = m.get("partition_spec_id").asInstanceOf[Int]
+        val pf = partitionFieldsOf(table, mSpec)
+        readAvroRows(new Path(m.get("manifest_path").toString), conf)
+          .filter(e => e.get("status") == 1 &&
+            Option(e.get("snapshot_id"))
+              .exists(id => segIds.contains(id.asInstanceOf[Long])))
+          .map(e => mSpec -> decodeDataFileInfo(
+            e.get("data_file")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord],
+            pf, mSpec))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    require(bySpec.nonEmpty, s"staged segment of $branch adds no data files")
+
+    val newSeq = chain.map(_.sequenceNumber).max + 1
+    val snapshotId = UUID.nameUUIDFromBytes(
+      (table.fullName + s"-cherrypick-$newSeq")
+        .getBytes(StandardCharsets.UTF_8))
+      .getMostSignificantBits & Long.MaxValue
+    val priorList = readManifestList(new Path(mainHead.manifestList), conf)
+    var ordinal = priorList.size
+    val rows = bySpec.toSeq.sortBy(_._1).map { case (sid, files) =>
+      val (p, len) = writeManifestEntries(table,
+        files.map(f => ManifestEntry(1, None, f)), metadataDir,
+        snapshotId, conf, ordinal, specId = sid)
+      ordinal += 1
+      ManifestListRow(p.toString, len, newSeq, newSeq,
+        files.size, 0, 0, files.map(_.recordCount).sum, 0L, 0L,
+        specId = sid)
+    }
+    val listPath = writeManifestListRows(table, rows, metadataDir,
+      snapshotId, conf, newSeq, Some(mainHead.snapshotId),
+      priorManifests = priorList)
+    val nFiles = bySpec.values.map(_.size).sum.toLong
+    val nRows = bySpec.values.flatten.map(_.recordCount).sum
+    val snap = IcebergMetadata.SnapshotMeta(
+      snapshotId = snapshotId,
+      schemaId = table.schemaId,
+      timestampMs = timestampMs,
+      manifestList = listPath.toString,
+      addedFiles = nFiles,
+      addedRecords = nRows,
+      sequenceNumber = newSeq,
+      parentSnapshotId = Some(mainHead.snapshotId),
+      totalFiles = mainHead.cumulativeFiles + nFiles,
+      totalRecords = mainHead.cumulativeRecords + nRows,
+      totalDeleteFiles = mainHead.totalDeleteFiles,
+      totalPositionDeletes = mainHead.totalPositionDeletes,
+      totalEqualityDeletes = mainHead.totalEqualityDeletes)
+    writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
+      chain :+ snap, timestampMs,
+      addRefs = Seq((branch, snap.snapshotId, "branch")),
+      currentIdOverride = Some(snap.snapshotId))
+    snap
+  }
+
   /** Roll `main` back to a retained ANCESTOR snapshot — the first
     * thing an operator wants after a bad publish (Iceberg's
     * `rollback_to_snapshot`). Metadata-only: `current-snapshot-id`

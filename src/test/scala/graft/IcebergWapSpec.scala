@@ -190,6 +190,73 @@ class IcebergWapSpec extends AnyFunSuite {
       org.json4s.jackson.JsonMethods.parse(metaText(out)), expectSnapshot = true)
   }
 
+  test("cherryPickAppend: a diverged staged append re-applies onto the " +
+      "advanced main; idempotent; delete segments refuse; expiry keeps " +
+      "the re-listed files") {
+    val table = mkTable("WAP4")
+    val out = java.nio.file.Files.createTempDirectory("wap4").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    SchemaTranslator.migrateTable(df(1L to 4L), table, out)
+    // stage days 5-6, then main advances past the fork
+    SchemaTranslator.stageAppendToBranch(df(5L to 6L), table, out, "audit")
+    SchemaTranslator.appendIncrement(df(10L to 11L), table, out)
+    val mainBefore = IcebergInspect.refsTable(spark, out).collect()
+      .collectFirst { case r if r.getString(0) == "main" => r.getLong(2) }.get
+    // publish refuses (diverged) — cherry-pick instead
+    intercept[IllegalArgumentException] {
+      IcebergWap.fastForwardMain(table, out, "audit", conf)
+    }
+    val snap = IcebergWap.cherryPickAppend(table, out, "audit", conf)
+    assert(ksOf(IcebergSnapshot.readSnapshot(spark, out, table))
+      === Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L))
+    IcebergV2Validation.validateV2(
+      org.json4s.jackson.JsonMethods.parse(metaText(out)), expectSnapshot = true)
+    // incremental scan attributes the staged rows to the PICK commit
+    val inc = IcebergChanges.incrementalAppendScan(spark, out, table,
+      Some(mainBefore))
+    assert(ksOf(inc.drop("_change_type", "_commit_snapshot_id",
+      "_change_ordinal")) === Seq(5L, 6L))
+    assert(inc.select("_commit_snapshot_id").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(snap.snapshotId))
+    // idempotent: the branch ref moved onto the pick — second call no-ops
+    val again = IcebergWap.cherryPickAppend(table, out, "audit", conf)
+    assert(again.snapshotId === snap.snapshotId)
+    assert(ksOf(IcebergSnapshot.readSnapshot(spark, out, table))
+      === Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L))
+    // the staged originals are expirable now; the re-listed data files
+    // survive GC and main still reads everything
+    IcebergSnapshot.dropRef(table, out, "audit", conf)
+    val (_, doomed) = IcebergSnapshot.expireSnapshots(table, out,
+      keepLast = 1, conf)
+    assert(doomed.nonEmpty)
+    assert(ksOf(IcebergSnapshot.readSnapshot(spark, out, table))
+      === Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L),
+      "expiring the staged originals must not GC the re-listed files")
+    // a segment that REMOVES rows refuses to cherry-pick: commit a
+    // delete on main, branch at it, roll main back below it — the
+    // branch's off-main segment is now exactly that delete snapshot
+    SchemaTranslator.deleteWhere(spark, table, out, col("K") === 10L)
+    val delHead = IcebergInspect.refsTable(spark, out).collect()
+      .collectFirst { case r if r.getString(0) == "main" => r.getLong(2) }.get
+    IcebergSnapshot.createRef(table, out, "delbranch", delHead, "branch", conf)
+    IcebergWap.rollbackMain(table, out, snapParentOf(out, delHead), conf)
+    val err = intercept[IllegalArgumentException] {
+      IcebergWap.cherryPickAppend(table, out, "delbranch", conf)
+    }
+    assert(err.getMessage.contains("only append snapshots cherry-pick"))
+  }
+
+  /** Parent snapshot id of `id` in the current retained chain. */
+  private def snapParentOf(out: String, id: Long): Long = {
+    val doc = org.json4s.jackson.JsonMethods.parse(metaText(out))
+    (doc \ "snapshots").asInstanceOf[org.json4s.JArray].arr
+      .collectFirst {
+        case s if (s \ "snapshot-id").asInstanceOf[org.json4s.JInt]
+          .num.toLong == id =>
+          (s \ "parent-snapshot-id").asInstanceOf[org.json4s.JInt].num.toLong
+      }.get
+  }
+
   test("rollbackMain: publish → rollback → re-publish; non-ancestors " +
       "refuse; expiry protects the restored head; CDC ranges follow it") {
     val table = mkTable("WAP3")
