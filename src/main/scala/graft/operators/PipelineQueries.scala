@@ -506,6 +506,72 @@ object PipelineQueries {
       .orderBy("curl")
   }
 
+  /** The crawl-to-shards CAPSTONE: every stage between a WARC drop and
+    * training shards, composed as ONE oracle-checked query over a
+    * crawl-shaped fixture ([[graft.sources.Warc.synthesizeCrawlFixture]]
+    * — base + URL-variant REVISIT per odd doc + cross-host MIRROR per
+    * doc ≡ 7 mod 10, identical payload bytes). Stage order is the real
+    * frontier order and each duplication shape must die at a DIFFERENT
+    * stage, which the surfaced counters pin: parse → decode →
+    * `html_text` (n_records), canonical-URL revisit dedup — revisits
+    * collapse here (n_url_kept), exact content dedup — mirrors survive
+    * URL dedup and collapse here (n_content_kept), quality gate on
+    * clean decode + token count (n_gate_kept), deterministic shard
+    * rollup. Keeper rule everywhere: min (seq, doc_id) — a bounded
+    * struct-min aggregate, never a per-key window. Scale shape: the
+    * parse is one task per file, dedups are two groupBys on
+    * scan-derived keys, the gate is scan-side; the parsed slice
+    * persists once and every stage counter reads the cache. */
+  def q99CrawlCapstone(s: SparkSession, dir: String): DataFrame = {
+    val (path, built) = amortizedIndexPath(s, dir, "warc_crawl",
+      p => new java.io.File(p, "_built").isFile)
+    if (!built)
+      graft.sources.Warc.synthesizeCrawlFixture(t(s, dir, "documents"), path)
+    val recs = graft.sources.Warc.records(s, s"$path/part-*.warc*")
+      .filter(col("warc_type") === "response")
+      .withColumn("doc_id",
+        regexp_extract(col("record_id"), "urn:graft:(\\d+):", 1)
+          .cast("bigint"))
+      .withColumn("seq",
+        regexp_extract(col("record_id"), ":(\\d+)>$", 1).cast("int"))
+      .withColumn("curl",
+        graft.functions.TextFunctions.canonicalUrl(col("target_uri")))
+      .withColumn("d",
+        graft.functions.CharsetDecode(col("body"), col("http_content_type")))
+      .select(col("doc_id"), col("seq"), col("curl"),
+        graft.functions.HtmlText(col("d.text")).as("etext"),
+        col("d.decode_errors").as("decode_errors"), col("truncated"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val payload = struct(col("seq"), col("doc_id"), col("etext"),
+      col("decode_errors"), col("truncated"))
+    def unwrap(df: DataFrame): DataFrame = df
+      .select(col("k.doc_id").as("doc_id"), col("k.seq").as("seq"),
+        col("k.etext").as("etext"),
+        col("k.decode_errors").as("decode_errors"),
+        col("k.truncated").as("truncated"))
+    // frontier stage: revisits (same canonical URL) collapse
+    val urlKept = unwrap(recs.groupBy(col("curl")).agg(min(payload).as("k")))
+    // corpus stage: mirrors (same bytes, different canonical URL) collapse
+    val contentKept = unwrap(
+      urlKept.groupBy(md5(col("etext")).as("fp")).agg(min(payload).as("k")))
+    val kept = contentKept
+      .filter(col("decode_errors") === 0 && !col("truncated") &&
+        tokenCount(col("etext")) >= 30)
+      .select(col("doc_id"), tokenCount(col("etext")).as("n_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counters = recs.agg(count(lit(1)).as("n_records"))
+      .crossJoin(urlKept.agg(count(lit(1)).as("n_url_kept")))
+      .crossJoin(contentKept.agg(count(lit(1)).as("n_content_kept")))
+      .crossJoin(kept.agg(count(lit(1)).as("n_gate_kept")))
+    Sampling.shardByHash(kept, col("doc_id"), 8, salt = "shard")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("bigint").as("sum_ids"),
+        sum(col("n_toks")).cast("bigint").as("sum_toks"))
+      .crossJoin(counters)
+      .orderBy("shard")
+  }
+
   /** Per-label embedding statistics: count and L2-norm rollups — the
     * quick corpus-health check before ANN indexing (degenerate or
     * unnormalized embedding batches show up as norm outliers). Norms
@@ -2902,6 +2968,38 @@ object PipelineQueries {
         |SELECT curl, min(doc_id) AS keep_id, count(*) AS n_revisits,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the capstone's every stage reconstructed arithmetically: q97's
+    // closed-form extracted text, the crawl fixture's revisit/mirror
+    // multiplicities (odd ids / ids ≡ 7 mod 10), the stage-ordered
+    // survivor counts, the token gate, and q52's shard-hash mirror
+    "q99_crawl_capstone" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+        |      || ' café révisé' AS etext
+        |  FROM documents),
+        |tk AS (SELECT doc_id,
+        |    len(string_split_regex(lower(trim(etext)), ' +')) AS n_toks
+        |  FROM d),
+        |c AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n_base,
+        |    CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_rev,
+        |    CAST(count(CASE WHEN doc_id % 10 = 7 THEN 1 END) AS BIGINT) AS n_mir
+        |  FROM documents),
+        |k AS (SELECT doc_id, n_toks FROM tk WHERE n_toks >= 30),
+        |h AS (SELECT doc_id, n_toks,
+        |    md5('shard' || CAST(doc_id AS VARCHAR)) AS h FROM k),
+        |v AS (SELECT doc_id, n_toks, ($HvSql) % 8 AS shard FROM h),
+        |g AS (SELECT shard, count(*) AS n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |    CAST(sum(n_toks) AS BIGINT) AS sum_toks
+        |  FROM v GROUP BY 1)
+        |SELECT g.shard, g.n_docs, g.sum_ids, g.sum_toks,
+        |  c.n_base + c.n_rev + c.n_mir AS n_records,
+        |  c.n_base + c.n_mir AS n_url_kept,
+        |  c.n_base AS n_content_kept,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_gate_kept
+        |FROM g CROSS JOIN c ORDER BY g.shard""".stripMargin,
     // q22's exact-cosine oracle with the positive-cut folded in
     "q80_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
@@ -3011,5 +3109,6 @@ object PipelineQueries {
     "q96_kll_quantiles" -> (q96KllQuantiles _),
     "q97_warc_ingest" -> (q97WarcIngest _),
     "q98_url_dedup" -> (q98UrlDedup _),
+    "q99_crawl_capstone" -> (q99CrawlCapstone _),
   )
 }

@@ -171,7 +171,17 @@ object Warc {
 
   /** One synthesized record's bytes — see [[synthesizeFixture]] for
     * the closed-form contract the oracle mirrors. */
-  private def recordBytesFor(id: Long, text: String): Array[Byte] = {
+  private def recordBytesFor(id: Long, text: String): Array[Byte] =
+    responseRecordBytes(s"<urn:graft:$id>", s"http://corpus.test/doc/$id",
+      id, text)
+
+  /** Shared response-record builder: the HTML body, charset leg and
+    * HTTP framing are closed-form in `id` exactly as [[recordBytesFor]]
+    * always produced (q97's oracle depends on these bytes); the crawl
+    * fixture reuses it with revisit/mirror record ids and URIs over
+    * IDENTICAL payload bytes. */
+  private def responseRecordBytes(recordId: String, uri: String,
+      id: Long, text: String): Array[Byte] = {
     val leg = (id % 3).toInt
     val meta = if (leg == 2) "<meta charset=\"windows-1252\">" else ""
     val html = s"<html><head><title>Doc $id</title>$meta" +
@@ -190,13 +200,76 @@ object Warc {
     val block = http ++ payload
     val header = (s"WARC/1.0\r\n" +
       s"WARC-Type: response\r\n" +
-      s"WARC-Record-ID: <urn:graft:$id>\r\n" +
-      s"WARC-Target-URI: http://corpus.test/doc/$id\r\n" +
+      s"WARC-Record-ID: $recordId\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
       "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
       "Content-Type: application/http; msgtype=response\r\n" +
       s"Content-Length: ${block.length}\r\n\r\n")
       .getBytes(StandardCharsets.UTF_8)
     header ++ block ++ "\r\n\r\n".getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** Synthesize a deterministic CRAWL-shaped WARC corpus: beyond
+    * [[synthesizeFixture]]'s one-response-per-doc, this one contains
+    * the two duplication shapes a real frontier produces —
+    *
+    *   - a REVISIT for every odd doc_id: the same payload bytes
+    *     re-fetched under a URL variant (`HTTP://CORPUS.test:80/doc/id
+    *     #top`) whose [[graft.functions.TextFunctions.canonicalUrl]]
+    *     form equals the base URI — URL-level dedup must collapse it;
+    *   - a MIRROR for every doc_id ≡ 7 (mod 10): the same payload
+    *     bytes under a DIFFERENT canonical URL
+    *     (`http://mirror.test/copy/id`) — URL dedup must KEEP it and
+    *     content-level dedup must collapse it.
+    *
+    * Record ids carry `(doc_id, seq)` as `<urn:graft:id:seq>`
+    * (seq 0 = base, 1 = revisit, 2 = mirror) so a pipeline can extract
+    * a deterministic keeper ordering without trusting URIs. Everything
+    * else (charset legs, HTML shape, plain/gzip file split) matches
+    * [[synthesizeFixture]], so the q97 oracle's arithmetic text
+    * reconstruction applies per record here too (q99_crawl_capstone). */
+  def synthesizeCrawlFixture(docs: org.apache.spark.sql.DataFrame,
+      outDir: String, nFiles: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    docs.select("doc_id", "text").rdd
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        val base = (id, 0,
+          responseRecordBytes(s"<urn:graft:$id:0>",
+            s"http://corpus.test/doc/$id", id, text))
+        val revisit = if (id % 2 == 1) Seq((id, 1,
+          responseRecordBytes(s"<urn:graft:$id:1>",
+            s"HTTP://CORPUS.test:80/doc/$id#top", id, text))) else Nil
+        val mirror = if (id % 10 == 7) Seq((id, 2,
+          responseRecordBytes(s"<urn:graft:$id:2>",
+            s"http://mirror.test/copy/$id", id, text))) else Nil
+        (base +: (revisit ++ mirror)).map { case (i, seq, bytes) =>
+          (i % nFiles, ((i, seq), bytes))
+        }
+      }
+      .groupByKey(nFiles)
+      .foreach { case (fid, recs) =>
+        val gz = fid % 2 == 1
+        val name = f"part-$fid%05d.warc" + (if (gz) ".gz" else "")
+        val p = new org.apache.hadoop.fs.Path(outDir, name)
+        val fs = p.getFileSystem(confSer.value)
+        val out = fs.create(p, true)
+        try recs.toSeq.sortBy(_._1).foreach { case (_, bytes) =>
+          if (gz) {
+            val bos = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            g.write(bytes); g.finish()
+            out.write(bos.toByteArray)
+          } else out.write(bytes)
+        } finally out.close()
+      }
+    val marker = new org.apache.hadoop.fs.Path(outDir, "_built")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(marker, true)
+    try o.write("1\n".getBytes(StandardCharsets.UTF_8)) finally o.close()
   }
 
   // ------------------------------------------------------------ parser

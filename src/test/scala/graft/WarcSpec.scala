@@ -233,4 +233,59 @@ class WarcSpec extends AnyFunSuite {
         ((r.getString(1), r.getString(2), r.getInt(3)))).toMap
     assert(viaSql === got)
   }
+
+  test("crawl fixture: revisits share the base record's CANONICAL url " +
+      "over identical bytes, mirrors share bytes under a different " +
+      "canonical url, and (doc_id, seq) extract from record ids") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_crawl")
+    // ids cover: even/odd (revisit), 7 and 17 (mirror), all charset legs
+    val docs = Seq(2L, 3L, 7L, 9L, 16L, 17L)
+      .map(id => (id, s"doc $id body words here"))
+      .toDF("doc_id", "text")
+    Warc.synthesizeCrawlFixture(docs, dir.toString, nFiles = 2)
+    val rows = Warc.records(spark, dir.toString + "/part-*.warc*")
+      .withColumn("curl",
+        graft.functions.TextFunctions.canonicalUrl(col("target_uri")))
+      .collect()
+    // multiplicities: 6 base + 4 odd revisits (3,7,9,17) + 2 mirrors
+    assert(rows.length === 12)
+    val byDoc = rows.groupBy { r =>
+      "urn:graft:(\\d+):(\\d+)".r.findFirstMatchIn(
+        r.getAs[String]("record_id")).map(m => m.group(1).toLong).get
+    }
+    assert(byDoc(3L).length === 2 && byDoc(2L).length === 1 &&
+      byDoc(7L).length === 3 && byDoc(17L).length === 3)
+    // revisit: different raw URI, SAME canonical URI, SAME payload bytes
+    val (b3, r3) = (byDoc(3L).find(_.getAs[String]("record_id")
+        .endsWith(":0>")).get,
+      byDoc(3L).find(_.getAs[String]("record_id").endsWith(":1>")).get)
+    assert(b3.getAs[String]("target_uri") !== r3.getAs[String]("target_uri"))
+    assert(b3.getAs[String]("curl") === r3.getAs[String]("curl"))
+    assert(java.util.Arrays.equals(b3.getAs[Array[Byte]]("body"),
+      r3.getAs[Array[Byte]]("body")))
+    // mirror: same bytes, DIFFERENT canonical URI
+    val (b7, m7) = (byDoc(7L).find(_.getAs[String]("record_id")
+        .endsWith(":0>")).get,
+      byDoc(7L).find(_.getAs[String]("record_id").endsWith(":2>")).get)
+    assert(b7.getAs[String]("curl") !== m7.getAs[String]("curl"))
+    assert(java.util.Arrays.equals(b7.getAs[Array[Byte]]("body"),
+      m7.getAs[Array[Byte]]("body")))
+    // both container forms present, q97's charset-leg bytes preserved:
+    // decode + strip yields the closed-form text on every record
+    assert(rows.map(_.getAs[String]("source_file")).distinct.length === 2)
+    val texts = Warc.records(spark, dir.toString + "/part-*.warc*")
+      .withColumn("doc_id", regexp_extract(col("record_id"),
+        "urn:graft:(\\d+):", 1).cast("bigint"))
+      .withColumn("d", graft.functions.CharsetDecode(col("body"),
+        col("http_content_type")))
+      .select(col("doc_id"), HtmlText(col("d.text")).as("t"),
+        col("d.decode_errors").as("e"))
+      .collect()
+    assert(texts.forall(_.getAs[Int]("e") === 0))
+    assert(texts.forall { r =>
+      val id = r.getAs[Long]("doc_id")
+      r.getAs[String]("t") === s"Doc $id doc $id body words here café révisé"
+    })
+  }
 }
