@@ -215,6 +215,15 @@ object SchemaTranslator {
     ()
   }
 
+  /** Sweep unreferenced files older than `olderThanMs` (crashed
+    * commit attempts, abandoned-stage leftovers); returns the deleted
+    * paths. See [[graft.sources.IcebergMaintenance.removeOrphanFiles]]
+    * for the safety contract. */
+  def removeOrphanFiles(spark: SparkSession, path: String,
+      olderThanMs: Long): Seq[String] =
+    graft.sources.IcebergMaintenance.removeOrphanFiles(path, olderThanMs,
+      spark.sparkContext.hadoopConfiguration)
+
   /** Row-level DELETE on a migrated table: commit an Iceberg v2
     * DELETE snapshot of position delete files covering every current
     * row matching `predicate` (merge-on-read — data files are

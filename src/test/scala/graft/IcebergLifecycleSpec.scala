@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.api.SchemaTranslator
 import graft.parse.Db2Parser
-import graft.sources.{IcebergDeletes, IcebergSnapshot}
+import graft.sources.{IcebergDeletes, IcebergMaintenance, IcebergSnapshot}
 
 /** Randomized Iceberg v2 lifecycle property test — the strongest
   * in-sandbox substitute for validation by a live Iceberg runtime
@@ -70,6 +70,10 @@ class IcebergLifecycleSpec extends AnyFunSuite {
   private case class StageBranch(n: Int) extends Op
   private case object PublishOrAbandon extends Op
   private case class Rollback(pick: Int) extends Op
+  // orphan sweep at an arbitrary lifecycle point: optionally plants
+  // crashed-commit leftovers first; must remove EXACTLY those and
+  // leave every read face (model, time travel, refs) unchanged
+  private case class SweepOrphans(plantCrash: Boolean) extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
     4 -> Gen.choose(1, 12).map(Append(_)),
@@ -90,7 +94,8 @@ class IcebergLifecycleSpec extends AnyFunSuite {
     1 -> Gen.const(SpecRenameField),
     2 -> Gen.choose(1, 6).map(StageBranch(_)),
     2 -> Gen.const(PublishOrAbandon),
-    2 -> Gen.choose(0, 9).map(Rollback(_)))
+    2 -> Gen.choose(0, 9).map(Rollback(_)),
+    2 -> Gen.oneOf(true, false).map(SweepOrphans(_)))
 
   private val seqGen: Gen[List[Op]] =
     Gen.choose(4, 7).flatMap(n => Gen.listOfN(n, opGen))
@@ -458,6 +463,22 @@ class IcebergLifecycleSpec extends AnyFunSuite {
           val (m, ld) = fullHistory(target)
           model = m
           liveDeletes = ld
+
+        case SweepOrphans(plant) =>
+          val planted: Set[java.nio.file.Path] = if (plant) {
+            val p1 = java.nio.file.Paths.get(out, "data", s"crashed-$i.parquet")
+            java.nio.file.Files.createDirectories(p1.getParent)
+            java.nio.file.Files.write(p1, Array.fill[Byte](32)(3))
+            val p2 = java.nio.file.Paths.get(out, "metadata", s"crashed-$i.avro")
+            java.nio.file.Files.write(p2, Array.fill[Byte](32)(4))
+            Set(p1, p2)
+          } else Set.empty
+          val swept = IcebergMaintenance.removeOrphanFiles(out, Long.MaxValue)
+            .map(asLocal).toSet
+          // a crash-free lifecycle leaves ZERO unreferenced files —
+          // the sweep doubles as an invariant check on every writer
+          assert(swept == planted,
+            s"[$label] sweep mismatch: swept=$swept planted=$planted")
       }
       afterOp(label)
     }
