@@ -111,6 +111,39 @@ object IcebergInspect {
     rows.toDF("name", "type", "snapshot_id")
   }
 
+  /** One row per manifest of the (current or `snapshotId`) snapshot's
+    * manifest list — the `t.manifests` metadata table: path, length,
+    * spec id, content (0 data / 1 deletes), sequence bounds, the
+    * snapshot that added it, and its added/existing/deleted file
+    * counts. The planning-cost face [[IcebergMaintenance
+    * .rewriteManifests]] exists to shrink. */
+  def manifestsTable(spark: SparkSession, tablePath: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaText = currentMetaText(spark, tablePath)
+    val chain = parseSnapshots(metaText)
+    val snap = snapshotId.fold(currentSnapshotOf(metaText, chain))(id =>
+      chain.find(_.snapshotId == id))
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot ${snapshotId.getOrElse("<current>")} not found"))
+    readManifestList(new Path(snap.manifestList), conf).map { m =>
+      (m.get("manifest_path").toString,
+        m.get("manifest_length").asInstanceOf[Long],
+        m.get("partition_spec_id").asInstanceOf[Int],
+        m.get("content").asInstanceOf[Int],
+        m.get("sequence_number").asInstanceOf[Long],
+        m.get("min_sequence_number").asInstanceOf[Long],
+        m.get("added_snapshot_id").asInstanceOf[Long],
+        m.get("added_files_count").asInstanceOf[Int],
+        m.get("existing_files_count").asInstanceOf[Int],
+        m.get("deleted_files_count").asInstanceOf[Int])
+    }.toDF("path", "length", "partition_spec_id", "content",
+      "sequence_number", "min_sequence_number", "added_snapshot_id",
+      "added_data_files_count", "existing_data_files_count",
+      "deleted_data_files_count")
+  }
+
   /** Render a manifest-recorded partition tuple as a name→value map
     * under its spec's field names, with the same surface forms the
     * identity restore uses (dates from epoch-day ints). */

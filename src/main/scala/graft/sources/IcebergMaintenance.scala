@@ -5,7 +5,11 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-import IcebergSnapshot.{parseSnapshots, pathKey, readManifestList, readText}
+import IcebergSnapshot.{DataFileInfo, ManifestEntry, ManifestListRow,
+  currentSnapshotOf, decodeDataFileInfo, parseSnapshots,
+  partitionFieldsOf, pathKey, readAvroRows, readManifestList, readText,
+  writeManifestEntries, writeManifestListRows, writeNewMetadataVersion}
+import graft.model.TableDef
 
 /** Table MAINTENANCE beyond snapshot expiry: orphan-file removal —
   * the janitor a long-lived table needs because the commit protocol
@@ -91,5 +95,106 @@ object IcebergMaintenance {
       }
     }
     deleted.toSeq
+  }
+
+  /** Consolidate the current snapshot's manifest list — the
+    * METADATA-ONLY maintenance sibling of data-file compaction, and
+    * the one that still works while row-level delete files are live
+    * (plain compaction refuses then). N incremental appends leave the
+    * head's list pointing at N one-file manifests; planning then opens
+    * N small Avro files — at a 100k-commit table that's the metadata
+    * bottleneck the real `rewrite_manifests` action exists for. This
+    * commit re-lists every LIVE entry (tombstones dropped — older
+    * snapshots' own lists keep them for time travel) into ONE manifest
+    * per (content, partition-spec) group, every entry EXISTING with
+    * its ORIGINAL data sequence number made explicit, so scan results,
+    * merge-on-read delete application (sequence-gated) and time travel
+    * are all bit-identical — only the file count planning touches
+    * changes. REPLACE snapshot, skipped by incremental scans like any
+    * rewrite. No-op (no commit) when the list is already one manifest
+    * per group. */
+  def rewriteManifests(table: TableDef, tablePath: String,
+      conf: Configuration = new Configuration(),
+      timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+    val metadataDir = new Path(tablePath, "metadata")
+    val fs = FileSystem.get(metadataDir.toUri, conf)
+    val version = readText(new Path(metadataDir, "version-hint.text"), conf)
+      .trim.toInt
+    val metaText = readText(
+      new Path(metadataDir, s"v$version.metadata.json"), conf)
+    val chain = parseSnapshots(metaText)
+    require(chain.nonEmpty, "rewriteManifests: table has no snapshots")
+    val current = currentSnapshotOf(metaText, chain).get
+    val listRows = readManifestList(new Path(current.manifestList), conf)
+
+    // live entries bucketed by (manifest content, partition spec):
+    // a manifest's partition record is shaped by exactly one spec, and
+    // data/delete manifests are distinct list rows by the v2 spec
+    val grouped: Seq[((Int, Int), Seq[(DataFileInfo, Long)])] = listRows
+      .flatMap { m =>
+        val listSeq = m.get("sequence_number").asInstanceOf[Long]
+        val sid = m.get("partition_spec_id").asInstanceOf[Int]
+        val content = m.get("content").asInstanceOf[Int]
+        val pf = partitionFieldsOf(table, sid)
+        readAvroRows(new Path(m.get("manifest_path").toString), conf)
+          .filter(_.get("status") != 2)
+          .map { e =>
+            val df = e.get("data_file")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            // decodeDataFileInfo covers the data-manifest fields; the
+            // delete-manifest face additionally needs content and
+            // equality ids to survive the round trip
+            val info = decodeDataFileInfo(df, pf, sid).copy(
+              content = df.get("content").asInstanceOf[Int],
+              equalityIds = Option(df.get("equality_ids")).map { l =>
+                val jl = l.asInstanceOf[java.util.List[Integer]]
+                (0 until jl.size).map(i => jl.get(i).intValue).toSeq
+              }.getOrElse(Nil))
+            val seq = Option(e.get("sequence_number"))
+              .map(_.asInstanceOf[Long]).getOrElse(listSeq)
+            ((content, sid), (info, seq))
+          }
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+      .filter(_._2.nonEmpty)
+      .sortBy(_._1)
+    if (listRows.size <= grouped.size) return current // already minimal
+
+    val newSeq = chain.map(_.sequenceNumber).max + 1
+    val snapshotId = java.util.UUID.nameUUIDFromBytes(
+      (table.fullName + s"-snapshot-$newSeq")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .getMostSignificantBits & Long.MaxValue
+    val rows = grouped.zipWithIndex.map { case (((content, sid), files), i) =>
+      val entries = files.map { case (f, seq) => ManifestEntry(0, Some(seq), f) }
+      val manifest = writeManifestEntries(table, entries, metadataDir,
+        snapshotId, conf, ordinal = i, specId = sid)
+      ManifestListRow(manifest._1.toString, manifest._2,
+        sequenceNumber = newSeq,
+        minSequenceNumber = files.map(_._2).min,
+        addedFiles = 0, existingFiles = files.size, deletedFiles = 0,
+        addedRows = 0L, existingRows = files.map(_._1.recordCount).sum,
+        deletedRows = 0L, content = content, specId = sid)
+    }
+    val listPath = writeManifestListRows(table, rows, metadataDir,
+      snapshotId, conf, newSeq, Some(current.snapshotId))
+    val snap = IcebergMetadata.SnapshotMeta(
+      snapshotId = snapshotId,
+      schemaId = table.schemaId,
+      timestampMs = timestampMs,
+      manifestList = listPath.toString,
+      addedFiles = 0L, addedRecords = 0L,
+      sequenceNumber = newSeq,
+      parentSnapshotId = Some(current.snapshotId),
+      totalFiles = current.cumulativeFiles,
+      totalRecords = current.cumulativeRecords,
+      operation = "replace",
+      totalDeleteFiles = current.totalDeleteFiles,
+      totalPositionDeletes = current.totalPositionDeletes,
+      totalEqualityDeletes = current.totalEqualityDeletes)
+    writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
+      chain :+ snap, timestampMs,
+      currentIdOverride = Some(snapshotId))
+    snap
   }
 }

@@ -74,6 +74,9 @@ class IcebergLifecycleSpec extends AnyFunSuite {
   // crashed-commit leftovers first; must remove EXACTLY those and
   // leave every read face (model, time travel, refs) unchanged
   private case class SweepOrphans(plantCrash: Boolean) extends Op
+  // metadata-only manifest consolidation: a REPLACE commit on main
+  // that must change NO read face (model, travel, refs, incrementals)
+  private case object RewriteManifests extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
     4 -> Gen.choose(1, 12).map(Append(_)),
@@ -95,7 +98,8 @@ class IcebergLifecycleSpec extends AnyFunSuite {
     2 -> Gen.choose(1, 6).map(StageBranch(_)),
     2 -> Gen.const(PublishOrAbandon),
     2 -> Gen.choose(0, 9).map(Rollback(_)),
-    2 -> Gen.oneOf(true, false).map(SweepOrphans(_)))
+    2 -> Gen.oneOf(true, false).map(SweepOrphans(_)),
+    1 -> Gen.const(RewriteManifests))
 
   private val seqGen: Gen[List[Op]] =
     Gen.choose(4, 7).flatMap(n => Gen.listOfN(n, opGen))
@@ -479,6 +483,11 @@ class IcebergLifecycleSpec extends AnyFunSuite {
           // the sweep doubles as an invariant check on every writer
           assert(swept == planted,
             s"[$label] sweep mismatch: swept=$swept planted=$planted")
+
+        case RewriteManifests =>
+          IcebergMaintenance.rewriteManifests(table, out,
+            spark.sparkContext.hadoopConfiguration)
+          // model unchanged; afterOp verifies every read face
       }
       afterOp(label)
     }

@@ -125,6 +125,72 @@ class IcebergMaintenanceSpec extends AnyFunSuite {
       === (1L to 5L), "swept crashed rows must stay dead")
   }
 
+  private def metaText(out: String): String = {
+    val v = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", "version-hint.text")), "UTF-8")
+      .trim.toInt
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", s"v$v.metadata.json")), "UTF-8")
+  }
+
+  private def manifestContents(out: String): Seq[Int] =
+    IcebergInspect.manifestsTable(spark, out)
+      .select("content").collect().map(_.getInt(0)).toSeq
+
+  test("rewriteManifests: N appends' manifests consolidate to one per " +
+      "(content, spec) group; reads, live deletes, time travel and " +
+      "incremental attribution are untouched; fixpoint is stable") {
+    val table = mkTable("RWM1")
+    val out = java.nio.file.Files.createTempDirectory("rwm1").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    SchemaTranslator.migrateTable(df(1L to 3L), table, out)
+    SchemaTranslator.appendIncrement(df(4L to 5L), table, out)
+    SchemaTranslator.appendIncrement(df(6L to 8L), table, out)
+    // live row-level deletes: the case plain compaction refuses
+    SchemaTranslator.mergeUpsert(df(Seq(8L, 9L)), table, out, Seq("K"))
+    intercept[IllegalArgumentException] {
+      graft.sources.IcebergSnapshot.compactDataFiles(spark, table, out, 1L << 30)
+    }
+    val before = manifestContents(out)
+    assert(before.count(_ == 0) >= 4, s"expected many data manifests: $before")
+    val wantRows = ksOf(IcebergSnapshot.readSnapshot(spark, out, table))
+    val snap1 = IcebergInspect.snapshotsTable(spark, out)
+      .filter(org.apache.spark.sql.functions.col("parent_id").isNull)
+      .collect().head.getLong(1)
+    val travelBefore =
+      ksOf(IcebergSnapshot.readSnapshot(spark, out, table, Some(snap1)))
+
+    val snap = graft.sources.IcebergMaintenance.rewriteManifests(table, out, conf)
+    assert(snap.operation === "replace")
+    val after = manifestContents(out)
+    assert(after.count(_ == 0) === 1, s"data manifests not consolidated: $after")
+    assert(after.count(_ == 1) === 1, s"delete manifests not consolidated: $after")
+    // bit-identical reads: current (deletes still applied), time travel
+    assert(ksOf(IcebergSnapshot.readSnapshot(spark, out, table)) === wantRows)
+    assert(ksOf(IcebergSnapshot.readSnapshot(spark, out, table, Some(snap1)))
+      === travelBefore)
+    IcebergV2Validation.validateV2(
+      org.json4s.jackson.JsonMethods.parse(metaText(out)),
+      expectSnapshot = true)
+    // a REPLACE is invisible to incremental append scans
+    assert(graft.sources.IcebergChanges.incrementalAppendScan(spark, out,
+        table, Some(snap.parentSnapshotId.get)).count() === 0L)
+    // an append AFTER the rewrite attributes only its own rows
+    SchemaTranslator.appendIncrement(df(10L to 11L), table, out)
+    assert(ksOf(graft.sources.IcebergChanges.incrementalAppendScan(spark, out,
+      table, Some(snap.snapshotId))) === Seq(10L, 11L))
+    // consolidating again reaches a fixpoint: a further call commits
+    // nothing (same head) and rows are intact
+    val fixed = graft.sources.IcebergMaintenance.rewriteManifests(table, out, conf)
+    assert(graft.sources.IcebergMaintenance.rewriteManifests(table, out, conf)
+      .snapshotId === fixed.snapshotId, "fixpoint must hold")
+    assert(ksOf(IcebergSnapshot.readSnapshot(spark, out, table))
+      === wantRows ++ Seq(10L, 11L))
+    // orphan sweep after rewrites: old manifests are still referenced
+    // by retained snapshots — nothing to sweep
+    assert(IcebergMaintenance.removeOrphanFiles(out, Long.MaxValue) === Nil)
+  }
+
   test("after expiry the sweep finds nothing: expiry's physical GC " +
       "is complete") {
     val table = mkTable("ORPH3")
