@@ -46,11 +46,47 @@ object FingerprintLedger {
   def ledgerExists(spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean = currentVersion(spark, path) >= 1
 
-  /** The version-`n` fingerprint set (fp, bucket). */
+  /** The version-`n` PHYSICAL fingerprint rows (fp, bucket) — the
+    * on-disk union before tombstone resolution; probes and appends go
+    * through [[effectiveFps]]. */
   def fpsTable(spark: org.apache.spark.sql.SparkSession, path: String,
       n: Int): DataFrame =
     VersionedIndex.familyDirs(spark, path, "fps", n)
       .map(spark.read.parquet(_)).reduce(_ unionByName _)
+
+  private def versionOfDir(d: String): Int =
+    "_v(\\d+)$".r.findFirstMatchIn(d).get.group(1).toInt
+
+  /** The version-`n` EFFECTIVE fingerprint set: physical fps minus
+    * [[forgetFingerprints]] tombstones, version-ordered — a `gone`
+    * row at version g erases fp rows of versions ≤ g only, so a
+    * RE-APPENDED fingerprint (fps delta at a later version) is seen
+    * again. Scale shape: the big fps side streams through ONE
+    * broadcast-hash join against the per-fp max of the gone family
+    * (bounded by takedown volume, not history) — no shuffle of the
+    * ledger, and a never-forgotten ledger keeps the plain union plan
+    * bit-identical (gone family absent → no join at all). */
+  def effectiveFps(spark: org.apache.spark.sql.SparkSession, path: String,
+      n: Int): DataFrame = {
+    val goneDirs = VersionedIndex.familyDirs(spark, path, "gone", n)
+    if (goneDirs.isEmpty) fpsTable(spark, path, n)
+    else {
+      val fpsV = VersionedIndex.familyDirs(spark, path, "fps", n)
+        .map(d => spark.read.parquet(d)
+          .withColumn("__v", lit(versionOfDir(d))))
+        .reduce(_ unionByName _)
+      val goneMax = goneDirs
+        .map(d => spark.read.parquet(d)
+          .withColumn("__gv", lit(versionOfDir(d))))
+        .reduce(_ unionByName _)
+        .groupBy("fp").agg(max(col("__gv")).as("__gv"))
+        .withColumnRenamed("fp", "__gfp")
+      fpsV.join(broadcast(goneMax),
+          fpsV("fp") === goneMax("__gfp"), "left_outer")
+        .filter(col("__gv").isNull || col("__v") > col("__gv"))
+        .drop("__v", "__gv", "__gfp")
+    }
+  }
 
   def statsTable(spark: org.apache.spark.sql.SparkSession, path: String,
       n: Int): DataFrame =

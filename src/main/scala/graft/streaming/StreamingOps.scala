@@ -174,20 +174,46 @@ object StreamingOps {
         graft.functions.HtmlText(col("__d.text")).as("text"))
   }
 
+  /** Cross-batch canonical-URL revisit dedup — the FRONTIER stage of
+    * a live crawl, running BEFORE content fingerprinting: the same
+    * page re-fetched under a URL variant (case-shifted host, default
+    * port, tracking params, fragment) keeps its FIRST crawl even when
+    * the re-crawl's content shifted (rotated boilerplate/ads —
+    * exactly the revisits content-level dedup misses; the batch
+    * sibling is q99's URL stage). Adds `canonical_url`
+    * ([[graft.functions.TextFunctions.canonicalUrl]], scan-side
+    * codegen) and holds one state row per distinct canonical URL —
+    * set `watermarkCol` to bound state to the revisit horizon at a
+    * real crawl's frontier size. */
+  def urlDedupStage(pages: DataFrame, urlCol: String = "url",
+      watermarkCol: Option[String] = None,
+      watermark: String = "1 hour"): DataFrame =
+    dedupStream(
+      pages.withColumn("canonical_url",
+        graft.functions.TextFunctions.canonicalUrl(
+          org.apache.spark.sql.functions.col(urlCol))),
+      Seq("canonical_url"), watermarkCol, watermark)
+
   /** End-to-end live crawl ingest: [[crawlTextStream]] composed with
     * [[corpusIngestStream]]'s quality gate / scrub / cross-batch dedup
     * / shard routing — drop a CommonCrawl segment into `dropDir` and
-    * sharded clean documents come out. */
+    * sharded clean documents come out. With `urlDedup` the
+    * [[urlDedupStage]] frontier dedup runs first (the q99 stage
+    * order: URL revisits collapse before content fingerprints are
+    * ever computed) and the output carries `canonical_url`. */
   def crawlIngestStream(spark: org.apache.spark.sql.SparkSession,
       dropDir: String, minQuality: Double, nShards: Int,
       maxBodyBytes: Int = 1 << 20,
       maxFilesPerTrigger: Option[Int] = None,
       maxDecodeErrors: Int = Int.MaxValue,
-      boilerplate: Option[DataFrame] = None): DataFrame =
+      boilerplate: Option[DataFrame] = None,
+      urlDedup: Boolean = false): DataFrame = {
+    val text = crawlTextStream(spark, dropDir, maxBodyBytes,
+      maxFilesPerTrigger, maxDecodeErrors)
     corpusIngestStream(
-      crawlTextStream(spark, dropDir, maxBodyBytes, maxFilesPerTrigger,
-        maxDecodeErrors),
+      if (urlDedup) urlDedupStage(text) else text,
       minQuality, nShards, boilerplate = boilerplate)
+  }
 
   /** Live corpus ingest — the batch pipeline's operators composed
     * under structured streaming: per-row quality gate (scan-side

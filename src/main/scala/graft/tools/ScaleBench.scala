@@ -56,7 +56,15 @@ object ScaleBench {
     // MEMORY_AND_DISK materializations — the storage-pool pressure
     // shape r4's q44 lesson punished; its exponent is the evidence
     // the composition (not just each stage) survives scale
-    "q95_curation_pipeline")
+    "q95_curation_pipeline",
+    // the crawl front: WARC parse is one task per file (expect ~linear
+    // in bytes), URL canonicalize+dedup is a scan + one groupBy, and
+    // the crawl capstone composes parse → URL dedup → content dedup →
+    // gate → shard (its WARC fixture builds on first touch of a
+    // slice's fingerprint; min-over-reps reflects the steady state)
+    "q97_warc_ingest",
+    "q98_url_dedup",
+    "q99_crawl_capstone")
 
   private[tools] def generateSlice(spark: SparkSession, baseDir: String,
       outDir: String, factor: Int): Unit = {

@@ -767,6 +767,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.keySet === Set("a", "b", "c"))
   }
 
+  test("urlDedupStage: a re-crawl under a URL variant with CHANGED " +
+      "content is dropped across batches — the revisit content dedup " +
+      "misses; new canonical URLs pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.urlDedupStage(
+        mem.toDF().toDF("doc_id", "url", "text"))
+      .writeStream.format("memory").queryName("url_dedup")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (1L, "https://Example.org:443/a?p=1", "first crawl of a"),
+      (2L, "https://example.org/b", "page b"))
+    q.processAllAvailable()
+    mem.addData(
+      // revisit of page a: canonical URL equal, content changed —
+      // URL dedup must drop it (content fp would NOT have)
+      (3L, "https://example.org/a?p=1&utm_source=feed", "a with new ads"),
+      (4L, "https://example.org/c", "page c"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("url_dedup").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("canonical_url"))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 4L))
+    assert(got(1L) === "https://example.org/a?p=1")
+
+    // end-to-end: the crawl fixture's revisits (URL variants, same
+    // bytes) and mirrors (same bytes, new URL) both collapse when the
+    // frontier stage fronts the ingest — one output row per doc
+    import graft.sources.Warc
+    val drop = Files.createTempDirectory("warc_drop_url").toString
+    val docs = (0 until 10).map(i => (i.toLong,
+      s"frontier doc $i carries enough plain words for the gate"))
+      .toDF("doc_id", "text")
+    Warc.synthesizeCrawlFixture(docs, drop, nFiles = 2)
+    val q2 = StreamingOps.crawlIngestStream(spark, drop,
+        minQuality = 0.0, nShards = 4, urlDedup = true)
+      .writeStream.format("memory").queryName("crawl_frontier")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q2.processAllAvailable()
+      val out = spark.table("crawl_frontier")
+      assert(out.count() === 10L,
+        "revisits die at the URL stage, mirrors at the content stage")
+      assert(out.select("canonical_url").distinct().count() === 10L)
+    } finally q2.stop()
+  }
+
   test("crawlTextStream: a drop-directory WARC stream equals the batch " +
       "crawl stages over the same files; a second file wave appends") {
     import spark.implicits._
