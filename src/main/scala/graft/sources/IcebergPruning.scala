@@ -1,0 +1,310 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import graft.mapping.TypeMapper
+import graft.model.TableDef
+
+/** Stats-based FILE PRUNING for [[IcebergSnapshot.readSnapshot]] — the
+  * read-side consumer of the per-file column bounds, value/null counts
+  * and partition values the commit path already records in every
+  * manifest ([[IcebergSnapshot.columnStats]]). This is what makes the
+  * Iceberg layout pay off at 100 TB: a selective read (one day of a
+  * partitioned table, one id range) opens only the files whose
+  * recorded [lower, upper] interval can overlap the predicate instead
+  * of scanning every live data file. Reference analogue: the entire
+  * point of the Iceberg target the converter renders
+  * (`/root/reference/db2ice/converter.py:166-183`) is pruned scans.
+  *
+  * Predicates are conjunctions of per-column inclusive ranges
+  * ([[ColumnBound]]); equality is `lower == upper`. Three pruning
+  * signals, all spec-sanctioned, all CONSERVATIVE (a file is only
+  * skipped when no row in it can match):
+  *
+  *   1. '''identity partition values''' — every row of the file shares
+  *      the recorded value, so an out-of-range (or null) value prunes
+  *      the whole file;
+  *   2. '''bucket partition values''' — for an EQUALITY bound on a
+  *      bucket-transform source column, the file survives only when
+  *      its bucket ordinal equals `bucketN(value)` (the same murmur3
+  *      transform the writer used, [[graft.functions.IcebergBucketUtil]]);
+  *   3. '''column lower/upper bounds + null counts''' — interval
+  *      overlap on the decoded single-value serializations, keyed by
+  *      FIELD ID so bounds survive column renames; a file whose value
+  *      count equals its null count for the column has no matching row.
+  *
+  * Files with no usable signal (missing bounds, undecodable type) are
+  * always KEPT — pruning never changes results, only work. The read
+  * additionally applies the same predicate row-level (residual
+  * filter), so `readSnapshot(..., pruning = p)` returns exactly
+  * `readSnapshot(...)` filtered by `p` — pinned by IcebergPruningSpec
+  * on the file list AND the rows, across deletes and schema/spec
+  * evolution, and by the randomized lifecycle harness with a fresh
+  * bound after every commit.
+  */
+object IcebergPruning {
+
+  /** Inclusive per-column range predicate: `lower ≤ col ≤ upper`
+    * (None = unbounded on that side; both set and equal = equality).
+    * Values accept the natural Scala/Java surface for the column's
+    * Iceberg type: Int/Long for int/long, Float/Double for
+    * float/double, String for string, Boolean for boolean, and
+    * java.time.LocalDate / ISO "yyyy-MM-dd" String / epoch-day Int
+    * for date. SQL three-valued logic: a NULL cell never matches a
+    * bound. */
+  final case class ColumnBound(column: String,
+      lower: Option[Any] = None, upper: Option[Any] = None) {
+    require(lower.isDefined || upper.isDefined,
+      s"ColumnBound($column) needs at least one side")
+    def isEquality: Boolean =
+      lower.isDefined && upper.isDefined && lower == upper
+  }
+
+  object ColumnBound {
+    /** Equality shorthand: `col == v`. */
+    def eq(column: String, v: Any): ColumnBound =
+      ColumnBound(column, Some(v), Some(v))
+  }
+
+  /** Iceberg primitive type name of a table column (the bounds'
+    * serialization key). Loud on unknown columns — a typo'd pruning
+    * column must not silently keep every file. */
+  private def icebergTypeOf(table: TableDef, column: String): String = {
+    val c = table.columns.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(
+        s"pruning column $column not in schema of ${table.fullName}"))
+    IcebergMetadata.icebergType(TypeMapper.mapType(c.dataType, c.length,
+      c.precision, c.scale, c.forBitData, c.ccsid).targetType)
+  }
+
+  /** Normalize a user-supplied bound value to the comparison domain of
+    * the Iceberg type: Long for int/long/date (dates as epoch days),
+    * Double for float/double, String, Boolean. */
+  private[sources] def normalize(icebergType: String, v: Any): Any =
+    icebergType match {
+      case "int" | "long" => v match {
+        case n: Number => n.longValue
+        case s: String => s.toLong
+        case other => throw new IllegalArgumentException(
+          s"cannot compare $other to an $icebergType column")
+      }
+      case "date" => v match {
+        case d: java.time.LocalDate => d.toEpochDay
+        case d: java.sql.Date => d.toLocalDate.toEpochDay
+        case s: String => java.time.LocalDate.parse(s).toEpochDay
+        case n: Number => n.longValue // already epoch days
+        case other => throw new IllegalArgumentException(
+          s"cannot compare $other to a date column")
+      }
+      case "float" | "double" => v match {
+        case n: Number => n.doubleValue
+        case s: String => s.toDouble
+        case other => throw new IllegalArgumentException(
+          s"cannot compare $other to a $icebergType column")
+      }
+      case "boolean" => v match {
+        case b: Boolean => b
+        case b: java.lang.Boolean => b.booleanValue
+        case other => throw new IllegalArgumentException(
+          s"cannot compare $other to a boolean column")
+      }
+      case _ => v.toString // string-ish types compare lexicographically
+    }
+
+  /** Compare two normalized values of the same Iceberg type. */
+  private def cmp(icebergType: String, a: Any, b: Any): Int =
+    icebergType match {
+      case "int" | "long" | "date" =>
+        java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case "float" | "double" =>
+        java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+      case "boolean" => java.lang.Boolean.compare(
+        a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+      case _ => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+    }
+
+  /** Decode a manifest bound (the spec's single-value serialization:
+    * little-endian numerics, raw UTF-8 strings, one-byte booleans)
+    * into the comparison domain. None = type has no decodable bounds
+    * (the writer never records them for those types either). */
+  private[sources] def decodeBound(icebergType: String,
+      bytes: Array[Byte]): Option[Any] = {
+    def leLong(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n && i < bytes.length) {
+        v |= (bytes(i).toLong & 0xffL) << (8 * i); i += 1
+      }
+      // sign-extend 4-byte ints
+      if (n == 4) v.toInt.toLong else v
+    }
+    icebergType match {
+      case "int" | "date" if bytes.length >= 4 => Some(leLong(4))
+      case "long" if bytes.length >= 8 => Some(leLong(8))
+      case "float" if bytes.length >= 4 =>
+        Some(java.lang.Float.intBitsToFloat(leLong(4).toInt).toDouble)
+      case "double" if bytes.length >= 8 =>
+        Some(java.lang.Double.longBitsToDouble(leLong(8)))
+      case "boolean" if bytes.length >= 1 => Some(bytes(0) != 0)
+      case "string" => Some(new String(bytes, StandardCharsets.UTF_8))
+      case _ => None
+    }
+  }
+
+  /** Normalize an Avro-decoded PARTITION value (manifest partition
+    * record) into the comparison domain. Identity date partitions ride
+    * as epoch-day ints; Avro strings arrive as Utf8. */
+  private def normalizePartition(icebergType: String, v: Any): Any =
+    icebergType match {
+      case "int" | "long" | "date" => v.asInstanceOf[Number].longValue
+      case "float" | "double" => v.asInstanceOf[Number].doubleValue
+      case "boolean" => v.asInstanceOf[java.lang.Boolean].booleanValue
+      case _ => v.toString
+    }
+
+  /** The murmur3 bucket ordinal of a normalized value — must match
+    * what [[graft.functions.IcebergBucket]] wrote into the directory
+    * layout. Only int/long/date/string sources are prunable here
+    * (the writer's bucketable set minus decimal/timestamp, whose
+    * normalized surfaces this module doesn't carry). */
+  private def bucketOf(icebergType: String, v: Any, n: Int): Option[Int] = {
+    import graft.functions.IcebergBucketUtil
+    val h = icebergType match {
+      case "int" | "long" | "date" =>
+        Some(IcebergBucketUtil.hashLong(v.asInstanceOf[Long]))
+      case "string" => Some(IcebergBucketUtil.hashString(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          v.asInstanceOf[String])))
+      case _ => None
+    }
+    h.map(hv => (hv & Integer.MAX_VALUE) % n)
+  }
+
+  private val BucketN = """bucket\[(\d+)\]""".r
+
+  /** Can any row of `file` match `bound`? Conservative: true unless a
+    * recorded signal PROVES no row can. */
+  private[sources] def fileMayMatch(table: TableDef,
+      file: IcebergSnapshot.DataFileInfo, bound: ColumnBound): Boolean = {
+    val itype = icebergTypeOf(table, bound.column)
+    val fid = table.fieldIdOf(bound.column)
+    val lo = bound.lower.map(normalize(itype, _))
+    val hi = bound.upper.map(normalize(itype, _))
+    require(lo.zip(hi).forall { case (a, b) => cmp(itype, a, b) <= 0 },
+      s"ColumnBound(${bound.column}): lower > upper matches nothing")
+    val specFields = IcebergMetadata.specFieldDefs(table, file.specId)
+
+    // signal 1: identity partition value — every row shares it
+    val identityIdx = specFields.indexWhere(f =>
+      f.transform == "identity" && f.sourceId == fid)
+    if (identityIdx >= 0 && identityIdx < file.partitionValues.length) {
+      file.partitionValues(identityIdx) match {
+        case None => return false // all rows null → no row matches
+        case Some(raw) =>
+          val v = normalizePartition(itype, raw)
+          if (lo.exists(l => cmp(itype, v, l) < 0)) return false
+          if (hi.exists(h => cmp(itype, v, h) > 0)) return false
+          return true // exact signal: every row matches the range
+      }
+    }
+
+    // signal 2: bucket partition value, equality bounds only
+    if (bound.isEquality) {
+      val bIdx = specFields.indexWhere(f =>
+        f.transform.startsWith("bucket") && f.sourceId == fid)
+      if (bIdx >= 0 && bIdx < file.partitionValues.length) {
+        specFields(bIdx).transform match {
+          case BucketN(n) =>
+            (file.partitionValues(bIdx), bucketOf(itype, lo.get, n.toInt)) match {
+              case (Some(fb: Number), Some(vb)) if fb.intValue != vb =>
+                return false
+              case (None, Some(_)) =>
+                // null-bucket dir: only null keys live here, and an
+                // equality bound never matches null
+                return false
+              case _ => // fall through to bounds
+            }
+          case _ =>
+        }
+      }
+    }
+
+    // signal 3: column bounds + null counts, keyed by field id
+    val allNull = file.valueCounts.get(fid).exists(vc =>
+      vc > 0 && file.nullCounts.get(fid).contains(vc))
+    if (allNull) return false
+    val fLo = file.lowerBounds.get(fid).flatMap(decodeBound(itype, _))
+    val fHi = file.upperBounds.get(fid).flatMap(decodeBound(itype, _))
+    val belowRange = (hi, fLo) match {
+      case (Some(h), Some(l)) => cmp(itype, l, h) > 0 // file min > pred max
+      case _ => false
+    }
+    val aboveRange = (lo, fHi) match {
+      case (Some(l), Some(h)) => cmp(itype, h, l) < 0 // file max < pred min
+      case _ => false
+    }
+    !(belowRange || aboveRange)
+  }
+
+  /** Partition a snapshot's live data files by the pruning predicate:
+    * (kept, skipped) paths — the observable plan the spec asserts on
+    * and `readSnapshot` executes. */
+  def pruneFiles(table: TableDef,
+      files: Seq[(IcebergSnapshot.DataFileInfo, Long)],
+      pruning: Seq[ColumnBound]): (Seq[String], Seq[String]) = {
+    val (kept, skipped) = files.partition { case (f, _) =>
+      pruning.forall(b => fileMayMatch(table, f, b))
+    }
+    (kept.map(_._1.path), skipped.map(_._1.path))
+  }
+
+  /** The file-level plan of a pruned snapshot read without executing
+    * it: (kept paths, skipped paths) for the given snapshot (current
+    * when None). What an operator dashboard surfaces as "files
+    * scanned / files skipped". */
+  def planScan(conf: org.apache.hadoop.conf.Configuration,
+      tablePath: String, table: TableDef, pruning: Seq[ColumnBound],
+      snapshotId: Option[Long] = None): (Seq[String], Seq[String]) = {
+    val (_, listRows) =
+      IcebergSnapshot.resolveSnapshot(tablePath, table, snapshotId, conf)
+    pruneFiles(table, IcebergSnapshot.liveFilesWithSeq(listRows, table, conf),
+      pruning)
+  }
+
+  /** The row-level RESIDUAL filter of a pruning predicate — applied on
+    * top of the pruned scan so the pruned read equals the unpruned
+    * read filtered by the same predicate (file granularity alone would
+    * return every row of each kept file). Columns that are
+    * string-surfaced in the frame (dir-encoded identity restores on
+    * never-evolved tables) are cast to the declared type first so the
+    * comparison is value-typed, not lexicographic. */
+  private[sources] def residualFilter(
+      df: org.apache.spark.sql.DataFrame, table: TableDef,
+      pruning: Seq[ColumnBound]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val actual = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    pruning.map { b =>
+      val itype = icebergTypeOf(table, b.column)
+      val declared = graft.api.SchemaTranslator.toSparkSchema(table)
+        .fields.find(_.name == b.column).map(_.dataType)
+      val c0 = col(b.column)
+      val c = (actual.get(b.column), declared) match {
+        case (Some(org.apache.spark.sql.types.StringType), Some(d))
+            if d != org.apache.spark.sql.types.StringType => c0.cast(d)
+        case _ => c0
+      }
+      def litOf(v: Any): org.apache.spark.sql.Column = itype match {
+        case "date" => lit(java.time.LocalDate.ofEpochDay(
+          normalize("date", v).asInstanceOf[Long]))
+        case "int" | "long" => lit(normalize(itype, v).asInstanceOf[Long])
+        case "float" | "double" => lit(normalize(itype, v).asInstanceOf[Double])
+        case "boolean" => lit(normalize(itype, v).asInstanceOf[Boolean])
+        case _ => lit(v.toString)
+      }
+      val conds =
+        b.lower.map(v => c >= litOf(v)).toSeq ++
+          b.upper.map(v => c <= litOf(v)).toSeq
+      conds.reduce(_ && _)
+    }.reduce(_ && _)
+  }
+}

@@ -921,10 +921,12 @@ object IcebergSnapshot {
     }
   }
 
-  def readSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String,
-      table: TableDef, snapshotId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, regexp_replace}
-    val conf = spark.sparkContext.hadoopConfiguration
+  /** Resolve a snapshot (current when None) to its metadata row plus
+    * its manifest-list rows — the shared head of [[readSnapshot]] and
+    * [[IcebergPruning.planScan]]. */
+  private[sources] def resolveSnapshot(tablePath: String, table: TableDef,
+      snapshotId: Option[Long], conf: Configuration)
+      : (IcebergMetadata.SnapshotMeta, Seq[GenericRecord]) = {
     val metadataDir = new Path(tablePath, "metadata")
     val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
     val metaText = readText(new Path(metadataDir, s"v$version.metadata.json"), conf)
@@ -933,53 +935,58 @@ object IcebergSnapshot {
       chain.find(_.snapshotId == id))
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot ${snapshotId.getOrElse("<current>")} not found"))
-    val listRows = readManifestList(new Path(snap.manifestList), conf)
-    // data files with (spec id, recorded partition values, data seq) —
-    // partition values are shaped by each MANIFEST's spec
-    val files = listRows.filter(_.get("content").asInstanceOf[Int] == 0).flatMap { m =>
-      val listSeq = m.get("sequence_number").asInstanceOf[Long]
-      val mSpec = m.get("partition_spec_id").asInstanceOf[Int]
-      val pf = partitionFieldsOf(table, mSpec)
-      readAvroRows(new Path(m.get("manifest_path").toString), conf)
-        .filter(_.get("status") != 2) // DELETED entries are not live
-        .map { e =>
-          val df = e.get("data_file")
-            .asInstanceOf[org.apache.avro.generic.GenericRecord]
-          val part = df.get("partition")
-            .asInstanceOf[org.apache.avro.generic.GenericRecord]
-          val seq = Option(e.get("sequence_number"))
-            .map(_.asInstanceOf[Long]).getOrElse(listSeq)
-          (df.get("file_path").toString, mSpec,
-            pf.map { case (name, _, _) => Option(part.get(name)) }, seq)
-        }
+    (snap, readManifestList(new Path(snap.manifestList), conf))
+  }
+
+  /** Zero rows under the SAME column shape a non-empty read produces
+    * (physical columns in declared order, dir-encoded identity columns
+    * restored LAST — string-surfaced until specs have evolved,
+    * declared-typed after), so downstream unions and positional diffs
+    * are insensitive to the table being empty. Reached by genuinely
+    * empty snapshots (delete every row, then compact the deletes in —
+    * the randomized lifecycle harness's fourth find) AND by pruned
+    * reads whose predicate skips every file. */
+  private def emptyShapeRead(spark: org.apache.spark.sql.SparkSession,
+      table: TableDef): org.apache.spark.sql.DataFrame = {
+    val sid = IcebergMetadata.defaultSpecIdOf(table)
+    val dirEncoded = dirEncodedIdentityCols(table, sid)
+    val identity = partitionFieldsOf(table, sid)
+      .filter(_._3 == "identity").map(_._1).filter(dirEncoded.contains)
+    val declared = graft.api.SchemaTranslator.toSparkSchema(table)
+    val castDecl = table.partitionSpecs.nonEmpty
+    val shape = org.apache.spark.sql.types.StructType(
+      declared.fields.filterNot(f => identity.contains(f.name)) ++
+        identity.map { n =>
+          val f = declared.fields.find(_.name == n).get
+          if (castDecl) f.copy(nullable = true)
+          else org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.StringType)
+        })
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape)
+  }
+
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      table: TableDef, snapshotId: Option[Long] = None,
+      pruning: Seq[IcebergPruning.ColumnBound] = Nil): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (_, listRows) = resolveSnapshot(tablePath, table, snapshotId, conf)
+    // live data files (stats decoded — the pruning signals) with their
+    // data sequence numbers; partition values are shaped by each
+    // MANIFEST's spec
+    val allFiles = liveFilesWithSeq(listRows, table, conf)
+    // file-level predicate pruning: drop files whose recorded bounds /
+    // partition values prove no row can match (IcebergPruning) — the
+    // 100 TB lever: a selective read opens only overlapping files
+    val files = allFiles.filter { case (f, _) =>
+      pruning.forall(b => IcebergPruning.fileMayMatch(table, f, b))
     }
-    if (files.isEmpty) {
-      // An EMPTY table is a legal snapshot state (delete every row,
-      // then compact the deletes in: the REPLACE commits zero data
-      // files) — found by the randomized lifecycle harness (fourth
-      // find, pinned as the delete-all→compact regression). Read it
-      // as zero rows under the SAME column shape a non-empty read
-      // produces (physical columns in declared order, dir-encoded
-      // identity columns restored LAST — string-surfaced until specs
-      // have evolved, declared-typed after), so downstream unions and
-      // positional diffs are insensitive to the table being empty.
-      val sid = IcebergMetadata.defaultSpecIdOf(table)
-      val dirEncoded = dirEncodedIdentityCols(table, sid)
-      val identity = partitionFieldsOf(table, sid)
-        .filter(_._3 == "identity").map(_._1).filter(dirEncoded.contains)
-      val declared = graft.api.SchemaTranslator.toSparkSchema(table)
-      val castDecl = table.partitionSpecs.nonEmpty
-      val shape = org.apache.spark.sql.types.StructType(
-        declared.fields.filterNot(f => identity.contains(f.name)) ++
-          identity.map { n =>
-            val f = declared.fields.find(_.name == n).get
-            if (castDecl) f.copy(nullable = true)
-            else org.apache.spark.sql.types.StructField(n,
-              org.apache.spark.sql.types.StringType)
-          })
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape)
-    }
+    def withResidual(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      if (pruning.isEmpty) df
+      else df.where(IcebergPruning.residualFilter(df, table, pruning))
+    if (files.isEmpty) return emptyShapeRead(spark, table)
     val deletes = liveDeleteFiles(listRows, conf)
     // one scan + identity restore per SPEC group: a column that is
     // directory-encoded under one spec is physical under another, so
@@ -987,26 +994,25 @@ object IcebergSnapshot {
     // to the declared type once specs have evolved, so the cross-spec
     // union type-aligns (legacy single-spec reads keep the string
     // surface Hive-style dir inference produces)
-    def scanRestored(sid: Int,
-        fs: Seq[(String, Int, Seq[Option[Any]], Long)],
+    def scanRestored(sid: Int, fs: Seq[(DataFileInfo, Long)],
         withRowMeta: Boolean): org.apache.spark.sql.DataFrame =
       restoreIdentityColumnsFor(spark,
-        scanDataFiles(spark, table, fs.map(_._1), sid,
+        scanDataFiles(spark, table, fs.map(_._1.path), sid,
           withRowMeta = withRowMeta),
         table, partitionFieldsOf(table, sid),
         dirEncodedIdentityCols(table, sid),
-        fs.map(f => (f._1, f._3)),
+        fs.map(f => (f._1.path, f._1.partitionValues)),
         castToDeclared = table.partitionSpecs.nonEmpty)
     if (deletes.isEmpty)
-      files.groupBy(_._2).toSeq.sortBy(_._1)
+      withResidual(files.groupBy(_._1.specId).toSeq.sortBy(_._1)
         .map { case (sid, fs) => scanRestored(sid, fs, withRowMeta = false) }
-        .reduce(_ unionByName _)
+        .reduce(_ unionByName _))
     else {
       val colOfId = table.fieldIdOf.map(_.swap)
       def norm(c: org.apache.spark.sql.Column) =
         regexp_replace(c, "^[a-zA-Z0-9+.-]+:/+", "/")
-      val groups = files.groupBy(f => (f._4, f._2)).toSeq.sortBy(_._1)
-      groups.map { case ((dataSeq, sid), fs) =>
+      val groups = files.groupBy(f => (f._2, f._1.specId)).toSeq.sortBy(_._1)
+      withResidual(groups.map { case ((dataSeq, sid), fs) =>
         // identity restore rides input_file_name, so it must happen
         // on the single-source scan BEFORE any join enters the plan;
         // the (file, pos) key is materialized inside the scan (see
@@ -1033,7 +1039,7 @@ object IcebergSnapshot {
           df = df.join(del, cond, "left_anti")
         }
         df.drop("__graft_file", "__graft_pos")
-      }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _))
     }
   }
 

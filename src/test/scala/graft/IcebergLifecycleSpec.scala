@@ -252,6 +252,18 @@ class IcebergLifecycleSpec extends AnyFunSuite {
       // the schema-stable base columns)
       val (id, want) = history.toSeq(scala.util.Random.nextInt(history.size))
       assert(readBase(Some(id)) == want, s"[$label] time travel to $id drifted")
+      // pruned read with a random K range after EVERY commit: stats-
+      // based file skipping must stay exact through every lifecycle op
+      // (deletes, compactions, evolution, rollback, expiry, ...)
+      val lo = scala.util.Random.nextLong(nextKey.max(2L))
+      val hi = lo + scala.util.Random.nextLong(nextKey.max(2L))
+      val bound = graft.sources.IcebergPruning.ColumnBound(
+        "K", Some(lo), Some(hi))
+      val prunedKs = IcebergSnapshot
+        .readSnapshot(spark, out, table, pruning = Seq(bound))
+        .select("K").collect().map(_.getLong(0)).toSet
+      assert(prunedKs == model.keySet.filter(k => k >= lo && k <= hi),
+        s"[$label] pruned read [$lo,$hi] != model")
     }
     afterOp("init")
 
