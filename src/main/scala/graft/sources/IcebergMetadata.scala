@@ -195,8 +195,10 @@ object IcebergMetadata {
   def metadataJson(table: TableDef, location: String,
       lastUpdatedMs: Long = 0L,
       snapshot: Option[SnapshotMeta] = None,
-      metadataLog: Seq[(Long, String)] = Nil): String =
-    metadataJsonChain(table, location, lastUpdatedMs, snapshot.toList, metadataLog)
+      metadataLog: Seq[(Long, String)] = Nil,
+      properties: Map[String, String] = Map.empty): String =
+    metadataJsonChain(table, location, lastUpdatedMs, snapshot.toList,
+      metadataLog, properties = properties)
 
   /** [[metadataJson]] for a CHAIN of append snapshots (the last one is
     * current) — the state after N incremental commits. `extraRefs`
@@ -217,7 +219,8 @@ object IcebergMetadata {
       snapshots: Seq[SnapshotMeta] = Nil,
       metadataLog: Seq[(Long, String)] = Nil,
       extraRefs: Seq[(String, Long, String)] = Nil,
-      currentIdOverride: Option[Long] = None): String = {
+      currentIdOverride: Option[Long] = None,
+      properties: Map[String, String] = Map.empty): String = {
     val spec = partitionSpecJson(table)
     val nPartFields = (spec \ "fields").asInstanceOf[JArray].arr.size
     val order = sortOrderJson(table)
@@ -299,7 +302,13 @@ object IcebergMetadata {
         table.lastPartitionId.getOrElse(999 + nPartFields): Int),
       "default-sort-order-id" -> JInt((order \ "order-id").asInstanceOf[JInt].num),
       "sort-orders" -> JArray(List(order)),
-      "properties" -> JObject("write.format.default" -> JString("parquet")),
+      // the spec's string→string table properties map: the default
+      // write format plus whatever the caller carries (streaming-sink
+      // transaction guards, user properties) — key-sorted so the
+      // document stays byte-deterministic
+      "properties" -> JObject(
+        (Map("write.format.default" -> "parquet") ++ properties)
+          .toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }),
       "current-snapshot-id" -> head.fold[JValue](JInt(-1))(s => JInt(s.snapshotId)),
       "refs" -> head.fold[JValue](JObject())(s => JObject(
         ("main" -> (JObject(

@@ -623,7 +623,8 @@ object IcebergSnapshot {
     * deterministic for a fixed timestamp. Returns the snapshot. */
   def commitAppend(table: TableDef, tablePath: String,
       conf: Configuration = new Configuration(),
-      timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+      timestampMs: Long = 0L,
+      extraProperties: Map[String, String] = Map.empty): IcebergMetadata.SnapshotMeta = {
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)
     fs.mkdirs(metadataDir)
@@ -645,7 +646,8 @@ object IcebergSnapshot {
     val doc = IcebergMetadata.metadataJson(table, tablePath,
       lastUpdatedMs = timestampMs, snapshot = Some(snap),
       metadataLog = Seq(timestampMs ->
-        new Path(metadataDir, "v1.metadata.json").toString))
+        new Path(metadataDir, "v1.metadata.json").toString),
+      properties = extraProperties)
     val metaFile = new Path(metadataDir, "v2.metadata.json")
     val out = fs.create(metaFile, true)
     try out.write(doc.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -1065,6 +1067,42 @@ object IcebergSnapshot {
     currentIdOf(metaJson).flatMap(id => chain.find(_.snapshotId == id))
       .orElse(chain.lastOption)
 
+  /** The table-properties map recorded in a metadata document. */
+  private[sources] def parseProperties(metaJson: String): Map[String, String] =
+    (JsonMethods.parse(metaJson) \ "properties") match {
+      case JObject(fields) => fields.collect {
+        case (k, JString(v)) => k -> v
+      }.toMap
+      case _ => Map.empty
+    }
+
+  /** The CURRENT table properties (spec string→string map). */
+  def tableProperties(tablePath: String,
+      conf: Configuration = new Configuration()): Map[String, String] = {
+    val metadataDir = new Path(tablePath, "metadata")
+    val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
+    parseProperties(readText(new Path(metadataDir, s"v$version.metadata.json"), conf))
+  }
+
+  /** Set (upsert) table properties as a metadata-only commit — the
+    * spec's `properties` map; a value of None removes the key. The
+    * snapshot chain is untouched. */
+  def setTableProperties(table: TableDef, tablePath: String,
+      props: Map[String, Option[String]],
+      conf: Configuration = new Configuration(),
+      timestampMs: Long = 0L): Unit = {
+    val metadataDir = new Path(tablePath, "metadata")
+    val fs = FileSystem.get(metadataDir.toUri, conf)
+    val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
+    val metaText = readText(new Path(metadataDir, s"v$version.metadata.json"), conf)
+    val chain = parseSnapshots(metaText)
+    writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
+      chain, timestampMs,
+      currentIdOverride = currentIdOf(metaText),
+      addProperties = props.collect { case (k, Some(v)) => k -> v },
+      removeProperties = props.collect { case (k, None) => k }.toSet)
+  }
+
   private[sources] def parseRefs(metaJson: String): Seq[(String, Long, String)] =
     (JsonMethods.parse(metaJson) \ "refs") match {
       case JObject(fields) => fields.collect {
@@ -1081,7 +1119,9 @@ object IcebergSnapshot {
       timestampMs: Long,
       addRefs: Seq[(String, Long, String)] = Nil,
       removeRefs: Set[String] = Set.empty,
-      currentIdOverride: Option[Long] = None): Unit = {
+      currentIdOverride: Option[Long] = None,
+      addProperties: Map[String, String] = Map.empty,
+      removeProperties: Set[String] = Set.empty): Unit = {
     val metadataLog = (2 to version).map(v =>
       timestampMs -> new Path(metadataDir, s"v${v - 1}.metadata.json").toString) :+
       (timestampMs -> new Path(metadataDir, s"v$version.metadata.json").toString)
@@ -1090,16 +1130,24 @@ object IcebergSnapshot {
     // retains ref'd snapshots, so a dropped ref is the only way one
     // disappears), minus removals, plus/overridden-by additions
     val ids = snapshots.map(_.snapshotId).toSet
-    val prior = try parseRefs(readText(
+    val priorText = try Some(readText(
       new Path(metadataDir, s"v$version.metadata.json"),
-      fs.getConf)) catch { case _: Exception => Nil }
+      fs.getConf)) catch { case _: Exception => None }
+    val prior = priorText.map(parseRefs).getOrElse(Nil)
     val refs = (prior.filterNot(r => removeRefs.contains(r._1))
       .filterNot(r => addRefs.exists(_._1 == r._1)) ++ addRefs)
       .filter(r => ids.contains(r._2))
+    // table properties carry forward across EVERY commit (appends,
+    // deletes, compactions, evolution, rollback) — a streaming sink's
+    // transaction guard must survive interleaved maintenance — minus
+    // removals, overridden by additions
+    val props = (priorText.map(parseProperties).getOrElse(Map.empty)
+      - "write.format.default" -- removeProperties) ++ addProperties
     val doc = IcebergMetadata.metadataJsonChain(table, tablePath,
       lastUpdatedMs = timestampMs, snapshots = snapshots,
       metadataLog = metadataLog, extraRefs = refs,
-      currentIdOverride = currentIdOverride)
+      currentIdOverride = currentIdOverride,
+      properties = props)
     val metaFile = new Path(metadataDir, s"v${version + 1}.metadata.json")
     val out = fs.create(metaFile, true)
     try out.write(doc.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -1451,7 +1499,8 @@ object IcebergSnapshot {
     * when no new files exist. */
   def commitAppendIncrement(table: TableDef, tablePath: String,
       conf: Configuration = new Configuration(),
-      timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+      timestampMs: Long = 0L,
+      extraProperties: Map[String, String] = Map.empty): IcebergMetadata.SnapshotMeta = {
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)
     val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
@@ -1491,7 +1540,7 @@ object IcebergSnapshot {
       totalRecords = current.cumulativeRecords + nRows)
 
     writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
-      chain :+ snap, timestampMs)
+      chain :+ snap, timestampMs, addProperties = extraProperties)
     snap
   }
 }

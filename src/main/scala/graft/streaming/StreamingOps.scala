@@ -169,6 +169,10 @@ object StreamingOps {
       .filter(col("__d.decode_errors") <= maxDecodeErrors)
       .select(xxhash64(col("record_id")).as("doc_id"),
         col("target_uri").as("url"),
+        // the record's fetch time as a real timestamp — the event-time
+        // column downstream watermarks (urlDedupStage's frontier state
+        // bound) hang off
+        col("warc_date").cast("timestamp").as("fetch_ts"),
         col("__d.charset").as("charset"),
         col("__d.decode_errors").as("decode_errors"),
         graft.functions.HtmlText(col("__d.text")).as("text"))
@@ -207,11 +211,20 @@ object StreamingOps {
       maxFilesPerTrigger: Option[Int] = None,
       maxDecodeErrors: Int = Int.MaxValue,
       boilerplate: Option[DataFrame] = None,
-      urlDedup: Boolean = false): DataFrame = {
+      urlDedup: Boolean = false,
+      urlWatermarkCol: Option[String] = None,
+      urlWatermark: String = "1 hour"): DataFrame = {
     val text = crawlTextStream(spark, dropDir, maxBodyBytes,
       maxFilesPerTrigger, maxDecodeErrors)
     corpusIngestStream(
-      if (urlDedup) urlDedupStage(text) else text,
+      // the dedup state bound the urlDedupStage scaladoc advises is
+      // reachable from here: pass the page stream's event-time column
+      // (e.g. warc_date surfaced upstream) to evict frontier state
+      // beyond the revisit horizon instead of holding one state row
+      // per canonical URL forever
+      if (urlDedup) urlDedupStage(text, watermarkCol = urlWatermarkCol,
+        watermark = urlWatermark)
+      else text,
       minQuality, nShards, boilerplate = boilerplate)
   }
 
@@ -433,6 +446,75 @@ object StreamingOps {
     }
   }
 
+  /** Exactly-once streaming append into a migrated ICEBERG TABLE —
+    * the engine's canonical sink: a `foreachBatch` body that lands
+    * each micro-batch as one atomic Iceberg snapshot. The first batch
+    * against an uncreated table path bootstraps the full table
+    * (CREATE metadata + append snapshot, the
+    * [[graft.api.SchemaTranslator.migrateTable]] shape); every later
+    * batch becomes one parent-linked increment snapshot
+    * ([[graft.sources.IcebergSnapshot.commitAppendIncrement]]), so a
+    * live CDC feed materializes as a time-travelable warehouse table
+    * any Iceberg reader (or [[graft.sources.IcebergSnapshot
+    * .readSnapshot]]) sees atomically.
+    *
+    * EXACTLY-ONCE across the full crash surface:
+    *   - each batch's data files land under a deterministic per-batch
+    *     directory (`data/stream-<app-hash>-<id>`) in OVERWRITE mode,
+    *     so a batch replayed after a pre-commit crash clobbers its own
+    *     partial files instead of doubling rows (the commit's
+    *     known-files diff then sees exactly one copy);
+    *   - the commit records the transaction — the spec's table
+    *     `properties` map carries `graft.streaming.txn.<appId> →
+    *     batchId` in the SAME metadata version as the snapshot, so
+    *     the guard is atomic with the hint flip and (properties carry
+    *     forward across every commit) survives interleaved
+    *     maintenance: compaction, deletes, evolution between batches;
+    *   - a post-commit replay (same appId, id ≤ committed) is skipped
+    *     entirely.
+    *
+    * `txnAppId` is REQUIRED and must be STABLE across restarts (derive
+    * it from the query's checkpoint location): the per-batch data
+    * directory embeds it, so a fresh random id per JVM would strand a
+    * crashed batch's partial directory outside the replay's overwrite.
+    * A genuinely new stream lineage gets a new id, whose batch 0 is
+    * never mistaken for a replay. Spec-pinned kill-and-replay like the
+    * four index sinks. */
+  def icebergTableSink(table: graft.model.TableDef, path: String,
+      txnAppId: String,
+      format: String = "parquet"): (DataFrame, Long) => Unit = {
+    require(txnAppId.nonEmpty, "icebergTableSink needs a stable txnAppId")
+    val txnKey = s"graft.streaming.txn.$txnAppId"
+    // path-safe deterministic handle for the per-batch data dirs
+    val appHash = java.util.UUID.nameUUIDFromBytes(
+      txnAppId.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+    (batch, bid) => {
+      if (!batch.isEmpty) {
+        import graft.sources.{IcebergMetadata, IcebergSnapshot}
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val hint = new org.apache.hadoop.fs.Path(
+          s"$path/metadata/version-hint.text")
+        val exists = hint.getFileSystem(conf).exists(hint)
+        val replay = exists &&
+          IcebergSnapshot.tableProperties(path, conf).get(txnKey)
+            .exists(committed => bid <= committed.toLong)
+        if (!replay) {
+          graft.api.SchemaTranslator.writeMigrated(batch, table,
+            s"$path/data/stream-$appHash-$bid", format, mode = "overwrite")
+          if (exists)
+            IcebergSnapshot.commitAppendIncrement(table, path, conf,
+              extraProperties = Map(txnKey -> bid.toString))
+          else {
+            IcebergMetadata.writeTableMetadata(table, path, conf)
+            IcebergSnapshot.commitAppend(table, path, conf,
+              extraProperties = Map(txnKey -> bid.toString))
+          }
+          ()
+        }
+      }
+    }
+  }
+
   /** Streaming CROSS-RUN dedup through the persisted fingerprint
     * ledger ([[graft.operators.FingerprintLedger]]): a `foreachBatch`
     * body that writes each micro-batch's never-seen-before rows
@@ -469,6 +551,21 @@ object StreamingOps {
     * pre-partitioned layout) — mixing bare part-files with
     * `txn_app=…/batch_id=…` subdirs breaks partition discovery on
     * read, so the first batch refuses loudly instead. */
+  /** Pre-r10 parameter order (trailing `txnAppId: Option[String]`),
+    * kept so out-of-tree callers keep binding correctly; `txnAppId` is
+    * now REQUIRED (see the primary overload's partition-layout
+    * rationale), so `None` refuses loudly instead of silently minting
+    * a fresh appId per JVM. */
+  @deprecated("use ledgerDedupSink(fpCol, path, outPath, txnAppId, nBuckets)" +
+    " — txnAppId is required and now precedes nBuckets", "r11")
+  def ledgerDedupSink(fpCol: String, path: String, outPath: String,
+      nBuckets: Int, txnAppId: Option[String]): (DataFrame, Long) => Unit =
+    ledgerDedupSink(fpCol, path, outPath,
+      txnAppId.getOrElse(throw new IllegalArgumentException(
+        "ledgerDedupSink needs a stable txnAppId — a fresh random appId " +
+          "per JVM strands crashed batches' partial output partitions")),
+      nBuckets)
+
   def ledgerDedupSink(fpCol: String, path: String, outPath: String,
       txnAppId: String, nBuckets: Int = 64): (DataFrame, Long) => Unit = {
     val app = txnAppId

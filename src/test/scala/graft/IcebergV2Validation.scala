@@ -25,6 +25,14 @@ object IcebergV2Validation {
     int("default-sort-order-id")
     arr("schemas"); arr("partition-specs"); arr("sort-orders")
     arr("snapshots"); arr("snapshot-log"); arr("metadata-log")
+    // properties: the spec's string→string map, format default present
+    (meta \ "properties") match {
+      case JObject(fields) =>
+        assert(fields.forall(_._2.isInstanceOf[JString]),
+          "properties values must be strings")
+        assert(fields.exists(_._1 == "write.format.default"))
+      case _ => sys.error("properties must be an object")
+    }
     // current-schema-id must resolve into schemas; schema must be a
     // struct with unique positive field ids ≤ last-column-id
     val curSchema = (meta \ "current-schema-id").asInstanceOf[JInt].num.toInt
@@ -65,7 +73,16 @@ object IcebergV2Validation {
       assert((snap \ "sequence-number").asInstanceOf[JInt].num.toLong >= 1)
       assert((snap \ "timestamp-ms").isInstanceOf[JInt])
       assert((snap \ "manifest-list").isInstanceOf[JString])
-      assert((snap \ "summary" \ "operation").isInstanceOf[JString])
+      // summary: a legal operation plus the non-negative running
+      // totals real tooling (and the streaming sink's monitoring) reads
+      assert(Set("append", "replace", "overwrite", "delete").contains(
+        (snap \ "summary" \ "operation").asInstanceOf[JString].s),
+        "summary.operation must be a spec operation")
+      for (f <- Seq("added-data-files", "added-records",
+          "total-data-files", "total-records")) {
+        val v = (snap \ "summary" \ f).asInstanceOf[JString].s.toLong
+        assert(v >= 0, s"summary.$f must be non-negative")
+      }
       assert((meta \ "refs" \ "main" \ "snapshot-id").asInstanceOf[JInt].num.toLong == cur)
       assert((meta \ "refs" \ "main" \ "type") == JString("branch"))
       // every named ref resolves into the snapshot list with a legal type

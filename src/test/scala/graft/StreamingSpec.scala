@@ -882,6 +882,105 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("icebergTableSink is EXACTLY-ONCE: bootstrap + increments, a " +
+      "committed batch replays as a no-op, a batch killed pre-commit " +
+      "re-runs cleanly, interleaved maintenance carries the txn forward") {
+    import graft.api.SchemaTranslator
+    import graft.parse.Db2Parser
+    import graft.sources.IcebergSnapshot
+    val table = Db2Parser.parse(
+      """CREATE TABLE S.SINK (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10),
+        |  N INTEGER
+        |) PARTITION BY RANGE (V);""".stripMargin).tables.head
+    val out = Files.createTempDirectory("iceberg_sink").toString
+    def rowsDf(ks: Range) = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("K", LongType, nullable = false),
+        StructField("V", StringType), StructField("N", IntegerType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(ks.map(k =>
+          org.apache.spark.sql.Row(k.toLong, s"p${k % 2}", k * 7)), 2), schema)
+    }
+    def readKs = IcebergSnapshot.readSnapshot(spark, out, table)
+      .select("K").collect().map(_.getLong(0)).toSet
+    def nSnapshots = {
+      val v = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, "metadata", "version-hint.text")), "UTF-8")
+        .trim.toInt
+      val meta = org.json4s.jackson.JsonMethods.parse(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(out, "metadata", s"v$v.metadata.json")), "UTF-8"))
+      (meta \ "snapshots").asInstanceOf[org.json4s.JArray].arr.size
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sink = StreamingOps.icebergTableSink(table, out, txnAppId = "ckpt-1")
+
+    // batch 0 bootstraps the table; batch 1 is an increment
+    sink(rowsDf(1 to 4), 0)
+    assert(readKs === (1L to 4L).toSet)
+    assert(IcebergSnapshot.tableProperties(out, conf)
+      .get("graft.streaming.txn.ckpt-1") === Some("0"))
+    sink(rowsDf(5 to 8), 1)
+    assert(readKs === (1L to 8L).toSet)
+    assert(nSnapshots === 2)
+
+    // post-commit replay of batch 1: skipped entirely
+    sink(rowsDf(5 to 8), 1)
+    assert(readKs === (1L to 8L).toSet, "replay must not double rows")
+    assert(nSnapshots === 2, "replay must not commit a snapshot")
+
+    // interleaved maintenance between batches: the REPLACE commit must
+    // carry the txn property forward, so the replay stays skipped
+    IcebergSnapshot.compactDataFiles(spark, table, out, targetBytes = 1L << 30)
+    assert(IcebergSnapshot.tableProperties(out, conf)
+      .get("graft.streaming.txn.ckpt-1") === Some("1"),
+      "compaction must carry the txn guard forward")
+    sink(rowsDf(5 to 8), 1)
+    assert(readKs === (1L to 8L).toSet)
+
+    // batch 2 killed pre-commit: data files landed in the per-batch
+    // dir, no snapshot. The replay overwrites them and commits ONCE.
+    val appHash = java.util.UUID.nameUUIDFromBytes(
+      "ckpt-1".getBytes("UTF-8")).toString
+    SchemaTranslator.writeMigrated(rowsDf(9 to 10), table,
+      s"$out/data/stream-$appHash-2", mode = "overwrite")
+    assert(readKs === (1L to 8L).toSet, "crashed batch must be invisible")
+    sink(rowsDf(9 to 10), 2)
+    assert(readKs === (1L to 10L).toSet, "replayed batch lands exactly once")
+    assert(IcebergSnapshot.readSnapshot(spark, out, table)
+      .groupBy("K").count()
+      .filter(col("count") > 1).count() === 0L, "no duplicate keys")
+
+    // a NEW lineage's batch 0 appends — not mistaken for a replay
+    val sink2 = StreamingOps.icebergTableSink(table, out, txnAppId = "ckpt-2")
+    sink2(rowsDf(11 to 12), 0)
+    assert(readKs === (1L to 12L).toSet)
+    val props = IcebergSnapshot.tableProperties(out, conf)
+    assert(props.get("graft.streaming.txn.ckpt-1") === Some("2"))
+    assert(props.get("graft.streaming.txn.ckpt-2") === Some("0"))
+    assert(props.get("write.format.default") === Some("parquet"))
+
+    // property upsert/remove round-trip (metadata-only commits)
+    IcebergSnapshot.setTableProperties(table, out,
+      Map("commit.retry.num-retries" -> Some("7")), conf)
+    assert(IcebergSnapshot.tableProperties(out, conf)
+      .get("commit.retry.num-retries") === Some("7"))
+    IcebergSnapshot.setTableProperties(table, out,
+      Map("commit.retry.num-retries" -> None), conf)
+    assert(!IcebergSnapshot.tableProperties(out, conf)
+      .contains("commit.retry.num-retries"))
+    assert(readKs === (1L to 12L).toSet, "property commits leave rows alone")
+    IcebergV2Validation.validateV2(org.json4s.jackson.JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        out, "metadata", s"v${new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(out, "metadata", "version-hint.text")),
+          "UTF-8").trim.toInt}.metadata.json")), "UTF-8")),
+      expectSnapshot = true)
+  }
+
   test("session_window batch agg: gap merge semantics") {
     import spark.implicits._
     val data = Seq(
