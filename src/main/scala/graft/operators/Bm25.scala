@@ -299,6 +299,18 @@ object Bm25 {
     val spark = docs.sparkSession
     val n = currentVersion(spark, path)
     require(n >= 1, s"no committed index under $path")
+    // enforce the GLOBAL-tombstone contract up front: re-appending a
+    // deleted id would index rows the probe-time anti-join silently
+    // kills (quiet data loss) — refuse loudly instead. Compaction
+    // folds tombstones in permanently, after which the id is free.
+    tombstonesTable(spark, path, n).foreach { t =>
+      val bad = docs.select(col(idCol))
+        .join(t, Seq(idCol), "left_semi").limit(3).collect()
+      require(bad.isEmpty, s"appendToIndex: id(s) ${bad.mkString(", ")} " +
+        "are tombstoned by deleteFromIndex — a deleted id must not be " +
+        "re-appended (its rows would be indexed but never retrievable); " +
+        "compactIndex folds tombstones in if the id must be reused")
+    }
     VersionedIndex.clearCrashedAttempt(spark, path, n + 1,
       Seq("postings", "doclen", "tombstones"))
     val nBuckets = statsTable(spark, path, n)
@@ -369,7 +381,8 @@ object Bm25 {
     * follows the shared hint-flips-LAST protocol; re-deleting already
     * tombstoned or unknown ids is a no-op (idempotent). Contract: a
     * tombstone is GLOBAL — a deleted id must not be re-appended later
-    * (the anti-join would kill the new rows too). */
+    * (ENFORCED: [[appendToIndex]] refuses such ids loudly; compaction
+    * folds tombstones in, after which the id is free). */
   def deleteFromIndex(ids: DataFrame, path: String): Unit =
     deleteFromIndexInternal(ids, path, abortBeforeCommit = false)
 

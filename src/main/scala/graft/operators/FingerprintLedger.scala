@@ -61,8 +61,11 @@ object FingerprintLedger {
     * [[forgetFingerprints]] tombstones, version-ordered — a `gone`
     * row at version g erases fp rows of versions ≤ g only, so a
     * RE-APPENDED fingerprint (fps delta at a later version) is seen
-    * again. Scale shape: the big fps side streams through ONE
-    * broadcast-hash join against the per-fp max of the gone family
+    * again. Every probe/append path resolves through here
+    * ([[dedupAgainst]], [[seenRows]], [[appendToLedger]]'s novelty
+    * anti-join); [[compactLedger]] folds the tombstones in and clears
+    * the gone family. Scale shape: the big fps side streams through
+    * ONE broadcast-hash join against the per-fp max of the gone family
     * (bounded by takedown volume, not history) — no shuffle of the
     * ledger, and a never-forgotten ledger keeps the plain union plan
     * bit-identical (gone family absent → no join at all). */
@@ -145,12 +148,14 @@ object FingerprintLedger {
     val spark = fps.sparkSession
     val n = currentVersion(spark, path)
     require(n >= 1, s"no committed ledger under $path")
-    VersionedIndex.clearCrashedAttempt(spark, path, n + 1, Seq("fps"))
+    VersionedIndex.clearCrashedAttempt(spark, path, n + 1, Seq("fps", "gone"))
     val stats = statsTable(spark, path, n).head()
     val nBuckets = stats.getAs[Int]("n_buckets")
-    // overwrite, not append: a retry clobbers a crashed attempt's delta
+    // overwrite, not append: a retry clobbers a crashed attempt's
+    // delta. Novelty is judged against the EFFECTIVE set: a forgotten
+    // fingerprint re-appends as a later-version delta and is seen again
     fps.select(col("fp")).distinct()
-      .join(fpsTable(spark, path, n).select(col("fp")), Seq("fp"), "left_anti")
+      .join(effectiveFps(spark, path, n).select(col("fp")), Seq("fp"), "left_anti")
       .withColumn("bucket", bucketOf(col("fp"), nBuckets))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
@@ -180,7 +185,7 @@ object FingerprintLedger {
     val spark = df.sparkSession
     val n = currentVersion(spark, path)
     require(n >= 1, s"no committed ledger under $path")
-    val seen = fpsTable(spark, path, n).select(col("fp"))
+    val seen = effectiveFps(spark, path, n).select(col("fp"))
     df.join(seen, df(fpCol) === seen("fp"), "left_anti")
   }
 
@@ -194,8 +199,55 @@ object FingerprintLedger {
     val spark = df.sparkSession
     val n = currentVersion(spark, path)
     require(n >= 1, s"no committed ledger under $path")
-    val seen = fpsTable(spark, path, n).select(col("fp"))
+    val seen = effectiveFps(spark, path, n).select(col("fp"))
     df.join(seen, df(fpCol) === seen("fp"), "left_semi")
+  }
+
+  /** FORGET fingerprints — the takedown/GDPR face of the ledger
+    * ([[Bm25.deleteFromIndex]]'s counterpart): commit a `gone`
+    * tombstone delta erasing the given fps from the EFFECTIVE set, so
+    * [[dedupAgainst]] treats matching future content as never-seen
+    * (it re-ingests and re-appends cleanly — tombstones erase only
+    * fp rows of versions ≤ their own). Unknown/already-forgotten fps
+    * are ignored; a forget that erases nothing is a NO-OP (no version
+    * bump). Same commit protocol as every other writer: overwrite-mode
+    * delta, stats adjust, hint flips LAST; [[compactLedger]] folds
+    * tombstones in permanently and clears the gone family. */
+  def forgetFingerprints(fps: DataFrame, path: String): Unit =
+    forgetFingerprintsInternal(fps, path, abortBeforeCommit = false)
+
+  private[graft] def forgetFingerprintsInternal(fps: DataFrame, path: String,
+      abortBeforeCommit: Boolean): Unit = {
+    val spark = fps.sparkSession
+    val n = currentVersion(spark, path)
+    require(n >= 1, s"no committed ledger under $path")
+    VersionedIndex.clearCrashedAttempt(spark, path, n + 1, Seq("fps", "gone"))
+    val stats = statsTable(spark, path, n).head()
+    val nBuckets = stats.getAs[Int]("n_buckets")
+    val doomed = effectiveFps(spark, path, n).select(col("fp"))
+      .join(fps.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+    doomed
+      .withColumn("bucket", bucketOf(col("fp"), nBuckets))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/gone/delta_v${n + 1}")
+    val erased = spark.read.parquet(s"$path/gone/delta_v${n + 1}").count()
+    if (erased == 0L) {
+      // nothing to erase: leave version n exactly (drop the empty delta
+      // so a later committer at n+1 doesn't inherit an empty gone dir)
+      VersionedIndex.clearCrashedAttempt(spark, path, n + 1, Seq("gone"))
+      return
+    }
+    writeStats(spark, path, n + 1, stats.getAs[Long]("n_fps") - erased, nBuckets)
+    VersionedIndex.writeTxn(spark, path, n + 1,
+      VersionedIndex.committedTxn(spark, path, n))
+    if (abortBeforeCommit) return
+    VersionedIndex.writeHint(spark, path, n + 1) // commit
+    if (n >= 2) {
+      val (fs, _) = VersionedIndex.fsOf(spark, path)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v${n - 1}"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/batchid_v${n - 1}"), true)
+    }
   }
 
   /** Consolidate the delta chain into one base (the
@@ -214,14 +266,21 @@ object FingerprintLedger {
       abortBeforeCommit: Boolean): Unit = {
     val n = currentVersion(spark, path)
     require(n >= 1, s"no committed ledger under $path")
-    VersionedIndex.clearCrashedAttempt(spark, path, n + 1, Seq("fps"))
+    VersionedIndex.clearCrashedAttempt(spark, path, n + 1, Seq("fps", "gone"))
     val stats = statsTable(spark, path, n).head()
-    fpsTable(spark, path, n)
+    // fold [[forgetFingerprints]] tombstones in PERMANENTLY: the new
+    // base is the EFFECTIVE set, and the gone family is reclaimed with
+    // the delta chain below — the base's version sitting above every
+    // erased row's is exactly why the tombstones must not survive it
+    // (a leftover gone row would erase nothing, but a FUTURE forget's
+    // arithmetic and re-append semantics stay clean only if compaction
+    // resets the families together)
+    effectiveFps(spark, path, n)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/fps/base_v${n + 1}")
-    writeStats(spark, path, n + 1, stats.getAs[Long]("n_fps"),
-      stats.getAs[Int]("n_buckets"))
+    val nEff = spark.read.parquet(s"$path/fps/base_v${n + 1}").count()
+    writeStats(spark, path, n + 1, nEff, stats.getAs[Int]("n_buckets"))
     // carry the committed batch id forward (sink replay guard)
     VersionedIndex.writeTxn(spark, path, n + 1,
       VersionedIndex.committedTxn(spark, path, n))
@@ -231,6 +290,7 @@ object FingerprintLedger {
     for (i <- 1 to n) {
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/fps/delta_v$i"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/fps/base_v$i"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/gone/delta_v$i"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats_v$i"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/batchid_v$i"), true)
     }

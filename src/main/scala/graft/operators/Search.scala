@@ -99,7 +99,9 @@ object Search {
     * `n_tokens` in stats likewise reconciles at compaction. Commit
     * follows the shared hint-flips-LAST protocol; re-deletes are
     * idempotent. Contract: tombstones are GLOBAL — a deleted id must
-    * not be re-appended later. */
+    * not be re-appended later (ENFORCED: [[appendToIndex]] refuses
+    * such ids loudly; compaction folds tombstones in, after which the
+    * id is free). */
   def deleteFromIndex(ids: DataFrame, path: String): Unit =
     deleteFromIndexInternal(ids, path, abortBeforeCommit = false)
 
@@ -272,6 +274,17 @@ object Search {
     val spark = docs.sparkSession
     val n = currentVersion(spark, path)
     require(n >= 1, s"no committed index under $path")
+    // enforce the GLOBAL-tombstone contract up front ([[Bm25
+    // .appendToIndex]]'s guard): re-appending a deleted id would index
+    // rows the probe-time anti-join silently kills — refuse loudly.
+    tombstonesTable(spark, path, n).foreach { t =>
+      val bad = docs.select(col(idCol).as("doc_id"))
+        .join(t, Seq("doc_id"), "left_semi").limit(3).collect()
+      require(bad.isEmpty, s"appendToIndex: id(s) ${bad.mkString(", ")} " +
+        "are tombstoned by deleteFromIndex — a deleted id must not be " +
+        "re-appended (its rows would be indexed but never retrievable); " +
+        "compactIndex folds tombstones in if the id must be reused")
+    }
     VersionedIndex.clearCrashedAttempt(spark, path, n + 1,
       Seq("postings", "tombstones"))
     val nBuckets = statsTable(spark, path, n)
