@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharsetDecode, GramBuckets, HtmlText, IcebergBucket, RepetitionStats, ShingleHashes, SimHash64, VectorDot}
+import graft.functions.{CharsetDecode, GramBuckets, HtmlMainContent, HtmlText, IcebergBucket, RepetitionStats, ShingleHashes, SimHash64, VectorDot}
 
 /** Session extensions registering the engine's native expressions for
   * SQL use (`spark.sql.extensions=graft.api.GraftExtensions` or
@@ -95,6 +95,14 @@ object GraftExtensions {
       HtmlText(children.head)
     })
 
+  val mainContentDescriptor: Descriptor = (
+    FunctionIdentifier("main_content"),
+    new ExpressionInfo(classOf[HtmlMainContent].getName, "main_content"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "main_content takes exactly 1 argument")
+      HtmlMainContent(children.head)
+    })
+
   val decodeTextDescriptor: Descriptor = (
     FunctionIdentifier("decode_text"),
     new ExpressionInfo(classOf[CharsetDecode].getName, "decode_text"),
@@ -110,7 +118,7 @@ object GraftExtensions {
   val descriptors: Seq[Descriptor] =
     Seq(vectorDotDescriptor, simHashDescriptor, shingleHashesDescriptor,
       repetitionStatsDescriptor, icebergBucketDescriptor, gramBucketsDescriptor,
-      htmlTextDescriptor, decodeTextDescriptor)
+      htmlTextDescriptor, mainContentDescriptor, decodeTextDescriptor)
 
   /** Register on an already-built session (tests, REPL): the SQL
     * functions plus the HOF-dot optimizer rewrite (via

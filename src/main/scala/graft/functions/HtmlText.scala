@@ -52,6 +52,11 @@ object HtmlTextUtil {
     sb.toString
   }
 
+  /** [[decodeEntities]] for sibling extractors ([[MainContentUtil]]
+    * shares the exact entity surface so `main_content` output is a
+    * sub-sequence of `html_text` output under one normalization). */
+  def decodeEntitiesPublic(s: String): String = decodeEntities(s)
+
   private def codePointOrNull(cp: Long): String =
     if (cp >= 0x20 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
       new String(Character.toChars(cp.toInt))

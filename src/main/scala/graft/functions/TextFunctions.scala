@@ -240,7 +240,12 @@ object TextFunctions {
     *      tracking-only query string is out of the supported shape);
     *   3. scheme+host lowercased (the path stays case-sensitive per
     *      RFC 3986 — only the authority is case-insensitive);
-    *   4. default ports (:80, :443) dropped.
+    *   4. default ports (:80, :443) dropped — ANCHORED to the
+    *      authority (a port-lookalike in a path segment or an embedded
+    *      URL in a query param must survive), and matched whether the
+    *      port is followed by a path, a query, or nothing at all
+    *      (`https://h.org:443?p=1` and bare `https://h.org:80` both
+    *      canonicalize).
     * Scan-side projection: the 100 TB crawl canonicalizes during
     * ingest, then revisit-dedup is a plain groupBy on the key. */
   def canonicalUrl(url: Column): Column = {
@@ -251,6 +256,13 @@ object TextFunctions {
     val lowered = concat(
       lower(regexp_extract(noTrack, hostRe, 0)),
       regexp_replace(noTrack, hostRe, ""))
-    regexp_replace(lowered, ":(80|443)/", "/")
+    // the scheme is already lowered here, so [a-z]+ suffices; [^/:?#]*
+    // stops the host at the port/path/query boundary
+    regexp_replace(lowered, "^([a-z]+://[^/:?#]*):(80|443)([/?#]|$)", "$1$3")
   }
+
+  /** Column API for [[HtmlMainContent]]: HTML → content-dense plain
+    * text (nav/footer/aside and link-farm blocks removed) — the
+    * boilerplate-aware sibling of `html_text`. */
+  def mainContent(html: Column): Column = HtmlMainContent(html)
 }

@@ -467,6 +467,40 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate-aware MAIN-CONTENT extraction over a crawl fixture
+    * whose every page wraps the content paragraph in real-page chrome
+    * (nav menu, link-farm related-articles div, aside, footer — all
+    * closed-form; [[graft.sources.Warc.synthesizeBoilerplateFixture]]):
+    * the native `main_content` ([[graft.functions.HtmlMainContent]],
+    * a readability-style block scorer — containers removed wholesale,
+    * blocks < 25 chars or with anchor-text density ≥ 1/3 dropped) must
+    * keep EXACTLY the content paragraph, hash-pinned per page, while
+    * `html_text` keeps the whole chrome — the before/after token
+    * columns are the quality-gate delta boilerplate removal buys.
+    * Scale shape: both extractors are scan-side native expressions;
+    * nothing here shuffles but the final orderBy. */
+  def q97cMainContent(s: SparkSession, dir: String): DataFrame = {
+    val (path, built) = amortizedIndexPath(s, dir, "warc_boiler",
+      p => new java.io.File(p, "_built").isFile)
+    if (!built)
+      graft.sources.Warc.synthesizeBoilerplateFixture(
+        t(s, dir, "documents"), path)
+    graft.sources.Warc.records(s, s"$path/part-*.warc*")
+      .filter(col("warc_type") === "response")
+      .withColumn("doc_id",
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("bigint"))
+      .withColumn("d",
+        graft.functions.CharsetDecode(col("body"), col("http_content_type")))
+      .select(col("doc_id"),
+        graft.functions.HtmlText(col("d.text")).as("full_text"),
+        graft.functions.HtmlMainContent(col("d.text")).as("main_text"))
+      .select(col("doc_id"),
+        tokenCount(col("full_text")).as("n_tokens_full"),
+        tokenCount(col("main_text")).as("n_tokens_main"),
+        md5(col("main_text")).as("main_md5"))
+      .orderBy("doc_id")
+  }
+
   /** URL canonicalization + revisit dedup — the crawl-frontier
     * operation between fetch and corpus: the same page arrives under
     * case-varied hosts, explicit default ports, tracking parameters
@@ -540,13 +574,14 @@ object PipelineQueries {
         graft.functions.CharsetDecode(col("body"), col("http_content_type")))
       .select(col("doc_id"), col("seq"), col("curl"),
         graft.functions.HtmlText(col("d.text")).as("etext"),
+        graft.functions.HtmlMainContent(col("d.text")).as("mtext"),
         col("d.decode_errors").as("decode_errors"), col("truncated"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val payload = struct(col("seq"), col("doc_id"), col("etext"),
-      col("decode_errors"), col("truncated"))
+      col("mtext"), col("decode_errors"), col("truncated"))
     def unwrap(df: DataFrame): DataFrame = df
       .select(col("k.doc_id").as("doc_id"), col("k.seq").as("seq"),
-        col("k.etext").as("etext"),
+        col("k.etext").as("etext"), col("k.mtext").as("mtext"),
         col("k.decode_errors").as("decode_errors"),
         col("k.truncated").as("truncated"))
     // frontier stage: revisits (same canonical URL) collapse
@@ -559,10 +594,18 @@ object PipelineQueries {
         tokenCount(col("etext")) >= 30)
       .select(col("doc_id"), tokenCount(col("etext")).as("n_toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the boilerplate-aware gate: token-count the MAIN content
+    // instead of the full extracted text — the stage-count delta vs
+    // n_gate_kept is what main-content extraction buys the gate
+    // (fixture pages' main text drops exactly the title stub)
+    val mainKept = contentKept
+      .filter(col("decode_errors") === 0 && !col("truncated") &&
+        tokenCount(col("mtext")) >= 30)
     val counters = recs.agg(count(lit(1)).as("n_records"))
       .crossJoin(urlKept.agg(count(lit(1)).as("n_url_kept")))
       .crossJoin(contentKept.agg(count(lit(1)).as("n_content_kept")))
       .crossJoin(kept.agg(count(lit(1)).as("n_gate_kept")))
+      .crossJoin(mainKept.agg(count(lit(1)).as("n_main_gate_kept")))
     Sampling.shardByHash(kept, col("doc_id"), 8, salt = "shard")
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
@@ -2936,6 +2979,29 @@ object PipelineQueries {
         |  md5(etext) AS text_md5,
         |  false AS truncated
         |FROM e ORDER BY doc_id""".stripMargin,
+    // the boilerplate fixture's two extraction surfaces reconstructed
+    // arithmetically: html_text keeps title + nav + content + link farm
+    // + aside + footer in document order; main_content keeps exactly
+    // the content paragraph (containers die wholesale, the link farm
+    // dies on anchor density, the title stub dies on min length)
+    "q97c_main_content" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    'Doc ' || CAST(doc_id AS VARCHAR)
+        |      || ' Home About Contact site navigation menu Doc '
+        |      || CAST(doc_id AS VARCHAR) || ' body: ' || text
+        |      || ' café révisé related article one related article two'
+        |      || ' related article three subscribe to our weekly'
+        |      || ' newsletter for updates and promotions copyright 2026'
+        |      || ' corpus test press all rights reserved' AS full_text,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || ' body: ' || text
+        |      || ' café révisé' AS main_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(string_split_regex(lower(trim(full_text)), ' +')) AS n_tokens_full,
+        |  len(string_split_regex(lower(trim(main_text)), ' +')) AS n_tokens_main,
+        |  md5(main_text) AS main_md5
+        |FROM e ORDER BY doc_id""".stripMargin,
     // mirrors canonicalUrl's regexp chain op-for-op (DuckDB needs the
     // explicit 'g' flag where Spark replaces all; anchored/one-shot
     // steps need none)
@@ -2963,7 +3029,8 @@ object PipelineQueries {
         |         lower(regexp_extract(x, '^[a-zA-Z]+://[^/]*'))
         |           || regexp_replace(x, '^[a-zA-Z]+://[^/]*', '') AS x
         |       FROM s2),
-        |c AS (SELECT doc_id, regexp_replace(x, ':(80|443)/', '/') AS curl
+        |c AS (SELECT doc_id, regexp_replace(x,
+        |        '^([a-z]+://[^/:?#]*):(80|443)([/?#]|$)', '\1\3') AS curl
         |      FROM s3)
         |SELECT curl, min(doc_id) AS keep_id, count(*) AS n_revisits,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
@@ -2998,7 +3065,9 @@ object PipelineQueries {
         |  c.n_base + c.n_rev + c.n_mir AS n_records,
         |  c.n_base + c.n_mir AS n_url_kept,
         |  c.n_base AS n_content_kept,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_gate_kept
+        |  (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_gate_kept,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM tk
+        |     WHERE n_toks - 2 >= 30) AS n_main_gate_kept
         |FROM g CROSS JOIN c ORDER BY g.shard""".stripMargin,
     // q22's exact-cosine oracle with the positive-cut folded in
     "q80_hard_negatives" ->
@@ -3108,6 +3177,7 @@ object PipelineQueries {
     "q95_curation_pipeline" -> (q95CurationPipeline _),
     "q96_kll_quantiles" -> (q96KllQuantiles _),
     "q97_warc_ingest" -> (q97WarcIngest _),
+    "q97c_main_content" -> (q97cMainContent _),
     "q98_url_dedup" -> (q98UrlDedup _),
     "q99_crawl_capstone" -> (q99CrawlCapstone _),
   )

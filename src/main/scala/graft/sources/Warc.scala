@@ -138,14 +138,56 @@ object Warc {
     * grouped in memory — fine for the nFiles≈8 test corpus; a real
     * crawl is READ by [[records]], never produced here. */
   def synthesizeFixture(docs: org.apache.spark.sql.DataFrame,
-      outDir: String, nFiles: Int = 8): Unit = {
+      outDir: String, nFiles: Int = 8): Unit =
+    synthesizeWith(docs, outDir, nFiles)(recordBytesFor)
+
+  /** One synthesized record's bytes — see [[synthesizeFixture]] for
+    * the closed-form contract the oracle mirrors. */
+  private def recordBytesFor(id: Long, text: String): Array[Byte] =
+    responseRecordBytes(s"<urn:graft:$id>", s"http://corpus.test/doc/$id",
+      id, text)
+
+  /** [[synthesizeFixture]] with REAL-PAGE BOILERPLATE around the
+    * content: every page carries a nav menu, a link-farm related-
+    * articles div, an aside and a footer — all closed-form — so
+    * `main_content` extraction is oracle-checkable block by block:
+    * the nav/aside/footer die as containers, the link farm dies on
+    * link density, the `Doc id` title stub dies on length, and ONLY
+    * the content paragraph survives. Charset legs and framing are
+    * [[synthesizeFixture]]'s. */
+  def synthesizeBoilerplateFixture(docs: org.apache.spark.sql.DataFrame,
+      outDir: String, nFiles: Int = 8): Unit =
+    synthesizeWith(docs, outDir, nFiles) { (id, text) =>
+      val leg = (id % 3).toInt
+      val meta = if (leg == 2) "<meta charset=\"windows-1252\">" else ""
+      val html = s"<html><head><title>Doc $id</title>$meta" +
+        "<style>p{margin:0}</style></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+        "<a href=\"/contact\">Contact</a> site navigation menu</nav>" +
+        s"<p>Doc $id body: $text café révisé</p>" +
+        "<div><a href=\"/r1\">related article one</a> " +
+        "<a href=\"/r2\">related article two</a> " +
+        "<a href=\"/r3\">related article three</a></div>" +
+        "<aside>subscribe to our weekly newsletter for updates and promotions</aside>" +
+        "<footer>copyright 2026 corpus test press all rights reserved</footer>" +
+        "<script>var x=\"<i>no</i>\";</script></body></html>"
+      responseRecordBytesHtml(s"<urn:graft:$id>",
+        s"http://corpus.test/doc/$id", id, html)
+    }
+
+  /** The shared fixture-writer loop behind [[synthesizeFixture]] and
+    * [[synthesizeBoilerplateFixture]]: deterministic file routing by
+    * id, odd files per-record-gzip'd, `_built` marker last. */
+  private def synthesizeWith(docs: org.apache.spark.sql.DataFrame,
+      outDir: String, nFiles: Int)(
+      bytesFor: (Long, String) => Array[Byte]): Unit = {
     val spark = docs.sparkSession
     val confSer = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     docs.select("doc_id", "text").rdd
       .map { r =>
         val id = r.getLong(0)
-        (id % nFiles, (id, recordBytesFor(id, r.getString(1))))
+        (id % nFiles, (id, bytesFor(id, r.getString(1))))
       }
       .groupByKey(nFiles)
       .foreach { case (fid, recs) =>
@@ -169,12 +211,6 @@ object Warc {
     try o.write("1\n".getBytes(StandardCharsets.UTF_8)) finally o.close()
   }
 
-  /** One synthesized record's bytes — see [[synthesizeFixture]] for
-    * the closed-form contract the oracle mirrors. */
-  private def recordBytesFor(id: Long, text: String): Array[Byte] =
-    responseRecordBytes(s"<urn:graft:$id>", s"http://corpus.test/doc/$id",
-      id, text)
-
   /** Shared response-record builder: the HTML body, charset leg and
     * HTTP framing are closed-form in `id` exactly as [[recordBytesFor]]
     * always produced (q97's oracle depends on these bytes); the crawl
@@ -188,6 +224,14 @@ object Warc {
       "<style>p{margin:0}</style></head><body><!-- synthetic -->" +
       s"<p>$text café révisé</p>" +
       "<script>var a=\"<b>no</b>\";</script></body></html>"
+    responseRecordBytesHtml(recordId, uri, id, html)
+  }
+
+  /** Shared HTTP/WARC framing over an arbitrary HTML body (charset
+    * legs keyed by id exactly like [[responseRecordBytes]]). */
+  private def responseRecordBytesHtml(recordId: String, uri: String,
+      id: Long, html: String): Array[Byte] = {
+    val leg = (id % 3).toInt
     val (charsetName, ctParam) = leg match {
       case 0 => ("UTF-8", "; charset=utf-8")
       case 1 => ("windows-1252", "; charset=windows-1252")

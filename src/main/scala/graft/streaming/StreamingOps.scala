@@ -150,18 +150,26 @@ object StreamingOps {
   def crawlTextStream(spark: org.apache.spark.sql.SparkSession,
       dropDir: String, maxBodyBytes: Int = 1 << 20,
       maxFilesPerTrigger: Option[Int] = None,
-      maxDecodeErrors: Int = Int.MaxValue): DataFrame = {
-    import org.apache.spark.sql.functions.{col, xxhash64}
+      maxDecodeErrors: Int = Int.MaxValue,
+      mainContent: Boolean = false): DataFrame = {
     crawlTextStages(
       graft.sources.Warc.recordsStream(spark, dropDir, maxBodyBytes,
-        maxFilesPerTrigger), maxDecodeErrors)
+        maxFilesPerTrigger), maxDecodeErrors, mainContent)
   }
 
   /** The stream/batch-shared projection of [[crawlTextStream]] — one
-    * code path, two sources (spec pins stream == batch through it). */
+    * code path, two sources (spec pins stream == batch through it).
+    * With `mainContent` the page reduces through the boilerplate-aware
+    * [[graft.functions.HtmlMainContent]] block scorer instead of the
+    * keep-everything `html_text` — nav/footer/link-farm text then
+    * never reaches the quality gate or the dedup fingerprints. */
   def crawlTextStages(records: DataFrame,
-      maxDecodeErrors: Int = Int.MaxValue): DataFrame = {
+      maxDecodeErrors: Int = Int.MaxValue,
+      mainContent: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, xxhash64}
+    val extract: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (mainContent) graft.functions.HtmlMainContent.apply
+      else graft.functions.HtmlText.apply
     records
       .filter(col("warc_type") === "response" && !col("truncated"))
       .withColumn("__d", graft.functions.CharsetDecode(col("body"),
@@ -175,7 +183,7 @@ object StreamingOps {
         col("warc_date").cast("timestamp").as("fetch_ts"),
         col("__d.charset").as("charset"),
         col("__d.decode_errors").as("decode_errors"),
-        graft.functions.HtmlText(col("__d.text")).as("text"))
+        extract(col("__d.text")).as("text"))
   }
 
   /** Cross-batch canonical-URL revisit dedup — the FRONTIER stage of
@@ -213,9 +221,10 @@ object StreamingOps {
       boilerplate: Option[DataFrame] = None,
       urlDedup: Boolean = false,
       urlWatermarkCol: Option[String] = None,
-      urlWatermark: String = "1 hour"): DataFrame = {
+      urlWatermark: String = "1 hour",
+      mainContent: Boolean = false): DataFrame = {
     val text = crawlTextStream(spark, dropDir, maxBodyBytes,
-      maxFilesPerTrigger, maxDecodeErrors)
+      maxFilesPerTrigger, maxDecodeErrors, mainContent)
     corpusIngestStream(
       // the dedup state bound the urlDedupStage scaladoc advises is
       // reachable from here: pass the page stream's event-time column

@@ -288,4 +288,50 @@ class WarcSpec extends AnyFunSuite {
       r.getAs[String]("t") === s"Doc $id doc $id body words here café révisé"
     })
   }
+
+  test("main_content: containers die wholesale, link farms die on " +
+      "density, stubs die on length, content survives under html_text's " +
+      "normalization; canonicalUrl port strip is authority-anchored") {
+    import spark.implicits._
+    def mc(h: String): String =
+      Seq(h).toDF("h")
+        .select(graft.functions.TextFunctions.mainContent(col("h")))
+        .head().getString(0)
+    val page = "<html><head><title>Doc 7</title></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> menu</nav>" +
+      "<p>the quick brown fox jumps over the lazy dog &amp; friends</p>" +
+      "<div><a href=\"/r1\">related article one</a> " +
+      "<a href=\"/r2\">related article two</a> " +
+      "<a href=\"/r3\">related article three</a></div>" +
+      "<aside>subscribe to our newsletter for offers today</aside>" +
+      "<footer>copyright 2026 all rights reserved by us</footer>" +
+      "<script>var x=1;</script></body></html>"
+    assert(mc(page) ===
+      "the quick brown fox jumps over the lazy dog & friends")
+    // a long paragraph with ONE short inline link keeps its block
+    assert(mc("<p>a genuinely long content paragraph mentioning " +
+      "<a href=\"/x\">one link</a> inline keeps flowing with more " +
+      "words after it</p>").contains("one link"))
+    // a page of nothing but boilerplate reduces to the EMPTY string
+    assert(mc("<nav><a href=\"/\">Home</a></nav>" +
+      "<footer>short footer</footer>") === "")
+    // nested same-tag container: outer tail survives into the scorer
+    // but dies on the length/density rules when boilerplate-shaped
+    assert(mc("<nav>a<nav>b</nav>menu links</nav>" +
+      "<p>real content paragraph long enough to clear the minimum</p>")
+      === "real content paragraph long enough to clear the minimum")
+    // canonicalUrl: port-lookalikes in paths and query params survive;
+    // real default ports strip with ?, #, or nothing following
+    def cu(u: String): String =
+      Seq(u).toDF("u")
+        .select(graft.functions.TextFunctions.canonicalUrl(col("u")))
+        .head().getString(0)
+    assert(cu("https://h.org/a:80/b") === "https://h.org/a:80/b")
+    assert(cu("https://h.org/p?next=http://x.org:443/q")
+      === "https://h.org/p?next=http://x.org:443/q")
+    assert(cu("https://h.org:443?p=1") === "https://h.org?p=1")
+    assert(cu("https://h.org:80") === "https://h.org")
+    assert(cu("HTTPS://H.org:443/a#frag") === "https://h.org/a")
+    assert(cu("https://h.org:8443/a") === "https://h.org:8443/a")
+  }
 }
