@@ -790,6 +790,38 @@ object PipelineQueries {
     Similarity.semanticDedup(t(s, dir, "embeddings"), threshold = 0.40)
       .select("vec_id").orderBy("vec_id")
 
+  /** SemDeDup CLUSTERED mode — the production 100 TB path — held
+    * against the exact anchor inside one oracle row (the q65
+    * audit-boolean pattern): cluster-local comparisons can only MISS
+    * pairs the exact mode sees, so clustered survivors must be a
+    * SUPERSET of exact survivors; the row carries the oracle-computable
+    * exact counts plus the superset invariant folded to a boolean the
+    * oracle asserts as literal true. Scale shape: the clustered mode's
+    * quadratic term is bounded by cell sizes (pairs shuffle on cid) —
+    * ScaleBench probes it standalone as q70_clustered, where the exact
+    * mode is a fixture-bounded anchor. */
+  def q70cClusteredDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val exactIds = Similarity.semanticDedup(emb, threshold = 0.40)
+        .select("vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val clustered = Similarity.semanticDedup(emb, threshold = 0.40,
+          nClusters = 8, nIters = 3)
+        val nVecs = emb.count()
+        val nExact = exactIds.count()
+        val violations = exactIds
+          .join(clustered.select("vec_id"), Seq("vec_id"), "left_anti")
+          .count()
+        Seq((nVecs, nExact, violations == 0L))
+          .toDF("n_vecs", "n_exact", "superset_ok")
+      } finally { exactIds.unpersist(false); () }
+    } finally { emb.unpersist(false); () }
+  }
+
   /** Positional inverted index + phrase search: the top-5 trigram
     * phrases (count desc, phrase asc) each located via the postings
     * m-way positional self-join; per-phrase doc counts, occurrence
@@ -2654,6 +2686,27 @@ object PipelineQueries {
         |drop AS (SELECT DISTINCT b_id FROM s WHERE score >= 0.40)
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT b_id FROM drop) ORDER BY vec_id""".stripMargin,
+    // q70's exact drop-set reduced to counts; the clustered mode's
+    // superset invariant arrives as a Spark-audited boolean the oracle
+    // asserts literally (the q65 pattern)
+    "q70c_clustered_dedup" ->
+      """WITH a AS (SELECT vec_id AS a_id, embedding AS a_vec FROM embeddings),
+        |b AS (SELECT vec_id AS b_id, embedding AS b_vec FROM embeddings),
+        |s AS (
+        |  SELECT a_id, b_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(a_vec) + 1),
+        |        i -> CAST(a_vec[i] AS DOUBLE) * CAST(b_vec[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(a_vec) + 1),
+        |           i -> CAST(a_vec[i] AS DOUBLE) * CAST(a_vec[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(b_vec) + 1),
+        |           i -> CAST(b_vec[i] AS DOUBLE) * CAST(b_vec[i] AS DOUBLE))))), 6) AS score
+        |  FROM a, b WHERE a_id < b_id),
+        |drop AS (SELECT DISTINCT b_id FROM s WHERE score >= 0.40)
+        |SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+        |  (SELECT count(*) FROM embeddings
+        |     WHERE vec_id NOT IN (SELECT b_id FROM drop)) AS n_exact,
+        |  true AS superset_ok""".stripMargin,
     "q72_novelty" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
@@ -3146,6 +3199,7 @@ object PipelineQueries {
     "q68_fuzzy_pairs" -> (q68FuzzyPairs _),
     "q69_substring_dedup" -> (q69SubstringDedup _),
     "q70_semantic_dedup" -> (q70SemanticDedup _),
+    "q70c_clustered_dedup" -> (q70cClusteredDedup _),
     "q71_phrase_search" -> (q71PhraseSearch _),
     "q71_indexed" -> (q71PhraseSearchIndexed _),
     "q71_indexed_probe" -> (q71IndexedProbe _),

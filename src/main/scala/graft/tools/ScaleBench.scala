@@ -40,10 +40,12 @@ object ScaleBench {
     "q16_text_stats",
     "q19_ngram_jaccard",
     "q20_minhash_lsh",
-    "q23_embed_neardup",
     "q43_dup_clusters",
     "q69_substring_dedup",
-    "q70_semantic_dedup",
+    // SemDeDup's PRODUCTION shape: cluster-local pairs only (the
+    // registered q70c row pins its superset invariant; here it is
+    // probed standalone so the benched story is the scale path)
+    "q70_clustered",
     "q72_novelty",
     "q78_lr_quality",
     "q79_bm25",
@@ -65,6 +67,24 @@ object ScaleBench {
     "q97_warc_ingest",
     "q98_url_dedup",
     "q99_crawl_capstone")
+
+  /** Deliberate exact-all-pairs ORACLE ANCHORS — fixture-bounded by
+    * design (their at-scale substitutes are q20's LSH and
+    * q70_clustered). Measured and reported under a separate `anchors`
+    * block so the headline exponent table carries only paths a 100 TB
+    * deployment would actually run. */
+  private val AnchorQueries = Seq(
+    "q23_embed_neardup",
+    "q70_semantic_dedup")
+
+  /** Probe-only shapes not in the registered query map (the
+    * registered q70c row runs exact+clustered for its invariant;
+    * the bench must time the clustered mode alone). */
+  private val ExtraProbes: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q70_clustered" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Similarity.semanticDedup(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        threshold = 0.40, nClusters = 8, nIters = 3)))
 
   private[tools] def generateSlice(spark: SparkSession, baseDir: String,
       outDir: String, factor: Int): Unit = {
@@ -118,8 +138,8 @@ object ScaleBench {
       "graft_scale_sf1_" + Integer.toHexString(baseDir.hashCode)).getAbsolutePath
     generateSf1(spark, baseDir, sf1Dir)
 
-    val queries = graft.SparkEntry.queries
-    def run(dir: String): Map[String, Double] = {
+    val queries = graft.SparkEntry.queries ++ ExtraProbes
+    def run(dir: String, names: Seq[String]): Map[String, Double] = {
       // warm-up scan absorbs codegen/JIT startup
       spark.read.parquet(s"$dir/documents.parquet")
         .write.format("noop").mode("overwrite").save()
@@ -127,26 +147,31 @@ object ScaleBench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        ProbeQueries.map { name =>
+        names.map { name =>
           val t0 = System.nanoTime()
           queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
           name -> (System.nanoTime() - t0) / 1e9
         }.toMap
       }
-      ProbeQueries.map(n => n -> samples.map(_(n)).min).toMap
+      names.map(n => n -> samples.map(_(n)).min).toMap
     }
 
-    val t01 = run(baseDir)
-    val t1 = run(sf1Dir)
-    def jsonMap(m: Map[String, Double]): String =
-      ProbeQueries.map(n => "\"" + n + f"""\":${m(n)}%.3f""").mkString("{", ",", "}")
-    val exps = ProbeQueries.map { n =>
+    val t01 = run(baseDir, ProbeQueries ++ AnchorQueries)
+    val t1 = run(sf1Dir, ProbeQueries ++ AnchorQueries)
+    def jsonMap(names: Seq[String], m: Map[String, Double]): String =
+      names.map(n => "\"" + n + f"""\":${m(n)}%.3f""").mkString("{", ",", "}")
+    val exps = (ProbeQueries ++ AnchorQueries).map { n =>
       n -> math.log10(t1(n) / t01(n))
     }.toMap
     val json =
       s"""{"metric":"scale_probe","base":"$baseDir","factor":10,""" +
-        s""""sf01_sec":${jsonMap(t01)},"sf1_sec":${jsonMap(t1)},""" +
-        s""""exponent":${jsonMap(exps)},"reps":$reps}"""
+        s""""sf01_sec":${jsonMap(ProbeQueries, t01)},""" +
+        s""""sf1_sec":${jsonMap(ProbeQueries, t1)},""" +
+        s""""exponent":${jsonMap(ProbeQueries, exps)},""" +
+        s""""anchors":{"note":"deliberate exact-all-pairs oracle anchors, fixture-bounded; production substitutes are q20_minhash_lsh and q70_clustered",""" +
+        s""""sf01_sec":${jsonMap(AnchorQueries, t01)},""" +
+        s""""sf1_sec":${jsonMap(AnchorQueries, t1)},""" +
+        s""""exponent":${jsonMap(AnchorQueries, exps)}},"reps":$reps}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale_r08.json")),
