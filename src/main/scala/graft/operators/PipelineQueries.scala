@@ -615,6 +615,61 @@ object PipelineQueries {
       .orderBy("shard")
   }
 
+  /** The Iceberg migrate → PRUNED-READ path under the hard oracle
+    * signal — the first driver-green row exercising S9's read leg
+    * end-to-end: the orders fixture migrates once (amortized by
+    * fixture fingerprint) through [[graft.api.SchemaTranslator
+    * .migrateTable]] into a RANGE(o_orderstatus)-partitioned Iceberg
+    * v2 table, then [[graft.sources.IcebergSnapshot.readSnapshot]]
+    * reads it back with a pruning predicate (status equality +
+    * orderkey range). File skipping is audited in-row (the q65
+    * boolean pattern: the non-matching status partitions' files MUST
+    * be skipped, kept∪skipped must cover the live set) and the
+    * surviving rows aggregate to oracle-checkable totals — DuckDB
+    * computes the same filter over the raw parquet, so manifest
+    * bounds, partition-value decode, identity-column restore and the
+    * residual row filter all sit under one hash. Scale shape: this IS
+    * the 100 TB selective-read story — the scan opens only
+    * overlapping files. */
+  def q100IcebergPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{IcebergPruning, IcebergSnapshot}
+    val tdef = graft.parse.Db2Parser.parse(
+      """CREATE TABLE G.ORDERS_ICE (
+        |  O_ORDERKEY BIGINT NOT NULL,
+        |  O_CUSTKEY BIGINT,
+        |  O_ORDERSTATUS VARCHAR(1),
+        |  O_TOTALPRICE DOUBLE,
+        |  O_ORDERDATE TIMESTAMP,
+        |  O_ORDERPRIORITY VARCHAR(20)
+        |) PARTITION BY RANGE (O_ORDERSTATUS);""".stripMargin).tables.head
+    val (path, built) = amortizedIndexPath(s, dir, "iceberg_orders",
+      p => new java.io.File(p, "metadata/version-hint.text").isFile,
+      table = "orders")
+    if (!built)
+      graft.api.SchemaTranslator.migrateTable(t(s, dir, "orders"), tdef, path)
+    val pruning = Seq(
+      IcebergPruning.ColumnBound.eq("O_ORDERSTATUS", "F"),
+      IcebergPruning.ColumnBound("O_ORDERKEY", Some(500L), Some(5000L)))
+    val (kept, skipped) = IcebergPruning.planScan(
+      s.sparkContext.hadoopConfiguration, path, tdef, pruning)
+    val (all, _) = IcebergPruning.planScan(
+      s.sparkContext.hadoopConfiguration, path, tdef, Nil)
+    // the audit: pruning did real work (the O/P status partitions'
+    // files skipped) and lost nothing (kept ∪ skipped == live set)
+    val pruneOk = skipped.nonEmpty &&
+      (kept ++ skipped).toSet == all.toSet &&
+      kept.forall(_.contains("O_ORDERSTATUS=F"))
+    IcebergSnapshot.readSnapshot(s, path, tdef, pruning = pruning)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("O_ORDERKEY")).cast("bigint").as("sum_keys"),
+        round(sum(col("O_TOTALPRICE").cast("decimal(28,4)"))
+          .cast("double"), 2).as("sum_price"))
+      .select(col("n_rows"), col("sum_keys"), col("sum_price"),
+        lit(pruneOk).as("prune_ok"))
+  }
+
   /** Per-label embedding statistics: count and L2-norm rollups — the
     * quick corpus-health check before ANN indexing (degenerate or
     * unnormalized embedding batches show up as norm outliers). Norms
@@ -3032,6 +3087,19 @@ object PipelineQueries {
         |  md5(etext) AS text_md5,
         |  false AS truncated
         |FROM e ORDER BY doc_id""".stripMargin,
+    // the migrated Iceberg table holds exactly the orders fixture's
+    // rows (migrateTable is a cast-free copy here), so the pruned read
+    // must aggregate to the raw parquet under the same predicate; the
+    // file-skipping audit arrives as a Spark-side boolean
+    "q100_iceberg_pruned_read" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 2)
+        |    AS sum_price,
+        |  true AS prune_ok
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |  AND o_orderkey BETWEEN 500 AND 5000""".stripMargin,
     // the boilerplate fixture's two extraction surfaces reconstructed
     // arithmetically: html_text keeps title + nav + content + link farm
     // + aside + footer in document order; main_content keeps exactly
@@ -3199,6 +3267,7 @@ object PipelineQueries {
     "q68_fuzzy_pairs" -> (q68FuzzyPairs _),
     "q69_substring_dedup" -> (q69SubstringDedup _),
     "q70_semantic_dedup" -> (q70SemanticDedup _),
+    "q100_iceberg_pruned_read" -> (q100IcebergPrunedRead _),
     "q70c_clustered_dedup" -> (q70cClusteredDedup _),
     "q71_phrase_search" -> (q71PhraseSearch _),
     "q71_indexed" -> (q71PhraseSearchIndexed _),

@@ -225,7 +225,8 @@ object IcebergDeletes {
     * source columns are directory-encoded and cannot carry an
     * equality delete). */
   def commitUpsert(spark: SparkSession, table: TableDef, tablePath: String,
-      keys: DataFrame, timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+      keys: DataFrame, timestampMs: Long = 0L,
+      extraProperties: Map[String, String] = Map.empty): IcebergMetadata.SnapshotMeta = {
     val conf = spark.sparkContext.hadoopConfiguration
     val (metadataDir, fs, version, chain, current) = loadCurrent(tablePath, conf)
     val priorList = readManifestList(new Path(current.manifestList), conf)
@@ -308,7 +309,7 @@ object IcebergDeletes {
       totalPositionDeletes = current.totalPositionDeletes,
       totalEqualityDeletes = current.totalEqualityDeletes + nKeys)
     writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
-      chain :+ snap, timestampMs)
+      chain :+ snap, timestampMs, addProperties = extraProperties)
     snap
   }
 

@@ -524,6 +524,64 @@ object StreamingOps {
     }
   }
 
+  /** [[icebergTableSink]]'s CDC shape — exactly-once streaming UPSERT
+    * into a migrated Iceberg table: each micro-batch's rows land as
+    * new data files AND kill every older row sharing their `keyCols`
+    * via one global equality delete, committed as a single atomic
+    * OVERWRITE snapshot ([[graft.api.SchemaTranslator.mergeUpsert]]'s
+    * merge-on-read shape under structured streaming — the Flink-CDC
+    * pattern). The first batch against an uncreated table path
+    * bootstraps the table as a plain append (no older rows to kill).
+    *
+    * Caller contract: rows within one batch are already latest-wins
+    * per key ([[graft.operators.Cdc.compactLatest]] upstream) — the
+    * equality delete only kills rows STRICTLY OLDER than the batch's
+    * data files, so in-batch duplicates would all survive.
+    *
+    * Same exactly-once machinery as [[icebergTableSink]] (per-batch
+    * overwrite data dirs; the `graft.streaming.txn.<appId>` property
+    * committed atomically with the snapshot; post-commit replays
+    * skipped; properties carry forward across interleaved
+    * maintenance) — see its `txnAppId` stability contract. */
+  def icebergUpsertSink(table: graft.model.TableDef, path: String,
+      keyCols: Seq[String], txnAppId: String,
+      format: String = "parquet"): (DataFrame, Long) => Unit = {
+    require(txnAppId.nonEmpty, "icebergUpsertSink needs a stable txnAppId")
+    require(keyCols.nonEmpty, "icebergUpsertSink needs equality key columns")
+    val txnKey = s"graft.streaming.txn.$txnAppId"
+    val appHash = java.util.UUID.nameUUIDFromBytes(
+      txnAppId.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+    (batch, bid) => {
+      if (!batch.isEmpty) {
+        import graft.sources.{IcebergDeletes, IcebergMetadata, IcebergSnapshot}
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val hint = new org.apache.hadoop.fs.Path(
+          s"$path/metadata/version-hint.text")
+        val exists = hint.getFileSystem(conf).exists(hint)
+        val replay = exists &&
+          IcebergSnapshot.tableProperties(path, conf).get(txnKey)
+            .exists(committed => bid <= committed.toLong)
+        if (!replay) {
+          graft.api.SchemaTranslator.writeMigrated(batch, table,
+            s"$path/data/stream-$appHash-$bid", format, mode = "overwrite")
+          if (exists) {
+            val schema = graft.api.SchemaTranslator.toSparkSchema(table)
+            val keys = batch.select(keyCols.map(k =>
+              org.apache.spark.sql.functions.col(k)
+                .cast(schema(k).dataType).as(k)): _*)
+            IcebergDeletes.commitUpsert(batch.sparkSession, table, path,
+              keys, extraProperties = Map(txnKey -> bid.toString))
+          } else {
+            IcebergMetadata.writeTableMetadata(table, path, conf)
+            IcebergSnapshot.commitAppend(table, path, conf,
+              extraProperties = Map(txnKey -> bid.toString))
+          }
+          ()
+        }
+      }
+    }
+  }
+
   /** Streaming CROSS-RUN dedup through the persisted fingerprint
     * ledger ([[graft.operators.FingerprintLedger]]): a `foreachBatch`
     * body that writes each micro-batch's never-seen-before rows

@@ -981,6 +981,72 @@ class StreamingSpec extends AnyFunSuite {
       expectSnapshot = true)
   }
 
+  test("icebergUpsertSink is EXACTLY-ONCE: bootstrap, latest-wins CDC " +
+      "increments, replay no-op, pre-commit crash re-runs cleanly") {
+    import graft.api.SchemaTranslator
+    import graft.parse.Db2Parser
+    import graft.sources.IcebergSnapshot
+    val table = Db2Parser.parse(
+      """CREATE TABLE S.UPS (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10),
+        |  N INTEGER
+        |);""".stripMargin).tables.head
+    val out = Files.createTempDirectory("iceberg_ups").toString
+    def df(rows: Seq[(Long, String, Int)]) = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("K", LongType, nullable = false),
+        StructField("V", StringType), StructField("N", IntegerType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2, r._3)), 2), schema)
+    }
+    def state = IcebergSnapshot.readSnapshot(spark, out, table)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val sink = StreamingOps.icebergUpsertSink(table, out,
+      keyCols = Seq("K"), txnAppId = "ups-1")
+
+    sink(df(Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))), 0) // bootstrap
+    assert(state === Set((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)))
+    // CDC batch: update K=2, insert K=4
+    sink(df(Seq((2L, "b2", 22), (4L, "d", 40))), 1)
+    assert(state === Set((1L, "a", 10), (2L, "b2", 22), (3L, "c", 30),
+      (4L, "d", 40)))
+    // post-commit replay: no-op (no doubled rows, no extra snapshot)
+    sink(df(Seq((2L, "b2", 22), (4L, "d", 40))), 1)
+    assert(state === Set((1L, "a", 10), (2L, "b2", 22), (3L, "c", 30),
+      (4L, "d", 40)), "replay must not re-apply the upsert")
+    // batch 2 crashes after the data write, before the commit: the
+    // replay overwrites the partial files and commits exactly once
+    val appHash = java.util.UUID.nameUUIDFromBytes(
+      "ups-1".getBytes("UTF-8")).toString
+    SchemaTranslator.writeMigrated(df(Seq((1L, "a2", 11))), table,
+      s"$out/data/stream-$appHash-2", mode = "overwrite")
+    assert(state === Set((1L, "a", 10), (2L, "b2", 22), (3L, "c", 30),
+      (4L, "d", 40)), "crashed batch must be invisible")
+    sink(df(Seq((1L, "a2", 11))), 2)
+    assert(state === Set((1L, "a2", 11), (2L, "b2", 22), (3L, "c", 30),
+      (4L, "d", 40)), "replayed upsert lands exactly once")
+    assert(IcebergSnapshot.tableProperties(out,
+      spark.sparkContext.hadoopConfiguration)
+      .get("graft.streaming.txn.ups-1") === Some("2"))
+    // merge-on-read shape: the table still time-travels to bootstrap
+    val chain = {
+      val v = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, "metadata", "version-hint.text")),
+        "UTF-8").trim.toInt
+      val meta = org.json4s.jackson.JsonMethods.parse(
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+          out, "metadata", s"v$v.metadata.json")), "UTF-8"))
+      (meta \ "snapshots").asInstanceOf[org.json4s.JArray].arr
+        .map(sn => (sn \ "snapshot-id").asInstanceOf[org.json4s.JInt].num.toLong)
+    }
+    assert(chain.size === 3)
+    assert(IcebergSnapshot.readSnapshot(spark, out, table, Some(chain.head))
+      .count() === 3L)
+  }
+
   test("session_window batch agg: gap merge semantics") {
     import spark.implicits._
     val data = Seq(
