@@ -105,7 +105,8 @@ object IcebergChanges {
   def incrementalAppendScan(spark: SparkSession, tablePath: String,
       table: TableDef, fromSnapshotId: Option[Long],
       toSnapshotId: Option[Long] = None,
-      strict: Boolean = true): DataFrame = {
+      strict: Boolean = true,
+      pruning: Seq[IcebergPruning.ColumnBound] = Nil): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val (chain, mainId) = chainOf(spark, tablePath)
     val snaps = range(chain, fromSnapshotId, toSnapshotId.orElse(mainId))
@@ -133,25 +134,34 @@ object IcebergChanges {
             .map { e =>
               val df = e.get("data_file")
                 .asInstanceOf[org.apache.avro.generic.GenericRecord]
-              val part = df.get("partition")
-                .asInstanceOf[org.apache.avro.generic.GenericRecord]
-              (df.get("file_path").toString, mSpec,
-                pf.map { case (name, _, _) => Option(part.get(name)) })
+              IcebergSnapshot.decodeDataFileInfo(df, pf, mSpec)
             }
+            // stats-based file pruning — an incremental consumer that
+            // only wants one key range / partition skips the rest of
+            // each commit's files exactly like readSnapshot does
+            .filter(info => pruning.forall(b =>
+              IcebergPruning.fileMayMatch(table, info, b)))
         }
       if (files.isEmpty) None
-      else Some(normalized(
-        files.groupBy(_._2).toSeq.sortBy(_._1).map { case (sid, fs) =>
-          restoreIdentityColumnsFor(spark,
-            scanDataFiles(spark, table, fs.map(_._1), sid),
-            table, partitionFieldsOf(table, sid),
-            dirEncodedIdentityCols(table, sid),
-            fs.map(f => (f._1, f._3)),
-            castToDeclared = table.partitionSpecs.nonEmpty)
-        }.reduce(_ unionByName _), table)
-        .withColumn("_change_type", lit("insert"))
-        .withColumn("_commit_snapshot_id", lit(s.snapshotId))
-        .withColumn("_change_ordinal", lit(ord)))
+      else Some {
+        val scanned = normalized(
+          files.groupBy(_.specId).toSeq.sortBy(_._1).map { case (sid, fs) =>
+            restoreIdentityColumnsFor(spark,
+              scanDataFiles(spark, table, fs.map(_.path), sid),
+              table, partitionFieldsOf(table, sid),
+              dirEncodedIdentityCols(table, sid),
+              fs.map(f => (f.path, f.partitionValues)),
+              castToDeclared = table.partitionSpecs.nonEmpty)
+          }.reduce(_ unionByName _), table)
+        val filtered =
+          if (pruning.isEmpty) scanned
+          else scanned.where(
+            IcebergPruning.residualFilter(scanned, table, pruning))
+        filtered
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_snapshot_id", lit(s.snapshotId))
+          .withColumn("_change_ordinal", lit(ord))
+      }
     }
     if (perSnap.isEmpty)
       emptyLike(spark, table)

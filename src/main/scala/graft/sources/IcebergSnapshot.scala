@@ -1474,16 +1474,18 @@ object IcebergSnapshot {
     parseRefs(readText(new Path(metadataDir, s"v$version.metadata.json"), conf))
   }
 
-  /** [[readSnapshot]] addressed by ref name instead of snapshot id. */
+  /** [[readSnapshot]] addressed by ref name instead of snapshot id
+    * (same optional stats-based `pruning`). */
   def readSnapshotAtRef(spark: org.apache.spark.sql.SparkSession,
-      tablePath: String, table: TableDef,
-      refName: String): org.apache.spark.sql.DataFrame = {
+      tablePath: String, table: TableDef, refName: String,
+      pruning: Seq[IcebergPruning.ColumnBound] = Nil): org.apache.spark.sql.DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    if (refName == "main") return readSnapshot(spark, tablePath, table)
+    if (refName == "main")
+      return readSnapshot(spark, tablePath, table, pruning = pruning)
     val id = listRefs(tablePath, conf).collectFirst {
       case (n, sid, _) if n == refName => sid
     }.getOrElse(throw new IllegalArgumentException(s"no ref $refName"))
-    readSnapshot(spark, tablePath, table, Some(id))
+    readSnapshot(spark, tablePath, table, Some(id), pruning = pruning)
   }
 
   /** Incremental append (snapshot N+1): commit the data files that

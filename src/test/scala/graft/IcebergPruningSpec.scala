@@ -227,6 +227,34 @@ class IcebergPruningSpec extends AnyFunSuite {
     }
   }
 
+  test("pruning threads through incremental scans and ref reads") {
+    val out = fixture
+    val ids = {
+      val v = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, "metadata", "version-hint.text")),
+        "UTF-8").trim.toInt
+      val meta = org.json4s.jackson.JsonMethods.parse(
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+          out, "metadata", s"v$v.metadata.json")), "UTF-8"))
+      (meta \ "snapshots").asInstanceOf[org.json4s.JArray].arr
+        .map(s => (s \ "snapshot-id").asInstanceOf[org.json4s.JInt].num.toLong)
+    }
+    // incremental over the 6-9 and 10-12 commits, pruned to K ≤ 8:
+    // rows 9-12 die (8 < K via residual, whole increment-3 files via
+    // bounds), change metadata survives
+    val inc = graft.sources.IcebergChanges.incrementalAppendScan(spark,
+      out, table, fromSnapshotId = Some(ids(0)), toSnapshotId = Some(ids(2)),
+      pruning = Seq(ColumnBound("K", None, Some(8L))))
+    assert(keySet(inc) === Set(6L, 7L, 8L))
+    assert(inc.select("_commit_snapshot_id").distinct().count() === 1L)
+    // ref read with pruning
+    graft.sources.IcebergSnapshot.createRef(table, out, "probe", ids(1),
+      conf = hconf)
+    val atRef = graft.sources.IcebergSnapshot.readSnapshotAtRef(spark, out,
+      table, "probe", pruning = Seq(ColumnBound("K", Some(4L), Some(7L))))
+    assert(keySet(atRef) === Set(4L, 5L, 6L, 7L))
+  }
+
   test("unknown pruning columns and inverted ranges fail loudly") {
     val out = fixture
     intercept[IllegalArgumentException] {
