@@ -582,6 +582,69 @@ object StreamingOps {
     }
   }
 
+  /** The FULL CDC shape — [[icebergUpsertSink]] plus row deletion: each
+    * micro-batch carries an `opCol` marker per row (`"D"` = delete the
+    * key, anything else = upsert the row), and the batch lands as ONE
+    * atomic OVERWRITE snapshot: new data files for the upsert rows, one
+    * global equality delete over ALL the batch's keys (upsert keys kill
+    * their older versions, delete keys kill without replacement —
+    * exactly [[graft.sources.IcebergDeletes.commitUpsert]]'s
+    * semantics). The op column never reaches the table (the migration
+    * writer projects the declared schema). Caller contract: one row
+    * per key per batch, latest-wins compacted upstream
+    * ([[graft.operators.Cdc.compactLatest]] emits exactly this shape).
+    * Bootstrap: the first batch against an uncreated path creates the
+    * table from its non-delete rows; an all-delete first batch is a
+    * no-op (nothing exists to delete — replays converge trivially).
+    * Exactly-once machinery identical to [[icebergTableSink]]. */
+  def icebergCdcSink(table: graft.model.TableDef, path: String,
+      keyCols: Seq[String], opCol: String, txnAppId: String,
+      format: String = "parquet"): (DataFrame, Long) => Unit = {
+    require(txnAppId.nonEmpty, "icebergCdcSink needs a stable txnAppId")
+    require(keyCols.nonEmpty, "icebergCdcSink needs equality key columns")
+    val txnKey = s"graft.streaming.txn.$txnAppId"
+    val appHash = java.util.UUID.nameUUIDFromBytes(
+      txnAppId.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+    (batch, bid) => {
+      if (!batch.isEmpty) {
+        import graft.sources.{IcebergDeletes, IcebergMetadata, IcebergSnapshot}
+        import org.apache.spark.sql.functions.col
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val hint = new org.apache.hadoop.fs.Path(
+          s"$path/metadata/version-hint.text")
+        val exists = hint.getFileSystem(conf).exists(hint)
+        val replay = exists &&
+          IcebergSnapshot.tableProperties(path, conf).get(txnKey)
+            .exists(committed => bid <= committed.toLong)
+        if (!replay) {
+          val upserts = batch.filter(col(opCol) =!= "D")
+          val schema = graft.api.SchemaTranslator.toSparkSchema(table)
+          if (!exists) {
+            if (!upserts.isEmpty) {
+              graft.api.SchemaTranslator.writeMigrated(upserts, table,
+                s"$path/data/stream-$appHash-$bid", format,
+                mode = "overwrite")
+              IcebergMetadata.writeTableMetadata(table, path, conf)
+              IcebergSnapshot.commitAppend(table, path, conf,
+                extraProperties = Map(txnKey -> bid.toString))
+              ()
+            } // all-delete bootstrap batch: nothing to do
+          } else {
+            if (!upserts.isEmpty)
+              graft.api.SchemaTranslator.writeMigrated(upserts, table,
+                s"$path/data/stream-$appHash-$bid", format,
+                mode = "overwrite")
+            val keys = batch.select(keyCols.map(k =>
+              col(k).cast(schema(k).dataType).as(k)): _*)
+            IcebergDeletes.commitUpsert(batch.sparkSession, table, path,
+              keys, extraProperties = Map(txnKey -> bid.toString))
+            ()
+          }
+        }
+      }
+    }
+  }
+
   /** Streaming CROSS-RUN dedup through the persisted fingerprint
     * ledger ([[graft.operators.FingerprintLedger]]): a `foreachBatch`
     * body that writes each micro-batch's never-seen-before rows

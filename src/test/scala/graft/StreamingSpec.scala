@@ -1047,6 +1047,53 @@ class StreamingSpec extends AnyFunSuite {
       .count() === 3L)
   }
 
+  test("icebergCdcSink applies insert/update/delete events as one atomic " +
+      "snapshot per batch; replays and delete-only batches stay exact") {
+    import graft.parse.Db2Parser
+    import graft.sources.IcebergSnapshot
+    val table = Db2Parser.parse(
+      """CREATE TABLE S.CDC2 (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10)
+        |);""".stripMargin).tables.head
+    val out = Files.createTempDirectory("iceberg_cdc_sink").toString
+    def df(rows: Seq[(Long, String, String)]) = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("K", LongType, nullable = false),
+        StructField("V", StringType), StructField("op", StringType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2, r._3)), 2), schema)
+    }
+    def state = IcebergSnapshot.readSnapshot(spark, out, table)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val sink = StreamingOps.icebergCdcSink(table, out,
+      keyCols = Seq("K"), opCol = "op", txnAppId = "cdc-1")
+
+    sink(df(Seq((1L, "a", "I"), (2L, "b", "I"), (3L, "c", "I"))), 0)
+    assert(state === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the op column must not have leaked into the table
+    assert(IcebergSnapshot.readSnapshot(spark, out, table)
+      .columns.toSeq === Seq("K", "V"))
+    // mixed batch: update 1, delete 2, insert 4 — one snapshot
+    sink(df(Seq((1L, "a2", "U"), (2L, "b", "D"), (4L, "d", "I"))), 1)
+    assert(state === Set((1L, "a2"), (3L, "c"), (4L, "d")))
+    // replay: no-op
+    sink(df(Seq((1L, "a2", "U"), (2L, "b", "D"), (4L, "d", "I"))), 1)
+    assert(state === Set((1L, "a2"), (3L, "c"), (4L, "d")))
+    // delete-only batch: no data files, a pure DELETE snapshot
+    sink(df(Seq((3L, "c", "D"))), 2)
+    assert(state === Set((1L, "a2"), (4L, "d")))
+    assert(IcebergSnapshot.tableProperties(out,
+      spark.sparkContext.hadoopConfiguration)
+      .get("graft.streaming.txn.cdc-1") === Some("2"))
+    // deleted keys re-insert cleanly in a later batch (equality
+    // deletes only kill STRICTLY older files)
+    sink(df(Seq((2L, "b9", "I"))), 3)
+    assert(state === Set((1L, "a2"), (2L, "b9"), (4L, "d")))
+  }
+
   test("session_window batch agg: gap merge semantics") {
     import spark.implicits._
     val data = Seq(
