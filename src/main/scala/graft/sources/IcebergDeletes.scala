@@ -351,7 +351,7 @@ object IcebergDeletes {
     val pf = partitionFields(table)
     val identityCols = pf.filter(_._3 == "identity").map(_._1)
     val partTuples = liveData.map(_._1.partitionValues).distinct
-    val rewritten = partTuples.zipWithIndex.map { case (tuple, i) =>
+    val rewritten = partTuples.zipWithIndex.flatMap { case (tuple, i) =>
       val dir = new Path(tablePath, s"data/rewrite-$newSeq-$i")
       def surface(idx: Int): String = {
         val itype = pf(idx)._2
@@ -392,12 +392,21 @@ object IcebergDeletes {
       spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
       ordered.write.mode("overwrite").parquet(dir.toString)
       val (p, len, n) = statAndCount(dir, fs, conf)
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-      val stats = try columnStats(reader, table) finally reader.close()
-      DataFileInfo(p.toString, len, n, tuple,
-        valueCounts = stats._1, nullCounts = stats._2,
-        lowerBounds = stats._3, upperBounds = stats._4)
-    }.filter(_.recordCount > 0)
+      // a partition whose every row was deleted rewrites to ZERO rows:
+      // the file must not just be dropped from the commit — it must be
+      // REMOVED, or it sits on disk unreferenced forever (the sixth
+      // randomized-lifecycle find: Delete-all-of-a-partition →
+      // CompactWithDeletes → orphan sweep flagged the leak; writers
+      // must not manufacture the garbage the sweep exists to clean)
+      if (n == 0) { fs.delete(dir, true); None }
+      else {
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        val stats = try columnStats(reader, table) finally reader.close()
+        Some(DataFileInfo(p.toString, len, n, tuple,
+          valueCounts = stats._1, nullCounts = stats._2,
+          lowerBounds = stats._3, upperBounds = stats._4))
+      }
+    }
 
     // REPLACE commit: new manifest list of exactly one data manifest
     // (ADDED + DELETED data rows) and one delete manifest retiring the
@@ -516,7 +525,7 @@ object IcebergDeletes {
                   _: java.lang.Boolean) if itype != "string" => n
         case other => other.toString
       }
-      val rewritten = tuples.toSeq.zipWithIndex.map { case (row, i) =>
+      val rewritten = tuples.toSeq.zipWithIndex.flatMap { case (row, i) =>
         val dir = new Path(tablePath, s"data/rewrite-$newSeq-$i")
         val cond = tupleCols.zipWithIndex.map { case (c, j) =>
           if (row.isNullAt(j)) c.isNull else c === org.apache.spark.sql.functions.lit(row.get(j))
@@ -542,15 +551,22 @@ object IcebergDeletes {
         spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         ordered.write.mode("overwrite").parquet(dir.toString)
         val (p, len, n) = statAndCount(dir, fs, conf)
-        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-        val stats = try columnStats(reader, table) finally reader.close()
-        val tuple = pf.zipWithIndex.map { case ((_, itype, _), j) =>
-          Option(avroVal(itype, if (row.isNullAt(j)) null else row.get(j)))
+        // tuples derive from net's own rows, so an empty slice should
+        // be impossible — but if one ever appears, delete the 0-row
+        // file instead of leaking it unreferenced (see the un-evolved
+        // path's sixth-lifecycle-find note)
+        if (n == 0) { fs.delete(dir, true); None }
+        else {
+          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+          val stats = try columnStats(reader, table) finally reader.close()
+          val tuple = pf.zipWithIndex.map { case ((_, itype, _), j) =>
+            Option(avroVal(itype, if (row.isNullAt(j)) null else row.get(j)))
+          }
+          Some(DataFileInfo(p.toString, len, n, tuple,
+            valueCounts = stats._1, nullCounts = stats._2,
+            lowerBounds = stats._3, upperBounds = stats._4, specId = sid))
         }
-        DataFileInfo(p.toString, len, n, tuple,
-          valueCounts = stats._1, nullCounts = stats._2,
-          lowerBounds = stats._3, upperBounds = stats._4, specId = sid)
-      }.filter(_.recordCount > 0)
+      }
 
       // data entries: ADDED under the default spec; DELETED rows keep
       // their original specs — one manifest per spec group

@@ -562,6 +562,17 @@ class IcebergLifecycleSpec extends AnyFunSuite {
     // still sees the rows.
     runSequence(List(Delete(2, 0), Delete(2, 1), CompactWithDeletes,
       Append(4), Delete(3, 1), CompactWithDeletes), 9006)
+    // sixth find (round 11, fresh-seed pass during the close gate):
+    // a partition whose EVERY row was deleted rewrites to a ZERO-row
+    // file in compactWithDeletes, which was dropped from the commit
+    // but left ON DISK — an unreferenced file leaked by a crash-free
+    // writer, flagged by the sweep's zero-orphans invariant
+    // (Delete(2,1) empties a V partition of the 5-row init; the
+    // rewrite now DELETES empty outputs instead of stranding them).
+    runSequence(List(Delete(2, 1), CompactWithDeletes,
+      SweepOrphans(true)), 9007)
+    runSequence(List(Delete(2, 0), CompactWithDeletes, SweepOrphans(false),
+      Append(4), CompactWithDeletes, SweepOrphans(true)), 9008)
   }
 
   test("randomized lifecycle sequences uphold read==model, time travel, " +
