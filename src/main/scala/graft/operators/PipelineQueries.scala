@@ -670,6 +670,58 @@ object PipelineQueries {
         lit(pruneOk).as("prune_ok"))
   }
 
+  /** The CDC CHANGES read under the hard oracle — the consumer side of
+    * the warehouse-table story: the orders fixture's 75% slice
+    * (o_orderkey % 4 ≠ 3) migrates into an Iceberg table, one
+    * closed-form CDC batch upserts (keys % 8 = 1 → updates with price
+    * 2·key; keys % 8 = 3 → inserts with price 3·key), and
+    * [[graft.sources.IcebergChanges.changesTable]] since table
+    * creation must emit exactly: every initial row as `insert`, the
+    * OLD versions of the updated keys as `delete`, and the batch's
+    * rows as `insert` — aggregated per change type to totals DuckDB
+    * recomputes arithmetically from the raw parquet. Exercises the
+    * multiset state diff, equality-delete application and snapshot
+    * attribution in one hash. Build amortized by fixture fingerprint;
+    * scale shape: the diff is two snapshot reads + one exceptAll per
+    * boundary, all shuffle-bounded by the table. */
+  def q101CdcChanges(s: SparkSession, dir: String): DataFrame = {
+    val tdef = graft.parse.Db2Parser.parse(
+      """CREATE TABLE G.ORDERS_CDC (
+        |  O_ORDERKEY BIGINT NOT NULL,
+        |  O_CUSTKEY BIGINT,
+        |  O_ORDERSTATUS VARCHAR(1),
+        |  O_TOTALPRICE DOUBLE,
+        |  O_ORDERPRIORITY VARCHAR(20)
+        |);""".stripMargin).tables.head
+    val (path, built) = amortizedIndexPath(s, dir, "iceberg_cdc",
+      p => new java.io.File(p, "_built_cdc").isFile, table = "orders")
+    if (!built) {
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      graft.api.SchemaTranslator.migrateTable(
+        orders.filter(pmod(col("o_orderkey"), lit(4)) =!= 3), tdef, path)
+      val batch = orders.filter(pmod(col("o_orderkey"), lit(8)).isin(1, 3))
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(8)) === 1,
+            col("o_orderkey") * lit(2.0))
+            .otherwise(col("o_orderkey") * lit(3.0)))
+      graft.api.SchemaTranslator.mergeUpsert(batch, tdef, path,
+        keyCols = Seq("O_ORDERKEY"))
+      val done = new java.io.File(path, "_built_cdc")
+      java.nio.file.Files.write(done.toPath, "1\n".getBytes("UTF-8"))
+      ()
+    }
+    graft.sources.IcebergChanges.changesTable(s, path, tdef,
+        fromSnapshotId = None)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("O_ORDERKEY")).cast("bigint").as("sum_keys"),
+        round(sum(col("O_TOTALPRICE").cast("decimal(28,4)"))
+          .cast("double"), 2).as("sum_price"))
+      .orderBy("change_type")
+  }
+
   /** Per-label embedding statistics: count and L2-norm rollups — the
     * quick corpus-health check before ANN indexing (degenerate or
     * unnormalized embedding batches show up as norm outliers). Norms
@@ -3100,6 +3152,35 @@ object PipelineQueries {
         |FROM orders
         |WHERE o_orderstatus = 'F'
         |  AND o_orderkey BETWEEN 500 AND 5000""".stripMargin,
+    // the CDC diff reconstructed arithmetically: inserts = the initial
+    // 75% slice (original prices) plus the batch (closed-form prices),
+    // deletes = the updated keys' ORIGINAL rows
+    "q101_cdc_changes" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 4 <> 3),
+        |b AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 8 = 1 THEN o_orderkey * 2.0
+        |         ELSE o_orderkey * 3.0 END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 8 IN (1, 3)),
+        |ins AS (
+        |  SELECT o_orderkey, o_totalprice FROM a
+        |  UNION ALL SELECT o_orderkey, o_totalprice FROM b),
+        |del AS (
+        |  SELECT o_orderkey, o_totalprice FROM a WHERE o_orderkey % 8 = 1),
+        |u AS (
+        |  SELECT 'delete' AS change_type, count(*) AS n_rows,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 2)
+        |      AS sum_price
+        |  FROM del
+        |  UNION ALL
+        |  SELECT 'insert', count(*),
+        |    CAST(sum(o_orderkey) AS BIGINT),
+        |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 2)
+        |  FROM ins)
+        |SELECT * FROM u ORDER BY change_type""".stripMargin,
     // the boilerplate fixture's two extraction surfaces reconstructed
     // arithmetically: html_text keeps title + nav + content + link farm
     // + aside + footer in document order; main_content keeps exactly
@@ -3268,6 +3349,7 @@ object PipelineQueries {
     "q69_substring_dedup" -> (q69SubstringDedup _),
     "q70_semantic_dedup" -> (q70SemanticDedup _),
     "q100_iceberg_pruned_read" -> (q100IcebergPrunedRead _),
+    "q101_cdc_changes" -> (q101CdcChanges _),
     "q70c_clustered_dedup" -> (q70cClusteredDedup _),
     "q71_phrase_search" -> (q71PhraseSearch _),
     "q71_indexed" -> (q71PhraseSearchIndexed _),

@@ -44,26 +44,38 @@ import graft.model.TableDef
   */
 object IcebergPruning {
 
-  /** Inclusive per-column range predicate: `lower ≤ col ≤ upper`
-    * (None = unbounded on that side; both set and equal = equality).
-    * Values accept the natural Scala/Java surface for the column's
-    * Iceberg type: Int/Long for int/long, Float/Double for
-    * float/double, String for string, Boolean for boolean, and
-    * java.time.LocalDate / ISO "yyyy-MM-dd" String / epoch-day Int
-    * for date. SQL three-valued logic: a NULL cell never matches a
-    * bound. */
+  /** Per-column pruning predicate — either an inclusive RANGE
+    * `lower ≤ col ≤ upper` (None = unbounded on that side; both set
+    * and equal = equality) or an IN-SET `col ∈ values` (the id-lookup
+    * shape; prunes on bucket ordinals per value and on range overlap
+    * against [min(values), max(values)]). Values accept the natural
+    * Scala/Java surface for the column's Iceberg type: Int/Long for
+    * int/long, Float/Double for float/double, String for string,
+    * Boolean for boolean, and java.time.LocalDate / ISO "yyyy-MM-dd"
+    * String / epoch-day Int for date. SQL three-valued logic: a NULL
+    * cell never matches a bound. */
   final case class ColumnBound(column: String,
-      lower: Option[Any] = None, upper: Option[Any] = None) {
-    require(lower.isDefined || upper.isDefined,
-      s"ColumnBound($column) needs at least one side")
+      lower: Option[Any] = None, upper: Option[Any] = None,
+      values: Option[Seq[Any]] = None) {
+    require(lower.isDefined || upper.isDefined || values.isDefined,
+      s"ColumnBound($column) needs a range side or a value set")
+    require(values.isEmpty || (lower.isEmpty && upper.isEmpty),
+      s"ColumnBound($column): a value set excludes range sides")
+    require(values.forall(_.nonEmpty),
+      s"ColumnBound($column): empty IN set matches nothing")
     def isEquality: Boolean =
-      lower.isDefined && upper.isDefined && lower == upper
+      (lower.isDefined && upper.isDefined && lower == upper) ||
+        values.exists(_.size == 1)
   }
 
   object ColumnBound {
     /** Equality shorthand: `col == v`. */
     def eq(column: String, v: Any): ColumnBound =
       ColumnBound(column, Some(v), Some(v))
+
+    /** IN-set shorthand: `col ∈ vs` — the multi-id point-lookup. */
+    def in(column: String, vs: Seq[Any]): ColumnBound =
+      ColumnBound(column, values = Some(vs))
   }
 
   /** Iceberg primitive type name of a table column (the bounds'
@@ -188,9 +200,15 @@ object IcebergPruning {
       file: IcebergSnapshot.DataFileInfo, bound: ColumnBound): Boolean = {
     val itype = icebergTypeOf(table, bound.column)
     val fid = table.fieldIdOf(bound.column)
+    val setVals = bound.values.map(_.map(normalize(itype, _)))
+    // IN-sets prune range-wise against [min, max] (signal 3) and
+    // value-wise on the partition signals below
     val lo = bound.lower.map(normalize(itype, _))
+      .orElse(setVals.map(_.reduce((a, b) => if (cmp(itype, a, b) <= 0) a else b)))
     val hi = bound.upper.map(normalize(itype, _))
-    require(lo.zip(hi).forall { case (a, b) => cmp(itype, a, b) <= 0 },
+      .orElse(setVals.map(_.reduce((a, b) => if (cmp(itype, a, b) >= 0) a else b)))
+    require(bound.values.isDefined ||
+      lo.zip(hi).forall { case (a, b) => cmp(itype, a, b) <= 0 },
       s"ColumnBound(${bound.column}): lower > upper matches nothing")
     val specFields = IcebergMetadata.specFieldDefs(table, file.specId)
 
@@ -202,25 +220,34 @@ object IcebergPruning {
         case None => return false // all rows null → no row matches
         case Some(raw) =>
           val v = normalizePartition(itype, raw)
-          if (lo.exists(l => cmp(itype, v, l) < 0)) return false
-          if (hi.exists(h => cmp(itype, v, h) > 0)) return false
-          return true // exact signal: every row matches the range
+          setVals match {
+            case Some(vs) => return vs.exists(x => cmp(itype, v, x) == 0)
+            case None =>
+              if (lo.exists(l => cmp(itype, v, l) < 0)) return false
+              if (hi.exists(h => cmp(itype, v, h) > 0)) return false
+              return true // exact signal: every row matches the range
+          }
       }
     }
 
-    // signal 2: bucket partition value, equality bounds only
-    if (bound.isEquality) {
+    // signal 2: bucket partition value — point candidates (equality or
+    // IN-set) map through the writer's murmur3 transform
+    val pointCands: Seq[Any] = setVals.getOrElse(
+      if (bound.isEquality) Seq(lo.get) else Nil)
+    if (pointCands.nonEmpty) {
       val bIdx = specFields.indexWhere(f =>
         f.transform.startsWith("bucket") && f.sourceId == fid)
       if (bIdx >= 0 && bIdx < file.partitionValues.length) {
         specFields(bIdx).transform match {
           case BucketN(n) =>
-            (file.partitionValues(bIdx), bucketOf(itype, lo.get, n.toInt)) match {
-              case (Some(fb: Number), Some(vb)) if fb.intValue != vb =>
+            val candBuckets = pointCands.map(bucketOf(itype, _, n.toInt))
+            file.partitionValues(bIdx) match {
+              case Some(fb: Number) if candBuckets.forall(_.isDefined) &&
+                  !candBuckets.flatten.contains(fb.intValue) =>
                 return false
-              case (None, Some(_)) =>
-                // null-bucket dir: only null keys live here, and an
-                // equality bound never matches null
+              case None =>
+                // null-bucket dir: only null keys live here, and a
+                // point predicate never matches null
                 return false
               case _ => // fall through to bounds
             }
@@ -301,10 +328,14 @@ object IcebergPruning {
         case "boolean" => lit(normalize(itype, v).asInstanceOf[Boolean])
         case _ => lit(v.toString)
       }
-      val conds =
-        b.lower.map(v => c >= litOf(v)).toSeq ++
-          b.upper.map(v => c <= litOf(v)).toSeq
-      conds.reduce(_ && _)
+      b.values match {
+        case Some(vs) => vs.map(v => c === litOf(v)).reduce(_ || _)
+        case None =>
+          val conds =
+            b.lower.map(v => c >= litOf(v)).toSeq ++
+              b.upper.map(v => c <= litOf(v)).toSeq
+          conds.reduce(_ && _)
+      }
     }.reduce(_ && _)
   }
 }

@@ -255,6 +255,42 @@ class IcebergPruningSpec extends AnyFunSuite {
     assert(keySet(atRef) === Set(4L, 5L, 6L, 7L))
   }
 
+  test("IN-set bounds prune identity partitions by membership, bucket " +
+      "partitions per value, and ranges via [min, max]") {
+    val out = fixture
+    // identity membership: only the p0 partition survives V IN (p0, pX)
+    val (kept, skipped) = assertPruned(out, table,
+      Seq(ColumnBound.in("V", Seq("p0", "pX"))), col("V").isin("p0", "pX"))
+    assert(skipped.nonEmpty && kept.forall(_.contains("V=p0")))
+    // range envelope on K: K IN (2, 11) keeps only files overlapping
+    // [2, 11]; the residual kills everything but the two ids
+    val pruned = IcebergSnapshot.readSnapshot(spark, out, table,
+      pruning = Seq(ColumnBound.in("K", Seq(2L, 11L))))
+    assert(keySet(pruned) === Set(2L, 11L))
+    // bucket membership: a HASH table prunes to the candidate buckets
+    val t = Db2Parser.parse(
+      """CREATE TABLE S.PRBI (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10)
+        |) PARTITION BY HASH (K);""".stripMargin).tables.head
+    import spark.implicits._
+    val outB = java.nio.file.Files.createTempDirectory("iceberg_prbi").toString
+    SchemaTranslator.migrateTable(
+      (1L to 40L).map(k => (k, s"v$k")).toDF("K", "V"), t, outB)
+    val (keptB, skippedB) = IcebergPruning.planScan(hconf, outB, t,
+      Seq(ColumnBound.in("K", Seq(7L, 9L))))
+    assert(skippedB.nonEmpty)
+    val buckets = Seq(7L, 9L).map(k =>
+      (graft.functions.IcebergBucketUtil.hashLong(k) & Integer.MAX_VALUE) % 16)
+    assert(keptB.forall(p => buckets.exists(b => p.contains(s"K_bucket=$b"))))
+    assert(keySet(IcebergSnapshot.readSnapshot(spark, outB, t,
+      pruning = Seq(ColumnBound.in("K", Seq(7L, 9L))))) === Set(7L, 9L))
+    // empty IN set refuses loudly
+    intercept[IllegalArgumentException] {
+      ColumnBound.in("K", Nil)
+    }
+  }
+
   test("unknown pruning columns and inverted ranges fail loudly") {
     val out = fixture
     intercept[IllegalArgumentException] {
