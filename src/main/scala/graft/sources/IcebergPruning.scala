@@ -108,6 +108,27 @@ object IcebergPruning {
         case other => throw new IllegalArgumentException(
           s"cannot compare $other to a date column")
       }
+      // timestamps compare as epoch MICROS (the spec's serialization
+      // unit); timestamptz instants are UTC by definition, NTZ local
+      // datetimes are taken at face value (same convention the writer
+      // used for the stored micros)
+      case "timestamp" | "timestamptz" => v match {
+        case t: java.time.LocalDateTime =>
+          t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            t.getNano / 1000L
+        case i: java.time.Instant =>
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        case t: java.sql.Timestamp =>
+          t.toInstant.getEpochSecond * 1000000L +
+            t.toInstant.getNano / 1000L
+        case s: String =>
+          val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            ldt.getNano / 1000L
+        case n: Number => n.longValue // already epoch micros
+        case other => throw new IllegalArgumentException(
+          s"cannot compare $other to a $icebergType column")
+      }
       case "float" | "double" => v match {
         case n: Number => n.doubleValue
         case s: String => s.toDouble
@@ -126,7 +147,7 @@ object IcebergPruning {
   /** Compare two normalized values of the same Iceberg type. */
   private def cmp(icebergType: String, a: Any, b: Any): Int =
     icebergType match {
-      case "int" | "long" | "date" =>
+      case "int" | "long" | "date" | "timestamp" | "timestamptz" =>
         java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
       case "float" | "double" =>
         java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
@@ -152,7 +173,8 @@ object IcebergPruning {
     }
     icebergType match {
       case "int" | "date" if bytes.length >= 4 => Some(leLong(4))
-      case "long" if bytes.length >= 8 => Some(leLong(8))
+      case "long" | "timestamp" | "timestamptz" if bytes.length >= 8 =>
+        Some(leLong(8))
       case "float" if bytes.length >= 4 =>
         Some(java.lang.Float.intBitsToFloat(leLong(4).toInt).toDouble)
       case "double" if bytes.length >= 8 =>
@@ -168,7 +190,8 @@ object IcebergPruning {
     * as epoch-day ints; Avro strings arrive as Utf8. */
   private def normalizePartition(icebergType: String, v: Any): Any =
     icebergType match {
-      case "int" | "long" | "date" => v.asInstanceOf[Number].longValue
+      case "int" | "long" | "date" | "timestamp" | "timestamptz" =>
+        v.asInstanceOf[Number].longValue
       case "float" | "double" => v.asInstanceOf[Number].doubleValue
       case "boolean" => v.asInstanceOf[java.lang.Boolean].booleanValue
       case _ => v.toString
@@ -323,6 +346,14 @@ object IcebergPruning {
       def litOf(v: Any): org.apache.spark.sql.Column = itype match {
         case "date" => lit(java.time.LocalDate.ofEpochDay(
           normalize("date", v).asInstanceOf[Long]))
+        case "timestamp" | "timestamptz" =>
+          val us = normalize(itype, v).asInstanceOf[Long]
+          val instant = java.time.Instant.ofEpochSecond(
+            Math.floorDiv(us, 1000000L),
+            Math.floorMod(us, 1000000L) * 1000L)
+          if (itype == "timestamptz") lit(instant)
+          else lit(java.time.LocalDateTime.ofInstant(instant,
+            java.time.ZoneOffset.UTC))
         case "int" | "long" => lit(normalize(itype, v).asInstanceOf[Long])
         case "float" | "double" => lit(normalize(itype, v).asInstanceOf[Double])
         case "boolean" => lit(normalize(itype, v).asInstanceOf[Boolean])

@@ -291,6 +291,39 @@ class IcebergPruningSpec extends AnyFunSuite {
     }
   }
 
+  test("timestamp bounds prune on INT64-micros footer stats and accept " +
+      "LocalDateTime, ISO strings and epoch micros") {
+    val tt = Db2Parser.parse(
+      """CREATE TABLE S.PRTS (
+        |  K BIGINT NOT NULL,
+        |  TS TIMESTAMP
+        |);""".stripMargin).tables.head
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("iceberg_prts").toString
+    def ldt(s: String) = java.time.LocalDateTime.parse(s)
+    SchemaTranslator.migrateTable(
+      Seq((1L, ldt("2024-01-05T10:00:00")), (2L, ldt("2024-01-20T11:30:00")))
+        .toDF("K", "TS"), tt, out)
+    SchemaTranslator.appendIncrement(
+      Seq((3L, ldt("2024-03-05T09:15:00")), (4L, ldt("2024-03-20T23:59:59")))
+        .toDF("K", "TS"), tt, out)
+    for (lo <- Seq[Any](ldt("2024-03-01T00:00:00"), "2024-03-01T00:00:00",
+        ldt("2024-03-01T00:00:00").toEpochSecond(
+          java.time.ZoneOffset.UTC) * 1000000L)) {
+      val (kept, skipped) = IcebergPruning.planScan(hconf, out, tt,
+        Seq(ColumnBound("TS", Some(lo), None)))
+      assert(skipped.nonEmpty && kept.nonEmpty, s"bound form $lo")
+      val pruned = IcebergSnapshot.readSnapshot(spark, out, tt,
+        pruning = Seq(ColumnBound("TS", Some(lo), None)))
+      assert(keySet(pruned) === Set(3L, 4L), s"bound form $lo")
+    }
+    // residual applies inside the kept files too
+    assert(keySet(IcebergSnapshot.readSnapshot(spark, out, tt,
+      pruning = Seq(ColumnBound("TS",
+        Some("2024-01-10T00:00:00"), Some("2024-03-10T00:00:00")))))
+      === Set(2L, 3L))
+  }
+
   test("unknown pruning columns and inverted ranges fail loudly") {
     val out = fixture
     intercept[IllegalArgumentException] {
