@@ -44,23 +44,33 @@ import graft.model.TableDef
   */
 object IcebergPruning {
 
-  /** Per-column pruning predicate — either an inclusive RANGE
+  /** Per-column pruning predicate — an inclusive RANGE
     * `lower ≤ col ≤ upper` (None = unbounded on that side; both set
-    * and equal = equality) or an IN-SET `col ∈ values` (the id-lookup
+    * and equal = equality), an IN-SET `col ∈ values` (the id-lookup
     * shape; prunes on bucket ordinals per value and on range overlap
-    * against [min(values), max(values)]). Values accept the natural
-    * Scala/Java surface for the column's Iceberg type: Int/Long for
-    * int/long, Float/Double for float/double, String for string,
-    * Boolean for boolean, and java.time.LocalDate / ISO "yyyy-MM-dd"
-    * String / epoch-day Int for date. SQL three-valued logic: a NULL
-    * cell never matches a bound. */
+    * against [min(values), max(values)]), or a NULLNESS test
+    * (`Some(true)` = IS NULL, `Some(false)` = IS NOT NULL — prunable
+    * from value/null counts and identity partition values alone).
+    * Values accept the natural Scala/Java surface for the column's
+    * Iceberg type: Int/Long for int/long, Float/Double for
+    * float/double, String for string, Boolean for boolean,
+    * java.time.LocalDate / ISO "yyyy-MM-dd" String / epoch-day Int
+    * for date, BigDecimal / String for decimal, and LocalDateTime /
+    * Instant / `Z`-or-offset-suffixed ISO String / epoch-micros Long
+    * for timestamps. SQL three-valued logic: a NULL cell never
+    * matches a range/set bound. */
   final case class ColumnBound(column: String,
       lower: Option[Any] = None, upper: Option[Any] = None,
-      values: Option[Seq[Any]] = None) {
-    require(lower.isDefined || upper.isDefined || values.isDefined,
-      s"ColumnBound($column) needs a range side or a value set")
+      values: Option[Seq[Any]] = None,
+      nullness: Option[Boolean] = None) {
+    require(lower.isDefined || upper.isDefined || values.isDefined ||
+      nullness.isDefined,
+      s"ColumnBound($column) needs a range side, a value set, or a nullness test")
     require(values.isEmpty || (lower.isEmpty && upper.isEmpty),
       s"ColumnBound($column): a value set excludes range sides")
+    require(nullness.isEmpty ||
+      (lower.isEmpty && upper.isEmpty && values.isEmpty),
+      s"ColumnBound($column): a nullness test excludes ranges and value sets")
     require(values.forall(_.nonEmpty),
       s"ColumnBound($column): empty IN set matches nothing")
     def isEquality: Boolean =
@@ -76,6 +86,35 @@ object IcebergPruning {
     /** IN-set shorthand: `col ∈ vs` — the multi-id point-lookup. */
     def in(column: String, vs: Seq[Any]): ColumnBound =
       ColumnBound(column, values = Some(vs))
+
+    /** `col IS NULL` — prunes files whose counts prove no null rows. */
+    def isNull(column: String): ColumnBound =
+      ColumnBound(column, nullness = Some(true))
+
+    /** `col IS NOT NULL` — prunes all-null files/partitions. */
+    def notNull(column: String): ColumnBound =
+      ColumnBound(column, nullness = Some(false))
+  }
+
+  /** Iceberg types with a defined comparison surface in this module —
+    * everything pruning is allowed to compare. Anything else (binary,
+    * uuid, fixed, …) REJECTS the bound loudly at evaluation: silently
+    * degrading to lexicographic `toString` comparison is exactly how
+    * a decimal range bound wrongly prunes a file ("9.50" > "20.00" as
+    * strings — silent missing rows). */
+  private[sources] def isComparableType(icebergType: String): Boolean =
+    icebergType match {
+      case "int" | "long" | "date" | "timestamp" | "timestamptz" |
+          "float" | "double" | "boolean" | "string" => true
+      case t => t.startsWith("decimal(")
+    }
+
+  private val DecimalTypePat = """decimal\(\s*\d+\s*,\s*(\d+)\s*\)""".r
+
+  /** Declared scale of a `decimal(p,s)` Iceberg type string. */
+  private def scaleOf(icebergType: String): Int = icebergType match {
+    case DecimalTypePat(s) => s.toInt
+    case t => throw new IllegalArgumentException(s"not a decimal type: $t")
   }
 
   /** Iceberg primitive type name of a table column (the bounds'
@@ -111,7 +150,11 @@ object IcebergPruning {
       // timestamps compare as epoch MICROS (the spec's serialization
       // unit); timestamptz instants are UTC by definition, NTZ local
       // datetimes are taken at face value (same convention the writer
-      // used for the stored micros)
+      // used for the stored micros). String surfaces: a timestamptz
+      // bound additionally accepts `Z`/offset-suffixed ISO instants
+      // ("2024-01-02T03:04:05Z", "…+02:00") — an instant is exactly
+      // what the column stores; an NTZ column REFUSES them (which
+      // local datetime an instant means is genuinely ambiguous).
       case "timestamp" | "timestamptz" => v match {
         case t: java.time.LocalDateTime =>
           t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
@@ -122,9 +165,22 @@ object IcebergPruning {
           t.toInstant.getEpochSecond * 1000000L +
             t.toInstant.getNano / 1000L
         case s: String =>
-          val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-            ldt.getNano / 1000L
+          val iso = s.replace(' ', 'T')
+          val zoned = try Some(java.time.OffsetDateTime.parse(iso))
+          catch { case _: java.time.format.DateTimeParseException => None }
+          zoned match {
+            case Some(odt) =>
+              if (icebergType == "timestamp")
+                throw new IllegalArgumentException(
+                  s"'$s' carries a zone offset — ambiguous for a " +
+                    "timestamp (NTZ) column; pass a local datetime")
+              val i = odt.toInstant
+              i.getEpochSecond * 1000000L + i.getNano / 1000L
+            case None =>
+              val ldt = java.time.LocalDateTime.parse(iso)
+              ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+                ldt.getNano / 1000L
+          }
         case n: Number => n.longValue // already epoch micros
         case other => throw new IllegalArgumentException(
           s"cannot compare $other to a $icebergType column")
@@ -141,7 +197,24 @@ object IcebergPruning {
         case other => throw new IllegalArgumentException(
           s"cannot compare $other to a boolean column")
       }
-      case _ => v.toString // string-ish types compare lexicographically
+      // decimals compare as BigDecimal (compareTo is scale-insensitive,
+      // so "9.50" vs "20.00" orders numerically, never lexically)
+      case d if d.startsWith("decimal(") => v match {
+        case b: java.math.BigDecimal => b
+        case b: scala.math.BigDecimal => b.bigDecimal
+        case b: org.apache.spark.sql.types.Decimal => b.toJavaBigDecimal
+        case i: java.lang.Integer => java.math.BigDecimal.valueOf(i.longValue)
+        case l: java.lang.Long => java.math.BigDecimal.valueOf(l.longValue)
+        case s: String => new java.math.BigDecimal(s)
+        case n: Number => new java.math.BigDecimal(n.toString)
+        case other => throw new IllegalArgumentException(
+          s"cannot compare $other to a $d column")
+      }
+      case "string" => v.toString
+      case t => throw new IllegalArgumentException(
+        s"Iceberg type $t has no comparison surface — pruning bounds " +
+          "support int/long/date/timestamp/float/double/boolean/" +
+          "string/decimal columns only")
     }
 
   /** Compare two normalized values of the same Iceberg type. */
@@ -153,6 +226,9 @@ object IcebergPruning {
         java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
       case "boolean" => java.lang.Boolean.compare(
         a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+      case d if d.startsWith("decimal(") =>
+        a.asInstanceOf[java.math.BigDecimal]
+          .compareTo(b.asInstanceOf[java.math.BigDecimal])
       case _ => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
     }
 
@@ -181,35 +257,61 @@ object IcebergPruning {
         Some(java.lang.Double.longBitsToDouble(leLong(8)))
       case "boolean" if bytes.length >= 1 => Some(bytes(0) != 0)
       case "string" => Some(new String(bytes, StandardCharsets.UTF_8))
+      // spec decimal serialization: the UNSCALED value as two's-
+      // complement big-endian bytes (minimum length); scale rides in
+      // the type — the writer emits exactly this from parquet footers
+      case d if d.startsWith("decimal(") && bytes.nonEmpty =>
+        Some(new java.math.BigDecimal(
+          new java.math.BigInteger(bytes), scaleOf(d)))
       case _ => None
     }
   }
 
   /** Normalize an Avro-decoded PARTITION value (manifest partition
     * record) into the comparison domain. Identity date partitions ride
-    * as epoch-day ints; Avro strings arrive as Utf8. */
+    * as epoch-day ints; Avro strings arrive as Utf8. Timestamp and
+    * decimal identity partitions are STRING-surfaced in the manifests
+    * (their Avro partition type degrades to string — the Hive dir
+    * value), so they normalize through the string parser, never a
+    * Number cast. */
   private def normalizePartition(icebergType: String, v: Any): Any =
     icebergType match {
-      case "int" | "long" | "date" | "timestamp" | "timestamptz" =>
-        v.asInstanceOf[Number].longValue
+      case "int" | "long" | "date" => v.asInstanceOf[Number].longValue
+      case "timestamp" | "timestamptz" => v match {
+        case n: Number => n.longValue // epoch micros
+        case s => normalize(icebergType, s.toString)
+      }
       case "float" | "double" => v.asInstanceOf[Number].doubleValue
       case "boolean" => v.asInstanceOf[java.lang.Boolean].booleanValue
-      case _ => v.toString
+      case d if d.startsWith("decimal(") =>
+        new java.math.BigDecimal(v.toString)
+      case "string" => v.toString
+      case t => throw new IllegalArgumentException(
+        s"Iceberg type $t has no comparison surface for identity-" +
+          "partition pruning")
     }
 
   /** The murmur3 bucket ordinal of a normalized value — must match
     * what [[graft.functions.IcebergBucket]] wrote into the directory
-    * layout. Only int/long/date/string sources are prunable here
-    * (the writer's bucketable set minus decimal/timestamp, whose
-    * normalized surfaces this module doesn't carry). */
-  private def bucketOf(icebergType: String, v: Any, n: Int): Option[Int] = {
+    * layout: the writer's full bucketable set (int/long/date/
+    * timestamp/decimal/string). Timestamps hash their epoch-micros
+    * long; decimals hash the unscaled value AT THE COLUMN'S DECLARED
+    * SCALE as big-endian two's-complement bytes (spec Appendix B —
+    * vector 14.20 → −500754589 pinned in MappingSpec), so the user
+    * value is rescaled first and a value needing rounding refuses
+    * loudly (it could never equal a stored value anyway). */
+  private def bucketOf(icebergType: String, v: Any, n: Int,
+      declaredScale: => Int): Option[Int] = {
     import graft.functions.IcebergBucketUtil
     val h = icebergType match {
-      case "int" | "long" | "date" =>
+      case "int" | "long" | "date" | "timestamp" | "timestamptz" =>
         Some(IcebergBucketUtil.hashLong(v.asInstanceOf[Long]))
       case "string" => Some(IcebergBucketUtil.hashString(
         org.apache.spark.unsafe.types.UTF8String.fromString(
           v.asInstanceOf[String])))
+      case d if d.startsWith("decimal(") =>
+        val bd = v.asInstanceOf[java.math.BigDecimal].setScale(declaredScale)
+        Some(IcebergBucketUtil.murmur3(bd.unscaledValue.toByteArray, 0))
       case _ => None
     }
     h.map(hv => (hv & Integer.MAX_VALUE) % n)
@@ -222,7 +324,35 @@ object IcebergPruning {
   private[sources] def fileMayMatch(table: TableDef,
       file: IcebergSnapshot.DataFileInfo, bound: ColumnBound): Boolean = {
     val itype = icebergTypeOf(table, bound.column)
+    // loud, not lexicographic: a bound on a type with no comparison
+    // surface (binary, uuid, …) must refuse, never silently compare
+    // toString forms and wrongly prune rows away
+    if (!isComparableType(itype))
+      throw new IllegalArgumentException(
+        s"ColumnBound(${bound.column}): Iceberg type $itype has no " +
+          "defined comparison surface — pruning supports int/long/" +
+          "date/timestamp/float/double/boolean/string/decimal columns")
     val fid = table.fieldIdOf(bound.column)
+
+    // nullness tests prune from counts + identity partition values
+    // alone — no value comparison ever happens
+    bound.nullness.foreach { wantNull =>
+      val specFields0 = IcebergMetadata.specFieldDefs(table, file.specId)
+      val idIdx = specFields0.indexWhere(f =>
+        f.transform == "identity" && f.sourceId == fid)
+      if (idIdx >= 0 && idIdx < file.partitionValues.length) {
+        // exact signal: every row shares the partition value
+        return file.partitionValues(idIdx).isEmpty == wantNull
+      }
+      val vc = file.valueCounts.get(fid)
+      val nc = file.nullCounts.get(fid)
+      (vc, nc) match {
+        case (Some(values), Some(nulls)) if values > 0 =>
+          return if (wantNull) nulls > 0 else nulls < values
+        case _ => return true // no count signal — keep
+      }
+    }
+
     val setVals = bound.values.map(_.map(normalize(itype, _)))
     // IN-sets prune range-wise against [min, max] (signal 3) and
     // value-wise on the partition signals below
@@ -263,7 +393,8 @@ object IcebergPruning {
       if (bIdx >= 0 && bIdx < file.partitionValues.length) {
         specFields(bIdx).transform match {
           case BucketN(n) =>
-            val candBuckets = pointCands.map(bucketOf(itype, _, n.toInt))
+            val candBuckets =
+              pointCands.map(bucketOf(itype, _, n.toInt, scaleOf(itype)))
             file.partitionValues(bIdx) match {
               case Some(fb: Number) if candBuckets.forall(_.isDefined) &&
                   !candBuckets.flatten.contains(fb.intValue) =>
@@ -357,11 +488,15 @@ object IcebergPruning {
         case "int" | "long" => lit(normalize(itype, v).asInstanceOf[Long])
         case "float" | "double" => lit(normalize(itype, v).asInstanceOf[Double])
         case "boolean" => lit(normalize(itype, v).asInstanceOf[Boolean])
+        case d if d.startsWith("decimal(") =>
+          lit(normalize(itype, v).asInstanceOf[java.math.BigDecimal])
         case _ => lit(v.toString)
       }
-      b.values match {
-        case Some(vs) => vs.map(v => c === litOf(v)).reduce(_ || _)
-        case None =>
+      (b.nullness, b.values) match {
+        case (Some(true), _) => c.isNull
+        case (Some(false), _) => c.isNotNull
+        case (None, Some(vs)) => vs.map(v => c === litOf(v)).reduce(_ || _)
+        case (None, None) =>
           val conds =
             b.lower.map(v => c >= litOf(v)).toSeq ++
               b.upper.map(v => c <= litOf(v)).toSeq

@@ -339,7 +339,7 @@ object IcebergSnapshot {
     val nulls = scala.collection.mutable.Map.empty[Int, Long]
     val mins = scala.collection.mutable.Map.empty[Int, Comparable[_]]
     val maxs = scala.collection.mutable.Map.empty[Int, Comparable[_]]
-    val kinds = scala.collection.mutable.Map.empty[Int, org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName]
+    val kinds = scala.collection.mutable.Map.empty[Int, org.apache.parquet.schema.PrimitiveType]
     reader.getFooter.getBlocks.forEach { block =>
       block.getColumns.forEach { cc =>
         val name = cc.getPath.toDotString
@@ -349,7 +349,7 @@ object IcebergSnapshot {
           if (st != null && st.isNumNullsSet)
             nulls(id) = nulls.getOrElse(id, 0L) + st.getNumNulls
           if (st != null && st.hasNonNullValue) {
-            kinds(id) = cc.getPrimitiveType.getPrimitiveTypeName
+            kinds(id) = cc.getPrimitiveType
             val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
             val mx = st.genericGetMax.asInstanceOf[Comparable[Any]]
             if (!mins.contains(id) ||
@@ -366,18 +366,37 @@ object IcebergSnapshot {
       while (i < n) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
       b
     }
-    def ser(id: Int, v: Comparable[_]): Option[Array[Byte]] = kinds(id) match {
-      case INT32 => Some(le(4)(v.asInstanceOf[Integer].longValue))
-      case INT64 => Some(le(8)(v.asInstanceOf[java.lang.Long].longValue))
-      case FLOAT => Some(le(4)(
-        java.lang.Float.floatToIntBits(v.asInstanceOf[java.lang.Float]).toLong))
-      case DOUBLE => Some(le(8)(
-        java.lang.Double.doubleToLongBits(v.asInstanceOf[java.lang.Double])))
-      case BOOLEAN => Some(Array(
-        if (v.asInstanceOf[java.lang.Boolean]) 1.toByte else 0.toByte))
-      case BINARY => Some(
-        v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
-      case _ => None // INT96 / FIXED_LEN (decimals) — counts only
+    // spec decimal serialization: the UNSCALED value as minimum-length
+    // big-endian two's-complement bytes (scale rides in the type) —
+    // regardless of the parquet physical encoding (INT32/INT64 for
+    // small precisions, FIXED_LEN/BINARY above; FLBA's sign-extended
+    // padding re-encodes to the minimal form via BigInteger)
+    def decBytes(unscaled: java.math.BigInteger): Array[Byte] =
+      unscaled.toByteArray
+    def ser(id: Int, v: Comparable[_]): Option[Array[Byte]] = {
+      val pt = kinds(id)
+      val isDecimal = pt.getLogicalTypeAnnotation.isInstanceOf[
+        org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+      pt.getPrimitiveTypeName match {
+        case INT32 if isDecimal => Some(decBytes(java.math.BigInteger.valueOf(
+          v.asInstanceOf[Integer].longValue)))
+        case INT64 if isDecimal => Some(decBytes(java.math.BigInteger.valueOf(
+          v.asInstanceOf[java.lang.Long].longValue)))
+        case FIXED_LEN_BYTE_ARRAY | BINARY if isDecimal =>
+          Some(decBytes(new java.math.BigInteger(
+            v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)))
+        case INT32 => Some(le(4)(v.asInstanceOf[Integer].longValue))
+        case INT64 => Some(le(8)(v.asInstanceOf[java.lang.Long].longValue))
+        case FLOAT => Some(le(4)(
+          java.lang.Float.floatToIntBits(v.asInstanceOf[java.lang.Float]).toLong))
+        case DOUBLE => Some(le(8)(
+          java.lang.Double.doubleToLongBits(v.asInstanceOf[java.lang.Double])))
+        case BOOLEAN => Some(Array(
+          if (v.asInstanceOf[java.lang.Boolean]) 1.toByte else 0.toByte))
+        case BINARY => Some(
+          v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+        case _ => None // INT96 / non-decimal FIXED_LEN — counts only
+      }
     }
     (values.toMap, nulls.toMap,
       mins.flatMap { case (id, v) => ser(id, v).map(id -> _) }.toMap,
@@ -1075,6 +1094,26 @@ object IcebergSnapshot {
       }.toMap
       case _ => Map.empty
     }
+
+  /** Snapshot id the MAIN head currently points at — None when the
+    * table has no metadata yet OR has metadata but no committed
+    * snapshot (the CREATE-only state, and the bootstrap crash window
+    * between `writeTableMetadata` and the first `commitAppend`). THE
+    * "does this table exist as data" test: the streaming sinks branch
+    * on this, not on version-hint existence, so a crash inside
+    * bootstrap replays into a fresh bootstrap instead of a permanent
+    * increment-on-nothing livelock. */
+  def currentSnapshotId(tablePath: String,
+      conf: Configuration = new Configuration()): Option[Long] = {
+    val metadataDir = new Path(tablePath, "metadata")
+    val hint = new Path(metadataDir, "version-hint.text")
+    val fs = FileSystem.get(hint.toUri, conf)
+    if (!fs.exists(hint)) return None
+    val version = readText(hint, conf).trim.toInt
+    val metaText = readText(
+      new Path(metadataDir, s"v$version.metadata.json"), conf)
+    currentSnapshotOf(metaText, parseSnapshots(metaText)).map(_.snapshotId)
+  }
 
   /** The CURRENT table properties (spec string→string map). */
   def tableProperties(tablePath: String,

@@ -501,16 +501,21 @@ object StreamingOps {
       if (!batch.isEmpty) {
         import graft.sources.{IcebergMetadata, IcebergSnapshot}
         val conf = batch.sparkSession.sparkContext.hadoopConfiguration
-        val hint = new org.apache.hadoop.fs.Path(
-          s"$path/metadata/version-hint.text")
-        val exists = hint.getFileSystem(conf).exists(hint)
-        val replay = exists &&
+        // branch on "has a COMMITTED SNAPSHOT", not version-hint
+        // existence: a crash between writeTableMetadata and the first
+        // commitAppend leaves hint=1 with no snapshot — hint-based
+        // replay detection would route every retry into
+        // commitAppendIncrement's version>=2 refusal (permanent
+        // livelock). A snapshot-less table re-runs bootstrap instead
+        // (writeTableMetadata + commitAppend are overwrite-idempotent).
+        val committed = IcebergSnapshot.currentSnapshotId(path, conf)
+        val replay = committed.isDefined &&
           IcebergSnapshot.tableProperties(path, conf).get(txnKey)
-            .exists(committed => bid <= committed.toLong)
+            .exists(c => bid <= c.toLong)
         if (!replay) {
           graft.api.SchemaTranslator.writeMigrated(batch, table,
             s"$path/data/stream-$appHash-$bid", format, mode = "overwrite")
-          if (exists)
+          if (committed.isDefined)
             IcebergSnapshot.commitAppendIncrement(table, path, conf,
               extraProperties = Map(txnKey -> bid.toString))
           else {
@@ -555,16 +560,16 @@ object StreamingOps {
       if (!batch.isEmpty) {
         import graft.sources.{IcebergDeletes, IcebergMetadata, IcebergSnapshot}
         val conf = batch.sparkSession.sparkContext.hadoopConfiguration
-        val hint = new org.apache.hadoop.fs.Path(
-          s"$path/metadata/version-hint.text")
-        val exists = hint.getFileSystem(conf).exists(hint)
-        val replay = exists &&
+        // committed-snapshot branch, not hint existence — see
+        // icebergTableSink's bootstrap-crash note
+        val committed = IcebergSnapshot.currentSnapshotId(path, conf)
+        val replay = committed.isDefined &&
           IcebergSnapshot.tableProperties(path, conf).get(txnKey)
-            .exists(committed => bid <= committed.toLong)
+            .exists(c => bid <= c.toLong)
         if (!replay) {
           graft.api.SchemaTranslator.writeMigrated(batch, table,
             s"$path/data/stream-$appHash-$bid", format, mode = "overwrite")
-          if (exists) {
+          if (committed.isDefined) {
             val schema = graft.api.SchemaTranslator.toSparkSchema(table)
             val keys = batch.select(keyCols.map(k =>
               org.apache.spark.sql.functions.col(k)
@@ -610,16 +615,24 @@ object StreamingOps {
         import graft.sources.{IcebergDeletes, IcebergMetadata, IcebergSnapshot}
         import org.apache.spark.sql.functions.col
         val conf = batch.sparkSession.sparkContext.hadoopConfiguration
-        val hint = new org.apache.hadoop.fs.Path(
-          s"$path/metadata/version-hint.text")
-        val exists = hint.getFileSystem(conf).exists(hint)
-        val replay = exists &&
+        // committed-snapshot branch, not hint existence — see
+        // icebergTableSink's bootstrap-crash note
+        val committed = IcebergSnapshot.currentSnapshotId(path, conf)
+        val replay = committed.isDefined &&
           IcebergSnapshot.tableProperties(path, conf).get(txnKey)
-            .exists(committed => bid <= committed.toLong)
+            .exists(c => bid <= c.toLong)
         if (!replay) {
+          // a NULL op marker must fail LOUDLY: `=!= "D"` evaluates to
+          // null for it, so the row would silently vanish from the
+          // upserts while its key still rides the global equality
+          // delete — malformed CDC input deleting data with no error
+          require(batch.filter(col(opCol).isNull).isEmpty,
+            s"icebergCdcSink: batch $bid carries rows with a NULL " +
+              s"$opCol marker — every row needs an explicit op " +
+              "(\"D\" = delete, anything else = upsert)")
           val upserts = batch.filter(col(opCol) =!= "D")
           val schema = graft.api.SchemaTranslator.toSparkSchema(table)
-          if (!exists) {
+          if (committed.isEmpty) {
             if (!upserts.isEmpty) {
               graft.api.SchemaTranslator.writeMigrated(upserts, table,
                 s"$path/data/stream-$appHash-$bid", format,

@@ -155,9 +155,14 @@ class IcebergLifecycleSpec extends AnyFunSuite {
   // ------------------------------------------------------------ driver
 
   private def runSequence(ops: List[Op], seqNo: Int): Unit = {
+    // D is a DECIMAL derived deterministically from K (D = K·2.50) so
+    // the model needn't track it while decimal pruning bounds stay
+    // checkable after every commit (DECIMAL is the reference's
+    // canonical numeric — mapper.py:243-263)
     var table = Db2Parser.parse(
       """CREATE TABLE S.LIFE (
         |  K BIGINT NOT NULL,
+        |  D DECIMAL(12,2),
         |  V VARCHAR(10),
         |  N INTEGER
         |) PARTITION BY RANGE (V);""".stripMargin).tables.head
@@ -170,6 +175,8 @@ class IcebergLifecycleSpec extends AnyFunSuite {
 
     // one row = base (K, V, N) + a value per extra column PRESENT AT
     // WRITE TIME; the model stores exactly the values written
+    def decOf(k: Long): java.math.BigDecimal =
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(k * 250), 2)
     def rowOf(k: Long): (Long, String, Int, Map[String, Int]) =
       (k, s"p${k % 3}", (k * 7).toInt,
         extras.map { case (e, seed) => e -> ((k * seed) % 10000).toInt }.toMap)
@@ -178,11 +185,12 @@ class IcebergLifecycleSpec extends AnyFunSuite {
       import org.apache.spark.sql.types._
       val schema = StructType(
         Seq(StructField("K", LongType, nullable = false),
+          StructField("D", DecimalType(12, 2)),
           StructField("V", StringType), StructField("N", IntegerType)) ++
           extras.map { case (e, _) => StructField(e, IntegerType) })
       val data = rows.map { case (k, v, n, ex) =>
         org.apache.spark.sql.Row.fromSeq(
-          Seq(k, v, n) ++ extras.map { case (e, _) =>
+          Seq(k, decOf(k), v, n) ++ extras.map { case (e, _) =>
             ex.get(e).map(Integer.valueOf).orNull
           })
       }
@@ -264,6 +272,19 @@ class IcebergLifecycleSpec extends AnyFunSuite {
         .select("K").collect().map(_.getLong(0)).toSet
       assert(prunedKs == model.keySet.filter(k => k >= lo && k <= hi),
         s"[$label] pruned read [$lo,$hi] != model")
+      // and a random DECIMAL bound (D = K·2.50, so the expectation
+      // maps straight back to the key set): the spec's unscaled-BE
+      // bounds decode must stay exact through every lifecycle op too
+      val dLo = decOf(lo)
+      val dHi = decOf(hi)
+      val dBound = graft.sources.IcebergPruning.ColumnBound(
+        "D", Some(dLo), Some(dHi))
+      val dKs = IcebergSnapshot
+        .readSnapshot(spark, out, table, pruning = Seq(dBound))
+        .select("K").collect().map(_.getLong(0)).toSet
+      assert(dKs == model.keySet.filter(k =>
+        decOf(k).compareTo(dLo) >= 0 && decOf(k).compareTo(dHi) <= 0),
+        s"[$label] decimal pruned read [$dLo,$dHi] != model")
     }
     afterOp("init")
 

@@ -1094,6 +1094,89 @@ class StreamingSpec extends AnyFunSuite {
     assert(state === Set((1L, "a2"), (2L, "b9"), (4L, "d")))
   }
 
+  test("iceberg sinks recover from a BOOTSTRAP crash window: metadata " +
+      "written but no snapshot committed → replay re-runs bootstrap " +
+      "instead of livelocking on increment-of-nothing") {
+    import graft.parse.Db2Parser
+    import graft.sources.{IcebergMetadata, IcebergSnapshot}
+    val table = Db2Parser.parse(
+      """CREATE TABLE S.BOOT (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10)
+        |);""".stripMargin).tables.head
+    def df(rows: Seq[(Long, String)]) = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("K", LongType, nullable = false),
+        StructField("V", StringType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2)), 2), schema)
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    // all three sinks share the bootstrap branch — pin each one
+    def crashThenReplay(mk: String => (org.apache.spark.sql.DataFrame,
+        Long) => Unit, suffix: String, opCol: Boolean = false): Unit = {
+      val out = Files.createTempDirectory(s"iceberg_boot_$suffix").toString
+      // simulate the crash: batch 0 died AFTER writeTableMetadata
+      // (hint=1, no snapshot) and, in the worst case, after partial
+      // data landed in the per-batch dir
+      IcebergMetadata.writeTableMetadata(table, out, conf)
+      assert(IcebergSnapshot.currentSnapshotId(out, conf).isEmpty)
+      val sink = mk(out)
+      val batch =
+        if (opCol) df(Seq((1L, "a"), (2L, "b")))
+          .withColumn("op", org.apache.spark.sql.functions.lit("I"))
+        else df(Seq((1L, "a"), (2L, "b")))
+      sink(batch, 0) // pre-fix: require(version >= 2) / .get crash forever
+      val ks = IcebergSnapshot.readSnapshot(spark, out, table)
+        .select("K").collect().map(_.getLong(0)).toSet
+      assert(ks === Set(1L, 2L), s"$suffix bootstrap replay must land rows")
+      // and the txn guard committed — a second replay is a no-op
+      sink(batch, 0)
+      assert(IcebergSnapshot.readSnapshot(spark, out, table).count() === 2L,
+        s"$suffix post-bootstrap replay must not double rows")
+    }
+    crashThenReplay(out => StreamingOps.icebergTableSink(
+      table, out, txnAppId = "boot-t"), "table")
+    crashThenReplay(out => StreamingOps.icebergUpsertSink(
+      table, out, keyCols = Seq("K"), txnAppId = "boot-u"), "upsert")
+    crashThenReplay(out => StreamingOps.icebergCdcSink(
+      table, out, keyCols = Seq("K"), opCol = "op", txnAppId = "boot-c"),
+      "cdc", opCol = true)
+  }
+
+  test("icebergCdcSink refuses a NULL op marker loudly instead of " +
+      "silently deleting the row") {
+    import graft.parse.Db2Parser
+    val table = Db2Parser.parse(
+      """CREATE TABLE S.CDC3 (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10)
+        |);""".stripMargin).tables.head
+    val out = Files.createTempDirectory("iceberg_cdc_null").toString
+    def df(rows: Seq[(Long, String, String)]) = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("K", LongType, nullable = false),
+        StructField("V", StringType), StructField("op", StringType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2, r._3)), 2), schema)
+    }
+    val sink = StreamingOps.icebergCdcSink(table, out,
+      keyCols = Seq("K"), opCol = "op", txnAppId = "cdc-null")
+    sink(df(Seq((1L, "a", "I"), (2L, "b", "I"))), 0)
+    val e = intercept[IllegalArgumentException] {
+      sink(df(Seq((1L, "a2", "U"), (2L, "gone", null))), 1)
+    }
+    assert(e.getMessage.contains("NULL op"))
+    // nothing committed: row 2 must still be alive
+    val state = graft.sources.IcebergSnapshot.readSnapshot(spark, out, table)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state === Set((1L, "a"), (2L, "b")))
+  }
+
   test("session_window batch agg: gap merge semantics") {
     import spark.implicits._
     val data = Seq(
