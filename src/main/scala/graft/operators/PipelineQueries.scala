@@ -670,6 +670,55 @@ object PipelineQueries {
         lit(pruneOk).as("prune_ok"))
   }
 
+  /** q100's oracle carried through the IDIOMATIC entry point — the
+    * DataSource V2 face with Catalyst filter pushdown
+    * ([[graft.sources.v2.GraftIcebergSource]]): the plain
+    * `spark.read.format("graft-iceberg").load(path).filter(...)`
+    * every Spark user writes, over the same migrated orders table as
+    * q100, with NO explicit ColumnBounds and NO DDL in hand (the
+    * schema loads from the table's own metadata). The in-row audit
+    * asserts the pushdown actually pruned: the executed scan's
+    * recorded report must show skipped files, kept∪skipped == live
+    * set, every kept file in the matching status partition, and the
+    * Catalyst filters translated into bounds. Same oracle SQL as
+    * q100 — both entry points must agree with DuckDB on the raw
+    * parquet. */
+  def q102Dsv2PrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val tdef = graft.parse.Db2Parser.parse(
+      """CREATE TABLE G.ORDERS_ICE (
+        |  O_ORDERKEY BIGINT NOT NULL,
+        |  O_CUSTKEY BIGINT,
+        |  O_ORDERSTATUS VARCHAR(1),
+        |  O_TOTALPRICE DOUBLE,
+        |  O_ORDERDATE TIMESTAMP,
+        |  O_ORDERPRIORITY VARCHAR(20)
+        |) PARTITION BY RANGE (O_ORDERSTATUS);""".stripMargin).tables.head
+    val (path, built) = amortizedIndexPath(s, dir, "iceberg_orders",
+      p => new java.io.File(p, "metadata/version-hint.text").isFile,
+      table = "orders")
+    if (!built)
+      graft.api.SchemaTranslator.migrateTable(t(s, dir, "orders"), tdef, path)
+    graft.sources.v2.GraftIcebergScans.clear()
+    val agg = s.read.format("graft-iceberg").load(path)
+      .filter(col("O_ORDERSTATUS") === "F" &&
+        col("O_ORDERKEY") >= 500L && col("O_ORDERKEY") <= 5000L)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("O_ORDERKEY")).cast("bigint").as("sum_keys"),
+        round(sum(col("O_TOTALPRICE").cast("decimal(28,4)"))
+          .cast("double"), 2).as("sum_price"))
+    agg.collect() // execute once so the scan report is on record
+    val rep = graft.sources.v2.GraftIcebergScans.lastReport.get
+    val (all, _) = graft.sources.IcebergPruning.planScan(
+      s.sparkContext.hadoopConfiguration, path, tdef, Nil)
+    val pruneOk = rep.skippedFiles.nonEmpty &&
+      (rep.keptFiles ++ rep.skippedFiles).toSet == all.toSet &&
+      rep.keptFiles.forall(_.contains("O_ORDERSTATUS=F")) &&
+      rep.bounds.size >= 3 // V eq + K range sides all translated
+    agg.select(col("n_rows"), col("sum_keys"), col("sum_price"),
+      lit(pruneOk).as("prune_ok"))
+  }
+
   /** The CDC CHANGES read under the hard oracle — the consumer side of
     * the warehouse-table story: the orders fixture's 75% slice
     * (o_orderkey % 4 ≠ 3) migrates into an Iceberg table, one
@@ -3152,6 +3201,17 @@ object PipelineQueries {
         |FROM orders
         |WHERE o_orderstatus = 'F'
         |  AND o_orderkey BETWEEN 500 AND 5000""".stripMargin,
+    // the DSv2 pushdown face must agree with the raw parquet under
+    // the SAME predicate — q100's oracle verbatim
+    "q102_dsv2_pruned_read" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 2)
+        |    AS sum_price,
+        |  true AS prune_ok
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |  AND o_orderkey BETWEEN 500 AND 5000""".stripMargin,
     // the CDC diff reconstructed arithmetically: inserts = the initial
     // 75% slice (original prices) plus the batch (closed-form prices),
     // deletes = the updated keys' ORIGINAL rows
@@ -3350,6 +3410,7 @@ object PipelineQueries {
     "q70_semantic_dedup" -> (q70SemanticDedup _),
     "q100_iceberg_pruned_read" -> (q100IcebergPrunedRead _),
     "q101_cdc_changes" -> (q101CdcChanges _),
+    "q102_dsv2_pruned_read" -> (q102Dsv2PrunedRead _),
     "q70c_clustered_dedup" -> (q70cClusteredDedup _),
     "q71_phrase_search" -> (q71PhraseSearch _),
     "q71_indexed" -> (q71PhraseSearchIndexed _),

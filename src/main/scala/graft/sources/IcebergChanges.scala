@@ -50,8 +50,7 @@ object IcebergChanges {
       : (Seq[IcebergMetadata.SnapshotMeta], Option[Long]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val metadataDir = new Path(tablePath, "metadata")
-    val version = readText(new Path(metadataDir, "version-hint.text"), conf)
-      .trim.toInt
+    val version = readVersionHint(metadataDir, conf)
     val metaText = readText(
       new Path(metadataDir, s"v$version.metadata.json"), conf)
     val chain = parseSnapshots(metaText)

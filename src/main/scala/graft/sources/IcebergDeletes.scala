@@ -72,7 +72,7 @@ object IcebergDeletes {
       conf: org.apache.hadoop.conf.Configuration) = {
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)
-    val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
+    val version = readVersionHint(metadataDir, conf)
     require(version >= 2, s"no committed snapshot (version $version)")
     val metaText = readText(
       new Path(metadataDir, s"v$version.metadata.json"), conf)

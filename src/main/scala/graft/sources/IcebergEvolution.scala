@@ -276,8 +276,7 @@ object IcebergEvolution {
       "commitEvolution expects a table that has been through an evolution op")
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)
-    val version = IcebergSnapshot.readText(
-      new Path(metadataDir, "version-hint.text"), conf).trim.toInt
+    val version = IcebergSnapshot.readVersionHint(metadataDir, conf)
     val metaText = IcebergSnapshot.readText(
       new Path(metadataDir, s"v$version.metadata.json"), conf)
     val chain = IcebergSnapshot.parseSnapshots(metaText)

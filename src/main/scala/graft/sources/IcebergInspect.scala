@@ -28,8 +28,7 @@ object IcebergInspect {
       tablePath: String): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val metadataDir = new Path(tablePath, "metadata")
-    val version = readText(new Path(metadataDir, "version-hint.text"), conf)
-      .trim.toInt
+    val version = readVersionHint(metadataDir, conf)
     readText(new Path(metadataDir, s"v$version.metadata.json"), conf)
   }
 

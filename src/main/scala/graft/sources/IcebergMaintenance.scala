@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 import IcebergSnapshot.{DataFileInfo, ManifestEntry, ManifestListRow,
   currentSnapshotOf, decodeDataFileInfo, parseSnapshots,
-  partitionFieldsOf, pathKey, readAvroRows, readManifestList, readText,
+  partitionFieldsOf, pathKey, readAvroRows, readManifestList, readText, readVersionHint,
   writeManifestEntries, writeManifestListRows, writeNewMetadataVersion}
 import graft.model.TableDef
 
@@ -56,7 +56,7 @@ object IcebergMaintenance {
     val hintPath = new Path(metadataDir, "version-hint.text")
     require(fs.exists(hintPath),
       s"$tablePath is not an Iceberg table (no version hint) — refusing to sweep")
-    val version = readText(hintPath, conf).trim.toInt
+    val version = readVersionHint(metadataDir, conf)
     val metaText = readText(
       new Path(metadataDir, s"v$version.metadata.json"), conf)
     val chain = parseSnapshots(metaText)
@@ -118,8 +118,7 @@ object IcebergMaintenance {
       timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)
-    val version = readText(new Path(metadataDir, "version-hint.text"), conf)
-      .trim.toInt
+    val version = readVersionHint(metadataDir, conf)
     val metaText = readText(
       new Path(metadataDir, s"v$version.metadata.json"), conf)
     val chain = parseSnapshots(metaText)

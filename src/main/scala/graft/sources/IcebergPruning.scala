@@ -120,7 +120,7 @@ object IcebergPruning {
   /** Iceberg primitive type name of a table column (the bounds'
     * serialization key). Loud on unknown columns — a typo'd pruning
     * column must not silently keep every file. */
-  private def icebergTypeOf(table: TableDef, column: String): String = {
+  private[sources] def icebergTypeOf(table: TableDef, column: String): String = {
     val c = table.columns.find(_.name == column).getOrElse(
       throw new IllegalArgumentException(
         s"pruning column $column not in schema of ${table.fullName}"))

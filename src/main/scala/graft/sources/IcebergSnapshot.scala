@@ -606,6 +606,31 @@ object IcebergSnapshot {
     finally in.close()
   }
 
+  /** Read the version hint, TORN-READ tolerant: the hint is rewritten
+    * in place (truncate-then-write) on every commit, so a concurrent
+    * reader — a streaming source polling `getOffset` while a commit
+    * lands — can observe an empty or half-written file. Spec-valid
+    * hints are a positive integer; anything else retries briefly
+    * (commits rewrite the few bytes in microseconds) before failing
+    * loudly. Readers that follow hint→`v<N>.metadata.json` are safe
+    * once the hint parses: metadata versions are NEW files, completed
+    * before the hint flips. */
+  private[sources] def readVersionHint(metadataDir: Path,
+      conf: Configuration): Int = {
+    val p = new Path(metadataDir, "version-hint.text")
+    var attempt = 0
+    while (true) {
+      val raw = readText(p, conf).trim
+      if (raw.nonEmpty && raw.forall(_.isDigit)) return raw.toInt
+      attempt += 1
+      if (attempt >= 50)
+        throw new IllegalStateException(
+          s"version hint $p stayed unreadable ('$raw') after $attempt reads")
+      Thread.sleep(2)
+    }
+    -1 // unreachable
+  }
+
   /** Manifest-list rows — re-listed verbatim by follow-up commits. */
   private[sources] def readManifestList(path: Path,
       conf: Configuration): Seq[org.apache.avro.generic.GenericRecord] =
@@ -949,7 +974,7 @@ object IcebergSnapshot {
       snapshotId: Option[Long], conf: Configuration)
       : (IcebergMetadata.SnapshotMeta, Seq[GenericRecord]) = {
     val metadataDir = new Path(tablePath, "metadata")
-    val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
+    val version = readVersionHint(metadataDir, conf)
     val metaText = readText(new Path(metadataDir, s"v$version.metadata.json"), conf)
     val chain = parseSnapshots(metaText)
     val snap = snapshotId.fold(currentSnapshotOf(metaText, chain))(id =>
@@ -1109,7 +1134,7 @@ object IcebergSnapshot {
     val hint = new Path(metadataDir, "version-hint.text")
     val fs = FileSystem.get(hint.toUri, conf)
     if (!fs.exists(hint)) return None
-    val version = readText(hint, conf).trim.toInt
+    val version = readVersionHint(metadataDir, conf)
     val metaText = readText(
       new Path(metadataDir, s"v$version.metadata.json"), conf)
     currentSnapshotOf(metaText, parseSnapshots(metaText)).map(_.snapshotId)
@@ -1119,7 +1144,7 @@ object IcebergSnapshot {
   def tableProperties(tablePath: String,
       conf: Configuration = new Configuration()): Map[String, String] = {
     val metadataDir = new Path(tablePath, "metadata")
-    val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
+    val version = readVersionHint(metadataDir, conf)
     parseProperties(readText(new Path(metadataDir, s"v$version.metadata.json"), conf))
   }
 
@@ -1132,7 +1157,7 @@ object IcebergSnapshot {
       timestampMs: Long = 0L): Unit = {
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)
-    val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
+    val version = readVersionHint(metadataDir, conf)
     val metaText = readText(new Path(metadataDir, s"v$version.metadata.json"), conf)
     val chain = parseSnapshots(metaText)
     writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
@@ -1273,7 +1298,7 @@ object IcebergSnapshot {
     val conf = spark.sparkContext.hadoopConfiguration
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)
-    val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
+    val version = readVersionHint(metadataDir, conf)
     val prevMetaFile = new Path(metadataDir, s"v$version.metadata.json")
     val prevMetaText = readText(prevMetaFile, conf)
     val chain = parseSnapshots(prevMetaText)
@@ -1417,7 +1442,7 @@ object IcebergSnapshot {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)
-    val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
+    val version = readVersionHint(metadataDir, conf)
     val metaText = readText(
       new Path(metadataDir, s"v$version.metadata.json"), conf)
     val chain = parseSnapshots(metaText)
@@ -1481,7 +1506,7 @@ object IcebergSnapshot {
       s"ref type must be tag|branch, got $refType")
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)
-    val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
+    val version = readVersionHint(metadataDir, conf)
     val metaText = readText(new Path(metadataDir, s"v$version.metadata.json"), conf)
     val chain = parseSnapshots(metaText)
     require(chain.exists(_.snapshotId == snapshotId),
@@ -1497,7 +1522,7 @@ object IcebergSnapshot {
       timestampMs: Long = 0L): Unit = {
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)
-    val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
+    val version = readVersionHint(metadataDir, conf)
     val metaText = readText(new Path(metadataDir, s"v$version.metadata.json"), conf)
     val chain = parseSnapshots(metaText)
     writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
@@ -1509,7 +1534,7 @@ object IcebergSnapshot {
   def listRefs(tablePath: String,
       conf: Configuration = new Configuration()): Seq[(String, Long, String)] = {
     val metadataDir = new Path(tablePath, "metadata")
-    val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
+    val version = readVersionHint(metadataDir, conf)
     parseRefs(readText(new Path(metadataDir, s"v$version.metadata.json"), conf))
   }
 
@@ -1544,7 +1569,7 @@ object IcebergSnapshot {
       extraProperties: Map[String, String] = Map.empty): IcebergMetadata.SnapshotMeta = {
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)
-    val version = readText(new Path(metadataDir, "version-hint.text"), conf).trim.toInt
+    val version = readVersionHint(metadataDir, conf)
     require(version >= 2, s"no committed snapshot to increment (version $version)")
     val prevMetaFile = new Path(metadataDir, s"v$version.metadata.json")
     val prevMetaText = readText(prevMetaFile, conf)

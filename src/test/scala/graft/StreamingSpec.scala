@@ -3,6 +3,8 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -1175,6 +1177,107 @@ class StreamingSpec extends AnyFunSuite {
     val state = graft.sources.IcebergSnapshot.readSnapshot(spark, out, table)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(state === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("graft-iceberg STREAMING SOURCE tails committed snapshots: " +
+      "stream==batch per range, WAP never leaks, kill-and-replay " +
+      "resumes from the committed offset, strict refuses row removals") {
+    import graft.api.SchemaTranslator
+    import graft.parse.Db2Parser
+    import graft.sources.{IcebergChanges, IcebergSnapshot}
+    val table = Db2Parser.parse(
+      """CREATE TABLE S.TAIL (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10)
+        |);""".stripMargin).tables.head
+    val out = Files.createTempDirectory("iceberg_tail").toString
+    val ckpt = Files.createTempDirectory("iceberg_tail_ckpt").toString
+    def df(ks: Range) = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("K", LongType, nullable = false),
+        StructField("V", StringType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(ks.map(k =>
+          org.apache.spark.sql.Row(k.toLong, s"v$k")), 2), schema)
+    }
+    SchemaTranslator.migrateTable(df(1 to 4), table, out)
+
+    // collected (batchId, key, commit-snapshot) triples across runs
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]
+    def start() = spark.readStream.format("graft-iceberg").load(out)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+        b.select("K", "_commit_snapshot_id", "_change_type").collect()
+          .foreach { r =>
+            assert(r.getString(2) === "insert")
+            seen.add((bid, r.getLong(0), r.getLong(1)))
+          }
+        ()
+      }.start()
+    def keys = seen.iterator().asScala.map(_._2).toSeq
+
+    val q = start()
+    q.processAllAvailable()
+    assert(keys.sorted === (1L to 4L), "backfill = the existing table")
+
+    // appends between micro-batches arrive exactly once
+    SchemaTranslator.appendIncrement(df(5 to 6), table, out)
+    SchemaTranslator.appendIncrement(df(7 to 8), table, out)
+    q.processAllAvailable()
+    assert(keys.sorted === (1L to 8L))
+
+    // a staged WAP branch snapshot must NOT surface
+    SchemaTranslator.stageAppendToBranch(df(90 to 91), table, out, "wap")
+    q.processAllAvailable()
+    assert(keys.sorted === (1L to 8L), "staged branch leaked into the stream")
+    q.stop()
+
+    // kill-and-replay: rows committed while the stream is down arrive
+    // once on restart — nothing before the committed offset re-emits
+    SchemaTranslator.appendIncrement(df(9 to 10), table, out)
+    val q2 = start()
+    q2.processAllAvailable()
+    assert(keys.sorted === (1L to 10L), "restart must resume, not rescan")
+    q2.stop()
+
+    // stream total == the batch incremental scan over the whole range
+    val batchKeys = IcebergChanges.incrementalAppendScan(spark, out, table,
+      fromSnapshotId = None).select("K").collect().map(_.getLong(0)).toSeq
+    assert(keys.sorted === batchKeys.sorted)
+    // per-commit attribution matches the batch face too
+    val batchAttr = IcebergChanges.incrementalAppendScan(spark, out, table,
+      fromSnapshotId = None).select("K", "_commit_snapshot_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(seen.iterator().asScala.map(t => (t._2, t._3)).toSet === batchAttr)
+
+    // STRICT: a row-removing snapshot kills the stream loudly
+    SchemaTranslator.mergeUpsert(df(1 to 1), table, out, keyCols = Seq("K"))
+    val q3 = start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    assert(err.getMessage.contains("remove rows") ||
+      Option(err.getCause).exists(_.getMessage.contains("remove rows")))
+    q3.stop()
+
+    // strict=false reads just the adds (append-only view of the upsert)
+    val seen2 = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val ckpt2 = Files.createTempDirectory("iceberg_tail_ckpt2").toString
+    val q4 = spark.readStream.format("graft-iceberg")
+      .option("strict", "false").load(out)
+      .writeStream.option("checkpointLocation", ckpt2)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("K").collect().foreach(r => seen2.add(r.getLong(0)))
+        ()
+      }.start()
+    q4.processAllAvailable()
+    q4.stop()
+    // every add across history: 1-10 plus the upsert's fresh K=1 file
+    val adds = seen2.iterator().asScala.toSeq.sorted
+    assert(adds === (Seq(1L) ++ (1L to 10L)).sorted,
+      "non-strict view = every added row, including the upsert's new version")
   }
 
   test("session_window batch agg: gap merge semantics") {
