@@ -23,6 +23,59 @@ final case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
   */
 object StreamingOps {
 
+  /** Maintenance cadence for the streaming Iceberg table sinks. A
+    * long-running stream commits one snapshot and one small-file set
+    * per micro-batch — thousands of batches mean thousands of
+    * snapshots, manifests and small files, the canonical
+    * streaming-Iceberg scale failure (every reader's planning slows
+    * down as metadata bloats). With a cadence set, the sink folds
+    * maintenance in every `everyBatches` batches, AFTER that batch's
+    * commit: row-level deletes compact away
+    * ([[graft.sources.IcebergDeletes.compactWithDeletes]]), small data
+    * files bin-merge toward `targetFileBytes`
+    * ([[graft.sources.IcebergSnapshot.compactDataFiles]]), and history
+    * beyond `keepSnapshots` expires with its unreachable files
+    * physically GC'd ([[graft.sources.IcebergSnapshot
+    * .expireSnapshots]]).
+    *
+    * Safety: each maintenance op is itself one atomic commit (or a
+    * no-op), and every commit carries the table properties — the
+    * `graft.streaming.txn.<appId>` exactly-once guard — forward, so a
+    * crash anywhere inside the maintenance window leaves a consistent
+    * table whose replay skips the already-committed batch; the skipped
+    * maintenance simply runs at the next cadence point. Readers'
+    * probes are bit-identical with or without maintenance (REPLACE
+    * snapshots move bytes, not rows). Keep `keepSnapshots` ≥ the
+    * longest restart gap (in batches) of any stream TAILING the table:
+    * expiring a snapshot a downstream reader has not consumed fails
+    * that reader loudly. */
+  final case class SinkMaintenance(
+      everyBatches: Int,
+      targetFileBytes: Long = 512L * 1024 * 1024,
+      keepSnapshots: Int = 10) {
+    require(everyBatches >= 1, "maintenance cadence must be >= 1 batch")
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(keepSnapshots >= 1, "must keep at least the current snapshot")
+  }
+
+  /** One maintenance pass over a committed Iceberg table — the body
+    * the sinks run on their cadence, callable standalone for a
+    * scheduled (e.g. nightly) pass. Order matters: delete-folding
+    * first (plain compaction refuses while live delete files exist),
+    * then small-file binning, then expiry (which physically frees the
+    * files the rewrites replaced once they leave the retention
+    * window). Every step is commit-or-noop and carries table
+    * properties forward. */
+  def maintainIcebergTable(spark: SparkSession, table: graft.model.TableDef,
+      path: String, m: SinkMaintenance): Unit = {
+    import graft.sources.{IcebergDeletes, IcebergSnapshot}
+    val conf = spark.sparkContext.hadoopConfiguration
+    IcebergDeletes.compactWithDeletes(spark, table, path)
+    IcebergSnapshot.compactDataFiles(spark, table, path, m.targetFileBytes)
+    IcebergSnapshot.expireSnapshots(table, path, m.keepSnapshots, conf)
+    ()
+  }
+
   /** Stream of DDL scripts dropped into a directory (one file = one
     * script), converted incrementally: per-file parse+render is
     * stateless, so this is a pure map stream — no state store. */
@@ -491,7 +544,8 @@ object StreamingOps {
     * four index sinks. */
   def icebergTableSink(table: graft.model.TableDef, path: String,
       txnAppId: String,
-      format: String = "parquet"): (DataFrame, Long) => Unit = {
+      format: String = "parquet",
+      maintenance: Option[SinkMaintenance] = None): (DataFrame, Long) => Unit = {
     require(txnAppId.nonEmpty, "icebergTableSink needs a stable txnAppId")
     val txnKey = s"graft.streaming.txn.$txnAppId"
     // path-safe deterministic handle for the per-batch data dirs
@@ -523,7 +577,8 @@ object StreamingOps {
             IcebergSnapshot.commitAppend(table, path, conf,
               extraProperties = Map(txnKey -> bid.toString))
           }
-          ()
+          maintenance.filter(m => (bid + 1) % m.everyBatches == 0).foreach(
+            m => maintainIcebergTable(batch.sparkSession, table, path, m))
         }
       }
     }
@@ -550,7 +605,8 @@ object StreamingOps {
     * maintenance) — see its `txnAppId` stability contract. */
   def icebergUpsertSink(table: graft.model.TableDef, path: String,
       keyCols: Seq[String], txnAppId: String,
-      format: String = "parquet"): (DataFrame, Long) => Unit = {
+      format: String = "parquet",
+      maintenance: Option[SinkMaintenance] = None): (DataFrame, Long) => Unit = {
     require(txnAppId.nonEmpty, "icebergUpsertSink needs a stable txnAppId")
     require(keyCols.nonEmpty, "icebergUpsertSink needs equality key columns")
     val txnKey = s"graft.streaming.txn.$txnAppId"
@@ -581,7 +637,8 @@ object StreamingOps {
             IcebergSnapshot.commitAppend(table, path, conf,
               extraProperties = Map(txnKey -> bid.toString))
           }
-          ()
+          maintenance.filter(m => (bid + 1) % m.everyBatches == 0).foreach(
+            m => maintainIcebergTable(batch.sparkSession, table, path, m))
         }
       }
     }
@@ -604,7 +661,8 @@ object StreamingOps {
     * Exactly-once machinery identical to [[icebergTableSink]]. */
   def icebergCdcSink(table: graft.model.TableDef, path: String,
       keyCols: Seq[String], opCol: String, txnAppId: String,
-      format: String = "parquet"): (DataFrame, Long) => Unit = {
+      format: String = "parquet",
+      maintenance: Option[SinkMaintenance] = None): (DataFrame, Long) => Unit = {
     require(txnAppId.nonEmpty, "icebergCdcSink needs a stable txnAppId")
     require(keyCols.nonEmpty, "icebergCdcSink needs equality key columns")
     val txnKey = s"graft.streaming.txn.$txnAppId"
@@ -653,6 +711,12 @@ object StreamingOps {
               keys, extraProperties = Map(txnKey -> bid.toString))
             ()
           }
+          // an all-delete bootstrap batch commits nothing — only a
+          // table with a snapshot can be maintained
+          maintenance.filter(m => (bid + 1) % m.everyBatches == 0 &&
+              IcebergSnapshot.currentSnapshotId(path, conf).isDefined)
+            .foreach(m =>
+              maintainIcebergTable(batch.sparkSession, table, path, m))
         }
       }
     }

@@ -1179,6 +1179,168 @@ class StreamingSpec extends AnyFunSuite {
     assert(state === Set((1L, "a"), (2L, "b")))
   }
 
+  test("sink maintenance cadence: a 25-batch replayed upsert stream ends " +
+      "with bounded snapshots and live files, probes bit-identical to the " +
+      "no-maintenance twin, exactly-once across a crash inside the " +
+      "maintenance window") {
+    import graft.api.SchemaTranslator
+    import graft.parse.Db2Parser
+    import graft.sources.{IcebergDeletes, IcebergPruning, IcebergSnapshot}
+    val table = Db2Parser.parse(
+      """CREATE TABLE S.MAINT (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10),
+        |  N INTEGER
+        |) PARTITION BY RANGE (V);""".stripMargin).tables.head
+    val conf = spark.sparkContext.hadoopConfiguration
+    val outM = Files.createTempDirectory("iceberg_maint").toString
+    val outP = Files.createTempDirectory("iceberg_plain").toString
+    // batch i upserts three keys of 0..9 — every key is rewritten many
+    // times across 25 batches, so delete files and small files pile up
+    def batchDf(i: Int) = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("K", LongType, nullable = false),
+        StructField("V", StringType), StructField("N", IntegerType)))
+      val keys = Seq(i % 10, (i + 3) % 10, (i + 6) % 10).distinct
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(keys.map(k =>
+          org.apache.spark.sql.Row(k.toLong, s"p${k % 2}", i)), 2), schema)
+    }
+    def rows(path: String) =
+      IcebergSnapshot.readSnapshot(spark, path, table)
+        .select(col("K").cast("long"), col("V").cast("string"),
+          col("N").cast("int")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    def nSnapshots(path: String) = {
+      val v = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path, "metadata", "version-hint.text")),
+        "UTF-8").trim.toInt
+      val meta = org.json4s.jackson.JsonMethods.parse(
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+          path, "metadata", s"v$v.metadata.json")), "UTF-8"))
+      (meta \ "snapshots").asInstanceOf[org.json4s.JArray].arr.size
+    }
+    def nLiveFiles(path: String) =
+      IcebergPruning.planScan(conf, path, table, Nil)._1.size
+
+    val m = StreamingOps.SinkMaintenance(everyBatches = 5,
+      targetFileBytes = 1L << 30, keepSnapshots = 4)
+    val sinkM = StreamingOps.icebergUpsertSink(table, outM,
+      keyCols = Seq("K"), txnAppId = "maint-ckpt", maintenance = Some(m))
+    val sinkP = StreamingOps.icebergUpsertSink(table, outP,
+      keyCols = Seq("K"), txnAppId = "maint-ckpt")
+    val txnKey = "graft.streaming.txn.maint-ckpt"
+    val appHash = java.util.UUID.nameUUIDFromBytes(
+      "maint-ckpt".getBytes("UTF-8")).toString
+
+    for (bid <- 0 to 13) {
+      sinkM(batchDf(bid), bid.toLong); sinkM(batchDf(bid), bid.toLong)
+      sinkP(batchDf(bid), bid.toLong)
+      assert(rows(outM) === rows(outP), s"diverged at batch $bid")
+    }
+
+    // batch 14 is a cadence tick — CRASH INSIDE THE MAINTENANCE WINDOW:
+    // the batch's own commit lands, delete-folding compaction lands,
+    // then the process dies before small-file binning and expiry. Replay
+    // through the real sink must skip the batch (the txn guard rode
+    // through the maintenance REPLACE commit) and never double rows.
+    SchemaTranslator.writeMigrated(batchDf(14), table,
+      s"$outM/data/stream-$appHash-14", mode = "overwrite")
+    val schema = SchemaTranslator.toSparkSchema(table)
+    IcebergDeletes.commitUpsert(spark, table, outM,
+      batchDf(14).select(col("K").cast(schema("K").dataType).as("K")),
+      extraProperties = Map(txnKey -> "14"))
+    IcebergDeletes.compactWithDeletes(spark, table, outM) // then: crash
+    assert(IcebergSnapshot.tableProperties(outM, conf).get(txnKey) ===
+      Some("14"), "maintenance commits must carry the txn guard forward")
+    sinkM(batchDf(14), 14L) // post-crash replay: full no-op
+    sinkP(batchDf(14), 14L)
+    assert(rows(outM) === rows(outP),
+      "crash inside maintenance must not lose or double the batch")
+    assert(IcebergSnapshot.readSnapshot(spark, outM, table)
+      .groupBy("K").count().filter(col("count") > 1).count() === 0L)
+
+    for (bid <- 15 to 24) {
+      sinkM(batchDf(bid), bid.toLong); sinkM(batchDf(bid), bid.toLong)
+      sinkP(batchDf(bid), bid.toLong)
+    }
+
+    // probes bit-identical to the twin that never maintained
+    assert(rows(outM) === rows(outP),
+      "maintenance must never change what readers see")
+    // expected content independently: each key carries its last writer
+    val expected = (0 to 9).map { k =>
+      val last = (0 to 24).filter(i =>
+        Seq(i % 10, (i + 3) % 10, (i + 6) % 10).contains(k)).max
+      (k.toLong, s"p${k % 2}", last)
+    }.toSet
+    assert(rows(outM) === expected)
+
+    // bounded metadata/file growth: the last tick ran after batch 24,
+    // so the maintained table sits at its post-maintenance floor —
+    // keepSnapshots snapshots, one compacted file per live partition —
+    // while the twin carries every batch's snapshot and small files
+    assert(nSnapshots(outM) <= 4,
+      s"expiry must bound snapshots, got ${nSnapshots(outM)}")
+    assert(nSnapshots(outP) >= 25, "twin sanity: one snapshot per batch")
+    assert(nLiveFiles(outM) <= 2,
+      s"compaction must bound live files, got ${nLiveFiles(outM)}")
+    assert(nLiveFiles(outP) >= 25, "twin sanity: small files accumulate")
+    // expired history is gone; retained history still time-travels
+    assert(new java.io.File(s"$outM/data").listFiles().nonEmpty)
+    IcebergV2Validation.validateV2(org.json4s.jackson.JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        outM, "metadata", s"v${new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(outM, "metadata", "version-hint.text")),
+          "UTF-8").trim.toInt}.metadata.json")), "UTF-8")),
+      expectSnapshot = true)
+  }
+
+  test("sink maintenance cadence on the append sink: compaction + expiry " +
+      "bound an append-only stream, replays stay no-ops at cadence ticks") {
+    import graft.parse.Db2Parser
+    import graft.sources.{IcebergPruning, IcebergSnapshot}
+    val table = Db2Parser.parse(
+      """CREATE TABLE S.MAINTA (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10)
+        |);""".stripMargin).tables.head
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = Files.createTempDirectory("iceberg_maint_app").toString
+    def df(ks: Range) = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("K", LongType, nullable = false),
+        StructField("V", StringType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(ks.map(k =>
+          org.apache.spark.sql.Row(k.toLong, s"v$k")), 2), schema)
+    }
+    val sink = StreamingOps.icebergTableSink(table, out,
+      txnAppId = "maint-app", maintenance = Some(StreamingOps.SinkMaintenance(
+        everyBatches = 3, targetFileBytes = 1L << 30, keepSnapshots = 2)))
+    for (bid <- 0 to 11) {
+      sink(df(bid * 10 + 1 to bid * 10 + 5), bid.toLong)
+      sink(df(bid * 10 + 1 to bid * 10 + 5), bid.toLong) // replay no-op
+    }
+    val got = IcebergSnapshot.readSnapshot(spark, out, table)
+      .select("K").collect().map(_.getLong(0)).toSet
+    val want = (0 to 11).flatMap(b => b * 10 + 1 to b * 10 + 5)
+      .map(_.toLong).toSet
+    assert(got === want, "append stream content survives maintenance")
+    // last tick after batch 11: everything binned into one file,
+    // history trimmed to keepSnapshots
+    assert(IcebergPruning.planScan(conf, out, table, Nil)._1.size === 1)
+    val v = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", "version-hint.text")),
+      "UTF-8").trim.toInt
+    val meta = org.json4s.jackson.JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        out, "metadata", s"v$v.metadata.json")), "UTF-8"))
+    assert((meta \ "snapshots").asInstanceOf[org.json4s.JArray].arr.size <= 2)
+  }
+
   test("graft-iceberg STREAMING SOURCE tails committed snapshots: " +
       "stream==batch per range, WAP never leaks, kill-and-replay " +
       "resumes from the committed offset, strict refuses row removals") {
