@@ -78,6 +78,13 @@ class IcebergLifecycleSpec extends AnyFunSuite {
   // that must change NO read face (model, travel, refs, incrementals)
   private case object RewriteManifests extends Op
 
+  /** The streaming sinks' cadence body ([[graft.streaming.StreamingOps
+    * .maintainIcebergTable]]): delete-fold + small-file bin + expiry
+    * as one composed pass, dropped into random positions so the
+    * sequence a long-running sink actually produces is part of the
+    * searched space. */
+  private case class Maintain(keep: Int) extends Op
+
   private val opGen: Gen[Op] = Gen.frequency(
     4 -> Gen.choose(1, 12).map(Append(_)),
     3 -> (for { m <- Gen.choose(2, 5); r <- Gen.choose(0, 4) }
@@ -99,7 +106,8 @@ class IcebergLifecycleSpec extends AnyFunSuite {
     2 -> Gen.const(PublishOrAbandon),
     2 -> Gen.choose(0, 9).map(Rollback(_)),
     2 -> Gen.oneOf(true, false).map(SweepOrphans(_)),
-    1 -> Gen.const(RewriteManifests))
+    1 -> Gen.const(RewriteManifests),
+    2 -> Gen.choose(2, 5).map(Maintain(_)))
 
   private val seqGen: Gen[List[Op]] =
     Gen.choose(4, 7).flatMap(n => Gen.listOfN(n, opGen))
@@ -285,6 +293,18 @@ class IcebergLifecycleSpec extends AnyFunSuite {
       assert(dKs == model.keySet.filter(k =>
         decOf(k).compareTo(dLo) >= 0 && decOf(k).compareTo(dHi) <= 0),
         s"[$label] decimal pruned read [$dLo,$dHi] != model")
+      // the IDIOMATIC path after every commit: the DSv2 face must
+      // reconstruct the schema from the table's own metadata (through
+      // every add/rename/drop/spec evolution this sequence applied)
+      // and its Catalyst pushdown must agree with the model under the
+      // same random range — covering file pruning, residual filters,
+      // merge-on-read deletes and the empty-table state end to end
+      val v2Ks = spark.read.format("graft-iceberg").load(out)
+        .filter(org.apache.spark.sql.functions.col("K") >= lo &&
+          org.apache.spark.sql.functions.col("K") <= hi)
+        .select("K").collect().map(_.getLong(0)).toSet
+      assert(v2Ks == model.keySet.filter(k => k >= lo && k <= hi),
+        s"[$label] DSv2 filtered read [$lo,$hi] != model")
     }
     afterOp("init")
 
@@ -521,6 +541,15 @@ class IcebergLifecycleSpec extends AnyFunSuite {
           IcebergMaintenance.rewriteManifests(table, out,
             spark.sparkContext.hadoopConfiguration)
           // model unchanged; afterOp verifies every read face
+
+        case Maintain(keep) =>
+          graft.streaming.StreamingOps.maintainIcebergTable(spark, table,
+            out, graft.streaming.StreamingOps.SinkMaintenance(
+              everyBatches = 1, targetFileBytes = 1L << 30,
+              keepSnapshots = keep))
+          liveDeletes = false // the fold consumed every delete file
+          // rows unchanged; retained-history/ref/GC invariants ride
+          // afterOp (and any file the pass strands trips SweepOrphans)
       }
       afterOp(label)
     }
