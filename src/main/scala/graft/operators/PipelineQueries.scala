@@ -771,6 +771,35 @@ object PipelineQueries {
       .orderBy("change_type")
   }
 
+  /** q101's oracle carried through the O(changes) CDC face
+    * ([[graft.sources.IcebergChanges.incrementalChangesScan]] — also
+    * the `mode=cdc` streaming tail's `getBatch` body): inserts from
+    * exactly the added data files, deletes resolved by a key-pruned
+    * parent read, NO full-state diff — yet the rows must hash-match
+    * the same DuckDB arithmetic the state-diff face matches. Shares
+    * q101's migrated fixture. */
+  def q103ChangesScan(s: SparkSession, dir: String): DataFrame = {
+    q101CdcChanges(s, dir).count() // ensure the shared fixture is built
+    val tdef = graft.parse.Db2Parser.parse(
+      """CREATE TABLE G.ORDERS_CDC (
+        |  O_ORDERKEY BIGINT NOT NULL,
+        |  O_CUSTKEY BIGINT,
+        |  O_ORDERSTATUS VARCHAR(1),
+        |  O_TOTALPRICE DOUBLE,
+        |  O_ORDERPRIORITY VARCHAR(20)
+        |);""".stripMargin).tables.head
+    val (path, _) = amortizedIndexPath(s, dir, "iceberg_cdc",
+      p => new java.io.File(p, "_built_cdc").isFile, table = "orders")
+    graft.sources.IcebergChanges.incrementalChangesScan(s, path, tdef,
+        fromSnapshotId = None)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("O_ORDERKEY")).cast("bigint").as("sum_keys"),
+        round(sum(col("O_TOTALPRICE").cast("decimal(28,4)"))
+          .cast("double"), 2).as("sum_price"))
+      .orderBy("change_type")
+  }
+
   /** Per-label embedding statistics: count and L2-norm rollups — the
     * quick corpus-health check before ANN indexing (degenerate or
     * unnormalized embedding batches show up as norm outliers). Norms
@@ -3241,6 +3270,34 @@ object PipelineQueries {
         |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 2)
         |  FROM ins)
         |SELECT * FROM u ORDER BY change_type""".stripMargin,
+    // the O(changes) CDC face must agree with the same arithmetic the
+    // state-diff face matches — q101's oracle verbatim
+    "q103_changes_scan" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 4 <> 3),
+        |b AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 8 = 1 THEN o_orderkey * 2.0
+        |         ELSE o_orderkey * 3.0 END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 8 IN (1, 3)),
+        |ins AS (
+        |  SELECT o_orderkey, o_totalprice FROM a
+        |  UNION ALL SELECT o_orderkey, o_totalprice FROM b),
+        |del AS (
+        |  SELECT o_orderkey, o_totalprice FROM a WHERE o_orderkey % 8 = 1),
+        |u AS (
+        |  SELECT 'delete' AS change_type, count(*) AS n_rows,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 2)
+        |      AS sum_price
+        |  FROM del
+        |  UNION ALL
+        |  SELECT 'insert', count(*),
+        |    CAST(sum(o_orderkey) AS BIGINT),
+        |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 2)
+        |  FROM ins)
+        |SELECT * FROM u ORDER BY change_type""".stripMargin,
     // the boilerplate fixture's two extraction surfaces reconstructed
     // arithmetically: html_text keeps title + nav + content + link farm
     // + aside + footer in document order; main_content keeps exactly
@@ -3411,6 +3468,7 @@ object PipelineQueries {
     "q100_iceberg_pruned_read" -> (q100IcebergPrunedRead _),
     "q101_cdc_changes" -> (q101CdcChanges _),
     "q102_dsv2_pruned_read" -> (q102Dsv2PrunedRead _),
+    "q103_changes_scan" -> (q103ChangesScan _),
     "q70c_clustered_dedup" -> (q70cClusteredDedup _),
     "q71_phrase_search" -> (q71PhraseSearch _),
     "q71_indexed" -> (q71PhraseSearchIndexed _),

@@ -121,46 +121,10 @@ object IcebergChanges {
           "strict = false to read only the adds")
     }
     val perSnap = considered.zipWithIndex.flatMap { case (s, ord) =>
-      // files ADDED by s: its own manifest list, entries it committed
-      val listRows = readManifestList(new Path(s.manifestList), conf)
-      val files = listRows.filter(_.get("content").asInstanceOf[Int] == 0)
-        .flatMap { m =>
-          val mSpec = m.get("partition_spec_id").asInstanceOf[Int]
-          val pf = partitionFieldsOf(table, mSpec)
-          readAvroRows(new Path(m.get("manifest_path").toString), conf)
-            .filter(e => e.get("status") == 1 &&
-              e.get("snapshot_id") == s.snapshotId)
-            .map { e =>
-              val df = e.get("data_file")
-                .asInstanceOf[org.apache.avro.generic.GenericRecord]
-              IcebergSnapshot.decodeDataFileInfo(df, pf, mSpec)
-            }
-            // stats-based file pruning — an incremental consumer that
-            // only wants one key range / partition skips the rest of
-            // each commit's files exactly like readSnapshot does
-            .filter(info => pruning.forall(b =>
-              IcebergPruning.fileMayMatch(table, info, b)))
-        }
-      if (files.isEmpty) None
-      else Some {
-        val scanned = normalized(
-          files.groupBy(_.specId).toSeq.sortBy(_._1).map { case (sid, fs) =>
-            restoreIdentityColumnsFor(spark,
-              scanDataFiles(spark, table, fs.map(_.path), sid),
-              table, partitionFieldsOf(table, sid),
-              dirEncodedIdentityCols(table, sid),
-              fs.map(f => (f.path, f.partitionValues)),
-              castToDeclared = table.partitionSpecs.nonEmpty)
-          }.reduce(_ unionByName _), table)
-        val filtered =
-          if (pruning.isEmpty) scanned
-          else scanned.where(
-            IcebergPruning.residualFilter(scanned, table, pruning))
-        filtered
-          .withColumn("_change_type", lit("insert"))
+      addedDataRows(spark, table, s, pruning).map(
+        _.withColumn("_change_type", lit("insert"))
           .withColumn("_commit_snapshot_id", lit(s.snapshotId))
-          .withColumn("_change_ordinal", lit(ord))
-      }
+          .withColumn("_change_ordinal", lit(ord)))
     }
     if (perSnap.isEmpty)
       emptyLike(spark, table)
@@ -169,6 +133,52 @@ object IcebergChanges {
         .withColumn("_change_ordinal", lit(0))
         .limit(0)
     else perSnap.reduce(_ unionByName _)
+  }
+
+  /** The declared-schema rows ADDED by one snapshot — its own manifest
+    * list, entries it committed (status 1 under its id; manifests are
+    * immutable and carried forward, so an old ADDED entry keeps its
+    * original committer id). None when the snapshot added no
+    * matching files. Shared by the append scan and the O(changes) CDC
+    * scan. */
+  private def addedDataRows(spark: SparkSession, table: TableDef,
+      s: IcebergMetadata.SnapshotMeta,
+      pruning: Seq[IcebergPruning.ColumnBound]): Option[DataFrame] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val listRows = readManifestList(new Path(s.manifestList), conf)
+    val files = listRows.filter(_.get("content").asInstanceOf[Int] == 0)
+      .flatMap { m =>
+        val mSpec = m.get("partition_spec_id").asInstanceOf[Int]
+        val pf = partitionFieldsOf(table, mSpec)
+        readAvroRows(new Path(m.get("manifest_path").toString), conf)
+          .filter(e => e.get("status") == 1 &&
+            e.get("snapshot_id") == s.snapshotId)
+          .map { e =>
+            val df = e.get("data_file")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            IcebergSnapshot.decodeDataFileInfo(df, pf, mSpec)
+          }
+          // stats-based file pruning — an incremental consumer that
+          // only wants one key range / partition skips the rest of
+          // each commit's files exactly like readSnapshot does
+          .filter(info => pruning.forall(b =>
+            IcebergPruning.fileMayMatch(table, info, b)))
+      }
+    if (files.isEmpty) None
+    else Some {
+      val scanned = normalized(
+        files.groupBy(_.specId).toSeq.sortBy(_._1).map { case (sid, fs) =>
+          restoreIdentityColumnsFor(spark,
+            scanDataFiles(spark, table, fs.map(_.path), sid),
+            table, partitionFieldsOf(table, sid),
+            dirEncodedIdentityCols(table, sid),
+            fs.map(f => (f.path, f.partitionValues)),
+            castToDeclared = table.partitionSpecs.nonEmpty)
+        }.reduce(_ unionByName _), table)
+      if (pruning.isEmpty) scanned
+      else scanned.where(
+        IcebergPruning.residualFilter(scanned, table, pruning))
+    }
   }
 
   /** Per-snapshot insert/delete rows for `(fromSnapshotId,
@@ -202,6 +212,131 @@ object IcebergChanges {
       ins.unionByName(del)
         .withColumn("_commit_snapshot_id", lit(s.snapshotId))
         .withColumn("_change_ordinal", lit(ord))
+    }
+    if (perSnap.isEmpty)
+      emptyLike(spark, table)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_snapshot_id", lit(0L))
+        .withColumn("_change_ordinal", lit(0))
+        .limit(0)
+    else perSnap.reduce(_ unionByName _)
+  }
+
+  /** The O(changes) CDC scan — [[changesTable]]'s rows at
+    * [[incrementalAppendScan]]'s cost, for the snapshot shapes the
+    * engine's writers produce (plain appends and equality-delete
+    * overwrites — the three streaming sinks, `appendIncrement`,
+    * `mergeUpsert`): per snapshot, INSERTS are the rows of exactly the
+    * data files it added, and DELETES are the parent state restricted
+    * to the equality-delete keys it committed — resolved by a
+    * stats-PRUNED parent read (IN-set bounds over the key columns) plus
+    * a broadcast semi-join, so the cost tracks the files that contain
+    * the deleted keys, never the table. Same-content insert/delete
+    * pairs cancel per snapshot (an upsert rewriting an identical row
+    * emits nothing), making the output row-identical to
+    * [[changesTable]]'s full-state diff. REPLACE snapshots are skipped
+    * (bytes moved, no rows changed); a POSITION-delete snapshot refuses
+    * loudly — its row identity is (file, offset), not a key, so the
+    * state-diff face is the correct tool there.
+    *
+    * This is the streaming CDC tail's `getBatch` body
+    * (`spark.readStream.format("graft-iceberg").option("mode","cdc")`):
+    * at 100 TB the consumer reads each commit's added files and the
+    * key-pruned slice of the parent — never a table rescan per batch.
+    *
+    * `maxInKeys` caps the driver-side key collection per delete file
+    * (batch-sized by the sink contract); a larger delete file skips
+    * the IN-bound file pruning and keeps the distributed semi-join. */
+  def incrementalChangesScan(spark: SparkSession, tablePath: String,
+      table: TableDef, fromSnapshotId: Option[Long],
+      toSnapshotId: Option[Long] = None,
+      maxInKeys: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (chain, mainId) = chainOf(spark, tablePath)
+    val snaps = range(chain, fromSnapshotId, toSnapshotId.orElse(mainId))
+    val byId = chain.map(s => s.snapshotId -> s).toMap
+    val idToName = table.columns.zipWithIndex.map { case (c, i) =>
+      c.fieldId.getOrElse(i + 1) -> c.name
+    }.toMap
+    // ordinals count REPLACE snapshots like the state-diff face does
+    // (they emit nothing there but consume a range position), so the
+    // two faces stay row-identical including metadata columns
+    val considered = snaps.zipWithIndex
+      .filterNot(_._1.operation == "replace")
+    val perSnap = considered.flatMap { case (s, ord) =>
+      // delete files COMMITTED BY s (content-1 manifests, ADDED entries
+      // under its id)
+      val listRows = readManifestList(new Path(s.manifestList), conf)
+      val addedDeletes = listRows
+        .filter(_.get("content").asInstanceOf[Int] == 1)
+        .flatMap { m =>
+          readAvroRows(new Path(m.get("manifest_path").toString), conf)
+            .filter(e => e.get("status") == 1 &&
+              e.get("snapshot_id") == s.snapshotId)
+            .map { e =>
+              val df = e.get("data_file")
+                .asInstanceOf[org.apache.avro.generic.GenericRecord]
+              val ids = Option(df.get("equality_ids")).toSeq.flatMap { l =>
+                val jl = l.asInstanceOf[java.util.List[Integer]]
+                (0 until jl.size).map(jl.get(_).intValue)
+              }
+              (df.get("file_path").toString,
+                df.get("content").asInstanceOf[Int], ids,
+                df.get("record_count").asInstanceOf[Long])
+            }
+        }
+      require(addedDeletes.forall(_._2 == 2),
+        s"snapshot ${s.snapshotId} committed POSITION deletes — their row " +
+          "identity is (file, offset), not a key; use changesTable for " +
+          "the full state-diff CDC view of this range")
+      val inserts = addedDataRows(spark, table, s, Nil)
+        .getOrElse(emptyLike(spark, table))
+      val deletes = addedDeletes.groupBy(_._3).toSeq.sortBy(_._1.mkString(","))
+        .map { case (ids, dels) =>
+          val keyCols = ids.map(id => idToName.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"equality field id $id is not a current column — " +
+                "read this range with changesTable")))
+          val keys = dels.map(d => spark.read.parquet(d._1))
+            .reduce(_ unionByName _)
+            .select(keyCols.map(col): _*).distinct()
+          // file pruning: each key column's IN-set is a necessary
+          // condition, so bounds compose conservatively; a delete file
+          // beyond maxInKeys skips pruning, not correctness
+          val bounds =
+            if (dels.map(_._4).sum > maxInKeys) Nil
+            else keyCols.flatMap { c =>
+              val vs = keys.select(c).distinct().collect().map(_.get(0))
+              if (vs.isEmpty || vs.contains(null)) None
+              else Some(IcebergPruning.ColumnBound.in(c, vs.toSeq))
+            }
+          val parentState = s.parentSnapshotId match {
+            case None => emptyLike(spark, table)
+            case Some(p) =>
+              require(byId.contains(p),
+                s"parent snapshot $p expired — the range's deletes can " +
+                  "no longer be resolved; start after it or use a " +
+                  "retained from-snapshot")
+              if (byId(p).totalRecords == 0 && byId(p).totalFiles == 0)
+                emptyLike(spark, table)
+              else normalized(readSnapshot(spark, tablePath, table,
+                Some(p), pruning = bounds), table)
+          }
+          parentState.join(broadcast(keys), keyCols, "left_semi")
+        }
+        .reduceOption(_ unionByName _)
+        .getOrElse(emptyLike(spark, table))
+      // an upsert that rewrites a row to identical content nets to no
+      // change — cancel per snapshot, like the state diff does; both
+      // sides are commit-sized, so this is a batch-local shuffle
+      val ins = inserts.exceptAll(deletes)
+        .withColumn("_change_type", lit("insert"))
+      val del = deletes.exceptAll(inserts)
+        .withColumn("_change_type", lit("delete"))
+      Some(ins.unionByName(del)
+        .withColumn("_commit_snapshot_id", lit(s.snapshotId))
+        .withColumn("_change_ordinal", lit(ord)))
     }
     if (perSnap.isEmpty)
       emptyLike(spark, table)

@@ -495,7 +495,10 @@ object IcebergPruning {
       (b.nullness, b.values) match {
         case (Some(true), _) => c.isNull
         case (Some(false), _) => c.isNotNull
-        case (None, Some(vs)) => vs.map(v => c === litOf(v)).reduce(_ || _)
+        // one flat In expression, not a reduced || chain: a nested OR
+        // tree overflows the analyzer's recursion at a few hundred
+        // values (an O(changes) CDC batch's key set gets there easily)
+        case (None, Some(vs)) => c.isin(vs.map(litOf): _*)
         case (None, None) =>
           val conds =
             b.lower.map(v => c >= litOf(v)).toSeq ++

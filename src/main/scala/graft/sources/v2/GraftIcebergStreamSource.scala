@@ -74,6 +74,13 @@ class GraftIcebergStreamSource(spark: SparkSession,
   private val strict =
     parameters.get("strict").forall(_.toBoolean)
   private val startAfter = parameters.get("starting-snapshot-id").map(_.toLong)
+  // "append" (default): adds only, strict about row removals;
+  // "cdc": full insert+delete rows per commit via the O(changes) scan
+  // (IcebergChanges.incrementalChangesScan) — the downstream-mirror
+  // tail of the CDC loop the table sinks open
+  private val mode = parameters.getOrElse("mode", "append")
+  require(mode == "append" || mode == "cdc",
+    s"graft-iceberg stream mode must be append|cdc, got $mode")
 
   private def conf = spark.sparkContext.hadoopConfiguration
 
@@ -91,8 +98,12 @@ class GraftIcebergStreamSource(spark: SparkSession,
     val from = start.map(GraftIcebergSourceOffset.from(_).snapshotId)
       .orElse(startAfter)
     val to = GraftIcebergSourceOffset.from(end).snapshotId
-    val batch = IcebergChanges.incrementalAppendScan(spark, path, tdef,
-      fromSnapshotId = from, toSnapshotId = Some(to), strict = strict)
+    val batch =
+      if (mode == "cdc")
+        IcebergChanges.incrementalChangesScan(spark, path, tdef,
+          fromSnapshotId = from, toSnapshotId = Some(to))
+      else IcebergChanges.incrementalAppendScan(spark, path, tdef,
+        fromSnapshotId = from, toSnapshotId = Some(to), strict = strict)
     // MicroBatchExecution requires a streaming-flagged plan; the scan
     // itself is a batch plan over the range's immutable files. The
     // declared schema overrides nullability so empty and non-empty

@@ -171,4 +171,78 @@ class IcebergChangesSpec extends AnyFunSuite {
       IcebergChanges.changesTable(spark, out, table, fromSnapshotId = Some(42L))
     }
   }
+
+  test("incrementalChangesScan == changesTable row-for-row over every " +
+      "range of a sink-shaped history, at O(changes) cost; position " +
+      "deletes refuse loudly; the parent read is key-pruned") {
+    // sink-shaped history: appends + equality upserts + a pure
+    // equality delete + an identical-content rewrite + compaction
+    val out = java.nio.file.Files.createTempDirectory("iceberg_ics").toString
+    SchemaTranslator.migrateTable(rowsDf((1L to 6L).map(mk)), table, out)
+    SchemaTranslator.appendIncrement(rowsDf((7L to 10L).map(mk)), table, out)
+    SchemaTranslator.mergeUpsert(
+      rowsDf(Seq((2L, "p0", 2222), (3L, "p1", 3333), mk(11L))), table, out,
+      keyCols = Seq("K"))
+    // identical-content rewrite: both faces must emit NOTHING for K=4
+    SchemaTranslator.mergeUpsert(rowsDf(Seq(mk(4L))), table, out,
+      keyCols = Seq("K"))
+    // pure equality delete (no replacement rows): K = 5 and 7 out
+    IcebergDeletes.commitUpsert(spark, table, out,
+      rowsDf(Seq(mk(5L), mk(7L))).select("K"))
+    IcebergDeletes.compactWithDeletes(spark, table, out)
+    SchemaTranslator.appendIncrement(rowsDf((12L to 13L).map(mk)), table, out)
+    val ids = chainIds(out)
+    assert(ids.size === 7)
+
+    def full(df: org.apache.spark.sql.DataFrame)
+        : Seq[(Long, String, Int, String, Long, Int)] =
+      df.select(col("K"), col("V"), col("N"), col("_change_type"),
+          col("_commit_snapshot_id"), col("_change_ordinal"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3),
+          r.getLong(4), r.getInt(5)))
+        .toSeq.sorted
+    // EVERY (from, to] range over the chain agrees with the state diff
+    // — rows, metadata columns and ordinals included
+    val froms = None +: ids.map(Some(_))
+    for (fi <- froms.indices; ti <- fi until ids.size) {
+      val from = froms(fi); val to = Some(ids(ti))
+      assert(full(IcebergChanges.incrementalChangesScan(
+          spark, out, table, from, to)) ===
+        full(IcebergChanges.changesTable(spark, out, table, from, to)),
+        s"range ($from, $to] diverged from the state diff")
+    }
+
+    // cost shape: the scan's data-file inputs for one append snapshot
+    // are exactly that snapshot's files (no parent read when no
+    // deletes), and the upsert snapshot's parent read is PRUNED — its
+    // input set stays a strict subset of the parent's full live set
+    val appendOnly = IcebergChanges.incrementalChangesScan(spark, out, table,
+      fromSnapshotId = Some(ids(5)), toSnapshotId = Some(ids(6)))
+    val appendScan = IcebergChanges.incrementalAppendScan(spark, out, table,
+      fromSnapshotId = Some(ids(5)), toSnapshotId = Some(ids(6)))
+    assert(appendOnly.inputFiles.toSet === appendScan.inputFiles.toSet,
+      "an append-only range must read exactly the added files")
+    // the pure equality delete (keys {5,7}): its parent read must skip
+    // the parent files whose K stats cannot contain those keys
+    val deleteRange = IcebergChanges.incrementalChangesScan(spark, out, table,
+      fromSnapshotId = Some(ids(3)), toSnapshotId = Some(ids(4)))
+    val parentFull = IcebergSnapshot.readSnapshot(spark, out, table,
+      Some(ids(3))).inputFiles.toSet
+    val extraOverAdds = deleteRange.inputFiles.toSet
+      .filterNot(_.contains("/deletes/")) // the key file itself
+    assert(extraOverAdds.subsetOf(parentFull))
+    assert(extraOverAdds.size < parentFull.size,
+      "the delete-resolving parent read must be file-pruned by the keys")
+
+    // position deletes have no key identity: the O(changes) face
+    // refuses and points at changesTable
+    val out2 = java.nio.file.Files.createTempDirectory("iceberg_ics2").toString
+    SchemaTranslator.migrateTable(rowsDf((1L to 6L).map(mk)), table, out2)
+    IcebergDeletes.commitPositionDeletes(spark, table, out2, col("K") % 3 === 0)
+    val e = intercept[IllegalArgumentException] {
+      IcebergChanges.incrementalChangesScan(spark, out2, table, None).collect()
+    }
+    assert(e.getMessage.contains("POSITION deletes"))
+  }
 }

@@ -1442,6 +1442,82 @@ class StreamingSpec extends AnyFunSuite {
       "non-strict view = every added row, including the upsert's new version")
   }
 
+  test("graft-iceberg CDC streaming mode tails insert+delete rows == the " +
+      "batch changesTable, exactly once across kill-and-replay, at " +
+      "O(changes) cost per micro-batch") {
+    import graft.api.SchemaTranslator
+    import graft.parse.Db2Parser
+    import graft.sources.IcebergChanges
+    val table = Db2Parser.parse(
+      """CREATE TABLE S.CDCTAIL (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10)
+        |);""".stripMargin).tables.head
+    val out = Files.createTempDirectory("iceberg_cdctail").toString
+    val ckpt = Files.createTempDirectory("iceberg_cdctail_ckpt").toString
+    def df(rows: Seq[(Long, String)]) = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("K", LongType, nullable = false),
+        StructField("V", StringType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2)), 2), schema)
+    }
+    // the table is fed by the upsert sink — the producer half of the
+    // loop this mode closes
+    val sink = StreamingOps.icebergUpsertSink(table, out,
+      keyCols = Seq("K"), txnAppId = "cdctail")
+    sink(df(Seq((1L, "a"), (2L, "b"), (3L, "c"))), 0)
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, String, String, Long)]
+    def start() = spark.readStream.format("graft-iceberg")
+      .option("mode", "cdc").load(out)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("K", "V", "_change_type", "_commit_snapshot_id").collect()
+          .foreach(r => seen.add(
+            (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))))
+        ()
+      }.start()
+    def rows = seen.iterator().asScala.toSeq
+
+    val q = start()
+    q.processAllAvailable()
+    assert(rows.map(t => (t._1, t._3)).sorted ===
+      Seq((1L, "insert"), (2L, "insert"), (3L, "insert")))
+
+    // an upsert between micro-batches emits delete(old) + insert(new);
+    // a pure delete emits delete(old) only
+    sink(df(Seq((2L, "b2"), (4L, "d"))), 1)
+    graft.sources.IcebergDeletes.commitUpsert(spark, table, out,
+      df(Seq((3L, "c"))).select("K"))
+    q.processAllAvailable()
+    q.stop()
+
+    // kill-and-replay: changes committed while down arrive once
+    sink(df(Seq((1L, "a2"))), 2)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    // the stream's cumulative CDC rows == the batch face over the
+    // whole history, metadata included
+    val batch = IcebergChanges.changesTable(spark, out, table, None)
+      .select("K", "V", "_change_type", "_commit_snapshot_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(rows.sorted === batch.sorted,
+      "stream CDC total must equal the batch changesTable")
+    // and the net state replays from the stream: inserts minus deletes
+    val net = rows.groupBy(t => (t._1, t._2)).view.mapValues(g =>
+      g.count(_._3 == "insert") - g.count(_._3 == "delete")).toMap
+    val live = net.filter(_._2 > 0).keySet
+    assert(live === Set((1L, "a2"), (2L, "b2"), (4L, "d")),
+      "downstream mirror reconstructed from the stream diverged")
+  }
+
   test("session_window batch agg: gap merge semantics") {
     import spark.implicits._
     val data = Seq(
