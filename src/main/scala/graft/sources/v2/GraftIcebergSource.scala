@@ -140,9 +140,25 @@ object GraftIcebergSource {
         Seq(ColumnBound.in(c, vs.toSeq))
       case IsNull(c) if ok(c) => Seq(ColumnBound.isNull(c))
       case IsNotNull(c) if ok(c) => Seq(ColumnBound.notNull(c))
+      // a prefix predicate is a RANGE over strings: matches live in
+      // [p, nextPrefix(p)) — the inclusive file-granularity closure is
+      // conservative and the row filter restores exactness
+      case StringStartsWith(c, p) if ok(c) && p != null && p.nonEmpty &&
+          IcebergPruning.icebergTypeOf(table, c) == "string" =>
+        Seq(ColumnBound(c, lower = Some(p), upper = prefixUpper(p)))
       case And(l, r) => translate(table, Seq(l)) ++ translate(table, Seq(r))
       case _ => Nil
     }
+  }
+
+  /** The smallest string just past every string with prefix `p`:
+    * increment the rightmost non-￿ char and truncate after it.
+    * None when p is all ￿ (no finite upper — the lower bound
+    * alone still prunes). */
+  private[v2] def prefixUpper(p: String): Option[String] = {
+    val i = p.lastIndexWhere(_ != '￿')
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
   }
 }
 

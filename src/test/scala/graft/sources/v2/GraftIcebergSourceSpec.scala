@@ -203,11 +203,30 @@ class GraftIcebergSourceSpec extends AnyFunSuite {
     assert(tr(IsNotNull("N")) === Seq(ColumnBound.notNull("N")))
     assert(tr(EqualNullSafe("V", null)) === Seq(ColumnBound.isNull("V")))
     assert(tr(And(EqualTo("V", "p0"), GreaterThan("K", 3L))).size === 2)
+    // a prefix predicate is a string range [p, nextPrefix(p)]
+    assert(tr(StringStartsWith("V", "p0")) ===
+      Seq(ColumnBound("V", Some("p0"), Some("p1"))))
+    assert(GraftIcebergSource.prefixUpper("a￿") === Some("b"))
+    assert(GraftIcebergSource.prefixUpper("￿￿") === None)
+    assert(tr(StringStartsWith("V", "￿")) ===
+      Seq(ColumnBound("V", Some("￿"), None)))
     // unsupported: no bound, no throw
     assert(tr(Or(EqualTo("K", 1L), EqualTo("K", 2L))) === Nil)
-    assert(tr(StringStartsWith("V", "p")) === Nil)
+    assert(tr(StringStartsWith("K", "1")) === Nil) // non-string column
     assert(tr(In("K", Array(1L, null))) === Nil)
     assert(tr(EqualTo("NOPE", 1)) === Nil)
+  }
+
+  test("StringStartsWith pushdown prunes partitions and rows agree") {
+    val (out, _) = fixture
+    GraftIcebergScans.clear()
+    val got = dsv2(out).filter(col("V").startsWith("p1"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L, 5L, 7L, 9L, 11L, 21L),
+      "prefix rows must be exact")
+    val rep = GraftIcebergScans.lastReport.get
+    assert(rep.skippedFiles.nonEmpty, "the p0 partition files must skip")
+    assert(rep.keptFiles.forall(_.contains("V=p1")))
   }
 
   test("DSv2 read face composes with row-level deletes (merge-on-read)") {
