@@ -5,10 +5,12 @@ import java.util.concurrent.atomic.AtomicReference
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.catalog.SupportsWrite
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -51,7 +53,8 @@ import graft.sources.IcebergPruning.ColumnBound
   * translated bounds) — the "files scanned / files skipped" a real
   * engine surfaces, and what PlanSpec pins file-exactness on. */
 class GraftIcebergSource extends TableProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with StreamSinkProvider
+    with CreatableRelationProvider {
 
   override def shortName(): String = "graft-iceberg"
 
@@ -84,9 +87,87 @@ class GraftIcebergSource extends TableProvider with DataSourceRegister
       providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
     new GraftIcebergStreamSource(sqlContext.sparkSession, parameters)
+
+  // V1 batch-save face — DataFrameWriter routes fresh-path saves (a
+  // "create table as select" for a non-catalog provider) through
+  // CreatableRelationProvider; existing-table appends/overwrites ride
+  // the V2 table's V1Write. Both delegate to the same writers.
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.Dataset[Row]): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val options = new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-iceberg needs a table path: .save(<tablePath>)"))
+    val tdef = GraftIcebergSource.tableDefFor(path, options)
+    val exists = GraftIcebergSource.tableExists(path)
+    val ordered = data.select(tdef.columns.map(c =>
+      org.apache.spark.sql.functions.col(c.name)): _*)
+    mode match {
+      case SaveMode.Overwrite =>
+        graft.api.SchemaTranslator.migrateTable(ordered, tdef, path)
+      case SaveMode.Append =>
+        if (exists) graft.api.SchemaTranslator.appendIncrement(ordered, tdef, path)
+        else graft.api.SchemaTranslator.migrateTable(ordered, tdef, path)
+      case SaveMode.ErrorIfExists =>
+        require(!exists, s"table already exists at $path (mode ErrorIfExists)")
+        graft.api.SchemaTranslator.migrateTable(ordered, tdef, path)
+      case SaveMode.Ignore =>
+        if (!exists)
+          graft.api.SchemaTranslator.migrateTable(ordered, tdef, path)
+    }
+    val outer = sqlContext
+    new BaseRelation {
+      override def sqlContext: SQLContext = outer
+      override def schema: StructType =
+        graft.api.SchemaTranslator.toSparkSchema(tdef)
+    }
+  }
+
+  // V1 StreamSinkProvider face — `df.writeStream.format("graft-iceberg")
+  // .start(tablePath)` lands exactly-once snapshots; see
+  // GraftIcebergStreamSink for modes/options.
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append()
+        || outputMode == org.apache.spark.sql.streaming.OutputMode.Update(),
+      s"graft-iceberg sink supports Append/Update output, got $outputMode " +
+        "(Complete would rewrite the table every batch)")
+    new GraftIcebergStreamSink(parameters, partitionColumns)
+  }
 }
 
 object GraftIcebergSource {
+
+  /** True when `path` holds a created table (a version hint exists —
+    * the same signal every reader follows). */
+  private[v2] def tableExists(path: String): Boolean = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val hint = new org.apache.hadoop.fs.Path(path, "metadata/version-hint.text")
+    org.apache.hadoop.fs.FileSystem.get(hint.toUri, conf).exists(hint)
+  }
+
+  /** The TableDef governing `path`: the table's own metadata when it
+    * exists (the single source of truth), else the `create-ddl` option
+    * — a DB2 CREATE TABLE script — for write faces that BOOTSTRAP the
+    * table on first commit. */
+  private[v2] def tableDefFor(path: String,
+      options: CaseInsensitiveStringMap): TableDef =
+    if (tableExists(path))
+      IcebergTableLoader.load(path,
+        SparkSession.active.sparkContext.hadoopConfiguration)
+    else Option(options.get("create-ddl")).map(ddl =>
+      graft.parse.Db2Parser.parse(ddl).tables.headOption.getOrElse(
+        throw new IllegalArgumentException(
+          "create-ddl parsed no CREATE TABLE statement")))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no Iceberg table at $path — pass option(\"create-ddl\", " +
+          "\"CREATE TABLE ...\") to bootstrap one on first write"))
 
   /** (TableDef from metadata, table path, resolved time-travel
     * snapshot id) for a read-options map. `ref` resolves through the
@@ -98,7 +179,7 @@ object GraftIcebergSource {
         "graft-iceberg needs a table path: spark.read" +
           ".format(\"graft-iceberg\").load(<tablePath>)"))
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val tdef = IcebergTableLoader.load(path, conf)
+    val tdef = tableDefFor(path, options)
     val bySnapshot = Option(options.get("snapshot-id")).map(_.toLong)
     val byRef = Option(options.get("ref")).filterNot(_ == "main").map { r =>
       IcebergSnapshot.listRefs(path, conf).collectFirst {
@@ -180,7 +261,8 @@ object GraftIcebergScans {
 }
 
 private[v2] class GraftIcebergTable(path: String, tdef: TableDef,
-    snapshotId: Option[Long]) extends Table with SupportsRead {
+    snapshotId: Option[Long]) extends Table with SupportsRead
+    with SupportsWrite {
 
   override def name(): String = s"graft-iceberg.`$path`"
 
@@ -188,10 +270,56 @@ private[v2] class GraftIcebergTable(path: String, tdef: TableDef,
     graft.api.SchemaTranslator.toSparkSchema(tdef)
 
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftIcebergScanBuilder(path, tdef, snapshotId, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(snapshotId.isEmpty,
+      "cannot write to a time-travel/ref read — load the table without " +
+        "snapshot-id/ref to write")
+    new GraftIcebergWriteBuilder(path, tdef)
+  }
+}
+
+/** The batch WRITE face — `df.write.format("graft-iceberg")
+  * .mode("append"|"overwrite").save(path)`:
+  *  - append on an existing table commits one parent-linked increment
+  *    snapshot ([[graft.api.SchemaTranslator.appendIncrement]]);
+  *  - append on an uncreated path (with `create-ddl`) or overwrite
+  *    anywhere runs the full migration shape
+  *    ([[graft.api.SchemaTranslator.migrateTable]]) — data files,
+  *    CREATE metadata, committed snapshot.
+  * Declared via the sanctioned [[V1Write]] hand-off (the JDBC-source
+  * pattern): the existing writers already are whole-DataFrame
+  * distributed writes plus one atomic driver-side commit — re-shaping
+  * them into per-partition DataWriters would serialize the COMMIT
+  * logic into tasks that must not own it. */
+private[v2] class GraftIcebergWriteBuilder(path: String, tdef: TableDef)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwriteArg: Boolean): Unit = {
+          val replace = overwrite || overwriteArg
+          // order by the DECLARED schema (the V1 hand-off is
+          // positional) and let the writer cast/stamp field ids
+          val ordered = data.select(tdef.columns.map(c =>
+            org.apache.spark.sql.functions.col(c.name)): _*)
+          if (replace || !GraftIcebergSource.tableExists(path))
+            graft.api.SchemaTranslator.migrateTable(ordered, tdef, path)
+          else
+            graft.api.SchemaTranslator.appendIncrement(ordered, tdef, path)
+        }
+      }
+  }
 }
 
 private[v2] class GraftIcebergScanBuilder(path: String, tdef: TableDef,

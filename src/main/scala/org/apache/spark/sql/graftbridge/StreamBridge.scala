@@ -34,6 +34,18 @@ object StreamBridge {
       df.queryExecution.toRdd, schema, isStreaming = true)
   }
 
+  /** The reverse hand-off: a micro-batch frame delivered to a V1
+    * `Sink.addBatch` still rides the streaming-flagged plan; re-root
+    * its rows under a plain batch LogicalRDD so batch-shaped sink
+    * bodies (which count/filter/write it like any DataFrame) can run
+    * unrestricted. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[
+      org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Streaming-flagged EMPTY frame of a schema (the no-new-commits
     * micro-batch). */
   def emptyStreaming(spark: SparkSession,

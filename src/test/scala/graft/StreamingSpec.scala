@@ -1518,6 +1518,82 @@ class StreamingSpec extends AnyFunSuite {
       "downstream mirror reconstructed from the stream diverged")
   }
 
+  test("writeStream.format(graft-iceberg): the idiomatic sink face lands " +
+      "exactly-once upserts, bootstraps from create-ddl, survives " +
+      "restart under the same checkpoint, maintenance options bound " +
+      "metadata growth") {
+    import graft.parse.Db2Parser
+    import graft.sources.IcebergSnapshot
+    val ddl =
+      """CREATE TABLE S.WFACE (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10)
+        |);""".stripMargin
+    val table = Db2Parser.parse(ddl).tables.head
+    val out = Files.createTempDirectory("iceberg_wface").toString
+    val ckpt = Files.createTempDirectory("iceberg_wface_ckpt").toString
+
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)](spark)
+    def start() = mem.toDF().toDF("K", "V")
+      .writeStream.format("graft-iceberg")
+      .option("checkpointLocation", ckpt)
+      .option("mode", "upsert").option("key-cols", "K")
+      .option("create-ddl", ddl)
+      .option("maintain-every", "2").option("keep-snapshots", "3")
+      .start(out)
+    def state = IcebergSnapshot.readSnapshot(spark, out, table)
+      .select(col("K").cast("long"), col("V").cast("string")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val q = start()
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    assert(state === Set((1L, "a"), (2L, "b")), "bootstrap batch lands")
+    mem.addData((2L, "b2"), (3L, "c"))
+    q.processAllAvailable()
+    assert(state === Set((1L, "a"), (2L, "b2"), (3L, "c")),
+      "upsert mode: latest wins per key")
+    q.stop()
+
+    // restart under the SAME checkpoint: the lineage id derives from
+    // it, so data queued while down lands exactly once
+    mem.addData((1L, "a2"), (4L, "d"))
+    val q2 = start()
+    q2.processAllAvailable()
+    assert(state === Set((1L, "a2"), (2L, "b2"), (3L, "c"), (4L, "d")))
+    mem.addData((5L, "e"))
+    mem.addData((6L, "f"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(state === Set((1L, "a2"), (2L, "b2"), (3L, "c"), (4L, "d"),
+      (5L, "e"), (6L, "f")))
+
+    // cadence-2 maintenance + keep-3 expiry bound the chain
+    val v = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", "version-hint.text")),
+      "UTF-8").trim.toInt
+    val meta = org.json4s.jackson.JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        out, "metadata", s"v$v.metadata.json")), "UTF-8"))
+    val nSnaps = (meta \ "snapshots").asInstanceOf[org.json4s.JArray].arr.size
+    assert(nSnaps <= 6,
+      s"maintenance must bound snapshot growth, got $nSnaps")
+
+    // Complete output mode refuses
+    val e = intercept[Exception] {
+      mem.toDF().toDF("K", "V").groupBy("K").count()
+        .writeStream.format("graft-iceberg")
+        .outputMode("complete")
+        .option("checkpointLocation",
+          Files.createTempDirectory("wface_c").toString)
+        .option("mode", "append").option("create-ddl", ddl)
+        .start(Files.createTempDirectory("wface_t").toString)
+    }
+    assert(e.getMessage.contains("Append/Update") ||
+      Option(e.getCause).exists(_.getMessage.contains("Append/Update")))
+  }
+
   test("session_window batch agg: gap merge semantics") {
     import spark.implicits._
     val data = Seq(

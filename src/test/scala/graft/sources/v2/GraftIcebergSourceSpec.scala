@@ -229,6 +229,59 @@ class GraftIcebergSourceSpec extends AnyFunSuite {
     assert(rep.keptFiles.forall(_.contains("V=p1")))
   }
 
+  test("batch WRITE face: overwrite bootstraps the table, append commits " +
+      "increments, create-ddl bootstraps on first append, time travel " +
+      "and pushdown read back through the same format") {
+    val ddl =
+      """CREATE TABLE S.DSV2 (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10),
+        |  N INTEGER
+        |) PARTITION BY RANGE (V);""".stripMargin
+    val out = java.nio.file.Files.createTempDirectory("dsv2_write").toString
+
+    // mode=overwrite on a fresh path = the full migration
+    rowsDf((1L to 5L).map(mk)).write.format("graft-iceberg")
+      .option("create-ddl", ddl).mode("overwrite").save(out)
+    assert(keySet(dsv2(out)) === (1L to 5L).toSet)
+    val snap1 = IcebergSnapshot.currentSnapshotId(out, hconf).get
+
+    // append on the existing table: one parent-linked increment; the
+    // create-ddl option is now ignored (metadata wins)
+    rowsDf((6L to 9L).map(mk)).write.format("graft-iceberg")
+      .mode("append").save(out)
+    assert(keySet(dsv2(out)) === (1L to 9L).toSet)
+    assert(keySet(spark.read.format("graft-iceberg")
+      .option("snapshot-id", snap1.toString).load(out)) === (1L to 5L).toSet,
+      "the pre-append snapshot still time-travels")
+
+    // pushdown reads the written table like any other
+    GraftIcebergScans.clear()
+    assert(keySet(dsv2(out).filter(col("V") === "p1")) ===
+      Set(1L, 3L, 5L, 7L, 9L))
+    assert(GraftIcebergScans.lastReport.get.skippedFiles.nonEmpty)
+
+    // append on an UNCREATED path bootstraps from create-ddl
+    val out2 = java.nio.file.Files.createTempDirectory("dsv2_write2").toString
+    rowsDf((1L to 3L).map(mk)).write.format("graft-iceberg")
+      .option("create-ddl", ddl).mode("append").save(out2)
+    assert(keySet(dsv2(out2)) === (1L to 3L).toSet)
+
+    // no table, no ddl: loud
+    val out3 = java.nio.file.Files.createTempDirectory("dsv2_write3").toString
+    val e = intercept[Exception] {
+      rowsDf(Seq(mk(1L))).write.format("graft-iceberg")
+        .mode("append").save(out3)
+    }
+    assert(e.getMessage.contains("create-ddl") ||
+      Option(e.getCause).exists(_.getMessage.contains("create-ddl")))
+
+    // overwrite REPLACES: fresh chain, only the new rows
+    rowsDf((100L to 101L).map(mk)).write.format("graft-iceberg")
+      .mode("overwrite").save(out)
+    assert(keySet(dsv2(out)) === Set(100L, 101L))
+  }
+
   test("DSv2 read face composes with row-level deletes (merge-on-read)") {
     val (out0, _) = fixture
     // fresh table so the shared fixture stays pristine
