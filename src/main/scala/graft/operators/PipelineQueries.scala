@@ -800,6 +800,46 @@ object PipelineQueries {
       .orderBy("change_type")
   }
 
+  /** The idiomatic WRITE faces under the hard oracle: the orders 75%
+    * slice lands via `df.write.format("graft-iceberg")` bootstrap
+    * (option create-ddl), the remaining 25% via `mode("append")`, and
+    * the read-back rides the DSv2 pushdown face — so write bootstrap,
+    * incremental append, and filtered read must compose to the same
+    * arithmetic DuckDB computes over the raw parquet. */
+  def q104WriteRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val ddl =
+      """CREATE TABLE G.ORDERS_W (
+        |  O_ORDERKEY BIGINT NOT NULL,
+        |  O_CUSTKEY BIGINT,
+        |  O_ORDERSTATUS VARCHAR(1),
+        |  O_TOTALPRICE DOUBLE
+        |) PARTITION BY RANGE (O_ORDERSTATUS);""".stripMargin
+    val (path, built) = amortizedIndexPath(s, dir, "iceberg_writeface",
+      p => new java.io.File(p, "_built_w").isFile, table = "orders")
+    if (!built) {
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey").as("O_ORDERKEY"),
+        col("o_custkey").as("O_CUSTKEY"),
+        col("o_orderstatus").as("O_ORDERSTATUS"),
+        col("o_totalprice").as("O_TOTALPRICE"))
+      orders.filter(pmod(col("O_ORDERKEY"), lit(4)) =!= 3)
+        .write.format("graft-iceberg").option("create-ddl", ddl)
+        .mode("overwrite").save(path)
+      orders.filter(pmod(col("O_ORDERKEY"), lit(4)) === 3)
+        .write.format("graft-iceberg").mode("append").save(path)
+      java.nio.file.Files.write(
+        new java.io.File(path, "_built_w").toPath, "1\n".getBytes("UTF-8"))
+      ()
+    }
+    s.read.format("graft-iceberg").load(path)
+      .filter(col("O_ORDERSTATUS") === "O")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("O_ORDERKEY")).cast("bigint").as("sum_keys"),
+        round(sum(col("O_TOTALPRICE").cast("decimal(28,4)"))
+          .cast("double"), 2).as("sum_price"))
+  }
+
   /** Per-label embedding statistics: count and L2-norm rollups — the
     * quick corpus-health check before ANN indexing (degenerate or
     * unnormalized embedding batches show up as norm outliers). Norms
@@ -3298,6 +3338,15 @@ object PipelineQueries {
         |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 2)
         |  FROM ins)
         |SELECT * FROM u ORDER BY change_type""".stripMargin,
+    // the write faces compose: bootstrap + append + filtered read-back
+    // must equal the raw-parquet arithmetic
+    "q104_write_roundtrip" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 2)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderstatus = 'O'""".stripMargin,
     // the boilerplate fixture's two extraction surfaces reconstructed
     // arithmetically: html_text keeps title + nav + content + link farm
     // + aside + footer in document order; main_content keeps exactly
@@ -3469,6 +3518,7 @@ object PipelineQueries {
     "q101_cdc_changes" -> (q101CdcChanges _),
     "q102_dsv2_pruned_read" -> (q102Dsv2PrunedRead _),
     "q103_changes_scan" -> (q103ChangesScan _),
+    "q104_write_roundtrip" -> (q104WriteRoundtrip _),
     "q70c_clustered_dedup" -> (q70cClusteredDedup _),
     "q71_phrase_search" -> (q71PhraseSearch _),
     "q71_indexed" -> (q71PhraseSearchIndexed _),
