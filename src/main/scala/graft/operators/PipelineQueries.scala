@@ -840,6 +840,46 @@ object PipelineQueries {
           .cast("double"), 2).as("sum_price"))
   }
 
+  /** The SQL-catalog face under the hard oracle: a catalog table is
+    * CREATEd and filled with `INSERT INTO ... SELECT` over plain SQL
+    * ([[graft.sources.v2.GraftIcebergCatalog]]), then a filtered SQL
+    * aggregate over it must match DuckDB over the raw parquet — DDL,
+    * the V1Write increment, metadata schema resolution and transparent
+    * file pruning composed under one hash. The catalog name embeds the
+    * fixture dir (catalog instances cache per session; each dir gets
+    * its own warehouse). */
+  def q105SqlCatalog(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graft_${Integer.toHexString(dir.hashCode)}"
+    val (wh, built) = amortizedIndexPath(s, dir, "iceberg_sqlcat",
+      p => new java.io.File(p, "orders_cat/metadata/version-hint.text")
+        .isFile, table = "orders")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftIcebergCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    if (!built) {
+      s.sql(
+        s"""CREATE TABLE $cat.orders_cat (
+           |  O_ORDERKEY BIGINT NOT NULL,
+           |  O_CUSTKEY BIGINT,
+           |  O_ORDERSTATUS STRING,
+           |  O_TOTALPRICE DOUBLE
+           |) PARTITIONED BY (O_ORDERSTATUS)""".stripMargin)
+      t(s, dir, "orders").createOrReplaceTempView("orders_src_q105")
+      s.sql(
+        s"""INSERT INTO $cat.orders_cat
+           |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           |FROM orders_src_q105""".stripMargin)
+      ()
+    }
+    s.sql(
+      s"""SELECT count(*) AS n_rows,
+         |  CAST(sum(O_ORDERKEY) AS BIGINT) AS sum_keys,
+         |  round(CAST(sum(CAST(O_TOTALPRICE AS DECIMAL(28,4))) AS DOUBLE), 2)
+         |    AS sum_price
+         |FROM $cat.orders_cat
+         |WHERE O_ORDERSTATUS = 'F' AND O_ORDERKEY % 3 = 1""".stripMargin)
+  }
+
   /** Per-label embedding statistics: count and L2-norm rollups — the
     * quick corpus-health check before ANN indexing (degenerate or
     * unnormalized embedding batches show up as norm outliers). Norms
@@ -3347,6 +3387,15 @@ object PipelineQueries {
         |    AS sum_price
         |FROM orders
         |WHERE o_orderstatus = 'O'""".stripMargin,
+    // the SQL catalog face (CREATE + INSERT INTO + pruned SELECT) must
+    // land on the raw-parquet arithmetic
+    "q105_sql_catalog" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 2)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 1""".stripMargin,
     // the boilerplate fixture's two extraction surfaces reconstructed
     // arithmetically: html_text keeps title + nav + content + link farm
     // + aside + footer in document order; main_content keeps exactly
@@ -3519,6 +3568,7 @@ object PipelineQueries {
     "q102_dsv2_pruned_read" -> (q102Dsv2PrunedRead _),
     "q103_changes_scan" -> (q103ChangesScan _),
     "q104_write_roundtrip" -> (q104WriteRoundtrip _),
+    "q105_sql_catalog" -> (q105SqlCatalog _),
     "q70c_clustered_dedup" -> (q70cClusteredDedup _),
     "q71_phrase_search" -> (q71PhraseSearch _),
     "q71_indexed" -> (q71PhraseSearchIndexed _),

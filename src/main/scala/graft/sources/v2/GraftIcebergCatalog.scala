@@ -1,0 +1,235 @@
+package graft.sources.v2
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Literal, Transform}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.model.{Db2Column, PartitionSpecDef, TableDef}
+import graft.sources.{IcebergMetadata, IcebergSnapshot, IcebergTableLoader}
+
+/** SQL-catalog face over the engine's Iceberg v2 tables — the full
+  * warehouse story for a SQL user:
+  * {{{
+  *   spark.conf: spark.sql.catalog.graft = graft.sources.v2.GraftIcebergCatalog
+  *               spark.sql.catalog.graft.warehouse = /warehouse/root
+  *   CREATE TABLE graft.db.t (k BIGINT NOT NULL, v STRING)
+  *     PARTITIONED BY (bucket(16, k));
+  *   INSERT INTO graft.db.t SELECT ...;   -- atomic increment snapshot
+  *   SELECT * FROM graft.db.t WHERE k = 5; -- transparently file-pruned
+  * }}}
+  * Tables live at `<warehouse>/<namespace...>/<name>` in the
+  * HadoopTables layout every other face (DSv2 reads, streaming
+  * source/sinks, the explicit API) already speaks — a catalog table
+  * IS a path table, so the faces compose freely.
+  *
+  * Scope: CREATE (identity partitions = PARTITIONED BY (col…), or
+  * bucket(16, col…) — the writer's bucket width), DROP, RENAME
+  * (a filesystem move: Iceberg metadata holds no absolute
+  * self-references to the table root in this layout's manifests? it
+  * does — see renameTable's refusal), list/exists, INSERT INTO
+  * (append snapshots via the table's V1Write), SELECT with pushdown.
+  * ALTER TABLE refuses loudly — schema/spec evolution runs through
+  * [[graft.sources.IcebergEvolution]], which commits by field id;
+  * mapping Spark's TableChange surface onto it is future work.
+  *
+  * CREATE commits table metadata AND an empty append snapshot, so a
+  * freshly created table reads as zero rows immediately (the same
+  * legal empty-snapshot state delete-everything compaction produces)
+  * and the first INSERT is an ordinary increment. */
+class GraftIcebergCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def conf =
+    SparkSession.active.sparkContext.hadoopConfiguration
+  private def fs(p: Path): FileSystem = FileSystem.get(p.toUri, conf)
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String =
+    (warehouse +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+  private def pathOf(namespace: Array[String]): String =
+    (warehouse +: namespace.toSeq).mkString("/")
+
+  private def isTableDir(p: Path): Boolean =
+    fs(p).exists(new Path(p, "metadata/version-hint.text"))
+
+  // ------------------------------------------------------------ tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path(pathOf(namespace))
+    if (!fs(dir).exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs(dir).listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath).filter(isTableDir)
+      .map(p => Identifier.of(namespace, p.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = pathOf(ident)
+    if (!isTableDir(new Path(path))) throw new NoSuchTableException(ident)
+    new GraftIcebergTable(path, IcebergTableLoader.load(path, conf), None)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val path = pathOf(ident)
+    if (isTableDir(new Path(path)))
+      throw new TableAlreadyExistsException(ident)
+    val tdef = GraftIcebergCatalog.toTableDef(ident, schema, partitions)
+    fs(new Path(path)).mkdirs(new Path(path, "data"))
+    IcebergMetadata.writeTableMetadata(tdef, path, conf)
+    // an EMPTY committed snapshot: readable as zero rows at once, and
+    // the first INSERT is a plain increment (no bootstrap special case)
+    IcebergSnapshot.commitAppend(tdef, path, conf,
+      extraProperties = properties.asScala.toMap)
+    new GraftIcebergTable(path, IcebergTableLoader.load(path, conf), None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not wired to SQL yet — evolve schemas/specs " +
+        "through graft.sources.IcebergEvolution (field-id-correct " +
+        "add/rename/drop column and partition-field evolution)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(pathOf(ident))
+    isTableDir(p) && fs(p).delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    // manifests and manifest lists record ABSOLUTE file paths (the
+    // HadoopTables layout) — a directory move would orphan every one
+    throw new UnsupportedOperationException(
+      "rename would break the absolute paths recorded in manifests; " +
+        "copy via CREATE + INSERT INTO ... SELECT instead")
+
+  // -------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fs(root).exists(root)) Array.empty
+    else fs(root).listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTableDir).map(p => Array(p.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val dir = new Path(pathOf(namespace))
+      if (!fs(dir).exists(dir)) throw new NoSuchNamespaceException(namespace)
+      fs(dir).listStatus(dir).filter(_.isDirectory).map(_.getPath)
+        .filterNot(isTableDir).map(p => namespace :+ p.getName)
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val dir = new Path(pathOf(namespace))
+      fs(dir).exists(dir) && !isTableDir(dir)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] =
+    if (namespaceExists(namespace)) java.util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    val dir = new Path(pathOf(namespace))
+    fs(dir).mkdirs(dir)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "namespaces carry no metadata in this layout")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val dir = new Path(pathOf(namespace))
+    if (!namespaceExists(namespace) || namespace.isEmpty) false
+    else {
+      require(cascade || fs(dir).listStatus(dir).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty")
+      fs(dir).delete(dir, true)
+    }
+  }
+}
+
+object GraftIcebergCatalog {
+
+  /** Spark create-table schema + transforms → the engine's TableDef,
+    * refusing anything whose DB2→Iceberg→Spark round trip would not
+    * land back on the requested type. */
+  private[v2] def toTableDef(ident: Identifier, schema: StructType,
+      partitions: Array[Transform]): TableDef = {
+    def db2Of(f: StructField): Db2Column = f.dataType match {
+      case IntegerType => Db2Column(f.name, "INTEGER", nullable = f.nullable)
+      case LongType => Db2Column(f.name, "BIGINT", nullable = f.nullable)
+      case FloatType => Db2Column(f.name, "REAL", nullable = f.nullable)
+      case DoubleType => Db2Column(f.name, "DOUBLE", nullable = f.nullable)
+      case StringType => Db2Column(f.name, "VARCHAR",
+        length = Some(4000), nullable = f.nullable)
+      case d: DecimalType => Db2Column(f.name, "DECIMAL",
+        precision = Some(d.precision), scale = Some(d.scale),
+        nullable = f.nullable)
+      case DateType => Db2Column(f.name, "DATE", nullable = f.nullable)
+      case TimestampNTZType =>
+        Db2Column(f.name, "TIMESTAMP", nullable = f.nullable)
+      case BooleanType => Db2Column(f.name, "BOOLEAN", nullable = f.nullable)
+      case BinaryType => Db2Column(f.name, "VARBINARY",
+        length = Some(4000), nullable = f.nullable)
+      case other => throw new IllegalArgumentException(
+        s"column ${f.name}: no DB2->Iceberg surface for Spark type " +
+          s"$other (TIMESTAMP WITH LOCAL TIME ZONE included — declare " +
+          "TIMESTAMP_NTZ)")
+    }
+    val (identityCols, bucketCols) = partitions.foldLeft(
+      (Seq.empty[String], Seq.empty[String])) { case ((ids, bks), t) =>
+      def ref = t.references().head.fieldNames().mkString(".")
+      t.name() match {
+        case "identity" => (ids :+ ref, bks)
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: Literal[_] => l.value().toString.toInt
+          }.getOrElse(-1)
+          require(n == 16,
+            s"bucket($n, $ref): the writer's bucket width is 16 — " +
+              "declare bucket(16, ...)")
+          (ids, bks :+ ref)
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition transform $other — identity columns " +
+            "and bucket(16, col) are the writer's layout surfaces")
+      }
+    }
+    require(identityCols.isEmpty || bucketCols.isEmpty,
+      "mixed identity + bucket partitioning is not expressible in one " +
+        "created spec — pick one family (evolve later via " +
+        "IcebergEvolution.addPartitionField)")
+    val partition =
+      if (identityCols.nonEmpty) Some(PartitionSpecDef("RANGE", identityCols))
+      else if (bucketCols.nonEmpty) Some(PartitionSpecDef("HASH", bucketCols))
+      else None
+    TableDef(
+      schema = Some(ident.namespace().mkString(".")).filter(_.nonEmpty),
+      name = ident.name(),
+      columns = schema.fields.toSeq.map(db2Of),
+      partition = partition)
+  }
+}

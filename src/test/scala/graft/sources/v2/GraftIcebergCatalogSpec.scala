@@ -1,0 +1,143 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-catalog face: CREATE / INSERT INTO / SELECT (with the same
+  * file pruning every other face gets) / DROP over tables in the
+  * warehouse layout, plus the loud refusals (mixed partition families,
+  * non-16 buckets, LTZ timestamps, ALTER, RENAME). */
+class GraftIcebergCatalogSpec extends AnyFunSuite {
+
+  private lazy val warehouse =
+    java.nio.file.Files.createTempDirectory("graft_warehouse").toString
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-iceberg-catalog-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.catalog.graft",
+        "graft.sources.v2.GraftIcebergCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sql(s"CREATE NAMESPACE graft.db")
+    s
+  }
+
+  test("CREATE TABLE / INSERT INTO / SELECT round-trips with file " +
+      "pruning; a created table reads empty; increments time-travel") {
+    spark.sql(
+      """CREATE TABLE graft.db.orders (
+        |  k BIGINT NOT NULL, status STRING, price DOUBLE
+        |) PARTITIONED BY (status)""".stripMargin)
+    assert(spark.sql("SELECT * FROM graft.db.orders").count() === 0L,
+      "a freshly created table reads as zero rows")
+
+    spark.sql(
+      """INSERT INTO graft.db.orders VALUES
+        |  (1, 'F', 10.5), (2, 'O', 20.5), (3, 'F', 30.5)""".stripMargin)
+    spark.sql("INSERT INTO graft.db.orders VALUES (4, 'P', 40.5)")
+    assert(spark.sql("SELECT sum(k) FROM graft.db.orders")
+      .collect()(0).getLong(0) === 10L)
+
+    // the same transparent pruning every face gets: the identity
+    // partition filter reads only the F files
+    GraftIcebergScans.clear()
+    val f = spark.sql(
+      "SELECT k FROM graft.db.orders WHERE status = 'F' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(f === Seq(1L, 3L))
+    val rep = GraftIcebergScans.lastReport.get
+    assert(rep.skippedFiles.nonEmpty, "O/P partition files must skip")
+    assert(rep.keptFiles.forall(_.contains("status=F")))
+
+    // each INSERT was one snapshot: time travel through the path face
+    // (a catalog table IS a path table — the faces compose)
+    val path = s"$warehouse/db/orders"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tdef = graft.sources.IcebergTableLoader.load(path, conf)
+    val n = graft.sources.IcebergSnapshot.readSnapshot(spark, path, tdef)
+      .count()
+    assert(n === 4L)
+
+    // DROP removes the table; the namespace survives
+    spark.sql("DROP TABLE graft.db.orders")
+    assert(spark.sql("SHOW TABLES IN graft.db").count() === 0L)
+  }
+
+  test("bucket(16, k) tables create, insert and point-prune") {
+    spark.sql(
+      """CREATE TABLE graft.db.keyed (
+        |  k BIGINT NOT NULL, v STRING
+        |) PARTITIONED BY (bucket(16, k))""".stripMargin)
+    spark.sql("INSERT INTO graft.db.keyed " +
+      "SELECT id AS k, concat('v', id) AS v FROM range(0, 200)")
+    GraftIcebergScans.clear()
+    val got = spark.sql("SELECT v FROM graft.db.keyed WHERE k = 57")
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("v57"))
+    val rep = GraftIcebergScans.lastReport.get
+    assert(rep.skippedFiles.nonEmpty,
+      "a point lookup must skip the other buckets")
+    spark.sql("DROP TABLE graft.db.keyed")
+  }
+
+  test("types round-trip; refusals are loud") {
+    spark.sql(
+      """CREATE TABLE graft.db.typed (
+        |  i INT, l BIGINT, f FLOAT, d DOUBLE, s STRING,
+        |  dec DECIMAL(12,2), dt DATE, ts TIMESTAMP_NTZ, b BOOLEAN,
+        |  bin BINARY)""".stripMargin)
+    val schema = spark.table("graft.db.typed").schema
+    import org.apache.spark.sql.types._
+    assert(schema.fields.map(_.dataType).toSeq === Seq(IntegerType,
+      LongType, FloatType, DoubleType, StringType, DecimalType(12, 2),
+      DateType, TimestampNTZType, BooleanType, BinaryType))
+    spark.sql("INSERT INTO graft.db.typed VALUES (1, 2, 3.5, 4.5, 'x', " +
+      "12.34, DATE'2026-01-02', TIMESTAMP_NTZ'2026-01-02 03:04:05', " +
+      "true, X'0BAD')")
+    val r = spark.sql("SELECT * FROM graft.db.typed").collect()(0)
+    assert(r.getInt(0) === 1 && r.getLong(1) === 2L &&
+      r.getString(4) === "x" &&
+      r.getDecimal(5) === new java.math.BigDecimal("12.34") &&
+      r.getBoolean(8))
+    spark.sql("DROP TABLE graft.db.typed")
+
+    def sqlErr(q: String): String = {
+      val e = intercept[Exception] { spark.sql(q) }
+      (e.getMessage +: Iterator.iterate(e.getCause)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).toSeq).mkString(" | ")
+    }
+    assert(sqlErr("CREATE TABLE graft.db.bad1 (k BIGINT, ts TIMESTAMP)")
+      .contains("TIMESTAMP_NTZ"))
+    assert(sqlErr("CREATE TABLE graft.db.bad2 (k BIGINT, v STRING) " +
+      "PARTITIONED BY (v, bucket(16, k))").contains("mixed"))
+    assert(sqlErr("CREATE TABLE graft.db.bad3 (k BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))").contains("16"))
+    assert(sqlErr("CREATE TABLE graft.db.bad4 (k BIGINT) " +
+      "PARTITIONED BY (days(k))").contains("unsupported partition"))
+
+    spark.sql("CREATE TABLE graft.db.alt (k BIGINT)")
+    assert(sqlErr("ALTER TABLE graft.db.alt ADD COLUMN v STRING")
+      .contains("IcebergEvolution"))
+    assert(sqlErr("ALTER TABLE graft.db.alt RENAME TO graft.db.alt2")
+        .contains("manifests") ||
+      sqlErr("ALTER TABLE graft.db.alt RENAME TO alt2").contains("manifests"))
+    spark.sql("DROP TABLE graft.db.alt")
+  }
+
+  test("CTAS lands the query result as the first increment") {
+    spark.sql("CREATE TABLE graft.db.ctas PARTITIONED BY (p) AS " +
+      "SELECT id AS k, CAST(id % 2 AS STRING) AS p FROM range(0, 10)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.ctas")
+      .collect()(0).getLong(0) === 10L)
+    GraftIcebergScans.clear()
+    assert(spark.sql("SELECT count(*) FROM graft.db.ctas WHERE p = '1'")
+      .collect()(0).getLong(0) === 5L)
+    assert(GraftIcebergScans.lastReport.get.skippedFiles.nonEmpty)
+    spark.sql("DROP TABLE graft.db.ctas")
+  }
+}
