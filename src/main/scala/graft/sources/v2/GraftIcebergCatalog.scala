@@ -101,11 +101,54 @@ class GraftIcebergCatalog extends TableCatalog with SupportsNamespaces {
     new GraftIcebergTable(path, IcebergTableLoader.load(path, conf), None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not wired to SQL yet — evolve schemas/specs " +
-        "through graft.sources.IcebergEvolution (field-id-correct " +
-        "add/rename/drop column and partition-field evolution)")
+  /** ALTER TABLE wired to the engine's field-id-correct evolution
+    * ([[graft.sources.IcebergEvolution]]): ADD/RENAME/DROP COLUMN and
+    * SET/UNSET TBLPROPERTIES each commit one metadata version; the
+    * TableDef reloads from metadata between changes so a multi-change
+    * statement composes. Type/nullability/comment updates and nested
+    * fields refuse loudly (the writers have no surface for them). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import TableChange._
+    val path = pathOf(ident)
+    if (!isTableDir(new Path(path))) throw new NoSuchTableException(ident)
+    def tdef = IcebergTableLoader.load(path, conf)
+    def topLevel(fieldNames: Array[String]): String = {
+      require(fieldNames.length == 1,
+        s"nested field ${fieldNames.mkString(".")}: the engine's " +
+          "schemas are flat")
+      fieldNames.head
+    }
+    changes.foreach {
+      case a: AddColumn =>
+        val col = GraftIcebergCatalog.db2ColumnOf(
+          StructField(topLevel(a.fieldNames()), a.dataType(),
+            nullable = a.isNullable))
+        graft.sources.IcebergEvolution.commitEvolution(
+          graft.sources.IcebergEvolution.addColumn(tdef, col), path, conf)
+        ()
+      case r: RenameColumn =>
+        graft.sources.IcebergEvolution.commitEvolution(
+          graft.sources.IcebergEvolution.renameColumn(
+            tdef, topLevel(r.fieldNames()), r.newName()), path, conf)
+        ()
+      case d: DeleteColumn =>
+        graft.sources.IcebergEvolution.commitEvolution(
+          graft.sources.IcebergEvolution.dropColumn(
+            tdef, topLevel(d.fieldNames())), path, conf)
+        ()
+      case s: SetProperty =>
+        IcebergSnapshot.setTableProperties(tdef, path,
+          Map(s.property() -> Some(s.value())), conf)
+      case rm: RemoveProperty =>
+        IcebergSnapshot.setTableProperties(tdef, path,
+          Map(rm.property() -> None), conf)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change $other — the evolution surface " +
+          "is add/rename/drop column and table properties (column type/" +
+          "nullability/comment changes have no writer surface)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(pathOf(ident))
@@ -177,29 +220,33 @@ object GraftIcebergCatalog {
   /** Spark create-table schema + transforms → the engine's TableDef,
     * refusing anything whose DB2→Iceberg→Spark round trip would not
     * land back on the requested type. */
+  /** One Spark field → the DB2 column whose DB2→Iceberg→Spark round
+    * trip lands back on the requested type; anything else refuses. */
+  private[v2] def db2ColumnOf(f: StructField): Db2Column = f.dataType match {
+    case IntegerType => Db2Column(f.name, "INTEGER", nullable = f.nullable)
+    case LongType => Db2Column(f.name, "BIGINT", nullable = f.nullable)
+    case FloatType => Db2Column(f.name, "REAL", nullable = f.nullable)
+    case DoubleType => Db2Column(f.name, "DOUBLE", nullable = f.nullable)
+    case StringType => Db2Column(f.name, "VARCHAR",
+      length = Some(4000), nullable = f.nullable)
+    case d: DecimalType => Db2Column(f.name, "DECIMAL",
+      precision = Some(d.precision), scale = Some(d.scale),
+      nullable = f.nullable)
+    case DateType => Db2Column(f.name, "DATE", nullable = f.nullable)
+    case TimestampNTZType =>
+      Db2Column(f.name, "TIMESTAMP", nullable = f.nullable)
+    case BooleanType => Db2Column(f.name, "BOOLEAN", nullable = f.nullable)
+    case BinaryType => Db2Column(f.name, "VARBINARY",
+      length = Some(4000), nullable = f.nullable)
+    case other => throw new IllegalArgumentException(
+      s"column ${f.name}: no DB2->Iceberg surface for Spark type " +
+        s"$other (TIMESTAMP WITH LOCAL TIME ZONE included — declare " +
+        "TIMESTAMP_NTZ)")
+  }
+
   private[v2] def toTableDef(ident: Identifier, schema: StructType,
       partitions: Array[Transform]): TableDef = {
-    def db2Of(f: StructField): Db2Column = f.dataType match {
-      case IntegerType => Db2Column(f.name, "INTEGER", nullable = f.nullable)
-      case LongType => Db2Column(f.name, "BIGINT", nullable = f.nullable)
-      case FloatType => Db2Column(f.name, "REAL", nullable = f.nullable)
-      case DoubleType => Db2Column(f.name, "DOUBLE", nullable = f.nullable)
-      case StringType => Db2Column(f.name, "VARCHAR",
-        length = Some(4000), nullable = f.nullable)
-      case d: DecimalType => Db2Column(f.name, "DECIMAL",
-        precision = Some(d.precision), scale = Some(d.scale),
-        nullable = f.nullable)
-      case DateType => Db2Column(f.name, "DATE", nullable = f.nullable)
-      case TimestampNTZType =>
-        Db2Column(f.name, "TIMESTAMP", nullable = f.nullable)
-      case BooleanType => Db2Column(f.name, "BOOLEAN", nullable = f.nullable)
-      case BinaryType => Db2Column(f.name, "VARBINARY",
-        length = Some(4000), nullable = f.nullable)
-      case other => throw new IllegalArgumentException(
-        s"column ${f.name}: no DB2->Iceberg surface for Spark type " +
-          s"$other (TIMESTAMP WITH LOCAL TIME ZONE included — declare " +
-          "TIMESTAMP_NTZ)")
-    }
+    def db2Of(f: StructField): Db2Column = db2ColumnOf(f)
     val (identityCols, bucketCols) = partitions.foldLeft(
       (Seq.empty[String], Seq.empty[String])) { case ((ids, bks), t) =>
       def ref = t.references().head.fieldNames().mkString(".")

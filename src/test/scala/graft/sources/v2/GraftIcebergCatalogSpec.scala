@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The SQL-catalog face: CREATE / INSERT INTO / SELECT (with the same
-  * file pruning every other face gets) / DROP over tables in the
-  * warehouse layout, plus the loud refusals (mixed partition families,
-  * non-16 buckets, LTZ timestamps, ALTER, RENAME). */
+  * file pruning every other face gets) / ALTER (add/rename/drop column
+  * + properties, through the field-id evolution machinery) / DROP over
+  * tables in the warehouse layout, plus the loud refusals (mixed
+  * partition families, non-16 buckets, LTZ timestamps, column
+  * type/comment changes, RENAME TABLE). */
 class GraftIcebergCatalogSpec extends AnyFunSuite {
 
   private lazy val warehouse =
@@ -121,12 +123,50 @@ class GraftIcebergCatalogSpec extends AnyFunSuite {
       "PARTITIONED BY (days(k))").contains("unsupported partition"))
 
     spark.sql("CREATE TABLE graft.db.alt (k BIGINT)")
-    assert(sqlErr("ALTER TABLE graft.db.alt ADD COLUMN v STRING")
-      .contains("IcebergEvolution"))
     assert(sqlErr("ALTER TABLE graft.db.alt RENAME TO graft.db.alt2")
         .contains("manifests") ||
       sqlErr("ALTER TABLE graft.db.alt RENAME TO alt2").contains("manifests"))
+    assert(sqlErr("ALTER TABLE graft.db.alt ALTER COLUMN k COMMENT 'x'")
+      .contains("unsupported ALTER"))
     spark.sql("DROP TABLE graft.db.alt")
+  }
+
+  test("ALTER TABLE evolves through the field-id machinery: add/rename/" +
+      "drop column and properties; old rows null-fill, inserts compose") {
+    spark.sql("CREATE TABLE graft.db.evo (k BIGINT NOT NULL, v STRING)")
+    spark.sql("INSERT INTO graft.db.evo VALUES (1, 'a'), (2, 'b')")
+
+    spark.sql("ALTER TABLE graft.db.evo ADD COLUMN n INT")
+    // pre-evolution rows read the new column as null
+    val afterAdd = spark.sql("SELECT k, n FROM graft.db.evo ORDER BY k")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+    assert(afterAdd.toSeq === Seq((1L, -1), (2L, -1)))
+    spark.sql("INSERT INTO graft.db.evo VALUES (3, 'c', 30)")
+
+    // rename is metadata-only: values written under the OLD name
+    // resolve by field id under the new one
+    spark.sql("ALTER TABLE graft.db.evo RENAME COLUMN n TO num")
+    val renamed = spark.sql(
+      "SELECT k, num FROM graft.db.evo WHERE num IS NOT NULL").collect()
+    assert(renamed.map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      Seq((3L, 30)))
+
+    spark.sql("ALTER TABLE graft.db.evo DROP COLUMN v")
+    assert(spark.table("graft.db.evo").schema.fieldNames.toSeq ===
+      Seq("k", "num"))
+    spark.sql("INSERT INTO graft.db.evo VALUES (4, 40)")
+    assert(spark.sql("SELECT sum(k) FROM graft.db.evo")
+      .collect()(0).getLong(0) === 10L)
+
+    spark.sql("ALTER TABLE graft.db.evo SET TBLPROPERTIES ('graft.owner'='ops')")
+    val path = s"$warehouse/db/evo"
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(graft.sources.IcebergSnapshot.tableProperties(path, conf)
+      .get("graft.owner") === Some("ops"))
+    spark.sql("ALTER TABLE graft.db.evo UNSET TBLPROPERTIES ('graft.owner')")
+    assert(!graft.sources.IcebergSnapshot.tableProperties(path, conf)
+      .contains("graft.owner"))
+    spark.sql("DROP TABLE graft.db.evo")
   }
 
   test("CTAS lands the query result as the first increment") {
