@@ -1594,6 +1594,54 @@ class StreamingSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("Append/Update")))
   }
 
+  test("LIVE tail under concurrent commits: a writer lands 20 increments " +
+      "while the stream runs; every row arrives exactly once (the " +
+      "torn-read hint surface under real contention)") {
+    import graft.api.SchemaTranslator
+    import graft.parse.Db2Parser
+    val table = Db2Parser.parse(
+      """CREATE TABLE S.LIVE2 (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10)
+        |);""".stripMargin).tables.head
+    val out = Files.createTempDirectory("iceberg_livetail").toString
+    val ckpt = Files.createTempDirectory("iceberg_livetail_ckpt").toString
+    def df(ks: Range) = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("K", LongType, nullable = false),
+        StructField("V", StringType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(ks.map(k =>
+          org.apache.spark.sql.Row(k.toLong, s"v$k")), 1), schema)
+    }
+    SchemaTranslator.migrateTable(df(0 until 5), table, out)
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val q = spark.readStream.format("graft-iceberg").load(out)
+      .writeStream.option("checkpointLocation", ckpt)
+      // a short trigger so getOffset polls WHILE commits land
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("K").collect().foreach(r => seen.add(r.getLong(0)))
+        ()
+      }.start()
+
+    // the writer: 20 increments from this thread while the stream's
+    // own threads poll getOffset/getBatch — commits interleave with
+    // reads on the shared version hint
+    for (i <- 1 to 20)
+      SchemaTranslator.appendIncrement(df(i * 5 until i * 5 + 5), table, out)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = seen.iterator().asScala.toSeq
+    val want = (0 until 105).map(_.toLong)
+    assert(got.sorted === want.sorted,
+      s"exactly-once violated: got ${got.size} rows (${got.distinct.size} " +
+        s"distinct) of ${want.size}")
+  }
+
   test("session_window batch agg: gap merge semantics") {
     import spark.implicits._
     val data = Seq(
