@@ -880,6 +880,78 @@ object PipelineQueries {
          |WHERE O_ORDERSTATUS = 'F' AND O_ORDERKEY % 3 = 1""".stripMargin)
   }
 
+  /** The north-star migration path EXECUTED end-to-end: the orders
+    * fixture is loaded into an embedded Apache Derby database (the
+    * stand-in source system — Derby ships on Spark's classpath), read
+    * back through [[graft.api.SchemaTranslator.readJdbc]] as a
+    * PARTITIONED JDBC scan (8 key-range splits, the shape a 1000-
+    * executor migration read takes against DB2), migrated to an
+    * Iceberg v2 table via `migrateTable`, and read back through the
+    * DSv2 pushdown face — so "Spark read DB2 + write Iceberg" must
+    * land on the same arithmetic DuckDB computes over the raw parquet.
+    * The Derby load itself is driver-side JDBC batch inserts (it IS
+    * the source system's pre-existing data, not part of the measured
+    * migration path). */
+  def q106JdbcMigrate(s: SparkSession, dir: String): DataFrame = {
+    val tdef = graft.parse.Db2Parser.parse(
+      """CREATE TABLE G.ORDERS_JDBC (
+        |  O_ORDERKEY BIGINT NOT NULL,
+        |  O_CUSTKEY BIGINT,
+        |  O_ORDERSTATUS VARCHAR(1),
+        |  O_TOTALPRICE DOUBLE
+        |) PARTITION BY RANGE (O_ORDERSTATUS);""".stripMargin).tables.head
+    val (path, built) = amortizedIndexPath(s, dir, "iceberg_jdbc",
+      p => new java.io.File(p, "tab/metadata/version-hint.text").isFile,
+      table = "orders")
+    val tabPath = new java.io.File(path, "tab").getAbsolutePath
+    if (!built) {
+      val dbDir = new java.io.File(path, "db").getAbsolutePath
+      val url = s"jdbc:derby:$dbDir;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        conn.setAutoCommit(false)
+        conn.createStatement().executeUpdate("CREATE SCHEMA G")
+        conn.createStatement().executeUpdate(
+          "CREATE TABLE G.ORDERS_JDBC (O_ORDERKEY BIGINT NOT NULL, " +
+            "O_CUSTKEY BIGINT, O_ORDERSTATUS VARCHAR(1), " +
+            "O_TOTALPRICE DOUBLE)")
+        val ps = conn.prepareStatement(
+          "INSERT INTO G.ORDERS_JDBC VALUES (?, ?, ?, ?)")
+        var n = 0
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .toLocalIterator().forEachRemaining { r =>
+            ps.setLong(1, r.getLong(0)); ps.setLong(2, r.getLong(1))
+            ps.setString(3, r.getString(2)); ps.setDouble(4, r.getDouble(3))
+            ps.addBatch(); n += 1
+            if (n % 2000 == 0) { ps.executeBatch(); () }
+          }
+        ps.executeBatch()
+        conn.commit()
+      } finally conn.close()
+      // the migration read: key-range-partitioned JDBC scan
+      val maxKey = {
+        val c2 = java.sql.DriverManager.getConnection(url)
+        try {
+          val rs = c2.createStatement()
+            .executeQuery("SELECT MAX(O_ORDERKEY) FROM G.ORDERS_JDBC")
+          rs.next(); rs.getLong(1)
+        } finally c2.close()
+      }
+      val src = graft.api.SchemaTranslator.readJdbc(s, url, tdef,
+        partitionColumn = Some("O_ORDERKEY"), numPartitions = 8,
+        lowerBound = 0L, upperBound = maxKey + 1)
+      graft.api.SchemaTranslator.migrateTable(src, tdef, tabPath)
+    }
+    s.read.format("graft-iceberg").load(tabPath)
+      .filter(col("O_ORDERSTATUS") === "P")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("O_ORDERKEY")).cast("bigint").as("sum_keys"),
+        round(sum(col("O_TOTALPRICE").cast("decimal(28,4)"))
+          .cast("double"), 2).as("sum_price"))
+  }
+
   /** Per-label embedding statistics: count and L2-norm rollups — the
     * quick corpus-health check before ANN indexing (degenerate or
     * unnormalized embedding batches show up as norm outliers). Norms
@@ -3396,6 +3468,16 @@ object PipelineQueries {
         |    AS sum_price
         |FROM orders
         |WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 1""".stripMargin,
+    // the full north-star path (Derby source → partitioned JDBC read →
+    // Iceberg migrate → pruned DSv2 read-back) must land on the
+    // raw-parquet arithmetic
+    "q106_jdbc_migrate" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 2)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderstatus = 'P'""".stripMargin,
     // the boilerplate fixture's two extraction surfaces reconstructed
     // arithmetically: html_text keeps title + nav + content + link farm
     // + aside + footer in document order; main_content keeps exactly
@@ -3569,6 +3651,7 @@ object PipelineQueries {
     "q103_changes_scan" -> (q103ChangesScan _),
     "q104_write_roundtrip" -> (q104WriteRoundtrip _),
     "q105_sql_catalog" -> (q105SqlCatalog _),
+    "q106_jdbc_migrate" -> (q106JdbcMigrate _),
     "q70c_clustered_dedup" -> (q70cClusteredDedup _),
     "q71_phrase_search" -> (q71PhraseSearch _),
     "q71_indexed" -> (q71PhraseSearchIndexed _),

@@ -109,9 +109,14 @@ object IcebergChanges {
     val conf = spark.sparkContext.hadoopConfiguration
     val (chain, mainId) = chainOf(spark, tablePath)
     val snaps = range(chain, fromSnapshotId, toSnapshotId.orElse(mainId))
-    val considered = snaps.filterNot(_.operation == "replace")
+    // ordinals count REPLACE snapshots (which emit no rows but consume
+    // a range position) so all three incremental faces — this one,
+    // changesTable, incrementalChangesScan — number the same (from,to]
+    // range identically when compaction interleaves
+    val considered = snaps.zipWithIndex
+      .filterNot(_._1.operation == "replace")
     if (strict) {
-      val bad = considered.filter(s =>
+      val bad = considered.map(_._1).filter(s =>
         s.deletedRecords > 0 || s.addedDeleteFiles > 0 ||
           s.operation == "delete" || s.operation == "overwrite")
       require(bad.isEmpty,
@@ -120,7 +125,7 @@ object IcebergChanges {
           "deletes — use changesTable for the full CDC view, or pass " +
           "strict = false to read only the adds")
     }
-    val perSnap = considered.zipWithIndex.flatMap { case (s, ord) =>
+    val perSnap = considered.flatMap { case (s, ord) =>
       addedDataRows(spark, table, s, pruning).map(
         _.withColumn("_change_type", lit("insert"))
           .withColumn("_commit_snapshot_id", lit(s.snapshotId))
@@ -301,11 +306,12 @@ object IcebergChanges {
           val keys = dels.map(d => spark.read.parquet(d._1))
             .reduce(_ unionByName _)
             .select(keyCols.map(col): _*).distinct()
+          val deleteRecords = dels.map(_._4).sum
           // file pruning: each key column's IN-set is a necessary
           // condition, so bounds compose conservatively; a delete file
           // beyond maxInKeys skips pruning, not correctness
           val bounds =
-            if (dels.map(_._4).sum > maxInKeys) Nil
+            if (deleteRecords > maxInKeys) Nil
             else keyCols.flatMap { c =>
               val vs = keys.select(c).distinct().collect().map(_.get(0))
               if (vs.isEmpty || vs.contains(null)) None
@@ -323,7 +329,20 @@ object IcebergChanges {
               else normalized(readSnapshot(spark, tablePath, table,
                 Some(p), pruning = bounds), table)
           }
-          parentState.join(broadcast(keys), keyCols, "left_semi")
+          // null-safe per-key equality (<=>), mirroring the read path's
+          // equality-delete application (IcebergSnapshot applies deletes
+          // null-safely) — a delete file carrying a null key must remove
+          // the matching null-keyed rows from the CDC view too, or the
+          // scan silently diverges from changesTable. The key set
+          // broadcasts only when batch-sized; a purge-scale delete
+          // commit (more records than maxInKeys) falls back to a
+          // shuffled semi-join instead of OOMing driver/executors.
+          val keysSide =
+            if (deleteRecords > maxInKeys) keys else broadcast(keys)
+          val joined = parentState.as("p").join(keysSide.as("k"),
+            keyCols.map(c => col(s"p.$c") <=> col(s"k.$c")).reduce(_ && _),
+            "left_semi")
+          normalized(joined, table)
         }
         .reduceOption(_ unionByName _)
         .getOrElse(emptyLike(spark, table))

@@ -344,9 +344,7 @@ object IcebergMetadata {
     try out.write(metadataJson(table, tablePath, lastUpdatedMs)
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val hint = fs.create(new Path(dir, "version-hint.text"), true)
-    try hint.write("1\n".getBytes(StandardCharsets.UTF_8))
-    finally hint.close()
+    IcebergSnapshot.writeVersionHint(dir, 1, fs)
     metaFile
   }
 }

@@ -229,7 +229,15 @@ object IcebergPruning {
       case d if d.startsWith("decimal(") =>
         a.asInstanceOf[java.math.BigDecimal]
           .compareTo(b.asInstanceOf[java.math.BigDecimal])
-      case _ => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+      // strings order by UNSIGNED UTF-8 BYTES — the order the parquet
+      // stat writer used for min/max. UTF-16 String.compareTo disagrees
+      // for supplementary code points (surrogates 0xD800-0xDFFF sort
+      // below [U+E000,U+FFFF] in UTF-16 but their UTF-8 bytes sort
+      // above), so a file mixing both would be wrongly pruned.
+      case _ => org.apache.spark.unsafe.types.UTF8String
+        .fromString(a.asInstanceOf[String])
+        .compareTo(org.apache.spark.unsafe.types.UTF8String
+          .fromString(b.asInstanceOf[String]))
     }
 
   /** Decode a manifest bound (the spec's single-value serialization:

@@ -606,27 +606,58 @@ object IcebergSnapshot {
     finally in.close()
   }
 
-  /** Read the version hint, TORN-READ tolerant: the hint is rewritten
-    * in place (truncate-then-write) on every commit, so a concurrent
-    * reader — a streaming source polling `getOffset` while a commit
-    * lands — can observe an empty or half-written file. Spec-valid
-    * hints are a positive integer; anything else retries briefly
-    * (commits rewrite the few bytes in microseconds) before failing
-    * loudly. Readers that follow hint→`v<N>.metadata.json` are safe
-    * once the hint parses: metadata versions are NEW files, completed
-    * before the hint flips. */
+  /** Install the version hint ATOMICALLY: write the value to a temp
+    * file, then rename it over `version-hint.text`. A truncate-then-
+    * write in place lets a concurrent reader observe a valid PREFIX of
+    * the new value ('1' mid-write of '12') and silently serve stale
+    * metadata — a rename flips the whole value or nothing. POSIX/HDFS
+    * same-directory renames replace atomically; for stores whose
+    * rename refuses an existing destination, the delete+rename
+    * fallback leaves only a not-yet-present window, which
+    * [[readVersionHint]]'s brief retry covers. */
+  private[sources] def writeVersionHint(metadataDir: Path, version: Int,
+      fs: FileSystem): Unit = {
+    val hint = new Path(metadataDir, "version-hint.text")
+    val tmp = new Path(metadataDir, s".version-hint.text.tmp-$version")
+    val out = fs.create(tmp, true)
+    try out.write(s"$version\n".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, hint)) {
+      fs.delete(hint, false)
+      if (!fs.rename(tmp, hint))
+        throw new IllegalStateException(
+          s"could not install version hint $hint (version $version)")
+    }
+  }
+
+  /** Read the version hint. Writers install it atomically
+    * ([[writeVersionHint]]), so a reader — a streaming source polling
+    * `getOffset` while a commit lands — only ever sees a complete
+    * value; the residual races are the not-yet-renamed window on
+    * non-POSIX stores and pre-atomic-writer tables, so an absent or
+    * non-numeric read still retries briefly before propagating. A
+    * genuinely missing table rethrows the original
+    * FileNotFoundException (callers' bootstrap contract). */
   private[sources] def readVersionHint(metadataDir: Path,
       conf: Configuration): Int = {
     val p = new Path(metadataDir, "version-hint.text")
     var attempt = 0
     while (true) {
-      val raw = readText(p, conf).trim
-      if (raw.nonEmpty && raw.forall(_.isDigit)) return raw.toInt
-      attempt += 1
-      if (attempt >= 50)
-        throw new IllegalStateException(
-          s"version hint $p stayed unreadable ('$raw') after $attempt reads")
-      Thread.sleep(2)
+      val raw = try readText(p, conf).trim catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt >= 10) throw e
+          Thread.sleep(2)
+          null
+      }
+      if (raw != null) {
+        if (raw.nonEmpty && raw.forall(_.isDigit)) return raw.toInt
+        attempt += 1
+        if (attempt >= 50)
+          throw new IllegalStateException(
+            s"version hint $p stayed unreadable ('$raw') after $attempt reads")
+        Thread.sleep(2)
+      }
     }
     -1 // unreachable
   }
@@ -695,8 +726,7 @@ object IcebergSnapshot {
     val metaFile = new Path(metadataDir, "v2.metadata.json")
     val out = fs.create(metaFile, true)
     try out.write(doc.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val hint = fs.create(new Path(metadataDir, "version-hint.text"), true)
-    try hint.write("2\n".getBytes(StandardCharsets.UTF_8)) finally hint.close()
+    writeVersionHint(metadataDir, 2, fs)
     snap
   }
 
@@ -1215,9 +1245,7 @@ object IcebergSnapshot {
     val metaFile = new Path(metadataDir, s"v${version + 1}.metadata.json")
     val out = fs.create(metaFile, true)
     try out.write(doc.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val hint = fs.create(new Path(metadataDir, "version-hint.text"), true)
-    try hint.write(s"${version + 1}\n".getBytes(StandardCharsets.UTF_8))
-    finally hint.close()
+    writeVersionHint(metadataDir, version + 1, fs)
   }
 
   /** The live data files of the current snapshot, with each file's

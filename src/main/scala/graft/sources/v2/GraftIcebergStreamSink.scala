@@ -59,9 +59,8 @@ private[v2] class GraftIcebergStreamSink(parameters: Map[String, String],
   require(mode != "cdc" || opCol.nonEmpty,
     "mode=cdc needs option(\"op-col\", <column>) (\"D\" rows delete)")
   private val txnAppId = parameters.get("txn-app-id")
-    .orElse(parameters.get("checkpointLocation").map(c =>
-      java.util.UUID.nameUUIDFromBytes(
-        c.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString))
+    .orElse(parameters.get("checkpointLocation")
+      .map(GraftIcebergStreamSink.lineageIdFor))
     .getOrElse(throw new IllegalArgumentException(
       "graft-iceberg sink needs checkpointLocation (or an explicit " +
         "txn-app-id) — the exactly-once lineage id derives from it"))
@@ -98,4 +97,28 @@ private[v2] class GraftIcebergStreamSink(parameters: Map[String, String],
   }
 
   override def toString: String = s"GraftIcebergStreamSink($mode, $path)"
+}
+
+private[v2] object GraftIcebergStreamSink {
+  /** The exactly-once lineage id for a checkpoint location. It must be
+    * stable across restarts that SPELL the same checkpoint differently
+    * (relative vs absolute, trailing slash, missing scheme) —
+    * otherwise a replayed batch re-commits as a duplicate under a
+    * fresh appId. Qualify through the checkpoint's FileSystem
+    * (scheme + authority + absolute path; Hadoop Path normalizes
+    * separators and `.`/`..` segments) before hashing. */
+  private[v2] def lineageIdFor(checkpoint: String): String = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(checkpoint)
+    // rebuild from URI components: "file:/x" and "file:///x" (null vs
+    // empty authority) must spell identically
+    val u = p.getFileSystem(conf).makeQualified(p).toUri
+    val auth = Option(u.getAuthority).filter(_.nonEmpty)
+      .map("//" + _).getOrElse("")
+    val canonical =
+      s"${u.getScheme}:$auth${u.getPath}".stripSuffix("/")
+    java.util.UUID.nameUUIDFromBytes(
+      canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+  }
 }

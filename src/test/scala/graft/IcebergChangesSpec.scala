@@ -245,4 +245,91 @@ class IcebergChangesSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("POSITION deletes"))
   }
+
+  test("incrementalChangesScan resolves NULL-keyed equality deletes " +
+      "(null-safe join, matching the read path's <=> application)") {
+    val tableNk = Db2Parser.parse(
+      """CREATE TABLE S.CHGNK (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10),
+        |  N INTEGER
+        |);""".stripMargin).tables.head
+    val out = java.nio.file.Files.createTempDirectory("iceberg_nullkey").toString
+    SchemaTranslator.migrateTable(rowsDf(Seq(
+      (1L, "a", 1), (2L, null, 2), (3L, "b", 3), (4L, null, 44))),
+      tableNk, out)
+    // equality delete keyed on the NULLABLE column, with a null key row:
+    // table state drops V='a' AND both V=null rows (read path is
+    // null-safe), so the CDC scan must emit all three deletes
+    IcebergDeletes.commitUpsert(spark, tableNk, out,
+      rowsDf(Seq((0L, "a", 0), (0L, null, 0))).select("V"))
+    assert(IcebergSnapshot.readSnapshot(spark, out, tableNk)
+      .select("K").collect().map(_.getLong(0)).toSet === Set(3L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("K"), col("_change_type"), col("_change_ordinal"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        .toSeq.sorted
+    val stateDiff = rows(IcebergChanges.changesTable(spark, out, tableNk, None))
+    assert(stateDiff.count(_._2 == "delete") === 3,
+      s"state diff must show the null-keyed rows deleted: $stateDiff")
+    assert(rows(IcebergChanges.incrementalChangesScan(
+      spark, out, tableNk, None)) === stateDiff,
+      "the O(changes) scan silently dropped null-keyed deletes")
+  }
+
+  test("a purge-scale delete commit (records > maxInKeys) resolves via " +
+      "a SHUFFLED semi-join — same rows, no driver broadcast") {
+    val out = java.nio.file.Files.createTempDirectory("iceberg_purge").toString
+    SchemaTranslator.migrateTable(rowsDf((1L to 20L).map(mk)), table, out)
+    IcebergDeletes.commitUpsert(spark, table, out,
+      rowsDf((2L to 12L).map(mk)).select("K"))
+    val want = IcebergChanges.changesTable(spark, out, table, None)
+      .select(col("K"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // above the gate: no broadcast hint anywhere in the delete
+      // resolution — with auto-broadcast off the semi-join must plan
+      // shuffled, and the rows must not change
+      val gated = IcebergChanges.incrementalChangesScan(
+        spark, out, table, None, maxInKeys = 5)
+      assert(gated.select(col("K"), col("_change_type")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted === want)
+      val gatedPlan = gated.queryExecution.executedPlan.toString
+      assert(!gatedPlan.contains("BroadcastHashJoin"),
+        "purge-scale delete keys must not broadcast:\n" +
+          gatedPlan.take(2000))
+      // below the gate the explicit broadcast hint survives even with
+      // auto-broadcast disabled — the batch-sized fast path
+      val hinted = IcebergChanges.incrementalChangesScan(
+        spark, out, table, None, maxInKeys = 10000)
+      assert(hinted.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally spark.conf.set(
+      "spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("all three incremental faces number _change_ordinal identically " +
+      "when a REPLACE interleaves the range") {
+    val out = java.nio.file.Files.createTempDirectory("iceberg_ord").toString
+    SchemaTranslator.migrateTable(rowsDf((1L to 4L).map(mk)), table, out)   // ord 0
+    SchemaTranslator.appendIncrement(rowsDf(Seq(mk(5L))), table, out)       // ord 1
+    IcebergSnapshot.compactDataFiles(spark, table, out,
+      targetBytes = 512L * 1024 * 1024)                                     // ord 2 (replace)
+    SchemaTranslator.appendIncrement(rowsDf(Seq(mk(6L))), table, out)       // ord 3
+    def ordOf(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select(col("_commit_snapshot_id"), col("_change_ordinal"))
+        .distinct().collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a = ordOf(IcebergChanges.incrementalAppendScan(spark, out, table, None))
+    val c = ordOf(IcebergChanges.changesTable(spark, out, table, None))
+    val i = ordOf(IcebergChanges.incrementalChangesScan(spark, out, table, None))
+    val ids = chainIds(out)
+    // the replace consumes ordinal 2 in every face; the post-compaction
+    // append lands at 3, not 2
+    assert(a === Map(ids(0) -> 0, ids(1) -> 1, ids(3) -> 3), a.toString)
+    assert(c.view.filterKeys(Set(ids(0), ids(1), ids(3))).toMap === a)
+    assert(i === a, "CDC scan ordinals diverged from the append scan's")
+  }
 }

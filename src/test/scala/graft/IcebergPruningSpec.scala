@@ -335,4 +335,40 @@ class IcebergPruningSpec extends AnyFunSuite {
         Seq(ColumnBound("K", Some(9L), Some(6L))))
     }
   }
+
+  test("string bounds order by UNSIGNED UTF-8 BYTES (the parquet stat " +
+      "writer's order), not UTF-16 — supplementary code points keep " +
+      "their files") {
+    val t = Db2Parser.parse(
+      """CREATE TABLE S.UTFB (
+        |  K BIGINT NOT NULL,
+        |  S VARCHAR(10)
+        |);""".stripMargin).tables.head
+    val out = java.nio.file.Files.createTempDirectory("iceberg_utf8").toString
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("K", LongType, nullable = false),
+      StructField("S", StringType)))
+    def df(rows: Seq[(Long, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(r => org.apache.spark.sql.Row(r._1, r._2)), 1), schema)
+    // one file mixing a supplementary code point (U+1F600, UTF-8
+    // f0 9f 98 80) and a high-BMP char (U+FFFD, UTF-8 ef bf bd):
+    // UTF-16 orders the surrogate pair (0xD83D…) BELOW U+FFFD while
+    // their UTF-8 bytes order ABOVE — a UTF-16 max-vs-lower-bound
+    // comparison wrongly prunes this file for bounds ≥ U+FFFD,
+    // silently dropping the emoji row (Spark row comparison is
+    // UTF8String binary, so the row genuinely matches)
+    SchemaTranslator.migrateTable(
+      df(Seq((1L, "😀"), (2L, "�"))), t, out)
+    SchemaTranslator.appendIncrement(df(Seq((3L, "aaa"))), t, out)
+    val (kept, skipped) = assertPruned(out, t,
+      Seq(ColumnBound("S", Some("�"), None)),
+      col("S") >= org.apache.spark.sql.functions.lit("�"))
+    assert(skipped.nonEmpty, "the all-ASCII increment must still prune")
+    // and the emoji row itself must survive the pruned read
+    val got = IcebergSnapshot.readSnapshot(spark, out, t,
+      pruning = Seq(ColumnBound("S", Some("�"), None)))
+    assert(keySet(got) === Set(1L, 2L))
+  }
 }

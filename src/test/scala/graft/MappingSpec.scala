@@ -116,10 +116,10 @@ class MappingSpec extends AnyFunSuite {
 
   test("S9 migration round trip: fixture parquet → translated schema → " +
       "partitioned write → read back (schema, data, layout, pruning)") {
-    // JDBC is unavailable in-sandbox, so the orders fixture stands in
-    // for the source system; everything downstream of the read — the
-    // type bridge, the cast, the RANGE-partitioned write, the
-    // read-back — is the real migration path.
+    // The parquet fixture stands in for the source system HERE to pin
+    // the write-side details in isolation; the JDBC read half runs for
+    // real against embedded Derby in the dedicated end-to-end test
+    // below (and in the q106_jdbc_migrate driver row).
     val ddl =
       """CREATE TABLE TPCH.ORDERS (
         |  O_ORDERKEY BIGINT NOT NULL,
@@ -977,6 +977,74 @@ class MappingSpec extends AnyFunSuite {
     // idempotence: no deletes left → no-op
     assert(IcebergDeletes.compactWithDeletes(spark, table, out)
       .snapshotId === compacted.snapshotId)
+  }
+
+  test("S9 north-star EXECUTED end-to-end: embedded Derby source → " +
+      "PARTITIONED readJdbc scan → migrateTable → pruned Iceberg " +
+      "read-back (the literal 'Spark read DB2 + write Iceberg' path)") {
+    val ddl =
+      """CREATE TABLE G.DERBY_SRC (
+        |  ID BIGINT NOT NULL,
+        |  NAME VARCHAR(20),
+        |  AMOUNT DECIMAL(10,2),
+        |  FLAG INTEGER
+        |) PARTITION BY RANGE (FLAG);""".stripMargin
+    val table = Db2Parser.parse(ddl).tables.head
+    val root = java.nio.file.Files.createTempDirectory("derby_e2e")
+    val dbDir = root.resolve("db").toAbsolutePath.toString
+    val url = s"jdbc:derby:$dbDir;create=true"
+    // the "source system": Derby ships on Spark's classpath
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      conn.createStatement().executeUpdate("CREATE SCHEMA G")
+      conn.createStatement().executeUpdate(
+        "CREATE TABLE G.DERBY_SRC (ID BIGINT NOT NULL, NAME VARCHAR(20), " +
+          "AMOUNT DECIMAL(10,2), FLAG INTEGER)")
+      val ps = conn.prepareStatement(
+        "INSERT INTO G.DERBY_SRC VALUES (?, ?, ?, ?)")
+      (1 to 200).foreach { i =>
+        ps.setLong(1, i.toLong); ps.setString(2, s"name_$i")
+        ps.setBigDecimal(3, new java.math.BigDecimal(s"$i.25"))
+        ps.setInt(4, i % 3); ps.addBatch()
+      }
+      ps.executeBatch()
+      conn.commit()
+    } finally conn.close()
+
+    // migration read: a real partitioned JDBC scan — 4 key-range
+    // splits, each executor range-scanning its slice of the source
+    val src = SchemaTranslator.readJdbc(spark, url, table,
+      partitionColumn = Some("ID"), numPartitions = 4,
+      lowerBound = 0L, upperBound = 201L)
+    assert(src.rdd.getNumPartitions === 4,
+      "the JDBC scan must split into the requested key ranges")
+    assert(src.count() === 200L)
+
+    // migrate: translated schema, RANGE layout, committed v2 snapshot
+    val out = root.resolve("tab").toAbsolutePath.toString
+    SchemaTranslator.migrateTable(src, table, out)
+    val back = graft.sources.IcebergSnapshot.readSnapshot(spark, out, table)
+    assert(back.count() === 200L)
+    assert(back.schema("AMOUNT").dataType === DecimalType(10, 2))
+    val wantSum = (1 to 200)
+      .map(i => new java.math.BigDecimal(s"$i.25")).reduce(_ add _)
+    assert(back.select(sum(col("AMOUNT"))).head.getDecimal(0)
+      .compareTo(wantSum) === 0,
+      "migrated decimals must survive the bridge bit-exactly")
+
+    // pruned read-back: a FLAG bound prunes whole identity partitions
+    import graft.sources.IcebergPruning
+    val pruned = graft.sources.IcebergSnapshot.readSnapshot(spark, out,
+      table, pruning = Seq(IcebergPruning.ColumnBound.eq("FLAG", 1)))
+    assert(pruned.select("ID").collect().map(_.getLong(0)).toSet
+      === (1 to 200).filter(_ % 3 == 1).map(_.toLong).toSet)
+    val (kept, skipped) = IcebergPruning.planScan(
+      spark.sparkContext.hadoopConfiguration, out, table,
+      Seq(IcebergPruning.ColumnBound.eq("FLAG", 1)))
+    assert(skipped.nonEmpty,
+      "the pruned migration read-back must skip other partitions' files")
+    assert(kept.forall(_.contains("FLAG=1")))
   }
 
   test("expireSnapshots over a delete/upsert history: delete files consumed " +

@@ -295,4 +295,20 @@ class GraftIcebergSourceSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet === Set(3L))
     assert(out0.nonEmpty)
   }
+
+  test("stream-sink lineage id is stable across checkpoint SPELLINGS " +
+      "(trailing slash, explicit scheme) — a restart must not mint a " +
+      "fresh exactly-once appId for the same checkpoint") {
+    spark.sparkContext // ensure an active session for the FS lookup
+    val dir = java.nio.file.Files.createTempDirectory("ckpt_spell").toString
+    val base = GraftIcebergStreamSink.lineageIdFor(dir)
+    assert(GraftIcebergStreamSink.lineageIdFor(dir + "/") === base,
+      "trailing slash minted a new lineage")
+    assert(GraftIcebergStreamSink.lineageIdFor("file:" + dir) === base,
+      "explicit file: scheme minted a new lineage")
+    assert(GraftIcebergStreamSink.lineageIdFor(dir + "//") === base,
+      "doubled separator minted a new lineage")
+    // a genuinely different checkpoint IS a different lineage
+    assert(GraftIcebergStreamSink.lineageIdFor(dir + "_other") !== base)
+  }
 }
