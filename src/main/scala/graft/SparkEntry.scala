@@ -16,5 +16,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    FixtureQueries.oracleSql ++ graft.operators.PipelineQueries.oracleSql
+    FixtureQueries.oracleSql ++ graft.operators.PipelineQueries.oracleSql ++
+      graft.operators.DdlQueries.oracleSql
 }

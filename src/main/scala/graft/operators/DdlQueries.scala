@@ -30,6 +30,163 @@ object DdlQueries {
       .repartition(4)
   }
 
+  /** Materialized per-table assessment rows at a FIXED tmp location,
+    * written once per JVM: the parse+score step (a state machine, not
+    * DuckDB-expressible) runs in Spark and lands in parquet; the
+    * A2–A8 aggregate layer above it then carries a HARD hash oracle —
+    * Spark and DuckDB both aggregate the SAME files (reference
+    * semantics: /root/reference/db2ice/assessor.py:217-273,
+    * app.py:457-517). The location is deterministic (the rows depend
+    * only on the embedded sample DDL, not the fixture), so the static
+    * oracle SQL can name it. */
+  private val ddlRowsWritten = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private[graft] val DdlRowsRoot: String =
+    new java.io.File(sys.props("java.io.tmpdir"), "graft_ddl_assess_rows")
+      .getAbsolutePath
+  private[graft] def ddlRowsDir(s: SparkSession): String = {
+    if (ddlRowsWritten.compareAndSet(false, true)) {
+      import s.implicits._
+      val parsed = Engine.parseDb2(db2Scripts(s, 8))
+      val rows = Engine.assessRows(parsed).toDF().cache()
+      rows.select(
+          col("scriptId").as("script_id"), col("tablePos").as("table_pos"),
+          col("tableName").as("table_name"),
+          coalesce(col("schema"), lit("")).as("schema_name"),
+          col("columnCount").as("column_count"),
+          col("constraintCount").as("constraint_count"),
+          col("canAutoConvert").as("can_auto_convert"),
+          col("nCritical").as("n_critical"),
+          col("nWarning").as("n_warning"),
+          col("nInfo").as("n_info"),
+          col("datatypeScore").as("datatype_score"),
+          col("constraintScore").as("constraint_score"),
+          col("partitionScore").as("partition_score"),
+          col("specialScore").as("special_score"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$DdlRowsRoot/assess")
+      rows.select(col("scriptId").as("script_id"),
+          col("tablePos").as("table_pos"), explode(col("typeDistribution")))
+        .select(col("script_id"), col("table_pos"),
+          col("key").as("base_type"), col("value").as("n_cols"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$DdlRowsRoot/types")
+      parsed.map { st =>
+        val f = graft.assess.Assessor.aggregateFeatures(Seq(st.table))
+        (st.scriptId, st.tablePos, f("editproc"), f("validproc"),
+          f("fieldproc"), f("partitioning"), f("generated_columns"),
+          f("foreign_keys"), f("check_constraints"), f("xml_columns"),
+          f("graphic_columns"), f("lob_columns"))
+      }.toDF("script_id", "table_pos", "editproc", "validproc", "fieldproc",
+          "partitioning", "generated_columns", "foreign_keys",
+          "check_constraints", "xml_columns", "graphic_columns",
+          "lob_columns")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$DdlRowsRoot/features")
+      rows.unpersist()
+      ()
+    }
+    DdlRowsRoot
+  }
+
+  /** The A2–A8 per-script aggregation over the materialized rows —
+    * identical semantics to [[ddlAssess]]/`Engine.assessReport`, but
+    * with the component means routed DOUBLE-deterministically
+    * (DECIMAL sum → double → ÷count, so partial-agg order and engine
+    * division scales can't move bits) and a DuckDB oracle doing the
+    * same arithmetic over the same parquet. */
+  def ddlAssessAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = ddlRowsDir(s)
+    val rows = s.read.parquet(s"$root/assess")
+    def mean(c: String) =
+      sum(col(c).cast("decimal(18,6)")).cast("double") / count(lit(1))
+    val g = rows.groupBy("script_id").agg(
+      count(lit(1)).cast("int").as("tables_total"),
+      sum(when(col("can_auto_convert"), 1).otherwise(0))
+        .cast("int").as("tables_auto"),
+      sum(when(!col("can_auto_convert") && col("n_critical") === 0, 1)
+        .otherwise(0)).cast("int").as("tables_manual"),
+      sum(when(!col("can_auto_convert") && col("n_critical") > 0, 1)
+        .otherwise(0)).cast("int").as("tables_blocked"),
+      sum(col("column_count")).cast("int").as("total_columns"),
+      sum(col("constraint_count")).cast("int").as("total_constraints"),
+      sum(col("n_critical")).cast("int").as("critical_issues"),
+      sum(col("n_warning")).cast("int").as("warning_issues"),
+      sum(col("n_info")).cast("int").as("info_issues"),
+      mean("datatype_score").as("d_raw"),
+      mean("constraint_score").as("c_raw"),
+      mean("partition_score").as("p_raw"),
+      mean("special_score").as("s_raw"))
+      .withColumn("o_raw",
+        col("d_raw") * 0.40 + col("c_raw") * 0.20 +
+          col("p_raw") * 0.15 + col("s_raw") * 0.25)
+    g.select(col("script_id"), col("tables_total"), col("tables_auto"),
+        col("tables_manual"), col("tables_blocked"), col("total_columns"),
+        col("total_constraints"), col("critical_issues"),
+        col("warning_issues"), col("info_issues"),
+        round(col("d_raw"), 4).as("datatype_score"),
+        round(col("c_raw"), 4).as("constraint_score"),
+        round(col("p_raw"), 4).as("partition_score"),
+        round(col("s_raw"), 4).as("special_features_score"),
+        round(col("o_raw"), 4).as("overall_score"),
+        when(col("o_raw") >= 80, "green").when(col("o_raw") >= 50, "yellow")
+          .otherwise("red").as("overall_level"))
+      .orderBy("script_id")
+  }
+
+  /** The §2.6 multi-level ROLLUP over the materialized rows under the
+    * hard oracle (per-table / per-schema / per-script / grand total in
+    * one aggregation; DuckDB's GROUPING_ID agrees with Spark's). */
+  def ddlRollupAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = ddlRowsDir(s)
+    val rows = s.read.parquet(s"$root/assess")
+    def mean(c: String) =
+      sum(col(c).cast("decimal(18,6)")).cast("double") / count(lit(1))
+    rows.rollup(col("script_id"), col("schema_name"), col("table_name"))
+      .agg(
+        grouping_id().cast("int").as("agg_level"),
+        count(lit(1)).cast("int").as("tables_total"),
+        sum(when(col("can_auto_convert"), 1).otherwise(0))
+          .cast("int").as("tables_auto"),
+        sum(col("n_critical")).cast("int").as("critical_issues"),
+        sum(col("n_warning")).cast("int").as("warning_issues"),
+        round(mean("datatype_score"), 4).as("datatype_score"),
+        round(mean("constraint_score"), 4).as("constraint_score"),
+        round(mean("partition_score"), 4).as("partition_score"),
+        round(mean("special_score"), 4).as("special_features_score"),
+        round(mean("datatype_score") * 0.40 + mean("constraint_score") * 0.20 +
+          mean("partition_score") * 0.15 + mean("special_score") * 0.25, 4)
+          .as("overall_score"))
+      .orderBy(col("agg_level"), col("script_id").asc_nulls_first,
+        col("schema_name").asc_nulls_first, col("table_name").asc_nulls_first)
+  }
+
+  /** A1 type distribution over the materialized rows (hash oracle). */
+  def ddlTypeDistAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = ddlRowsDir(s)
+    s.read.parquet(s"$root/types")
+      .groupBy(col("script_id"), col("base_type"))
+      .agg(sum(col("n_cols")).cast("int").as("n_columns"))
+      .orderBy("script_id", "base_type")
+  }
+
+  /** A9 feature usage over the materialized rows (hash oracle). */
+  def ddlFeaturesAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = ddlRowsDir(s)
+    val f = s.read.parquet(s"$root/features")
+    f.groupBy("script_id").agg(
+        sum("editproc").cast("int").as("editproc"),
+        sum("validproc").cast("int").as("validproc"),
+        sum("fieldproc").cast("int").as("fieldproc"),
+        sum("partitioning").cast("int").as("partitioning"),
+        sum("generated_columns").cast("int").as("generated_columns"),
+        sum("foreign_keys").cast("int").as("foreign_keys"),
+        sum("check_constraints").cast("int").as("check_constraints"),
+        sum("xml_columns").cast("int").as("xml_columns"),
+        sum("graphic_columns").cast("int").as("graphic_columns"),
+        sum("lob_columns").cast("int").as("lob_columns"))
+      .orderBy("script_id")
+  }
+
   /** Parsed table inventory over scripts. */
   def ddlTables(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -112,5 +269,103 @@ object DdlQueries {
     "sf_convert" -> (sfConvert _),
     "ddl_report" -> (ddlReport _),
     "ddl_conversion_report" -> (ddlConversionReport _),
+    "ddl_assess_agg" -> (ddlAssessAgg _),
+    "ddl_rollup_agg" -> (ddlRollupAgg _),
+    "ddl_type_dist_agg" -> (ddlTypeDistAgg _),
+    "ddl_features_agg" -> (ddlFeaturesAgg _),
   )
+
+  /** Hash oracles for the aggregate layer: DuckDB recomputes the SAME
+    * aggregation over the SAME materialized parquet the Spark queries
+    * read (the parse beneath it stays golden/fuzz-pinned). The means
+    * route DECIMAL-sum → DOUBLE → ÷count in both engines so neither
+    * partial-agg order nor division-scale rules can move bits. */
+  val oracleSql: Map[String, String] = {
+    val root = DdlRowsRoot
+    val meansSql = Seq(
+      "datatype_score" -> "d_raw", "constraint_score" -> "c_raw",
+      "partition_score" -> "p_raw", "special_score" -> "s_raw")
+      .map { case (c, a) =>
+        s"CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS $a"
+      }.mkString(",\n        ")
+    val overallSql =
+      "d_raw*CAST(0.40 AS DOUBLE) + c_raw*CAST(0.20 AS DOUBLE) + " +
+        "p_raw*CAST(0.15 AS DOUBLE) + s_raw*CAST(0.25 AS DOUBLE)"
+    Map(
+      "ddl_assess_agg" ->
+        s"""WITH g AS (
+           |  SELECT script_id,
+           |    CAST(count(*) AS INT) AS tables_total,
+           |    CAST(sum(CASE WHEN can_auto_convert THEN 1 ELSE 0 END) AS INT)
+           |      AS tables_auto,
+           |    CAST(sum(CASE WHEN NOT can_auto_convert AND n_critical = 0
+           |      THEN 1 ELSE 0 END) AS INT) AS tables_manual,
+           |    CAST(sum(CASE WHEN NOT can_auto_convert AND n_critical > 0
+           |      THEN 1 ELSE 0 END) AS INT) AS tables_blocked,
+           |    CAST(sum(column_count) AS INT) AS total_columns,
+           |    CAST(sum(constraint_count) AS INT) AS total_constraints,
+           |    CAST(sum(n_critical) AS INT) AS critical_issues,
+           |    CAST(sum(n_warning) AS INT) AS warning_issues,
+           |    CAST(sum(n_info) AS INT) AS info_issues,
+           |    $meansSql
+           |  FROM read_parquet('$root/assess/*.parquet')
+           |  GROUP BY script_id)
+           |SELECT script_id, tables_total, tables_auto, tables_manual,
+           |  tables_blocked, total_columns, total_constraints,
+           |  critical_issues, warning_issues, info_issues,
+           |  round(d_raw, 4) AS datatype_score,
+           |  round(c_raw, 4) AS constraint_score,
+           |  round(p_raw, 4) AS partition_score,
+           |  round(s_raw, 4) AS special_features_score,
+           |  round($overallSql, 4) AS overall_score,
+           |  CASE WHEN $overallSql >= 80 THEN 'green'
+           |    WHEN $overallSql >= 50 THEN 'yellow'
+           |    ELSE 'red' END AS overall_level
+           |FROM g ORDER BY script_id""".stripMargin,
+      "ddl_rollup_agg" ->
+        s"""WITH g AS (
+           |  SELECT
+           |    CAST(GROUPING_ID(script_id, schema_name, table_name) AS INT)
+           |      AS agg_level,
+           |    script_id, schema_name, table_name,
+           |    CAST(count(*) AS INT) AS tables_total,
+           |    CAST(sum(CASE WHEN can_auto_convert THEN 1 ELSE 0 END) AS INT)
+           |      AS tables_auto,
+           |    CAST(sum(n_critical) AS INT) AS critical_issues,
+           |    CAST(sum(n_warning) AS INT) AS warning_issues,
+           |    $meansSql
+           |  FROM read_parquet('$root/assess/*.parquet')
+           |  GROUP BY ROLLUP (script_id, schema_name, table_name))
+           |SELECT agg_level, script_id, schema_name, table_name,
+           |  tables_total, tables_auto, critical_issues, warning_issues,
+           |  round(d_raw, 4) AS datatype_score,
+           |  round(c_raw, 4) AS constraint_score,
+           |  round(p_raw, 4) AS partition_score,
+           |  round(s_raw, 4) AS special_features_score,
+           |  round($overallSql, 4) AS overall_score
+           |FROM g ORDER BY agg_level, script_id NULLS FIRST,
+           |  schema_name NULLS FIRST, table_name NULLS FIRST""".stripMargin,
+      "ddl_type_dist_agg" ->
+        s"""SELECT script_id, base_type,
+           |  CAST(sum(n_cols) AS INT) AS n_columns
+           |FROM read_parquet('$root/types/*.parquet')
+           |GROUP BY script_id, base_type
+           |ORDER BY script_id, base_type""".stripMargin,
+      "ddl_features_agg" ->
+        s"""SELECT script_id,
+           |  CAST(sum(editproc) AS INT) AS editproc,
+           |  CAST(sum(validproc) AS INT) AS validproc,
+           |  CAST(sum(fieldproc) AS INT) AS fieldproc,
+           |  CAST(sum(partitioning) AS INT) AS partitioning,
+           |  CAST(sum(generated_columns) AS INT) AS generated_columns,
+           |  CAST(sum(foreign_keys) AS INT) AS foreign_keys,
+           |  CAST(sum(check_constraints) AS INT) AS check_constraints,
+           |  CAST(sum(xml_columns) AS INT) AS xml_columns,
+           |  CAST(sum(graphic_columns) AS INT) AS graphic_columns,
+           |  CAST(sum(lob_columns) AS INT) AS lob_columns
+           |FROM read_parquet('$root/features/*.parquet')
+           |GROUP BY script_id
+           |ORDER BY script_id""".stripMargin,
+    )
+  }
 }

@@ -952,6 +952,54 @@ object PipelineQueries {
           .cast("double"), 2).as("sum_price"))
   }
 
+  /** Schema EVOLUTION under the hard oracle: a catalog table is
+    * created and filled (files written under schema v1), then `ALTER
+    * TABLE ADD COLUMN` + `RENAME COLUMN` commit metadata versions
+    * through the field-id machinery, a second insert lands files
+    * under the evolved schema, and a pruned SQL aggregate reads BOTH
+    * generations — old files resolve the renamed column BY FIELD ID
+    * and null-fill the added one — landing on arithmetic DuckDB
+    * computes over the raw parquet. The even/odd key split makes the
+    * two schema generations' contributions separable in the oracle. */
+  def q107SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graftevo_${Integer.toHexString(dir.hashCode)}"
+    val (wh, built) = amortizedIndexPath(s, dir, "iceberg_evolution",
+      p => new java.io.File(p, "orders_evo/metadata/version-hint.text")
+        .isFile, table = "orders")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftIcebergCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    if (!built) {
+      s.sql(
+        s"""CREATE TABLE $cat.orders_evo (
+           |  O_ORDERKEY BIGINT NOT NULL,
+           |  O_CUSTKEY BIGINT,
+           |  O_ORDERSTATUS STRING,
+           |  O_TOTALPRICE DOUBLE
+           |) PARTITIONED BY (O_ORDERSTATUS)""".stripMargin)
+      t(s, dir, "orders").createOrReplaceTempView("orders_src_q107")
+      s.sql(
+        s"""INSERT INTO $cat.orders_evo
+           |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           |FROM orders_src_q107 WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql(s"ALTER TABLE $cat.orders_evo ADD COLUMN NEW_PRICE DOUBLE")
+      s.sql(s"ALTER TABLE $cat.orders_evo RENAME COLUMN O_CUSTKEY TO CUST_ID")
+      s.sql(
+        s"""INSERT INTO $cat.orders_evo
+           |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_totalprice * 2
+           |FROM orders_src_q107 WHERE o_orderkey % 2 = 1""".stripMargin)
+      ()
+    }
+    s.sql(
+      s"""SELECT count(*) AS n_rows,
+         |  CAST(sum(CUST_ID) AS BIGINT) AS sum_cust,
+         |  round(CAST(sum(CAST(coalesce(NEW_PRICE, 0) AS DECIMAL(28,4)))
+         |    AS DOUBLE), 2) AS sum_new
+         |FROM $cat.orders_evo
+         |WHERE O_ORDERSTATUS = 'F'""".stripMargin)
+  }
+
   /** Per-label embedding statistics: count and L2-norm rollups — the
     * quick corpus-health check before ANN indexing (degenerate or
     * unnormalized embedding batches show up as norm outliers). Norms
@@ -3478,6 +3526,17 @@ object PipelineQueries {
         |    AS sum_price
         |FROM orders
         |WHERE o_orderstatus = 'P'""".stripMargin,
+    // schema evolution: old-generation files (even keys, pre-ALTER)
+    // null-fill the added column and resolve the renamed one by field
+    // id; new-generation files (odd keys) carry NEW_PRICE = 2×price
+    "q107_schema_evolution" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  round(CAST(sum(CASE WHEN o_orderkey % 2 = 1
+        |      THEN CAST(o_totalprice * 2 AS DECIMAL(28,4))
+        |      ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE), 2) AS sum_new
+        |FROM orders
+        |WHERE o_orderstatus = 'F'""".stripMargin,
     // the boilerplate fixture's two extraction surfaces reconstructed
     // arithmetically: html_text keeps title + nav + content + link farm
     // + aside + footer in document order; main_content keeps exactly
@@ -3652,6 +3711,7 @@ object PipelineQueries {
     "q104_write_roundtrip" -> (q104WriteRoundtrip _),
     "q105_sql_catalog" -> (q105SqlCatalog _),
     "q106_jdbc_migrate" -> (q106JdbcMigrate _),
+    "q107_schema_evolution" -> (q107SchemaEvolution _),
     "q70c_clustered_dedup" -> (q70cClusteredDedup _),
     "q71_phrase_search" -> (q71PhraseSearch _),
     "q71_indexed" -> (q71PhraseSearchIndexed _),
