@@ -169,8 +169,17 @@ object SchemaTranslator {
   def appendIncrement(df: DataFrame, table: TableDef, path: String,
       format: String = "parquet"): Unit = {
     writeMigrated(df, table, s"$path/data", format, mode = "append")
-    graft.sources.IcebergSnapshot.commitAppendIncrement(
-      table, path, df.sparkSession.sparkContext.hadoopConfiguration)
+    // the RETRYABLE unit is the commit, not the data write: the data
+    // files are already on disk, and commitAppendIncrement re-reads
+    // the chain each attempt and claims whatever is still unknown —
+    // so losing a version race to a concurrent committer re-claims the
+    // same files against the new head (or no-ops if the winner already
+    // claimed them), never re-writing (and thus never duplicating) rows
+    graft.sources.IcebergSnapshot.withCommitRetry() {
+      graft.sources.IcebergSnapshot.commitAppendIncrement(
+        table, path, df.sparkSession.sparkContext.hadoopConfiguration)
+    }
+    ()
   }
 
   /** Write-audit-publish staging: land `df` as an append on an audit

@@ -229,6 +229,21 @@ object PipelineQueries {
       .orderBy("q_id")
   }
 
+  /** The PQ family's degeneracy anchor AS a driver row: ADC top-k with
+    * `rerank = |corpus|` re-scores every ADC candidate exactly, so the
+    * whole PQ machinery (train → encode → per-query LUT → ADC scan →
+    * exact re-rank) must reproduce brute-force cosine top-3
+    * bit-for-bit — q22's DuckDB oracle VERBATIM. The production-shape
+    * recall measurement (rerank = 20) stays beside it as
+    * q59_pq_recall. */
+  def q59PqExact(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = Pq.train(emb, dim = 64, nSub = 8, k = 16, nIters = 1)
+    Pq.adcTopK(Pq.encode(emb, cb), emb.filter(col("vec_id") < 10), k = 3,
+        cb, rerank = emb.count().toInt)
+      .orderBy("q_id", "rk")
+  }
+
   /** The AMORTIZED, fully corpus-free face of the IVF+PQ index
     * (q79_indexed_probe's pattern for the vector family): probe a
     * prebuilt [[IvfPq.writeIndex]] layout. The index builds at most
@@ -3657,7 +3672,9 @@ object PipelineQueries {
     ("q79_indexed_probe" -> baseOracleSql("q79_bm25")) +
     ("q71_indexed" -> baseOracleSql("q71_phrase_search")) +
     ("q71_indexed_probe" -> baseOracleSql("q71_phrase_search")) +
-    ("q60_indexed_probe" -> baseOracleSql("q22_cosine_topk"))
+    ("q60_indexed_probe" -> baseOracleSql("q22_cosine_topk")) +
+    // the PQ degeneracy anchor: rerank-everything == brute force
+    ("q59_pq_exact" -> baseOracleSql("q22_cosine_topk"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_text_stats" -> (q16TextStats _),
@@ -3692,6 +3709,7 @@ object PipelineQueries {
     "q57_budget_select" -> (q57BudgetSelect _),
     "q58_datacard" -> (q58Datacard _),
     "q59_pq_recall" -> (q59PqRecall _),
+    "q59_pq_exact" -> (q59PqExact _),
     "q60_ivfpq_recall" -> (q60IvfPqRecall _),
     "q60_indexed_probe" -> (q60IndexedProbe _),
     "q61_repetition" -> (q61Repetition _),

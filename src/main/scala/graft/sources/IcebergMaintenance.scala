@@ -6,9 +6,11 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 import IcebergSnapshot.{DataFileInfo, ManifestEntry, ManifestListRow,
-  currentSnapshotOf, decodeDataFileInfo, parseSnapshots,
+  columnStats, currentSnapshotOf, decodeDataFileInfo, liveDeleteFiles,
+  liveFilesWithSeq, parseSnapshots,
   partitionFieldsOf, pathKey, readAvroRows, readManifestList, readText, readVersionHint,
-  writeManifestEntries, writeManifestListRows, writeNewMetadataVersion}
+  scanDataFiles, writeManifestEntries, writeManifestListRows,
+  writeNewMetadataVersion}
 import graft.model.TableDef
 
 /** Table MAINTENANCE beyond snapshot expiry: orphan-file removal —
@@ -95,6 +97,138 @@ object IcebergMaintenance {
       }
     }
     deleted.toSeq
+  }
+
+  /** Z-ORDER clustering rewrite — the maintenance action that makes
+    * MULTI-column pruning improve as the table compacts. Per (spec,
+    * partition) group, every live data file is re-laid as
+    * ceil(bytes / targetBytes) files range-split on the Morton
+    * interleave of (`aCol`, `bCol`) ([[graft.operators.Layout]]) and
+    * z-sorted within each file, so each rewritten file covers a small
+    * 2-D tile and carries tight min/max stats on BOTH columns — a
+    * predicate on either (or both) prunes files that bin-packing
+    * compaction, which concatenates arrival order, cannot. This is
+    * the `rewrite_data_files(strategy => 'sort', sort_order =>
+    * 'zorder(a, b)')` action of a real Iceberg deployment.
+    *
+    * Commits a REPLACE snapshot: bytes move, rows don't — incremental
+    * scans skip it, CDC diffs it to nothing, probes before == after
+    * bit-for-bit. Refuses while row-level delete files are live (the
+    * compactDataFiles rule — a rewrite that ignored them would
+    * resurrect deleted rows); run compactWithDeletes first. The
+    * z-columns must live in the data files: identity-partition
+    * columns are directory-encoded and already pruned at the
+    * partition level. */
+  def rewriteZorder(spark: org.apache.spark.sql.SparkSession,
+      table: TableDef, tablePath: String, aCol: String, bCol: String,
+      targetBytes: Long = 512L * 1024 * 1024,
+      timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+    require(targetBytes > 0)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metadataDir = new Path(tablePath, "metadata")
+    val fs = FileSystem.get(metadataDir.toUri, conf)
+    val version = readVersionHint(metadataDir, conf)
+    val metaText = readText(
+      new Path(metadataDir, s"v$version.metadata.json"), conf)
+    val chain = parseSnapshots(metaText)
+    require(chain.nonEmpty, "rewriteZorder: table has no snapshots")
+    val current = currentSnapshotOf(metaText, chain).get
+    val priorList = readManifestList(new Path(current.manifestList), conf)
+    require(liveDeleteFiles(priorList, conf).isEmpty,
+      "rewriteZorder with live delete files would resurrect deleted " +
+        "rows; run compactWithDeletes first")
+    val colNames = table.columns.map(_.name).toSet
+    require(colNames.contains(aCol) && colNames.contains(bCol),
+      s"z-order columns must be table columns: $aCol, $bCol")
+    val dirEncoded = IcebergSnapshot.dirEncodedIdentityCols(
+      table, IcebergMetadata.defaultSpecIdOf(table))
+    require(!dirEncoded.contains(aCol) && !dirEncoded.contains(bCol),
+      "identity-partition columns are directory-encoded (absent from " +
+        "data files) and already pruned at the partition level — " +
+        "z-order on data columns")
+    val live = liveFilesWithSeq(priorList, table, conf)
+    if (live.isEmpty) return current
+
+    val newSeq = chain.map(_.sequenceNumber).max + 1
+    // keep field ids in rewritten files — evolved tables read by id
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val groups = live.groupBy(f => (f._1.specId, f._1.partitionValues))
+      .toSeq.sortBy(_._1.toString)
+    val rewritten = groups.zipWithIndex.flatMap {
+      case (((sid, pv), fsOfPart), i) =>
+        val dir = new Path(tablePath, s"data/zorder-$newSeq-$i")
+        val totalBytes = fsOfPart.map(_._1.sizeBytes).sum
+        val nFiles = math.max(1,
+          math.ceil(totalBytes.toDouble / targetBytes).toInt)
+        val df = scanDataFiles(spark, table, fsOfPart.map(_._1.path), sid)
+        graft.operators.Layout.zorderLayout(df, aCol, bCol, nFiles)
+          .write.mode("overwrite").parquet(dir.toString)
+        fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName).flatMap { st =>
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(st.getPath, conf))
+            val (nRows, stats) =
+              try (reader.getRecordCount, columnStats(reader, table))
+              finally reader.close()
+            // a range split can come out empty; delete the zero-row
+            // part instead of listing it (a listed empty file is noise
+            // forever, an unlisted one is an orphan the sweep flags)
+            if (nRows == 0L) { fs.delete(st.getPath, false); None }
+            else Some(DataFileInfo(st.getPath.toString, st.getLen, nRows, pv,
+              valueCounts = stats._1, nullCounts = stats._2,
+              lowerBounds = stats._3, upperBounds = stats._4,
+              specId = sid))
+          }
+    }
+
+    val snapshotId = java.util.UUID.nameUUIDFromBytes(
+      (table.fullName + s"-snapshot-$newSeq")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .getMostSignificantBits & Long.MaxValue
+    // one data manifest per spec: ADDED rewritten files (new seq,
+    // inherited) + DELETED originals (original seqs, explicit)
+    val tagged: Seq[(Int, ManifestEntry)] =
+      rewritten.map(f => f.specId -> ManifestEntry(1, None, f)) ++
+        live.map { case (f, seq) =>
+          f.specId -> ManifestEntry(2, Some(seq), f) }
+    val rows = tagged.groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((sid, tagEntries), i) =>
+        val entries = tagEntries.map(_._2)
+        val manifest = writeManifestEntries(table, entries, metadataDir,
+          snapshotId, conf, ordinal = priorList.size + i, specId = sid)
+        val added = entries.filter(_.status == 1).map(_.file)
+        val removed = entries.filter(_.status == 2).map(_.file)
+        ManifestListRow(manifest._1.toString, manifest._2,
+          sequenceNumber = newSeq,
+          minSequenceNumber =
+            (newSeq +: entries.flatMap(_.sequenceNumber)).min,
+          addedFiles = added.size, existingFiles = 0,
+          deletedFiles = removed.size,
+          addedRows = added.map(_.recordCount).sum,
+          existingRows = 0L,
+          deletedRows = removed.map(_.recordCount).sum,
+          specId = sid)
+    }
+    val listPath = writeManifestListRows(table, rows,
+      metadataDir, snapshotId, conf, newSeq, Some(current.snapshotId))
+    val snap = IcebergMetadata.SnapshotMeta(
+      snapshotId = snapshotId,
+      schemaId = table.schemaId,
+      timestampMs = timestampMs,
+      manifestList = listPath.toString,
+      addedFiles = rewritten.size.toLong,
+      addedRecords = rewritten.map(_.recordCount).sum,
+      sequenceNumber = newSeq,
+      parentSnapshotId = Some(current.snapshotId),
+      totalFiles = current.cumulativeFiles - live.size + rewritten.size,
+      totalRecords = current.cumulativeRecords, // rewrite: rows unchanged
+      operation = "replace",
+      deletedFiles = live.size.toLong,
+      deletedRecords = live.map(_._1.recordCount).sum)
+    writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
+      chain :+ snap, timestampMs)
+    snap
   }
 
   /** Consolidate the current snapshot's manifest list — the

@@ -492,13 +492,24 @@ object IcebergSnapshot {
       e.put("data_file", df)
       e
     }
-    // name keyed by (snapshot, ordinal): ordinal alone is NOT unique
-    // across the table's history once compaction shrinks the manifest
-    // list — a later append would reuse the count and overwrite an
-    // older snapshot's manifest, corrupting time travel
+    // name keyed by (snapshot, ordinal, ENTRY IDENTITY): ordinal alone
+    // is NOT unique across the table's history once compaction shrinks
+    // the manifest list — a later append would reuse the count and
+    // overwrite an older snapshot's manifest, corrupting time travel —
+    // and (snapshot, ordinal) alone is not unique across two WRITERS
+    // racing the same base version (both derive the same snapshot id
+    // from the sequence number), so the loser's manifest write would
+    // clobber the winner's before the commit point even detects the
+    // conflict. Folding the entries' (status, path) identity into the
+    // name keeps true replays at the same path (idempotent) while
+    // divergent racers write disjoint files — the loser's become
+    // sweepable orphans, never corruption.
+    val entryKey = entries0
+      .map(e => s"${e.status}:${e.file.path}").sorted.mkString("|")
     val path = new Path(metadataDir,
-      s"${UUID.nameUUIDFromBytes((table.fullName + s"-snap$snapshotId-m$ordinal")
-        .getBytes(StandardCharsets.UTF_8))}-$snapshotId-m$ordinal.avro")
+      s"${UUID.nameUUIDFromBytes(
+        (table.fullName + s"-snap$snapshotId-m$ordinal-$entryKey")
+          .getBytes(StandardCharsets.UTF_8))}-$snapshotId-m$ordinal.avro")
     val specFields = JsonMethods.compact(JsonMethods.render(
       IcebergMetadata.partitionSpecJsonOf(table, sid) \ "fields"))
     val len = writeAvro(fs, path, schema, Seq(
@@ -554,9 +565,17 @@ object IcebergSnapshot {
       schema.getFields.forEach(f => c.put(f.name(), p.get(f.name())))
       c
     }
+    // like the manifest name, the list name folds in its ROW IDENTITY
+    // (the manifest paths it lists, themselves entry-keyed) so two
+    // writers racing the same sequence number write disjoint lists —
+    // see writeManifestEntries
+    val rowKey = (rows.map(_.path) ++
+      priorManifests.map(_.get("manifest_path").toString))
+      .sorted.mkString("|")
     val path = new Path(metadataDir, s"snap-$snapshotId-1-" +
-      UUID.nameUUIDFromBytes((table.fullName + s"-snap-$sequenceNumber")
-        .getBytes(StandardCharsets.UTF_8)) + ".avro")
+      UUID.nameUUIDFromBytes(
+        (table.fullName + s"-snap-$sequenceNumber-$rowKey")
+          .getBytes(StandardCharsets.UTF_8)) + ".avro")
     writeAvro(fs, path, schema, Seq(
       "format-version" -> "2",
       "snapshot-id" -> snapshotId.toString,
@@ -1243,9 +1262,79 @@ object IcebergSnapshot {
       currentIdOverride = currentIdOverride,
       properties = props)
     val metaFile = new Path(metadataDir, s"v${version + 1}.metadata.json")
-    val out = fs.create(metaFile, true)
+    val out = createExclusive(metaFile, fs, version + 1)
     try out.write(doc.getBytes(StandardCharsets.UTF_8)) finally out.close()
     writeVersionHint(metadataDir, version + 1, fs)
+  }
+
+  /** Two writers racing a commit on the same base version both try to
+    * install `v{N+1}.metadata.json`; exactly one may win, or the loser
+    * silently overwrites the winner's payload while both flip the hint
+    * to N+1 — a lost update. This exception marks the LOSER: its
+    * snapshot was built against a base another commit just replaced,
+    * so the whole commit body must re-read the table and rebuild —
+    * wrap the operation in [[withCommitRetry]] to do that
+    * automatically. */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Exclusive creation of a new metadata version — the COMMIT POINT
+    * of the optimistic protocol. Local paths go through NIO's atomic
+    * O_EXCL create (same-JVM and cross-process safe); other stores use
+    * `fs.create(overwrite = false)`. An existing file means another
+    * commit won this version (→ [[CommitConflictException]]) — or a
+    * writer died between creating it and flipping the hint, which
+    * leaves the orphan blocking the version slot until
+    * `removeOrphanFiles` sweeps it (it is unreferenced and above the
+    * hint, so the sweep's age guard is the only wait). */
+  private def createExclusive(p: Path, fs: FileSystem,
+      version: Int): java.io.OutputStream = {
+    val conflict = () => throw new CommitConflictException(
+      s"metadata version $version already exists at $p — a concurrent " +
+        "commit won this version (or a crashed one left it; sweep " +
+        "orphans); rebuild against the current version and retry")
+    val uri = p.toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      val local = java.nio.file.Paths.get(uri.getPath)
+      try java.nio.file.Files.newOutputStream(local,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => conflict()
+      }
+    } else {
+      if (fs.exists(p)) conflict()
+      try fs.create(p, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => conflict()
+      }
+    }
+  }
+
+  /** Optimistic-concurrency retry for a COMMIT operation: run `body`
+    * (which must RE-READ the table state each attempt — every commit
+    * in this engine does, resolving the current version hint first),
+    * retrying when a concurrent commit wins the version race.
+    * Linearizes N independent writers on one table: each retry rebuilds
+    * against the new head, so every committed snapshot's parent is the
+    * snapshot that actually preceded it — no lost updates.
+    *
+    * Retry the COMMIT step only, never the data staging: re-running a
+    * data write before a dir-scanning commit would land the same rows
+    * twice (see `SchemaTranslator.appendIncrement`, which stages once
+    * and retries only `commitAppendIncrement`). */
+  def withCommitRetry[T](maxAttempts: Int = 10)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+          Thread.sleep(2L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The live data files of the current snapshot, with each file's

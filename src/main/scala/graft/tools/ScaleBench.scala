@@ -236,6 +236,177 @@ object ScaleBench {
       samples.map(_._4).min, samples.head._5)
   }
 
+  /** METADATA-plane scale probe: a table with `n` commits (one tiny
+    * appended file each — the worst-case shape a live feed produces,
+    * with the production mitigation, a rewriteManifests consolidation
+    * every 32 commits, applied during the build exactly as a sink's
+    * maintenance cadence would). Measures the driver-side costs a
+    * 100k-commit deployment polls constantly:
+    *
+    *  - `offset_ms`: the streaming source's getOffset body (version
+    *    hint read + full metadata parse) — O(retained chain), the cost
+    *    every trigger pays; bounded in production by snapshot expiry.
+    *  - `plan_sec`: stats-pruned scan planning over the live manifest
+    *    set at this commit count.
+    *  - `expire_sec` / `offset_after_expire_ms`: one expiry to
+    *    keepLast=5 on a throwaway copy, and the poll cost after it —
+    *    the mitigation, measured.
+    *
+    * Also records metadata.json bytes and live data files, the growth
+    * that drives the times. Tables build once per (baseDir, n) and
+    * cache. */
+  private def metadataScaleProbe(spark: SparkSession, baseDir: String,
+      n: Int, reps: Int): Map[String, Double] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tdef = graft.parse.Db2Parser.parse(
+      """CREATE TABLE G.METASCALE (
+        |  K BIGINT NOT NULL,
+        |  M INTEGER
+        |);""".stripMargin).tables.head
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_scale_meta_${n}_" +
+        Integer.toHexString(baseDir.hashCode)).getAbsolutePath
+    val done = new java.io.File(dir, "_DONE")
+    if (!done.isFile) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("K", LongType, nullable = false),
+        StructField("M", IntegerType)))
+      val one = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(org.apache.spark.sql.Row(1L, 1)), 1), schema)
+      graft.api.SchemaTranslator.migrateTable(one, tdef, dir)
+      val seed = new java.io.File(dir, "data").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      (2 to n).foreach { i =>
+        java.nio.file.Files.copy(seed,
+          java.nio.file.Paths.get(dir, "data", f"inc_$i%06d.parquet"))
+        graft.sources.IcebergSnapshot.commitAppendIncrement(tdef, dir, conf)
+        if (i % 32 == 0)
+          graft.sources.IcebergMaintenance.rewriteManifests(tdef, dir, conf)
+        ()
+      }
+      java.nio.file.Files.write(done.toPath, "1\n".getBytes("UTF-8"))
+      ()
+    }
+    val metaDir = java.nio.file.Paths.get(dir, "metadata")
+    val headVersion = new String(java.nio.file.Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), "UTF-8").trim.toInt
+    val metaBytes = java.nio.file.Files.size(
+      metaDir.resolve(s"v$headVersion.metadata.json"))
+    val samples = (0 until reps).map { _ =>
+      val t0 = System.nanoTime()
+      graft.sources.IcebergSnapshot.currentSnapshotId(dir, conf)
+      val tOffset = (System.nanoTime() - t0) / 1e6 // ms
+      val t1 = System.nanoTime()
+      val (kept, _) = graft.sources.IcebergPruning.planScan(conf, dir, tdef,
+        Seq(graft.sources.IcebergPruning.ColumnBound("K", Some(1L), None)))
+      val tPlan = (System.nanoTime() - t1) / 1e9
+      (tOffset, tPlan, kept.size)
+    }
+    // expiry once, on a throwaway copy (cached reps stay pristine)
+    val copy = java.nio.file.Files.createTempDirectory(s"meta_exp_$n")
+    val src = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val rel = src.relativize(p)
+      val tgt = copy.resolve(rel.toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(tgt)
+      else java.nio.file.Files.copy(p, tgt)
+      ()
+    }
+    val t2 = System.nanoTime()
+    graft.sources.IcebergSnapshot.expireSnapshots(tdef, copy.toString,
+      keepLast = 5, conf)
+    val tExpire = (System.nanoTime() - t2) / 1e9
+    val t3 = System.nanoTime()
+    graft.sources.IcebergSnapshot.currentSnapshotId(copy.toString, conf)
+    val tOffsetAfter = (System.nanoTime() - t3) / 1e6
+    Map(
+      "n_snapshots" -> n.toDouble,
+      "meta_bytes" -> metaBytes.toDouble,
+      "live_files" -> samples.head._3.toDouble,
+      "offset_ms" -> samples.map(_._1).min,
+      "plan_sec" -> samples.map(_._2).min,
+      "expire_sec" -> tExpire,
+      "offset_after_expire_ms" -> tOffsetAfter)
+  }
+
+  /** Z-ORDER maintenance probe: the same data in two layouts — ARRIVAL
+    * (files clustered by ingest order / column A, the shape appends
+    * produce) and Z-ORDERED ([[graft.sources.IcebergMaintenance
+    * .rewriteZorder]] on A,B) — under a fixed B-range predicate. The
+    * claim: the clustering rewrite turns a full-scan predicate
+    * (B uniform across every arrival file → nothing prunes) into a
+    * tile scan (files_kept drops), the effect HOLDS at 10×, and the
+    * two layouts' aggregates stay bit-identical (the rewrite moved
+    * bytes, not rows). */
+  private def zorderProbe(spark: SparkSession, baseDir: String,
+      factor: Int, reps: Int): (Double, Double, Int, Int, Int) = {
+    val tdef = graft.parse.Db2Parser.parse(
+      """CREATE TABLE G.ZSCALE (
+        |  K BIGINT NOT NULL,
+        |  A INTEGER,
+        |  B INTEGER
+        |);""".stripMargin).tables.head
+    def build(zordered: Boolean): String = {
+      val tag = if (zordered) "z" else "a"
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_scale_zorder_${tag}_${factor}x_" +
+          Integer.toHexString(baseDir.hashCode)).getAbsolutePath
+      if (!new java.io.File(dir, "_DONE").isFile) {
+        val orders = spark.read.parquet(s"$baseDir/orders.parquet")
+          .select(col("o_orderkey"))
+        val copies = explode(sequence(lit(0), lit(factor - 1))).as("__c")
+        val nFiles = 48 * factor
+        val rows = orders.select(col("*"), copies).select(
+          (col("o_orderkey") * factor + col("__c")).as("K"))
+          .withColumn("A", pmod(col("K"), lit(4096)).cast("int"))
+          .withColumn("B",
+            pmod(col("K") * 2654435761L, lit(4096)).cast("int"))
+          // arrival layout: A-clustered files (ingest order), B uniform
+          .repartitionByRange(nFiles, col("A"))
+          .sortWithinPartitions("A")
+        graft.api.SchemaTranslator.migrateTable(rows, tdef, dir)
+        if (zordered) {
+          val bytes = new java.io.File(dir, "data").listFiles()
+            .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+          graft.sources.IcebergMaintenance.rewriteZorder(spark, tdef, dir,
+            "A", "B", targetBytes = math.max(1L, bytes / nFiles))
+          ()
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, "_DONE"), "1\n".getBytes("UTF-8"))
+        ()
+      }
+      dir
+    }
+    val arrival = build(zordered = false)
+    val zord = build(zordered = true)
+    def probe(dir: String): (Double, Int, Int, Long) = {
+      val samples = (0 until reps).map { _ =>
+        spark.catalog.clearCache()
+        graft.sources.v2.GraftIcebergScans.clear()
+        val t0 = System.nanoTime()
+        val agg = spark.read.format("graft-iceberg").load(dir)
+          .filter(col("B") >= 0 && col("B") <= 63)
+          .agg(count(lit(1)), sum(col("K"))).collect()(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rep = graft.sources.v2.GraftIcebergScans.lastReport.get
+        (sec, rep.keptFiles.size, rep.keptFiles.size + rep.skippedFiles.size,
+          agg.getLong(1))
+      }
+      (samples.map(_._1).min, samples.head._2, samples.head._3,
+        samples.head._4)
+    }
+    val (aSec, aKept, aLive, aSum) = probe(arrival)
+    val (zSec, zKept, zLive, zSum) = probe(zord)
+    require(aSum == zSum,
+      s"zorder rewrite changed rows: arrival sum $aSum vs zordered $zSum")
+    require(aLive > 0 && zLive > 0)
+    (aSec, zSec, aKept, zKept, zLive)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -280,6 +451,12 @@ object ScaleBench {
         run(sf1Dir, ProbeQueries ++ AnchorQueries))
     val ice01 = icebergProbe(spark, baseDir, factor = 1, reps)
     val ice1 = icebergProbe(spark, baseDir, factor = 10, reps)
+    val meta128 = metadataScaleProbe(spark, baseDir, n = 128, reps)
+    val meta1k = metadataScaleProbe(spark, baseDir, n = 1024, reps)
+    val (zaSec01, zzSec01, zaKept01, zzKept01, zLive01) =
+      zorderProbe(spark, baseDir, factor = 1, reps)
+    val (zaSec1, zzSec1, zaKept1, zzKept1, zLive1) =
+      zorderProbe(spark, baseDir, factor = 10, reps)
     def jsonMap(names: Seq[String], m: Map[String, Double]): String =
       names.map(n => "\"" + n + f"""\":${m(n)}%.3f""").mkString("{", ",", "}")
     val exps =
@@ -295,7 +472,21 @@ object ScaleBench {
         s""""files_live":[${ice01._3},${ice1._3}]},""" +
         f""""catchup_scan":{"sf01_sec":${ice01._4}%.3f,"sf1_sec":${ice1._4}%.3f,""" +
         f""""exponent":${math.log10(ice1._4 / ice01._4)}%.3f,""" +
-        s""""rows":[${ice01._5},${ice1._5}]}}"""
+        s""""rows":[${ice01._5},${ice1._5}]},""" +
+        s""""metadata_plane":{"note":"driver-side costs vs commit count (128 vs 1024 commits, rewriteManifests every 32 like a sink cadence); offset = getOffset body (hint read + metadata parse, O(retained chain), bounded by expiry — the measured mitigation beside it)",""" +
+        Seq("offset_ms", "plan_sec", "expire_sec", "offset_after_expire_ms",
+          "meta_bytes", "live_files").map { k =>
+          f""""$k":[${meta128(k)}%.3f,${meta1k(k)}%.3f]"""
+        }.mkString(",") +
+        f""","offset_exponent":${
+          math.log10(meta1k("offset_ms") / meta128("offset_ms")) /
+            math.log10(1024.0 / 128.0)}%.3f},""" +
+        s""""zorder":{"note":"same rows, arrival layout vs rewriteZorder(A,B), fixed 1/64 B-range predicate at 1x and 10x; kept/live audits the claim, aggregate equality asserted in-probe",""" +
+        s""""files_live":[$zLive01,$zLive1],""" +
+        s""""files_kept_arrival":[$zaKept01,$zaKept1],""" +
+        s""""files_kept_zorder":[$zzKept01,$zzKept1],""" +
+        f""""sec_arrival":[$zaSec01%.3f,$zaSec1%.3f],""" +
+        f""""sec_zorder":[$zzSec01%.3f,$zzSec1%.3f]}}"""
     val json =
       if (icebergOnly)
         s"""{"metric":"scale_probe","base":"$baseDir","factor":10,""" +

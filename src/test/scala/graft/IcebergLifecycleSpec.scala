@@ -77,6 +77,7 @@ class IcebergLifecycleSpec extends AnyFunSuite {
   // metadata-only manifest consolidation: a REPLACE commit on main
   // that must change NO read face (model, travel, refs, incrementals)
   private case object RewriteManifests extends Op
+  private case object RewriteZorder extends Op
 
   /** The streaming sinks' cadence body ([[graft.streaming.StreamingOps
     * .maintainIcebergTable]]): delete-fold + small-file bin + expiry
@@ -107,6 +108,7 @@ class IcebergLifecycleSpec extends AnyFunSuite {
     2 -> Gen.choose(0, 9).map(Rollback(_)),
     2 -> Gen.oneOf(true, false).map(SweepOrphans(_)),
     1 -> Gen.const(RewriteManifests),
+    1 -> Gen.const(RewriteZorder),
     2 -> Gen.choose(2, 5).map(Maintain(_)))
 
   private val seqGen: Gen[List[Op]] =
@@ -347,6 +349,19 @@ class IcebergLifecycleSpec extends AnyFunSuite {
             }
           else
             IcebergSnapshot.compactDataFiles(spark, table, out, 1L << 30)
+
+        case RewriteZorder =>
+          // same live-delete refusal contract as plain compaction; on
+          // the clean path the clustering rewrite is a REPLACE — model
+          // unchanged, every read face re-verified by afterOp
+          if (liveDeletes)
+            intercept[IllegalArgumentException] {
+              IcebergMaintenance.rewriteZorder(spark, table, out, "K", "N",
+                targetBytes = 1L << 14)
+            }
+          else if (model.nonEmpty)
+            IcebergMaintenance.rewriteZorder(spark, table, out, "K", "N",
+              targetBytes = 1L << 14)
 
         case CompactWithDeletes =>
           IcebergDeletes.compactWithDeletes(spark, table, out)

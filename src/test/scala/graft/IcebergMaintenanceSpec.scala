@@ -203,4 +203,72 @@ class IcebergMaintenanceSpec extends AnyFunSuite {
     assert(IcebergMaintenance.removeOrphanFiles(out, Long.MaxValue) === Nil)
     assert(ksOf(IcebergSnapshot.readSnapshot(spark, out, table)) === (1L to 7L))
   }
+
+  test("rewriteZorder: rows bit-identical before/after, REPLACE skipped " +
+      "by incremental scans, and a predicate on EITHER z-column prunes " +
+      "files the arrival layout could not") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IcebergPruning
+    val table = Db2Parser.parse(
+      """CREATE TABLE S.ZORD (
+        |  K BIGINT NOT NULL,
+        |  A INTEGER,
+        |  B INTEGER
+        |);""".stripMargin).tables.head
+    def zdf(lo: Int, hi: Int) = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("K", LongType, nullable = false),
+        StructField("A", IntegerType), StructField("B", IntegerType)))
+      // arrival order is A-clustered (each increment covers one A
+      // stripe) but B-uniform: every file spans the full B domain, so
+      // a B predicate prunes NOTHING in the arrival layout
+      spark.createDataFrame(
+        spark.sparkContext.parallelize((lo until hi).map(i =>
+          org.apache.spark.sql.Row(i.toLong, i / 16, (i * 37) % 64)), 1),
+        schema)
+    }
+    val out = java.nio.file.Files.createTempDirectory("zorder_maint").toString
+    SchemaTranslator.migrateTable(zdf(0, 256), table, out)
+    (1 to 3).foreach(j =>
+      SchemaTranslator.appendIncrement(zdf(j * 256, (j + 1) * 256), table, out))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val bBound = Seq(IcebergPruning.ColumnBound("B", Some(0), Some(7)))
+    val aBound = Seq(IcebergPruning.ColumnBound("A", Some(0), Some(7)))
+    val (bKeptBefore, bSkipBefore) =
+      IcebergPruning.planScan(hconf, out, table, bBound)
+    assert(bSkipBefore.isEmpty,
+      "arrival layout: every file spans the full B domain")
+    val before = IcebergSnapshot.readSnapshot(spark, out, table)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+
+    // total bytes / 8 → ~8 z-range files; each a small 2-D tile
+    val totalBytes = bKeptBefore.map(p =>
+      new java.io.File(new java.net.URI(
+        if (p.startsWith("file:")) p else "file://" + p).getPath).length).sum
+    val snap = IcebergMaintenance.rewriteZorder(spark, table, out,
+      "A", "B", targetBytes = math.max(1L, totalBytes / 8))
+    assert(snap.operation === "replace")
+
+    val after = IcebergSnapshot.readSnapshot(spark, out, table)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(after === before, "a clustering rewrite must not change rows")
+
+    // the REPLACE is invisible to incremental consumers
+    val cdc = graft.sources.IcebergChanges.changesTable(spark, out, table,
+      fromSnapshotId = Some(snap.parentSnapshotId.get))
+    assert(cdc.count() === 0L, "a z-order rewrite must CDC-diff to nothing")
+
+    // and now BOTH columns prune: each rewritten file is a z-tile
+    val (bKept, bSkip) = IcebergPruning.planScan(hconf, out, table, bBound)
+    assert(bSkip.nonEmpty && bKept.size < bKeptBefore.size,
+      s"B pruning must improve: kept ${bKept.size} of ${bKept.size + bSkip.size}")
+    val (aKept, aSkip) = IcebergPruning.planScan(hconf, out, table, aBound)
+    assert(aSkip.nonEmpty,
+      s"A pruning must survive the rewrite: kept ${aKept.size}")
+    // pruned reads stay exact over the new layout
+    assert(IcebergSnapshot.readSnapshot(spark, out, table, pruning = bBound)
+      .collect().map(_.getLong(0)).toSet ===
+      before.filter(r => r._3 >= 0 && r._3 <= 7).map(_._1))
+  }
 }
