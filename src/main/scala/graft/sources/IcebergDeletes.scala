@@ -247,7 +247,8 @@ object IcebergDeletes {
     // would resurrect still-on-disk time-travel files (see
     // IcebergSnapshot.knownFilePaths)
     val known = IcebergSnapshot.knownFilePaths(chain, conf)
-    val newFiles = listDataFiles(new Path(tablePath, "data"), table, conf)
+    val newFiles = listDataFiles(new Path(tablePath, "data"), table, conf,
+        skipPaths = known)
       .filterNot(f => known.contains(f.path))
 
     val newSeq = chain.map(_.sequenceNumber).max + 1

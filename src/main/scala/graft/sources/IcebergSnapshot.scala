@@ -288,7 +288,7 @@ object IcebergSnapshot {
     * counts from footers and partition values from the Hive-style
     * directory components the partitioned write produced. */
   def listDataFiles(dataDir: Path, table: TableDef,
-      conf: Configuration): Seq[DataFileInfo] = {
+      conf: Configuration, skipPaths: Set[String] = Set.empty): Seq[DataFileInfo] = {
     val fs = FileSystem.get(dataDir.toUri, conf)
     val pf = partitionFields(table)
     val byName = pf.map { case (n, t, tr) => n -> ((t, tr)) }.toMap
@@ -298,7 +298,13 @@ object IcebergSnapshot {
     while (it.hasNext) {
       val st = it.next()
       val p = st.getPath
-      if (st.isFile && p.getName.endsWith(".parquet")) {
+      // `skipPaths` = files already known to the snapshot chain: an
+      // incremental commit passes them so footer/stat reads happen for
+      // the NEW files only — without it each commit re-opens every
+      // historical footer and the feed-table append goes quadratic in
+      // table file count (measured: ~4 s/commit at 300 files)
+      if (st.isFile && p.getName.endsWith(".parquet") &&
+          !skipPaths.contains(p.toString)) {
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
         val (nRows, stats) =
           try (reader.getRecordCount, columnStats(reader, table))
@@ -602,17 +608,41 @@ object IcebergSnapshot {
 
   /** Drain every record of an Avro file on any Hadoop FS — the one
     * reader loop behind manifest-list reads, manifest reads and the
-    * time-travel scan. */
+    * time-travel scan.
+    *
+    * CACHED: manifests and manifest lists are immutable once written
+    * (names are content-identity-keyed — see writeManifestEntries — so
+    * a path is never rewritten with different rows), which makes a
+    * decoded-rows cache safe and turns the commit/planning paths from
+    * O(chain × avro-decode) into O(chain × stat): a long-retained
+    * table re-reads each historical list ONCE per JVM instead of once
+    * per commit — at a 100k-commit table this is the difference
+    * between a constant-cost append and a quadratic one. Entries
+    * validate against the file's current length (a swept-and-replanted
+    * path of different content misses), and the cache evicts wholesale
+    * at a bounded entry count. */
+  private val avroRowsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Seq[org.apache.avro.generic.GenericRecord])]()
+  private val AvroCacheMaxEntries = 8192
+
   private[sources] def readAvroRows(path: Path,
       conf: Configuration): Seq[org.apache.avro.generic.GenericRecord] = {
+    val fs = FileSystem.get(path.toUri, conf)
+    val len = fs.getFileStatus(path).getLen
+    val key = path.toString
+    val hit = avroRowsCache.get(key)
+    if (hit != null && hit._1 == len) return hit._2
     val in = new org.apache.avro.mapred.FsInput(path, conf)
     val reader = org.apache.avro.file.DataFileReader.openReader(in,
       new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
-    try {
+    val rows = try {
       val out = ArrayBuffer.empty[org.apache.avro.generic.GenericRecord]
       while (reader.hasNext) out += reader.next()
       out.toSeq
     } finally reader.close()
+    if (avroRowsCache.size >= AvroCacheMaxEntries) avroRowsCache.clear()
+    avroRowsCache.put(key, (len, rows))
+    rows
   }
 
   /** Small-text read (version hints, metadata JSON). */
@@ -1696,7 +1726,8 @@ object IcebergSnapshot {
 
     val priorList = readManifestList(new Path(current.manifestList), conf)
     val known = knownFilePaths(chain, conf)
-    val newFiles = listDataFiles(new Path(tablePath, "data"), table, conf)
+    val newFiles = listDataFiles(new Path(tablePath, "data"), table, conf,
+        skipPaths = known)
       .filterNot(f => known.contains(f.path))
     if (newFiles.isEmpty) return current
 

@@ -78,7 +78,8 @@ object IcebergWap {
 
     val priorList = readManifestList(new Path(head.manifestList), conf)
     val known = knownFilePaths(chain, conf)
-    val newFiles = listDataFiles(new Path(tablePath, "data"), table, conf)
+    val newFiles = listDataFiles(new Path(tablePath, "data"), table, conf,
+        skipPaths = known)
       .filterNot(f => known.contains(f.path))
     if (newFiles.isEmpty) return head
 
