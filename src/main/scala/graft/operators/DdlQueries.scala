@@ -82,10 +82,38 @@ object DdlQueries {
           "lob_columns")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$DdlRowsRoot/features")
+      // per-table RENDERED rows: the S6/O1 ordered-concat aggregation
+      // above them gets the hash oracle (the render itself stays
+      // golden/fuzz-pinned)
+      parsed.map { st =>
+        val (ddl, ewi) = graft.convert.Db2Renderer.convertTable(
+          st.table, graft.convert.RenderConfig())
+        (st.scriptId, st.tablePos, ddl, ewi)
+      }.toDF("script_id", "table_pos", "ddl", "ewi")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$DdlRowsRoot/rendered")
       rows.unpersist()
       ()
     }
     DdlRowsRoot
+  }
+
+  /** The S6/O1 per-script ordered-render aggregation over the
+    * materialized rendered rows, under the hash oracle: the ordered
+    * string concat (tablePos order, blank-line separator) surfaces as
+    * a SHA-256 both engines compute over the same parquet. */
+  def ddlConvertAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = ddlRowsDir(s)
+    s.read.parquet(s"$root/rendered")
+      .groupBy("script_id")
+      .agg(
+        sha2(concat_ws("\n\n",
+          transform(
+            array_sort(collect_list(struct(col("table_pos"), col("ddl")))),
+            x => x.getField("ddl"))), 256).as("ddl_sha"),
+        sum(col("ewi")).cast("int").as("ewi_count"),
+        count(lit(1)).cast("int").as("tables_converted"))
+      .orderBy("script_id")
   }
 
   /** The A2–A8 per-script aggregation over the materialized rows —
@@ -273,6 +301,7 @@ object DdlQueries {
     "ddl_rollup_agg" -> (ddlRollupAgg _),
     "ddl_type_dist_agg" -> (ddlTypeDistAgg _),
     "ddl_features_agg" -> (ddlFeaturesAgg _),
+    "ddl_convert_agg" -> (ddlConvertAgg _),
   )
 
   /** Hash oracles for the aggregate layer: DuckDB recomputes the SAME
@@ -351,6 +380,15 @@ object DdlQueries {
            |FROM read_parquet('$root/types/*.parquet')
            |GROUP BY script_id, base_type
            |ORDER BY script_id, base_type""".stripMargin,
+      "ddl_convert_agg" ->
+        s"""SELECT script_id,
+           |  sha256(string_agg(ddl, chr(10) || chr(10) ORDER BY table_pos))
+           |    AS ddl_sha,
+           |  CAST(sum(ewi) AS INT) AS ewi_count,
+           |  CAST(count(*) AS INT) AS tables_converted
+           |FROM read_parquet('$root/rendered/*.parquet')
+           |GROUP BY script_id
+           |ORDER BY script_id""".stripMargin,
       "ddl_features_agg" ->
         s"""SELECT script_id,
            |  CAST(sum(editproc) AS INT) AS editproc,
