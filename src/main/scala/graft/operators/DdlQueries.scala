@@ -92,10 +92,49 @@ object DdlQueries {
       }.toDF("script_id", "table_pos", "ddl", "ewi")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$DdlRowsRoot/rendered")
+      // the Snowflake path's per-table rendered rows (P11-P16 parse +
+      // M18-M20 render map-side); the A11-A12 per-script rollup above
+      // them carries the hash oracle
+      sfScripts(s, 8).select("script_id", "ddl").as[(String, String)]
+        .flatMap { case (id, ddl) =>
+          graft.snowflake.SnowflakeParser.parse(ddl).zipWithIndex.map {
+            case (t, i) =>
+              val (out, ewi, issues) =
+                graft.snowflake.SnowflakeRenderer.convertTable(
+                  t, graft.convert.RenderConfig())
+              (id, i, out, ewi,
+                issues.count(_.severity == graft.model.IssueSeverity.Critical),
+                issues.count(_.severity == graft.model.IssueSeverity.Warning),
+                issues.count(_.severity == graft.model.IssueSeverity.Info))
+          }
+        }.toDF("script_id", "table_pos", "ddl", "ewi",
+          "n_critical", "n_warning", "n_info")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$DdlRowsRoot/sf_rendered")
       rows.unpersist()
       ()
     }
     DdlRowsRoot
+  }
+
+  /** The Snowflake path's per-script rollup (A11-A12 class) over the
+    * materialized per-table rows, under the hash oracle — ordered
+    * concat SHA, EWI/table counts, and issue-severity sums. */
+  def sfConvertAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = ddlRowsDir(s)
+    s.read.parquet(s"$root/sf_rendered")
+      .groupBy("script_id")
+      .agg(
+        sha2(concat_ws("\n\n",
+          transform(
+            array_sort(collect_list(struct(col("table_pos"), col("ddl")))),
+            x => x.getField("ddl"))), 256).as("ddl_sha"),
+        sum(col("ewi")).cast("int").as("ewi_count"),
+        count(lit(1)).cast("int").as("tables_converted"),
+        sum(col("n_critical")).cast("int").as("critical_issues"),
+        sum(col("n_warning")).cast("int").as("warning_issues"),
+        sum(col("n_info")).cast("int").as("info_issues"))
+      .orderBy("script_id")
   }
 
   /** The S6/O1 per-script ordered-render aggregation over the
@@ -302,6 +341,7 @@ object DdlQueries {
     "ddl_type_dist_agg" -> (ddlTypeDistAgg _),
     "ddl_features_agg" -> (ddlFeaturesAgg _),
     "ddl_convert_agg" -> (ddlConvertAgg _),
+    "sf_convert_agg" -> (sfConvertAgg _),
   )
 
   /** Hash oracles for the aggregate layer: DuckDB recomputes the SAME
@@ -387,6 +427,18 @@ object DdlQueries {
            |  CAST(sum(ewi) AS INT) AS ewi_count,
            |  CAST(count(*) AS INT) AS tables_converted
            |FROM read_parquet('$root/rendered/*.parquet')
+           |GROUP BY script_id
+           |ORDER BY script_id""".stripMargin,
+      "sf_convert_agg" ->
+        s"""SELECT script_id,
+           |  sha256(string_agg(ddl, chr(10) || chr(10) ORDER BY table_pos))
+           |    AS ddl_sha,
+           |  CAST(sum(ewi) AS INT) AS ewi_count,
+           |  CAST(count(*) AS INT) AS tables_converted,
+           |  CAST(sum(n_critical) AS INT) AS critical_issues,
+           |  CAST(sum(n_warning) AS INT) AS warning_issues,
+           |  CAST(sum(n_info) AS INT) AS info_issues
+           |FROM read_parquet('$root/sf_rendered/*.parquet')
            |GROUP BY script_id
            |ORDER BY script_id""".stripMargin,
       "ddl_features_agg" ->
