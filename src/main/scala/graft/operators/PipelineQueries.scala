@@ -229,6 +229,31 @@ object PipelineQueries {
       .orderBy("q_id")
   }
 
+  /** The LSH family's degeneracy anchor AS a driver row: at nPlanes=1
+    * the hamming-≤1 multi-probe set is BOTH buckets, so the bucketed
+    * search must reproduce brute-force cosine top-3 bit-for-bit —
+    * q22's oracle verbatim. The production recall measurement
+    * (nPlanes=4) stays beside it as q25_lsh_recall. */
+  def q25LshExact(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 3,
+        nPlanes = 1, dim = 64)
+      .orderBy("q_id", "rk")
+  }
+
+  /** The IVF family's degeneracy anchor AS a driver row: probing every
+    * cell (nProbe = nCentroids) makes the inverted-file search scan
+    * the whole corpus exactly once — brute-force cosine top-3, q22's
+    * oracle verbatim. The production recall (nProbe=4) stays beside
+    * it as q31_ivf_recall. */
+  def q31IvfExact(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val centroids = Ivf.train(emb, nCentroids = 16, nIters = 2)
+    Ivf.topK(emb, emb.filter(col("vec_id") < 10), k = 3, centroids,
+        nProbe = 16)
+      .orderBy("q_id", "rk")
+  }
+
   /** The PQ family's degeneracy anchor AS a driver row: ADC top-k with
     * `rerank = |corpus|` re-scores every ADC candidate exactly, so the
     * whole PQ machinery (train → encode → per-query LUT → ADC scan →
@@ -3674,7 +3699,10 @@ object PipelineQueries {
     ("q71_indexed_probe" -> baseOracleSql("q71_phrase_search")) +
     ("q60_indexed_probe" -> baseOracleSql("q22_cosine_topk")) +
     // the PQ degeneracy anchor: rerank-everything == brute force
-    ("q59_pq_exact" -> baseOracleSql("q22_cosine_topk"))
+    ("q59_pq_exact" -> baseOracleSql("q22_cosine_topk")) +
+    // the LSH/IVF degeneracy anchors: full-coverage probes == brute force
+    ("q25_lsh_exact" -> baseOracleSql("q22_cosine_topk")) +
+    ("q31_ivf_exact" -> baseOracleSql("q22_cosine_topk"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_text_stats" -> (q16TextStats _),
@@ -3710,6 +3738,8 @@ object PipelineQueries {
     "q58_datacard" -> (q58Datacard _),
     "q59_pq_recall" -> (q59PqRecall _),
     "q59_pq_exact" -> (q59PqExact _),
+    "q25_lsh_exact" -> (q25LshExact _),
+    "q31_ivf_exact" -> (q31IvfExact _),
     "q60_ivfpq_recall" -> (q60IvfPqRecall _),
     "q60_indexed_probe" -> (q60IndexedProbe _),
     "q61_repetition" -> (q61Repetition _),
