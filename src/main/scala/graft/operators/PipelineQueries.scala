@@ -1040,6 +1040,77 @@ object PipelineQueries {
          |WHERE O_ORDERSTATUS = 'F'""".stripMargin)
   }
 
+  /** HIDDEN PARTITIONING under the hard oracle — the Iceberg feature
+    * that makes a 100 TB events table addressable by time without a
+    * physical date column: `PARTITIONED BY (days(ts), truncate(2,
+    * event_type))` lays the fixture into per-day, per-prefix
+    * directories (transform values live ONLY in directories and
+    * manifests; `ts`/`event_type` stay physical), and the canonical
+    * half-open week query `ts >= d AND ts < d+7` prunes through the
+    * day() transform with STRICT upper-bound semantics — the d+7
+    * boundary day's files must SKIP, which only works because
+    * LessThan pushes down as an exclusive bound. The in-row audit
+    * pins all of it: files skipped, kept ∪ skipped == live set, every
+    * kept file inside the seven matching `ts_day=` directories AND the
+    * matching `event_type_trunc=pu` prefix directory. DuckDB recomputes
+    * the same per-day aggregate from the raw parquet. */
+  def q108HiddenPartitioning(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"grafthp_${Integer.toHexString(dir.hashCode)}"
+    val (wh, built) = amortizedIndexPath(s, dir, "iceberg_hidden",
+      p => new java.io.File(p, "events_day/metadata/version-hint.text")
+        .isFile, table = "events")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftIcebergCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    if (!built) {
+      s.sql(
+        s"""CREATE TABLE $cat.events_day (
+           |  EVENT_ID BIGINT NOT NULL,
+           |  TS TIMESTAMP_NTZ,
+           |  USER_ID BIGINT,
+           |  EVENT_TYPE STRING,
+           |  VALUE DOUBLE
+           |) PARTITIONED BY (days(TS), truncate(2, EVENT_TYPE))""".stripMargin)
+      t(s, dir, "events").createOrReplaceTempView("events_src_q108")
+      // one task per day so the write lands a bounded file count (the
+      // 100 TB shape: writers are clustered by the partition transform
+      // before the fan-out, not sprayed across every directory)
+      s.sql(
+        s"""INSERT INTO $cat.events_day
+           |SELECT event_id, ts, user_id, event_type, value
+           |FROM events_src_q108 DISTRIBUTE BY CAST(ts AS DATE)""".stripMargin)
+      ()
+    }
+    val path = s"$wh/events_day"
+    val tdef = graft.sources.IcebergTableLoader.load(
+      path, s.sparkContext.hadoopConfiguration)
+    graft.sources.v2.GraftIcebergScans.clear()
+    val agg = s.sql(
+      s"""SELECT date_format(TS, 'yyyy-MM-dd') AS day,
+         |  count(*) AS n_rows,
+         |  CAST(sum(EVENT_ID) AS BIGINT) AS sum_ids,
+         |  CAST(sum(CAST(VALUE AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+         |FROM $cat.events_day
+         |WHERE TS >= TIMESTAMP_NTZ'2024-01-08 00:00:00'
+         |  AND TS <  TIMESTAMP_NTZ'2024-01-15 00:00:00'
+         |  AND EVENT_TYPE = 'purchase'
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+    agg.collect() // execute once so the scan report is on record
+    val rep = graft.sources.v2.GraftIcebergScans.lastReport.get
+    val (all, _) = graft.sources.IcebergPruning.planScan(
+      s.sparkContext.hadoopConfiguration, path, tdef, Nil)
+    // 2024-01-08 is epoch day 19730; the kept week is 19730..19736 —
+    // the 19737 boundary day is EXCLUDED by the strict upper bound
+    val weekDirs = (19730 to 19736).map(d => s"TS_day=$d").toSet
+    val pruneOk = rep.skippedFiles.nonEmpty &&
+      (rep.keptFiles ++ rep.skippedFiles).toSet == all.toSet &&
+      rep.keptFiles.forall(p => weekDirs.exists(p.contains) &&
+        p.contains("EVENT_TYPE_trunc=pu")) &&
+      rep.bounds.size >= 3 // ts range sides + event_type eq translated
+    agg.select(col("day"), col("n_rows"), col("sum_ids"), col("sum_val"),
+      lit(pruneOk).as("prune_ok"))
+  }
+
   /** Per-label embedding statistics: count and L2-norm rollups — the
     * quick corpus-health check before ANN indexing (degenerate or
     * unnormalized embedding batches show up as norm outliers). Norms
@@ -3577,6 +3648,22 @@ object PipelineQueries {
         |      ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE), 2) AS sum_new
         |FROM orders
         |WHERE o_orderstatus = 'F'""".stripMargin,
+    // hidden partitioning: the half-open week over days(ts) +
+    // truncate(2, event_type) must aggregate to the raw parquet under
+    // the same predicate; the file-skipping audit (strict upper bound
+    // excludes the boundary day's directory) arrives as a Spark-side
+    // boolean
+    "q108_hidden_partitioning" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(*) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+        |  true AS prune_ok
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+        |  AND event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the boilerplate fixture's two extraction surfaces reconstructed
     // arithmetically: html_text keeps title + nav + content + link farm
     // + aside + footer in document order; main_content keeps exactly
@@ -3760,6 +3847,7 @@ object PipelineQueries {
     "q105_sql_catalog" -> (q105SqlCatalog _),
     "q106_jdbc_migrate" -> (q106JdbcMigrate _),
     "q107_schema_evolution" -> (q107SchemaEvolution _),
+    "q108_hidden_partitioning" -> (q108HiddenPartitioning _),
     "q70c_clustered_dedup" -> (q70cClusteredDedup _),
     "q71_phrase_search" -> (q71PhraseSearch _),
     "q71_indexed" -> (q71PhraseSearchIndexed _),

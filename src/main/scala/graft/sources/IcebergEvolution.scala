@@ -198,36 +198,102 @@ object IcebergEvolution {
   private def defaultSpecFields(table: TableDef): Seq[graft.model.IcebergPartitionField] =
     IcebergMetadata.specFieldDefs(table, table.defaultSpecId)
 
+  /** CREATE-time partition spec: install `transform(sourceCol)` fields
+    * as ONE explicit spec 0 — the shape `PARTITIONED BY (day(ts),
+    * bucket(16, k))` declares, without burning a spec id per field the
+    * way chained [[addPartitionField]] evolutions would on a table
+    * that has never had data. The table must be unpartitioned and
+    * never evolved (evolving tables go through addPartitionField so
+    * old files keep their spec). */
+  def initialSpec(table: TableDef,
+      fields: Seq[(String, String)]): TableDef = {
+    require(table.partition.isEmpty && table.partitionSpecs.isEmpty,
+      s"${table.fullName} already has a partition spec — evolve it " +
+        "with addPartitionField instead")
+    require(fields.nonEmpty, "initialSpec: no partition fields given")
+    val base = withExplicitIds(table)
+    var fid = 999
+    val defs = fields.map { case (srcName, transform) =>
+      val src = base.columns.find(_.name == srcName).getOrElse(
+        throw new IllegalArgumentException(s"no column $srcName"))
+      fid += 1
+      graft.model.IcebergPartitionField(
+        validatedFieldName(src, transform), transform, src.fieldId.get, fid)
+    }
+    require(defs.map(_.name).distinct.size == defs.size,
+      s"duplicate partition field names: ${defs.map(_.name).mkString(", ")}")
+    require(defs.map(d => (d.sourceId, d.transform)).distinct.size == defs.size,
+      "duplicate (source, transform) partition fields")
+    base.copy(partitionSpecs = Seq(0 -> defs), defaultSpecId = 0,
+      lastPartitionId = Some(fid))
+  }
+
+  private val BucketN = """bucket\[(\d+)\]""".r
+  private val TruncateW = """truncate\[(\d+)\]""".r
+
+  /** Validate `transform(sourceCol)` against the v2 spec's legal
+    * source types and return the conventional FIELD NAME (`<col>` for
+    * identity, `<col>_bucket`, `<col>_day`, `<col>_trunc`, … —
+    * matching what real Iceberg spec builders name them and what the
+    * migration writer directory-encodes). Shared by evolution and the
+    * catalog's CREATE surface so both refuse the same shapes. */
+  private[sources] def validatedFieldName(src: Db2Column,
+      transform: String): String = {
+    lazy val itype = icebergTypeOf(src)
+    transform match {
+      case "identity" => src.name
+      case BucketN(n) =>
+        require(n.toInt > 0, s"bucket[$n]: bucket count must be positive")
+        // the v2 spec's legal bucket sources (float/double/boolean/
+        // binary are invalid) — same set the migration writer enforces
+        val ok = itype match {
+          case "int" | "long" | "date" | "string" => true
+          case t if t.startsWith("decimal") || t.startsWith("timestamp") => true
+          case _ => false
+        }
+        require(ok, s"cannot bucket ${src.name}: $itype is not a legal " +
+          "bucket source (v2 spec)")
+        s"${src.name}_bucket"
+      case "year" | "month" | "day" =>
+        require(itype == "date" || itype.startsWith("timestamp"),
+          s"cannot apply $transform to ${src.name}: $itype is not a " +
+            "date or timestamp")
+        s"${src.name}_$transform"
+      case "hour" =>
+        require(itype.startsWith("timestamp"),
+          s"cannot apply hour to ${src.name}: $itype is not a timestamp " +
+            "(hour of a date is not defined by the spec)")
+        s"${src.name}_hour"
+      case TruncateW(w) =>
+        require(w.toInt > 0, s"truncate[$w]: width must be positive")
+        // int/long/string only: the sources whose Hive-directory round
+        // trip is exact (decimal dir values would re-parse as strings
+        // and prune lexically — refused here, not mis-pruned later)
+        require(itype == "int" || itype == "long" || itype == "string",
+          s"cannot truncate ${src.name}: $itype is not int/long/string")
+        s"${src.name}_trunc"
+      case other => throw new IllegalArgumentException(
+        s"unsupported transform $other (identity, bucket[N], " +
+          "year/month/day/hour, truncate[W])")
+    }
+  }
+
   /** ADD PARTITION FIELD: a new spec (metadata-only commit) appending
     * `transform(sourceCol)`. Identity fields take the source column's
-    * name; bucket fields the conventional `<col>_bucket`. The field id
-    * is REUSED if any prior spec had the same (source, transform) —
-    * otherwise the next id is burned. */
+    * name; transform fields the conventional `<col>_<transform>`
+    * names ([[validatedFieldName]]). The field id is REUSED if any
+    * prior spec had the same (source, transform) — otherwise the next
+    * id is burned. */
   def addPartitionField(table: TableDef, sourceCol: String,
       transform: String = "identity"): TableDef = {
-    require(transform == "identity" || transform == "bucket[16]",
-      s"unsupported transform $transform (identity and bucket[16] are implemented)")
     val base = withExplicitSpecs(table)
     val src = base.columns.find(_.name == sourceCol).getOrElse(
       throw new IllegalArgumentException(s"no column $sourceCol"))
-    if (transform.startsWith("bucket")) {
-      // the v2 spec's legal bucket sources (float/double/boolean/binary
-      // are invalid) — same set the migration writer enforces
-      val itype = icebergTypeOf(src)
-      val ok = itype match {
-        case "int" | "long" | "date" | "string" => true
-        case t if t.startsWith("decimal") || t.startsWith("timestamp") => true
-        case _ => false
-      }
-      require(ok, s"cannot bucket $sourceCol: $itype is not a legal " +
-        "bucket source (v2 spec)")
-    }
+    val name = validatedFieldName(src, transform)
     val sourceId = src.fieldId.get
     val cur = defaultSpecFields(base)
     require(!cur.exists(f => f.sourceId == sourceId && f.transform == transform),
       s"the default spec already partitions by $transform($sourceCol)")
-    val name =
-      if (transform.startsWith("bucket")) s"${sourceCol}_bucket" else sourceCol
     require(!cur.exists(_.name == name),
       s"partition field name $name already in use in the default spec")
     // field-id stability: same (source, transform) in ANY prior spec

@@ -62,7 +62,13 @@ object IcebergPruning {
   final case class ColumnBound(column: String,
       lower: Option[Any] = None, upper: Option[Any] = None,
       values: Option[Seq[Any]] = None,
-      nullness: Option[Boolean] = None) {
+      nullness: Option[Boolean] = None,
+      // strict inequalities (`>` / `<`): the canonical day-range query
+      // `ts >= d AND ts < d+1` must NOT keep the d+1 boundary's whole
+      // partition — at 100 TB that is one spurious day of data per
+      // scan, residual-filtered away after being read
+      lowerExclusive: Boolean = false,
+      upperExclusive: Boolean = false) {
     require(lower.isDefined || upper.isDefined || values.isDefined ||
       nullness.isDefined,
       s"ColumnBound($column) needs a range side, a value set, or a nullness test")
@@ -73,8 +79,13 @@ object IcebergPruning {
       s"ColumnBound($column): a nullness test excludes ranges and value sets")
     require(values.forall(_.nonEmpty),
       s"ColumnBound($column): empty IN set matches nothing")
+    require(!lowerExclusive || lower.isDefined,
+      s"ColumnBound($column): lowerExclusive without a lower bound")
+    require(!upperExclusive || upper.isDefined,
+      s"ColumnBound($column): upperExclusive without an upper bound")
     def isEquality: Boolean =
-      (lower.isDefined && upper.isDefined && lower == upper) ||
+      (lower.isDefined && upper.isDefined && lower == upper &&
+        !lowerExclusive && !upperExclusive) ||
         values.exists(_.size == 1)
   }
 
@@ -94,6 +105,14 @@ object IcebergPruning {
     /** `col IS NOT NULL` — prunes all-null files/partitions. */
     def notNull(column: String): ColumnBound =
       ColumnBound(column, nullness = Some(false))
+
+    /** Strict `col > v`. */
+    def gt(column: String, v: Any): ColumnBound =
+      ColumnBound(column, lower = Some(v), lowerExclusive = true)
+
+    /** Strict `col < v`. */
+    def lt(column: String, v: Any): ColumnBound =
+      ColumnBound(column, upper = Some(v), upperExclusive = true)
   }
 
   /** Iceberg types with a defined comparison surface in this module —
@@ -326,6 +345,65 @@ object IcebergPruning {
   }
 
   private val BucketN = """bucket\[(\d+)\]""".r
+  private val TruncateW = """truncate\[(\d+)\]""".r
+
+  /** Is `transform` ORDER-PRESERVING on its source domain? The spec's
+    * temporal transforms and truncate are monotonic non-decreasing
+    * (v1 ≤ v2 ⇒ T(v1) ≤ T(v2) — for string truncate, in unsigned
+    * UTF-8 byte order, the same order [[cmp]] uses), which is what
+    * lets a source-column RANGE predicate prune through them; bucket
+    * is not (equality only, signal 2). */
+  private def isMonotonicTransform(t: String): Boolean = t match {
+    case "year" | "month" | "day" | "hour" => true
+    case TruncateW(_) => true
+    case _ => false
+  }
+
+  /** Apply a monotonic transform to a NORMALIZED predicate value
+    * ([[normalize]] domain: Long days for date, Long micros for
+    * timestamps, Long for int/long, String for string) — must agree
+    * bit-for-bit with the [[graft.functions.IcebergTransform]] values
+    * the writer directory-encoded, or range pruning silently drops
+    * files. Returns the transformed value in the partition-value
+    * comparison domain (Long for numerics, String for truncated
+    * strings). */
+  private def transformOf(transform: String, itype: String, v: Any): Any = {
+    import graft.functions.IcebergTransformUtil._
+    val isDate = itype == "date"
+    transform match {
+      case "day" =>
+        if (isDate) v.asInstanceOf[Long]
+        else daysOfMicros(v.asInstanceOf[Long]).toLong
+      case "month" =>
+        if (isDate) monthsOfDays(v.asInstanceOf[Long].toInt).toLong
+        else monthsOfMicros(v.asInstanceOf[Long]).toLong
+      case "year" =>
+        if (isDate) yearsOfDays(v.asInstanceOf[Long].toInt).toLong
+        else yearsOfMicros(v.asInstanceOf[Long]).toLong
+      case "hour" => hoursOfMicros(v.asInstanceOf[Long]).toLong
+      case TruncateW(w) => itype match {
+        case "int" | "long" => truncateLong(v.asInstanceOf[Long], w.toLong)
+        case _ => truncateString(org.apache.spark.unsafe.types.UTF8String
+          .fromString(v.asInstanceOf[String]), w.toInt).toString
+      }
+      case other => throw new IllegalStateException(
+        s"transformOf: $other is not a monotonic transform")
+    }
+  }
+
+  /** Compare a transformed predicate value against a manifest
+    * partition value in the transformed domain (ints ride as Number
+    * through Avro; truncated strings compare in UTF-8 byte order like
+    * every other string comparison here). */
+  private def cmpTransformed(t: Any, pv: Any): Int = (t, pv) match {
+    case (l: Long, n: Number) => java.lang.Long.compare(l, n.longValue)
+    case (s: String, p) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String
+          .fromString(p.toString))
+    case other => throw new IllegalStateException(
+      s"unexpected transformed-domain pair $other")
+  }
 
   /** Can any row of `file` match `bound`? Conservative: true unless a
     * recorded signal PROVES no row can. */
@@ -342,12 +420,14 @@ object IcebergPruning {
           "date/timestamp/float/double/boolean/string/decimal columns")
     val fid = table.fieldIdOf(bound.column)
 
-    // nullness tests prune from counts + identity partition values
-    // alone — no value comparison ever happens
+    // nullness tests prune from counts + partition values alone — no
+    // value comparison ever happens. EVERY spec transform is null-
+    // preserving (null source → null partition value; non-null source
+    // → non-null value), so any partition field on this source column
+    // — identity, bucket, temporal, truncate — is an exact signal.
     bound.nullness.foreach { wantNull =>
       val specFields0 = IcebergMetadata.specFieldDefs(table, file.specId)
-      val idIdx = specFields0.indexWhere(f =>
-        f.transform == "identity" && f.sourceId == fid)
+      val idIdx = specFields0.indexWhere(_.sourceId == fid)
       if (idIdx >= 0 && idIdx < file.partitionValues.length) {
         // exact signal: every row shares the partition value
         return file.partitionValues(idIdx).isEmpty == wantNull
@@ -384,10 +464,64 @@ object IcebergPruning {
           setVals match {
             case Some(vs) => return vs.exists(x => cmp(itype, v, x) == 0)
             case None =>
-              if (lo.exists(l => cmp(itype, v, l) < 0)) return false
-              if (hi.exists(h => cmp(itype, v, h) > 0)) return false
+              if (lo.exists { l =>
+                val c = cmp(itype, v, l)
+                c < 0 || (bound.lowerExclusive && c == 0)
+              }) return false
+              if (hi.exists { h =>
+                val c = cmp(itype, v, h)
+                c > 0 || (bound.upperExclusive && c == 0)
+              }) return false
               return true // exact signal: every row matches the range
           }
+      }
+    }
+
+    // signal 1b: monotonic-transform partition value (year/month/day/
+    // hour, truncate) — hidden partitioning's pruning half. The
+    // predicate's bounds map through the order-preserving transform,
+    // so a file whose transformed value lies outside [T(lo), T(hi)]
+    // (or matches no T(candidate) for a point set) can hold no
+    // matching row. NOT exact — many source values share one
+    // transformed value — so a surviving file falls THROUGH to the
+    // stats signal instead of returning true early.
+    specFields.zipWithIndex.foreach { case (f, i) =>
+      if (f.sourceId == fid && i < file.partitionValues.length &&
+          isMonotonicTransform(f.transform)) {
+        file.partitionValues(i) match {
+          case None =>
+            // all-null source column (null-preserving transform):
+            // point/range predicates never match null
+            return false
+          case Some(pv) =>
+            setVals match {
+              case Some(vs) =>
+                if (!vs.exists(x =>
+                  cmpTransformed(transformOf(f.transform, itype, x), pv) == 0))
+                  return false
+              case None =>
+                // strict bounds tighten by one unit in the integral
+                // source domain BEFORE transforming (`ts < day d+1`
+                // ⇔ `ts ≤ last micro of day d` → T drops to d); the
+                // string domain has no previous/next value, so strict
+                // stays conservative-inclusive there
+                def oneTighter(v: Any, towardLower: Boolean): Any = v match {
+                  case l: Long =>
+                    if (towardLower)
+                      (if (l == Long.MaxValue) l else l + 1)
+                    else (if (l == Long.MinValue) l else l - 1)
+                  case other => other
+                }
+                if (lo.exists { l =>
+                  val eff = if (bound.lowerExclusive) oneTighter(l, towardLower = true) else l
+                  cmpTransformed(transformOf(f.transform, itype, eff), pv) > 0
+                }) return false // T(pred lo) > file's value → file below range
+                if (hi.exists { h =>
+                  val eff = if (bound.upperExclusive) oneTighter(h, towardLower = false) else h
+                  cmpTransformed(transformOf(f.transform, itype, eff), pv) < 0
+                }) return false // T(pred hi) < file's value → file above range
+            }
+        }
       }
     }
 
@@ -425,11 +559,15 @@ object IcebergPruning {
     val fLo = file.lowerBounds.get(fid).flatMap(decodeBound(itype, _))
     val fHi = file.upperBounds.get(fid).flatMap(decodeBound(itype, _))
     val belowRange = (hi, fLo) match {
-      case (Some(h), Some(l)) => cmp(itype, l, h) > 0 // file min > pred max
+      case (Some(h), Some(l)) => // file min > pred max (≥ when strict)
+        val c = cmp(itype, l, h)
+        c > 0 || (bound.upperExclusive && c == 0)
       case _ => false
     }
     val aboveRange = (lo, fHi) match {
-      case (Some(l), Some(h)) => cmp(itype, h, l) < 0 // file max < pred min
+      case (Some(l), Some(h)) => // file max < pred min (≤ when strict)
+        val c = cmp(itype, h, l)
+        c < 0 || (bound.lowerExclusive && c == 0)
       case _ => false
     }
     !(belowRange || aboveRange)
@@ -509,8 +647,10 @@ object IcebergPruning {
         case (None, Some(vs)) => c.isin(vs.map(litOf): _*)
         case (None, None) =>
           val conds =
-            b.lower.map(v => c >= litOf(v)).toSeq ++
-              b.upper.map(v => c <= litOf(v)).toSeq
+            b.lower.map(v =>
+              if (b.lowerExclusive) c > litOf(v) else c >= litOf(v)).toSeq ++
+              b.upper.map(v =>
+                if (b.upperExclusive) c < litOf(v) else c <= litOf(v)).toSeq
           conds.reduce(_ && _)
       }
     }.reduce(_ && _)

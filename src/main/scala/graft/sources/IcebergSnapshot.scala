@@ -126,9 +126,18 @@ object IcebergSnapshot {
   }
 
   /** Avro type name for a partition value of the given iceberg type
-    * under the given transform (bucket always yields int). */
+    * under the given transform (bucket and the temporal transforms
+    * always yield int — year/month/day/hour are ordinal counts from
+    * the epoch; truncate yields the SOURCE type). */
   private def avroPartitionType(icebergType: String, transform: String): String =
     if (transform.startsWith("bucket")) "int"
+    else if (transform == "year" || transform == "month" ||
+      transform == "day" || transform == "hour") "int"
+    else if (transform.startsWith("truncate")) icebergType match {
+      case "int" => "int"
+      case "long" => "long"
+      case _ => "string" // truncate sources are int/long/string only
+    }
     else icebergType match {
       case "int" | "date" => "int" // date rides as days-from-epoch int
       case "long" => "long"
@@ -168,6 +177,11 @@ object IcebergSnapshot {
     val decoded = unescapePathName(raw)
     if (decoded == "__HIVE_DEFAULT_PARTITION__") None
     else if (transform.startsWith("bucket")) Some(decoded.toInt)
+    // temporal transform dirs carry the plain epoch-ordinal int the
+    // writer's IcebergTransform produced — NEVER a date string (the
+    // `icebergType == "date"` branch below is for identity on date)
+    else if (transform == "year" || transform == "month" ||
+      transform == "day" || transform == "hour") Some(decoded.toInt)
     else Some(avroPartitionType(icebergType, transform) match {
       case "int" if icebergType == "date" =>
         java.time.LocalDate.parse(decoded).toEpochDay.toInt

@@ -247,36 +247,45 @@ object GraftIcebergCatalog {
   private[v2] def toTableDef(ident: Identifier, schema: StructType,
       partitions: Array[Transform]): TableDef = {
     def db2Of(f: StructField): Db2Column = db2ColumnOf(f)
-    val (identityCols, bucketCols) = partitions.foldLeft(
-      (Seq.empty[String], Seq.empty[String])) { case ((ids, bks), t) =>
-      def ref = t.references().head.fieldNames().mkString(".")
+    // every DSv2 transform the engine's layout surfaces express:
+    // identity columns, bucket(N, col), the HIDDEN-PARTITIONING
+    // temporal family (days(ts) …) and truncate(W, col) — Spark's
+    // parser hands truncate's (width, col) in either argument order
+    // depending on how the user spelled it, so both are accepted
+    val fields: Seq[(String, String)] = partitions.toSeq.map { t =>
+      val ref = t.references().head.fieldNames().mkString(".")
+      def intArg: Int = t.arguments().collectFirst {
+        case l: Literal[_] => l.value().toString.toInt
+      }.getOrElse(throw new IllegalArgumentException(
+        s"${t.name()}($ref): missing integer argument"))
       t.name() match {
-        case "identity" => (ids :+ ref, bks)
-        case "bucket" =>
-          val n = t.arguments().collectFirst {
-            case l: Literal[_] => l.value().toString.toInt
-          }.getOrElse(-1)
-          require(n == 16,
-            s"bucket($n, $ref): the writer's bucket width is 16 — " +
-              "declare bucket(16, ...)")
-          (ids, bks :+ ref)
+        case "identity" => (ref, "identity")
+        case "bucket" => (ref, s"bucket[$intArg]")
+        case "years" | "year" => (ref, "year")
+        case "months" | "month" => (ref, "month")
+        case "days" | "day" => (ref, "day")
+        case "hours" | "hour" => (ref, "hour")
+        case "truncate" => (ref, s"truncate[$intArg]")
         case other => throw new IllegalArgumentException(
-          s"unsupported partition transform $other — identity columns " +
-            "and bucket(16, col) are the writer's layout surfaces")
+          s"unsupported partition transform $other — identity, " +
+            "bucket(N, col), years/months/days/hours(col) and " +
+            "truncate(W, col) are the writer's layout surfaces")
       }
     }
-    require(identityCols.isEmpty || bucketCols.isEmpty,
-      "mixed identity + bucket partitioning is not expressible in one " +
-        "created spec — pick one family (evolve later via " +
-        "IcebergEvolution.addPartitionField)")
-    val partition =
-      if (identityCols.nonEmpty) Some(PartitionSpecDef("RANGE", identityCols))
-      else if (bucketCols.nonEmpty) Some(PartitionSpecDef("HASH", bucketCols))
-      else None
-    TableDef(
+    val base = TableDef(
       schema = Some(ident.namespace().mkString(".")).filter(_.nonEmpty),
       name = ident.name(),
-      columns = schema.fields.toSeq.map(db2Of),
-      partition = partition)
+      columns = schema.fields.toSeq.map(db2Of))
+    // the two legacy single-family shapes keep their DB2-derived
+    // PartitionSpecDef surface (spec 0 stays IMPLICIT, exactly the
+    // metadata a migrated DB2 table carries); anything else — mixed
+    // families, bucket(N≠16), hidden-partitioning transforms —
+    // installs ONE explicit spec 0 with the declared field list
+    if (fields.isEmpty) base
+    else if (fields.forall(_._2 == "identity"))
+      base.copy(partition = Some(PartitionSpecDef("RANGE", fields.map(_._1))))
+    else if (fields.forall(_._2 == "bucket[16]"))
+      base.copy(partition = Some(PartitionSpecDef("HASH", fields.map(_._1))))
+    else graft.sources.IcebergEvolution.initialSpec(base, fields)
   }
 }

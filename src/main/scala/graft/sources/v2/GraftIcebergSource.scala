@@ -210,11 +210,11 @@ object GraftIcebergSource {
       case EqualNullSafe(c, null) if ok(c) => Seq(ColumnBound.isNull(c))
       case EqualNullSafe(c, v) if ok(c) => Seq(ColumnBound.eq(c, v))
       case GreaterThan(c, v) if ok(c) && v != null =>
-        Seq(ColumnBound(c, lower = Some(v)))
+        Seq(ColumnBound.gt(c, v))
       case GreaterThanOrEqual(c, v) if ok(c) && v != null =>
         Seq(ColumnBound(c, lower = Some(v)))
       case LessThan(c, v) if ok(c) && v != null =>
-        Seq(ColumnBound(c, upper = Some(v)))
+        Seq(ColumnBound.lt(c, v))
       case LessThanOrEqual(c, v) if ok(c) && v != null =>
         Seq(ColumnBound(c, upper = Some(v)))
       case In(c, vs) if ok(c) && vs.nonEmpty && !vs.contains(null) =>
@@ -222,11 +222,14 @@ object GraftIcebergSource {
       case IsNull(c) if ok(c) => Seq(ColumnBound.isNull(c))
       case IsNotNull(c) if ok(c) => Seq(ColumnBound.notNull(c))
       // a prefix predicate is a RANGE over strings: matches live in
-      // [p, nextPrefix(p)) — the inclusive file-granularity closure is
-      // conservative and the row filter restores exactness
+      // [p, nextPrefix(p)) — the upper side is STRICT (a file whose
+      // min is exactly nextPrefix(p) holds no match); the row filter
+      // restores exactness either way
       case StringStartsWith(c, p) if ok(c) && p != null && p.nonEmpty &&
           IcebergPruning.icebergTypeOf(table, c) == "string" =>
-        Seq(ColumnBound(c, lower = Some(p), upper = prefixUpper(p)))
+        val up = prefixUpper(p)
+        Seq(ColumnBound(c, lower = Some(p), upper = up,
+          upperExclusive = up.isDefined))
       case And(l, r) => translate(table, Seq(l)) ++ translate(table, Seq(r))
       case _ => Nil
     }

@@ -272,8 +272,11 @@ class IcebergEvolutionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       IcebergEvolution.renamePartitionField(t4, "GHOST", "X")
     }
-    intercept[IllegalArgumentException] { // unsupported transform
-      IcebergEvolution.addPartitionField(t4, "N", "truncate[4]")
+    intercept[IllegalArgumentException] { // unknown transform
+      IcebergEvolution.addPartitionField(t4, "N", "zorder")
+    }
+    intercept[IllegalArgumentException] { // zero-width truncate
+      IcebergEvolution.addPartitionField(t4, "N", "truncate[0]")
     }
     intercept[IllegalArgumentException] { // illegal bucket source type
       val tf = Db2Parser.parse(

@@ -87,6 +87,63 @@ class GraftIcebergCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.db.keyed")
   }
 
+  test("hidden partitioning DDL: days(ts) + truncate(2, tag) tables " +
+      "create, insert across days, and a timestamp range SELECT prunes " +
+      "files with no physical date column") {
+    spark.sql(
+      """CREATE TABLE graft.db.events (
+        |  id BIGINT NOT NULL, ts TIMESTAMP_NTZ, tag STRING, v DOUBLE
+        |) PARTITIONED BY (days(ts), truncate(2, tag))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db.events VALUES
+        |  (1, TIMESTAMP_NTZ'2024-03-01 10:00:00', 'alpha', 1.0),
+        |  (2, TIMESTAMP_NTZ'2024-03-01 23:59:59', 'alps',  2.0),
+        |  (3, TIMESTAMP_NTZ'2024-03-02 00:00:00', 'beta',  3.0),
+        |  (4, TIMESTAMP_NTZ'2024-03-03 05:00:00', 'gamma', 4.0)""".stripMargin)
+    GraftIcebergScans.clear()
+    val day1 = spark.sql(
+      """SELECT id FROM graft.db.events
+        |WHERE ts >= TIMESTAMP_NTZ'2024-03-01 00:00:00'
+        |  AND ts <  TIMESTAMP_NTZ'2024-03-02 00:00:00'
+        |ORDER BY id""".stripMargin).collect().map(_.getLong(0)).toSeq
+    assert(day1 === Seq(1L, 2L))
+    val rep = GraftIcebergScans.lastReport.get
+    assert(rep.skippedFiles.nonEmpty,
+      "the other days' files must skip on the day() partition value")
+    assert(rep.keptFiles.forall(_.contains("ts_day=19783")),
+      "2024-03-01 is epoch day 19783 — only its directory is read")
+    // tag prefix family prunes through truncate(2)
+    GraftIcebergScans.clear()
+    val al = spark.sql(
+      "SELECT id FROM graft.db.events WHERE tag IN ('alpha','alps') ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(al === Seq(1L, 2L))
+    assert(GraftIcebergScans.lastReport.get.keptFiles
+      .forall(_.contains("tag_trunc=al")))
+    spark.sql("DROP TABLE graft.db.events")
+  }
+
+  test("bucket(8, k) and mixed identity + bucket families create as one " +
+      "explicit spec and point-prune") {
+    spark.sql(
+      """CREATE TABLE graft.db.mixed (
+        |  k BIGINT NOT NULL, cat STRING, v DOUBLE
+        |) PARTITIONED BY (cat, bucket(8, k))""".stripMargin)
+    spark.sql("INSERT INTO graft.db.mixed " +
+      "SELECT id AS k, concat('c', id % 2) AS cat, id * 1.5 AS v " +
+      "FROM range(0, 100)")
+    GraftIcebergScans.clear()
+    val got = spark.sql(
+      "SELECT v FROM graft.db.mixed WHERE cat = 'c1' AND k = 57")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got === Seq(85.5))
+    val rep = GraftIcebergScans.lastReport.get
+    assert(rep.skippedFiles.nonEmpty)
+    assert(rep.keptFiles.forall(p =>
+      p.contains("cat=c1") && p.contains("k_bucket=")))
+    spark.sql("DROP TABLE graft.db.mixed")
+  }
+
   test("types round-trip; refusals are loud") {
     spark.sql(
       """CREATE TABLE graft.db.typed (
@@ -115,12 +172,14 @@ class GraftIcebergCatalogSpec extends AnyFunSuite {
     }
     assert(sqlErr("CREATE TABLE graft.db.bad1 (k BIGINT, ts TIMESTAMP)")
       .contains("TIMESTAMP_NTZ"))
-    assert(sqlErr("CREATE TABLE graft.db.bad2 (k BIGINT, v STRING) " +
-      "PARTITIONED BY (v, bucket(16, k))").contains("mixed"))
-    assert(sqlErr("CREATE TABLE graft.db.bad3 (k BIGINT) " +
-      "PARTITIONED BY (bucket(8, k))").contains("16"))
+    // transform/source mismatches refuse with the SOURCE-TYPE rule,
+    // not a generic unsupported-transform message
     assert(sqlErr("CREATE TABLE graft.db.bad4 (k BIGINT) " +
-      "PARTITIONED BY (days(k))").contains("unsupported partition"))
+      "PARTITIONED BY (days(k))").contains("not a date or timestamp"))
+    assert(sqlErr("CREATE TABLE graft.db.bad5 (d DATE) " +
+      "PARTITIONED BY (hours(d))").contains("hour"))
+    assert(sqlErr("CREATE TABLE graft.db.bad6 (d DATE) " +
+      "PARTITIONED BY (truncate(4, d))").contains("not int/long/string"))
 
     spark.sql("CREATE TABLE graft.db.alt (k BIGINT)")
     assert(sqlErr("ALTER TABLE graft.db.alt RENAME TO graft.db.alt2")

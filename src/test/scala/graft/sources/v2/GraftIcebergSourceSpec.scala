@@ -194,7 +194,12 @@ class GraftIcebergSourceSpec extends AnyFunSuite {
     val t = table
     def tr(f: Filter) = GraftIcebergSource.translate(t, Seq(f))
     assert(tr(EqualTo("K", 5L)) === Seq(ColumnBound.eq("K", 5L)))
-    assert(tr(GreaterThan("K", 5L)) === Seq(ColumnBound("K", Some(5L))))
+    // strict inequalities carry their strictness into the bound — the
+    // day-boundary form `ts < d+1` must not keep the d+1 partition
+    assert(tr(GreaterThan("K", 5L)) === Seq(ColumnBound.gt("K", 5L)))
+    assert(tr(GreaterThanOrEqual("K", 5L)) ===
+      Seq(ColumnBound("K", lower = Some(5L))))
+    assert(tr(LessThan("K", 5L)) === Seq(ColumnBound.lt("K", 5L)))
     assert(tr(LessThanOrEqual("K", 5L)) ===
       Seq(ColumnBound("K", upper = Some(5L))))
     assert(tr(In("K", Array(1L, 2L))) ===
@@ -203,9 +208,9 @@ class GraftIcebergSourceSpec extends AnyFunSuite {
     assert(tr(IsNotNull("N")) === Seq(ColumnBound.notNull("N")))
     assert(tr(EqualNullSafe("V", null)) === Seq(ColumnBound.isNull("V")))
     assert(tr(And(EqualTo("V", "p0"), GreaterThan("K", 3L))).size === 2)
-    // a prefix predicate is a string range [p, nextPrefix(p)]
+    // a prefix predicate is a string range [p, nextPrefix(p))
     assert(tr(StringStartsWith("V", "p0")) ===
-      Seq(ColumnBound("V", Some("p0"), Some("p1"))))
+      Seq(ColumnBound("V", Some("p0"), Some("p1"), upperExclusive = true)))
     assert(GraftIcebergSource.prefixUpper("a￿") === Some("b"))
     assert(GraftIcebergSource.prefixUpper("￿￿") === None)
     assert(tr(StringStartsWith("V", "￿")) ===
