@@ -1111,6 +1111,48 @@ object PipelineQueries {
       lit(pruneOk).as("prune_ok"))
   }
 
+  /** SQL `DELETE FROM` under the hard oracle — the row-level-delete
+    * stack behind the statement every warehouse user writes: the
+    * orders fixture lands via the catalog, one DELETE with a mixed
+    * partition-aligned + row-level predicate commits a merge-on-read
+    * DELETE snapshot (position delete files; the engine has no
+    * "metadata-only or refuse" cliff), and the per-status aggregate of
+    * what remains must equal DuckDB's arithmetic complement on the raw
+    * parquet. */
+  def q109SqlDelete(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graftdel_${Integer.toHexString(dir.hashCode)}"
+    val (wh, built) = amortizedIndexPath(s, dir, "iceberg_sql_delete",
+      p => new java.io.File(p, "orders_del/metadata/version-hint.text")
+        .isFile, table = "orders")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftIcebergCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    if (!built) {
+      s.sql(
+        s"""CREATE TABLE $cat.orders_del (
+           |  O_ORDERKEY BIGINT NOT NULL,
+           |  O_ORDERSTATUS STRING,
+           |  O_TOTALPRICE DOUBLE
+           |) PARTITIONED BY (O_ORDERSTATUS)""".stripMargin)
+      t(s, dir, "orders").createOrReplaceTempView("orders_src_q109")
+      s.sql(
+        s"""INSERT INTO $cat.orders_del
+           |SELECT o_orderkey, o_orderstatus, o_totalprice
+           |FROM orders_src_q109""".stripMargin)
+      s.sql(
+        s"""DELETE FROM $cat.orders_del
+           |WHERE O_ORDERSTATUS = 'O' AND O_ORDERKEY < 5000""".stripMargin)
+      ()
+    }
+    s.sql(
+      s"""SELECT O_ORDERSTATUS AS status, count(*) AS n_rows,
+         |  CAST(sum(O_ORDERKEY) AS BIGINT) AS sum_keys,
+         |  round(CAST(sum(CAST(O_TOTALPRICE AS DECIMAL(28,4)))
+         |    AS DOUBLE), 2) AS sum_price
+         |FROM $cat.orders_del
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Per-label embedding statistics: count and L2-norm rollups — the
     * quick corpus-health check before ANN indexing (degenerate or
     * unnormalized embedding batches show up as norm outliers). Norms
@@ -3664,6 +3706,16 @@ object PipelineQueries {
         |  AND ts <  TIMESTAMP '2024-01-15 00:00:00'
         |  AND event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // SQL DELETE FROM: what remains after the merge-on-read delete is
+    // the arithmetic complement of the deleted predicate
+    "q109_sql_delete" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 2)
+        |    AS sum_price
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'O' AND o_orderkey < 5000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the boilerplate fixture's two extraction surfaces reconstructed
     // arithmetically: html_text keeps title + nav + content + link farm
     // + aside + footer in document order; main_content keeps exactly
@@ -3848,6 +3900,7 @@ object PipelineQueries {
     "q106_jdbc_migrate" -> (q106JdbcMigrate _),
     "q107_schema_evolution" -> (q107SchemaEvolution _),
     "q108_hidden_partitioning" -> (q108HiddenPartitioning _),
+    "q109_sql_delete" -> (q109SqlDelete _),
     "q70c_clustered_dedup" -> (q70cClusteredDedup _),
     "q71_phrase_search" -> (q71PhraseSearch _),
     "q71_indexed" -> (q71PhraseSearchIndexed _),

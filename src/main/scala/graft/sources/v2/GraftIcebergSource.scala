@@ -235,6 +235,38 @@ object GraftIcebergSource {
     }
   }
 
+  /** v1 `Filter` → Catalyst `Column`, defined ONLY over shapes whose
+    * row semantics translate exactly — `None` refuses, which
+    * [[GraftIcebergTable.canDeleteWhere]] turns into a loud analysis
+    * error instead of a wrong-set delete. (The read path never needs
+    * this: untranslated filters there just don't prune.) */
+  private[v2] def filterToColumn(f: Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case EqualTo(c, v) => Some(col(c) === lit(v))
+      case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+      case GreaterThan(c, v) => Some(col(c) > lit(v))
+      case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+      case LessThan(c, v) => Some(col(c) < lit(v))
+      case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+      case In(c, vs) => Some(col(c).isin(vs.toIndexedSeq.map(lit): _*))
+      case IsNull(c) => Some(col(c).isNull)
+      case IsNotNull(c) => Some(col(c).isNotNull)
+      case StringStartsWith(c, p) => Some(col(c).startsWith(p))
+      case StringEndsWith(c, p) => Some(col(c).endsWith(p))
+      case StringContains(c, p) => Some(col(c).contains(p))
+      case And(l, r) =>
+        for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a && b
+      case Or(l, r) =>
+        for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a || b
+      case Not(x) => filterToColumn(x).map(!_)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
   /** The smallest string just past every string with prefix `p`:
     * increment the rightmost non-￿ char and truncate after it.
     * None when p is all ￿ (no finite upper — the lower bound
@@ -265,7 +297,8 @@ object GraftIcebergScans {
 
 private[v2] class GraftIcebergTable(path: String, tdef: TableDef,
     snapshotId: Option[Long]) extends Table with SupportsRead
-    with SupportsWrite {
+    with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"graft-iceberg.`$path`"
 
@@ -284,6 +317,33 @@ private[v2] class GraftIcebergTable(path: String, tdef: TableDef,
       "cannot write to a time-travel/ref read — load the table without " +
         "snapshot-id/ref to write")
     new GraftIcebergWriteBuilder(path, tdef)
+  }
+
+  /** SQL `DELETE FROM t WHERE …` — the idiomatic face over
+    * [[graft.sources.IcebergDeletes.commitPositionDeletes]]: one
+    * merge-on-read DELETE snapshot of position delete files, row-exact
+    * for ANY translatable predicate (not just partition-aligned ones —
+    * the engine's delete machinery matches rows, so there is no
+    * "metadata-only or refuse" cliff). Untranslatable predicate shapes
+    * refuse in [[canDeleteWhere]], which Spark surfaces as a loud
+    * analysis error rather than a partial delete. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    snapshotId.isEmpty &&
+      filters.forall(GraftIcebergSource.filterToColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(snapshotId.isEmpty,
+      "cannot delete through a time-travel/ref read")
+    val cols = filters.toSeq.map(f =>
+      GraftIcebergSource.filterToColumn(f).getOrElse(
+        throw new IllegalArgumentException(
+          s"DELETE predicate $f is not translatable — canDeleteWhere " +
+            "should have refused this plan")))
+    val pred = cols.reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    graft.sources.IcebergDeletes.commitPositionDeletes(
+      SparkSession.active, tdef, path, pred)
+    ()
   }
 }
 

@@ -144,6 +144,46 @@ class GraftIcebergCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.db.mixed")
   }
 
+  test("SQL DELETE FROM: row-exact merge-on-read position deletes, " +
+      "snapshot-visible, time travel keeps the pre-delete rows; " +
+      "untranslatable predicates refuse loudly") {
+    spark.sql(
+      """CREATE TABLE graft.db.dels (
+        |  k BIGINT NOT NULL, status STRING, price DOUBLE
+        |) PARTITIONED BY (status)""".stripMargin)
+    spark.sql("INSERT INTO graft.db.dels " +
+      "SELECT id AS k, CASE WHEN id % 2 = 0 THEN 'F' ELSE 'O' END AS status, " +
+      "id * 1.5 AS v FROM range(0, 40)")
+    val path = s"$warehouse/db/dels"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val before = graft.sources.IcebergSnapshot
+      .currentSnapshotId(path, conf).get
+
+    // partition-aligned AND row-level predicate in one statement —
+    // no metadata-only cliff, the engine's delete machinery is exact
+    spark.sql("DELETE FROM graft.db.dels WHERE status = 'F' AND k >= 20")
+    val left = spark.sql("SELECT k FROM graft.db.dels ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(left === ((0L until 20L) ++ (20L until 40L).filter(_ % 2 == 1)))
+    // a second delete composes (the merge-on-read stack accumulates)
+    spark.sql("DELETE FROM graft.db.dels WHERE k IN (1, 3) OR k = 5")
+    assert(spark.sql("SELECT count(*) FROM graft.db.dels")
+      .collect()(0).getLong(0) === 27L)
+    // time travel through the path face still sees the pre-delete rows
+    val tdef = graft.sources.IcebergTableLoader.load(path, conf)
+    assert(graft.sources.IcebergSnapshot
+      .readSnapshot(spark, path, tdef, Some(before)).count() === 40L)
+
+    // an untranslatable predicate must refuse, never partially delete
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft.db.dels WHERE k % 7 = 0")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.dels")
+      .collect()(0).getLong(0) === 27L, "refused delete removed nothing")
+    spark.sql("DROP TABLE graft.db.dels")
+  }
+
   test("types round-trip; refusals are loud") {
     spark.sql(
       """CREATE TABLE graft.db.typed (
