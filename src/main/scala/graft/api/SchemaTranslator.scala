@@ -118,27 +118,17 @@ object SchemaTranslator {
         }.toMap
         val defs = graft.sources.IcebergMetadata.specFieldDefs(
           table, graft.sources.IcebergMetadata.defaultSpecIdOf(table))
-        val BucketN = """bucket\[(\d+)\]""".r
         val (acc, cols) = defs.foldLeft((casted, Seq.empty[String])) {
           case ((d, cs), f) =>
             val src = colOfId(f.sourceId)
-            if (f.transform.startsWith("bucket")) {
-              val n = f.transform match {
-                case BucketN(w) => w.toInt
-                case _ => 16
-              }
-              (d.withColumn(f.name, graft.functions.IcebergBucket(
-                org.apache.spark.sql.functions.col(src), n)), cs :+ f.name)
-            }
-            else if (f.transform == "year" || f.transform == "month" ||
-              f.transform == "day" || f.transform == "hour" ||
-              f.transform.startsWith("truncate"))
-              // hidden partitioning: the transform value is directory-
-              // encoded only; the source column stays physical in the
-              // files (same shape as bucket)
-              (d.withColumn(f.name, graft.functions.IcebergTransform(
-                org.apache.spark.sql.functions.col(src), f.transform)),
-                cs :+ f.name)
+            if (f.transform != "identity")
+              // bucket / temporal / truncate: the transform value is
+              // directory-encoded only; the source column stays
+              // physical in the files. One dispatcher shared with the
+              // spec-migrating compaction so writers can never drift.
+              (d.withColumn(f.name, graft.functions.IcebergTransform
+                .specColumn(f.transform,
+                  org.apache.spark.sql.functions.col(src))), cs :+ f.name)
             else if (f.name == src) (d, cs :+ f.name)
             else // renamed identity field: dir under the FIELD name,
               // source column stays physical in the file

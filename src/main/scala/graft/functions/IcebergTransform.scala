@@ -169,7 +169,20 @@ object IcebergTransform {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   private[graft] val TruncateW = """truncate\[(\d+)\]""".r
+  private[graft] val BucketN = """bucket\[(\d+)\]""".r
 
   def apply(col: Column, transform: String): Column =
     ColumnBridge.column(IcebergTransform(ColumnBridge.expression(col), transform))
+
+  /** The column computing `transform(src)` for ANY spec transform
+    * string — identity, bucket[N], year/month/day/hour, truncate[W].
+    * Every writer that materializes partition tuples from data (the
+    * migration writer, spec-migrating compaction) MUST route through
+    * this so a transform added later cannot silently fall through an
+    * identity default and stamp raw source values into manifests. */
+  def specColumn(transform: String, src: Column): Column = transform match {
+    case "identity" => src
+    case BucketN(n) => IcebergBucket(src, n.toInt)
+    case t => IcebergTransform(src, t)
+  }
 }

@@ -500,12 +500,14 @@ object IcebergDeletes {
     val colOfId = table.columns.zipWithIndex.map { case (c, i) =>
       c.fieldId.getOrElse(i + 1) -> c.name
     }.toMap
-    // tuple columns under the DEFAULT spec, computed from the data
+    // tuple columns under the DEFAULT spec, computed from the data —
+    // through the shared transform dispatcher, so bucket[N], the
+    // temporal family and truncate all re-stamp correctly (an identity
+    // fall-through here once stamped RAW source values into rewritten
+    // manifests for any transform it didn't know)
     val tupleCols: Seq[Column] = defs.map { f =>
-      val src = colOfId(f.sourceId)
-      if (f.transform.startsWith("bucket"))
-        graft.functions.IcebergBucket(col(src), 16)
-      else col(src)
+      graft.functions.IcebergTransform.specColumn(
+        f.transform, col(colOfId(f.sourceId)))
     }
     val netP = net.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -407,6 +407,67 @@ object ScaleBench {
     (aSec, zSec, aKept, zKept, zLive)
   }
 
+  /** Hidden-partitioning scale probe: a `day(TS)`-transform-partitioned
+    * table (no physical date column) whose 10× growth is 10× more DAY
+    * directories, probed with the canonical HALF-OPEN week
+    * (`ts >= d AND ts < d+7` — the strict upper bound keeps the d+7
+    * boundary day out). The claim: kept files track the fixed week
+    * while the live set grows 10× — hidden partitioning prunes like
+    * identity partitioning without the user ever materializing a
+    * date column. */
+  private def hiddenProbe(spark: SparkSession, baseDir: String,
+      factor: Int, reps: Int): (Double, Int, Int, Long) = {
+    val tdef = graft.sources.IcebergEvolution.initialSpec(
+      graft.parse.Db2Parser.parse(
+        """CREATE TABLE G.HIDDEN_SCALE (
+          |  ID BIGINT NOT NULL,
+          |  TS TIMESTAMP,
+          |  V DOUBLE
+          |);""".stripMargin).tables.head,
+      Seq("TS" -> "day"))
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_scale_hidden_${factor}x_" +
+        Integer.toHexString(baseDir.hashCode)).getAbsolutePath
+    if (!new java.io.File(dir, "_DONE").isFile) {
+      val days = 30 * factor
+      val orders = spark.read.parquet(s"$baseDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val copies = explode(sequence(lit(0), lit(factor - 1))).as("__c")
+      val rows = orders.select(col("*"), copies)
+        .select(
+          (col("o_orderkey") * factor + col("__c")).as("ID"),
+          (pmod(col("o_orderkey"), lit(30)) + col("__c") * 30).as("__day"),
+          col("o_totalprice").as("V"))
+        .withColumn("TS", timestamp_seconds(
+          (lit(19723L) + col("__day")) * 86400L +
+            pmod(col("ID") * 7919L, lit(86400L))).cast("timestamp_ntz"))
+        .select(col("ID"), col("TS"), col("V"), col("__day"))
+        // ~one writer task per day, like a date-clustered ingest
+        .repartition(days, col("__day"))
+        .drop("__day")
+      graft.api.SchemaTranslator.migrateTable(rows, tdef, dir)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_DONE"), "1\n".getBytes("UTF-8"))
+      ()
+    }
+    val lo = java.time.LocalDateTime.parse("2024-01-08T00:00:00")
+    val hi = java.time.LocalDateTime.parse("2024-01-15T00:00:00")
+    val samples = (0 until reps).map { _ =>
+      spark.catalog.clearCache()
+      graft.sources.v2.GraftIcebergScans.clear()
+      val t0 = System.nanoTime()
+      val agg = spark.read.format("graft-iceberg").load(dir)
+        .filter(col("TS") >= lit(lo) && col("TS") < lit(hi))
+        .agg(count(lit(1)), sum(col("ID"))).collect()(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rep = graft.sources.v2.GraftIcebergScans.lastReport.get
+      (sec, rep.keptFiles.size,
+        rep.keptFiles.size + rep.skippedFiles.size, agg.getLong(0))
+    }
+    (samples.map(_._1).min, samples.head._2, samples.head._3,
+      samples.head._4)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -457,6 +518,12 @@ object ScaleBench {
       zorderProbe(spark, baseDir, factor = 1, reps)
     val (zaSec1, zzSec1, zaKept1, zzKept1, zLive1) =
       zorderProbe(spark, baseDir, factor = 10, reps)
+    val h01 = hiddenProbe(spark, baseDir, factor = 1, reps)
+    val h1 = hiddenProbe(spark, baseDir, factor = 10, reps)
+    // the fixed week holds the SAME rows at both scales (growth adds
+    // NEW days) — the exactness audit behind the flat-cost claim
+    require(h1._4 == h01._4,
+      s"hidden probe week must be scale-invariant: ${h01._4} vs ${h1._4}")
     def jsonMap(names: Seq[String], m: Map[String, Double]): String =
       names.map(n => "\"" + n + f"""\":${m(n)}%.3f""").mkString("{", ",", "}")
     val exps =
@@ -481,6 +548,11 @@ object ScaleBench {
         f""","offset_exponent":${
           math.log10(meta1k("offset_ms") / meta128("offset_ms")) /
             math.log10(1024.0 / 128.0)}%.3f},""" +
+        s""""hidden_partitioning":{"note":"day(ts) transform table, no physical date column; fixed HALF-OPEN week (strict upper bound) while 10x growth is 10x more day directories; week row count asserted scale-invariant in-probe",""" +
+        f""""sf01_sec":${h01._1}%.3f,"sf1_sec":${h1._1}%.3f,""" +
+        s""""files_kept":[${h01._2},${h1._2}],""" +
+        s""""files_live":[${h01._3},${h1._3}],""" +
+        s""""week_rows":[${h01._4},${h1._4}]},""" +
         s""""zorder":{"note":"same rows, arrival layout vs rewriteZorder(A,B), fixed 1/64 B-range predicate at 1x and 10x; kept/live audits the claim, aggregate equality asserted in-probe",""" +
         s""""files_live":[$zLive01,$zLive1],""" +
         s""""files_kept_arrival":[$zaKept01,$zaKept1],""" +

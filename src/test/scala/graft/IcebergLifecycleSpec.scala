@@ -62,6 +62,10 @@ class IcebergLifecycleSpec extends AnyFunSuite {
   private case object SpecAddBucket extends Op
   private case object SpecDropField extends Op
   private case object SpecRenameField extends Op
+  // hidden partitioning: truncate[2](V) joins the default spec —
+  // transform-valued directories/manifests interleaved with appends,
+  // deletes, compaction (the spec-migrating re-stamp), zorder, WAP
+  private case object SpecAddTruncate extends Op
   // write-audit-publish + rollback interleaved with everything else:
   // stage rows on the "wap" audit branch (main untouched), publish by
   // fast-forward when main is still on the branch's ancestry (else
@@ -101,6 +105,7 @@ class IcebergLifecycleSpec extends AnyFunSuite {
     1 -> Gen.choose(0, 9).map(TagSnap(_)),
     1 -> Gen.const(DropTag),
     2 -> Gen.const(SpecAddBucket),
+    2 -> Gen.const(SpecAddTruncate),
     1 -> Gen.const(SpecDropField),
     1 -> Gen.const(SpecRenameField),
     2 -> Gen.choose(1, 6).map(StageBranch(_)),
@@ -463,6 +468,22 @@ class IcebergLifecycleSpec extends AnyFunSuite {
             table = graft.sources.IcebergEvolution.commitEvolution(
               graft.sources.IcebergEvolution.addPartitionField(
                 t, "K", "bucket[16]"), out)
+
+        case SpecAddTruncate =>
+          // no-op when the default spec already truncates V, or a
+          // previous rename holds the conventional field name
+          val t = graft.sources.IcebergEvolution.withExplicitSpecs(table)
+          val vId = t.columns.find(_.name == "V").map(_.fieldId.get)
+          val cur = graft.sources.IcebergMetadata
+            .specFieldDefs(t, t.defaultSpecId)
+          vId.foreach { id =>
+            if (!cur.exists(f =>
+                f.sourceId == id && f.transform == "truncate[2]") &&
+                !cur.exists(_.name == "V_trunc"))
+              table = graft.sources.IcebergEvolution.commitEvolution(
+                graft.sources.IcebergEvolution.addPartitionField(
+                  t, "V", "truncate[2]"), out)
+          }
 
         case SpecDropField =>
           val t = graft.sources.IcebergEvolution.withExplicitSpecs(table)

@@ -276,6 +276,47 @@ class IcebergTransformSpec extends AnyFunSuite {
     assert(again === Set(1L, 2L))
   }
 
+  test("spec-migrating compaction re-stamps TRANSFORM tuples from the " +
+      "data: after row-level deletes + compactWithDeletes, day() and " +
+      "truncate() pruning still plans exactly over the rewritten files") {
+    val out = java.nio.file.Files
+      .createTempDirectory("iceberg_hidden_compact").toString
+    SchemaTranslator.migrateTable(evRows(Seq(
+      (1L, "2024-03-01T10:00:00", "alpha", 1.0),
+      (2L, "2024-03-01T12:00:00", "alps", 2.0),
+      (3L, "2024-03-02T09:00:00", "beta", 3.0),
+      (4L, "2024-03-03T05:00:00", "gamma", 4.0))), evTable, out)
+    IcebergDeletes.commitPositionDeletes(spark, evTable, out,
+      col("ID") === 2L)
+    IcebergDeletes.compactWithDeletes(spark, evTable, out)
+    // net rows survive with the right values
+    val full = IcebergSnapshot.readSnapshot(spark, out, evTable)
+    assert(full.select("ID").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 3L, 4L))
+    // the rewritten files' manifest tuples must still prune: the
+    // 2024-03-01 day keeps only its own file(s), and a truncate
+    // candidate addresses its prefix — if compaction had stamped raw
+    // source values, these plans would refuse or mis-prune
+    val dayBound = Seq(ColumnBound("TS",
+      lower = Some("2024-03-01T00:00:00"),
+      upper = Some("2024-03-01T23:59:59")))
+    val (kept, skipped) = IcebergPruning.planScan(
+      hconf, out, evTable, dayBound)
+    assert(skipped.nonEmpty, "other days' rewritten files must skip")
+    assert(IcebergSnapshot.readSnapshot(spark, out, evTable,
+      pruning = dayBound).select("ID").collect().map(_.getLong(0)).toSet
+      === Set(1L))
+    assert(IcebergSnapshot.readSnapshot(spark, out, evTable,
+      pruning = Seq(ColumnBound.eq("TAG", "gamma9")))
+      .select("ID").collect().map(_.getLong(0)).toSet === Set.empty[Long],
+      "truncate tuple on rewritten files prunes ga-prefix but the " +
+        "residual drops the non-match")
+    assert(IcebergSnapshot.readSnapshot(spark, out, evTable,
+      pruning = Seq(ColumnBound.eq("TAG", "gamma")))
+      .select("ID").collect().map(_.getLong(0)).toSet === Set(4L))
+    assert(kept.nonEmpty)
+  }
+
   test("evolution: addPartitionField(day) on a live table — old files " +
       "keep their spec and stay readable, new files prune by day") {
     val base = Db2Parser.parse(
