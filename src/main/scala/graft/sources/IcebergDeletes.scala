@@ -102,7 +102,11 @@ object IcebergDeletes {
     val (metadataDir, fs, version, chain, current) = loadCurrent(tablePath, conf)
     val priorList = readManifestList(new Path(current.manifestList), conf)
     val live = liveFilesWithSeq(priorList, table, conf)
-    require(live.nonEmpty, "snapshot lists no data files")
+    // deleting from an EMPTY table is a no-op, not an error — the SQL
+    // face reaches here for `DELETE FROM t` on a fresh table, and a
+    // DELETE racing the table's first INSERT legitimately sees zero
+    // files (found by the concurrency spec's delete-vs-append race)
+    if (live.isEmpty) return current
 
     // distinct partition tuples, each with its delete-file ordinal.
     // Once partition specs have evolved, live files' tuples are shaped

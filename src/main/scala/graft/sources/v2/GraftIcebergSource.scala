@@ -341,8 +341,16 @@ private[v2] class GraftIcebergTable(path: String, tdef: TableDef,
             "should have refused this plan")))
     val pred = cols.reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    graft.sources.IcebergDeletes.commitPositionDeletes(
-      SparkSession.active, tdef, path, pred)
+    // optimistic-concurrency: commitPositionDeletes re-reads the head
+    // each call and re-derives its (file, pos) set from it, so the
+    // whole call is the correct retry unit — a DELETE racing an
+    // append re-matches against the new head instead of surfacing
+    // CommitConflictException to the SQL user (the loser's
+    // first-attempt delete files become sweepable orphans)
+    IcebergSnapshot.withCommitRetry() {
+      graft.sources.IcebergDeletes.commitPositionDeletes(
+        SparkSession.active, tdef, path, pred)
+    }
     ()
   }
 }

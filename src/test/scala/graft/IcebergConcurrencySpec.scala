@@ -160,4 +160,64 @@ class IcebergConcurrencySpec extends AnyFunSuite {
     assert(IcebergSnapshot.readSnapshot(spark, out, table)
       .select("K").collect().map(_.getLong(0)).toSet === Set(0L, 1L))
   }
+
+  test("SQL DELETE FROM racing INSERT appends: both faces retry to " +
+      "linearization — no lost appends, no lost deletes, dense versions") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("iceberg_race_delete").toString
+    spark.conf.set("spark.sql.catalog.gdelrace",
+      "graft.sources.v2.GraftIcebergCatalog")
+    spark.conf.set("spark.sql.catalog.gdelrace.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdelrace.db")
+    spark.sql("CREATE TABLE gdelrace.db.race (k BIGINT NOT NULL, v STRING)")
+    val sevens = (0L until 120L).filter(_ % 7 == 0)
+    val inList = sevens.mkString(", ")
+
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    pool.submit(new Runnable {
+      override def run(): Unit = {
+        start.await()
+        try (0 until 12).foreach { b =>
+          spark.sql("INSERT INTO gdelrace.db.race " +
+            s"SELECT id AS k, concat('v', id) AS v " +
+            s"FROM range(${b * 10}, ${b * 10 + 10})")
+          ()
+        } catch { case t: Throwable => failures.add(t); () }
+      }
+    })
+    pool.submit(new Runnable {
+      override def run(): Unit = {
+        start.await()
+        try (0 until 6).foreach { _ =>
+          // thins whatever multiples of 7 have landed so far; the
+          // post-join sweep below makes the final state deterministic
+          spark.sql(s"DELETE FROM gdelrace.db.race WHERE k IN ($inList)")
+          ()
+        } catch { case t: Throwable => failures.add(t); () }
+      }
+    })
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(180, TimeUnit.SECONDS))
+    assert(failures.isEmpty,
+      s"a racing face surfaced a conflict it should have retried: " +
+        s"${failures.peek()}")
+
+    // deterministic final state: one post-join sweep of the fixed set
+    spark.sql(s"DELETE FROM gdelrace.db.race WHERE k IN ($inList)")
+    val got = spark.sql("SELECT k FROM gdelrace.db.race")
+      .collect().map(_.getLong(0)).toSet
+    val want = (0L until 120L).filterNot(_ % 7 == 0).toSet
+    assert(got === want, "every appended row outside the deleted set " +
+      "must survive the race (no lost appends), every deleted key gone")
+    // metadata versions stayed dense — no commit clobbered another
+    val mdir = new java.io.File(s"$wh/db/race", "metadata")
+    val versions = mdir.listFiles().map(_.getName)
+      .filter(_.matches("v\\d+\\.metadata\\.json"))
+      .map(_.stripPrefix("v").stripSuffix(".metadata.json").toInt).sorted
+    assert(versions.toSeq === (1 to versions.max).toSeq)
+    spark.sql("DROP TABLE gdelrace.db.race")
+  }
 }
