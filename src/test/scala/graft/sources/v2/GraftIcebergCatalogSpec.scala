@@ -181,6 +181,16 @@ class GraftIcebergCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("delete"))
     assert(spark.sql("SELECT count(*) FROM graft.db.dels")
       .collect()(0).getLong(0) === 27L, "refused delete removed nothing")
+
+    // TRUNCATE TABLE rides the same face (TruncatableTable →
+    // deleteWhere(AlwaysTrue)); the emptied table still time-travels
+    spark.sql("TRUNCATE TABLE graft.db.dels")
+    assert(spark.sql("SELECT count(*) FROM graft.db.dels")
+      .collect()(0).getLong(0) === 0L)
+    assert(graft.sources.IcebergSnapshot
+      .readSnapshot(spark, path, tdef, Some(before)).count() === 40L)
+    // DELETE FROM an (effectively) empty table is a no-op, not an error
+    spark.sql("DELETE FROM graft.db.dels WHERE k = 1")
     spark.sql("DROP TABLE graft.db.dels")
   }
 
