@@ -1071,13 +1071,18 @@ object PipelineQueries {
            |  EVENT_TYPE STRING,
            |  VALUE DOUBLE
            |) PARTITIONED BY (days(TS), truncate(2, EVENT_TYPE))""".stripMargin)
-      t(s, dir, "events").createOrReplaceTempView("events_src_q108")
+      // through the ts-type dispatcher (fixture generations vary the
+      // parquet ts type); the UTC-session LTZ→NTZ cast is wall-clock
+      // preserving, i.e. exactly DuckDB's naive reading
+      FixtureQueries.events(s, dir)
+        .createOrReplaceTempView("events_src_q108")
       // one task per day so the write lands a bounded file count (the
       // 100 TB shape: writers are clustered by the partition transform
       // before the fan-out, not sprayed across every directory)
       s.sql(
         s"""INSERT INTO $cat.events_day
-           |SELECT event_id, ts, user_id, event_type, value
+           |SELECT event_id, CAST(ts AS TIMESTAMP_NTZ) AS ts, user_id,
+           |  event_type, value
            |FROM events_src_q108 DISTRIBUTE BY CAST(ts AS DATE)""".stripMargin)
       ()
     }
