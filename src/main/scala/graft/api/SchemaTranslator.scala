@@ -172,7 +172,7 @@ object SchemaTranslator {
     * one initial migration, then periodic increments, each an atomic
     * Iceberg snapshot a reader can time-travel across. */
   def appendIncrement(df: DataFrame, table: TableDef, path: String,
-      format: String = "parquet"): Unit = {
+      format: String = "parquet", timestampMs: Long = 0L): Unit = {
     writeMigrated(df, table, s"$path/data", format, mode = "append")
     // the RETRYABLE unit is the commit, not the data write: the data
     // files are already on disk, and commitAppendIncrement re-reads
@@ -182,7 +182,8 @@ object SchemaTranslator {
     // claimed them), never re-writing (and thus never duplicating) rows
     graft.sources.IcebergSnapshot.withCommitRetry() {
       graft.sources.IcebergSnapshot.commitAppendIncrement(
-        table, path, df.sparkSession.sparkContext.hadoopConfiguration)
+        table, path, df.sparkSession.sparkContext.hadoopConfiguration,
+        timestampMs = timestampMs)
     }
     ()
   }
@@ -281,10 +282,12 @@ object SchemaTranslator {
     * are irrelevant to Iceberg readers — manifests record absolute
     * file paths and per-file partition values. */
   def migrateTable(df: DataFrame, table: TableDef, path: String,
-      format: String = "parquet"): Unit = {
+      format: String = "parquet", timestampMs: Long = 0L): Unit = {
     writeMigrated(df, table, s"$path/data", format)
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     graft.sources.IcebergMetadata.writeTableMetadata(table, path, conf)
-    graft.sources.IcebergSnapshot.commitAppend(table, path, conf)
+    graft.sources.IcebergSnapshot.commitAppend(table, path, conf,
+      timestampMs = timestampMs)
+    ()
   }
 }

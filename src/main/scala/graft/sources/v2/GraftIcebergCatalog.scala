@@ -97,8 +97,56 @@ class GraftIcebergCatalog extends TableCatalog with SupportsNamespaces {
     // an EMPTY committed snapshot: readable as zero rows at once, and
     // the first INSERT is a plain increment (no bootstrap special case)
     IcebergSnapshot.commitAppend(tdef, path, conf,
+      timestampMs = System.currentTimeMillis(),
       extraProperties = properties.asScala.toMap)
     new GraftIcebergTable(path, IcebergTableLoader.load(path, conf), None)
+  }
+
+  /** SQL time travel — `SELECT … FROM t VERSION AS OF <x>`, where `x`
+    * is a snapshot id or a named tag/branch (`main` = current). The
+    * read path validates a numeric id against the retained chain. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident)
+    if (!isTableDir(new Path(path))) throw new NoSuchTableException(ident)
+    val tdef = IcebergTableLoader.load(path, conf)
+    val sid: Option[Long] =
+      if (version == "main") None
+      else if (version.nonEmpty && version.forall(_.isDigit))
+        Some(version.toLong)
+      else Some(IcebergSnapshot.listRefs(path, conf).collectFirst {
+        case (n, id, _) if n == version => id
+      }.getOrElse(throw new IllegalArgumentException(
+        s"VERSION AS OF '$version': not a snapshot id and no such " +
+          s"tag/branch on ${ident.name()}")))
+    new GraftIcebergTable(path, tdef, sid)
+  }
+
+  /** SQL time travel — `TIMESTAMP AS OF <t>`: the latest MAIN-ancestry
+    * snapshot whose commit timestamp is ≤ `t` (Spark hands
+    * MICROseconds). Branch-staged (WAP) snapshots are in the chain but
+    * not main history, so the walk follows parent links from the
+    * published head. Refuses a timestamp before the first commit. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = pathOf(ident)
+    if (!isTableDir(new Path(path))) throw new NoSuchTableException(ident)
+    val tdef = IcebergTableLoader.load(path, conf)
+    val metadataDir = new Path(path, "metadata")
+    val v = IcebergSnapshot.readVersionHint(metadataDir, conf)
+    val metaText = IcebergSnapshot.readText(
+      new Path(metadataDir, s"v$v.metadata.json"), conf)
+    val chain = IcebergSnapshot.parseSnapshots(metaText)
+    val byId = chain.map(s => s.snapshotId -> s).toMap
+    val head = IcebergSnapshot.currentSnapshotOf(metaText, chain)
+    val ancestry = Iterator.iterate(head)(
+      _.flatMap(_.parentSnapshotId).flatMap(byId.get))
+      .takeWhile(_.isDefined).map(_.get).toSeq
+    val ms = Math.floorDiv(timestamp, 1000L)
+    val snap = ancestry.find(_.timestampMs <= ms).getOrElse(
+      throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF $ms ms: before the first commit of " +
+          s"${ident.name()} (earliest retained: " +
+          s"${ancestry.lastOption.map(_.timestampMs).getOrElse(0L)} ms)"))
+    new GraftIcebergTable(path, tdef, Some(snap.snapshotId))
   }
 
   /** ALTER TABLE wired to the engine's field-id-correct evolution

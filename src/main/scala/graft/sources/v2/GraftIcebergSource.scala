@@ -108,16 +108,21 @@ class GraftIcebergSource extends TableProvider with DataSourceRegister
       org.apache.spark.sql.functions.col(c.name)): _*)
     mode match {
       case SaveMode.Overwrite =>
-        graft.api.SchemaTranslator.migrateTable(ordered, tdef, path)
+        graft.api.SchemaTranslator.migrateTable(ordered, tdef, path,
+            timestampMs = System.currentTimeMillis())
       case SaveMode.Append =>
-        if (exists) graft.api.SchemaTranslator.appendIncrement(ordered, tdef, path)
-        else graft.api.SchemaTranslator.migrateTable(ordered, tdef, path)
+        if (exists) graft.api.SchemaTranslator.appendIncrement(ordered, tdef, path,
+            timestampMs = System.currentTimeMillis())
+        else graft.api.SchemaTranslator.migrateTable(ordered, tdef, path,
+            timestampMs = System.currentTimeMillis())
       case SaveMode.ErrorIfExists =>
         require(!exists, s"table already exists at $path (mode ErrorIfExists)")
-        graft.api.SchemaTranslator.migrateTable(ordered, tdef, path)
+        graft.api.SchemaTranslator.migrateTable(ordered, tdef, path,
+            timestampMs = System.currentTimeMillis())
       case SaveMode.Ignore =>
         if (!exists)
-          graft.api.SchemaTranslator.migrateTable(ordered, tdef, path)
+          graft.api.SchemaTranslator.migrateTable(ordered, tdef, path,
+            timestampMs = System.currentTimeMillis())
     }
     val outer = sqlContext
     new BaseRelation {
@@ -349,7 +354,8 @@ private[v2] class GraftIcebergTable(path: String, tdef: TableDef,
     // first-attempt delete files become sweepable orphans)
     IcebergSnapshot.withCommitRetry() {
       graft.sources.IcebergDeletes.commitPositionDeletes(
-        SparkSession.active, tdef, path, pred)
+        SparkSession.active, tdef, path, pred,
+        timestampMs = System.currentTimeMillis())
     }
     ()
   }
@@ -385,9 +391,11 @@ private[v2] class GraftIcebergWriteBuilder(path: String, tdef: TableDef)
           val ordered = data.select(tdef.columns.map(c =>
             org.apache.spark.sql.functions.col(c.name)): _*)
           if (replace || !GraftIcebergSource.tableExists(path))
-            graft.api.SchemaTranslator.migrateTable(ordered, tdef, path)
+            graft.api.SchemaTranslator.migrateTable(ordered, tdef, path,
+            timestampMs = System.currentTimeMillis())
           else
-            graft.api.SchemaTranslator.appendIncrement(ordered, tdef, path)
+            graft.api.SchemaTranslator.appendIncrement(ordered, tdef, path,
+            timestampMs = System.currentTimeMillis())
         }
       }
   }

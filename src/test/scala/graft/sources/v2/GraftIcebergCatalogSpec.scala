@@ -194,6 +194,58 @@ class GraftIcebergCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.db.dels")
   }
 
+  test("SQL time travel: VERSION AS OF takes a snapshot id or a tag; " +
+      "TIMESTAMP AS OF resolves the main-ancestry commit clock; " +
+      "pre-history timestamps refuse") {
+    spark.sql(
+      "CREATE TABLE graft.db.tt (k BIGINT NOT NULL, v STRING)")
+    spark.sql("INSERT INTO graft.db.tt VALUES (1, 'a'), (2, 'b')")
+    val path = s"$warehouse/db/tt"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val firstId = graft.sources.IcebergSnapshot
+      .currentSnapshotId(path, conf).get
+    val tdef = graft.sources.IcebergTableLoader.load(path, conf)
+    graft.sources.IcebergSnapshot.createRef(
+      tdef, path, "v1-audit", firstId, "tag", conf)
+    val tAfterFirst = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql("INSERT INTO graft.db.tt VALUES (3, 'c')")
+
+    assert(spark.sql("SELECT count(*) FROM graft.db.tt")
+      .collect()(0).getLong(0) === 3L)
+    // snapshot id
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.db.tt VERSION AS OF $firstId")
+      .collect()(0).getLong(0) === 2L)
+    // named tag
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.tt VERSION AS OF 'v1-audit'")
+      .collect()(0).getLong(0) === 2L)
+    // commit-clock resolution: between the inserts → the first commit
+    // (java.sql.Timestamp renders in the JVM default tz, which is also
+    // the session tz the literal parses under — instant-preserving)
+    val lit = new java.sql.Timestamp(tAfterFirst).toString
+    assert(spark.sql("SELECT count(*) FROM graft.db.tt " +
+      s"TIMESTAMP AS OF TIMESTAMP'$lit'")
+      .collect()(0).getLong(0) === 2L)
+    // before the first commit: loud refusal
+    val e = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM graft.db.tt " +
+        "TIMESTAMP AS OF TIMESTAMP'2001-01-01 00:00:00'").collect()
+    }
+    assert((e.getMessage +: Iterator.iterate(e.getCause)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).toSeq).mkString(" | ")
+      .contains("before the first commit"))
+    // unknown tag: loud refusal
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.db.tt VERSION AS OF 'nope'").collect()
+    }
+    assert((e2.getMessage +: Iterator.iterate(e2.getCause)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).toSeq).mkString(" | ")
+      .contains("no such"))
+    spark.sql("DROP TABLE graft.db.tt")
+  }
+
   test("types round-trip; refusals are loud") {
     spark.sql(
       """CREATE TABLE graft.db.typed (
