@@ -81,8 +81,19 @@ class GraftIcebergCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val path = pathOf(ident)
-    if (!isTableDir(new Path(path))) throw new NoSuchTableException(ident)
-    new GraftIcebergTable(path, IcebergTableLoader.load(path, conf), None)
+    if (isTableDir(new Path(path)))
+      return new GraftIcebergTable(path, IcebergTableLoader.load(path, conf), None)
+    // Iceberg's metadata-table convention: `db.t.files` — the suffix
+    // names an inspection view over the base table `db.t` (same shape
+    // real Iceberg's SparkCatalog serves). Real tables shadow: a
+    // directory literally named `db.t.files` wins above.
+    val ns = ident.namespace()
+    if (ns.nonEmpty && GraftIcebergMetaTable.Kinds.contains(ident.name())) {
+      val basePath = pathOf(Identifier.of(ns.dropRight(1), ns.last))
+      if (isTableDir(new Path(basePath)))
+        return new GraftIcebergMetaTable(basePath, ident.name())
+    }
+    throw new NoSuchTableException(ident)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -246,6 +246,49 @@ class GraftIcebergCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.db.tt")
   }
 
+  test("SQL metadata tables: db.t.snapshots/history/refs/manifests/" +
+      "files/partitions serve the inspection views; unknown suffixes " +
+      "still refuse as missing tables") {
+    spark.sql(
+      """CREATE TABLE graft.db.meta (
+        |  k BIGINT NOT NULL, status STRING
+        |) PARTITIONED BY (status)""".stripMargin)
+    spark.sql("INSERT INTO graft.db.meta VALUES (1, 'F'), (2, 'O')")
+    spark.sql("INSERT INTO graft.db.meta VALUES (3, 'F')")
+
+    // three snapshots: the empty CREATE commit + two inserts
+    assert(spark.sql("SELECT count(*) FROM graft.db.meta.snapshots")
+      .collect()(0).getLong(0) === 3L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.meta.history WHERE is_current_ancestor")
+      .collect()(0).getLong(0) === 3L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.meta.refs WHERE name = 'main'")
+      .collect()(0).getLong(0) === 1L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.meta.manifests")
+      .collect()(0).getLong(0) >= 2L)
+    // files: 3 live data files (one per status per insert), record
+    // counts sum to the row count — a WHERE works like any table
+    val files = spark.sql(
+      """SELECT sum(record_count) AS rows, count(*) AS n
+        |FROM graft.db.meta.files""".stripMargin).collect()(0)
+    assert(files.getLong(0) === 3L && files.getLong(1) === 3L)
+    val parts = spark.sql(
+      """SELECT partition['status'] AS s, record_count
+        |FROM graft.db.meta.partitions ORDER BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(parts === Map("F" -> 2L, "O" -> 1L))
+
+    // unknown suffix refuses as a missing table, not a crash
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.db.meta.nope").collect()
+    }
+    assert(e.getMessage.toUpperCase.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.getMessage.toLowerCase.contains("cannot be found") ||
+      e.getMessage.toLowerCase.contains("not found"))
+    spark.sql("DROP TABLE graft.db.meta")
+  }
+
   test("types round-trip; refusals are loud") {
     spark.sql(
       """CREATE TABLE graft.db.typed (
