@@ -1116,6 +1116,26 @@ object PipelineQueries {
       lit(pruneOk).as("prune_ok"))
   }
 
+  /** The `t.partitions` METADATA TABLE under the hard oracle — the
+    * observability face a 100 TB operator trusts for layout health:
+    * over q108's day(ts)+truncate(2) hidden-partitioned events table,
+    * every (day ordinal, type prefix) partition's record count as the
+    * MANIFESTS record it must equal DuckDB recomputing the same
+    * transforms arithmetically from the raw parquet
+    * (floor(epoch/86400) and substr(…,1,2)) — pinning the writer's
+    * transform values, the manifest round trip and the inspection
+    * surface in one row set. */
+  def q110PartitionsMeta(s: SparkSession, dir: String): DataFrame = {
+    q108HiddenPartitioning(s, dir).collect() // ensures the table exists
+    val cat = s"grafthp_${Integer.toHexString(dir.hashCode)}"
+    s.sql(
+      s"""SELECT partition['TS_day'] AS ts_day,
+         |  partition['EVENT_TYPE_trunc'] AS event_type_trunc,
+         |  CAST(sum(record_count) AS BIGINT) AS record_count
+         |FROM $cat.events_day.partitions
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   /** SQL `DELETE FROM` under the hard oracle — the row-level-delete
     * stack behind the statement every warehouse user writes: the
     * orders fixture lands via the catalog, one DELETE with a mixed
@@ -3721,6 +3741,16 @@ object PipelineQueries {
         |FROM orders
         |WHERE NOT (o_orderstatus = 'O' AND o_orderkey < 5000)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the partitions metadata table must equal DuckDB recomputing the
+    // day() and truncate(2) transforms arithmetically from raw parquet
+    "q110_partitions_meta" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(floor(epoch(ts) / 86400.0) AS BIGINT)
+        |      AS VARCHAR) AS ts_day,
+        |    substr(event_type, 1, 2) AS event_type_trunc
+        |  FROM events)
+        |SELECT ts_day, event_type_trunc, count(*) AS record_count
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the boilerplate fixture's two extraction surfaces reconstructed
     // arithmetically: html_text keeps title + nav + content + link farm
     // + aside + footer in document order; main_content keeps exactly
@@ -3906,6 +3936,7 @@ object PipelineQueries {
     "q107_schema_evolution" -> (q107SchemaEvolution _),
     "q108_hidden_partitioning" -> (q108HiddenPartitioning _),
     "q109_sql_delete" -> (q109SqlDelete _),
+    "q110_partitions_meta" -> (q110PartitionsMeta _),
     "q70c_clustered_dedup" -> (q70cClusteredDedup _),
     "q71_phrase_search" -> (q71PhraseSearch _),
     "q71_indexed" -> (q71PhraseSearchIndexed _),

@@ -149,9 +149,12 @@ object IcebergInspect {
   private def partitionMap(table: TableDef, specId: Int,
       values: Seq[Option[Any]]): Map[String, String] = {
     val pf = partitionFieldsOf(table, specId)
-    pf.zip(values).collect { case ((name, itype, _), Some(v)) =>
-      name -> (itype match {
-        case "date" => java.time.LocalDate.ofEpochDay(
+    pf.zip(values).collect { case ((name, itype, transform), Some(v)) =>
+      // only an IDENTITY value of a date column is itself a date; a
+      // transform value on a date source (bucket ordinal, year/month
+      // count) is a plain int and must not render as LocalDate
+      name -> ((itype, transform) match {
+        case ("date", "identity") => java.time.LocalDate.ofEpochDay(
           v.asInstanceOf[Number].longValue).toString
         case _ => v.toString
       })
