@@ -339,6 +339,12 @@ private[v2] class GraftIcebergTable(path: String, tdef: TableDef,
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(snapshotId.isEmpty,
       "cannot delete through a time-travel/ref read")
+    // a DELETE commits to MAIN; under an active WAP staging conf that
+    // would silently break the branch's isolation story — refuse
+    require(Option(SparkSession.active.conf
+      .get("graft.wap.branch", null)).forall(_.isEmpty),
+      "graft.wap.branch is set: DELETE FROM writes to main, not the " +
+        "audit branch — publish/abandon the branch or unset the conf")
     val cols = filters.toSeq.map(f =>
       GraftIcebergSource.filterToColumn(f).getOrElse(
         throw new IllegalArgumentException(
@@ -390,12 +396,32 @@ private[v2] class GraftIcebergWriteBuilder(path: String, tdef: TableDef)
           // positional) and let the writer cast/stamp field ids
           val ordered = data.select(tdef.columns.map(c =>
             org.apache.spark.sql.functions.col(c.name)): _*)
-          if (replace || !GraftIcebergSource.tableExists(path))
+          // write-audit-publish via pure SQL: with the session conf
+          // `graft.wap.branch` set (Iceberg's spark.wap.branch
+          // pattern), INSERT INTO stages on that audit branch — main
+          // readers see nothing until the branch is published
+          // (fastForwardMain) or abandoned. Overwrites/bootstraps
+          // refuse under WAP: staging a table REPLACEMENT on a branch
+          // has no publish semantics in the fast-forward model.
+          val wapBranch = Option(
+            data.sparkSession.conf.get("graft.wap.branch", null))
+            .filter(_.nonEmpty)
+          if (replace || !GraftIcebergSource.tableExists(path)) {
+            require(wapBranch.isEmpty,
+              s"graft.wap.branch=${wapBranch.getOrElse("")} is set but " +
+                "this write is an overwrite/bootstrap — WAP stages " +
+                "APPENDS on existing tables; unset the conf or append")
             graft.api.SchemaTranslator.migrateTable(ordered, tdef, path,
-            timestampMs = System.currentTimeMillis())
-          else
-            graft.api.SchemaTranslator.appendIncrement(ordered, tdef, path,
-            timestampMs = System.currentTimeMillis())
+              timestampMs = System.currentTimeMillis())
+          }
+          else wapBranch match {
+            case Some(b) =>
+              graft.api.SchemaTranslator.stageAppendToBranch(
+                ordered, tdef, path, b)
+            case None =>
+              graft.api.SchemaTranslator.appendIncrement(ordered, tdef, path,
+                timestampMs = System.currentTimeMillis())
+          }
         }
       }
   }

@@ -289,6 +289,47 @@ class GraftIcebergCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.db.meta")
   }
 
+  test("write-audit-publish via pure SQL: graft.wap.branch stages " +
+      "INSERTs on the audit branch, main is untouched until publish; " +
+      "DELETE and overwrite refuse under the active conf") {
+    spark.sql("CREATE TABLE graft.db.wap (k BIGINT NOT NULL, v STRING)")
+    spark.sql("INSERT INTO graft.db.wap VALUES (1, 'a')")
+    val path = s"$warehouse/db/wap"
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    spark.conf.set("graft.wap.branch", "audit")
+    try {
+      spark.sql("INSERT INTO graft.db.wap VALUES (2, 'staged')")
+      // main readers see nothing of the staged batch…
+      assert(spark.sql("SELECT count(*) FROM graft.db.wap")
+        .collect()(0).getLong(0) === 1L)
+      // …the audit branch sees base + staged (the gate's read)
+      assert(spark.sql(
+        "SELECT count(*) FROM graft.db.wap VERSION AS OF 'audit'")
+        .collect()(0).getLong(0) === 2L)
+      // row-level deletes and overwrites refuse while staging
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM graft.db.wap WHERE k = 1")
+      }
+      assert((e.getMessage +: Iterator.iterate(e.getCause)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).toSeq).mkString(" | ")
+        .contains("graft.wap.branch"))
+      val e2 = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE graft.db.wap VALUES (9, 'x')")
+      }
+      assert((e2.getMessage +: Iterator.iterate(e2.getCause)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).toSeq).mkString(" | ")
+        .contains("overwrite"))
+    } finally spark.conf.unset("graft.wap.branch")
+
+    // publish: main fast-forwards to the audited head
+    val tdef = graft.sources.IcebergTableLoader.load(path, conf)
+    graft.api.SchemaTranslator.publishBranch(spark, tdef, path, "audit")
+    assert(spark.sql("SELECT k FROM graft.db.wap ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    spark.sql("DROP TABLE graft.db.wap")
+  }
+
   test("types round-trip; refusals are loud") {
     spark.sql(
       """CREATE TABLE graft.db.typed (
