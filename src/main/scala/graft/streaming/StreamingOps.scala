@@ -571,10 +571,12 @@ object StreamingOps {
             s"$path/data/stream-$appHash-$bid", format, mode = "overwrite")
           if (committed.isDefined)
             IcebergSnapshot.commitAppendIncrement(table, path, conf,
+              timestampMs = System.currentTimeMillis(),
               extraProperties = Map(txnKey -> bid.toString))
           else {
             IcebergMetadata.writeTableMetadata(table, path, conf)
             IcebergSnapshot.commitAppend(table, path, conf,
+              timestampMs = System.currentTimeMillis(),
               extraProperties = Map(txnKey -> bid.toString))
           }
           maintenance.filter(m => (bid + 1) % m.everyBatches == 0).foreach(
@@ -631,10 +633,12 @@ object StreamingOps {
               org.apache.spark.sql.functions.col(k)
                 .cast(schema(k).dataType).as(k)): _*)
             IcebergDeletes.commitUpsert(batch.sparkSession, table, path,
-              keys, extraProperties = Map(txnKey -> bid.toString))
+              keys, timestampMs = System.currentTimeMillis(),
+              extraProperties = Map(txnKey -> bid.toString))
           } else {
             IcebergMetadata.writeTableMetadata(table, path, conf)
             IcebergSnapshot.commitAppend(table, path, conf,
+              timestampMs = System.currentTimeMillis(),
               extraProperties = Map(txnKey -> bid.toString))
           }
           maintenance.filter(m => (bid + 1) % m.everyBatches == 0).foreach(
@@ -697,6 +701,7 @@ object StreamingOps {
                 mode = "overwrite")
               IcebergMetadata.writeTableMetadata(table, path, conf)
               IcebergSnapshot.commitAppend(table, path, conf,
+                timestampMs = System.currentTimeMillis(),
                 extraProperties = Map(txnKey -> bid.toString))
               ()
             } // all-delete bootstrap batch: nothing to do
@@ -708,7 +713,8 @@ object StreamingOps {
             val keys = batch.select(keyCols.map(k =>
               col(k).cast(schema(k).dataType).as(k)): _*)
             IcebergDeletes.commitUpsert(batch.sparkSession, table, path,
-              keys, extraProperties = Map(txnKey -> bid.toString))
+              keys, timestampMs = System.currentTimeMillis(),
+              extraProperties = Map(txnKey -> bid.toString))
             ()
           }
           // an all-delete bootstrap batch commits nothing — only a
