@@ -172,7 +172,7 @@ object SchemaTranslator {
     * one initial migration, then periodic increments, each an atomic
     * Iceberg snapshot a reader can time-travel across. */
   def appendIncrement(df: DataFrame, table: TableDef, path: String,
-      format: String = "parquet", timestampMs: Long = 0L): Unit = {
+      format: String = "parquet", timestampMs: Long = System.currentTimeMillis()): Unit = {
     writeMigrated(df, table, s"$path/data", format, mode = "append")
     // the RETRYABLE unit is the commit, not the data write: the data
     // files are already on disk, and commitAppendIncrement re-reads
@@ -282,7 +282,7 @@ object SchemaTranslator {
     * are irrelevant to Iceberg readers — manifests record absolute
     * file paths and per-file partition values. */
   def migrateTable(df: DataFrame, table: TableDef, path: String,
-      format: String = "parquet", timestampMs: Long = 0L): Unit = {
+      format: String = "parquet", timestampMs: Long = System.currentTimeMillis()): Unit = {
     writeMigrated(df, table, s"$path/data", format)
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     graft.sources.IcebergMetadata.writeTableMetadata(table, path, conf)

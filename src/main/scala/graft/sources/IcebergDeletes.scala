@@ -97,7 +97,7 @@ object IcebergDeletes {
     * snapshot, or the current one unchanged when nothing matches. */
   def commitPositionDeletes(spark: SparkSession, table: TableDef,
       tablePath: String, predicate: Column,
-      timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+      timestampMs: Long = System.currentTimeMillis()): IcebergMetadata.SnapshotMeta = {
     val conf = spark.sparkContext.hadoopConfiguration
     val (metadataDir, fs, version, chain, current) = loadCurrent(tablePath, conf)
     val priorList = readManifestList(new Path(current.manifestList), conf)
@@ -229,7 +229,7 @@ object IcebergDeletes {
     * source columns are directory-encoded and cannot carry an
     * equality delete). */
   def commitUpsert(spark: SparkSession, table: TableDef, tablePath: String,
-      keys: DataFrame, timestampMs: Long = 0L,
+      keys: DataFrame, timestampMs: Long = System.currentTimeMillis(),
       extraProperties: Map[String, String] = Map.empty): IcebergMetadata.SnapshotMeta = {
     val conf = spark.sparkContext.hadoopConfiguration
     val (metadataDir, fs, version, chain, current) = loadCurrent(tablePath, conf)
@@ -330,7 +330,7 @@ object IcebergDeletes {
     * target size — [[IcebergSnapshot.compactDataFiles]]'s binning
     * applies once deletes are folded in). */
   def compactWithDeletes(spark: SparkSession, table: TableDef,
-      tablePath: String, timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+      tablePath: String, timestampMs: Long = System.currentTimeMillis()): IcebergMetadata.SnapshotMeta = {
     val conf = spark.sparkContext.hadoopConfiguration
     val (metadataDir, fs, version, chain, current) = loadCurrent(tablePath, conf)
     val priorList = readManifestList(new Path(current.manifestList), conf)

@@ -222,6 +222,8 @@ object IcebergEvolution {
     }
     require(defs.map(_.name).distinct.size == defs.size,
       s"duplicate partition field names: ${defs.map(_.name).mkString(", ")}")
+    defs.filter(_.transform != "identity").foreach(d =>
+      requireNoColumnCollision(base, d.name, d.transform))
     require(defs.map(d => (d.sourceId, d.transform)).distinct.size == defs.size,
       "duplicate (source, transform) partition fields")
     base.copy(partitionSpecs = Seq(0 -> defs), defaultSpecId = 0,
@@ -230,6 +232,24 @@ object IcebergEvolution {
 
   private val BucketN = """bucket\[(\d+)\]""".r
   private val TruncateW = """truncate\[(\d+)\]""".r
+
+  /** A TRANSFORM partition field's generated name (`<col>_day`,
+    * `<col>_bucket`, …) must not shadow a real schema column: the
+    * migration writer directory-encodes partition fields with
+    * `withColumn(name, transform(src))`, which would silently REPLACE
+    * a data column of that name and then drop it from the data files —
+    * silent data loss. Real Iceberg spec builders refuse the same
+    * conflict (identity fields are exempt: their name IS the source
+    * column, by design). */
+  private def requireNoColumnCollision(table: TableDef, fieldName: String,
+      transform: String): Unit =
+    // case-insensitive: the SQL catalog's CREATE path preserves the
+    // user's column case, and Spark resolves case-insensitively
+    require(!table.columns.exists(_.name.equalsIgnoreCase(fieldName)),
+      s"partition field $fieldName ($transform) collides with schema " +
+        s"column $fieldName of ${table.fullName}: the generated " +
+        "partition field name would shadow (and drop) the data column " +
+        "— rename the column or partition by a different source")
 
   /** Validate `transform(sourceCol)` against the v2 spec's legal
     * source types and return the conventional FIELD NAME (`<col>` for
@@ -296,6 +316,7 @@ object IcebergEvolution {
       s"the default spec already partitions by $transform($sourceCol)")
     require(!cur.exists(_.name == name),
       s"partition field name $name already in use in the default spec")
+    if (transform != "identity") requireNoColumnCollision(base, name, transform)
     // field-id stability: same (source, transform) in ANY prior spec
     // resurfaces under its original id
     val recycled = base.partitionSpecs.flatMap(_._2)
@@ -337,7 +358,7 @@ object IcebergEvolution {
     * given, for chaining. */
   def commitEvolution(table: TableDef, tablePath: String,
       conf: Configuration = new Configuration(),
-      timestampMs: Long = 0L): TableDef = {
+      timestampMs: Long = System.currentTimeMillis()): TableDef = {
     require(table.priorSchemas.nonEmpty || table.partitionSpecs.nonEmpty,
       "commitEvolution expects a table that has been through an evolution op")
     val metadataDir = new Path(tablePath, "metadata")

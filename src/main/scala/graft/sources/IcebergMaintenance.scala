@@ -122,7 +122,7 @@ object IcebergMaintenance {
   def rewriteZorder(spark: org.apache.spark.sql.SparkSession,
       table: TableDef, tablePath: String, aCol: String, bCol: String,
       targetBytes: Long = 512L * 1024 * 1024,
-      timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+      timestampMs: Long = System.currentTimeMillis()): IcebergMetadata.SnapshotMeta = {
     require(targetBytes > 0)
     val conf = spark.sparkContext.hadoopConfiguration
     val metadataDir = new Path(tablePath, "metadata")
@@ -249,7 +249,7 @@ object IcebergMaintenance {
     * per group. */
   def rewriteManifests(table: TableDef, tablePath: String,
       conf: Configuration = new Configuration(),
-      timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+      timestampMs: Long = System.currentTimeMillis()): IcebergMetadata.SnapshotMeta = {
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)
     val version = readVersionHint(metadataDir, conf)

@@ -429,8 +429,15 @@ object IcebergPruning {
       val specFields0 = IcebergMetadata.specFieldDefs(table, file.specId)
       val idIdx = specFields0.indexWhere(_.sourceId == fid)
       if (idIdx >= 0 && idIdx < file.partitionValues.length) {
-        // exact signal: every row shares the partition value
-        return file.partitionValues(idIdx).isEmpty == wantNull
+        val pv = file.partitionValues(idIdx)
+        // STRING-typed partition values lose '' in the Hive-dir round
+        // trip ('' encodes as __HIVE_DEFAULT_PARTITION__, the null
+        // marker) — a recorded None could be all-null OR all-'' rows,
+        // so it proves nothing; fall through to the count signals.
+        // A recorded Some is always genuinely non-null.
+        if (pv.nonEmpty || itype != "string")
+          // exact signal: every row shares the partition value
+          return pv.isEmpty == wantNull
       }
       val vc = file.valueCounts.get(fid)
       val nc = file.nullCounts.get(fid)
@@ -458,6 +465,10 @@ object IcebergPruning {
       f.transform == "identity" && f.sourceId == fid)
     if (identityIdx >= 0 && identityIdx < file.partitionValues.length) {
       file.partitionValues(identityIdx) match {
+        case None if itype == "string" =>
+          // ambiguous: the Hive-dir round trip maps '' to the null
+          // marker, and '' CAN match a point/range predicate — fall
+          // through to the stats signal instead of pruning
         case None => return false // all rows null → no row matches
         case Some(raw) =>
           val v = normalizePartition(itype, raw)
@@ -489,6 +500,11 @@ object IcebergPruning {
       if (f.sourceId == fid && i < file.partitionValues.length &&
           isMonotonicTransform(f.transform)) {
         file.partitionValues(i) match {
+          case None if itype == "string" =>
+            // truncate[W] over a string source: '' truncates to '',
+            // which dir-encodes as the null marker — a recorded None
+            // is ambiguous, fall through to stats (temporal transforms
+            // never have string sources, so only truncate reaches here)
           case None =>
             // all-null source column (null-preserving transform):
             // point/range predicates never match null

@@ -761,7 +761,7 @@ object IcebergSnapshot {
     * deterministic for a fixed timestamp. Returns the snapshot. */
   def commitAppend(table: TableDef, tablePath: String,
       conf: Configuration = new Configuration(),
-      timestampMs: Long = 0L,
+      timestampMs: Long = System.currentTimeMillis(),
       extraProperties: Map[String, String] = Map.empty): IcebergMetadata.SnapshotMeta = {
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)
@@ -1247,7 +1247,7 @@ object IcebergSnapshot {
   def setTableProperties(table: TableDef, tablePath: String,
       props: Map[String, Option[String]],
       conf: Configuration = new Configuration(),
-      timestampMs: Long = 0L): Unit = {
+      timestampMs: Long = System.currentTimeMillis()): Unit = {
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)
     val version = readVersionHint(metadataDir, conf)
@@ -1454,7 +1454,7 @@ object IcebergSnapshot {
     * cross partition values. No-op when nothing merges. */
   def compactDataFiles(spark: org.apache.spark.sql.SparkSession,
       table: TableDef, tablePath: String, targetBytes: Long,
-      timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+      timestampMs: Long = System.currentTimeMillis()): IcebergMetadata.SnapshotMeta = {
     require(targetBytes > 0)
     val conf = spark.sparkContext.hadoopConfiguration
     val metadataDir = new Path(tablePath, "metadata")
@@ -1599,7 +1599,7 @@ object IcebergSnapshot {
     * the same shape as a real expire commit. */
   def expireSnapshots(table: TableDef, tablePath: String, keepLast: Int,
       conf: Configuration = new Configuration(),
-      timestampMs: Long = 0L): (IcebergMetadata.SnapshotMeta, Seq[String]) = {
+      timestampMs: Long = System.currentTimeMillis()): (IcebergMetadata.SnapshotMeta, Seq[String]) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)
@@ -1661,7 +1661,7 @@ object IcebergSnapshot {
   def createRef(table: TableDef, tablePath: String, name: String,
       snapshotId: Long, refType: String = "tag",
       conf: Configuration = new Configuration(),
-      timestampMs: Long = 0L): Unit = {
+      timestampMs: Long = System.currentTimeMillis()): Unit = {
     require(name.nonEmpty && name != "main", "ref name must not be 'main'")
     require(refType == "tag" || refType == "branch",
       s"ref type must be tag|branch, got $refType")
@@ -1680,7 +1680,7 @@ object IcebergSnapshot {
   /** Drop a named ref — its snapshot becomes expirable again. */
   def dropRef(table: TableDef, tablePath: String, name: String,
       conf: Configuration = new Configuration(),
-      timestampMs: Long = 0L): Unit = {
+      timestampMs: Long = System.currentTimeMillis()): Unit = {
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)
     val version = readVersionHint(metadataDir, conf)
@@ -1726,7 +1726,7 @@ object IcebergSnapshot {
     * when no new files exist. */
   def commitAppendIncrement(table: TableDef, tablePath: String,
       conf: Configuration = new Configuration(),
-      timestampMs: Long = 0L,
+      timestampMs: Long = System.currentTimeMillis(),
       extraProperties: Map[String, String] = Map.empty): IcebergMetadata.SnapshotMeta = {
     val metadataDir = new Path(tablePath, "metadata")
     val fs = FileSystem.get(metadataDir.toUri, conf)

@@ -69,7 +69,7 @@ object IcebergWap {
     * (+ expiry to GC the staged files). */
   def commitAppendToBranch(table: TableDef, tablePath: String,
       branch: String, conf: Configuration = new Configuration(),
-      timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+      timestampMs: Long = System.currentTimeMillis()): IcebergMetadata.SnapshotMeta = {
     require(branch.nonEmpty && branch != "main",
       "stage on a named audit branch, not main")
     val (metadataDir, fs, version, metaText, chain) = load(tablePath, conf)
@@ -123,7 +123,7 @@ object IcebergWap {
     * published. Returns the new main head. */
   def fastForwardMain(table: TableDef, tablePath: String, branch: String,
       conf: Configuration = new Configuration(),
-      timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+      timestampMs: Long = System.currentTimeMillis()): IcebergMetadata.SnapshotMeta = {
     val (metadataDir, fs, version, metaText, chain) = load(tablePath, conf)
     val mainHead = currentSnapshotOf(metaText, chain).get
     val target = branchHeadOf(metaText, chain, branch).getOrElse(
@@ -170,7 +170,7 @@ object IcebergWap {
     * the branch head is already on main's ancestry. */
   def cherryPickAppend(table: TableDef, tablePath: String, branch: String,
       conf: Configuration = new Configuration(),
-      timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+      timestampMs: Long = System.currentTimeMillis()): IcebergMetadata.SnapshotMeta = {
     val (metadataDir, fs, version, metaText, chain) = load(tablePath, conf)
     val mainHead = currentSnapshotOf(metaText, chain).get
     val target = branchHeadOf(metaText, chain, branch).getOrElse(
@@ -268,7 +268,7 @@ object IcebergWap {
     * a duplicate made-current entry. No-op when already current. */
   def rollbackMain(table: TableDef, tablePath: String, snapshotId: Long,
       conf: Configuration = new Configuration(),
-      timestampMs: Long = 0L): IcebergMetadata.SnapshotMeta = {
+      timestampMs: Long = System.currentTimeMillis()): IcebergMetadata.SnapshotMeta = {
     val (metadataDir, fs, version, metaText, chain) = load(tablePath, conf)
     val mainHead = currentSnapshotOf(metaText, chain).get
     if (snapshotId == mainHead.snapshotId) return mainHead

@@ -114,21 +114,35 @@ class GraftIcebergCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** SQL time travel — `SELECT … FROM t VERSION AS OF <x>`, where `x`
-    * is a snapshot id or a named tag/branch (`main` = current). The
-    * read path validates a numeric id against the retained chain. */
+    * is a snapshot id or a named tag/branch (`main` = current). An
+    * all-digit `x` tries the snapshot-id interpretation FIRST but
+    * falls back to ref resolution when no retained snapshot has that
+    * id — so a tag/branch named e.g. '20240101' stays reachable. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = pathOf(ident)
     if (!isTableDir(new Path(path))) throw new NoSuchTableException(ident)
     val tdef = IcebergTableLoader.load(path, conf)
     val sid: Option[Long] =
       if (version == "main") None
-      else if (version.nonEmpty && version.forall(_.isDigit))
-        Some(version.toLong)
-      else Some(IcebergSnapshot.listRefs(path, conf).collectFirst {
-        case (n, id, _) if n == version => id
-      }.getOrElse(throw new IllegalArgumentException(
-        s"VERSION AS OF '$version': not a snapshot id and no such " +
-          s"tag/branch on ${ident.name()}")))
+      else {
+        def refLookup: Option[Long] =
+          IcebergSnapshot.listRefs(path, conf).collectFirst {
+            case (n, id, _) if n == version => id
+          }
+        val numeric: Option[Long] =
+          if (version.nonEmpty && version.forall(_.isDigit)) {
+            val id = version.toLong
+            val metadataDir = new Path(path, "metadata")
+            val v = IcebergSnapshot.readVersionHint(metadataDir, conf)
+            val chain = IcebergSnapshot.parseSnapshots(IcebergSnapshot
+              .readText(new Path(metadataDir, s"v$v.metadata.json"), conf))
+            Some(id).filter(chain.map(_.snapshotId).toSet)
+          } else None
+        Some(numeric.orElse(refLookup).getOrElse(
+          throw new IllegalArgumentException(
+            s"VERSION AS OF '$version': no such retained snapshot id " +
+              s"or tag/branch on ${ident.name()}")))
+      }
     new GraftIcebergTable(path, tdef, sid)
   }
 

@@ -28,7 +28,13 @@ private[v2] object GraftIcebergMetaTable {
 private[v2] class GraftIcebergMetaTable(path: String, kind: String)
     extends Table with SupportsRead {
 
-  private def compute(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+  // computed ONCE per table instance (the catalog loads a fresh
+  // instance per query): schema() at plan time and buildScan() at
+  // execution time serve the SAME driver-side inspection frame, so the
+  // O(manifests) work happens once and a commit landing between
+  // planning and execution cannot change the row shape mid-query
+  private lazy val frame: org.apache.spark.sql.DataFrame = {
+    val spark = SparkSession.active
     def tdef = IcebergTableLoader.load(
       path, spark.sparkContext.hadoopConfiguration)
     kind match {
@@ -43,7 +49,7 @@ private[v2] class GraftIcebergMetaTable(path: String, kind: String)
 
   override def name(): String = s"graft-iceberg.`$path`.$kind"
 
-  override def schema(): StructType = compute(SparkSession.active).schema
+  override def schema(): StructType = frame.schema
 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
@@ -60,8 +66,7 @@ private[v2] class GraftIcebergMetaTable(path: String, kind: String)
             override def sqlContext: SQLContext = context
             override def schema: StructType =
               GraftIcebergMetaTable.this.schema()
-            override def buildScan(): RDD[Row] =
-              compute(context.sparkSession).rdd
+            override def buildScan(): RDD[Row] = frame.rdd
           }.asInstanceOf[T]
       }
     }

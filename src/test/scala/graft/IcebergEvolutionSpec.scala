@@ -287,6 +287,26 @@ class IcebergEvolutionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { // spec source columns protected
       IcebergEvolution.dropColumn(t4, "K")
     }
+    // a generated partition field name that shadows a REAL schema
+    // column refuses (the writer's withColumn would silently replace
+    // the data column and then drop it from the files — data loss)
+    val tc = Db2Parser.parse(
+      """CREATE TABLE S.COLL (
+        |  K BIGINT NOT NULL,
+        |  TS TIMESTAMP,
+        |  TS_DAY VARCHAR(10)
+        |);""".stripMargin).tables.head
+    val ec = intercept[IllegalArgumentException] {
+      IcebergEvolution.addPartitionField(tc, "TS", "day")
+    }
+    assert(ec.getMessage.contains("collides"))
+    val ec2 = intercept[IllegalArgumentException] {
+      IcebergEvolution.initialSpec(tc, Seq(("TS", "day")))
+    }
+    assert(ec2.getMessage.contains("collides"))
+    // the identity exemption: partitioning BY the column itself is fine
+    IcebergEvolution.initialSpec(tc, Seq(("TS_DAY", "identity")))
+    ()
   }
 
   test("a BIGINT/DATE identity partition column that evolves to PHYSICAL " +

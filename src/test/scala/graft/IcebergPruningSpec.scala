@@ -371,4 +371,46 @@ class IcebergPruningSpec extends AnyFunSuite {
       pruning = Seq(ColumnBound("S", Some("�"), None)))
     assert(keySet(got) === Set(1L, 2L))
   }
+
+  test("empty-string partition values (Hive null marker) fall through " +
+      "to stats instead of pruning: tag = '' and IS NOT NULL keep rows") {
+    // truncate[2] over a string source: '' truncates to '', which
+    // dir-encodes as __HIVE_DEFAULT_PARTITION__ — indistinguishable
+    // from null at the directory level, but the SOURCE column stays
+    // physical in the data files, so the stats signal is exact
+    val t = Db2Parser.parse(
+      """CREATE TABLE S.PRUNE_ES (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10)
+        |);""".stripMargin).tables.head
+    val tdef = IcebergEvolution.initialSpec(t, Seq(("V", "truncate[2]")))
+    val out = java.nio.file.Files.createTempDirectory("iceberg_es").toString
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("K", LongType, nullable = false),
+      StructField("V", StringType)))
+    def df(rows: Seq[(Long, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(r => org.apache.spark.sql.Row(r._1, r._2)), 1), schema)
+    SchemaTranslator.migrateTable(
+      df(Seq((1L, ""), (2L, ""))), tdef, out)
+    SchemaTranslator.appendIncrement(df(Seq((3L, "abc"))), tdef, out)
+    // V = '' must return the empty-string rows (pre-fix: the None
+    // partition value hit the all-null fast path and pruned them away)
+    val eq = IcebergSnapshot.readSnapshot(spark, out, tdef,
+      pruning = Seq(ColumnBound.eq("V", "")))
+    assert(keySet(eq) === Set(1L, 2L))
+    // V IS NOT NULL keeps every row: '' is not null
+    val nn = IcebergSnapshot.readSnapshot(spark, out, tdef,
+      pruning = Seq(ColumnBound.notNull("V")))
+    assert(keySet(nn) === Set(1L, 2L, 3L))
+    // and a genuinely-null file still prunes for IS NOT NULL via counts
+    SchemaTranslator.appendIncrement(df(Seq((4L, null))), tdef, out)
+    val nn2 = IcebergSnapshot.readSnapshot(spark, out, tdef,
+      pruning = Seq(ColumnBound.notNull("V")))
+    assert(keySet(nn2) === Set(1L, 2L, 3L))
+    val isNull = IcebergSnapshot.readSnapshot(spark, out, tdef,
+      pruning = Seq(ColumnBound.isNull("V")))
+    assert(keySet(isNull) === Set(4L))
+  }
 }

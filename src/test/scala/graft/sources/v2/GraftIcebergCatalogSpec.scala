@@ -243,6 +243,14 @@ class GraftIcebergCatalogSpec extends AnyFunSuite {
     assert((e2.getMessage +: Iterator.iterate(e2.getCause)(_.getCause)
       .takeWhile(_ != null).map(_.getMessage).toSeq).mkString(" | ")
       .contains("no such"))
+    // an ALL-DIGIT tag name stays reachable: the numeric interpretation
+    // is tried first but falls back to ref resolution when no retained
+    // snapshot has that id
+    graft.sources.IcebergSnapshot.createRef(
+      tdef, path, "20240101", firstId, "tag", conf)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.tt VERSION AS OF '20240101'")
+      .collect()(0).getLong(0) === 2L)
     spark.sql("DROP TABLE graft.db.tt")
   }
 
