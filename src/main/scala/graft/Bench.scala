@@ -22,6 +22,9 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // build-time extensions: SQL UPDATE/MERGE INTO + ref DDL need the
+      // injected analyzer rule and delegating parser (GraftExtensions)
+      .withExtensions(new graft.api.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -13,6 +13,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // build-time extensions: SQL UPDATE/MERGE INTO + ref DDL need the
+      // injected analyzer rule and delegating parser (GraftExtensions)
+      .withExtensions(new graft.api.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

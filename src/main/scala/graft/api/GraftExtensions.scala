@@ -23,6 +23,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.HofDotRewrite)
+    // SQL UPDATE / MERGE INTO over graft-iceberg tables: Spark's
+    // built-in row-level rewrites only fire for SupportsRowLevelOperations
+    // connectors, so this rule claims the resolved UpdateTable /
+    // MergeIntoTable nodes and lowers them to merge-on-read delta
+    // commits (the Delta-Lake extension pattern). Analyzer rules are
+    // BUILD-TIME only — sessions wanting SQL DML must be built with
+    // these extensions (spark.sql.extensions=graft.api.GraftExtensions).
+    ext.injectResolutionRule(_ => graft.sources.v2.GraftRowLevelRewrite)
+    // ALTER TABLE ... CREATE/DROP BRANCH|TAG / FAST FORWARD: a
+    // delegating parser recognizing the ref-management DDL Spark's
+    // grammar lacks (the Iceberg SQL-extensions pattern)
+    ext.injectParser((_, delegate) =>
+      new graft.sources.v2.GraftSqlParser(delegate))
   }
 }
 

@@ -154,66 +154,158 @@ object IcebergDeletes {
       col("__graft_pos").as("pos"),
       toPart(col("__graft_file")).as("__part"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // bounded: one row per partition tuple with matches
-      val perPart = matched.groupBy("__part").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      if (perPart.isEmpty) return current
+    try commitDeltaCore(spark, table, tablePath, matched, partTuples,
+      specEvolved, newFiles = Nil, metadataDir, fs, version, chain,
+      current, priorList, timestampMs)
+    finally matched.unpersist()
+  }
 
-      val newSeq = chain.map(_.sequenceNumber).max + 1
-      val snapshotId = snapshotIdFor(table, newSeq)
-      val fpMeta = new MetadataBuilder()
-        .putLong("parquet.field.id", DeleteFilePathFieldId).build()
-      val posMeta = new MetadataBuilder()
-        .putLong("parquet.field.id", DeleteFilePosFieldId).build()
-      val tupleOf = partTuples.map(_.swap)
-      val deleteFiles = perPart.toSeq.sortBy(_._1).map { case (ord, nRows) =>
-        val dir = new Path(tablePath, s"deletes/pos-$newSeq-p$ord")
-        // spec: position delete files are sorted by file_path then pos
-        matched.filter(col("__part") === ord)
-          .select(col("file_path").as("file_path", fpMeta),
-            col("pos").as("pos", posMeta))
-          .coalesce(1).sortWithinPartitions("file_path", "pos")
-          .write.mode("overwrite").parquet(dir.toString)
-        val (p, len, n) = statAndCount(dir, fs, conf)
-        assert(n == nRows)
-        DataFileInfo(p.toString, len, n, tupleOf(ord), content = 1,
-          specId = if (specEvolved) UnpartitionedSpecId else 0)
+  /** Row-level DELTA commit — the SQL UPDATE/MERGE write shape: one
+    * atomic snapshot carrying position delete files for `rowDeletes`
+    * (the (file, pos) identities [[IcebergSnapshot.readSnapshot]]'s
+    * `keepRowMeta` read surfaced — scheme-normalized paths) AND
+    * `newFiles` (updated/inserted rows, already written under
+    * `data/`). Merge-on-read: old data files are untouched; history
+    * still time-travels. With no deletes this degrades to an append
+    * commit, with no new files to a pure delete, with neither it
+    * no-ops (the no-matching-row UPDATE). The caller owns the retry
+    * unit: on a version race, re-derive BOTH inputs against the new
+    * head (see [[IcebergSnapshot.withCommitRetry]]); the loser's
+    * first-attempt files become sweepable orphans. */
+  def commitRowDelta(spark: SparkSession, table: TableDef,
+      tablePath: String, rowDeletes: DataFrame,
+      newFiles: Seq[DataFileInfo],
+      timestampMs: Long = System.currentTimeMillis()): IcebergMetadata.SnapshotMeta = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (metadataDir, fs, version, chain, current) = loadCurrent(tablePath, conf)
+    val priorList = readManifestList(new Path(current.manifestList), conf)
+    val live = liveFilesWithSeq(priorList, table, conf)
+    val specEvolved = table.partitionSpecs.nonEmpty
+    val partTuples: Map[Seq[Option[Any]], Int] =
+      if (specEvolved || live.isEmpty) Map(Seq.empty[Option[Any]] -> 0)
+      else live.map(_._1.partitionValues).distinct.zipWithIndex.toMap
+    val byKey = live.map { case (f, _) =>
+      normKey(f.path) ->
+        ((f.path, if (specEvolved) 0 else partTuples(f.partitionValues)))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(byKey)
+    val toManifestPath = udf((k: String) => bc.value.get(k).map(_._1).orNull)
+    val toPart = udf((k: String) => bc.value.get(k).map(_._2).getOrElse(-1))
+    // distinct guards double-targeted rows; a (file, pos) whose file
+    // is no longer live (a racing rewrite) drops out via the null map
+    val matched = rowDeletes
+      .select(toManifestPath(col(IcebergSnapshot.RowMetaFileCol)).as("file_path"),
+        col(IcebergSnapshot.RowMetaPosCol).as("pos"))
+      .filter(col("file_path").isNotNull)
+      .distinct()
+      .withColumn("__part", toPart(norm(col("file_path"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try commitDeltaCore(spark, table, tablePath, matched, partTuples,
+      specEvolved, newFiles, metadataDir, fs, version, chain, current,
+      priorList, timestampMs)
+    finally matched.unpersist()
+  }
+
+  /** Shared tail of [[commitPositionDeletes]] and [[commitRowDelta]]:
+    * write per-partition-ordinal position delete files from `matched`
+    * ((manifest-recorded file_path, pos, __part) rows), assemble ONE
+    * snapshot's manifests — a data manifest for `newFiles` (when any)
+    * plus a delete manifest — and commit. Returns `current` unchanged
+    * when there is nothing to commit. */
+  private def commitDeltaCore(spark: SparkSession, table: TableDef,
+      tablePath: String, matched: DataFrame,
+      partTuples: Map[Seq[Option[Any]], Int], specEvolved: Boolean,
+      newFiles: Seq[DataFileInfo],
+      metadataDir: Path, fs: FileSystem, version: Int,
+      chain: Seq[IcebergMetadata.SnapshotMeta],
+      current: IcebergMetadata.SnapshotMeta,
+      priorList: Seq[org.apache.avro.generic.GenericRecord],
+      timestampMs: Long): IcebergMetadata.SnapshotMeta = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    // bounded: one row per partition tuple with matches
+    val perPart = matched.groupBy("__part").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (perPart.isEmpty && newFiles.isEmpty) return current
+
+    val newSeq = chain.map(_.sequenceNumber).max + 1
+    val snapshotId = snapshotIdFor(table, newSeq)
+    val fpMeta = new MetadataBuilder()
+      .putLong("parquet.field.id", DeleteFilePathFieldId).build()
+    val posMeta = new MetadataBuilder()
+      .putLong("parquet.field.id", DeleteFilePosFieldId).build()
+    val tupleOf = partTuples.map(_.swap)
+    val deleteFiles = perPart.toSeq.sortBy(_._1).map { case (ord, nRows) =>
+      val dir = new Path(tablePath, s"deletes/pos-$newSeq-p$ord")
+      // spec: position delete files are sorted by file_path then pos
+      matched.filter(col("__part") === ord)
+        .select(col("file_path").as("file_path", fpMeta),
+          col("pos").as("pos", posMeta))
+        .coalesce(1).sortWithinPartitions("file_path", "pos")
+        .write.mode("overwrite").parquet(dir.toString)
+      val (p, len, n) = statAndCount(dir, fs, conf)
+      assert(n == nRows)
+      DataFileInfo(p.toString, len, n, tupleOf(ord), content = 1,
+        specId = if (specEvolved) UnpartitionedSpecId else 0)
+    }
+
+    var ordinal = priorList.size
+    val nRows = newFiles.map(_.recordCount).sum
+    val dataManifest =
+      if (newFiles.isEmpty) None
+      else {
+        val m = writeManifest(table, newFiles, metadataDir, snapshotId,
+          conf, ordinal = ordinal)
+        ordinal += 1
+        Some(m)
       }
-
-      val posSpec = if (specEvolved) UnpartitionedSpecId else 0
-      val manifest = writeManifestEntries(table,
+    val posSpec = if (specEvolved) UnpartitionedSpecId else 0
+    val nDeletes = deleteFiles.map(_.recordCount).sum
+    val deleteManifest =
+      if (deleteFiles.isEmpty) None
+      else Some(writeManifestEntries(table,
         deleteFiles.map(f => ManifestEntry(1, None, f)), metadataDir,
-        snapshotId, conf, ordinal = priorList.size, specId = posSpec)
-      val nDeletes = deleteFiles.map(_.recordCount).sum
-      val listPath = writeManifestListRows(table,
-        Seq(ManifestListRow(manifest._1.toString, manifest._2,
-          sequenceNumber = newSeq, minSequenceNumber = newSeq,
-          addedFiles = deleteFiles.size, existingFiles = 0, deletedFiles = 0,
-          addedRows = nDeletes, existingRows = 0L, deletedRows = 0L,
-          content = 1, specId = posSpec)),
-        metadataDir, snapshotId, conf, newSeq, Some(current.snapshotId),
-        priorManifests = priorList)
-      val snap = IcebergMetadata.SnapshotMeta(
-        snapshotId = snapshotId,
-        schemaId = table.schemaId,
-        timestampMs = timestampMs,
-        manifestList = listPath.toString,
-        addedFiles = 0L, addedRecords = 0L,
-        sequenceNumber = newSeq,
-        parentSnapshotId = Some(current.snapshotId),
-        totalFiles = current.cumulativeFiles,
-        totalRecords = current.cumulativeRecords,
-        operation = "delete",
-        addedDeleteFiles = deleteFiles.size.toLong,
-        addedPositionDeletes = nDeletes,
-        totalDeleteFiles = current.totalDeleteFiles + deleteFiles.size,
-        totalPositionDeletes = current.totalPositionDeletes + nDeletes,
-        totalEqualityDeletes = current.totalEqualityDeletes)
-      writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
-        chain :+ snap, timestampMs)
-      snap
-    } finally matched.unpersist()
+        snapshotId, conf, ordinal = ordinal, specId = posSpec))
+    val rows =
+      dataManifest.toSeq.map { case (p, len) =>
+        ManifestListRow(p.toString, len, newSeq, newSeq,
+          newFiles.size, 0, 0, nRows, 0L, 0L,
+          specId = IcebergMetadata.defaultSpecIdOf(table))
+      } ++
+        deleteManifest.toSeq.map { case (p, len) =>
+          ManifestListRow(p.toString, len,
+            sequenceNumber = newSeq, minSequenceNumber = newSeq,
+            addedFiles = deleteFiles.size, existingFiles = 0,
+            deletedFiles = 0,
+            addedRows = nDeletes, existingRows = 0L, deletedRows = 0L,
+            content = 1, specId = posSpec)
+        }
+    val listPath = writeManifestListRows(table, rows, metadataDir,
+      snapshotId, conf, newSeq, Some(current.snapshotId),
+      priorManifests = priorList)
+    val operation =
+      if (deleteFiles.isEmpty) "append"
+      else if (newFiles.isEmpty) "delete"
+      else "overwrite"
+    val snap = IcebergMetadata.SnapshotMeta(
+      snapshotId = snapshotId,
+      schemaId = table.schemaId,
+      timestampMs = timestampMs,
+      manifestList = listPath.toString,
+      addedFiles = newFiles.size.toLong,
+      addedRecords = nRows,
+      sequenceNumber = newSeq,
+      parentSnapshotId = Some(current.snapshotId),
+      totalFiles = current.cumulativeFiles + newFiles.size,
+      totalRecords = current.cumulativeRecords + nRows,
+      operation = operation,
+      addedDeleteFiles = deleteFiles.size.toLong,
+      addedPositionDeletes = nDeletes,
+      totalDeleteFiles = current.totalDeleteFiles + deleteFiles.size,
+      totalPositionDeletes = current.totalPositionDeletes + nDeletes,
+      totalEqualityDeletes = current.totalEqualityDeletes)
+    writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
+      chain :+ snap, timestampMs)
+    snap
   }
 
   /** Commit an upsert: the data files appended under `data/` since the

@@ -1105,9 +1105,16 @@ object IcebergSnapshot {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape)
   }
 
+  /** Read a snapshot's net rows (all row-level deletes applied).
+    * With `keepRowMeta` the result ALSO carries [[RowMetaFileCol]] /
+    * [[RowMetaPosCol]] — each surviving row's scheme-normalized data
+    * file path and in-file row position, the (file, pos) identity the
+    * row-level write faces (SQL UPDATE/MERGE) target with position
+    * deletes. Meta columns ride the scan (no extra pass). */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String,
       table: TableDef, snapshotId: Option[Long] = None,
-      pruning: Seq[IcebergPruning.ColumnBound] = Nil): org.apache.spark.sql.DataFrame = {
+      pruning: Seq[IcebergPruning.ColumnBound] = Nil,
+      keepRowMeta: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_replace}
     val conf = spark.sparkContext.hadoopConfiguration
     val (_, listRows) = resolveSnapshot(tablePath, table, snapshotId, conf)
@@ -1125,7 +1132,15 @@ object IcebergSnapshot {
         : org.apache.spark.sql.DataFrame =
       if (pruning.isEmpty) df
       else df.where(IcebergPruning.residualFilter(df, table, pruning))
-    if (files.isEmpty) return emptyShapeRead(spark, table)
+    if (files.isEmpty) {
+      val empty = emptyShapeRead(spark, table)
+      return if (!keepRowMeta) empty
+      else empty
+        .withColumn(RowMetaFileCol, org.apache.spark.sql.functions
+          .lit(null).cast(org.apache.spark.sql.types.StringType))
+        .withColumn(RowMetaPosCol, org.apache.spark.sql.functions
+          .lit(null).cast(org.apache.spark.sql.types.LongType))
+    }
     val deletes = liveDeleteFiles(listRows, conf)
     // one scan + identity restore per SPEC group: a column that is
     // directory-encoded under one spec is physical under another, so
@@ -1142,11 +1157,17 @@ object IcebergSnapshot {
         dirEncodedIdentityCols(table, sid),
         fs.map(f => (f._1.path, f._1.partitionValues)),
         castToDeclared = table.partitionSpecs.nonEmpty)
-    if (deletes.isEmpty)
+    if (deletes.isEmpty) {
+      def norm0(c: org.apache.spark.sql.Column) =
+        regexp_replace(c, "^[a-zA-Z0-9+.-]+:/+", "/")
       withResidual(files.groupBy(_._1.specId).toSeq.sortBy(_._1)
-        .map { case (sid, fs) => scanRestored(sid, fs, withRowMeta = false) }
+        .map { case (sid, fs) =>
+          val df = scanRestored(sid, fs, withRowMeta = keepRowMeta)
+          if (keepRowMeta) df.withColumn(RowMetaFileCol, norm0(col(RowMetaFileCol)))
+          else df
+        }
         .reduce(_ unionByName _))
-    else {
+    } else {
       val colOfId = table.fieldIdOf.map(_.swap)
       def norm(c: org.apache.spark.sql.Column) =
         regexp_replace(c, "^[a-zA-Z0-9+.-]+:/+", "/")
@@ -1177,7 +1198,7 @@ object IcebergSnapshot {
           val cond = keyCols.map(k => df(k) <=> del(k)).reduce(_ && _)
           df = df.join(del, cond, "left_anti")
         }
-        df.drop("__graft_file", "__graft_pos")
+        if (keepRowMeta) df else df.drop("__graft_file", "__graft_pos")
       }.reduce(_ unionByName _))
     }
   }

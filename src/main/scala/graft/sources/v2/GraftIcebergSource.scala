@@ -305,6 +305,12 @@ private[v2] class GraftIcebergTable(path: String, tdef: TableDef,
     with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
+  // the row-level rewrite (GraftRowLevelRewrite) reads these to build
+  // its UPDATE/MERGE commands over the same write machinery
+  private[v2] def tablePath0: String = path
+  private[v2] def tableDef0: TableDef = tdef
+  private[v2] def timeTravelId0: Option[Long] = snapshotId
+
   override def name(): String = s"graft-iceberg.`$path`"
 
   override def schema(): StructType =
