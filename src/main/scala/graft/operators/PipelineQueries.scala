@@ -1178,6 +1178,101 @@ object PipelineQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** SQL `MERGE INTO` under the hard oracle — the daily CDC-upsert
+    * write shape ([[graft.sources.v2.GraftRowLevelRewrite]]): the
+    * target holds the 75% keyslice (k % 4 ≠ 3), the source derives a
+    * change batch from every k % 3 = 0 key (deletes for k % 6 = 0,
+    * updates otherwise, inserts for the target-absent keys), and ONE
+    * MERGE statement applies all three action kinds as a single
+    * merge-on-read delta snapshot. The read-back aggregate must equal
+    * DuckDB computing the merged state arithmetically from the raw
+    * parquet. Runs in the build phase only (DML is not idempotent);
+    * a marker file gates re-runs. */
+  def q111Merge(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graftmrg_${Integer.toHexString(dir.hashCode)}"
+    val (wh, built) = amortizedIndexPath(s, dir, "iceberg_sql_merge",
+      p => new java.io.File(p, "_built_merge").isFile, table = "orders")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftIcebergCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    if (!built) {
+      s.sql(
+        s"""CREATE TABLE $cat.orders_mrg (
+           |  O_ORDERKEY BIGINT NOT NULL,
+           |  O_ORDERSTATUS STRING,
+           |  O_TOTALPRICE DOUBLE
+           |) PARTITIONED BY (O_ORDERSTATUS)""".stripMargin)
+      t(s, dir, "orders").createOrReplaceTempView("orders_src_q111")
+      s.sql(
+        s"""INSERT INTO $cat.orders_mrg
+           |SELECT o_orderkey, o_orderstatus, o_totalprice
+           |FROM orders_src_q111 WHERE o_orderkey % 4 <> 3""".stripMargin)
+      s.sql(
+        s"""MERGE INTO $cat.orders_mrg t
+           |USING (SELECT o_orderkey AS k,
+           |         o_orderkey * 10.0 AS new_price,
+           |         o_orderkey * 5.0 AS ins_price
+           |       FROM orders_src_q111 WHERE o_orderkey % 3 = 0) s
+           |ON t.O_ORDERKEY = s.k
+           |WHEN MATCHED AND s.k % 6 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET O_TOTALPRICE = s.new_price
+           |WHEN NOT MATCHED THEN
+           |  INSERT (O_ORDERKEY, O_ORDERSTATUS, O_TOTALPRICE)
+           |  VALUES (s.k, 'N', s.ins_price)""".stripMargin)
+      java.nio.file.Files.write(
+        new java.io.File(wh, "_built_merge").toPath, "1\n".getBytes("UTF-8"))
+      ()
+    }
+    s.sql(
+      s"""SELECT O_ORDERSTATUS AS status, count(*) AS n_rows,
+         |  CAST(sum(O_ORDERKEY) AS BIGINT) AS sum_keys,
+         |  round(CAST(sum(CAST(O_TOTALPRICE AS DECIMAL(28,4)))
+         |    AS DOUBLE), 2) AS sum_price
+         |FROM $cat.orders_mrg
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** SQL `UPDATE` under the hard oracle: a conditioned in-place
+    * rewrite (k % 5 = 2 within one partition) commits one delta
+    * snapshot; the read-back aggregate must equal DuckDB applying the
+    * same arithmetic to the raw parquet. The no-matching-row and
+    * empty-table no-op legs live in RowLevelSpec. */
+  def q112SqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graftupd_${Integer.toHexString(dir.hashCode)}"
+    val (wh, built) = amortizedIndexPath(s, dir, "iceberg_sql_update",
+      p => new java.io.File(p, "_built_update").isFile, table = "orders")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftIcebergCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    if (!built) {
+      s.sql(
+        s"""CREATE TABLE $cat.orders_upd (
+           |  O_ORDERKEY BIGINT NOT NULL,
+           |  O_ORDERSTATUS STRING,
+           |  O_TOTALPRICE DOUBLE
+           |) PARTITIONED BY (O_ORDERSTATUS)""".stripMargin)
+      t(s, dir, "orders").createOrReplaceTempView("orders_src_q112")
+      s.sql(
+        s"""INSERT INTO $cat.orders_upd
+           |SELECT o_orderkey, o_orderstatus, o_totalprice
+           |FROM orders_src_q112""".stripMargin)
+      s.sql(
+        s"""UPDATE $cat.orders_upd
+           |SET O_TOTALPRICE = O_TOTALPRICE * 2.0 + 1.0
+           |WHERE O_ORDERSTATUS = 'O' AND O_ORDERKEY % 5 = 2""".stripMargin)
+      java.nio.file.Files.write(
+        new java.io.File(wh, "_built_update").toPath, "1\n".getBytes("UTF-8"))
+      ()
+    }
+    s.sql(
+      s"""SELECT O_ORDERSTATUS AS status, count(*) AS n_rows,
+         |  CAST(sum(O_ORDERKEY) AS BIGINT) AS sum_keys,
+         |  round(CAST(sum(CAST(O_TOTALPRICE AS DECIMAL(28,4)))
+         |    AS DOUBLE), 2) AS sum_price
+         |FROM $cat.orders_upd
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Per-label embedding statistics: count and L2-norm rollups — the
     * quick corpus-health check before ANN indexing (degenerate or
     * unnormalized embedding batches show up as norm outliers). Norms
@@ -3741,6 +3836,39 @@ object PipelineQueries {
         |FROM orders
         |WHERE NOT (o_orderstatus = 'O' AND o_orderkey < 5000)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // SQL MERGE INTO reconstructed arithmetically: the 75% keyslice
+    // target, minus the k%6=0 matched deletes, with k%3=0 matched
+    // updates re-priced, plus the target-absent k%3=0 inserts under
+    // status 'N'
+    "q111_merge" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey % 4 <> 3),
+        |u AS (
+        |  SELECT k, st,
+        |    CASE WHEN k % 3 = 0 THEN k * 10.0 ELSE p END AS p
+        |  FROM t WHERE NOT (k % 3 = 0 AND k % 6 = 0)),
+        |ins AS (
+        |  SELECT o_orderkey AS k, 'N' AS st, o_orderkey * 5.0 AS p
+        |  FROM orders
+        |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 4 = 3),
+        |allr AS (
+        |  SELECT * FROM u UNION ALL SELECT * FROM ins)
+        |SELECT st AS status, count(*) AS n_rows,
+        |  CAST(sum(k) AS BIGINT) AS sum_keys,
+        |  round(CAST(sum(CAST(p AS DECIMAL(28,4))) AS DOUBLE), 2)
+        |    AS sum_price
+        |FROM allr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // SQL UPDATE reconstructed arithmetically: the conditioned rows
+    // re-priced in place, everything else untouched
+    "q112_sql_update" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |  round(CAST(sum(CAST(
+        |    CASE WHEN o_orderstatus = 'O' AND o_orderkey % 5 = 2
+        |      THEN o_totalprice * 2.0 + 1.0 ELSE o_totalprice END
+        |    AS DECIMAL(28,4))) AS DOUBLE), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the partitions metadata table must equal DuckDB recomputing the
     // day() and truncate(2) transforms arithmetically from raw parquet
     "q110_partitions_meta" ->
@@ -3937,6 +4065,8 @@ object PipelineQueries {
     "q108_hidden_partitioning" -> (q108HiddenPartitioning _),
     "q109_sql_delete" -> (q109SqlDelete _),
     "q110_partitions_meta" -> (q110PartitionsMeta _),
+    "q111_merge" -> (q111Merge _),
+    "q112_sql_update" -> (q112SqlUpdate _),
     "q70c_clustered_dedup" -> (q70cClusteredDedup _),
     "q71_phrase_search" -> (q71PhraseSearch _),
     "q71_indexed" -> (q71PhraseSearchIndexed _),
