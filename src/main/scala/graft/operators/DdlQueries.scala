@@ -92,6 +92,18 @@ object DdlQueries {
       }.toDF("script_id", "table_pos", "ddl", "ewi")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$DdlRowsRoot/rendered")
+      // the S8 REPORT SINKS' paginated lines (assessment + conversion
+      // reports, fixed timestamp): the per-script ordered-concat
+      // SHA-256 twins above them give the two render sinks a direct
+      // DuckDB hash anchor (the line text itself stays golden-pinned
+      // byte-identically to the reference's generate_*_pdf)
+      Engine.reportLines(db2Scripts(s, 8), generatedAt = "2026-01-01 00:00:00")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$DdlRowsRoot/report_lines")
+      Engine.conversionReportLines(db2Scripts(s, 8),
+          generatedAt = "2026-01-01 00:00:00")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$DdlRowsRoot/conv_report_lines")
       // the Snowflake path's per-table rendered rows (P11-P16 parse +
       // M18-M20 render map-side); the A11-A12 per-script rollup above
       // them carries the hash oracle
@@ -152,6 +164,39 @@ object DdlQueries {
             x => x.getField("ddl"))), 256).as("ddl_sha"),
         sum(col("ewi")).cast("int").as("ewi_count"),
         count(lit(1)).cast("int").as("tables_converted"))
+      .orderBy("script_id")
+  }
+
+  /** S8's assessment-report sink under the hash oracle: per-script
+    * SHA-256 over the line_no-ordered concat of the paginated report
+    * text — DuckDB recomputes the same hash over the same parquet, so
+    * the render sink's END-TO-END bytes carry a direct anchor beside
+    * the golden pinning. */
+  def ddlReportAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = ddlRowsDir(s)
+    s.read.parquet(s"$root/report_lines")
+      .groupBy("script_id")
+      .agg(
+        sha2(concat_ws("\n",
+          transform(
+            array_sort(collect_list(struct(col("line_no"), col("line")))),
+            x => x.getField("line"))), 256).as("report_sha"),
+        count(lit(1)).cast("int").as("n_lines"))
+      .orderBy("script_id")
+  }
+
+  /** The conversion-report sink's hash anchor (same machinery as
+    * [[ddlReportAgg]] over the conversion report's lines). */
+  def ddlConversionReportAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = ddlRowsDir(s)
+    s.read.parquet(s"$root/conv_report_lines")
+      .groupBy("script_id")
+      .agg(
+        sha2(concat_ws("\n",
+          transform(
+            array_sort(collect_list(struct(col("line_no"), col("line")))),
+            x => x.getField("line"))), 256).as("report_sha"),
+        count(lit(1)).cast("int").as("n_lines"))
       .orderBy("script_id")
   }
 
@@ -342,6 +387,8 @@ object DdlQueries {
     "ddl_features_agg" -> (ddlFeaturesAgg _),
     "ddl_convert_agg" -> (ddlConvertAgg _),
     "sf_convert_agg" -> (sfConvertAgg _),
+    "ddl_report_agg" -> (ddlReportAgg _),
+    "ddl_conversion_report_agg" -> (ddlConversionReportAgg _),
   )
 
   /** Hash oracles for the aggregate layer: DuckDB recomputes the SAME
@@ -454,6 +501,22 @@ object DdlQueries {
            |  CAST(sum(graphic_columns) AS INT) AS graphic_columns,
            |  CAST(sum(lob_columns) AS INT) AS lob_columns
            |FROM read_parquet('$root/features/*.parquet')
+           |GROUP BY script_id
+           |ORDER BY script_id""".stripMargin,
+      "ddl_report_agg" ->
+        s"""SELECT script_id,
+           |  sha256(string_agg(line, chr(10) ORDER BY line_no))
+           |    AS report_sha,
+           |  CAST(count(*) AS INT) AS n_lines
+           |FROM read_parquet('$root/report_lines/*.parquet')
+           |GROUP BY script_id
+           |ORDER BY script_id""".stripMargin,
+      "ddl_conversion_report_agg" ->
+        s"""SELECT script_id,
+           |  sha256(string_agg(line, chr(10) ORDER BY line_no))
+           |    AS report_sha,
+           |  CAST(count(*) AS INT) AS n_lines
+           |FROM read_parquet('$root/conv_report_lines/*.parquet')
            |GROUP BY script_id
            |ORDER BY script_id""".stripMargin,
     )

@@ -1242,6 +1242,18 @@ object IcebergSnapshot {
     * on this, not on version-hint existence, so a crash inside
     * bootstrap replays into a fresh bootstrap instead of a permanent
     * increment-on-nothing livelock. */
+  // (canonical table path) → (metadata version, its MAIN-head id):
+  // v$N.metadata.json is IMMUTABLE once exclusively created (the
+  // commit point), so (path, version) → head is a pure function and
+  // an UNCHANGED table resolves in O(1) — one hint stat+read, no
+  // chain parse. This is what keeps a streaming source's per-trigger
+  // getOffset flat in commit count regardless of retention policy
+  // (pre-cache: the full chain parsed every poll, measured e≈0.98 in
+  // the r13 metadata-plane probe). One entry per table; a version
+  // bump overwrites it, so memory is O(live tables).
+  private val headIdCache = new java.util.concurrent.ConcurrentHashMap[
+    String, ((Int, Long, Long), Option[Long])]()
+
   def currentSnapshotId(tablePath: String,
       conf: Configuration = new Configuration()): Option[Long] = {
     val metadataDir = new Path(tablePath, "metadata")
@@ -1249,9 +1261,21 @@ object IcebergSnapshot {
     val fs = FileSystem.get(hint.toUri, conf)
     if (!fs.exists(hint)) return None
     val version = readVersionHint(metadataDir, conf)
-    val metaText = readText(
-      new Path(metadataDir, s"v$version.metadata.json"), conf)
-    currentSnapshotOf(metaText, parseSnapshots(metaText)).map(_.snapshotId)
+    val metaFile = new Path(metadataDir, s"v$version.metadata.json")
+    // validity token beyond the version number: a table DROPPED and
+    // RECREATED at the same path restarts its version count, so the
+    // file's (length, mtime) guards against serving the old table's
+    // head — still one stat, still O(1)
+    val st = fs.getFileStatus(metaFile)
+    val token = (version, st.getLen, st.getModificationTime)
+    val key = fs.makeQualified(new Path(tablePath)).toString
+    val cached = headIdCache.get(key)
+    if (cached != null && cached._1 == token) return cached._2
+    val metaText = readText(metaFile, conf)
+    val head =
+      currentSnapshotOf(metaText, parseSnapshots(metaText)).map(_.snapshotId)
+    headIdCache.put(key, (token, head))
+    head
   }
 
   /** The CURRENT table properties (spec string→string map). */

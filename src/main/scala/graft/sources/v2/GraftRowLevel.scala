@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, Unresol
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, ExprId, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.graft.GraftSparkInternals
+import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.{col, lit, when}
@@ -142,7 +142,7 @@ private[v2] object GraftRowLevelExec {
     * (by exprId) to its positional `__t_i` / `__s_i` column, then the
     * expression re-resolves against the working DataFrame. */
   private def remap(e: Expression, byId: Map[ExprId, String]): Column =
-    GraftSparkInternals.column(e.transform {
+    ColumnBridge.column(e.transform {
       case a: AttributeReference if byId.contains(a.exprId) =>
         UnresolvedAttribute(Seq(byId(a.exprId)))
     })
@@ -251,7 +251,7 @@ private[v2] object GraftRowLevelExec {
         case (a, i) => col(netColOf(net, a)).as(s"__t_$i")
       } ++ Seq(col(FileCol), col(PosCol),
         lit(true).as("__t_present")): _*)
-      val sourceDf = GraftSparkInternals.ofRows(spark, source)
+      val sourceDf = PlanBridge.ofRows(spark, source)
       val sRenamed = sourceDf.toDF(sOut.indices.map(i => s"__s_$i"): _*)
         .withColumn("__s_present", lit(true))
       // the join keeps exactly the rows some action group can claim:

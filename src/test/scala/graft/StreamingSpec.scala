@@ -1642,6 +1642,71 @@ class StreamingSpec extends AnyFunSuite {
         s"distinct) of ${want.size}")
   }
 
+  test("Trigger.AvailableNow bounded catch-up: a multi-commit backfill " +
+      "equals the batch read and TERMINATES; a second run drains only " +
+      "the new commits; a staged WAP branch stays invisible") {
+    // the batch-onboarding face every deployment runs first: backfill
+    // the table's existing history to current, then stop — Spark wraps
+    // the V1 source (AvailableNowSourceWrapper) pinning the end offset
+    // at start, so commits landing DURING the run wait for the next one
+    import graft.api.SchemaTranslator
+    import graft.parse.Db2Parser
+    val table = Db2Parser.parse(
+      """CREATE TABLE S.AVNOW (
+        |  K BIGINT NOT NULL,
+        |  V VARCHAR(10)
+        |);""".stripMargin).tables.head
+    val out = Files.createTempDirectory("iceberg_avnow").toString
+    val ckpt = Files.createTempDirectory("iceberg_avnow_ckpt").toString
+    def df(ks: Range) = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("K", LongType, nullable = false),
+        StructField("V", StringType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(ks.map(k =>
+          org.apache.spark.sql.Row(k.toLong, s"v$k")), 1), schema)
+    }
+    SchemaTranslator.migrateTable(df(1 to 3), table, out)
+    SchemaTranslator.appendIncrement(df(4 to 6), table, out)
+    SchemaTranslator.appendIncrement(df(7 to 9), table, out)
+    // a staged (unpublished) WAP batch must not surface in the catch-up
+    SchemaTranslator.stageAppendToBranch(df(90 to 91), table, out, "wap")
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    def runOnce(): Unit = {
+      // the WAP staging conf is a WRITE-side guard; a bounded catch-up
+      // READ under it must still work (and still see only main)
+      spark.conf.set("graft.wap.branch", "wap")
+      try {
+        val q = spark.readStream.format("graft-iceberg").load(out)
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.select("K").collect().foreach(r => seen.add(r.getLong(0)))
+            ()
+          }.start()
+        // AvailableNow must terminate BY ITSELF once caught up
+        assert(q.awaitTermination(120000),
+          "AvailableNow run did not terminate after draining the backlog")
+      } finally spark.conf.unset("graft.wap.branch")
+    }
+    runOnce()
+    assert(seen.iterator().asScala.toSeq.sorted === (1L to 9L),
+      "catch-up = the full committed history, staged branch excluded")
+    // stream total == the batch read of the same table
+    val batch = graft.sources.IcebergSnapshot.readSnapshot(spark, out, table)
+      .select("K").collect().map(_.getLong(0)).toSeq
+    assert(seen.iterator().asScala.toSeq.sorted === batch.sorted)
+
+    // new commits while the stream is DOWN: the next bounded run
+    // drains exactly them, then terminates again
+    SchemaTranslator.appendIncrement(df(10 to 12), table, out)
+    runOnce()
+    assert(seen.iterator().asScala.toSeq.sorted === (1L to 12L),
+      "second AvailableNow run must drain only the new commits")
+  }
+
   test("session_window batch agg: gap merge semantics") {
     import spark.implicits._
     val data = Seq(
