@@ -1232,6 +1232,79 @@ object PipelineQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** STORAGE-PARTITIONED JOIN under the hard oracle: two catalog
+    * tables bucketed by `bucket(16, O_ORDERKEY)` hold overlapping
+    * order slices; with Spark's v2 bucketing enabled their key join
+    * plans with ZERO shuffle exchanges (the key-grouped batch scan
+    * reports `KeyGroupedPartitioning`, `bucket` resolves through the
+    * catalog's FunctionCatalog) — the audit arrives as a Spark-side
+    * boolean, and the aggregate is COLLECTED from the shuffle-free
+    * execution itself, so the hash compare pins the exchanged and
+    * exchange-free plans to the same rows. At 100 TB this is the
+    * fact-to-fact join without the exchange. */
+  def q113SpjJoin(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graftspj_${Integer.toHexString(dir.hashCode)}"
+    val (wh, built) = amortizedIndexPath(s, dir, "iceberg_spj",
+      p => new java.io.File(p, "_built_spj").isFile, table = "orders")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftIcebergCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    if (!built) {
+      t(s, dir, "orders").createOrReplaceTempView("orders_src_q113")
+      s.sql(
+        s"""CREATE TABLE $cat.spj_a (
+           |  O_ORDERKEY BIGINT NOT NULL, PA DOUBLE
+           |) PARTITIONED BY (bucket(16, O_ORDERKEY))""".stripMargin)
+      s.sql(
+        s"""INSERT INTO $cat.spj_a
+           |SELECT o_orderkey, o_totalprice FROM orders_src_q113
+           |WHERE o_orderkey % 4 <> 3""".stripMargin)
+      s.sql(
+        s"""CREATE TABLE $cat.spj_b (
+           |  O_ORDERKEY BIGINT NOT NULL, PB DOUBLE
+           |) PARTITIONED BY (bucket(16, O_ORDERKEY))""".stripMargin)
+      s.sql(
+        s"""INSERT INTO $cat.spj_b
+           |SELECT o_orderkey, o_totalprice * 0.5 FROM orders_src_q113
+           |WHERE o_orderkey % 3 <> 2""".stripMargin)
+      java.nio.file.Files.write(
+        new java.io.File(wh, "_built_spj").toPath, "1\n".getBytes("UTF-8"))
+      ()
+    }
+    // flip the SPJ confs, run the join SHUFFLE-FREE, audit the plan,
+    // restore — the returned row is built from the collected result
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+    val prior = keys.map(k => k -> s.conf.getOption(k))
+    keys.zip(Seq("true", "true", "-1", "false")).foreach {
+      case (k, v) => s.conf.set(k, v)
+    }
+    try {
+      val join = s.sql(
+        s"""SELECT a.O_ORDERKEY AS k, a.PA + b.PB AS p
+           |FROM $cat.spj_a a JOIN $cat.spj_b b
+           |ON a.O_ORDERKEY = b.O_ORDERKEY""".stripMargin)
+      val plan = join.queryExecution.executedPlan
+      val spjOk = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.isEmpty && plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.size == 2
+      val row = join.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("k")).cast("bigint").as("sum_keys"),
+        round(sum(col("p").cast("decimal(28,4)")).cast("double"), 2)
+          .as("sum_price")).collect()(0)
+      import s.implicits._
+      Seq((row.getLong(0), row.getLong(1), row.getDouble(2), spjOk))
+        .toDF("n_rows", "sum_keys", "sum_price", "spj_ok")
+    } finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** SQL `UPDATE` under the hard oracle: a conditioned in-place
     * rewrite (k % 5 = 2 within one partition) commits one delta
     * snapshot; the read-back aggregate must equal DuckDB applying the
@@ -3869,6 +3942,22 @@ object PipelineQueries {
         |      THEN o_totalprice * 2.0 + 1.0 ELSE o_totalprice END
         |    AS DECIMAL(28,4))) AS DOUBLE), 2) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the storage-partitioned join's rows reconstructed relationally:
+    // DuckDB joins the same slices; the shuffle-free-plan audit
+    // arrives as the Spark-side boolean
+    "q113_spj_join" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS pa
+        |  FROM orders WHERE o_orderkey % 4 <> 3),
+        |b AS (
+        |  SELECT o_orderkey AS k, o_totalprice * 0.5 AS pb
+        |  FROM orders WHERE o_orderkey % 3 <> 2)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(a.k) AS BIGINT) AS sum_keys,
+        |  round(CAST(sum(CAST(a.pa + b.pb AS DECIMAL(28,4)))
+        |    AS DOUBLE), 2) AS sum_price,
+        |  true AS spj_ok
+        |FROM a JOIN b ON a.k = b.k""".stripMargin,
     // the partitions metadata table must equal DuckDB recomputing the
     // day() and truncate(2) transforms arithmetically from raw parquet
     "q110_partitions_meta" ->
@@ -4067,6 +4156,7 @@ object PipelineQueries {
     "q110_partitions_meta" -> (q110PartitionsMeta _),
     "q111_merge" -> (q111Merge _),
     "q112_sql_update" -> (q112SqlUpdate _),
+    "q113_spj_join" -> (q113SpjJoin _),
     "q70c_clustered_dedup" -> (q70cClusteredDedup _),
     "q71_phrase_search" -> (q71PhraseSearch _),
     "q71_indexed" -> (q71PhraseSearchIndexed _),

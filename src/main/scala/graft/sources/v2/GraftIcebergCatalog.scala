@@ -42,7 +42,8 @@ import graft.sources.{IcebergMetadata, IcebergSnapshot, IcebergTableLoader}
   * freshly created table reads as zero rows immediately (the same
   * legal empty-snapshot state delete-everything compaction produces)
   * and the first INSERT is an ordinary increment. */
-class GraftIcebergCatalog extends TableCatalog with SupportsNamespaces {
+class GraftIcebergCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -234,6 +235,23 @@ class GraftIcebergCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException(
       "rename would break the absolute paths recorded in manifests; " +
         "copy via CREATE + INSERT INTO ... SELECT instead")
+
+  // --------------------------------------------------------- functions
+  // the SPJ resolution surface: scans reporting KeyGroupedPartitioning
+  // (bucket transforms) resolve `bucket` through the table's catalog
+
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty)
+      GraftFunctions.names.map(Identifier.of(Array.empty[String], _))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    (if (ident.namespace().isEmpty) GraftFunctions.load(ident.name())
+    else None).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
 
   // -------------------------------------------------------- namespaces
 

@@ -461,8 +461,21 @@ private[v2] class GraftIcebergScanBuilder(path: String, tdef: TableDef,
       else StructType(fields)
   }
 
-  override def build(): Scan =
-    new GraftIcebergScan(path, tdef, snapshotId, required, pushed)
+  override def build(): Scan = {
+    // storage-partitioned-join path: when the session has SPJ enabled
+    // and the layout qualifies (single bucket spec, no deletes, no
+    // evolution), serve the key-grouped native batch scan so
+    // bucket-aligned joins skip their exchanges; everything else —
+    // including SPJ-ineligible layouts under the same conf — rides
+    // the general V1 delegating scan
+    val spark = SparkSession.active
+    val spj = spark.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+    (if (spj) GraftSpj.tryBuild(spark, path, tdef, snapshotId, required,
+      pushed) else None)
+      .getOrElse(new GraftIcebergScan(path, tdef, snapshotId, required,
+        pushed))
+  }
 }
 
 private[v2] class GraftIcebergScan(path: String, tdef: TableDef,

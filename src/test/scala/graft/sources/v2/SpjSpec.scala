@@ -1,0 +1,124 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-partitioned joins on the DSv2 catalog face: two bucket(16)
+  * tables joined on the bucket key must plan with ZERO shuffle
+  * exchanges on the table sides (KeyGroupedPartitioning reported by
+  * the key-grouped batch scan, `bucket` resolved through the
+  * catalog's FunctionCatalog), and the shuffle-free result must equal
+  * the exchanged plan's result exactly. Gate fallbacks (deletes
+  * present, non-bucket layout, conf off) ride the V1 scan. */
+class SpjSpec extends AnyFunSuite {
+
+  private lazy val warehouse =
+    java.nio.file.Files.createTempDirectory("graft_spj_warehouse").toString
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("spj-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.catalog.graft",
+        "graft.sources.v2.GraftIcebergCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse)
+      // the SPJ trio: v2 bucketing on, padding for mismatched
+      // partition-value sets, no broadcast short-circuit, AQE off so
+      // the asserted plan IS the executed plan
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.api.GraftExtensions)
+      .create()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    s.sql(
+      """CREATE TABLE graft.db.fact_a (
+        |  k BIGINT NOT NULL, va DOUBLE
+        |) PARTITIONED BY (bucket(16, k))""".stripMargin)
+    s.sql("INSERT INTO graft.db.fact_a " +
+      "SELECT id AS k, id * 1.5 AS va FROM range(0, 400)")
+    s.sql(
+      """CREATE TABLE graft.db.fact_b (
+        |  k BIGINT NOT NULL, vb DOUBLE
+        |) PARTITIONED BY (bucket(16, k))""".stripMargin)
+    s.sql("INSERT INTO graft.db.fact_b " +
+      "SELECT id AS k, id * 2.0 AS vb FROM range(200, 600)")
+    s
+  }
+
+  private val joinSql =
+    """SELECT a.k, a.va, b.vb
+      |FROM graft.db.fact_a a JOIN graft.db.fact_b b ON a.k = b.k""".stripMargin
+
+  private def shuffleCount(plan: org.apache.spark.sql.execution.SparkPlan): Int =
+    plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size
+
+  test("bucket-aligned join plans shuffle-free and matches the " +
+      "exchanged plan's rows exactly") {
+    val df = spark.sql(joinSql)
+    val plan = df.queryExecution.executedPlan
+    assert(shuffleCount(plan) === 0,
+      s"expected ZERO exchanges on the bucket-aligned join, got:\n$plan")
+    assert(plan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.size === 2, s"both sides must be native batch scans:\n$plan")
+    val spj = df.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+
+    // the SAME query through the general (V1, exchanged) path
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    try {
+      val df2 = spark.sql(joinSql)
+      assert(shuffleCount(df2.queryExecution.executedPlan) > 0,
+        "the fallback plan should exchange (this guards the comparison)")
+      val shuffled = df2.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+      assert(spj.toSeq === shuffled.toSeq,
+        "shuffle-free and exchanged plans must agree row-for-row")
+      assert(spj.length === 200, "join covers the overlapping keyslice")
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+  }
+
+  test("bucket-aligned AGGREGATION also skips its exchange") {
+    // groupBy the bucket key over one table: KeyGroupedPartitioning
+    // satisfies the aggregation's clustered distribution too
+    val agg = spark.sql(
+      "SELECT k, sum(va) AS s FROM graft.db.fact_a GROUP BY k")
+    assert(shuffleCount(agg.queryExecution.executedPlan) === 0,
+      s"group-by-bucket-key should ride the key-grouped partitioning:\n" +
+        s"${agg.queryExecution.executedPlan}")
+    assert(agg.collect().length === 400)
+  }
+
+  test("the gate falls back (V1 scan, exchanges) when row-level deletes " +
+      "exist, and results stay exact") {
+    spark.sql("DELETE FROM graft.db.fact_b WHERE k >= 580")
+    val df = spark.sql(joinSql)
+    // fact_b carries delete files now → its side must fall back to the
+    // V1 scan; fact_a legitimately stays key-grouped
+    assert(df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.forall(_.toString.contains("fact_a")),
+      "delete files present: fact_b's key-grouped scan must step aside")
+    assert(df.collect().length === 200, "deleted keys were outside the overlap")
+    // a delete INSIDE the overlap flows through the fallback read
+    spark.sql("DELETE FROM graft.db.fact_b WHERE k < 210")
+    assert(spark.sql(joinSql).collect().length === 190)
+  }
+
+  test("SELECT bucket(16, k) through the catalog equals the writer's " +
+      "transform (the audit face SPJ compatibility rests on)") {
+    val rows = spark.sql(
+      "SELECT k, graft.bucket(16, k) AS b FROM graft.db.fact_a LIMIT 50")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) ===
+        graft.functions.IcebergBucketUtil.bucketLong(r.getLong(0), 16))
+    }
+  }
+}
