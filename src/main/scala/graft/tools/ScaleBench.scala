@@ -27,6 +27,19 @@ import org.apache.spark.sql.functions._
   * pointing at the sf0.1 fixture dir (default) and the slice cached
   * under java.io.tmpdir keyed by the base dir.
   */
+/** Tallies shuffle WRITE bytes across tasks — the probe-visible
+  * shuffle mass of one query run ([[ScaleBench]]'s SPJ probe). */
+private[tools] class SpjShuffleTally
+    extends org.apache.spark.scheduler.SparkListener {
+  val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  def reset(): Unit = bytes.set(0L)
+  override def onTaskEnd(
+      e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) { bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+  }
+}
+
 object ScaleBench {
 
   /** The probe set: the verdict's "heaviest pipeline queries" list,
@@ -234,6 +247,88 @@ object ScaleBench {
     }
     (samples.map(_._1).min, samples.head._2, samples.head._3,
       samples.map(_._4).min, samples.head._5)
+  }
+
+  /** STORAGE-PARTITIONED-JOIN probe: two bucket(16, k) catalog tables
+    * holding overlapping order slices (scaled ×factor), joined on the
+    * bucket key with Spark's v2 bucketing ON (key-grouped scans, zero
+    * exchanges) vs OFF (the general path + hash exchanges on both
+    * sides). Reports seconds, exchange counts and the SHUFFLE WRITE
+    * BYTES each mode moved — the mass the SPJ face deletes from a
+    * fact-to-fact join, measured at two scales. */
+  private def spjProbe(spark: SparkSession, baseDir: String, factor: Int,
+      reps: Int): Map[String, Double] = {
+    val cat = s"spjscale${factor}x"
+    val wh = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_scale_spj_${factor}x_" +
+        Integer.toHexString(baseDir.hashCode)).getAbsolutePath
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftIcebergCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val done = new java.io.File(wh, "_DONE")
+    if (!done.isFile) {
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      spark.read.parquet(s"$baseDir/orders.parquet")
+        .crossJoin(spark.range(factor.toLong).toDF("r"))
+        .select((col("o_orderkey") * factor + col("r")).as("k"),
+          col("o_totalprice").as("p"))
+        .createOrReplaceTempView(s"spj_src_$factor")
+      spark.sql(s"""CREATE TABLE $cat.db.spj_a (
+        |  K BIGINT NOT NULL, PA DOUBLE
+        |) PARTITIONED BY (bucket(16, K))""".stripMargin)
+      spark.sql(s"INSERT INTO $cat.db.spj_a " +
+        s"SELECT k, p FROM spj_src_$factor WHERE k % 4 <> 3")
+      spark.sql(s"""CREATE TABLE $cat.db.spj_b (
+        |  K BIGINT NOT NULL, PB DOUBLE
+        |) PARTITIONED BY (bucket(16, K))""".stripMargin)
+      spark.sql(s"INSERT INTO $cat.db.spj_b " +
+        s"SELECT k, p * 0.5 FROM spj_src_$factor WHERE k % 3 <> 2")
+      java.nio.file.Files.write(done.toPath, "1\n".getBytes("UTF-8"))
+      ()
+    }
+    val joinSql =
+      s"""SELECT a.K AS k, a.PA + b.PB AS v
+         |FROM $cat.db.spj_a a JOIN $cat.db.spj_b b ON a.K = b.K""".stripMargin
+    val tally = new SpjShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    def runMode(on: Boolean): (Double, Double, Double, Double) = {
+      val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      val prior = keys.map(k => k -> spark.conf.getOption(k))
+      keys.zip(Seq(on.toString, "true", "-1", "false")).foreach {
+        case (k, v) => spark.conf.set(k, v)
+      }
+      try {
+        val samples = (0 until reps).map { _ =>
+          spark.catalog.clearCache()
+          tally.reset()
+          val df = spark.sql(joinSql)
+          val t0 = System.nanoTime()
+          val n = df.agg(count(lit(1)), sum(col("v"))).collect()(0).getLong(0)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val exchanges = df.queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+          }.size
+          Thread.sleep(500) // listener bus settles
+          (sec, exchanges.toDouble, tally.bytes.get / 1e6, n.toDouble)
+        }
+        (samples.map(_._1).min, samples.head._2,
+          samples.map(_._3).max, samples.head._4)
+      } finally prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    try {
+      val (secOn, exOn, mbOn, nOn) = runMode(on = true)
+      val (secOff, exOff, mbOff, nOff) = runMode(on = false)
+      require(nOn == nOff, s"SPJ row drift: $nOn vs $nOff")
+      Map("sec_on" -> secOn, "sec_off" -> secOff,
+        "exchanges_on" -> exOn, "exchanges_off" -> exOff,
+        "shuffle_mb_on" -> mbOn, "shuffle_mb_off" -> mbOff,
+        "join_rows" -> nOn)
+    } finally spark.sparkContext.removeSparkListener(tally)
   }
 
   /** METADATA-plane scale probe: a table with `n` commits (one tiny
@@ -518,6 +613,8 @@ object ScaleBench {
     val ice1 = icebergProbe(spark, baseDir, factor = 10, reps)
     val meta128 = metadataScaleProbe(spark, baseDir, n = 128, reps)
     val meta1k = metadataScaleProbe(spark, baseDir, n = 1024, reps)
+    val spj01 = spjProbe(spark, baseDir, factor = 1, reps)
+    val spj1 = spjProbe(spark, baseDir, factor = 10, reps)
     val (zaSec01, zzSec01, zaKept01, zzKept01, zLive01) =
       zorderProbe(spark, baseDir, factor = 1, reps)
     val (zaSec1, zzSec1, zaKept1, zzKept1, zLive1) =
@@ -557,6 +654,11 @@ object ScaleBench {
         s""""files_kept":[${h01._2},${h1._2}],""" +
         s""""files_live":[${h01._3},${h1._3}],""" +
         s""""week_rows":[${h01._4},${h1._4}]},""" +
+        s""""spj":{"note":"two bucket(16,k) tables joined on k at 1x and 10x: v2 bucketing ON (key-grouped scans) vs OFF (hash exchanges); shuffle_mb is measured task shuffle-write bytes — the mass SPJ deletes from a fact-to-fact join; row equality asserted in-probe",""" +
+        Seq("sec_on", "sec_off", "exchanges_on", "exchanges_off",
+          "shuffle_mb_on", "shuffle_mb_off", "join_rows").map { k =>
+          f""""$k":[${spj01(k)}%.3f,${spj1(k)}%.3f]"""
+        }.mkString(",") + "}," +
         s""""zorder":{"note":"same rows, arrival layout vs rewriteZorder(A,B), fixed 1/64 B-range predicate at 1x and 10x; kept/live audits the claim, aggregate equality asserted in-probe",""" +
         s""""files_live":[$zLive01,$zLive1],""" +
         s""""files_kept_arrival":[$zaKept01,$zaKept1],""" +
