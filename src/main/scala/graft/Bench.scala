@@ -72,7 +72,14 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)},"queries_min":${jsonMap(mins)},"sf":"$sfDir","reps":$reps}"""
-    println(json)
+    // stdout carries a COMPACT line (2-decimal medians, no min map):
+    // the driver tail-captures stdout and a 140-query double-map line
+    // truncated mid-map parses as null (the r13 artifact's "parsed":
+    // null). The FULL artifact always lands in the files below.
+    def jsonMap2(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }.mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap2(results)},"sf":"$sfDir","reps":$reps,"detail":"BENCH_full_latest.json"}""")
     // The driver captures only the TAIL of stdout; with 80+ queries the
     // single line can truncate mid-map and lose the total. Persist the
     // full JSON to a file so the grading artifact is always complete —

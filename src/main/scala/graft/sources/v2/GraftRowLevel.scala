@@ -164,6 +164,74 @@ private[v2] object GraftRowLevelExec {
         s"target column ${a.name} missing from the snapshot read " +
           s"(have: ${net.columns.mkString(", ")})"))
 
+  /** Target-side rename columns, CAST to the relation's attribute
+    * types: legacy identity-partition columns surface STRING-typed
+    * from the directory restore, and a condition comparing them under
+    * their declared type must see the declared type. */
+  private def renamedTarget(net: DataFrame, targetOutput: Seq[Attribute],
+      extra: Seq[Column]): DataFrame =
+    net.select(targetOutput.zipWithIndex.map { case (a, i) =>
+      col(netColOf(net, a)).cast(a.dataType).as(s"__t_$i")
+    } ++ extra: _*)
+
+  /** File-pruning bounds from a row-level command's condition: the
+    * conjuncts that compare a TARGET column against literals translate
+    * into the same [[graft.sources.IcebergPruning.ColumnBound]]s the
+    * read faces push — so `UPDATE ... WHERE day = X` / a MERGE whose
+    * ON clause carries a target-literal range opens only the files
+    * that can match. Best-effort and RELAXED by construction (the
+    * exact predicate re-applies row-level); untranslatable shapes
+    * contribute nothing. */
+  private[v2] def conditionBounds(cond: Expression,
+      targetOutput: Seq[Attribute], table: TableDef)
+      : Seq[graft.sources.IcebergPruning.ColumnBound] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import graft.sources.IcebergPruning
+    import graft.sources.IcebergPruning.ColumnBound
+    val nameOf = targetOutput.map(a => a.exprId -> a.name).toMap
+    def colOk(a: AttributeReference): Option[String] =
+      nameOf.get(a.exprId).flatMap(n =>
+        table.columns.map(_.name).find(_.equalsIgnoreCase(n)))
+        .filter(n => IcebergPruning.isComparableType(
+          IcebergPruning.icebergTypeOf(table, n)))
+    def ext(l: Literal): Any =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(l.value, l.dataType)
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    split(cond).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) if l.value != null =>
+        colOk(a).map(ColumnBound.eq(_, ext(l)))
+      case EqualTo(l: Literal, a: AttributeReference) if l.value != null =>
+        colOk(a).map(ColumnBound.eq(_, ext(l)))
+      case GreaterThan(a: AttributeReference, l: Literal) if l.value != null =>
+        colOk(a).map(ColumnBound.gt(_, ext(l)))
+      case GreaterThan(l: Literal, a: AttributeReference) if l.value != null =>
+        colOk(a).map(ColumnBound.lt(_, ext(l)))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
+        colOk(a).map(c => ColumnBound(c, lower = Some(ext(l))))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) if l.value != null =>
+        colOk(a).map(c => ColumnBound(c, upper = Some(ext(l))))
+      case LessThan(a: AttributeReference, l: Literal) if l.value != null =>
+        colOk(a).map(ColumnBound.lt(_, ext(l)))
+      case LessThan(l: Literal, a: AttributeReference) if l.value != null =>
+        colOk(a).map(ColumnBound.gt(_, ext(l)))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
+        colOk(a).map(c => ColumnBound(c, upper = Some(ext(l))))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) if l.value != null =>
+        colOk(a).map(c => ColumnBound(c, lower = Some(ext(l))))
+      case In(a: AttributeReference, vs) if vs.nonEmpty &&
+          vs.forall { case l: Literal => l.value != null; case _ => false } =>
+        colOk(a).map(ColumnBound.in(_,
+          vs.map(v => ext(v.asInstanceOf[Literal]))))
+      case IsNull(a: AttributeReference) => colOk(a).map(ColumnBound.isNull)
+      case IsNotNull(a: AttributeReference) => colOk(a).map(ColumnBound.notNull)
+      case _ => None
+    }
+  }
+
   /** Write `rows` as fresh data files under a unique `data/` subdir in
     * the table's declared layout (partition transforms re-applied) and
     * list them for the commit. Empty input writes nothing. */
@@ -187,13 +255,17 @@ private[v2] object GraftRowLevelExec {
     // the whole read-match-write-commit is the retry unit: a lost
     // version race re-reads the new head and re-derives the row set
     IcebergSnapshot.withCommitRetry() {
+      // the condition's literal conjuncts prune FILES before any row
+      // is read — `UPDATE ... WHERE day = X` touches one partition's
+      // files at 100 TB, not the table
+      val pruning = condition
+        .map(conditionBounds(_, targetOutput, table)).getOrElse(Nil)
       val net = IcebergSnapshot.readSnapshot(spark, path, table,
-        keepRowMeta = true)
+        pruning = pruning, keepRowMeta = true)
       val byId = targetOutput.zipWithIndex
         .map { case (a, i) => a.exprId -> s"__t_$i" }.toMap
-      val renamed = net.select(targetOutput.zipWithIndex.map {
-        case (a, i) => col(netColOf(net, a)).as(s"__t_$i")
-      } ++ Seq(col(FileCol), col(PosCol)): _*)
+      val renamed = renamedTarget(net, targetOutput,
+        Seq(col(FileCol), col(PosCol)))
       val matched = condition.map(c => renamed.filter(remap(c, byId)))
         .getOrElse(renamed)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -240,17 +312,23 @@ private[v2] object GraftRowLevelExec {
         case (InsertAction(_, asgs), i) => (i, asgs, false)
       }
     IcebergSnapshot.withCommitRetry() {
+      // target-vs-literal ON conjuncts prune target FILES — but only
+      // when no NOT MATCHED BY SOURCE actions exist: a pruned row is
+      // provably unmatched (it fails the ON clause), which is exactly
+      // the row those actions need to see
+      val pruning =
+        if (notMatchedBySourceActions.isEmpty)
+          conditionBounds(mergeCondition, targetOutput, table)
+        else Nil
       val net = IcebergSnapshot.readSnapshot(spark, path, table,
-        keepRowMeta = true)
+        pruning = pruning, keepRowMeta = true)
       val byId = (targetOutput.zipWithIndex.map {
         case (a, i) => a.exprId -> s"__t_$i"
       } ++ sOut.zipWithIndex.map {
         case (a, i) => a.exprId -> s"__s_$i"
       }).toMap
-      val tRenamed = net.select(targetOutput.zipWithIndex.map {
-        case (a, i) => col(netColOf(net, a)).as(s"__t_$i")
-      } ++ Seq(col(FileCol), col(PosCol),
-        lit(true).as("__t_present")): _*)
+      val tRenamed = renamedTarget(net, targetOutput,
+        Seq(col(FileCol), col(PosCol), lit(true).as("__t_present")))
       val sourceDf = PlanBridge.ofRows(spark, source)
       val sRenamed = sourceDf.toDF(sOut.indices.map(i => s"__s_$i"): _*)
         .withColumn("__s_present", lit(true))

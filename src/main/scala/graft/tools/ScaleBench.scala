@@ -267,6 +267,11 @@ object ScaleBench {
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     val done = new java.io.File(wh, "_DONE")
     if (!done.isFile) {
+      // clean rebuild after a killed prior build (partial tables)
+      if (new java.io.File(wh).exists())
+        org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration).delete(
+          new org.apache.hadoop.fs.Path(wh), true)
       spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
       spark.read.parquet(s"$baseDir/orders.parquet")
         .crossJoin(spark.range(factor.toLong).toDF("r"))
@@ -363,6 +368,11 @@ object ScaleBench {
         Integer.toHexString(baseDir.hashCode)).getAbsolutePath
     val done = new java.io.File(dir, "_DONE")
     if (!done.isFile) {
+      // a KILLED prior build leaves a partial commit chain that a
+      // fresh migrate would version-conflict against — rebuild clean
+      if (new java.io.File(dir).exists())
+        org.apache.hadoop.fs.FileSystem.getLocal(conf).delete(
+          new org.apache.hadoop.fs.Path(dir), true)
       import org.apache.spark.sql.types._
       val schema = StructType(Seq(
         StructField("K", LongType, nullable = false),
