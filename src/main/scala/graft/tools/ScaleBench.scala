@@ -409,24 +409,20 @@ object ScaleBench {
       val tPlan = (System.nanoTime() - t1) / 1e9
       (tOffset, tPlan, kept.size)
     }
-    // expiry once, on a throwaway copy (cached reps stay pristine)
-    val copy = java.nio.file.Files.createTempDirectory(s"meta_exp_$n")
-    val src = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.walk(src).forEach { p =>
-      val rel = src.relativize(p)
-      val tgt = copy.resolve(rel.toString)
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.createDirectories(tgt)
-      else java.nio.file.Files.copy(p, tgt)
-      ()
-    }
+    // expiry IN PLACE as the probe's LAST measurement, then the cache
+    // marker is dropped so the next run rebuilds — a "throwaway copy"
+    // is a trap here: Iceberg metadata records ABSOLUTE paths, so
+    // expiring a copied tree followed the copy's metadata back into
+    // the ORIGINAL table and deleted its files (found when the second
+    // probe run of the day hit the corrupted cache)
     val t2 = System.nanoTime()
-    graft.sources.IcebergSnapshot.expireSnapshots(tdef, copy.toString,
+    graft.sources.IcebergSnapshot.expireSnapshots(tdef, dir,
       keepLast = 5, conf)
     val tExpire = (System.nanoTime() - t2) / 1e9
     val t3 = System.nanoTime()
-    graft.sources.IcebergSnapshot.currentSnapshotId(copy.toString, conf)
+    graft.sources.IcebergSnapshot.currentSnapshotId(dir, conf)
     val tOffsetAfter = (System.nanoTime() - t3) / 1e6
+    java.nio.file.Files.deleteIfExists(done.toPath)
     Map(
       "n_snapshots" -> n.toDouble,
       "meta_bytes" -> metaBytes.toDouble,
