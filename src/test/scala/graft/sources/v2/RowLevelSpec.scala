@@ -230,6 +230,35 @@ class RowLevelSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.db.updprune")
   }
 
+  test("MERGE into a bucket-partitioned table: delta files land in the " +
+      "bucket layout and the SPJ face still point-prunes afterwards") {
+    spark.sql(
+      """CREATE TABLE graft.db.mrgb (
+        |  k BIGINT NOT NULL, v STRING
+        |) PARTITIONED BY (bucket(16, k))""".stripMargin)
+    spark.sql("INSERT INTO graft.db.mrgb " +
+      "SELECT id, concat('v', id) FROM range(0, 100)")
+    spark.createDataFrame(Seq((5L, "FIVE"), (200L, "NEW")))
+      .toDF("k", "nv").createOrReplaceTempView("mrgb_src")
+    spark.sql(
+      """MERGE INTO graft.db.mrgb t USING mrgb_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""".stripMargin)
+    assert(spark.sql("SELECT v FROM graft.db.mrgb WHERE k = 5")
+      .collect()(0).getString(0) === "FIVE")
+    assert(spark.sql("SELECT count(*) FROM graft.db.mrgb")
+      .collect()(0).getLong(0) === 101L)
+    // the rewritten rows' data files carry their bucket tuple: a point
+    // read under the general path still prunes to the key's bucket
+    GraftIcebergScans.clear()
+    assert(spark.sql("SELECT v FROM graft.db.mrgb WHERE k = 200")
+      .collect()(0).getString(0) === "NEW")
+    val rep = GraftIcebergScans.lastReport.get
+    assert(rep.skippedFiles.nonEmpty,
+      "bucket point-prune must skip other buckets' files after a MERGE")
+    spark.sql("DROP TABLE graft.db.mrgb")
+  }
+
   test("conditionBounds: literal conjuncts become pruning bounds, " +
       "attr-vs-attr and OR shapes contribute nothing") {
     import org.apache.spark.sql.catalyst.expressions._
