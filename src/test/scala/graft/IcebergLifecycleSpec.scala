@@ -45,6 +45,12 @@ class IcebergLifecycleSpec extends AnyFunSuite {
   private case object Compact extends Op
   private case object CompactWithDeletes extends Op
   private case class Expire(keep: Int) extends Op
+  /** The SQL UPDATE/MERGE write shape (r14): ONE snapshot pairing
+    * position deletes for the rows matching K % mod == rem with
+    * re-written versions of those rows (N bumped) plus `nInsert`
+    * fresh rows — [[IcebergDeletes.commitRowDelta]], the delta core
+    * both row-level SQL commands commit through. */
+  private case class RowDelta(mod: Int, rem: Int, nInsert: Int) extends Op
   // schema evolution interleaved with the data ops: add / rename /
   // drop an EXTRA integer column (base columns stay fixed so
   // time-travel expectations remain comparable across schemas)
@@ -96,6 +102,9 @@ class IcebergLifecycleSpec extends AnyFunSuite {
       yield Delete(m, r min (m - 1))),
     3 -> (for { u <- Gen.choose(0, 4); i <- Gen.choose(0, 4) }
       yield Upsert(u, i max (if (u == 0) 1 else 0))),
+    3 -> (for { m <- Gen.choose(2, 5); r <- Gen.choose(0, 4)
+                i <- Gen.choose(0, 3) }
+      yield RowDelta(m, r min (m - 1), i)),
     1 -> Gen.const(Compact),
     2 -> Gen.const(CompactWithDeletes),
     2 -> Gen.choose(1, 3).map(Expire(_)),
@@ -329,6 +338,51 @@ class IcebergLifecycleSpec extends AnyFunSuite {
             col("K") % m === r)
           model --= matches
           if (matches.nonEmpty) liveDeletes = true
+
+        case RowDelta(m, r, ni) =>
+          // the SQL UPDATE/MERGE delta shape: matched rows die by
+          // (file, pos) and re-land with N bumped, fresh rows ride the
+          // SAME snapshot — exercising commitRowDelta against every
+          // table state this harness can reach (evolved schemas, mixed
+          // specs, merge-on-read backlogs, post-rollback heads, ...)
+          val matches = model.keys.filter(_ % m == r).toSet
+          val net = IcebergSnapshot.readSnapshot(spark, out, table,
+            keepRowMeta = true)
+          val matched = net.filter(col("K") % m === r)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val deletes = matched.select(
+              col("__graft_file"), col("__graft_pos"))
+            val declared = SchemaTranslator.toSparkSchema(table)
+            def toDeclared(df: org.apache.spark.sql.DataFrame) =
+              df.select(declared.fields.toSeq
+                .filter(f => df.columns.contains(f.name))
+                .map(f => col(f.name).cast(f.dataType)
+                  .as(f.name, f.metadata)): _*)
+            val fresh = freshRows(nextKey, ni); nextKey += ni
+            val rewritten = toDeclared(
+              matched.withColumn("N", col("N") + 1000))
+            val inserts =
+              if (ni == 0) rewritten
+              else rewritten.unionByName(toDeclared(rowsDf(fresh)),
+                allowMissingColumns = true)
+            val sub = s"$out/data/rowdelta-$i"
+            val files =
+              if (inserts.isEmpty) Nil
+              else {
+                SchemaTranslator.writeMigrated(inserts, table, sub)
+                IcebergSnapshot.listDataFiles(
+                  new org.apache.hadoop.fs.Path(sub), table,
+                  spark.sparkContext.hadoopConfiguration)
+                  .filter(_.recordCount > 0)
+              }
+            IcebergDeletes.commitRowDelta(spark, table, out, deletes, files)
+            model = model.map { case (k, (v, n, ex)) =>
+              if (k % m == r) k -> ((v, n + 1000, ex))
+              else k -> ((v, n, ex))
+            } ++ fresh.map(fr => fr._1 -> ((fr._2, fr._3, fr._4)))
+            if (matches.nonEmpty) liveDeletes = true
+          } finally { matched.unpersist(); () }
 
         case Upsert(nUpd, nIns) =>
           val updKeys = model.keys.toSeq.sorted.take(nUpd)
