@@ -95,6 +95,21 @@ class SpjSpec extends AnyFunSuite {
     assert(agg.collect().length === 400)
   }
 
+  test("SPJ holds under AQE: the adaptive final plan still runs the " +
+      "bucket-aligned join with zero exchanges") {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val df = spark.sql(joinSql)
+      assert(df.count() === 200L)
+      val aqeFinal = df.queryExecution.executedPlan.collectFirst {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+      }.getOrElse(df.queryExecution.executedPlan)
+      assert(shuffleCount(aqeFinal) === 0,
+        s"AQE re-planned an exchange into the SPJ join:\n$aqeFinal")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
+
   test("the gate falls back (V1 scan, exchanges) when row-level deletes " +
       "exist, and results stay exact") {
     spark.sql("DELETE FROM graft.db.fact_b WHERE k >= 580")
