@@ -285,6 +285,15 @@ object SchemaTranslator {
       format: String = "parquet", timestampMs: Long = System.currentTimeMillis()): Unit = {
     writeMigrated(df, table, s"$path/data", format)
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    // REPLACEMENT semantics: overwriting an EXISTING table starts a
+    // fresh generation, and the fresh ladder restarts at v1/v2 — the
+    // replaced generation's stale v3+ documents (and manifests) must
+    // go, or the new chain's next commit hits their version slots as
+    // an eternal CommitConflictException (found by SqlSurfaceSpec:
+    // INSERT OVERWRITE then INSERT INTO bricked the table for appends)
+    val metadataDir = new org.apache.hadoop.fs.Path(path, "metadata")
+    val mfs = org.apache.hadoop.fs.FileSystem.get(metadataDir.toUri, conf)
+    if (mfs.exists(metadataDir)) { mfs.delete(metadataDir, true); () }
     graft.sources.IcebergMetadata.writeTableMetadata(table, path, conf)
     graft.sources.IcebergSnapshot.commitAppend(table, path, conf,
       timestampMs = timestampMs)

@@ -26,13 +26,13 @@ class RowLevelSpec extends AnyFunSuite {
       .master("local[4]")
       .appName("row-level-spec")
       .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.catalog.graft",
+      .config("spark.sql.catalog.graftrl",
         "graft.sources.v2.GraftIcebergCatalog")
-      .config("spark.sql.catalog.graft.warehouse", warehouse)
+      .config("spark.sql.catalog.graftrl.warehouse", warehouse)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.api.GraftExtensions)
       .create()
-    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftrl.db")
     s
   }
 
@@ -43,23 +43,23 @@ class RowLevelSpec extends AnyFunSuite {
       .currentSnapshotId(s"$warehouse/db/$table", conf).get
 
   private def rows(table: String): Set[(Long, String, Double)] =
-    spark.sql(s"SELECT k, v, p FROM graft.db.$table ORDER BY k").collect()
+    spark.sql(s"SELECT k, v, p FROM graftrl.db.$table ORDER BY k").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
 
   test("UPDATE: conditioned, whole-table, no-op legs, time travel") {
     spark.sql(
-      "CREATE TABLE graft.db.upd (k BIGINT NOT NULL, v STRING, p DOUBLE)")
+      "CREATE TABLE graftrl.db.upd (k BIGINT NOT NULL, v STRING, p DOUBLE)")
     // empty-table UPDATE: a no-op — no snapshot is committed beyond
     // the CREATE's empty one
     val v0 = versionOf("upd")
-    spark.sql("UPDATE graft.db.upd SET p = 0.0 WHERE k = 1")
+    spark.sql("UPDATE graftrl.db.upd SET p = 0.0 WHERE k = 1")
     assert(versionOf("upd") === v0, "empty-table UPDATE must not commit")
 
-    spark.sql("INSERT INTO graft.db.upd VALUES " +
+    spark.sql("INSERT INTO graftrl.db.upd VALUES " +
       "(1,'a',10.0),(2,'b',20.0),(3,'c',30.0)")
     val v1 = versionOf("upd")
 
-    spark.sql("UPDATE graft.db.upd SET p = p * 2, v = upper(v) WHERE k <= 2")
+    spark.sql("UPDATE graftrl.db.upd SET p = p * 2, v = upper(v) WHERE k <= 2")
     assert(rows("upd") === Set((1L, "A", 20.0), (2L, "B", 40.0),
       (3L, "c", 30.0)))
     val v2 = versionOf("upd")
@@ -67,51 +67,51 @@ class RowLevelSpec extends AnyFunSuite {
 
     // no matching row: version must not advance (the DELETE race spec
     // found exactly this bug class — pin it for UPDATE)
-    spark.sql("UPDATE graft.db.upd SET p = 0.0 WHERE k = 99")
+    spark.sql("UPDATE graftrl.db.upd SET p = 0.0 WHERE k = 99")
     assert(versionOf("upd") === v2, "no-match UPDATE must not commit")
 
     // time travel: the pre-update snapshot still reads the old values
     assert(spark.sql(
-      s"SELECT p FROM graft.db.upd VERSION AS OF $v1 WHERE k = 1")
+      s"SELECT p FROM graftrl.db.upd VERSION AS OF $v1 WHERE k = 1")
       .collect()(0).getDouble(0) === 10.0)
 
     // whole-table UPDATE (no WHERE)
-    spark.sql("UPDATE graft.db.upd SET p = p + 1.0")
+    spark.sql("UPDATE graftrl.db.upd SET p = p + 1.0")
     assert(rows("upd") === Set((1L, "A", 21.0), (2L, "B", 41.0),
       (3L, "c", 31.0)))
-    spark.sql("DROP TABLE graft.db.upd")
+    spark.sql("DROP TABLE graftrl.db.upd")
   }
 
   test("UPDATE moves rows across identity partitions and stays pruned") {
     spark.sql(
-      """CREATE TABLE graft.db.updp (
+      """CREATE TABLE graftrl.db.updp (
         |  k BIGINT NOT NULL, v STRING, p DOUBLE, status STRING
         |) PARTITIONED BY (status)""".stripMargin)
-    spark.sql("INSERT INTO graft.db.updp VALUES " +
+    spark.sql("INSERT INTO graftrl.db.updp VALUES " +
       "(1,'a',1.0,'open'),(2,'b',2.0,'open'),(3,'c',3.0,'closed')")
     // an UPDATE that changes the PARTITION column re-lands the row in
     // its new partition's layout (the delta write re-applies the
     // declared transforms)
-    spark.sql("UPDATE graft.db.updp SET status = 'closed' WHERE k = 2")
+    spark.sql("UPDATE graftrl.db.updp SET status = 'closed' WHERE k = 2")
     assert(spark.sql(
-      "SELECT k FROM graft.db.updp WHERE status = 'closed' ORDER BY k")
+      "SELECT k FROM graftrl.db.updp WHERE status = 'closed' ORDER BY k")
       .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
     // the moved row's new file lives in the closed partition: a pruned
     // read of 'open' must skip it
     GraftIcebergScans.clear()
     assert(spark.sql(
-      "SELECT k FROM graft.db.updp WHERE status = 'open'")
+      "SELECT k FROM graftrl.db.updp WHERE status = 'open'")
       .collect().map(_.getLong(0)).toSeq === Seq(1L))
     val rep = GraftIcebergScans.lastReport.get
     assert(rep.keptFiles.forall(_.contains("status=open")))
-    spark.sql("DROP TABLE graft.db.updp")
+    spark.sql("DROP TABLE graftrl.db.updp")
   }
 
   test("MERGE: update/delete/insert actions with conditions, partial " +
       "insert columns, not-matched-by-source, no-op leg") {
     spark.sql(
-      "CREATE TABLE graft.db.mrg (k BIGINT NOT NULL, v STRING, p DOUBLE)")
-    spark.sql("INSERT INTO graft.db.mrg VALUES " +
+      "CREATE TABLE graftrl.db.mrg (k BIGINT NOT NULL, v STRING, p DOUBLE)")
+    spark.sql("INSERT INTO graftrl.db.mrg VALUES " +
       "(1,'a',10.0),(2,'b',20.0),(3,'c',30.0),(4,'d',40.0)")
     spark.createDataFrame(Seq(
       (1L, "A", 100.0, "U"), (2L, "B", 200.0, "D"),
@@ -122,13 +122,13 @@ class RowLevelSpec extends AnyFunSuite {
     // FIRST applicable action wins per row; 6 arrives with op='D' and
     // no insert action claims it → untouched (never inserted)
     spark.sql(
-      """MERGE INTO graft.db.mrg t USING mrg_src s ON t.k = s.k
+      """MERGE INTO graftrl.db.mrg t USING mrg_src s ON t.k = s.k
         |WHEN MATCHED AND s.op = 'D' THEN DELETE
         |WHEN MATCHED THEN UPDATE SET v = s.v, p = s.p + t.p
         |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (k, v) VALUES (s.k, s.v)
         |""".stripMargin)
     val got = spark.sql(
-      "SELECT k, v, p FROM graft.db.mrg ORDER BY k").collect()
+      "SELECT k, v, p FROM graftrl.db.mrg ORDER BY k").collect()
       .map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) null else r.getDouble(2))).toSet
     assert(got === Set(
@@ -139,35 +139,35 @@ class RowLevelSpec extends AnyFunSuite {
 
     // not-matched-by-source: target rows no source row matches die
     spark.sql(
-      """MERGE INTO graft.db.mrg t USING mrg_src s ON t.k = s.k
+      """MERGE INTO graftrl.db.mrg t USING mrg_src s ON t.k = s.k
         |WHEN MATCHED THEN UPDATE SET p = 0.0
         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
     val got2 = spark.sql(
-      "SELECT k, p FROM graft.db.mrg ORDER BY k").collect()
+      "SELECT k, p FROM graftrl.db.mrg ORDER BY k").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(got2 === Set((1L, 0.0), (5L, 0.0)), "3/4 unmatched by source die")
 
     // no-op MERGE: nothing matches, nothing inserts → no commit
     val v = versionOf("mrg")
     spark.sql(
-      """MERGE INTO graft.db.mrg t USING mrg_src s
+      """MERGE INTO graftrl.db.mrg t USING mrg_src s
         |ON t.k = s.k AND s.op = 'X'
         |WHEN MATCHED THEN DELETE""".stripMargin)
     assert(versionOf("mrg") === v, "claiming no rows must not commit")
-    spark.sql("DROP TABLE graft.db.mrg")
+    spark.sql("DROP TABLE graftrl.db.mrg")
   }
 
   test("MERGE cardinality violation refuses; WAP conf refuses UPDATE " +
       "and MERGE; time travel across a MERGE") {
     spark.sql(
-      "CREATE TABLE graft.db.card (k BIGINT NOT NULL, v STRING, p DOUBLE)")
-    spark.sql("INSERT INTO graft.db.card VALUES (1,'a',10.0),(2,'b',20.0)")
+      "CREATE TABLE graftrl.db.card (k BIGINT NOT NULL, v STRING, p DOUBLE)")
+    spark.sql("INSERT INTO graftrl.db.card VALUES (1,'a',10.0),(2,'b',20.0)")
     val v1 = versionOf("card")
     spark.createDataFrame(Seq((1L, "x"), (1L, "y")))
       .toDF("k", "nv").createOrReplaceTempView("card_dup")
     val e = intercept[Exception] {
       spark.sql(
-        """MERGE INTO graft.db.card t USING card_dup s ON t.k = s.k
+        """MERGE INTO graftrl.db.card t USING card_dup s ON t.k = s.k
           |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
     }
     assert(e.getMessage.contains("cardinality"),
@@ -178,12 +178,12 @@ class RowLevelSpec extends AnyFunSuite {
     spark.conf.set("graft.wap.branch", "audit")
     try {
       val e2 = intercept[Exception] {
-        spark.sql("UPDATE graft.db.card SET p = 0.0 WHERE k = 1")
+        spark.sql("UPDATE graftrl.db.card SET p = 0.0 WHERE k = 1")
       }
       assert(e2.getMessage.contains("graft.wap.branch"))
       val e3 = intercept[Exception] {
         spark.sql(
-          """MERGE INTO graft.db.card t USING card_dup s ON t.k = s.k
+          """MERGE INTO graftrl.db.card t USING card_dup s ON t.k = s.k
             |WHEN MATCHED THEN DELETE""".stripMargin)
       }
       assert(e3.getMessage.contains("graft.wap.branch"))
@@ -193,70 +193,70 @@ class RowLevelSpec extends AnyFunSuite {
     spark.createDataFrame(Seq((2L, 99.0))).toDF("k", "np")
       .createOrReplaceTempView("card_upd")
     spark.sql(
-      """MERGE INTO graft.db.card t USING card_upd s ON t.k = s.k
+      """MERGE INTO graftrl.db.card t USING card_upd s ON t.k = s.k
         |WHEN MATCHED THEN UPDATE SET p = s.np""".stripMargin)
-    assert(spark.sql("SELECT p FROM graft.db.card WHERE k = 2")
+    assert(spark.sql("SELECT p FROM graftrl.db.card WHERE k = 2")
       .collect()(0).getDouble(0) === 99.0)
     assert(spark.sql(
-      s"SELECT p FROM graft.db.card VERSION AS OF $v1 WHERE k = 2")
+      s"SELECT p FROM graftrl.db.card VERSION AS OF $v1 WHERE k = 2")
       .collect()(0).getDouble(0) === 20.0)
-    spark.sql("DROP TABLE graft.db.card")
+    spark.sql("DROP TABLE graftrl.db.card")
   }
 
   test("UPDATE's WHERE prunes target FILES before any row is read; " +
       "a partition-crossing predicate stays exact") {
     spark.sql(
-      """CREATE TABLE graft.db.updprune (
+      """CREATE TABLE graftrl.db.updprune (
         |  k BIGINT NOT NULL, v STRING, p DOUBLE, status STRING
         |) PARTITIONED BY (status)""".stripMargin)
-    spark.sql("INSERT INTO graft.db.updprune " +
+    spark.sql("INSERT INTO graftrl.db.updprune " +
       "SELECT id, concat('v', id), id * 1.0, " +
       "CASE WHEN id % 2 = 0 THEN 'open' ELSE 'closed' END FROM range(0, 100)")
     // the literal partition conjunct reaches the snapshot read as a
     // ColumnBound: only the open partition's files are opened
     GraftIcebergScans.clear()
     spark.sql(
-      "UPDATE graft.db.updprune SET p = p + 1000.0 " +
+      "UPDATE graftrl.db.updprune SET p = p + 1000.0 " +
         "WHERE status = 'open' AND k < 10")
     val rep = GraftIcebergScans.lastReport
     // the UPDATE's internal read bypasses the DSv2 scan reporter, so
     // audit via the committed result + the time-travel complement
     val got = spark.sql(
-      "SELECT k FROM graft.db.updprune WHERE p >= 1000.0 ORDER BY k")
+      "SELECT k FROM graftrl.db.updprune WHERE p >= 1000.0 ORDER BY k")
       .collect().map(_.getLong(0)).toSeq
     assert(got === Seq(0L, 2L, 4L, 6L, 8L), s"rep=$rep")
-    assert(spark.sql("SELECT count(*) FROM graft.db.updprune")
+    assert(spark.sql("SELECT count(*) FROM graftrl.db.updprune")
       .collect()(0).getLong(0) === 100L)
-    spark.sql("DROP TABLE graft.db.updprune")
+    spark.sql("DROP TABLE graftrl.db.updprune")
   }
 
   test("MERGE into a bucket-partitioned table: delta files land in the " +
       "bucket layout and the SPJ face still point-prunes afterwards") {
     spark.sql(
-      """CREATE TABLE graft.db.mrgb (
+      """CREATE TABLE graftrl.db.mrgb (
         |  k BIGINT NOT NULL, v STRING
         |) PARTITIONED BY (bucket(16, k))""".stripMargin)
-    spark.sql("INSERT INTO graft.db.mrgb " +
+    spark.sql("INSERT INTO graftrl.db.mrgb " +
       "SELECT id, concat('v', id) FROM range(0, 100)")
     spark.createDataFrame(Seq((5L, "FIVE"), (200L, "NEW")))
       .toDF("k", "nv").createOrReplaceTempView("mrgb_src")
     spark.sql(
-      """MERGE INTO graft.db.mrgb t USING mrgb_src s ON t.k = s.k
+      """MERGE INTO graftrl.db.mrgb t USING mrgb_src s ON t.k = s.k
         |WHEN MATCHED THEN UPDATE SET v = s.nv
         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""".stripMargin)
-    assert(spark.sql("SELECT v FROM graft.db.mrgb WHERE k = 5")
+    assert(spark.sql("SELECT v FROM graftrl.db.mrgb WHERE k = 5")
       .collect()(0).getString(0) === "FIVE")
-    assert(spark.sql("SELECT count(*) FROM graft.db.mrgb")
+    assert(spark.sql("SELECT count(*) FROM graftrl.db.mrgb")
       .collect()(0).getLong(0) === 101L)
     // the rewritten rows' data files carry their bucket tuple: a point
     // read under the general path still prunes to the key's bucket
     GraftIcebergScans.clear()
-    assert(spark.sql("SELECT v FROM graft.db.mrgb WHERE k = 200")
+    assert(spark.sql("SELECT v FROM graftrl.db.mrgb WHERE k = 200")
       .collect()(0).getString(0) === "NEW")
     val rep = GraftIcebergScans.lastReport.get
     assert(rep.skippedFiles.nonEmpty,
       "bucket point-prune must skip other buckets' files after a MERGE")
-    spark.sql("DROP TABLE graft.db.mrgb")
+    spark.sql("DROP TABLE graftrl.db.mrgb")
   }
 
   test("conditionBounds: literal conjuncts become pruning bounds, " +
@@ -295,8 +295,8 @@ class RowLevelSpec extends AnyFunSuite {
   test("MERGE racing a concurrent INSERT linearizes: both commits land, " +
       "final state exact") {
     spark.sql(
-      "CREATE TABLE graft.db.race (k BIGINT NOT NULL, v STRING, p DOUBLE)")
-    spark.sql("INSERT INTO graft.db.race VALUES " +
+      "CREATE TABLE graftrl.db.race (k BIGINT NOT NULL, v STRING, p DOUBLE)")
+    spark.sql("INSERT INTO graftrl.db.race VALUES " +
       "(1,'a',10.0),(2,'b',20.0),(3,'c',30.0)")
     spark.createDataFrame(Seq((1L, 111.0), (2L, 222.0), (9L, 999.0)))
       .toDF("k", "np").createOrReplaceTempView("race_src")
@@ -305,14 +305,14 @@ class RowLevelSpec extends AnyFunSuite {
     try {
       val merge = pool.submit(new Runnable {
         override def run(): Unit = spark.sql(
-          """MERGE INTO graft.db.race t USING race_src s ON t.k = s.k
+          """MERGE INTO graftrl.db.race t USING race_src s ON t.k = s.k
             |WHEN MATCHED THEN UPDATE SET p = s.np
             |WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (s.k, 'new', s.np)
             |""".stripMargin)
       })
       val insert = pool.submit(new Runnable {
         override def run(): Unit =
-          spark.sql("INSERT INTO graft.db.race VALUES (7,'g',70.0)")
+          spark.sql("INSERT INTO graftrl.db.race VALUES (7,'g',70.0)")
       })
       merge.get(120, java.util.concurrent.TimeUnit.SECONDS)
       insert.get(120, java.util.concurrent.TimeUnit.SECONDS)
@@ -322,41 +322,41 @@ class RowLevelSpec extends AnyFunSuite {
       (1L, "a", 111.0), (2L, "b", 222.0), (3L, "c", 30.0),
       (7L, "g", 70.0), (9L, "new", 999.0)),
       "merge updates + merge insert + concurrent insert all present exactly once")
-    spark.sql("DROP TABLE graft.db.race")
+    spark.sql("DROP TABLE graftrl.db.race")
   }
 
   test("SQL ref DDL + pure-SQL WAP cycle: stage on a branch, audit via " +
       "VERSION AS OF, publish via FAST FORWARD, drop the branch") {
     spark.sql(
-      "CREATE TABLE graft.db.wapsql (k BIGINT NOT NULL, v STRING, p DOUBLE)")
-    spark.sql("INSERT INTO graft.db.wapsql VALUES (1,'a',10.0)")
+      "CREATE TABLE graftrl.db.wapsql (k BIGINT NOT NULL, v STRING, p DOUBLE)")
+    spark.sql("INSERT INTO graftrl.db.wapsql VALUES (1,'a',10.0)")
 
     // tag DDL: pin the current snapshot, read back by name
-    spark.sql("ALTER TABLE graft.db.wapsql CREATE TAG before_batch")
+    spark.sql("ALTER TABLE graftrl.db.wapsql CREATE TAG before_batch")
     // branch DDL + conf-staged INSERT: main must not see the batch
-    spark.sql("ALTER TABLE graft.db.wapsql CREATE BRANCH audit")
+    spark.sql("ALTER TABLE graftrl.db.wapsql CREATE BRANCH audit")
     spark.conf.set("graft.wap.branch", "audit")
-    try spark.sql("INSERT INTO graft.db.wapsql VALUES (2,'b',20.0)")
+    try spark.sql("INSERT INTO graftrl.db.wapsql VALUES (2,'b',20.0)")
     finally spark.conf.unset("graft.wap.branch")
-    assert(spark.sql("SELECT count(*) FROM graft.db.wapsql")
+    assert(spark.sql("SELECT count(*) FROM graftrl.db.wapsql")
       .collect()(0).getLong(0) === 1L, "main is isolated from the stage")
     // audit the staged rows through SQL time travel on the branch name
     assert(spark.sql(
-      "SELECT count(*) FROM graft.db.wapsql VERSION AS OF 'audit'")
+      "SELECT count(*) FROM graftrl.db.wapsql VERSION AS OF 'audit'")
       .collect()(0).getLong(0) === 2L)
     // publish: pure-SQL fast-forward, then main sees the batch
-    spark.sql("ALTER TABLE graft.db.wapsql FAST FORWARD audit")
-    assert(spark.sql("SELECT count(*) FROM graft.db.wapsql")
+    spark.sql("ALTER TABLE graftrl.db.wapsql FAST FORWARD audit")
+    assert(spark.sql("SELECT count(*) FROM graftrl.db.wapsql")
       .collect()(0).getLong(0) === 2L)
     // the tag still pins pre-batch history
     assert(spark.sql(
-      "SELECT count(*) FROM graft.db.wapsql VERSION AS OF 'before_batch'")
+      "SELECT count(*) FROM graftrl.db.wapsql VERSION AS OF 'before_batch'")
       .collect()(0).getLong(0) === 1L)
     // drop the refs; the refs metadata table reflects it
-    spark.sql("ALTER TABLE graft.db.wapsql DROP BRANCH audit")
-    spark.sql("ALTER TABLE graft.db.wapsql DROP TAG before_batch")
-    assert(spark.sql("SELECT name FROM graft.db.wapsql.refs")
+    spark.sql("ALTER TABLE graftrl.db.wapsql DROP BRANCH audit")
+    spark.sql("ALTER TABLE graftrl.db.wapsql DROP TAG before_batch")
+    assert(spark.sql("SELECT name FROM graftrl.db.wapsql.refs")
       .collect().map(_.getString(0)).toSet === Set("main"))
-    spark.sql("DROP TABLE graft.db.wapsql")
+    spark.sql("DROP TABLE graftrl.db.wapsql")
   }
 }

@@ -20,9 +20,9 @@ class SpjSpec extends AnyFunSuite {
       .master("local[4]")
       .appName("spj-spec")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.catalog.graft",
+      .config("spark.sql.catalog.graftspj",
         "graft.sources.v2.GraftIcebergCatalog")
-      .config("spark.sql.catalog.graft.warehouse", warehouse)
+      .config("spark.sql.catalog.graftspj.warehouse", warehouse)
       // the SPJ trio: v2 bucketing on, padding for mismatched
       // partition-value sets, no broadcast short-circuit, AQE off so
       // the asserted plan IS the executed plan
@@ -33,25 +33,25 @@ class SpjSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.api.GraftExtensions)
       .create()
-    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftspj.db")
     s.sql(
-      """CREATE TABLE graft.db.fact_a (
+      """CREATE TABLE graftspj.db.fact_a (
         |  k BIGINT NOT NULL, va DOUBLE
         |) PARTITIONED BY (bucket(16, k))""".stripMargin)
-    s.sql("INSERT INTO graft.db.fact_a " +
+    s.sql("INSERT INTO graftspj.db.fact_a " +
       "SELECT id AS k, id * 1.5 AS va FROM range(0, 400)")
     s.sql(
-      """CREATE TABLE graft.db.fact_b (
+      """CREATE TABLE graftspj.db.fact_b (
         |  k BIGINT NOT NULL, vb DOUBLE
         |) PARTITIONED BY (bucket(16, k))""".stripMargin)
-    s.sql("INSERT INTO graft.db.fact_b " +
+    s.sql("INSERT INTO graftspj.db.fact_b " +
       "SELECT id AS k, id * 2.0 AS vb FROM range(200, 600)")
     s
   }
 
   private val joinSql =
     """SELECT a.k, a.va, b.vb
-      |FROM graft.db.fact_a a JOIN graft.db.fact_b b ON a.k = b.k""".stripMargin
+      |FROM graftspj.db.fact_a a JOIN graftspj.db.fact_b b ON a.k = b.k""".stripMargin
 
   private def shuffleCount(plan: org.apache.spark.sql.execution.SparkPlan): Int =
     plan.collect {
@@ -88,7 +88,7 @@ class SpjSpec extends AnyFunSuite {
     // groupBy the bucket key over one table: KeyGroupedPartitioning
     // satisfies the aggregation's clustered distribution too
     val agg = spark.sql(
-      "SELECT k, sum(va) AS s FROM graft.db.fact_a GROUP BY k")
+      "SELECT k, sum(va) AS s FROM graftspj.db.fact_a GROUP BY k")
     assert(shuffleCount(agg.queryExecution.executedPlan) === 0,
       s"group-by-bucket-key should ride the key-grouped partitioning:\n" +
         s"${agg.queryExecution.executedPlan}")
@@ -112,7 +112,7 @@ class SpjSpec extends AnyFunSuite {
 
   test("the gate falls back (V1 scan, exchanges) when row-level deletes " +
       "exist, and results stay exact") {
-    spark.sql("DELETE FROM graft.db.fact_b WHERE k >= 580")
+    spark.sql("DELETE FROM graftspj.db.fact_b WHERE k >= 580")
     val df = spark.sql(joinSql)
     // fact_b carries delete files now → its side must fall back to the
     // V1 scan; fact_a legitimately stays key-grouped
@@ -122,14 +122,14 @@ class SpjSpec extends AnyFunSuite {
       "delete files present: fact_b's key-grouped scan must step aside")
     assert(df.collect().length === 200, "deleted keys were outside the overlap")
     // a delete INSIDE the overlap flows through the fallback read
-    spark.sql("DELETE FROM graft.db.fact_b WHERE k < 210")
+    spark.sql("DELETE FROM graftspj.db.fact_b WHERE k < 210")
     assert(spark.sql(joinSql).collect().length === 190)
   }
 
   test("SELECT bucket(16, k) through the catalog equals the writer's " +
       "transform (the audit face SPJ compatibility rests on)") {
     val rows = spark.sql(
-      "SELECT k, graft.bucket(16, k) AS b FROM graft.db.fact_a LIMIT 50")
+      "SELECT k, graftspj.bucket(16, k) AS b FROM graftspj.db.fact_a LIMIT 50")
       .collect()
     rows.foreach { r =>
       assert(r.getInt(1) ===
