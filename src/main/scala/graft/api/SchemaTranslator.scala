@@ -283,20 +283,60 @@ object SchemaTranslator {
     * file paths and per-file partition values. */
   def migrateTable(df: DataFrame, table: TableDef, path: String,
       format: String = "parquet", timestampMs: Long = System.currentTimeMillis()): Unit = {
-    writeMigrated(df, table, s"$path/data", format)
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
-    // REPLACEMENT semantics: overwriting an EXISTING table starts a
-    // fresh generation, and the fresh ladder restarts at v1/v2 — the
-    // replaced generation's stale v3+ documents (and manifests) must
-    // go, or the new chain's next commit hits their version slots as
-    // an eternal CommitConflictException (found by SqlSurfaceSpec:
-    // INSERT OVERWRITE then INSERT INTO bricked the table for appends)
     val metadataDir = new org.apache.hadoop.fs.Path(path, "metadata")
     val mfs = org.apache.hadoop.fs.FileSystem.get(metadataDir.toUri, conf)
-    if (mfs.exists(metadataDir)) { mfs.delete(metadataDir, true); () }
-    graft.sources.IcebergMetadata.writeTableMetadata(table, path, conf)
-    graft.sources.IcebergSnapshot.commitAppend(table, path, conf,
-      timestampMs = timestampMs)
-    ()
+    val hint = new org.apache.hadoop.fs.Path(metadataDir, "version-hint.text")
+    val stored: Option[TableDef] =
+      if (mfs.exists(hint))
+        Some(graft.sources.IcebergTableLoader.load(path, conf))
+      else None
+    def sameShape(a: TableDef, b: TableDef): Boolean =
+      toSparkSchema(a) == toSparkSchema(b) &&
+        a.partition == b.partition && a.partitionSpecs == b.partitionSpecs
+    stored match {
+      case Some(cur) if sameShape(cur, table) &&
+          graft.sources.IcebergSnapshot.currentSnapshotId(path, conf).isDefined =>
+        // INSERT OVERWRITE on an existing table: ONE atomic OVERWRITE
+        // snapshot on the existing version ladder (new files ADDED,
+        // prior live files DELETED) — history, tags and branches
+        // survive and earlier snapshots still time-travel, exactly the
+        // snapshot a real Iceberg runtime commits. The STORED TableDef
+        // drives the write (it carries the committed field ids /
+        // schema id / spec history). The commit is the retry unit: a
+        // lost version race re-reads the new head; the staged files
+        // are re-claimed against it (never re-written).
+        writeMigrated(df, cur, s"$path/data", format, mode = "append")
+        graft.sources.IcebergSnapshot.withCommitRetry() {
+          graft.sources.IcebergSnapshot.commitOverwriteAll(cur, path, conf,
+            timestampMs)
+        }
+        ()
+      case Some(cur) =>
+        // a DIFFERENT schema/layout at an existing path is a DROP +
+        // CREATE, not an overwrite snapshot — the new generation
+        // restarts the version ladder, so the old one's documents must
+        // go (stale v3+ slots would brick every subsequent commit with
+        // an eternal CommitConflictException). Refuse while named refs
+        // exist: tags/branches dying silently with the history is the
+        // one thing a replacement must not do quietly.
+        require(graft.sources.IcebergSnapshot.listRefs(path, conf).isEmpty,
+          s"overwrite with a different schema/layout at $path would " +
+            "destroy named tags/branches — drop the refs first " +
+            "(ALTER TABLE ... DROP BRANCH/TAG) or use a new path")
+        writeMigrated(df, table, s"$path/data", format)
+        mfs.delete(metadataDir, true)
+        graft.sources.IcebergSnapshot.invalidateHeadCache(path, conf)
+        graft.sources.IcebergMetadata.writeTableMetadata(table, path, conf)
+        graft.sources.IcebergSnapshot.commitAppend(table, path, conf,
+          timestampMs = timestampMs)
+        ()
+      case None =>
+        writeMigrated(df, table, s"$path/data", format)
+        graft.sources.IcebergMetadata.writeTableMetadata(table, path, conf)
+        graft.sources.IcebergSnapshot.commitAppend(table, path, conf,
+          timestampMs = timestampMs)
+        ()
+    }
   }
 }

@@ -1254,6 +1254,20 @@ object IcebergSnapshot {
   private val headIdCache = new java.util.concurrent.ConcurrentHashMap[
     String, ((Int, Long, Long), Option[Long])]()
 
+  /** Drop `tablePath`'s cached head id. The token (version, length,
+    * mtime) is almost always enough, but a DROP + RECREATE restarts
+    * the version ladder with near-deterministic JSON — on a
+    * coarse-mtime filesystem a same-length same-second regeneration
+    * could serve the DEAD generation's head. Every writer that
+    * restarts or replaces a ladder calls this; ordinary commits don't
+    * need to (their token always moves). */
+  private[graft] def invalidateHeadCache(tablePath: String,
+      conf: Configuration): Unit = {
+    val p = new Path(tablePath)
+    headIdCache.remove(FileSystem.get(p.toUri, conf).makeQualified(p).toString)
+    ()
+  }
+
   def currentSnapshotId(tablePath: String,
       conf: Configuration = new Configuration()): Option[Long] = {
     val metadataDir = new Path(tablePath, "metadata")
@@ -1814,6 +1828,111 @@ object IcebergSnapshot {
 
     writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
       chain :+ snap, timestampMs, addProperties = extraProperties)
+    snap
+  }
+
+  /** Commit a WHOLE-TABLE OVERWRITE snapshot — the SQL INSERT
+    * OVERWRITE shape: every data file appended under `data/` since the
+    * current snapshot becomes this snapshot's ADDED files, every prior
+    * live data file is marked DELETED and every live delete file
+    * retired — ONE atomic snapshot on the EXISTING version ladder.
+    * History, tags and branches survive: earlier snapshots still
+    * time-travel (a real Iceberg runtime commits INSERT OVERWRITE
+    * exactly this way, instead of starting a fresh table generation).
+    * Zero appended files is legal (overwrite from an empty source =
+    * truncate); overwriting an already-empty table with no new files
+    * no-ops. Like every commit here, the whole call is the retry unit
+    * for [[withCommitRetry]]. */
+  def commitOverwriteAll(table: TableDef, tablePath: String,
+      conf: Configuration = new Configuration(),
+      timestampMs: Long = System.currentTimeMillis()): IcebergMetadata.SnapshotMeta = {
+    val metadataDir = new Path(tablePath, "metadata")
+    val fs = FileSystem.get(metadataDir.toUri, conf)
+    val version = readVersionHint(metadataDir, conf)
+    require(version >= 2,
+      s"no committed snapshot to overwrite (version $version)")
+    val metaText = readText(new Path(metadataDir, s"v$version.metadata.json"), conf)
+    val chain = parseSnapshots(metaText)
+    require(chain.nonEmpty, "metadata carries no snapshots")
+    val current = currentSnapshotOf(metaText, chain).get
+    val priorList = readManifestList(new Path(current.manifestList), conf)
+    // chain-wide known set, not just the current snapshot's: files
+    // staged by a racing writer between our data write and this commit
+    // must not be claimed (the appendIncrement discipline)
+    val known = knownFilePaths(chain, conf)
+    val newFiles = listDataFiles(new Path(tablePath, "data"), table, conf,
+        skipPaths = known)
+      .filterNot(f => known.contains(f.path))
+    val liveData = liveFilesWithSeq(priorList, table, conf)
+    val liveDeletes = liveDeleteFiles(priorList, conf)
+
+    val newSeq = chain.map(_.sequenceNumber).max + 1
+    val snapshotId = UUID.nameUUIDFromBytes(
+      (table.fullName + s"-snapshot-$newSeq").getBytes(StandardCharsets.UTF_8))
+      .getMostSignificantBits & Long.MaxValue
+
+    var ordinal = priorList.size
+    def nextOrdinal(): Int = { val o = ordinal; ordinal += 1; o }
+    val nRows = newFiles.map(_.recordCount).sum
+    val rowsB = Seq.newBuilder[ManifestListRow]
+    if (newFiles.nonEmpty) {
+      val m = writeManifest(table, newFiles, metadataDir, snapshotId, conf,
+        ordinal = nextOrdinal())
+      rowsB += ManifestListRow(m._1.toString, m._2, newSeq, newSeq,
+        newFiles.size, 0, 0, nRows, 0L, 0L,
+        specId = IcebergMetadata.defaultSpecIdOf(table))
+    }
+    // retire prior live data files under their ORIGINAL specs (original
+    // sequence numbers preserved, so earlier snapshots still resolve)
+    liveData.groupBy(_._1.specId).toSeq.sortBy(_._1).foreach { case (s, lf) =>
+      val m = writeManifestEntries(table,
+        lf.map { case (f, seq) => ManifestEntry(2, Some(seq), f) },
+        metadataDir, snapshotId, conf, ordinal = nextOrdinal(), specId = s)
+      rowsB += ManifestListRow(m._1.toString, m._2,
+        sequenceNumber = newSeq,
+        minSequenceNumber = (newSeq +: lf.map(_._2)).min,
+        addedFiles = 0, existingFiles = 0, deletedFiles = lf.size,
+        addedRows = 0L, existingRows = 0L,
+        deletedRows = lf.map(_._1.recordCount).sum, specId = s)
+    }
+    // retire live delete files too — nothing they tombstone survives
+    liveDeletes.groupBy(_.specId).toSeq.sortBy(_._1).foreach { case (s, dels) =>
+      val m = writeManifestEntries(table,
+        dels.map(d => ManifestEntry(2, Some(d.seq), DataFileInfo(
+          d.path, d.sizeBytes, d.recordCount,
+          partitionValues = d.partitionValues,
+          content = d.content, equalityIds = d.equalityIds, specId = s))),
+        metadataDir, snapshotId, conf, ordinal = nextOrdinal(), specId = s)
+      rowsB += ManifestListRow(m._1.toString, m._2,
+        sequenceNumber = newSeq,
+        minSequenceNumber = (newSeq +: dels.map(_.seq)).min,
+        addedFiles = 0, existingFiles = 0, deletedFiles = dels.size,
+        addedRows = 0L, existingRows = 0L, deletedRows = 0L,
+        content = 1, specId = s)
+    }
+    val rows = rowsB.result()
+    if (rows.isEmpty) return current // empty-over-empty: nothing to commit
+
+    val listPath = writeManifestListRows(table, rows, metadataDir,
+      snapshotId, conf, newSeq, Some(current.snapshotId))
+    val snap = IcebergMetadata.SnapshotMeta(
+      snapshotId = snapshotId,
+      schemaId = table.schemaId,
+      timestampMs = timestampMs,
+      manifestList = listPath.toString,
+      addedFiles = newFiles.size.toLong,
+      addedRecords = nRows,
+      sequenceNumber = newSeq,
+      parentSnapshotId = Some(current.snapshotId),
+      totalFiles = newFiles.size.toLong,
+      totalRecords = nRows,
+      operation = "overwrite",
+      deletedFiles = liveData.size.toLong,
+      deletedRecords = liveData.map(_._1.recordCount).sum,
+      totalDeleteFiles = 0L, totalPositionDeletes = 0L,
+      totalEqualityDeletes = 0L)
+    writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
+      chain :+ snap, timestampMs)
     snap
   }
 }

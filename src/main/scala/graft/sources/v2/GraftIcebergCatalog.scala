@@ -130,15 +130,17 @@ class GraftIcebergCatalog extends TableCatalog with SupportsNamespaces
           IcebergSnapshot.listRefs(path, conf).collectFirst {
             case (n, id, _) if n == version => id
           }
+        // toLongOption, not toLong: an all-digit string longer than
+        // Long.MaxValue is a legal TAG NAME and must fall through to
+        // the ref lookup, not throw NumberFormatException
         val numeric: Option[Long] =
-          if (version.nonEmpty && version.forall(_.isDigit)) {
-            val id = version.toLong
+          version.toLongOption.filter(_ >= 0).flatMap { id =>
             val metadataDir = new Path(path, "metadata")
             val v = IcebergSnapshot.readVersionHint(metadataDir, conf)
             val chain = IcebergSnapshot.parseSnapshots(IcebergSnapshot
               .readText(new Path(metadataDir, s"v$v.metadata.json"), conf))
             Some(id).filter(chain.map(_.snapshotId).toSet)
-          } else None
+          }
         Some(numeric.orElse(refLookup).getOrElse(
           throw new IllegalArgumentException(
             s"VERSION AS OF '$version': no such retained snapshot id " +
@@ -226,7 +228,11 @@ class GraftIcebergCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(pathOf(ident))
-    isTableDir(p) && fs(p).delete(p, true)
+    val dropped = isTableDir(p) && fs(p).delete(p, true)
+    // a later CREATE at this path restarts the version ladder — the
+    // cached head must not survive into the next generation
+    if (dropped) IcebergSnapshot.invalidateHeadCache(pathOf(ident), conf)
+    dropped
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

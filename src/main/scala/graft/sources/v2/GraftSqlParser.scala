@@ -76,8 +76,33 @@ object GraftSqlParser {
     if (s.startsWith("`") && s.endsWith("`")) s.substring(1, s.length - 1)
     else s
 
-  private def parts(ident: String): Seq[String] =
-    ident.split('.').toSeq.map(unquote)
+  /** Split a multipart identifier on dots, tokenizing backtick-quoted
+    * segments FIRST — `cat.`my.db`.t` is (cat, my.db, t), not
+    * (cat, `my, db`, t); a doubled backtick inside quotes escapes a
+    * literal one (standard SQL quoting, what Spark's own
+    * parseMultipartIdentifier does). */
+  private def parts(ident: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var quoted = false
+    while (i < ident.length) {
+      val c = ident.charAt(i)
+      if (quoted) {
+        if (c == '`' && i + 1 < ident.length && ident.charAt(i + 1) == '`') {
+          cur += '`'; i += 1
+        } else if (c == '`') quoted = false
+        else cur += c
+      } else c match {
+        case '`' => quoted = true
+        case '.' => out += cur.result(); cur.clear()
+        case other => cur += other
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result()
+  }
 
   private[v2] def refCommand(sqlText: String): Option[LogicalPlan] = {
     val m = RefDdl.matcher(sqlText)

@@ -28,21 +28,58 @@ class SqlSurfaceSpec extends AnyFunSuite {
     s
   }
 
-  test("INSERT OVERWRITE replaces the table (a fresh generation); the " +
-      "replaced table keeps working as a plain increment target") {
+  test("INSERT OVERWRITE commits ONE overwrite snapshot on the existing " +
+      "ladder: history/tags survive, earlier snapshots time-travel, and " +
+      "the table keeps working as a plain increment target") {
     spark.sql("CREATE TABLE graftsurf.db.iow (k BIGINT NOT NULL, v STRING)")
     spark.sql("INSERT INTO graftsurf.db.iow VALUES (1, 'a'), (2, 'b')")
-    // overwrite routes through the migration writer: a fresh table
-    // GENERATION (data + metadata + one committed snapshot) — prior
-    // history is intentionally not retained, matching the batch-save
-    // face's mode("overwrite") semantics
+    val path = s"$warehouse/db/iow"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val preOverwrite = graft.sources.IcebergSnapshot
+      .currentSnapshotId(path, hconf).get
+    spark.sql("ALTER TABLE graftsurf.db.iow CREATE TAG before_load")
+
     spark.sql("INSERT OVERWRITE graftsurf.db.iow VALUES (10, 'x'), (11, 'y')")
     assert(spark.sql("SELECT k FROM graftsurf.db.iow ORDER BY k")
       .collect().map(_.getLong(0)).toSeq === Seq(10L, 11L))
+    // the overwrite is a SNAPSHOT, not a table generation: the prior
+    // snapshot still time-travels and the tag still resolves (the old
+    // wipe-and-recreate path destroyed both — and its delete-then-
+    // recreate window was non-atomic)
+    assert(spark.sql(
+      s"SELECT k FROM graftsurf.db.iow VERSION AS OF $preOverwrite ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(spark.sql(
+      "SELECT k FROM graftsurf.db.iow VERSION AS OF 'before_load' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val meta = graft.sources.IcebergSnapshot
+    val head = meta.currentSnapshotId(path, hconf).get
+    assert(head !== preOverwrite)
+
+    // the ladder continued: a plain INSERT INTO appends on top
     spark.sql("INSERT INTO graftsurf.db.iow VALUES (12, 'z')")
     assert(spark.sql("SELECT count(*) FROM graftsurf.db.iow")
       .collect()(0).getLong(0) === 3L)
+    // a second overwrite folds the post-overwrite state away again
+    spark.sql("INSERT OVERWRITE graftsurf.db.iow VALUES (20, 'w')")
+    assert(spark.sql("SELECT k FROM graftsurf.db.iow")
+      .collect().map(_.getLong(0)).toSeq === Seq(20L))
     spark.sql("DROP TABLE graftsurf.db.iow")
+  }
+
+  test("INSERT OVERWRITE folds row-level delete files away too: a " +
+      "MoR table overwritten reads ONLY the new rows, and the retired " +
+      "deletes never resurrect") {
+    spark.sql("CREATE TABLE graftsurf.db.iowd (k BIGINT NOT NULL, v STRING)")
+    spark.sql("INSERT INTO graftsurf.db.iowd VALUES (1,'a'),(2,'b'),(3,'c')")
+    spark.sql("DELETE FROM graftsurf.db.iowd WHERE k = 2")
+    assert(spark.sql("SELECT count(*) FROM graftsurf.db.iowd")
+      .collect()(0).getLong(0) === 2L)
+    spark.sql("INSERT OVERWRITE graftsurf.db.iowd VALUES (2, 'back')")
+    assert(spark.sql("SELECT k, v FROM graftsurf.db.iowd").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((2L, "back")),
+      "the retired position delete must not apply to the NEW row")
+    spark.sql("DROP TABLE graftsurf.db.iowd")
   }
 
   test("TRUNCATE TABLE empties the table as one commit; INSERT after " +
