@@ -6,9 +6,9 @@ import java.util.UUID
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, regexp_replace, udf}
-import org.apache.spark.sql.types.MetadataBuilder
+import org.apache.spark.sql.types.{IntegerType, MetadataBuilder, StringType, StructField, StructType}
 
 import graft.model.TableDef
 import IcebergSnapshot._
@@ -68,6 +68,51 @@ object IcebergDeletes {
     (st.getPath, st.getLen, n)
   }
 
+  /** Resolve scan-surfaced (scheme-normalized) data-file keys in
+    * `df("__graft_key")` to their manifest-recorded path and
+    * delete-file partition ordinal, returning (file_path, pos, __part)
+    * — file_path NULL where the key matches no live file. Bounded
+    * tables resolve through a broadcast driver map; beyond
+    * `graft.rowlevel.max-file-map-entries` (default 100k live files)
+    * the map is NOT built — the keys join a distributed files frame
+    * instead, so a row-level commit never broadcasts O(table-files)
+    * driver state at 100 TB (the same size-gate discipline as the CDC
+    * delete-key broadcast in [[IcebergChanges]]). */
+  private def resolveFileRefs(spark: SparkSession,
+      live: Seq[(DataFileInfo, Long)], specEvolved: Boolean,
+      partTuples: Map[Seq[Option[Any]], Int], df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val maxEntries = spark.conf
+      .get("graft.rowlevel.max-file-map-entries", "100000").toInt
+    def ordOf(f: DataFileInfo): Int =
+      if (specEvolved) 0 else partTuples(f.partitionValues)
+    if (live.size <= maxEntries) {
+      val byKey = live.map { case (f, _) =>
+        normKey(f.path) -> ((f.path, ordOf(f)))
+      }.toMap
+      val bc = spark.sparkContext.broadcast(byKey)
+      val toPath = udf((k: String) => bc.value.get(k).map(_._1).orNull)
+      val toPart = udf((k: String) => bc.value.get(k).map(_._2).getOrElse(-1))
+      df.select(toPath(col("__graft_key")).as("file_path"), col("pos"),
+        toPart(col("__graft_key")).as("__part"))
+    } else {
+      val rows = live.map { case (f, _) =>
+        Row(normKey(f.path), f.path, ordOf(f))
+      }
+      val schema = StructType(Seq(
+        StructField("__graft_key2", StringType),
+        StructField("__graft_mpath", StringType),
+        StructField("__graft_ord", IntegerType)))
+      val filesDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows,
+          math.max(1, math.min(rows.size / 50000 + 1,
+            spark.sparkContext.defaultParallelism))), schema)
+      df.join(filesDf, df("__graft_key") === filesDf("__graft_key2"), "left")
+        .select(col("__graft_mpath").as("file_path"), col("pos"),
+          coalesce(col("__graft_ord"), lit(-1)).as("__part"))
+    }
+  }
+
   private def loadCurrent(tablePath: String,
       conf: org.apache.hadoop.conf.Configuration) = {
     val metadataDir = new Path(tablePath, "metadata")
@@ -118,12 +163,6 @@ object IcebergDeletes {
     val partTuples: Map[Seq[Option[Any]], Int] =
       if (specEvolved) Map(Seq.empty[Option[Any]] -> 0)
       else live.map(_._1.partitionValues).distinct.zipWithIndex.toMap
-    // normalized scan path → (manifest-recorded path, partition ordinal)
-    val byKey = live.map { case (f, _) =>
-      normKey(f.path) ->
-        ((f.path, if (specEvolved) 0 else partTuples(f.partitionValues)))
-    }.toMap
-    val bc = spark.sparkContext.broadcast(byKey)
 
     // one scan + identity restore per SPEC group (a column that is
     // dir-encoded under one spec is physical under another), routed
@@ -147,12 +186,10 @@ object IcebergDeletes {
     // null-fill — exactly the added-column read semantics); evolved
     // groups all surface the full current schema
     }.reduce(_.unionByName(_, allowMissingColumns = true))
-    val toManifestPath = udf((k: String) => bc.value.get(k).map(_._1).orNull)
-    val toPart = udf((k: String) => bc.value.get(k).map(_._2).getOrElse(-1))
-    val matched = enriched.filter(predicate).select(
-      toManifestPath(col("__graft_file")).as("file_path"),
-      col("__graft_pos").as("pos"),
-      toPart(col("__graft_file")).as("__part"))
+    val matched = resolveFileRefs(spark, live, specEvolved, partTuples,
+      enriched.filter(predicate).select(
+        col("__graft_file").as("__graft_key"),
+        col("__graft_pos").as("pos")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try commitDeltaCore(spark, table, tablePath, matched, partTuples,
       specEvolved, newFiles = Nil, metadataDir, fs, version, chain,
@@ -171,39 +208,59 @@ object IcebergDeletes {
     * no-ops (the no-matching-row UPDATE). The caller owns the retry
     * unit: on a version race, re-derive BOTH inputs against the new
     * head (see [[IcebergSnapshot.withCommitRetry]]); the loser's
-    * first-attempt files become sweepable orphans. */
+    * first-attempt files become sweepable orphans.
+    *
+    * Linearization guard: `expectedHeadId` is the snapshot the caller
+    * derived `rowDeletes`' identities FROM (pin the read with
+    * `readSnapshot(snapshotId = head)`). If the head moved by commit
+    * time — a DELETE, compaction or another MERGE landed in the window
+    * — this throws [[IcebergSnapshot.CommitConflictException]] so the
+    * retry wrapper re-derives the row set, instead of silently
+    * committing stale identities (which would duplicate updated rows
+    * or resurrect deleted ones). A delete key that no longer resolves
+    * to a live file conflicts for the same reason — it is never
+    * dropped quietly. */
   def commitRowDelta(spark: SparkSession, table: TableDef,
       tablePath: String, rowDeletes: DataFrame,
       newFiles: Seq[DataFileInfo],
-      timestampMs: Long = System.currentTimeMillis()): IcebergMetadata.SnapshotMeta = {
+      timestampMs: Long = System.currentTimeMillis(),
+      expectedHeadId: Option[Long] = None): IcebergMetadata.SnapshotMeta = {
     val conf = spark.sparkContext.hadoopConfiguration
     val (metadataDir, fs, version, chain, current) = loadCurrent(tablePath, conf)
+    expectedHeadId.foreach { id =>
+      if (id != current.snapshotId)
+        throw new CommitConflictException(
+          s"row identities were derived against snapshot $id but the " +
+            s"head is now ${current.snapshotId} — a concurrent commit " +
+            "landed between the read and this commit; re-derive and retry")
+    }
     val priorList = readManifestList(new Path(current.manifestList), conf)
     val live = liveFilesWithSeq(priorList, table, conf)
     val specEvolved = table.partitionSpecs.nonEmpty
     val partTuples: Map[Seq[Option[Any]], Int] =
       if (specEvolved || live.isEmpty) Map(Seq.empty[Option[Any]] -> 0)
       else live.map(_._1.partitionValues).distinct.zipWithIndex.toMap
-    val byKey = live.map { case (f, _) =>
-      normKey(f.path) ->
-        ((f.path, if (specEvolved) 0 else partTuples(f.partitionValues)))
-    }.toMap
-    val bc = spark.sparkContext.broadcast(byKey)
-    val toManifestPath = udf((k: String) => bc.value.get(k).map(_._1).orNull)
-    val toPart = udf((k: String) => bc.value.get(k).map(_._2).getOrElse(-1))
-    // distinct guards double-targeted rows; a (file, pos) whose file
-    // is no longer live (a racing rewrite) drops out via the null map
-    val matched = rowDeletes
-      .select(toManifestPath(col(IcebergSnapshot.RowMetaFileCol)).as("file_path"),
-        col(IcebergSnapshot.RowMetaPosCol).as("pos"))
-      .filter(col("file_path").isNotNull)
-      .distinct()
-      .withColumn("__part", toPart(norm(col("file_path"))))
+    // distinct guards double-targeted rows (key ↔ manifest path is a
+    // bijection, so pre-resolution distinct is the same set)
+    val matched = resolveFileRefs(spark, live, specEvolved, partTuples,
+      rowDeletes
+        .select(col(IcebergSnapshot.RowMetaFileCol).as("__graft_key"),
+          col(IcebergSnapshot.RowMetaPosCol).as("pos"))
+        .distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try commitDeltaCore(spark, table, tablePath, matched, partTuples,
-      specEvolved, newFiles, metadataDir, fs, version, chain, current,
-      priorList, timestampMs)
-    finally matched.unpersist()
+    try {
+      // a key missing from the live set means the state moved under
+      // the caller's read (a rewrite the head check could not see, or
+      // no expectedHeadId was passed) — conflict out, never drop it
+      if (matched.filter(col("file_path").isNull).limit(1).count() > 0L)
+        throw new CommitConflictException(
+          "a delete row's (file, pos) no longer resolves to a live " +
+            "data file — the table state moved since the read; " +
+            "re-derive and retry")
+      commitDeltaCore(spark, table, tablePath, matched, partTuples,
+        specEvolved, newFiles, metadataDir, fs, version, chain, current,
+        priorList, timestampMs)
+    } finally { matched.unpersist(); () }
   }
 
   /** Shared tail of [[commitPositionDeletes]] and [[commitRowDelta]]:
@@ -234,19 +291,31 @@ object IcebergDeletes {
     val posMeta = new MetadataBuilder()
       .putLong("parquet.field.id", DeleteFilePosFieldId).build()
     val tupleOf = partTuples.map(_.swap)
-    val deleteFiles = perPart.toSeq.sortBy(_._1).map { case (ord, nRows) =>
-      val dir = new Path(tablePath, s"deletes/pos-$newSeq-p$ord")
-      // spec: position delete files are sorted by file_path then pos
-      matched.filter(col("__part") === ord)
-        .select(col("file_path").as("file_path", fpMeta),
-          col("pos").as("pos", posMeta))
-        .coalesce(1).sortWithinPartitions("file_path", "pos")
-        .write.mode("overwrite").parquet(dir.toString)
-      val (p, len, n) = statAndCount(dir, fs, conf)
-      assert(n == nRows)
-      DataFileInfo(p.toString, len, n, tupleOf(ord), content = 1,
-        specId = if (specEvolved) UnpartitionedSpecId else 0)
-    }
+    val deleteFiles =
+      if (perPart.isEmpty) Seq.empty[DataFileInfo]
+      else {
+        // ONE partitioned write for ALL touched partitions (was: a
+        // sequential coalesce(1) job per partition — a wide UPDATE
+        // touching 10^4 partitions ran 10^4 serial Spark jobs).
+        // repartition on __part lands each ordinal in exactly one
+        // task, so partitionBy writes ONE file per ordinal; the sort
+        // keeps the spec's (file_path, pos) order inside each file.
+        val base = new Path(tablePath, s"deletes/pos-$newSeq")
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        matched.select(col("file_path").as("file_path", fpMeta),
+            col("pos").as("pos", posMeta), col("__part"))
+          .repartition(col("__part"))
+          .sortWithinPartitions("__part", "file_path", "pos")
+          .write.mode("overwrite").partitionBy("__part")
+          .parquet(base.toString)
+        perPart.toSeq.sortBy(_._1).map { case (ord, nRows) =>
+          val dir = new Path(base, s"__part=$ord")
+          val (p, len, n) = statAndCount(dir, fs, conf)
+          assert(n == nRows)
+          DataFileInfo(p.toString, len, n, tupleOf(ord), content = 1,
+            specId = if (specEvolved) UnpartitionedSpecId else 0)
+        }
+      }
 
     var ordinal = priorList.size
     val nRows = newFiles.map(_.recordCount).sum

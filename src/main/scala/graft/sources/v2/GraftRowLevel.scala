@@ -255,13 +255,20 @@ private[v2] object GraftRowLevelExec {
     // the whole read-match-write-commit is the retry unit: a lost
     // version race re-reads the new head and re-derives the row set
     IcebergSnapshot.withCommitRetry() {
+      // PIN the read to the head observed now and hand that id to the
+      // commit: a snapshot landing between this read and the commit
+      // (DELETE, compaction, another MERGE) is DETECTED as a conflict
+      // and retried, never silently committed over (the documented
+      // linearization guarantee, enforced end to end)
+      val baseHead = IcebergSnapshot.currentSnapshotId(path,
+        spark.sparkContext.hadoopConfiguration)
       // the condition's literal conjuncts prune FILES before any row
       // is read — `UPDATE ... WHERE day = X` touches one partition's
       // files at 100 TB, not the table
       val pruning = condition
         .map(conditionBounds(_, targetOutput, table)).getOrElse(Nil)
       val net = IcebergSnapshot.readSnapshot(spark, path, table,
-        pruning = pruning, keepRowMeta = true)
+        snapshotId = baseHead, pruning = pruning, keepRowMeta = true)
       val byId = targetOutput.zipWithIndex
         .map { case (a, i) => a.exprId -> s"__t_$i" }.toMap
       val renamed = renamedTarget(net, targetOutput,
@@ -284,7 +291,7 @@ private[v2] object GraftRowLevelExec {
           }: _*)
           val newFiles = writeDeltaFiles(spark, table, path, updated)
           IcebergDeletes.commitRowDelta(spark, table, path, deletes,
-            newFiles)
+            newFiles, expectedHeadId = baseHead)
           ()
         }
       } finally { matched.unpersist(); () }
@@ -312,6 +319,9 @@ private[v2] object GraftRowLevelExec {
         case (InsertAction(_, asgs), i) => (i, asgs, false)
       }
     IcebergSnapshot.withCommitRetry() {
+      // pin the read and hand the id to the commit — see runUpdate
+      val baseHead = IcebergSnapshot.currentSnapshotId(path,
+        spark.sparkContext.hadoopConfiguration)
       // target-vs-literal ON conjuncts prune target FILES — but only
       // when no NOT MATCHED BY SOURCE actions exist: a pruned row is
       // provably unmatched (it fails the ON clause), which is exactly
@@ -321,7 +331,7 @@ private[v2] object GraftRowLevelExec {
           conditionBounds(mergeCondition, targetOutput, table)
         else Nil
       val net = IcebergSnapshot.readSnapshot(spark, path, table,
-        pruning = pruning, keepRowMeta = true)
+        snapshotId = baseHead, pruning = pruning, keepRowMeta = true)
       val byId = (targetOutput.zipWithIndex.map {
         case (a, i) => a.exprId -> s"__t_$i"
       } ++ sOut.zipWithIndex.map {
@@ -401,7 +411,7 @@ private[v2] object GraftRowLevelExec {
           .map(df => writeDeltaFiles(spark, table, path, df))
           .getOrElse(Nil)
         IcebergDeletes.commitRowDelta(spark, table, path, deletes,
-          newFiles)
+          newFiles, expectedHeadId = baseHead)
         ()
       } finally { joined.unpersist(); () }
     }

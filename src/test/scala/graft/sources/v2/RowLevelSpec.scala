@@ -325,6 +325,130 @@ class RowLevelSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graftrl.db.race")
   }
 
+  test("commitRowDelta conflicts when the head moved between read and " +
+      "commit, and when a stale key no longer resolves — never a silent " +
+      "commit over moved state") {
+    import org.apache.spark.sql.functions.col
+    spark.sql(
+      "CREATE TABLE graftrl.db.cfl (k BIGINT NOT NULL, v STRING, p DOUBLE)")
+    spark.sql("INSERT INTO graftrl.db.cfl VALUES (1,'a',1.0),(2,'b',2.0)")
+    val path = s"$warehouse/db/cfl"
+    val tdef = graft.sources.IcebergTableLoader.load(path, conf)
+    val head0 = graft.sources.IcebergSnapshot.currentSnapshotId(path, conf)
+    val net = graft.sources.IcebergSnapshot.readSnapshot(spark, path, tdef,
+      snapshotId = head0, keepRowMeta = true)
+    val deletes = net.filter(col("k") === 1L)
+      .select(col("__graft_file"), col("__graft_pos"))
+
+    // a commit lands in the read→commit window: the head guard fires
+    spark.sql("INSERT INTO graftrl.db.cfl VALUES (3,'c',3.0)")
+    val e = intercept[graft.sources.IcebergSnapshot.CommitConflictException] {
+      graft.sources.IcebergDeletes.commitRowDelta(spark, tdef, path,
+        deletes, Nil, expectedHeadId = head0)
+    }
+    assert(e.getMessage.contains("head"))
+    assert(spark.sql("SELECT count(*) FROM graftrl.db.cfl")
+      .collect()(0).getLong(0) === 3L, "the conflicted delta must not land")
+
+    // WITHOUT the head guard: a compaction rewrote the files the stale
+    // identities point at — the unresolved keys conflict instead of
+    // being dropped while the new data files still commit
+    graft.sources.IcebergSnapshot.compactDataFiles(spark, tdef, path,
+      targetBytes = 512L * 1024 * 1024)
+    val e2 = intercept[graft.sources.IcebergSnapshot.CommitConflictException] {
+      graft.sources.IcebergDeletes.commitRowDelta(spark, tdef, path,
+        deletes, Nil)
+    }
+    assert(e2.getMessage.contains("no longer resolves"))
+    assert(spark.sql("SELECT count(*) FROM graftrl.db.cfl")
+      .collect()(0).getLong(0) === 3L)
+    spark.sql("DROP TABLE graftrl.db.cfl")
+  }
+
+  test("a row-level commit touching MANY partitions writes its delete " +
+      "files in ONE partitioned job, not one serial job per partition; " +
+      "files stay per-partition and (file_path, pos)-sorted") {
+    import org.apache.spark.sql.functions.col
+    // the per-partition delete layout belongs to the LEGACY migrated
+    // shape (implicit spec 0 — catalog tables carry explicit specs and
+    // collapse to one global delete file by design)
+    val table = graft.parse.Db2Parser.parse(
+      """CREATE TABLE S.WIDE (
+        |  K BIGINT NOT NULL,
+        |  P BIGINT NOT NULL,
+        |  V DOUBLE
+        |) PARTITION BY RANGE (P);""".stripMargin).tables.head
+    val out = java.nio.file.Files.createTempDirectory("rl_wide").toString
+    graft.api.SchemaTranslator.migrateTable(
+      spark.range(0, 400).selectExpr(
+        "id AS K", "id % 40 AS P", "id * 1.0 AS V"),
+      table, out)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // touches ALL 40 partitions: the old per-partition coalesce(1)
+      // loop ran 40+ serial delete-write jobs here
+      graft.api.SchemaTranslator.deleteWhere(spark, table, out,
+        col("K") % 3 === 0) // gcd(3, 40) = 1: hits every partition
+      Thread.sleep(2000) // listener bus is async
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() <= 30,
+      s"expected O(1) jobs for a 40-partition delete, saw ${jobs.get()}")
+    assert(graft.sources.IcebergSnapshot.readSnapshot(spark, out, table)
+      .count() === 266L)
+
+    // layout: one delete file per touched partition ordinal, each
+    // sorted by (file_path, pos) as the spec requires
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(out).toUri, conf)
+    val posDirs = fs.listStatus(new org.apache.hadoop.fs.Path(out, "deletes"))
+      .filter(_.getPath.getName.startsWith("pos-"))
+    assert(posDirs.nonEmpty)
+    val partDirs = posDirs.flatMap(d => fs.listStatus(d.getPath))
+      .filter(_.getPath.getName.startsWith("__part="))
+    assert(partDirs.length === 40, "one delete dir per touched partition")
+    partDirs.take(3).foreach { d =>
+      val got = spark.read.parquet(d.getPath.toString)
+        .select(col("file_path"), col("pos")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got === got.sortBy(identity),
+        s"delete file ${d.getPath} must be (file_path, pos)-sorted")
+      assert(fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) === 1,
+        "exactly one delete file per partition ordinal")
+    }
+  }
+
+  test("the live-file resolution join fallback (map gate at 0) commits " +
+      "the same delta the broadcast-map path does") {
+    spark.conf.set("graft.rowlevel.max-file-map-entries", "0")
+    try {
+      spark.sql(
+        "CREATE TABLE graftrl.db.gate (k BIGINT NOT NULL, v STRING, p DOUBLE)")
+      spark.sql("INSERT INTO graftrl.db.gate VALUES " +
+        "(1,'a',10.0),(2,'b',20.0),(3,'c',30.0)")
+      spark.sql("UPDATE graftrl.db.gate SET p = p * 2 WHERE k <= 2")
+      assert(rows("gate") === Set((1L, "a", 20.0), (2L, "b", 40.0),
+        (3L, "c", 30.0)))
+      spark.createDataFrame(Seq((3L, 333.0), (4L, 444.0)))
+        .toDF("k", "np").createOrReplaceTempView("gate_src")
+      spark.sql(
+        """MERGE INTO graftrl.db.gate t USING gate_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET p = s.np
+          |WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (s.k, 'n', s.np)
+          |""".stripMargin)
+      assert(rows("gate") === Set((1L, "a", 20.0), (2L, "b", 40.0),
+        (3L, "c", 333.0), (4L, "n", 444.0)))
+      spark.sql("DROP TABLE graftrl.db.gate")
+    } finally spark.conf.unset("graft.rowlevel.max-file-map-entries")
+  }
+
   test("SQL ref DDL + pure-SQL WAP cycle: stage on a branch, audit via " +
       "VERSION AS OF, publish via FAST FORWARD, drop the branch") {
     spark.sql(
