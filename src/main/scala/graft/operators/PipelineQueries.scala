@@ -1305,6 +1305,90 @@ object PipelineQueries {
     }
   }
 
+  /** STORAGE-PARTITIONED JOIN over a MoR table that CARRIES position
+    * delete files — the CDC interaction q113 can't see: one side is
+    * maintained by SQL DELETE + MERGE (delta snapshots with position
+    * deletes), and the join must STILL plan zero exchanges because the
+    * key-grouped scan applies the bucket's deletes in-reader instead
+    * of stepping aside. The audit boolean pins (a) shuffle-free plan,
+    * (b) both sides native batch scans, (c) delete files actually live
+    * on the merged side — so a regression to the fall-back path (or a
+    * premature compaction hiding the deletes) flips the hash. */
+  def q114SpjDeleteJoin(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graftspjd_${Integer.toHexString(dir.hashCode)}"
+    val (wh, built) = amortizedIndexPath(s, dir, "iceberg_spj_del",
+      p => new java.io.File(p, "_built_spjd").isFile, table = "orders")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftIcebergCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    if (!built) {
+      t(s, dir, "orders").createOrReplaceTempView("orders_src_q114")
+      s.sql(
+        s"""CREATE TABLE $cat.spjd_a (
+           |  O_ORDERKEY BIGINT NOT NULL, PA DOUBLE
+           |) PARTITIONED BY (bucket(16, O_ORDERKEY))""".stripMargin)
+      s.sql(
+        s"""INSERT INTO $cat.spjd_a
+           |SELECT o_orderkey, o_totalprice FROM orders_src_q114
+           |WHERE o_orderkey % 4 <> 3""".stripMargin)
+      s.sql(
+        s"""CREATE TABLE $cat.spjd_b (
+           |  O_ORDERKEY BIGINT NOT NULL, PB DOUBLE
+           |) PARTITIONED BY (bucket(16, O_ORDERKEY))""".stripMargin)
+      s.sql(
+        s"""INSERT INTO $cat.spjd_b
+           |SELECT o_orderkey, o_totalprice * 0.5 FROM orders_src_q114
+           |WHERE o_orderkey % 3 <> 2""".stripMargin)
+      // the MoR maintenance a CDC pipeline runs daily: a DELETE, then
+      // a MERGE re-pricing a slice — both commit position deletes
+      s.sql(s"DELETE FROM $cat.spjd_b WHERE O_ORDERKEY % 5 = 0")
+      s.sql(
+        s"""MERGE INTO $cat.spjd_b t
+           |USING (SELECT o_orderkey AS mk, o_orderkey * 2.0 AS np
+           |       FROM orders_src_q114 WHERE o_orderkey % 7 = 1) s
+           |ON t.O_ORDERKEY = s.mk
+           |WHEN MATCHED THEN UPDATE SET PB = s.np""".stripMargin)
+      java.nio.file.Files.write(
+        new java.io.File(wh, "_built_spjd").toPath, "1\n".getBytes("UTF-8"))
+      ()
+    }
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+    val prior = keys.map(k => k -> s.conf.getOption(k))
+    keys.zip(Seq("true", "true", "-1", "false")).foreach {
+      case (k, v) => s.conf.set(k, v)
+    }
+    try {
+      val join = s.sql(
+        s"""SELECT a.O_ORDERKEY AS k, a.PA + b.PB AS p
+           |FROM $cat.spjd_a a JOIN $cat.spjd_b b
+           |ON a.O_ORDERKEY = b.O_ORDERKEY""".stripMargin)
+      val plan = join.queryExecution.executedPlan
+      // the `.files` inspection table is the public surface: content=1
+      // rows are live position delete files
+      val deletesLive = s.sql(
+        s"SELECT count(*) FROM $cat.spjd_b.files WHERE content = 1")
+        .collect()(0).getLong(0) > 0L
+      val spjOk = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.isEmpty && plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.size == 2 && deletesLive
+      val row = join.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("k")).cast("bigint").as("sum_keys"),
+        round(sum(col("p").cast("decimal(28,4)")).cast("double"), 2)
+          .as("sum_price")).collect()(0)
+      import s.implicits._
+      Seq((row.getLong(0), row.getLong(1), row.getDouble(2), spjOk))
+        .toDF("n_rows", "sum_keys", "sum_price", "spj_ok")
+    } finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** SQL `UPDATE` under the hard oracle: a conditioned in-place
     * rewrite (k % 5 = 2 within one partition) commits one delta
     * snapshot; the read-back aggregate must equal DuckDB applying the
@@ -3958,6 +4042,26 @@ object PipelineQueries {
         |    AS DOUBLE), 2) AS sum_price,
         |  true AS spj_ok
         |FROM a JOIN b ON a.k = b.k""".stripMargin,
+    // SPJ over live position deletes reconstructed relationally:
+    // DuckDB applies the DELETE slice and the MERGE re-pricing in
+    // order; the "deletes live + shuffle-free" audit arrives as the
+    // Spark-side boolean
+    "q114_spj_delete_join" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS pa
+        |  FROM orders WHERE o_orderkey % 4 <> 3),
+        |b0 AS (
+        |  SELECT o_orderkey AS k, o_totalprice * 0.5 AS pb
+        |  FROM orders WHERE o_orderkey % 3 <> 2),
+        |b AS (
+        |  SELECT k, CASE WHEN k % 7 = 1 THEN k * 2.0 ELSE pb END AS pb
+        |  FROM b0 WHERE k % 5 <> 0)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(a.k) AS BIGINT) AS sum_keys,
+        |  round(CAST(sum(CAST(a.pa + b.pb AS DECIMAL(28,4)))
+        |    AS DOUBLE), 2) AS sum_price,
+        |  true AS spj_ok
+        |FROM a JOIN b ON a.k = b.k""".stripMargin,
     // the partitions metadata table must equal DuckDB recomputing the
     // day() and truncate(2) transforms arithmetically from raw parquet
     "q110_partitions_meta" ->
@@ -4157,6 +4261,7 @@ object PipelineQueries {
     "q111_merge" -> (q111Merge _),
     "q112_sql_update" -> (q112SqlUpdate _),
     "q113_spj_join" -> (q113SpjJoin _),
+    "q114_spj_delete_join" -> (q114SpjDeleteJoin _),
     "q70c_clustered_dedup" -> (q70cClusteredDedup _),
     "q71_phrase_search" -> (q71PhraseSearch _),
     "q71_indexed" -> (q71PhraseSearchIndexed _),

@@ -74,6 +74,26 @@ object GraftRowLevelRewrite extends Rule[LogicalPlan] {
           "have been expanded during resolution")
     }
 
+  /** True when the built-in `SupportsDelete` path can serve this
+    * DELETE: no subqueries, and every conjunct translates to a v1
+    * filter [[GraftIcebergTable.canDeleteWhere]] accepts. Those keep
+    * the established pushdown path; everything else (IN/EXISTS
+    * subqueries, arithmetic predicates — the daily GDPR/backfill
+    * shapes) lowers to the same read-match-commit delta UPDATE and
+    * MERGE ride, instead of failing analysis. */
+  private def deletePushable(condition: Expression): Boolean = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    !condition.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]) &&
+      split(condition).forall(c =>
+        ColumnBridge.translateFilter(c)
+          .exists(f => GraftIcebergSource.filterToColumn(f).isDefined))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case u @ UpdateTable(target, assignments, condition) if u.resolved =>
       graftTarget(target).map { case (rel, tbl) =>
@@ -82,6 +102,14 @@ object GraftRowLevelRewrite extends Rule[LogicalPlan] {
         GraftUpdateCommand(tbl.tablePath0, tbl.tableDef0, rel.output,
           assignments, condition): LogicalPlan
       }.getOrElse(u)
+    case d @ DeleteFromTable(target, condition) if d.resolved &&
+        !deletePushable(condition) =>
+      graftTarget(target).map { case (rel, tbl) =>
+        require(tbl.timeTravelId0.isEmpty,
+          "DELETE through a time-travel/ref read is not allowed")
+        GraftDeleteCommand(tbl.tablePath0, tbl.tableDef0, rel.output,
+          GraftCond(condition)): LogicalPlan
+      }.getOrElse(d)
     case m: MergeIntoTable if m.resolved =>
       graftTarget(m.targetTable).map { case (rel, tbl) =>
         require(tbl.timeTravelId0.isEmpty,
@@ -106,6 +134,30 @@ case class GraftUpdateCommand(path: String, table: TableDef,
   override def run(spark: SparkSession): Seq[Row] = {
     GraftRowLevelExec.runUpdate(spark, path, table, targetOutput,
       assignments, condition)
+    Seq.empty
+  }
+}
+
+/** Opaque expression carrier: keeps a RESOLVED condition off the
+  * command node's expression surface. CheckAnalysis allowlists
+  * subquery expressions by node type and a custom leaf command is not
+  * on the list — but the condition was already fully analyzed and
+  * checked as part of the `DeleteFromTable` this command replaced, so
+  * re-checking it against the command node would only re-refuse what
+  * Spark itself allows in a DELETE. */
+private[v2] final case class GraftCond(e: Expression)
+
+/** `DELETE FROM t WHERE <untranslatable predicate>` — subqueries
+  * (`k IN (SELECT …)`, correlated `EXISTS`), arithmetic shapes —
+  * lowered to one position-delete delta snapshot over the same
+  * read-match-commit machinery as UPDATE. Pushable predicates never
+  * reach here (the rewrite leaves them to the `SupportsDelete` path). */
+case class GraftDeleteCommand(path: String, table: TableDef,
+    targetOutput: Seq[Attribute],
+    condition: GraftCond) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftRowLevelExec.runDelete(spark, path, table, targetOutput,
+      condition.e)
     Seq.empty
   }
 }
@@ -243,6 +295,59 @@ private[v2] object GraftRowLevelExec {
     IcebergSnapshot.listDataFiles(new org.apache.hadoop.fs.Path(sub),
       table, spark.sparkContext.hadoopConfiguration)
       .filter(_.recordCount > 0)
+  }
+
+  /** DELETE with a predicate the pushdown path refused: read the net
+    * rows with their (file, pos) identity, filter by the ORIGINAL
+    * Catalyst condition — subqueries included — and commit the
+    * position deletes. The condition's target attributes (and the
+    * `OuterReference`s correlated subqueries wrap around them) remap
+    * by exprId onto the snapshot read's resolved attributes, so the
+    * re-analysis of the filter resolves them against the read plan
+    * while the subquery plans execute as captured. Anything the remap
+    * cannot reach (an outer ref nested two subquery levels deep) fails
+    * analysis LOUDLY — never a wrong-set delete. */
+  def runDelete(spark: SparkSession, path: String, table: TableDef,
+      targetOutput: Seq[Attribute], condition: Expression): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{OuterReference, SubqueryExpression}
+    requireNoWap(spark, "DELETE")
+    IcebergSnapshot.withCommitRetry() {
+      val baseHead = IcebergSnapshot.currentSnapshotId(path,
+        spark.sparkContext.hadoopConfiguration)
+      // literal conjuncts still prune files (subquery conjuncts simply
+      // contribute no bound); the exact predicate re-applies row-level
+      val pruning = conditionBounds(condition, targetOutput, table)
+      val net = IcebergSnapshot.readSnapshot(spark, path, table,
+        snapshotId = baseHead, pruning = pruning, keepRowMeta = true)
+      val renamed = renamedTarget(net, targetOutput,
+        Seq(col(FileCol), col(PosCol)))
+      val netPlan = PlanBridge.analyzed(renamed)
+      val attrOf: Map[ExprId, Attribute] = targetOutput.zipWithIndex.map {
+        case (a, i) => a.exprId -> netPlan.output(i)
+      }.toMap
+      val remapped = condition.transform {
+        case a: AttributeReference if attrOf.contains(a.exprId) => attrOf(a.exprId)
+        case s: SubqueryExpression =>
+          s.withNewPlan(s.plan.transformAllExpressions {
+            case OuterReference(a: AttributeReference)
+                if attrOf.contains(a.exprId) =>
+              OuterReference(attrOf(a.exprId)
+                .asInstanceOf[AttributeReference])
+          })
+      }
+      val matched = PlanBridge.ofRows(spark,
+        org.apache.spark.sql.catalyst.plans.logical.Filter(remapped, netPlan))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // no matching rows: a no-op, the version must not advance
+        if (!matched.isEmpty) {
+          IcebergDeletes.commitRowDelta(spark, table, path,
+            matched.select(col(FileCol), col(PosCol)), Nil,
+            expectedHeadId = baseHead)
+          ()
+        }
+      } finally { matched.unpersist(); () }
+    }
   }
 
   def runUpdate(spark: SparkSession, path: String, table: TableDef,

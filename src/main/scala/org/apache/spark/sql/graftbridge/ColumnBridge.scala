@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Catalyst predicate → v1 `Filter`, when one exists
+    * (`DataSourceStrategy.translateFilter` is `protected[sql]`; the
+    * row-level DELETE rewrite uses it to decide whether the built-in
+    * `SupportsDelete` pushdown path can serve a predicate). */
+  def translateFilter(predicate: Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(predicate, supportNestedPredicatePushdown = true)
 }

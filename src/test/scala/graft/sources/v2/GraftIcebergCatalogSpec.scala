@@ -146,7 +146,7 @@ class GraftIcebergCatalogSpec extends AnyFunSuite {
 
   test("SQL DELETE FROM: row-exact merge-on-read position deletes, " +
       "snapshot-visible, time travel keeps the pre-delete rows; " +
-      "untranslatable predicates refuse loudly") {
+      "untranslatable predicates ride the row-level delta") {
     spark.sql(
       """CREATE TABLE graft.db.dels (
         |  k BIGINT NOT NULL, status STRING, price DOUBLE
@@ -174,13 +174,14 @@ class GraftIcebergCatalogSpec extends AnyFunSuite {
     assert(graft.sources.IcebergSnapshot
       .readSnapshot(spark, path, tdef, Some(before)).count() === 40L)
 
-    // an untranslatable predicate must refuse, never partially delete
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM graft.db.dels WHERE k % 7 = 0")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"))
+    // an untranslatable predicate lowers to the row-level delta path
+    // (GraftDeleteCommand) instead of failing analysis — row-exact
+    // (the 27 survivors include 0,7,14,21,35 ≡ 0 mod 7: 5 rows die)
+    spark.sql("DELETE FROM graft.db.dels WHERE k % 7 = 0")
     assert(spark.sql("SELECT count(*) FROM graft.db.dels")
-      .collect()(0).getLong(0) === 27L, "refused delete removed nothing")
+      .collect()(0).getLong(0) === 22L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.dels WHERE k % 7 = 0")
+      .collect()(0).getLong(0) === 0L)
 
     // TRUNCATE TABLE rides the same face (TruncatableTable →
     // deleteWhere(AlwaysTrue)); the emptied table still time-travels

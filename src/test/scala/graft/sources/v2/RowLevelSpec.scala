@@ -325,6 +325,65 @@ class RowLevelSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graftrl.db.race")
   }
 
+  test("DELETE with subquery / untranslatable predicates lowers to the " +
+      "row-level delta (IN-subquery, correlated EXISTS, arithmetic, " +
+      "no-op, WAP refusal); pushable shapes keep the pushdown path") {
+    spark.sql(
+      "CREATE TABLE graftrl.db.dsub (k BIGINT NOT NULL, v STRING, p DOUBLE)")
+    spark.sql("INSERT INTO graftrl.db.dsub VALUES " +
+      "(1,'a',1.0),(2,'b',2.0),(3,'c',3.0),(4,'d',4.0),(5,'e',5.0),(10,'f',10.0)")
+    def ks: Seq[Long] = spark.sql(
+      "SELECT k FROM graftrl.db.dsub ORDER BY k").collect().map(_.getLong(0))
+    spark.createDataFrame(Seq(Tuple1(2L), Tuple1(4L))).toDF("dk")
+      .createOrReplaceTempView("dsub_keys")
+
+    // IN-subquery — the daily GDPR/backfill shape the SupportsDelete
+    // path refuses (it cannot translate a subquery filter)
+    val v0 = versionOf("dsub")
+    spark.sql(
+      "DELETE FROM graftrl.db.dsub WHERE k IN (SELECT dk FROM dsub_keys)")
+    assert(ks === Seq(1L, 3L, 5L, 10L))
+    // time travel back across the subquery delete
+    assert(spark.sql(
+      s"SELECT count(*) FROM graftrl.db.dsub VERSION AS OF $v0")
+      .collect()(0).getLong(0) === 6L)
+
+    // correlated EXISTS: the outer reference remaps onto the snapshot
+    // read's attributes
+    spark.createDataFrame(Seq((3L, "x"))).toDF("ek", "ev")
+      .createOrReplaceTempView("dsub_ex")
+    spark.sql("DELETE FROM graftrl.db.dsub WHERE EXISTS " +
+      "(SELECT 1 FROM dsub_ex e WHERE e.ek = k)")
+    assert(ks === Seq(1L, 5L, 10L))
+
+    // arithmetic predicate: no subquery, still untranslatable to a v1
+    // filter — rides the same delta path
+    spark.sql("DELETE FROM graftrl.db.dsub WHERE k % 5 = 0")
+    assert(ks === Seq(1L))
+
+    // no-op subquery delete: the version must not advance
+    val v = versionOf("dsub")
+    spark.sql("DELETE FROM graftrl.db.dsub WHERE k IN " +
+      "(SELECT dk FROM dsub_keys WHERE dk > 100)")
+    assert(versionOf("dsub") === v, "claiming no rows must not commit")
+
+    // WAP staging refuses (the delta commits to MAIN)
+    spark.conf.set("graft.wap.branch", "audit")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM graftrl.db.dsub WHERE k IN " +
+          "(SELECT dk FROM dsub_keys)")
+      }
+      assert(e.getMessage.contains("graft.wap.branch"))
+    } finally spark.conf.unset("graft.wap.branch")
+
+    // a PUSHABLE predicate still rides SupportsDelete (both paths land
+    // the same state; this leg guards the claim split)
+    spark.sql("DELETE FROM graftrl.db.dsub WHERE k = 1")
+    assert(ks === Seq.empty)
+    spark.sql("DROP TABLE graftrl.db.dsub")
+  }
+
   test("commitRowDelta conflicts when the head moved between read and " +
       "commit, and when a stale key no longer resolves — never a silent " +
       "commit over moved state") {

@@ -110,20 +110,72 @@ class SpjSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
   }
 
-  test("the gate falls back (V1 scan, exchanges) when row-level deletes " +
-      "exist, and results stay exact") {
+  test("SPJ reads THROUGH position deletes: a table maintained by " +
+      "DELETE/MERGE keeps its zero-exchange join, rows exact vs the V1 " +
+      "plan (equality deletes still fall back)") {
     spark.sql("DELETE FROM graftspj.db.fact_b WHERE k >= 580")
     val df = spark.sql(joinSql)
-    // fact_b carries delete files now → its side must fall back to the
-    // V1 scan; fact_a legitimately stays key-grouped
+    // position delete files are applied IN-READER now — BOTH sides
+    // stay key-grouped and the join still plans shuffle-free
+    assert(shuffleCount(df.queryExecution.executedPlan) === 0,
+      s"SPJ must hold through position deletes:\n" +
+        s"${df.queryExecution.executedPlan}")
     assert(df.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
-    }.forall(_.toString.contains("fact_a")),
-      "delete files present: fact_b's key-grouped scan must step aside")
+    }.size === 2, "both sides key-grouped with deletes present")
     assert(df.collect().length === 200, "deleted keys were outside the overlap")
-    // a delete INSIDE the overlap flows through the fallback read
+
+    // a delete INSIDE the overlap: the dropped rows vanish from the
+    // shuffle-free join, row-for-row equal to the exchanged plan
     spark.sql("DELETE FROM graftspj.db.fact_b WHERE k < 210")
-    assert(spark.sql(joinSql).collect().length === 190)
+    val spj = spark.sql(joinSql).collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(spj.length === 190)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    try {
+      val v1 = spark.sql(joinSql).collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+      assert(spj.toSeq === v1.toSeq,
+        "delete-aware SPJ read must match the general MoR read exactly")
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+
+    // a MERGE (delete + reinsert in one delta snapshot) keeps SPJ too —
+    // the exact table shape the CDC pipeline maintains
+    spark.createDataFrame(Seq((300L, 12345.0), (301L, 23456.0)))
+      .toDF("k", "nvb").createOrReplaceTempView("spj_upd")
+    spark.sql(
+      """MERGE INTO graftspj.db.fact_b t USING spj_upd s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET vb = s.nvb""".stripMargin)
+    val df2 = spark.sql(joinSql)
+    assert(shuffleCount(df2.queryExecution.executedPlan) === 0,
+      "SPJ must hold after a MERGE delta commit")
+    val merged = df2.collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(merged(300L) === 12345.0 && merged(301L) === 23456.0)
+    assert(df2.count() === 190L)
+  }
+
+  test("compound spec (bucket(16, k), days(ts)): the standard fact " +
+      "layout still groups by the bucket ordinal and joins shuffle-free") {
+    spark.sql(
+      """CREATE TABLE graftspj.db.fact_c (
+        |  k BIGINT NOT NULL, ts DATE, vc DOUBLE
+        |) PARTITIONED BY (bucket(16, k), days(ts))""".stripMargin)
+    spark.sql("INSERT INTO graftspj.db.fact_c " +
+      "SELECT id AS k, date_add(DATE'2024-01-01', CAST(id % 7 AS INT)) " +
+      "AS ts, id * 3.0 AS vc FROM range(0, 400)")
+    val sql =
+      """SELECT a.k, a.va, c.vc
+        |FROM graftspj.db.fact_a a JOIN graftspj.db.fact_c c
+        |ON a.k = c.k""".stripMargin
+    val df = spark.sql(sql)
+    assert(shuffleCount(df.queryExecution.executedPlan) === 0,
+      s"compound-spec bucket join must plan shuffle-free:\n" +
+        s"${df.queryExecution.executedPlan}")
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.length === 400)
+    assert(got.forall { case (k, va, vc) => va === k * 1.5 && vc === k * 3.0 })
+    spark.sql("DROP TABLE graftspj.db.fact_c")
   }
 
   test("SELECT bucket(16, k) through the catalog equals the writer's " +
