@@ -246,8 +246,10 @@ object SchemaTranslator {
     * real Iceberg reader apply the deletes; history still
     * time-travels). */
   def deleteWhere(spark: SparkSession, table: TableDef, path: String,
-      predicate: org.apache.spark.sql.Column): Unit = {
-    graft.sources.IcebergDeletes.commitPositionDeletes(spark, table, path, predicate)
+      predicate: org.apache.spark.sql.Column,
+      pruning: Seq[graft.sources.IcebergPruning.ColumnBound] = Nil): Unit = {
+    graft.sources.IcebergDeletes.commitPositionDeletes(spark, table, path,
+      predicate, pruning = pruning)
     ()
   }
 

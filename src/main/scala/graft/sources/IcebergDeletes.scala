@@ -139,18 +139,31 @@ object IcebergDeletes {
     * reference identity-partition columns (restored from manifests
     * before filtering). Matching, mapping to (file, pos) and the
     * delete-file writes all run as Spark jobs; returns the committed
-    * snapshot, or the current one unchanged when nothing matches. */
+    * snapshot, or the current one unchanged when nothing matches.
+    *
+    * `pruning` bounds (best-effort translations of the predicate's
+    * literal conjuncts) skip files whose recorded stats/partition
+    * values prove no row can match BEFORE any row is read — so
+    * `DELETE ... WHERE day = X` on a 100 TB table opens one
+    * partition's files, not the table. Conservative by construction:
+    * [[IcebergPruning.fileMayMatch]] keeps any file that COULD match,
+    * and the exact predicate still decides row-level. */
   def commitPositionDeletes(spark: SparkSession, table: TableDef,
       tablePath: String, predicate: Column,
-      timestampMs: Long = System.currentTimeMillis()): IcebergMetadata.SnapshotMeta = {
+      timestampMs: Long = System.currentTimeMillis(),
+      pruning: Seq[IcebergPruning.ColumnBound] = Nil): IcebergMetadata.SnapshotMeta = {
     val conf = spark.sparkContext.hadoopConfiguration
     val (metadataDir, fs, version, chain, current) = loadCurrent(tablePath, conf)
     val priorList = readManifestList(new Path(current.manifestList), conf)
-    val live = liveFilesWithSeq(priorList, table, conf)
+    val allLive = liveFilesWithSeq(priorList, table, conf)
+    val live = allLive.filter { case (f, _) =>
+      pruning.forall(b => IcebergPruning.fileMayMatch(table, f, b))
+    }
     // deleting from an EMPTY table is a no-op, not an error — the SQL
     // face reaches here for `DELETE FROM t` on a fresh table, and a
     // DELETE racing the table's first INSERT legitimately sees zero
-    // files (found by the concurrency spec's delete-vs-append race)
+    // files (found by the concurrency spec's delete-vs-append race);
+    // a predicate that prunes EVERY file is the same no-op
     if (live.isEmpty) return current
 
     // distinct partition tuples, each with its delete-file ordinal.

@@ -28,15 +28,19 @@ import graft.sources.{IcebergMetadata, IcebergSnapshot, IcebergTableLoader}
   * source/sinks, the explicit API) already speaks — a catalog table
   * IS a path table, so the faces compose freely.
   *
-  * Scope: CREATE (identity partitions = PARTITIONED BY (col…), or
-  * bucket(16, col…) — the writer's bucket width), DROP, RENAME
-  * (a filesystem move: Iceberg metadata holds no absolute
-  * self-references to the table root in this layout's manifests? it
-  * does — see renameTable's refusal), list/exists, INSERT INTO
-  * (append snapshots via the table's V1Write), SELECT with pushdown.
-  * ALTER TABLE refuses loudly — schema/spec evolution runs through
-  * [[graft.sources.IcebergEvolution]], which commits by field id;
-  * mapping Spark's TableChange surface onto it is future work.
+  * Scope — the supported DDL/DML surface: CREATE (identity /
+  * bucket(N) / temporal / truncate partition transforms), CTAS,
+  * REPLACE TABLE … AS SELECT and CREATE OR REPLACE (Spark's
+  * non-staging ReplaceTableExec: drop + recreate + append), DROP,
+  * list/exists, INSERT INTO (append snapshots via the table's
+  * V1Write), INSERT OVERWRITE (one atomic overwrite snapshot),
+  * TRUNCATE, SELECT with pushdown + time travel, DELETE/UPDATE/MERGE
+  * (merge-on-read deltas via [[GraftRowLevelRewrite]]), ALTER TABLE
+  * ADD/RENAME/DROP COLUMN and SET/UNSET TBLPROPERTIES (field-id
+  * evolution through [[graft.sources.IcebergEvolution]]), and the
+  * branch/tag DDL [[GraftSqlParser]] adds. RENAME TABLE refuses
+  * (manifests record absolute paths); column type/nullability/comment
+  * changes refuse (no writer surface).
   *
   * CREATE commits table metadata AND an empty append snapshot, so a
   * freshly created table reads as zero rows immediately (the same

@@ -367,7 +367,10 @@ private[v2] class GraftIcebergTable(path: String, tdef: TableDef,
     IcebergSnapshot.withCommitRetry() {
       graft.sources.IcebergDeletes.commitPositionDeletes(
         SparkSession.active, tdef, path, pred,
-        timestampMs = System.currentTimeMillis())
+        timestampMs = System.currentTimeMillis(),
+        // the same best-effort file pruning the read faces use: a
+        // selective DELETE opens only the files that can match
+        pruning = GraftIcebergSource.translate(tdef, filters.toSeq))
     }
     ()
   }

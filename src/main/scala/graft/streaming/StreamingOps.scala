@@ -648,6 +648,52 @@ object StreamingOps {
     }
   }
 
+  /** Streaming SQL-MERGE upsert — [[icebergUpsertSink]]'s SQL-face
+    * twin: a `foreachBatch` body that registers each micro-batch as a
+    * temp view and runs a caller-shaped `MERGE INTO` against a CATALOG
+    * table, for reconciliations that need MERGE's full action surface
+    * (conditioned updates, partial column lists, matched DELETE,
+    * NOT MATCHED BY SOURCE):
+    * {{{
+    *   updates.writeStream.foreachBatch(StreamingOps.icebergMergeSink(
+    *     "graft.db.dim", "batch_src",
+    *     """MERGE INTO graft.db.dim t USING batch_src s ON t.k = s.k
+    *       |WHEN MATCHED AND s.op = 'D' THEN DELETE
+    *       |WHEN MATCHED THEN UPDATE SET *
+    *       |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    *     .option("checkpointLocation", ckpt).start()
+    * }}}
+    * Each batch commits ONE merge-on-read delta snapshot through the
+    * row-level rewrite ([[graft.sources.v2.GraftRowLevelRewrite]]),
+    * concurrency-safe against other writers (head-pinned read +
+    * conflict-retried commit).
+    *
+    * EXACTLY-ONCE CONTRACT — convergence by idempotence, not a txn
+    * marker: the delta commit carries no per-batch transaction
+    * property, so a batch replayed after a crash RE-RUNS its MERGE
+    * against the already-merged table. That converges iff the merge is
+    * IDEMPOTENT: assignments must be functions of the SOURCE row
+    * (`SET v = s.v`, `INSERT (k, v) VALUES (s.k, s.v)`), never
+    * self-referential arithmetic (`SET v = t.v + s.v` double-applies
+    * on replay — use [[icebergUpsertSink]]/[[icebergCdcSink]] for the
+    * guarded latest-wins shapes). The replayed no-op still commits a
+    * snapshot (same rows, new version) — harmless to readers, visible
+    * in history. */
+  def icebergMergeSink(targetTable: String, sourceView: String,
+      mergeSql: String): (DataFrame, Long) => Unit = {
+    require(mergeSql.toUpperCase.contains("MERGE INTO"),
+      "icebergMergeSink needs a MERGE INTO statement")
+    require(mergeSql.contains(sourceView),
+      s"the MERGE statement must read the batch view $sourceView")
+    (batch, _) => {
+      if (!batch.isEmpty) {
+        batch.createOrReplaceTempView(sourceView)
+        batch.sparkSession.sql(mergeSql)
+        ()
+      }
+    }
+  }
+
   /** The FULL CDC shape — [[icebergUpsertSink]] plus row deletion: each
     * micro-batch carries an `opCol` marker per row (`"D"` = delete the
     * key, anything else = upsert the row), and the batch lands as ONE

@@ -437,6 +437,79 @@ object ScaleBench {
       "offset_after_expire_ms" -> tOffsetAfter)
   }
 
+  /** ROW-LEVEL COMMIT scale probe — two legs over the same 200k rows
+    * laid out under `parts` identity partitions (fresh table per rep,
+    * build time excluded):
+    *
+    *  - NARROW: `deleteWhere(P = 0 AND K % 3 = 0)` with the partition
+    *    bound pushed as file pruning — the daily selective-delete
+    *    shape. Claim: wall time FLAT as the table's partition/file
+    *    axis grows 10x (only partition 0's files are opened; the scan
+    *    never touches the other 239).
+    *  - WIDE: `deleteWhere(K % 3 = 0)` touching EVERY partition.
+    *    Claim: the Spark JOB count stays FLAT (the delete-file write
+    *    is ONE partitioned job — it was one serial `coalesce(1)` job
+    *    per partition, the r14 verdict's scale-killer class); wall
+    *    time is honestly linear in DELETE FILES WRITTEN (one per
+    *    touched partition — that floor is the layout, not the
+    *    scheduler). */
+  private def rowDeltaProbe(spark: SparkSession, parts: Int,
+      reps: Int): Map[String, Double] = {
+    val tdef = graft.parse.Db2Parser.parse(
+      """CREATE TABLE S.RLPROBE (
+        |  K BIGINT NOT NULL,
+        |  P BIGINT NOT NULL,
+        |  V DOUBLE
+        |) PARTITION BY RANGE (P);""".stripMargin).tables.head
+    def freshTable(tag: String, r: Int): String = {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_scale_rlp_${tag}_${parts}_$r").getAbsolutePath
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new org.apache.hadoop.fs.Path(out).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      graft.api.SchemaTranslator.migrateTable(
+        spark.range(0, 200000).selectExpr(
+          "id AS K", s"id % $parts AS P", "id * 1.0 AS V"), tdef, out)
+      out
+    }
+    def timed(body: => Unit): (Double, Int) = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1200) // listener bus is async
+      spark.sparkContext.removeSparkListener(listener)
+      (sec, jobs.get())
+    }
+    val samples = (0 until reps).map { r =>
+      val narrowOut = freshTable("narrow", r)
+      val (nSec, nJobs) = timed {
+        graft.api.SchemaTranslator.deleteWhere(spark, tdef, narrowOut,
+          col("P") === lit(0L) && col("K") % 3 === lit(0),
+          pruning = Seq(graft.sources.IcebergPruning.ColumnBound.eq("P", 0L)))
+      }
+      val wideOut = freshTable("wide", r)
+      val (wSec, wJobs) = timed {
+        graft.api.SchemaTranslator.deleteWhere(spark, tdef, wideOut,
+          col("K") % 3 === lit(0))
+      }
+      (nSec, nJobs, wSec, wJobs)
+    }
+    Map("narrow_sec" -> samples.map(_._1).min,
+      "narrow_jobs" -> samples.map(_._2).min.toDouble,
+      "wide_sec" -> samples.map(_._3).min,
+      "wide_jobs" -> samples.map(_._4).min.toDouble,
+      "parts" -> parts.toDouble)
+  }
+
   /** Z-ORDER maintenance probe: the same data in two layouts — ARRIVAL
     * (files clustered by ingest order / column A, the shape appends
     * produce) and Z-ORDERED ([[graft.sources.IcebergMaintenance
@@ -621,6 +694,8 @@ object ScaleBench {
     val meta1k = metadataScaleProbe(spark, baseDir, n = 1024, reps)
     val spj01 = spjProbe(spark, baseDir, factor = 1, reps)
     val spj1 = spjProbe(spark, baseDir, factor = 10, reps)
+    val rl01 = rowDeltaProbe(spark, parts = 24, reps)
+    val rl1 = rowDeltaProbe(spark, parts = 240, reps)
     val (zaSec01, zzSec01, zaKept01, zzKept01, zLive01) =
       zorderProbe(spark, baseDir, factor = 1, reps)
     val (zaSec1, zzSec1, zaKept1, zzKept1, zLive1) =
@@ -664,6 +739,11 @@ object ScaleBench {
         Seq("sec_on", "sec_off", "exchanges_on", "exchanges_off",
           "shuffle_mb_on", "shuffle_mb_off", "join_rows").map { k =>
           f""""$k":[${spj01(k)}%.3f,${spj1(k)}%.3f]"""
+        }.mkString(",") + "}," +
+        s""""row_delta":{"note":"row-level delete commits over the SAME 200k rows at 24 vs 240 identity partitions; narrow = P=0-bounded delete with file pruning pushed (wall time must stay FLAT as the partition/file axis grows 10x — only one partition's files open); wide = every-partition delete (JOB count must stay flat: the delete write is ONE partitioned job, was one serial coalesce(1) job per partition; wall time is honestly linear in the delete FILES WRITTEN)",""" +
+        Seq("narrow_sec", "narrow_jobs", "wide_sec", "wide_jobs",
+          "parts").map { k =>
+          f""""$k":[${rl01(k)}%.3f,${rl1(k)}%.3f]"""
         }.mkString(",") + "}," +
         s""""zorder":{"note":"same rows, arrival layout vs rewriteZorder(A,B), fixed 1/64 B-range predicate at 1x and 10x; kept/live audits the claim, aggregate equality asserted in-probe",""" +
         s""""files_live":[$zLive01,$zLive1],""" +

@@ -82,6 +82,46 @@ class SqlSurfaceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graftsurf.db.iowd")
   }
 
+  test("CTAS / RTAS / CREATE OR REPLACE: AS SELECT shapes create, " +
+      "replace and read back through the catalog; partitioned CTAS " +
+      "lays out and prunes like CREATE + INSERT") {
+    spark.sql("CREATE TABLE graftsurf.db.ctas AS " +
+      "SELECT id AS k, id * 2.0 AS v FROM range(0, 10)")
+    assert(spark.sql("SELECT count(*), sum(k) FROM graftsurf.db.ctas")
+      .collect()(0).toSeq === Seq(10L, 45L))
+    // CTAS lands a real table: INSERT INTO appends, time travel works
+    val path = s"$warehouse/db/ctas"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val v0 = graft.sources.IcebergSnapshot.currentSnapshotId(path, hconf).get
+    spark.sql("INSERT INTO graftsurf.db.ctas VALUES (99, 0.0)")
+    assert(spark.sql(
+      s"SELECT count(*) FROM graftsurf.db.ctas VERSION AS OF $v0")
+      .collect()(0).getLong(0) === 10L)
+
+    // partitioned CTAS: the declared layout drives the write AND the
+    // pruned read, exactly like CREATE + INSERT
+    spark.sql("CREATE TABLE graftsurf.db.ctasp PARTITIONED BY (b) AS " +
+      "SELECT id AS k, CAST(id % 3 AS STRING) AS b FROM range(0, 9)")
+    GraftIcebergScans.clear()
+    assert(spark.sql("SELECT k FROM graftsurf.db.ctasp WHERE b = '1'")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 4L, 7L))
+    val rep = GraftIcebergScans.lastReport.get
+    assert(rep.skippedFiles.nonEmpty && rep.keptFiles.forall(_.contains("b=1")),
+      "partitioned CTAS output must prune like any identity layout")
+
+    // RTAS / CREATE OR REPLACE: a replacement table, fresh generation
+    // (Spark's non-staging ReplaceTableExec = drop + recreate)
+    spark.sql("REPLACE TABLE graftsurf.db.ctas AS SELECT id AS k FROM range(0, 5)")
+    assert(spark.sql("SELECT count(*) FROM graftsurf.db.ctas")
+      .collect()(0).getLong(0) === 5L)
+    spark.sql("CREATE OR REPLACE TABLE graftsurf.db.ctas AS " +
+      "SELECT id AS k FROM range(0, 7)")
+    assert(spark.sql("SELECT count(*) FROM graftsurf.db.ctas")
+      .collect()(0).getLong(0) === 7L)
+    spark.sql("DROP TABLE graftsurf.db.ctas")
+    spark.sql("DROP TABLE graftsurf.db.ctasp")
+  }
+
   test("TRUNCATE TABLE empties the table as one commit; INSERT after " +
       "truncate is a plain increment") {
     spark.sql("CREATE TABLE graftsurf.db.trunc (k BIGINT NOT NULL, v STRING)")
