@@ -99,8 +99,16 @@ object GraftRowLevelRewrite extends Rule[LogicalPlan] {
       graftTarget(target).map { case (rel, tbl) =>
         require(tbl.timeTravelId0.isEmpty,
           "UPDATE through a time-travel/ref read is not allowed")
+        // SET values must be plain expressions (a subquery there has
+        // no distributed evaluation surface in the rewrite); the WHERE
+        // condition MAY carry subqueries — runUpdate filters through
+        // the same deep-remapped plan Filter the DELETE path uses
+        assignments.foreach(a => require(!a.value.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+          "subqueries in UPDATE SET values are not supported — " +
+            "precompute the value into a source table and MERGE"))
         GraftUpdateCommand(tbl.tablePath0, tbl.tableDef0, rel.output,
-          assignments, condition): LogicalPlan
+          assignments, condition.map(GraftCond)): LogicalPlan
       }.getOrElse(u)
     case d @ DeleteFromTable(target, condition) if d.resolved &&
         !deletePushable(condition) =>
@@ -127,13 +135,15 @@ object GraftRowLevelRewrite extends Rule[LogicalPlan] {
   }
 }
 
-/** `UPDATE t SET ... [WHERE ...]` lowered to one delta snapshot. */
+/** `UPDATE t SET ... [WHERE ...]` lowered to one delta snapshot. The
+  * condition rides in a [[GraftCond]] carrier so subquery WHERE shapes
+  * (`k IN (SELECT …)`) survive CheckAnalysis — see GraftCond. */
 case class GraftUpdateCommand(path: String, table: TableDef,
     targetOutput: Seq[Attribute], assignments: Seq[Assignment],
-    condition: Option[Expression]) extends LeafRunnableCommand {
+    condition: Option[GraftCond]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftRowLevelExec.runUpdate(spark, path, table, targetOutput,
-      assignments, condition)
+      assignments, condition.map(_.e))
     Seq.empty
   }
 }
@@ -297,6 +307,35 @@ private[v2] object GraftRowLevelExec {
       .filter(_.recordCount > 0)
   }
 
+  /** Filter the RENAMED snapshot read by the ORIGINAL Catalyst
+    * condition — subqueries included: the condition's target
+    * attributes (and the `OuterReference`s correlated subqueries wrap
+    * around them) remap BY EXPRID onto the read plan's resolved
+    * attributes, then the filter re-analyzes over that plan while the
+    * captured subquery plans execute as-is. An outer ref the remap
+    * cannot reach (nested two subquery levels deep) fails analysis
+    * LOUDLY — never a wrong row set. Shared by the UPDATE and DELETE
+    * lowerings. */
+  private def deepFilter(spark: SparkSession, renamed: DataFrame,
+      targetOutput: Seq[Attribute], condition: Expression): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{OuterReference, SubqueryExpression}
+    val netPlan = PlanBridge.analyzed(renamed)
+    val attrOf: Map[ExprId, Attribute] = targetOutput.zipWithIndex.map {
+      case (a, i) => a.exprId -> netPlan.output(i)
+    }.toMap
+    val remapped = condition.transform {
+      case a: AttributeReference if attrOf.contains(a.exprId) => attrOf(a.exprId)
+      case s: SubqueryExpression =>
+        s.withNewPlan(s.plan.transformAllExpressions {
+          case OuterReference(a: AttributeReference)
+              if attrOf.contains(a.exprId) =>
+            OuterReference(attrOf(a.exprId).asInstanceOf[AttributeReference])
+        })
+    }
+    PlanBridge.ofRows(spark,
+      org.apache.spark.sql.catalyst.plans.logical.Filter(remapped, netPlan))
+  }
+
   /** DELETE with a predicate the pushdown path refused: read the net
     * rows with their (file, pos) identity, filter by the ORIGINAL
     * Catalyst condition — subqueries included — and commit the
@@ -309,7 +348,6 @@ private[v2] object GraftRowLevelExec {
     * analysis LOUDLY — never a wrong-set delete. */
   def runDelete(spark: SparkSession, path: String, table: TableDef,
       targetOutput: Seq[Attribute], condition: Expression): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.{OuterReference, SubqueryExpression}
     requireNoWap(spark, "DELETE")
     IcebergSnapshot.withCommitRetry() {
       val baseHead = IcebergSnapshot.currentSnapshotId(path,
@@ -321,22 +359,7 @@ private[v2] object GraftRowLevelExec {
         snapshotId = baseHead, pruning = pruning, keepRowMeta = true)
       val renamed = renamedTarget(net, targetOutput,
         Seq(col(FileCol), col(PosCol)))
-      val netPlan = PlanBridge.analyzed(renamed)
-      val attrOf: Map[ExprId, Attribute] = targetOutput.zipWithIndex.map {
-        case (a, i) => a.exprId -> netPlan.output(i)
-      }.toMap
-      val remapped = condition.transform {
-        case a: AttributeReference if attrOf.contains(a.exprId) => attrOf(a.exprId)
-        case s: SubqueryExpression =>
-          s.withNewPlan(s.plan.transformAllExpressions {
-            case OuterReference(a: AttributeReference)
-                if attrOf.contains(a.exprId) =>
-              OuterReference(attrOf(a.exprId)
-                .asInstanceOf[AttributeReference])
-          })
-      }
-      val matched = PlanBridge.ofRows(spark,
-        org.apache.spark.sql.catalyst.plans.logical.Filter(remapped, netPlan))
+      val matched = deepFilter(spark, renamed, targetOutput, condition)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // no matching rows: a no-op, the version must not advance
@@ -378,7 +401,10 @@ private[v2] object GraftRowLevelExec {
         .map { case (a, i) => a.exprId -> s"__t_$i" }.toMap
       val renamed = renamedTarget(net, targetOutput,
         Seq(col(FileCol), col(PosCol)))
-      val matched = condition.map(c => renamed.filter(remap(c, byId)))
+      // deepFilter, not a plain remap: the WHERE may carry subqueries
+      // (`UPDATE ... WHERE k IN (SELECT ...)`)
+      val matched = condition.map(c =>
+        deepFilter(spark, renamed, targetOutput, c))
         .getOrElse(renamed)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {

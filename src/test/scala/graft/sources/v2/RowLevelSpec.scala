@@ -384,6 +384,31 @@ class RowLevelSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graftrl.db.dsub")
   }
 
+  test("UPDATE with a subquery WHERE (IN / correlated EXISTS) rides the " +
+      "same deep-remapped filter; subqueries in SET values refuse") {
+    spark.sql(
+      "CREATE TABLE graftrl.db.usub (k BIGINT NOT NULL, v STRING, p DOUBLE)")
+    spark.sql("INSERT INTO graftrl.db.usub VALUES " +
+      "(1,'a',1.0),(2,'b',2.0),(3,'c',3.0),(4,'d',4.0)")
+    spark.createDataFrame(Seq(Tuple1(2L), Tuple1(4L))).toDF("uk")
+      .createOrReplaceTempView("usub_keys")
+    spark.sql("UPDATE graftrl.db.usub SET p = p * 10 " +
+      "WHERE k IN (SELECT uk FROM usub_keys)")
+    assert(rows("usub") === Set((1L, "a", 1.0), (2L, "b", 20.0),
+      (3L, "c", 3.0), (4L, "d", 40.0)))
+    spark.sql("UPDATE graftrl.db.usub SET v = 'X' WHERE EXISTS " +
+      "(SELECT 1 FROM usub_keys e WHERE e.uk = k AND e.uk > 3)")
+    assert(rows("usub") === Set((1L, "a", 1.0), (2L, "b", 20.0),
+      (3L, "c", 3.0), (4L, "X", 40.0)))
+    // SET-value subqueries have no evaluation surface in the rewrite
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graftrl.db.usub SET p = " +
+        "(SELECT max(uk) FROM usub_keys) WHERE k = 1")
+    }
+    assert(e.getMessage.contains("SET values"))
+    spark.sql("DROP TABLE graftrl.db.usub")
+  }
+
   test("commitRowDelta conflicts when the head moved between read and " +
       "commit, and when a stale key no longer resolves — never a silent " +
       "commit over moved state") {
