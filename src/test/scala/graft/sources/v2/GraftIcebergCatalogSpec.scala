@@ -15,6 +15,10 @@ class GraftIcebergCatalogSpec extends AnyFunSuite {
   private lazy val warehouse =
     java.nio.file.Files.createTempDirectory("graft_warehouse").toString
 
+  // a DEDICATED session (create(), not getOrCreate): the untranslatable
+  // DELETE leg needs the row-level rewrite, which is a BUILD-time
+  // extension — inheriting whichever session an earlier suite left as
+  // the JVM default made this suite's analyzer surface order-dependent
   private lazy val spark = {
     val s = SparkSession.builder()
       .master("local[4]")
@@ -24,7 +28,8 @@ class GraftIcebergCatalogSpec extends AnyFunSuite {
         "graft.sources.v2.GraftIcebergCatalog")
       .config("spark.sql.catalog.graft.warehouse", warehouse)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .withExtensions(new graft.api.GraftExtensions)
+      .create()
     s.sql(s"CREATE NAMESPACE graft.db")
     s
   }
