@@ -111,8 +111,8 @@ class SpjSpec extends AnyFunSuite {
   }
 
   test("SPJ reads THROUGH position deletes: a table maintained by " +
-      "DELETE/MERGE keeps its zero-exchange join, rows exact vs the V1 " +
-      "plan (equality deletes still fall back)") {
+      "DELETE/MERGE keeps its zero-exchange join, rows exact vs the " +
+      "V1 plan") {
     spark.sql("DELETE FROM graftspj.db.fact_b WHERE k >= 580")
     val df = spark.sql(joinSql)
     // position delete files are applied IN-READER now — BOTH sides
@@ -152,6 +152,59 @@ class SpjSpec extends AnyFunSuite {
     val merged = df2.collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
     assert(merged(300L) === 12345.0 && merged(301L) === 23456.0)
     assert(df2.count() === 190L)
+  }
+
+  test("SPJ reads THROUGH equality deletes too: a table maintained by " +
+      "the upsert sink's shape keeps its zero-exchange join; the size " +
+      "gate falls back past the key cap") {
+    spark.sql(
+      """CREATE TABLE graftspj.db.fact_e (
+        |  k BIGINT NOT NULL, ve DOUBLE
+        |) PARTITIONED BY (bucket(16, k))""".stripMargin)
+    spark.sql("INSERT INTO graftspj.db.fact_e " +
+      "SELECT id AS k, id * 4.0 AS ve FROM range(0, 400)")
+    // the streaming-CDC table shape: an API upsert commits new data
+    // files + ONE GLOBAL equality delete file over the batch keys
+    val path = s"$warehouse/db/fact_e"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tdef = graft.sources.IcebergTableLoader.load(path, conf)
+    graft.api.SchemaTranslator.mergeUpsert(
+      spark.createDataFrame(Seq((250L, 99999.0), (401L, 40100.0)))
+        .toDF("k", "ve"), tdef, path, keyCols = Seq("k"))
+    val sql =
+      """SELECT a.k, a.va, e.ve
+        |FROM graftspj.db.fact_a a JOIN graftspj.db.fact_e e
+        |ON a.k = e.k""".stripMargin
+    val df = spark.sql(sql)
+    assert(shuffleCount(df.queryExecution.executedPlan) === 0,
+      s"SPJ must hold through equality deletes:\n" +
+        s"${df.queryExecution.executedPlan}")
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got(250L) === 99999.0,
+      "the upserted row wins; its older version dies via the eq delete")
+    assert(got.size === 400, "fact_a holds 0..399; the 401 insert is outside")
+    // exact row parity vs the general MoR read
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    try {
+      val v1 = spark.sql(sql).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+      val spj = df.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+      assert(spj.toSeq === v1.toSeq,
+        "equality-delete SPJ read must match the general MoR read exactly")
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+
+    // the size gate: cap at 0 keys → the eq-delete side steps aside
+    spark.conf.set("graft.spj.max-eq-delete-rows", "0")
+    try {
+      val fb = spark.sql(sql)
+      assert(fb.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.forall(_.toString.contains("fact_a")),
+        "past the key cap the eq-delete table must ride the V1 scan")
+      assert(fb.collect().length === df.collect().length)
+    } finally spark.conf.unset("graft.spj.max-eq-delete-rows")
+    spark.sql("DROP TABLE graftspj.db.fact_e")
   }
 
   test("compound spec (bucket(16, k), days(ts)): the standard fact " +
