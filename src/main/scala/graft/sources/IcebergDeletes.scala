@@ -26,8 +26,9 @@ import IcebergSnapshot._
   *    table size; only the per-partition delete-file list is
   *    driver-side (bounded by partitions touched).
   *  - [[commitUpsert]]: OVERWRITE snapshot pairing new data files with
-  *    one GLOBAL equality delete file (written against the table's
-  *    unpartitioned spec-1 per the spec's global-delete rule). Because
+  *    GLOBAL equality delete files (hash-bucketed across parallel
+  *    writer tasks, written against the table's unpartitioned spec-1
+  *    per the spec's global-delete rule). Because
   *    equality deletes apply to STRICTLY older sequence numbers, the
   *    snapshot's own data files are untouched — exactly the CDC upsert
   *    (Flink-style MoR) semantics: old rows with the same key die, new
@@ -314,13 +315,14 @@ object IcebergDeletes {
         // task, so partitionBy writes ONE file per ordinal; the sort
         // keeps the spec's (file_path, pos) order inside each file.
         val base = new Path(tablePath, s"deletes/pos-$newSeq")
-        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-        matched.select(col("file_path").as("file_path", fpMeta),
-            col("pos").as("pos", posMeta), col("__part"))
-          .repartition(col("__part"))
-          .sortWithinPartitions("__part", "file_path", "pos")
-          .write.mode("overwrite").partitionBy("__part")
-          .parquet(base.toString)
+        withFieldIdWrite(spark) {
+          matched.select(col("file_path").as("file_path", fpMeta),
+              col("pos").as("pos", posMeta), col("__part"))
+            .repartition(col("__part"))
+            .sortWithinPartitions("__part", "file_path", "pos")
+            .write.mode("overwrite").partitionBy("__part")
+            .parquet(base.toString)
+        }
         perPart.toSeq.sortBy(_._1).map { case (ord, nRows) =>
           val dir = new Path(base, s"__part=$ord")
           val (p, len, n) = statAndCount(dir, fs, conf)
@@ -393,11 +395,15 @@ object IcebergDeletes {
   /** Commit an upsert: the data files appended under `data/` since the
     * current snapshot become this snapshot's ADDED files, and `keys`
     * (the upserted rows' key columns, already in translated types)
-    * become one global equality delete file killing every OLDER row
-    * with the same key. One atomic OVERWRITE snapshot; new data files
-    * are unaffected by the delete (equality deletes apply to strictly
-    * older sequence numbers only). With no new data files this is a
-    * pure key-delete (operation "delete").
+    * become global equality delete files killing every OLDER row with
+    * the same key. The key set is hash-bucketed into
+    * ceil(nKeys / `graft.rowlevel.eq-delete-keys-per-file`) files
+    * (default 1M keys/file, capped at the cluster's parallelism) so
+    * large CDC batches write in parallel and readers get bounded probe
+    * files instead of one monolith. One atomic OVERWRITE snapshot; new
+    * data files are unaffected by the delete (equality deletes apply
+    * to strictly older sequence numbers only). With no new data files
+    * this is a pure key-delete (operation "delete").
     *
     * Key columns must live in the data files (identity-partition
     * source columns are directory-encoded and cannot carry an
@@ -432,18 +438,47 @@ object IcebergDeletes {
     val newSeq = chain.map(_.sequenceNumber).max + 1
     val snapshotId = snapshotIdFor(table, newSeq)
 
-    // one global equality delete file: distinct keys, deterministic order
+    // global (spec-1) equality delete files, PARTITIONED: distinct
+    // keys hash-bucket across ceil(nKeys / keys-per-file) parallel
+    // writer tasks (capped at the cluster's parallelism), each file
+    // sorted by key — so a 10^8-key CDC batch neither funnels through
+    // one task nor hands readers one monolithic probe file.
+    // Fixture-scale batches still produce a single file; every written
+    // file gets its own manifest entry (spec-legal: equality deletes
+    // compose by union).
     val delDir = new Path(tablePath, s"deletes/eq-$newSeq")
-    keys.select(keyCols.map { k =>
+    val distinctKeys = keys.select(keyCols.map { k =>
       val meta = new MetadataBuilder()
         .putLong("parquet.field.id", colIds(k).toLong).build()
       col(k).as(k, meta)
     }: _*).distinct()
-      .coalesce(1).sortWithinPartitions(keyCols.map(col): _*)
-      .write.mode("overwrite").parquet(delDir.toString)
-    val (delPath, delLen, nKeys) = statAndCount(delDir, fs, conf)
-    val deleteFile = DataFileInfo(delPath.toString, delLen, nKeys,
-      partitionValues = Nil, content = 2, equalityIds = equalityIds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (delFiles, nKeys) = try {
+      val n = distinctKeys.count()
+      val target = spark.conf
+        .get("graft.rowlevel.eq-delete-keys-per-file", "1000000").toLong
+      val nFiles = math.max(1L, math.min((n + target - 1) / target,
+        spark.sparkContext.defaultParallelism.toLong)).toInt
+      withFieldIdWrite(spark) {
+        distinctKeys.repartition(nFiles, keyCols.map(col): _*)
+          .sortWithinPartitions(keyCols.map(col): _*)
+          .write.mode("overwrite").parquet(delDir.toString)
+      }
+      val infos = fs.listStatus(delDir)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName).toSeq.flatMap { st =>
+          val reader = ParquetFileReader.open(
+            HadoopInputFile.fromPath(st.getPath, conf))
+          val cnt = try reader.getRecordCount finally reader.close()
+          // a hash bucket can come out empty on tiny key sets; the
+          // writer usually skips it, but never list a 0-row file
+          if (cnt == 0L) { fs.delete(st.getPath, false); None }
+          else Some(DataFileInfo(st.getPath.toString, st.getLen, cnt,
+            partitionValues = Nil, content = 2,
+            equalityIds = equalityIds))
+        }
+      (infos, n)
+    } finally { distinctKeys.unpersist(); () }
 
     var ordinal = priorList.size
     val dataManifest =
@@ -454,9 +489,14 @@ object IcebergDeletes {
         ordinal += 1
         Some(m)
       }
-    val deleteManifest = writeManifestEntries(table,
-      Seq(ManifestEntry(1, None, deleteFile)), metadataDir, snapshotId,
-      conf, ordinal = ordinal, specId = UnpartitionedSpecId)
+    // an empty key batch (all-insert upsert) commits no delete
+    // manifest at all — a pure append, never an empty manifest
+    val deleteManifest =
+      if (delFiles.isEmpty) None
+      else Some(writeManifestEntries(table,
+        delFiles.map(f => ManifestEntry(1, None, f)), metadataDir,
+        snapshotId, conf, ordinal = ordinal,
+        specId = UnpartitionedSpecId))
 
     val nRows = newFiles.map(_.recordCount).sum
     val rows =
@@ -464,10 +504,12 @@ object IcebergDeletes {
         ManifestListRow(p.toString, len, newSeq, newSeq,
           newFiles.size, 0, 0, nRows, 0L, 0L,
           specId = IcebergMetadata.defaultSpecIdOf(table))
-      } :+
-        ManifestListRow(deleteManifest._1.toString, deleteManifest._2,
-          newSeq, newSeq, 1, 0, 0, nKeys, 0L, 0L,
-          content = 1, specId = UnpartitionedSpecId)
+      } ++
+        deleteManifest.toSeq.map { case (p, len) =>
+          ManifestListRow(p.toString, len,
+            newSeq, newSeq, delFiles.size, 0, 0, nKeys, 0L, 0L,
+            content = 1, specId = UnpartitionedSpecId)
+        }
     val listPath = writeManifestListRows(table, rows, metadataDir, snapshotId,
       conf, newSeq, Some(current.snapshotId), priorManifests = priorList)
     val snap = IcebergMetadata.SnapshotMeta(
@@ -482,9 +524,9 @@ object IcebergDeletes {
       totalFiles = current.cumulativeFiles + newFiles.size,
       totalRecords = current.cumulativeRecords + nRows,
       operation = if (newFiles.isEmpty) "delete" else "overwrite",
-      addedDeleteFiles = 1L,
+      addedDeleteFiles = delFiles.size.toLong,
       addedEqualityDeletes = nKeys,
-      totalDeleteFiles = current.totalDeleteFiles + 1,
+      totalDeleteFiles = current.totalDeleteFiles + delFiles.size,
       totalPositionDeletes = current.totalPositionDeletes,
       totalEqualityDeletes = current.totalEqualityDeletes + nKeys)
     writeNewMetadataVersion(table, tablePath, metadataDir, fs, version,
@@ -530,55 +572,81 @@ object IcebergDeletes {
     val pf = partitionFields(table)
     val identityCols = pf.filter(_._3 == "identity").map(_._1)
     val partTuples = liveData.map(_._1.partitionValues).distinct
-    val rewritten = partTuples.zipWithIndex.flatMap { case (tuple, i) =>
-      val dir = new Path(tablePath, s"data/rewrite-$newSeq-$i")
-      def surface(idx: Int): String = {
-        val itype = pf(idx)._2
-        tuple(idx).map {
-          case v if itype == "date" => java.time.LocalDate.ofEpochDay(
-            v.asInstanceOf[Number].longValue).toString
-          case v => v.toString
-        }.orNull
-      }
-      // slice `net` down to this partition tuple: identity fields
-      // compare on the restored (string-surfaced) column, bucket
-      // fields recompute the spec transform on the source column
-      val cond = pf.zipWithIndex.map {
-        case ((name, _, "identity"), idx) =>
-          Option(surface(idx)).fold(col(name).isNull)(v => col(name) === v)
-        case ((name, _, transform), idx) if transform.startsWith("bucket") =>
-          val source = name.stripSuffix("_bucket")
-          tuple(idx).fold(col(source).isNull) { v =>
-            graft.functions.IcebergBucket(col(source), 16) ===
-              v.asInstanceOf[Number].intValue
-          }
-      }
-      val slice = cond.foldLeft(net)(_ filter _)
-      // identity partition cols go back to directory encoding: drop
-      // them from the file contents, like the original write did;
-      // re-sort by the declared sort order so the rewritten file
-      // still carries the order the metadata declares
-      val sortCols = table.distributeByHash.toSeq
-        .filter(table.columns.map(_.name).contains)
-      val one = slice.drop(identityCols: _*).coalesce(1)
-      val ordered =
-        if (sortCols.isEmpty) one
-        else one.sortWithinPartitions(sortCols.map(col): _*)
-      // rewritten files must keep their field ids (evolved tables read
-      // by id): the read schema's parquet.field.id metadata propagates
-      // through the plan, and the writer conf must be on even in a
-      // session that never ran writeMigrated
-      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-      ordered.write.mode("overwrite").parquet(dir.toString)
-      val (p, len, n) = statAndCount(dir, fs, conf)
-      // a partition whose every row was deleted rewrites to ZERO rows:
-      // the file must not just be dropped from the commit — it must be
-      // REMOVED, or it sits on disk unreferenced forever (the sixth
-      // randomized-lifecycle find: Delete-all-of-a-partition →
-      // CompactWithDeletes → orphan sweep flagged the leak; writers
-      // must not manufacture the garbage the sweep exists to clean)
-      if (n == 0) { fs.delete(dir, true); None }
+    // ONE partitioned write for ALL partition tuples (was: a serial
+    // read-filter-coalesce(1) Spark job per tuple — a 10^4-partition
+    // table compacted in 10^4 serial jobs, each re-planning the
+    // delete-applied read). Each row's tuple ordinal resolves through
+    // a broadcast join against the manifest-derived tuple table on the
+    // SAME surfaces the original writer produced (identity fields
+    // compare on the restored string column, bucket fields recompute
+    // the spec transform), then repartition(__part) lands every
+    // ordinal in exactly one task and partitionBy writes ONE sorted
+    // file per ordinal — commitDeltaCore's own partitioned-write
+    // pattern, one layer up.
+    val BucketN = """bucket\[(\d+)\]""".r
+    def surface(tuple: Seq[Option[Any]], idx: Int): String = {
+      val itype = pf(idx)._2
+      tuple(idx).map {
+        case v if itype == "date" => java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[Number].longValue).toString
+        case v => v.toString
+      }.orNull
+    }
+    val sortCols = table.distributeByHash.toSeq
+      .filter(table.columns.map(_.name).contains)
+    val keepCols = net.columns.filterNot(identityCols.contains).toSeq
+    val withPart =
+      if (pf.isEmpty) net.withColumn("__part",
+        org.apache.spark.sql.functions.lit(0))
       else {
+        val tupleExprs: Seq[Column] = pf.map {
+          case (name, _, "identity") => col(name)
+          case (name, _, BucketN(n)) =>
+            graft.functions.IcebergBucket(
+              col(name.stripSuffix("_bucket")), n.toInt)
+        }
+        val tupleSchema = StructType(pf.zipWithIndex.map {
+          case ((_, _, tr), i) =>
+            StructField(s"__u_$i",
+              if (tr == "identity") StringType else IntegerType)
+        } :+ StructField("__part", IntegerType))
+        val tupleRows = partTuples.zipWithIndex.map { case (tuple, ord) =>
+          Row.fromSeq(pf.indices.map { i =>
+            if (pf(i)._3 == "identity") surface(tuple, i)
+            else tuple(i).map(v =>
+              Integer.valueOf(v.asInstanceOf[Number].intValue)).orNull
+          } :+ ord)
+        }
+        val tuplesDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(tupleRows, 1), tupleSchema)
+        val withT = net.select(net.columns.map(col).toSeq ++
+          tupleExprs.zipWithIndex.map { case (c, i) => c.as(s"__t_$i") }: _*)
+        val joinCond = pf.indices.map(i =>
+          col(s"__t_$i") <=> col(s"__u_$i")).reduce(_ && _)
+        withT.join(
+          org.apache.spark.sql.functions.broadcast(tuplesDf), joinCond)
+      }
+    // identity partition cols go back to directory encoding: drop them
+    // from the file contents, like the original write did; the sort
+    // keeps each ordinal's block in the declared sort order
+    val base = new Path(tablePath, s"data/rewrite-$newSeq")
+    withFieldIdWrite(spark) {
+      withPart.select((keepCols :+ "__part").map(col): _*)
+        .repartition(col("__part"))
+        .sortWithinPartitions(("__part" +: sortCols).map(col): _*)
+        .write.mode("overwrite").partitionBy("__part")
+        .parquet(base.toString)
+    }
+    val rewritten = partTuples.zipWithIndex.flatMap { case (tuple, ord) =>
+      val dir = new Path(base, s"__part=$ord")
+      // a partition whose every row was deleted simply writes no
+      // directory — nothing committed, nothing leaked on disk (the
+      // sixth randomized-lifecycle find demanded exactly this:
+      // Delete-all-of-a-partition → CompactWithDeletes must not
+      // manufacture the garbage the orphan sweep exists to clean)
+      if (!fs.exists(dir)) None
+      else {
+        val (p, len, n) = statAndCount(dir, fs, conf)
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
         val stats = try columnStats(reader, table) finally reader.close()
         Some(DataFileInfo(p.toString, len, n, tuple,
@@ -690,8 +758,9 @@ object IcebergDeletes {
     val netP = net.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // bounded by the table's partition count, like any commit
-      val tuples = netP.select(tupleCols.zipWithIndex.map {
-        case (c, i) => c.as(s"__t$i") }: _*).distinct().collect()
+      val tupleSel = netP.select(tupleCols.zipWithIndex.map {
+        case (c, i) => c.as(s"__t$i") }: _*)
+      val tuples = tupleSel.distinct().collect()
       val dirEncoded = dirEncodedIdentityCols(table, sid)
       val sortCols = table.distributeByHash.toSeq
         .filter(table.columns.map(_.name).contains)
@@ -706,38 +775,65 @@ object IcebergDeletes {
                   _: java.lang.Boolean) if itype != "string" => n
         case other => other.toString
       }
-      val rewritten = tuples.toSeq.zipWithIndex.flatMap { case (row, i) =>
-        val dir = new Path(tablePath, s"data/rewrite-$newSeq-$i")
-        val cond = tupleCols.zipWithIndex.map { case (c, j) =>
-          if (row.isNullAt(j)) c.isNull else c === org.apache.spark.sql.functions.lit(row.get(j))
-        }
-        val slice = cond.foldLeft(netP: DataFrame)(_ filter _)
-        // re-stamp EVERY written column with its declared field id
-        // (the writeMigrated discipline): a column RESTORED from
-        // manifests — e.g. the source of a renamed identity field,
-        // which stays physical under the new spec — carries no
-        // parquet.field.id metadata from the restore UDF, and a
-        // rewritten file missing the id would null-fill on the next
-        // id-resolved read (found by the randomized lifecycle harness:
-        // AddCol→SpecRenameField→Upsert→CompactWithDeletes)
-        val declared = graft.api.SchemaTranslator.toSparkSchema(table)
-        val kept = slice.drop(dirEncoded.toSeq: _*)
-        val one = kept.select(declared.fields
-          .filter(f => kept.columns.contains(f.name))
-          .map(f => col(f.name).cast(f.dataType).as(f.name, f.metadata)): _*)
-          .coalesce(1)
-        val ordered =
-          if (sortCols.isEmpty) one
-          else one.sortWithinPartitions(sortCols.map(col): _*)
-        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-        ordered.write.mode("overwrite").parquet(dir.toString)
-        val (p, len, n) = statAndCount(dir, fs, conf)
-        // tuples derive from net's own rows, so an empty slice should
-        // be impossible — but if one ever appears, delete the 0-row
-        // file instead of leaking it unreferenced (see the un-evolved
-        // path's sixth-lifecycle-find note)
-        if (n == 0) { fs.delete(dir, true); None }
+      // ONE partitioned write for ALL default-spec tuples (was: one
+      // serial filter-coalesce(1) Spark job per tuple — the same
+      // driver-side serialization the delete commit shed a round ago).
+      // Every row's ordinal resolves via a broadcast join on the
+      // computed tuple columns (null-safe — a null tuple value is a
+      // legitimate partition), then repartition(__part) + partitionBy
+      // writes ONE sorted file per ordinal in a single job.
+      //
+      // Re-stamp EVERY written column with its declared field id (the
+      // writeMigrated discipline): a column RESTORED from manifests —
+      // e.g. the source of a renamed identity field, which stays
+      // physical under the new spec — carries no parquet.field.id
+      // metadata from the restore UDF, and a rewritten file missing
+      // the id would null-fill on the next id-resolved read (found by
+      // the randomized lifecycle harness:
+      // AddCol→SpecRenameField→Upsert→CompactWithDeletes)
+      val declared = graft.api.SchemaTranslator.toSparkSchema(table)
+      val keptNames = netP.columns.filterNot(dirEncoded.contains).toSeq
+      val outCols = declared.fields.toSeq
+        .filter(f => keptNames.contains(f.name))
+        .map(f => col(f.name).cast(f.dataType).as(f.name, f.metadata))
+      val withPart =
+        if (tupleCols.isEmpty)
+          netP.select(outCols :+
+            org.apache.spark.sql.functions.lit(0).as("__part"): _*)
         else {
+          val tSchema = StructType(tupleSel.schema.fields.toSeq.zipWithIndex
+            .map { case (f, i) =>
+              StructField(s"__u_$i", f.dataType, nullable = true)
+            } :+ StructField("__part", IntegerType))
+          val tupleRows = tuples.toSeq.zipWithIndex.map { case (row, ord) =>
+            Row.fromSeq(row.toSeq :+ ord)
+          }
+          val tuplesDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(tupleRows, 1), tSchema)
+          val withT = netP.select(netP.columns.map(col).toSeq ++
+            tupleCols.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }: _*)
+          val joinCond = tupleCols.indices.map(i =>
+            col(s"__t$i") <=> col(s"__u_$i")).reduce(_ && _)
+          withT.join(
+              org.apache.spark.sql.functions.broadcast(tuplesDf), joinCond)
+            .select(outCols :+ col("__part"): _*)
+        }
+      val base = new Path(tablePath, s"data/rewrite-$newSeq")
+      withFieldIdWrite(spark) {
+        withPart
+          .repartition(col("__part"))
+          .sortWithinPartitions(("__part" +: sortCols).map(col): _*)
+          .write.mode("overwrite").partitionBy("__part")
+          .parquet(base.toString)
+      }
+      val rewritten = tuples.toSeq.zipWithIndex.flatMap { case (row, ord) =>
+        val dir = new Path(base, s"__part=$ord")
+        // tuples derive from net's own rows, so an ordinal with no
+        // directory should be impossible — skip it defensively rather
+        // than fail the whole rewrite listing a file that isn't there
+        if (!fs.exists(dir)) None
+        else {
+          val (p, len, n) = statAndCount(dir, fs, conf)
           val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
           val stats = try columnStats(reader, table) finally reader.close()
           val tuple = pf.zipWithIndex.map { case ((_, itype, _), j) =>

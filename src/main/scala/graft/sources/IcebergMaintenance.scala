@@ -150,8 +150,6 @@ object IcebergMaintenance {
     if (live.isEmpty) return current
 
     val newSeq = chain.map(_.sequenceNumber).max + 1
-    // keep field ids in rewritten files — evolved tables read by id
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val groups = live.groupBy(f => (f._1.specId, f._1.partitionValues))
       .toSeq.sortBy(_._1.toString)
     val rewritten = groups.zipWithIndex.flatMap {
@@ -161,8 +159,11 @@ object IcebergMaintenance {
         val nFiles = math.max(1,
           math.ceil(totalBytes.toDouble / targetBytes).toInt)
         val df = scanDataFiles(spark, table, fsOfPart.map(_._1.path), sid)
-        graft.operators.Layout.zorderLayout(df, aCol, bCol, nFiles)
-          .write.mode("overwrite").parquet(dir.toString)
+        // keep field ids in rewritten files — evolved tables read by id
+        IcebergSnapshot.withFieldIdWrite(spark) {
+          graft.operators.Layout.zorderLayout(df, aCol, bCol, nFiles)
+            .write.mode("overwrite").parquet(dir.toString)
+        }
         fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
           .sortBy(_.getPath.getName).flatMap { st =>
             val reader = org.apache.parquet.hadoop.ParquetFileReader.open(

@@ -1440,6 +1440,24 @@ object IcebergSnapshot {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Run `body` with `spark.sql.parquet.fieldId.write.enabled` forced
+    * on, restoring the session's prior setting after — rewritten files
+    * must keep their field ids (evolved tables read by id), but a
+    * LIBRARY write path must not leave a session-global flag flipped
+    * behind it (the conf is not honored as a per-write option, so
+    * save/restore is the only non-leaking way to scope it). */
+  private[sources] def withFieldIdWrite[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.fieldId.write.enabled"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The live data files of the current snapshot, with each file's
     * origin data sequence number (explicit on EXISTING/DELETED rows,
     * inherited from the manifest-list row on ADDED rows). Stats maps
@@ -1576,8 +1594,9 @@ object IcebergSnapshot {
         else one.sortWithinPartitions(
           sortCols.map(org.apache.spark.sql.functions.col): _*)
       // keep field ids in rewritten files — evolved tables read by id
-      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-      ordered.write.mode("overwrite").parquet(dir.toString)
+      withFieldIdWrite(spark) {
+        ordered.write.mode("overwrite").parquet(dir.toString)
+      }
       val st = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet")).head
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
       val (nRows, stats) =

@@ -510,6 +510,113 @@ object ScaleBench {
       "parts" -> parts.toDouble)
   }
 
+  /** COMPACTION scale probe — the r15 verdict's one weak mark, now
+    * measured: a wide delete (every partition touched) followed by
+    * [[graft.sources.IcebergDeletes.compactWithDeletes]] at 24 vs 240
+    * identity partitions over the SAME 200k rows. Claim: the REPLACE
+    * rewrite is ONE partitioned write — the Spark JOB count stays FLAT
+    * as the partition axis grows 10x (was: one serial
+    * read-filter-coalesce(1) job per partition tuple, each re-planning
+    * the delete-applied read); wall time is honestly linear in the
+    * FILES WRITTEN (one per partition — that floor is the layout, not
+    * the scheduler). */
+  private def compactionProbe(spark: SparkSession, parts: Int,
+      reps: Int): Map[String, Double] = {
+    val tdef = graft.parse.Db2Parser.parse(
+      """CREATE TABLE S.CMPROBE (
+        |  K BIGINT NOT NULL,
+        |  P BIGINT NOT NULL,
+        |  V DOUBLE
+        |) PARTITION BY RANGE (P);""".stripMargin).tables.head
+    def timedJobs(body: => Unit): (Double, Int) = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1200) // listener bus is async
+      spark.sparkContext.removeSparkListener(listener)
+      (sec, jobs.get())
+    }
+    val samples = (0 until reps).map { r =>
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_scale_cmp_${parts}_$r").getAbsolutePath
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new org.apache.hadoop.fs.Path(out).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      graft.api.SchemaTranslator.migrateTable(
+        spark.range(0, 200000).selectExpr(
+          "id AS K", s"id % $parts AS P", "id * 1.0 AS V"), tdef, out)
+      graft.api.SchemaTranslator.deleteWhere(spark, tdef, out,
+        col("K") % 3 === lit(0))
+      val (sec, jobs) = timedJobs {
+        graft.sources.IcebergDeletes.compactWithDeletes(spark, tdef, out)
+        ()
+      }
+      (sec, jobs)
+    }
+    Map("sec" -> samples.map(_._1).min,
+      "jobs" -> samples.map(_._2).min.toDouble,
+      "parts" -> parts.toDouble)
+  }
+
+  /** UPSERT COMMIT scale probe: the same 500k-key pure key-delete CDC
+    * commit ([[graft.sources.IcebergDeletes.commitUpsert]]) against a
+    * 1M-row table, twice — FORCED single delete file (the r15 shape:
+    * keys-per-file above the key count → one coalesced writer task) vs
+    * BUCKETED (keys-per-file 65536 → parallel writer tasks, capped at
+    * the cluster's parallelism). Claim: the bucketed write never
+    * funnels the key sort+write through one task (wall time ≤ the
+    * single-file commit) and hands readers bounded probe files
+    * (files > 1) — the multi-file read path is correctness-pinned in
+    * the maintenance/SPJ specs. */
+  private def upsertProbe(spark: SparkSession, reps: Int): Map[String, Double] = {
+    val tdef = graft.parse.Db2Parser.parse(
+      """CREATE TABLE S.UPPROBE (
+        |  K BIGINT NOT NULL,
+        |  V DOUBLE
+        |);""".stripMargin).tables.head
+    def fresh(tag: String, r: Int): String = {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_scale_ups_${tag}_$r").getAbsolutePath
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new org.apache.hadoop.fs.Path(out).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      graft.api.SchemaTranslator.migrateTable(
+        spark.range(0, 1000000).selectExpr("id AS K", "id * 1.0 AS V"),
+        tdef, out)
+      out
+    }
+    val keys = spark.range(0, 500000).selectExpr("id * 2 AS K")
+    def timedCommit(out: String, keysPerFile: String): (Double, Long) = {
+      spark.conf.set("graft.rowlevel.eq-delete-keys-per-file", keysPerFile)
+      try {
+        val t0 = System.nanoTime()
+        val snap = graft.sources.IcebergDeletes.commitUpsert(
+          spark, tdef, out, keys)
+        ((System.nanoTime() - t0) / 1e9, snap.addedDeleteFiles)
+      } finally spark.conf.unset("graft.rowlevel.eq-delete-keys-per-file")
+    }
+    val samples = (0 until reps).map { r =>
+      val (sSec, sFiles) = timedCommit(fresh("single", r), "1000000000")
+      val (bSec, bFiles) = timedCommit(fresh("bucketed", r), "65536")
+      (sSec, sFiles, bSec, bFiles)
+    }
+    Map("single_sec" -> samples.map(_._1).min,
+      "single_files" -> samples.map(_._2).min.toDouble,
+      "bucketed_sec" -> samples.map(_._3).min,
+      "bucketed_files" -> samples.map(_._4).min.toDouble,
+      "keys" -> 500000.0)
+  }
+
   /** Z-ORDER maintenance probe: the same data in two layouts — ARRIVAL
     * (files clustered by ingest order / column A, the shape appends
     * produce) and Z-ORDERED ([[graft.sources.IcebergMaintenance
@@ -696,6 +803,9 @@ object ScaleBench {
     val spj1 = spjProbe(spark, baseDir, factor = 10, reps)
     val rl01 = rowDeltaProbe(spark, parts = 24, reps)
     val rl1 = rowDeltaProbe(spark, parts = 240, reps)
+    val cmp01 = compactionProbe(spark, parts = 24, reps)
+    val cmp1 = compactionProbe(spark, parts = 240, reps)
+    val ups = upsertProbe(spark, reps)
     val (zaSec01, zzSec01, zaKept01, zzKept01, zLive01) =
       zorderProbe(spark, baseDir, factor = 1, reps)
     val (zaSec1, zzSec1, zaKept1, zzKept1, zLive1) =
@@ -744,6 +854,15 @@ object ScaleBench {
         Seq("narrow_sec", "narrow_jobs", "wide_sec", "wide_jobs",
           "parts").map { k =>
           f""""$k":[${rl01(k)}%.3f,${rl1(k)}%.3f]"""
+        }.mkString(",") + "}," +
+        s""""compaction":{"note":"wide delete then compactWithDeletes over the SAME 200k rows at 24 vs 240 identity partitions; JOB count must stay flat (the rewrite is ONE partitioned write — was one serial coalesce(1) job per partition tuple); wall time is honestly linear in files written (one per partition)",""" +
+        Seq("sec", "jobs", "parts").map { k =>
+          f""""$k":[${cmp01(k)}%.3f,${cmp1(k)}%.3f]"""
+        }.mkString(",") + "}," +
+        s""""upsert_commit":{"note":"500k-key pure key-delete commitUpsert against a 1M-row table: forced single delete file vs bucketed (keys-per-file 65536, capped at parallelism); bucketed must not be slower and must write >1 file — readers get bounded probe files instead of one monolith",""" +
+        Seq("single_sec", "single_files", "bucketed_sec",
+          "bucketed_files", "keys").map { k =>
+          f""""$k":${ups(k)}%.3f"""
         }.mkString(",") + "}," +
         s""""zorder":{"note":"same rows, arrival layout vs rewriteZorder(A,B), fixed 1/64 B-range predicate at 1x and 10x; kept/live audits the claim, aggregate equality asserted in-probe",""" +
         s""""files_live":[$zLive01,$zLive1],""" +

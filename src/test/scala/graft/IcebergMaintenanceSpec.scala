@@ -271,4 +271,103 @@ class IcebergMaintenanceSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet ===
       before.filter(r => r._3 >= 0 && r._3 <= 7).map(_._1))
   }
+
+  test("compactWithDeletes commits a P-partition table in O(1) Spark " +
+      "jobs — job count flat across 4× partition growth, one file per " +
+      "partition, read-back equal") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IcebergDeletes
+
+    def run(nParts: Int): (Int, Int) = {
+      val table = Db2Parser.parse(
+        s"""CREATE TABLE S.CMPJ$nParts (
+           |  K BIGINT NOT NULL,
+           |  V VARCHAR(10),
+           |  N INTEGER
+           |) PARTITION BY RANGE (V);""".stripMargin).tables.head
+      val out = java.nio.file.Files
+        .createTempDirectory(s"cmpjobs$nParts").toString
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("K", LongType, nullable = false),
+        StructField("V", StringType), StructField("N", IntegerType)))
+      SchemaTranslator.migrateTable(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize((1L to 400L).map(k =>
+            org.apache.spark.sql.Row(k, f"p${k % nParts}%03d",
+              (k * 7).toInt)), 4), schema),
+        table, out)
+      // a WIDE delete touching every partition — the shape whose
+      // compaction used to run one serial Spark job per partition
+      IcebergDeletes.commitPositionDeletes(spark, table, out,
+        col("K") % 5 === 0)
+      val expected = (1L to 400L).filterNot(_ % 5 == 0)
+        .map(k => k -> (k * 7).toInt).toMap
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try IcebergDeletes.compactWithDeletes(spark, table, out)
+      finally {
+        // listener events are queued — give the bus a beat to drain
+        // before reading the counter
+        Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      val after = IcebergSnapshot.readSnapshot(spark, out, table)
+      assert(after.select("K", "N").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        === expected, s"read-back mismatch at P=$nParts")
+      assert(after.inputFiles.length === nParts,
+        s"expected one rewritten file per partition at P=$nParts")
+      (jobs.get(), nParts)
+    }
+
+    val (jobs6, _) = run(6)
+    val (jobs24, _) = run(24)
+    assert(jobs6 <= 12, s"compaction at P=6 ran $jobs6 jobs — the " +
+      "rewrite must be ONE partitioned write, not per-partition jobs")
+    assert(jobs24 <= jobs6 + 1, s"job count must stay flat across " +
+      s"partition growth: P=6 ran $jobs6, P=24 ran $jobs24")
+  }
+
+  test("a large-key upsert writes BUCKETED equality delete files (>1), " +
+      "readers apply them exactly, and compaction folds them all away") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IcebergDeletes
+    val table = mkTable("EQMULTI")
+    val out = java.nio.file.Files.createTempDirectory("eqmulti").toString
+    SchemaTranslator.migrateTable(df(1L to 200L), table, out)
+    // 35 keys at 10 keys/file → ceil = 4 bucketed delete files
+    // (capped at local[4]'s parallelism)
+    spark.conf.set("graft.rowlevel.eq-delete-keys-per-file", "10")
+    try SchemaTranslator.mergeUpsert(
+      df(166L to 200L).withColumn("N", col("N") + 1000000),
+      table, out, keyCols = Seq("K"))
+    finally spark.conf.unset("graft.rowlevel.eq-delete-keys-per-file")
+    val eqFiles = IcebergInspect.filesTable(spark, out, table)
+      .filter(col("content") === 2)
+      .select("record_count").collect().map(_.getLong(0))
+    assert(eqFiles.length > 1,
+      s"expected multiple bucketed equality delete files, got " +
+        s"${eqFiles.length}")
+    assert(eqFiles.sum === 35L)
+    val afterUpsert = IcebergSnapshot.readSnapshot(spark, out, table)
+    val byK = afterUpsert.select("K", "N").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byK.size === 200)
+    assert((1L to 165L).forall(k => byK(k) === (k * 7).toInt) &&
+      (166L to 200L).forall(k => byK(k) === (k * 7).toInt + 1000000),
+      "multi-file equality deletes must kill exactly the old key rows")
+    // compaction consumes ALL the bucketed delete files in one pass
+    val compacted = IcebergDeletes.compactWithDeletes(spark, table, out)
+    assert(compacted.totalDeleteFiles === 0L)
+    assert(IcebergSnapshot.readSnapshot(spark, out, table)
+      .select("K", "N").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap === byK)
+  }
 }
