@@ -164,13 +164,24 @@ class SpjSpec extends AnyFunSuite {
     spark.sql("INSERT INTO graftspj.db.fact_e " +
       "SELECT id AS k, id * 4.0 AS ve FROM range(0, 400)")
     // the streaming-CDC table shape: an API upsert commits new data
-    // files + ONE GLOBAL equality delete file over the batch keys
+    // files + global equality delete files over the batch keys —
+    // forced here into MULTIPLE bucketed delete files (keys-per-file
+    // 1) so the scan proves it probes a partitioned delete set, not
+    // one monolith
     val path = s"$warehouse/db/fact_e"
     val conf = spark.sparkContext.hadoopConfiguration
     val tdef = graft.sources.IcebergTableLoader.load(path, conf)
-    graft.api.SchemaTranslator.mergeUpsert(
+    spark.conf.set("graft.rowlevel.eq-delete-keys-per-file", "1")
+    try graft.api.SchemaTranslator.mergeUpsert(
       spark.createDataFrame(Seq((250L, 99999.0), (401L, 40100.0)))
         .toDF("k", "ve"), tdef, path, keyCols = Seq("k"))
+    finally spark.conf.unset("graft.rowlevel.eq-delete-keys-per-file")
+    val (_, listRows) =
+      graft.sources.IcebergSnapshot.resolveSnapshot(path, tdef, None, conf)
+    assert(graft.sources.IcebergSnapshot.liveDeleteFiles(listRows, conf)
+      .count(_.content == 2) > 1,
+      "the forced keys-per-file=1 upsert must write >1 equality " +
+        "delete file — this leg exists to prove multi-file probing")
     val sql =
       """SELECT a.k, a.va, e.ve
         |FROM graftspj.db.fact_a a JOIN graftspj.db.fact_e e
@@ -229,6 +240,83 @@ class SpjSpec extends AnyFunSuite {
     assert(got.length === 400)
     assert(got.forall { case (k, va, vc) => va === k * 1.5 && vc === k * 3.0 })
     spark.sql("DROP TABLE graftspj.db.fact_c")
+  }
+
+  test("identity(region) layout joins shuffle-free: directory-encoded " +
+      "values serve as per-file constants from manifest metadata") {
+    spark.sql(
+      """CREATE TABLE graftspj.db.sales_i (
+        |  region STRING NOT NULL, amt DOUBLE
+        |) PARTITIONED BY (region)""".stripMargin)
+    spark.sql("INSERT INTO graftspj.db.sales_i " +
+      "SELECT concat('r', CAST(id % 8 AS STRING)) AS region, " +
+      "id * 1.0 AS amt FROM range(0, 400)")
+    spark.sql(
+      """CREATE TABLE graftspj.db.quota_i (
+        |  region STRING NOT NULL, quota DOUBLE
+        |) PARTITIONED BY (region)""".stripMargin)
+    spark.sql("INSERT INTO graftspj.db.quota_i " +
+      "SELECT concat('r', CAST(id AS STRING)) AS region, " +
+      "id * 100.0 AS quota FROM range(0, 8)")
+    val sql =
+      """SELECT s.region, s.amt, q.quota
+        |FROM graftspj.db.sales_i s JOIN graftspj.db.quota_i q
+        |ON s.region = q.region""".stripMargin
+    val df = spark.sql(sql)
+    assert(shuffleCount(df.queryExecution.executedPlan) === 0,
+      s"identity-partitioned join must plan shuffle-free:\n" +
+        s"${df.queryExecution.executedPlan}")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length === 400)
+    assert(got.forall { case (reg, amt, quota) =>
+      reg === s"r${amt.toLong % 8}" && quota === (amt.toLong % 8) * 100.0
+    }, "injected identity constants must carry the true region values")
+    // exact parity vs the general (exchanged) path
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    try {
+      val v1 = spark.sql(sql).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+      assert(got.sortBy(t => (t._1, t._2)).toSeq === v1.toSeq)
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // the identity column itself projects and filters correctly
+    // through the key-grouped scan (value injection, not file read)
+    assert(spark.sql("SELECT DISTINCT region FROM graftspj.db.sales_i")
+      .collect().map(_.getString(0)).sorted.toSeq ===
+      (0 until 8).map(i => s"r$i"))
+    assert(spark.sql("SELECT count(*) FROM graftspj.db.sales_i " +
+      "WHERE region = 'r3'").collect().head.getLong(0) === 50L)
+    spark.sql("DROP TABLE graftspj.db.sales_i")
+    spark.sql("DROP TABLE graftspj.db.quota_i")
+  }
+
+  test("compound (bucket(16,k), days(ts), region) fact layout still " +
+      "groups by the bucket ordinal, joins shuffle-free, and the " +
+      "identity column reads through per-file constants") {
+    spark.sql(
+      """CREATE TABLE graftspj.db.fact_ir (
+        |  k BIGINT NOT NULL, ts DATE, region STRING, vr DOUBLE
+        |) PARTITIONED BY (bucket(16, k), days(ts), region)""".stripMargin)
+    spark.sql("INSERT INTO graftspj.db.fact_ir " +
+      "SELECT id AS k, date_add(DATE'2024-01-01', CAST(id % 3 AS INT)) " +
+      "AS ts, concat('r', CAST(id % 2 AS STRING)) AS region, " +
+      "id * 5.0 AS vr FROM range(0, 400)")
+    val sql =
+      """SELECT a.k, a.va, f.vr, f.region
+        |FROM graftspj.db.fact_a a JOIN graftspj.db.fact_ir f
+        |ON a.k = f.k""".stripMargin
+    val df = spark.sql(sql)
+    assert(shuffleCount(df.queryExecution.executedPlan) === 0,
+      s"compound bucket+identity join must plan shuffle-free:\n" +
+        s"${df.queryExecution.executedPlan}")
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getString(3)))
+    assert(got.length === 400)
+    assert(got.forall { case (k, va, vr, reg) =>
+      va === k * 1.5 && vr === k * 5.0 && reg === s"r${k % 2}"
+    })
+    spark.sql("DROP TABLE graftspj.db.fact_ir")
   }
 
   test("SELECT bucket(16, k) through the catalog equals the writer's " +
