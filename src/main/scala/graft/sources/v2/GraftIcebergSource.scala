@@ -316,9 +316,24 @@ private[v2] class GraftIcebergTable(path: String, tdef: TableDef,
   override def schema(): StructType =
     graft.api.SchemaTranslator.toSparkSchema(tdef)
 
-  override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val base: Set[TableCapability] =
+      Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE)
+    // opt-in `MERGE ... WITH SCHEMA EVOLUTION`: with the conf on,
+    // Spark's own ResolveMergeIntoSchemaEvolution computes the
+    // ADD-ONLY column changes from the source schema and routes them
+    // through the catalog's alterTable before the merge resolves —
+    // the analyzer surface real lakehouse connectors use. The default
+    // stays a loud refusal (GraftRowLevelRewrite): silently mutating
+    // a table's schema from a DML statement is a wrongness risk a
+    // migration pipeline must choose explicitly. Changes beyond
+    // add-column refuse inside alterTable (flat, widen-only rules).
+    val auto = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.conf.get("graft.merge.schema-evolution", "false").toBoolean)
+    (if (auto) base + TableCapability.AUTOMATIC_SCHEMA_EVOLUTION
+     else base).asJava
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftIcebergScanBuilder(path, tdef, snapshotId, schema())

@@ -53,7 +53,9 @@ import graft.sources.{IcebergDeletes, IcebergSnapshot}
   * applies; rows no action claims stay untouched. `UPDATE SET` keeps
   * unassigned columns; `INSERT (cols)` null-fills unmentioned columns.
   * Refusals: WAP staging conf active (these faces commit to MAIN),
-  * time-travel targets, `WITH SCHEMA EVOLUTION`. */
+  * time-travel targets, `WITH SCHEMA EVOLUTION` unless
+  * `graft.merge.schema-evolution=true` (opt-in add-only auto-ALTER
+  * through the table's AUTOMATIC_SCHEMA_EVOLUTION capability). */
 object GraftRowLevelRewrite extends Rule[LogicalPlan] {
 
   private def graftTarget(plan: LogicalPlan)
@@ -122,9 +124,18 @@ object GraftRowLevelRewrite extends Rule[LogicalPlan] {
       graftTarget(m.targetTable).map { case (rel, tbl) =>
         require(tbl.timeTravelId0.isEmpty,
           "MERGE INTO a time-travel/ref read is not allowed")
-        require(!m.withSchemaEvolution,
-          "MERGE ... WITH SCHEMA EVOLUTION is not supported — evolve " +
-            "the table first (ALTER TABLE ... ADD COLUMN), then MERGE")
+        // with graft.merge.schema-evolution=true the analyzer already
+        // evolved the target (add-only) via the table's
+        // AUTOMATIC_SCHEMA_EVOLUTION capability before this rule ran;
+        // without the opt-in, refuse loudly rather than silently
+        // dropping the source's extra columns
+        require(!m.withSchemaEvolution ||
+          org.apache.spark.sql.SparkSession.active.conf
+            .get("graft.merge.schema-evolution", "false").toBoolean,
+          "MERGE ... WITH SCHEMA EVOLUTION is disabled — set " +
+            "graft.merge.schema-evolution=true to opt in to add-only " +
+            "auto-ALTER, or evolve the table first " +
+            "(ALTER TABLE ... ADD COLUMN), then MERGE")
         concrete(m.matchedActions, "matched")
         concrete(m.notMatchedActions, "not-matched")
         concrete(m.notMatchedBySourceActions, "not-matched-by-source")

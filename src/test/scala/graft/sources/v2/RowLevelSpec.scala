@@ -602,4 +602,47 @@ class RowLevelSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet === Set("main"))
     spark.sql("DROP TABLE graftrl.db.wapsql")
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION: refused by default; with the " +
+      "opt-in conf a new source column auto-ALTERs (add-only) and the " +
+      "merge writes it; old rows read NULL") {
+    spark.sql("CREATE TABLE graftrl.db.sev " +
+      "(k BIGINT NOT NULL, v STRING)")
+    spark.sql("INSERT INTO graftrl.db.sev VALUES (1,'a'),(2,'b')")
+    val mergeSql =
+      """MERGE WITH SCHEMA EVOLUTION INTO graftrl.db.sev t
+        |USING (SELECT 2L AS k, 'B' AS v, CAST(99.0 AS DOUBLE) AS extra
+        |       UNION ALL SELECT 3L, 'c', CAST(33.0 AS DOUBLE)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    // default: loud refusal, schema untouched
+    val ex = intercept[Exception](spark.sql(mergeSql))
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse("") + Option(t.getMessage).getOrElse("")
+    assert(rootMsg(ex).contains("graft.merge.schema-evolution"),
+      s"expected the opt-in refusal, got: ${rootMsg(ex)}")
+    assert(spark.table("graftrl.db.sev").columns.toSeq === Seq("k", "v"))
+
+    // opt-in: Spark's ResolveMergeIntoSchemaEvolution routes the
+    // add-only change through the catalog's alterTable, then the
+    // merge resolves against the evolved schema
+    spark.conf.set("graft.merge.schema-evolution", "true")
+    try spark.sql(mergeSql)
+    finally spark.conf.unset("graft.merge.schema-evolution")
+    val got = spark.sql(
+      "SELECT k, v, extra FROM graftrl.db.sev ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toSeq === Seq(
+      (1L, "a", None),          // untouched row null-fills the new column
+      (2L, "B", Some(99.0)),    // matched update carries it
+      (3L, "c", Some(33.0))))   // not-matched insert carries it
+    // the refusal is back once the conf is off (even when no column
+    // is actually new — the opt-in gates the SYNTAX, conservatively)
+    val ex2 = intercept[Exception](spark.sql(mergeSql))
+    assert(rootMsg(ex2).contains("graft.merge.schema-evolution"),
+      s"conf off again must refuse: ${rootMsg(ex2)}")
+    spark.sql("DROP TABLE graftrl.db.sev")
+  }
 }
