@@ -1389,6 +1389,81 @@ object PipelineQueries {
     }
   }
 
+  /** STORAGE-PARTITIONED JOIN over IDENTITY-partitioned layouts — the
+    * most common Iceberg table shape (r16): customers laid out by
+    * `identity(nationkey)` joined to an identity-partitioned nation
+    * dim on the partition column itself. Identity values are
+    * DIRECTORY-ENCODED (absent from file contents); the key-grouped
+    * scan re-injects them as per-file constants from manifest
+    * metadata, so the audit's `sum_keys` — computed FROM the injected
+    * column — fails the hash if injection ever returns wrong values,
+    * and `spj_ok` pins (a) zero exchanges, (b) both sides native
+    * batch scans. */
+  def q115SpjIdentityJoin(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graftspji_${Integer.toHexString(dir.hashCode)}"
+    val (wh, built) = amortizedIndexPath(s, dir, "iceberg_spj_ident",
+      p => new java.io.File(p, "_built_spji").isFile, table = "customer")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftIcebergCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    if (!built) {
+      t(s, dir, "customer").createOrReplaceTempView("customer_src_q115")
+      t(s, dir, "nation").createOrReplaceTempView("nation_src_q115")
+      s.sql(
+        s"""CREATE TABLE $cat.spji_c (
+           |  C_CUSTKEY BIGINT NOT NULL, NK BIGINT NOT NULL, ACCT DOUBLE
+           |) PARTITIONED BY (NK)""".stripMargin)
+      s.sql(
+        s"""INSERT INTO $cat.spji_c
+           |SELECT c_custkey, CAST(c_nationkey AS BIGINT), c_acctbal
+           |FROM customer_src_q115""".stripMargin)
+      s.sql(
+        s"""CREATE TABLE $cat.spji_n (
+           |  NK BIGINT NOT NULL, NNAME STRING
+           |) PARTITIONED BY (NK)""".stripMargin)
+      s.sql(
+        s"""INSERT INTO $cat.spji_n
+           |SELECT CAST(n_nationkey AS BIGINT), n_name
+           |FROM nation_src_q115""".stripMargin)
+      java.nio.file.Files.write(
+        new java.io.File(wh, "_built_spji").toPath, "1\n".getBytes("UTF-8"))
+      ()
+    }
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+    val prior = keys.map(k => k -> s.conf.getOption(k))
+    keys.zip(Seq("true", "true", "-1", "false")).foreach {
+      case (k, v) => s.conf.set(k, v)
+    }
+    try {
+      val join = s.sql(
+        s"""SELECT c.NK AS k, c.ACCT AS acct, n.NNAME AS nname
+           |FROM $cat.spji_c c JOIN $cat.spji_n n
+           |ON c.NK = n.NK""".stripMargin)
+      val plan = join.queryExecution.executedPlan
+      val spjOk = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.isEmpty && plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.size == 2
+      val row = join.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("k")).cast("bigint").as("sum_keys"),
+        round(sum(col("acct").cast("decimal(28,4)")).cast("double"), 2)
+          .as("sum_acct"),
+        sum(length(col("nname")).cast("bigint")).as("sum_name_len"))
+        .collect()(0)
+      import s.implicits._
+      Seq((row.getLong(0), row.getLong(1), row.getDouble(2),
+        row.getLong(3), spjOk))
+        .toDF("n_rows", "sum_keys", "sum_acct", "sum_name_len", "spj_ok")
+    } finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** SQL `UPDATE` under the hard oracle: a conditioned in-place
     * rewrite (k % 5 = 2 within one partition) commits one delta
     * snapshot; the read-back aggregate must equal DuckDB applying the
@@ -4062,6 +4137,25 @@ object PipelineQueries {
         |    AS DOUBLE), 2) AS sum_price,
         |  true AS spj_ok
         |FROM a JOIN b ON a.k = b.k""".stripMargin,
+    // identity-partitioned SPJ reconstructed relationally: sum_keys
+    // is computed FROM the directory-encoded (re-injected) identity
+    // column, so wrong constant injection flips the hash; the
+    // shuffle-free audit arrives as the Spark-side boolean
+    "q115_spj_identity_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nk,
+        |    c_acctbal AS acct
+        |  FROM customer),
+        |n AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name AS nname
+        |  FROM nation)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(c.nk) AS BIGINT) AS sum_keys,
+        |  round(CAST(sum(CAST(c.acct AS DECIMAL(28,4)))
+        |    AS DOUBLE), 2) AS sum_acct,
+        |  CAST(sum(length(n.nname)) AS BIGINT) AS sum_name_len,
+        |  true AS spj_ok
+        |FROM c JOIN n ON c.nk = n.nk""".stripMargin,
     // the partitions metadata table must equal DuckDB recomputing the
     // day() and truncate(2) transforms arithmetically from raw parquet
     "q110_partitions_meta" ->
@@ -4262,6 +4356,7 @@ object PipelineQueries {
     "q112_sql_update" -> (q112SqlUpdate _),
     "q113_spj_join" -> (q113SpjJoin _),
     "q114_spj_delete_join" -> (q114SpjDeleteJoin _),
+    "q115_spj_identity_join" -> (q115SpjIdentityJoin _),
     "q70c_clustered_dedup" -> (q70cClusteredDedup _),
     "q71_phrase_search" -> (q71PhraseSearch _),
     "q71_indexed" -> (q71PhraseSearchIndexed _),
