@@ -541,10 +541,12 @@ object IcebergDeletes {
     * file and delete file (original sequence numbers preserved, so
     * earlier snapshots still time-travel). This is the maintenance
     * operation that stops delete files accumulating on the read path.
-    * The rewrite preserves the partition layout (one file per
-    * partition tuple here; a production rewrite would also re-bin by
-    * target size — [[IcebergSnapshot.compactDataFiles]]'s binning
-    * applies once deletes are folded in). */
+    * The rewrite preserves the partition layout and runs as ONE
+    * partitioned Spark write regardless of partition count; a
+    * partition whose live bytes exceed
+    * `graft.compaction.target-file-bytes` (default 512 MB) hash
+    * sub-splits into parallel sorted files, so no partition ever
+    * funnels through a single task. */
   def compactWithDeletes(spark: SparkSession, table: TableDef,
       tablePath: String, timestampMs: Long = System.currentTimeMillis()): IcebergMetadata.SnapshotMeta = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -579,10 +581,24 @@ object IcebergDeletes {
     // a broadcast join against the manifest-derived tuple table on the
     // SAME surfaces the original writer produced (identity fields
     // compare on the restored string column, bucket fields recompute
-    // the spec transform), then repartition(__part) lands every
-    // ordinal in exactly one task and partitionBy writes ONE sorted
-    // file per ordinal — commitDeltaCore's own partitioned-write
-    // pattern, one layer up.
+    // the spec transform), then repartition lands every output file's
+    // rows in exactly one task and partitionBy writes them sorted —
+    // commitDeltaCore's own partitioned-write pattern, one layer up.
+    //
+    // Large partitions SUB-SPLIT to `graft.compaction.target-file-bytes`
+    // (default 512 MB, estimated from the tuple's live manifest bytes):
+    // a 100 GB partition rewrites as ~200 parallel tasks/files, each
+    // internally sorted — never one task. nSub=1 partitions keep the
+    // exact one-file layout.
+    val targetBytes = spark.conf
+      .get("graft.compaction.target-file-bytes",
+        (512L * 1024 * 1024).toString).toLong
+    val bytesOfTuple: Map[Seq[Option[Any]], Long] = liveData
+      .groupBy(_._1.partitionValues)
+      .map { case (t, fsz) => t -> fsz.map(_._1.sizeBytes).sum }
+    def nSubOf(tuple: Seq[Option[Any]]): Int = math.max(1, math.min(4096,
+      ((bytesOfTuple.getOrElse(tuple, 0L) + targetBytes - 1) /
+        math.max(1L, targetBytes)).toInt))
     val BucketN = """bucket\[(\d+)\]""".r
     def surface(tuple: Seq[Option[Any]], idx: Int): String = {
       val itype = pf(idx)._2
@@ -595,9 +611,11 @@ object IcebergDeletes {
     val sortCols = table.distributeByHash.toSeq
       .filter(table.columns.map(_.name).contains)
     val keepCols = net.columns.filterNot(identityCols.contains).toSeq
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
     val withPart =
-      if (pf.isEmpty) net.withColumn("__part",
-        org.apache.spark.sql.functions.lit(0))
+      if (pf.isEmpty)
+        net.withColumn("__part", lit(0))
+          .withColumn("__nsub", lit(nSubOf(Seq.empty)))
       else {
         val tupleExprs: Seq[Column] = pf.map {
           case (name, _, "identity") => col(name)
@@ -609,13 +627,14 @@ object IcebergDeletes {
           case ((_, _, tr), i) =>
             StructField(s"__u_$i",
               if (tr == "identity") StringType else IntegerType)
-        } :+ StructField("__part", IntegerType))
+        } ++ Seq(StructField("__part", IntegerType),
+          StructField("__nsub", IntegerType)))
         val tupleRows = partTuples.zipWithIndex.map { case (tuple, ord) =>
           Row.fromSeq(pf.indices.map { i =>
             if (pf(i)._3 == "identity") surface(tuple, i)
             else tuple(i).map(v =>
               Integer.valueOf(v.asInstanceOf[Number].intValue)).orNull
-          } :+ ord)
+          } ++ Seq(ord, nSubOf(tuple)))
         }
         val tuplesDf = spark.createDataFrame(
           spark.sparkContext.parallelize(tupleRows, 1), tupleSchema)
@@ -628,30 +647,38 @@ object IcebergDeletes {
       }
     // identity partition cols go back to directory encoding: drop them
     // from the file contents, like the original write did; the sort
-    // keeps each ordinal's block in the declared sort order
+    // keeps each output file in the declared sort order (hash
+    // sub-splitting preserves PER-FILE sort order, which is what the
+    // spec's per-file sort-order id claims — compactDataFiles' bins
+    // carry the same semantics)
     val base = new Path(tablePath, s"data/rewrite-$newSeq")
     withFieldIdWrite(spark) {
-      withPart.select((keepCols :+ "__part").map(col): _*)
-        .repartition(col("__part"))
-        .sortWithinPartitions(("__part" +: sortCols).map(col): _*)
-        .write.mode("overwrite").partitionBy("__part")
+      withPart.select(keepCols.map(col) ++ Seq(col("__part"),
+          pmod(xxhash64(keepCols.map(col): _*), col("__nsub"))
+            .cast("int").as("__sub")): _*)
+        .repartition(col("__part"), col("__sub"))
+        .sortWithinPartitions(
+          (Seq("__part", "__sub") ++ sortCols).map(col): _*)
+        .write.mode("overwrite").partitionBy("__part", "__sub")
         .parquet(base.toString)
     }
     val rewritten = partTuples.zipWithIndex.flatMap { case (tuple, ord) =>
-      val dir = new Path(base, s"__part=$ord")
-      // a partition whose every row was deleted simply writes no
-      // directory — nothing committed, nothing leaked on disk (the
-      // sixth randomized-lifecycle find demanded exactly this:
-      // Delete-all-of-a-partition → CompactWithDeletes must not
-      // manufacture the garbage the orphan sweep exists to clean)
-      if (!fs.exists(dir)) None
-      else {
-        val (p, len, n) = statAndCount(dir, fs, conf)
-        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-        val stats = try columnStats(reader, table) finally reader.close()
-        Some(DataFileInfo(p.toString, len, n, tuple,
-          valueCounts = stats._1, nullCounts = stats._2,
-          lowerBounds = stats._3, upperBounds = stats._4))
+      (0 until nSubOf(tuple)).flatMap { sub =>
+        val dir = new Path(base, s"__part=$ord/__sub=$sub")
+        // a partition (or hash sub-split) whose every row was deleted
+        // simply writes no directory — nothing committed, nothing
+        // leaked on disk (the sixth randomized-lifecycle find demanded
+        // exactly this: Delete-all-of-a-partition → CompactWithDeletes
+        // must not manufacture the garbage the orphan sweep cleans)
+        if (!fs.exists(dir)) None
+        else {
+          val (p, len, n) = statAndCount(dir, fs, conf)
+          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+          val stats = try columnStats(reader, table) finally reader.close()
+          Some(DataFileInfo(p.toString, len, n, tuple,
+            valueCounts = stats._1, nullCounts = stats._2,
+            lowerBounds = stats._3, upperBounds = stats._4))
+        }
       }
     }
 
@@ -780,8 +807,12 @@ object IcebergDeletes {
       // driver-side serialization the delete commit shed a round ago).
       // Every row's ordinal resolves via a broadcast join on the
       // computed tuple columns (null-safe — a null tuple value is a
-      // legitimate partition), then repartition(__part) + partitionBy
-      // writes ONE sorted file per ordinal in a single job.
+      // legitimate partition), then repartition + partitionBy writes
+      // sorted files in a single job. Large partitions sub-split to
+      // `graft.compaction.target-file-bytes` like the un-evolved path;
+      // the per-tuple size is estimated UNIFORMLY (total live bytes /
+      // tuple count — the default-spec tuples are new, so no manifest
+      // carries their exact sizes yet).
       //
       // Re-stamp EVERY written column with its declared field id (the
       // writeMigrated discipline): a column RESTORED from manifests —
@@ -796,10 +827,19 @@ object IcebergDeletes {
       val outCols = declared.fields.toSeq
         .filter(f => keptNames.contains(f.name))
         .map(f => col(f.name).cast(f.dataType).as(f.name, f.metadata))
+      val outNames = declared.fields.toSeq.map(_.name)
+        .filter(keptNames.contains)
+      import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+      val targetBytes = spark.conf
+        .get("graft.compaction.target-file-bytes",
+          (512L * 1024 * 1024).toString).toLong
+      val nSub: Int = math.max(1, math.min(4096,
+        ((liveData.map(_._1.sizeBytes).sum /
+          math.max(1, tuples.length) + targetBytes - 1) /
+          math.max(1L, targetBytes)).toInt))
       val withPart =
         if (tupleCols.isEmpty)
-          netP.select(outCols :+
-            org.apache.spark.sql.functions.lit(0).as("__part"): _*)
+          netP.select(outCols :+ lit(0).as("__part"): _*)
         else {
           val tSchema = StructType(tupleSel.schema.fields.toSeq.zipWithIndex
             .map { case (f, i) =>
@@ -821,27 +861,32 @@ object IcebergDeletes {
       val base = new Path(tablePath, s"data/rewrite-$newSeq")
       withFieldIdWrite(spark) {
         withPart
-          .repartition(col("__part"))
-          .sortWithinPartitions(("__part" +: sortCols).map(col): _*)
-          .write.mode("overwrite").partitionBy("__part")
+          .withColumn("__sub",
+            pmod(xxhash64(outNames.map(col): _*), lit(nSub)).cast("int"))
+          .repartition(col("__part"), col("__sub"))
+          .sortWithinPartitions(
+            (Seq("__part", "__sub") ++ sortCols).map(col): _*)
+          .write.mode("overwrite").partitionBy("__part", "__sub")
           .parquet(base.toString)
       }
       val rewritten = tuples.toSeq.zipWithIndex.flatMap { case (row, ord) =>
-        val dir = new Path(base, s"__part=$ord")
-        // tuples derive from net's own rows, so an ordinal with no
-        // directory should be impossible — skip it defensively rather
-        // than fail the whole rewrite listing a file that isn't there
-        if (!fs.exists(dir)) None
-        else {
-          val (p, len, n) = statAndCount(dir, fs, conf)
-          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-          val stats = try columnStats(reader, table) finally reader.close()
-          val tuple = pf.zipWithIndex.map { case ((_, itype, _), j) =>
-            Option(avroVal(itype, if (row.isNullAt(j)) null else row.get(j)))
+        (0 until nSub).flatMap { sub =>
+          val dir = new Path(base, s"__part=$ord/__sub=$sub")
+          // tuples derive from net's own rows, so an ordinal with no
+          // directory should be impossible (a hash sub-split CAN be
+          // empty) — skip rather than list a file that isn't there
+          if (!fs.exists(dir)) None
+          else {
+            val (p, len, n) = statAndCount(dir, fs, conf)
+            val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+            val stats = try columnStats(reader, table) finally reader.close()
+            val tuple = pf.zipWithIndex.map { case ((_, itype, _), j) =>
+              Option(avroVal(itype, if (row.isNullAt(j)) null else row.get(j)))
+            }
+            Some(DataFileInfo(p.toString, len, n, tuple,
+              valueCounts = stats._1, nullCounts = stats._2,
+              lowerBounds = stats._3, upperBounds = stats._4, specId = sid))
           }
-          Some(DataFileInfo(p.toString, len, n, tuple,
-            valueCounts = stats._1, nullCounts = stats._2,
-            lowerBounds = stats._3, upperBounds = stats._4, specId = sid))
         }
       }
 

@@ -161,14 +161,18 @@ private[v2] object GraftSpj {
         .get("graft.spj.max-eq-delete-rows", "1000000").toLong
       if (eqDels.map(_.recordCount).sum > maxRows) return None
       val nameOf = tdef.fieldIdOf.map(_.swap)
+      // a key column must be PHYSICAL in data files — this engine's
+      // upsert refuses dir-encoded identity keys, but a foreign
+      // writer's file must fall back, not throw
       val ok = eqDels.forall(_.equalityIds.nonEmpty) &&
         eqDels.flatMap(_.equalityIds).distinct.forall(id =>
           nameOf.get(id).exists(n =>
-            declared.fields.find(_.name == n).exists(_.dataType match {
-              case org.apache.spark.sql.types.FloatType |
-                   org.apache.spark.sql.types.DoubleType => false
-              case _ => true
-            })))
+            !dirEncoded.contains(n) &&
+              declared.fields.find(_.name == n).exists(_.dataType match {
+                case org.apache.spark.sql.types.FloatType |
+                     org.apache.spark.sql.types.DoubleType => false
+                case _ => true
+              })))
       if (!ok) return None
     }
     val live = IcebergSnapshot.liveFilesWithSeq(listRows, tdef, conf)

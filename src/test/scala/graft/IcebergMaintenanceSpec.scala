@@ -335,6 +335,39 @@ class IcebergMaintenanceSpec extends AnyFunSuite {
       s"partition growth: P=6 ran $jobs6, P=24 ran $jobs24")
   }
 
+  test("compaction SUB-SPLITS an oversized partition to the target " +
+      "file size — multiple parallel sorted files per partition, " +
+      "read-back equal, still one write job's worth of Spark jobs") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IcebergDeletes
+    val table = mkTable("CMPSUB")
+    val out = java.nio.file.Files.createTempDirectory("cmpsub").toString
+    SchemaTranslator.migrateTable(df(1L to 3000L), table, out)
+    IcebergDeletes.commitPositionDeletes(spark, table, out,
+      col("K") % 7 === 0)
+    val expected = (1L to 3000L).filterNot(_ % 7 == 0)
+      .map(k => k -> (k * 7).toInt).toMap
+    // tiny target → every partition's live bytes exceed it
+    spark.conf.set("graft.compaction.target-file-bytes", "4096")
+    val compacted =
+      try IcebergDeletes.compactWithDeletes(spark, table, out)
+      finally spark.conf.unset("graft.compaction.target-file-bytes")
+    assert(compacted.totalDeleteFiles === 0L)
+    val after = IcebergSnapshot.readSnapshot(spark, out, table)
+    // 3 partitions (V = p0/p1/p2), each sub-split into >1 file
+    assert(after.inputFiles.length > 3,
+      s"expected sub-split files, got ${after.inputFiles.length}")
+    assert(after.select("K", "N").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap === expected)
+    // a later append + second compaction still reads exactly
+    SchemaTranslator.appendIncrement(df(3001L to 3100L), table, out)
+    IcebergDeletes.commitPositionDeletes(spark, table, out,
+      col("K") === 3100L)
+    IcebergDeletes.compactWithDeletes(spark, table, out)
+    assert(IcebergSnapshot.readSnapshot(spark, out, table).count() ===
+      (expected.size + 99).toLong)
+  }
+
   test("a large-key upsert writes BUCKETED equality delete files (>1), " +
       "readers apply them exactly, and compaction folds them all away") {
     import org.apache.spark.sql.functions.col
