@@ -339,8 +339,15 @@ object Dedup {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .localCheckpoint()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Labels initialize to least(id, min neighbor) — EXACTLY the state
+    // one propagation round produces from the identity init, computed
+    // as a single aggregation over the symmetrized edge list (the same
+    // one shuffle the old `distinct` init paid) instead of a full
+    // join + checkpoint + count round. Every converged result is
+    // unchanged; the loop just starts one round further along.
+    var labels = edges.groupBy(col("a"))
+      .agg(min(col("b")).as("__nb"))
+      .select(col("a").as("id"), least(col("a"), col("__nb")).as("label"))
       .localCheckpoint()
     // The per-round checkpoints live in block storage OUTSIDE the
     // CacheManager (clearCache never frees them), so each superseded
@@ -619,30 +626,32 @@ object Dedup {
     * input document; docs shorter than `windowTokens` are never
     * dropped from (no window fits).
     *
-    * Scale shape: window generation is a scan-side generator; the
-    * duplicate count shuffles (gram, id) pairs — at 100 TB swap the
-    * group key for `xxhash64(gram)` (8-byte shuffle rows; identical
-    * output modulo 2⁻⁶⁴ collisions). Coverage explodes each DUP window
-    * into `windowTokens` (id, pos) rows — duplicated mass only, orders
-    * of magnitude under the corpus; the production variant would merge
-    * overlapping spans per doc before exploding. Reassembly is the
-    * same window-free `array_sort(collect_list)` as
+    * Scale shape: window generation is a scan-side generator — the
+    * native [[graft.functions.TokenWindowHashes]], so the duplicate
+    * count shuffles (window-hash, id) 8-byte pairs, never k-token
+    * window STRINGS (identical output modulo 2⁻⁶⁵ chained-XXH64
+    * collisions; the pre-hash HOF formulation also evaluated its
+    * window lambda interpreted per window). Coverage explodes each DUP
+    * window into `windowTokens` (id, pos) rows — duplicated mass only,
+    * orders of magnitude under the corpus; the production variant
+    * would merge overlapping spans per doc before exploding.
+    * Reassembly is the same window-free `array_sort(collect_list)` as
     * [[dropRepeatedChunks]]. */
   def dropDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 15, minDocs: Int = 2,
       tokenPersist: StorageLevel = StorageLevel.NONE): DataFrame = {
     require(windowTokens > 0 && minDocs >= 2, "need windowTokens > 0, minDocs >= 2")
     val toks0 = docs.select(col(idCol), Chunking.tokens(col(textCol)).as("__w"))
-    // two consumers (window generation, token explode) — persist knob
-    // with the same caller-owns-unpersist contract as dropRepeatedChunks
+    // two consumers (token explode, totals) — persist knob with the
+    // same caller-owns-unpersist contract as dropRepeatedChunks
     val toks =
       if (tokenPersist == StorageLevel.NONE) toks0 else toks0.persist(tokenPersist)
     val k = windowTokens
-    // stride-1 windows: 1-based start positions 1 .. n-k+1
-    val wins = toks.filter(size(col("__w")) >= k)
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(1), size(col("__w")) - (k - 1)),
-          i => concat_ws(" ", slice(col("__w"), i, lit(k))))).as(Seq("p0", "gram")))
+    // stride-1 windows: 1-based start positions 1 .. n-k+1, windows as
+    // 8-byte hashes straight off the scan (docs shorter than k tokens
+    // yield an empty array — no explicit length filter needed)
+    val wins = docs.select(col(idCol), posexplode(
+        graft.functions.TokenWindowHashes(col(textCol), k)).as(Seq("p0", "gram")))
       .select(col(idCol), (col("p0") + 1).as("start"), col("gram"))
     val dup = wins.groupBy(col("gram"))
       .agg(countDistinct(col(idCol)).as("__nd"))

@@ -388,21 +388,38 @@ object PipelineQueries {
     * Materialization: the DAG fans out from two expensive nodes — the
     * scrubbed corpus feeds dedup (agg + semi-join), the split, the
     * gram explode and the budget scorer, and the 13-gram explode feeds
-    * both decontaminate branches. Without a persist each consumer
-    * re-runs the whole interpreted-HOF scrub chain (measured 33 s at
-    * sf0.1; 6.5 s persisted). `level` follows the dropRepeatedChunks
-    * chunkPersist contract: MEMORY_AND_DISK for the registered query,
-    * NONE to keep every operator visible in one plan (PlanSpec pins
-    * the unpersisted variant; the persisted one differs only by cache
-    * boundaries). */
+    * both decontaminate branches. Without materialization each
+    * consumer re-runs the whole interpreted-HOF scrub chain (measured
+    * 33 s at sf0.1; 6.5 s materialized). The fan-out points
+    * localCheckpoint (see the r16 rationale inside [[q95Curation]]):
+    * persist kept the full child plan inside every InMemoryRelation
+    * reference and planning itself became the bottleneck. `level`
+    * keeps the dropRepeatedChunks-style knob shape: any non-NONE
+    * level materializes (checkpoint), NONE keeps every operator
+    * visible in one plan (PlanSpec pins that variant; the
+    * materialized one differs only by checkpoint boundaries). */
   def q95CurationPipeline(s: SparkSession, dir: String): DataFrame =
     q95Curation(s, dir, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private[graft] def q95Curation(s: SparkSession, dir: String,
       level: org.apache.spark.storage.StorageLevel): DataFrame = {
+    // Materialization at the fan-out points is localCheckpoint, not
+    // persist: a persist substitutes an InMemoryRelation but keeps the
+    // FULL child plan inside it, and with three fan-out points whose
+    // consumers re-reference each other the assembled q95 plan grew to
+    // 438 Exchange nodes / 4386 explain lines — the optimizer re-walked
+    // that tree on every AQE replan, measured as 4.5 s of driver gaps
+    // between this query's jobs (guide §3.3: enormous plans make
+    // planning itself the bottleneck; materialize to TRUNCATE).
+    // localCheckpoint cuts lineage, so each consumer's plan reads a
+    // LogicalRDD leaf (the after plan is ~30 Exchanges). Same
+    // recompute-avoidance as the old persist; blocks are swept by the
+    // bench/verify per-query hygiene like every other checkpoint here.
+    // Trade-off (the BudgetSelect/Quantiles precedent): lineage is
+    // gone, executor loss fails the query instead of recomputing.
     def mat(df: DataFrame): DataFrame =
       if (level == org.apache.spark.storage.StorageLevel.NONE) df
-      else df.persist(level)
+      else df.localCheckpoint()
     val docs = t(s, dir, "documents")
     // 1. quality gate on the raw text (q16's scorer, fixed threshold);
     //    two consumers (chunk learn, scrub) — materialize the slice
@@ -411,7 +428,7 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), col("text")))
     // 2. boilerplate scrub: chunk set learned ON the gated corpus.
     //    Materialized BEFORE the emptiness filter so the filter reads
-    //    cached rows instead of re-evaluating the scrub expression.
+    //    checkpointed rows instead of re-evaluating the scrub expression.
     val bp = Dedup.repeatedChunks(gated, "doc_id", "text",
       chunkTokens = 10, maxDocs = 1)
     val scrubbed = mat(Dedup.scrubChunks(gated, "text", 10, bp))
@@ -423,11 +440,15 @@ object PipelineQueries {
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     val deduped = scrubbed.join(keeper, Seq("doc_id"), "left_semi")
-    // 4. deterministic split + 13-gram decontaminate on cleaned text
+    // 4. deterministic split + 13-gram decontaminate on cleaned text.
+    //    Grams are native [[graft.functions.ShingleHashes]] 8-byte
+    //    hashes (q56's discipline): only membership feeds the flag, so
+    //    the result is unchanged while the gram shuffles never carry
+    //    13-token strings and window generation runs codegen'd.
     val split = Sampling.assignSplit(deduped, col("doc_id"),
       Seq("train" -> 0.9, "test" -> 0.1))
     val grams = mat(split.select(col("doc_id"), col("split"),
-      explode(TextFunctions.ngrams(words(col("text")), 13)).as("gram")))
+      explode(graft.functions.ShingleHashes(col("text"), 13)).as("gram")))
     val testGrams = grams.filter(col("split") === "test")
       .select("gram").distinct()
     val flagged = grams.filter(col("split") === "train")
@@ -773,7 +794,13 @@ object PipelineQueries {
     * attribution in one hash. Build amortized by fixture fingerprint;
     * scale shape: the diff is two snapshot reads + one exceptAll per
     * boundary, all shuffle-bounded by the table. */
-  def q101CdcChanges(s: SparkSession, dir: String): DataFrame = {
+  /** The shared CDC fixture of q101/q103: the orders 75% slice
+    * migrated into an Iceberg table plus one closed-form upsert batch,
+    * built at most once per fixture fingerprint. Returns (path, table
+    * def); building never runs a changes read — q103 shares the BUILD,
+    * not the q101 query. */
+  private def cdcFixture(s: SparkSession,
+      dir: String): (String, graft.model.TableDef) = {
     val tdef = graft.parse.Db2Parser.parse(
       """CREATE TABLE G.ORDERS_CDC (
         |  O_ORDERKEY BIGINT NOT NULL,
@@ -801,6 +828,11 @@ object PipelineQueries {
       java.nio.file.Files.write(done.toPath, "1\n".getBytes("UTF-8"))
       ()
     }
+    (path, tdef)
+  }
+
+  def q101CdcChanges(s: SparkSession, dir: String): DataFrame = {
+    val (path, tdef) = cdcFixture(s, dir)
     graft.sources.IcebergChanges.changesTable(s, path, tdef,
         fromSnapshotId = None)
       .groupBy(col("_change_type").as("change_type"))
@@ -819,17 +851,10 @@ object PipelineQueries {
     * the same DuckDB arithmetic the state-diff face matches. Shares
     * q101's migrated fixture. */
   def q103ChangesScan(s: SparkSession, dir: String): DataFrame = {
-    q101CdcChanges(s, dir).count() // ensure the shared fixture is built
-    val tdef = graft.parse.Db2Parser.parse(
-      """CREATE TABLE G.ORDERS_CDC (
-        |  O_ORDERKEY BIGINT NOT NULL,
-        |  O_CUSTKEY BIGINT,
-        |  O_ORDERSTATUS VARCHAR(1),
-        |  O_TOTALPRICE DOUBLE,
-        |  O_ORDERPRIORITY VARCHAR(20)
-        |);""".stripMargin).tables.head
-    val (path, _) = amortizedIndexPath(s, dir, "iceberg_cdc",
-      p => new java.io.File(p, "_built_cdc").isFile, table = "orders")
+    // shares q101's fixture BUILD only — it used to run the whole
+    // q101 state-diff read (two snapshot scans + exceptAll + agg) as
+    // its fixture guard, a full extra query per invocation
+    val (path, tdef) = cdcFixture(s, dir)
     graft.sources.IcebergChanges.incrementalChangesScan(s, path, tdef,
         fromSnapshotId = None)
       .groupBy(col("_change_type").as("change_type"))
@@ -1809,12 +1834,12 @@ object PipelineQueries {
   def q72Novelty(s: SparkSession, dir: String): DataFrame = {
     val k = 8
     val docs = t(s, dir, "documents")
-    val toks = docs.select(col("doc_id"),
-      graft.operators.Chunking.tokens(col("text")).as("__w"))
-    val wins = toks.filter(size(col("__w")) >= k)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(1), size(col("__w")) - (k - 1)),
-          i => concat_ws(" ", slice(col("__w"), i, lit(k))))).as("gram"))
+    // windows shuffle as native [[graft.functions.TokenWindowHashes]]
+    // 8-byte hashes (q69's discipline): only equality feeds the
+    // first-seen math, so the result is unchanged and the exchange
+    // never carries window text
+    val wins = docs.select(col("doc_id"), explode(
+      graft.functions.TokenWindowHashes(col("text"), k)).as("gram"))
     val firstSeen = wins.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
     val flagged = wins.join(firstSeen, "gram")
       .groupBy("doc_id")
@@ -1964,6 +1989,16 @@ object PipelineQueries {
     * is spec-pinned (Bm25Spec). */
   def q79Bm25(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // NOTE (r16): measured and deliberately left LAZY. Materializing
+    // the mined probes as a local relation (and/or persisting tf)
+    // cuts the redundant corpus passes the probe subtree's plan
+    // references pay — but those passes run CONCURRENTLY inside one
+    // job graph, while the collect serializes a full driver-blocking
+    // job ahead of the search: 1.21 s → 1.65 s (collect only) →
+    // 2.23 s (collect + tf persist) at sf0.1/32 cpus, 5-rep medians.
+    // The indexed faces (q79_bm25_indexed, q79_indexed_probe) DO
+    // collect their probes — there the mining source is the tiny df
+    // table, not the corpus.
     val probes = Bm25.minedQueries(docs, "doc_id", "text",
       nQueries = 3, termsPerQuery = 3)
     Bm25.search(docs, "doc_id", "text", probes, k = 10, linearIdf = true)
@@ -1987,11 +2022,23 @@ object PipelineQueries {
     // thousands at 100 TB; the layout shape is what the query pins)
     Bm25.writeIndex(docs, "doc_id", "text", idx, nBuckets = 16)
     // probes mined FROM the materialized df table — after the build,
-    // nothing in this query touches the corpus again
-    val probes = Bm25.minedQueriesFromDf(Bm25.dfTable(s, idx),
-      nQueries = 3, termsPerQuery = 3)
+    // nothing in this query touches the corpus again. Materialized as
+    // a LOCAL relation (≤ 9 rows, q79_bm25's rationale): the lazy
+    // subtree would re-read + re-rank the df table once per plan
+    // branch referencing `queries` (bucket list, contribution join,
+    // df restriction)
+    val probes = minedLocal(s, Bm25.minedQueriesFromDf(Bm25.dfTable(s, idx),
+      nQueries = 3, termsPerQuery = 3))
     Bm25.searchIndex(s, idx, probes, "doc_id", k = 10, linearIdf = true)
       .orderBy("q_id", "rk")
+  }
+
+  /** Collect a bounded (q_id, term) probe table to a local relation —
+    * ≤ nQueries·termsPerQuery rows, the broadcast-small contract. */
+  private def minedLocal(s: SparkSession, probes: DataFrame): DataFrame = {
+    import s.implicits._
+    probes.collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      .toDF("q_id", "term")
   }
 
   /** The AMORTIZED face of the BM25 index: probe-only timing over a
@@ -2008,8 +2055,9 @@ object PipelineQueries {
     if (!built)
       Bm25.writeIndex(t(s, dir, "documents"), "doc_id", "text", idx,
         nBuckets = 16)
-    val probes = Bm25.minedQueriesFromDf(Bm25.dfTable(s, idx),
-      nQueries = 3, termsPerQuery = 3)
+    // local probe relation — q79_bm25_indexed's rationale
+    val probes = minedLocal(s, Bm25.minedQueriesFromDf(Bm25.dfTable(s, idx),
+      nQueries = 3, termsPerQuery = 3))
     Bm25.searchIndex(s, idx, probes, "doc_id", k = 10, linearIdf = true)
       .orderBy("q_id", "rk")
   }
@@ -2078,14 +2126,17 @@ object PipelineQueries {
     * whole-prefix fingerprint only catches near-identical documents;
     * n-gram overlap catches partial inclusion). One explode per side,
     * the distinct test-gram set semi-joins the train grams, flagged
-    * ids roll up per lang. Production swaps string grams for
-    * [[graft.functions.ShingleHashes]] 8-byte hashes. */
+    * ids roll up per lang. Grams are the native
+    * [[graft.functions.ShingleHashes]] 8-byte hashes (the production
+    * shape): only membership feeds the flag, so the result is
+    * unchanged while the gram exchanges never carry 13-token strings
+    * and the window generation runs codegen'd instead of the
+    * interpreted transform/slice/concat_ws chain. */
   def q56NgramDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = Sampling.assignSplit(t(s, dir, "documents"), col("doc_id"),
         Seq("train" -> 0.9, "test" -> 0.1))
-      .withColumn("toks", words(col("text")))
     val grams = docs.select(col("doc_id"), col("lang"), col("split"),
-      explode(TextFunctions.ngrams(col("toks"), 13)).as("gram"))
+      explode(graft.functions.ShingleHashes(col("text"), 13)).as("gram"))
     val testGrams = grams.filter(col("split") === "test")
       .select("gram").distinct()
     val flaggedIds = grams.filter(col("split") === "train")

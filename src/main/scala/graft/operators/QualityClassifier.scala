@@ -161,17 +161,22 @@ object QualityClassifier {
     for (it <- 1 to iters) {
       val t0 = System.nanoTime()
       val warr = typedlit(w.toSeq)
+      // margin: the native codegen'd [[graft.functions.SparseWeightDot]]
+      // — bit-identical left-to-right fold of the old interpreted
+      // aggregate(zip_with(...)) lambda chain, which dominated the
+      // per-iteration task (one interpreted dispatch per (doc, feature)
+      // per iteration; guide §4). Gradient terms explode through
+      // arrays_zip (a plain expression) instead of an interpreted
+      // struct-building zip_with lambda — same rows, same order, same
+      // partial-agg sums.
       val withR = docMajor
-        .withColumn("m", aggregate(
-          zip_with(col("bs"), col("vs"),
-            (b, v) => v * coalesce(get(warr, b), lit(0.0))),
-          lit(0.0), (acc, x) => acc + x))
+        .withColumn("m",
+          graft.functions.SparseWeightDot(col("bs"), col("vs"), warr))
         .withColumn("r", (sigmoid(col("m")) - col("y")) / lit(n))
       val grad = withR
-        .select(explode(zip_with(col("bs"), col("vs"),
-          (b, v) => struct(b.as("b"), (v * col("r")).as("g")))).as("e"))
-        .groupBy(col("e.b").as("b"))
-        .agg(sum(col("e.g")).as("g"))
+        .select(col("r"), explode(arrays_zip(col("bs"), col("vs"))).as("e"))
+        .groupBy(col("e.bs").as("b"))
+        .agg(sum(col("e.vs") * col("r")).as("g"))
         .collect() // bounded: ≤ numBuckets rows, the broadcast-small contract
       if (grad.nonEmpty) {
         val maxB = grad.iterator.map(_.getInt(0)).max

@@ -58,6 +58,70 @@ object Search {
   private def bucketOf(token: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(token), lit(nBuckets.toLong)).cast("int")
 
+  /** All occurrences of EVERY phrase in the batch — (q_id, doc_id, pos
+    * of the phrase's first token) — in ONE join + ONE aggregation,
+    * replacing the per-phrase (m−1)-join chains the probe faces used
+    * to union (5 trigram phrases = 10 joins = 20+ exchanges; the
+    * assembled q92 plan carried 90). The textbook count-of-matched-
+    * offsets formulation: postings ⋈ the broadcast (q_id, token,
+    * offset) term table on token, every match normalized to its anchor
+    * `pos − offset`, then an anchor is an occurrence iff ALL of its
+    * phrase's offsets matched — postings are unique per (token, doc,
+    * pos), so each (q_id, offset) contributes at most one row per
+    * anchor and `count == phrase length` is exactly that test.
+    * Identical rows to [[phraseOccurrences]] per phrase (the m-way
+    * equi-join chain), with the whole batch's matching done in one
+    * map-side-aggregated shuffle of (q_id, doc, anchor) triples
+    * instead of m−1 shuffles per phrase. */
+  private[operators] def phraseOccurrencesBatch(post: DataFrame,
+      phrases: Seq[(Int, Seq[String])]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_._2.nonEmpty), "empty phrase")
+    val spark = post.sparkSession
+    import spark.implicits._
+    val terms = phrases.flatMap { case (q, p) =>
+      p.zipWithIndex.map { case (tk, i) => (q, tk, i) }
+    }.toDF("q_id", "token", "__off")
+    val need = phrases.map { case (q, p) => (q, p.length.toLong) }
+      .toDF("q_id", "__need")
+    post.join(broadcast(terms), Seq("token"))
+      .select(col("q_id"), col("doc_id"), (col("pos") - col("__off")).as("pos"))
+      .groupBy(col("q_id"), col("doc_id"), col("pos"))
+      .agg(count(lit(1)).as("__nm"))
+      .join(broadcast(need), Seq("q_id"))
+      .filter(col("__nm") === col("__need"))
+      .select(col("q_id"), col("doc_id"), col("pos"))
+  }
+
+  /** Per-phrase rollup of a batched occurrence table: one row per
+    * phrase in `qid` (phrase, n_docs, n_occurrences, sum_ids), with a
+    * no-occurrence phrase coming back as (phrase, 0, null, null) —
+    * exactly the row the old per-phrase global aggregate produced on
+    * an empty occurrence set. */
+  private def batchPhraseStats(occ: DataFrame, qid: DataFrame): DataFrame =
+    qid.join(
+        // right side of the left join broadcasts (≤ one row per phrase);
+        // the phrase-name side cannot (build-left outer joins are
+        // unsupported) and needs no hint — it is a local relation
+        broadcast(occ.groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("c"))
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(col("c")).cast("bigint").as("n_occurrences"),
+            sum(col("doc_id")).cast("bigint").as("sum_ids"))),
+        Seq("q_id"), "left")
+      .select(col("phrase"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        col("n_occurrences"), col("sum_ids"))
+
+  /** (q_id, tokens) batch + (q_id, phrase) local name table for a
+    * phrase list — the shared head of every batched probe face. */
+  private def phraseBatch(spark: SparkSession,
+      top: Seq[String]): (Seq[(Int, Seq[String])], DataFrame) = {
+    import spark.implicits._
+    val qs = top.zipWithIndex.map { case (p, i) =>
+      (i + 1, p, p.split(' ').filter(_.nonEmpty).toSeq) }
+    (qs.map { case (q, _, toks) => (q, toks) },
+      qs.map { case (q, p, _) => (q, p) }.toDF("q_id", "phrase"))
+  }
+
   /** Current committed version of the layout under `path` (0 = not an
     * index) — the [[VersionedIndex]] pointer shared with [[Bm25]]. */
   def currentVersion(spark: SparkSession, path: String): Int =
@@ -377,34 +441,17 @@ object Search {
       .limit(n).collect().map(_.getString(0)).toSeq
   }
 
-  /** Per-phrase rollup shared by the live and indexed top-phrase
-    * queries: (phrase, n_docs, n_occurrences, sum_ids). */
-  private def phraseStats(occ: DataFrame, p: String): DataFrame =
-    occ.groupBy("doc_id").agg(count(lit(1)).as("c"))
-      .agg(count(lit(1)).cast("bigint").as("n_docs"),
-        sum(col("c")).cast("bigint").as("n_occurrences"),
-        sum(col("doc_id")).cast("bigint").as("sum_ids"))
-      .select(lit(p).as("phrase"), col("n_docs"), col("n_occurrences"),
-        col("sum_ids"))
-
-  /** Mine the top-`n` trigram phrases and run each through the
-    * positional phrase search. The postings table is PERSISTED across
-    * the per-phrase loop (it used to be re-derived from raw text once
-    * per phrase — a corpus rescan per phrase, exactly what an index
-    * avoids; release rides the caller's per-query cache hygiene), and
-    * each phrase's joins order rarest-first by posting-list length
-    * (one bounded ≤ 3n-token length lookup). */
+  /** Mine the top-`n` trigram phrases and run the WHOLE batch through
+    * ONE [[phraseOccurrencesBatch]] pass over the postings (it used to
+    * be a persisted postings table re-joined (m−1)× per phrase plus a
+    * posting-length driver lookup for join ordering — the batch form
+    * reads postings once, needs no persist and no length collect). */
   def topPhraseStats(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5): DataFrame = {
     val top = topPhrases(docs, idCol, textCol, n)
-    val post = postings(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val toks = top.flatMap(_.split(' ')).distinct
-    val plen = post.filter(col("token").isin(toks: _*))
-      .groupBy("token").agg(count(lit(1)).as("n_occ"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    top.map(p => phraseStats(phraseOccurrences(post, p.split(' ').toSeq, plen), p))
-      .reduce(_ unionByName _)
+    val (batch, qid) = phraseBatch(docs.sparkSession, top)
+    batchPhraseStats(
+      phraseOccurrencesBatch(postings(docs, idCol, textCol), batch), qid)
   }
 
   /** [[topPhraseStats]] answered through a [[writeIndex]] layout:
@@ -421,62 +468,55 @@ object Search {
     phraseStatsProbe(spark, path, topPhrases(docs, idCol, textCol, n))
 
   /** ONE metadata pass for a whole phrase batch — the shared head of
-    * every batched probe: version, pruned+persisted postings working
-    * set, posting-length map. Driver materializations are bounded by
-    * the batch's tokens (≤ 3n bucket ids + length lookups). */
-  private def batchProbeState(spark: SparkSession, path: String,
-      top: Seq[String]): (DataFrame, Map[String, Long]) = {
-    import spark.implicits._
+    * every batched probe: version resolution plus the bucket-pruned
+    * postings scan restricted to the batch's tokens. Bucket ids come
+    * from [[VersionedIndex.bucketOfLocal]] (driver arithmetic,
+    * bit-identical to the plan-side fold the writers partitioned by) —
+    * the old tiny local-relation job and the posting-length lookup
+    * (join ordering — moot under [[phraseOccurrencesBatch]]) are both
+    * gone, two fewer driver round-trips per probe. */
+  private def batchProbePostings(spark: SparkSession, path: String,
+      top: Seq[String]): DataFrame = {
     val v = currentVersion(spark, path)
     require(v >= 1, s"no committed index under $path")
     val nBuckets = statsTable(spark, path, v)
       .select(col("n_buckets")).head().getInt(0)
-    val toks = top.flatMap(_.split(' ')).distinct
-    val buckets = toks.toDF("token")
-      .select(bucketOf(col("token"), nBuckets).as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val plen = dfTable(spark, path, v)
-      .filter(col("bucket").isin(buckets: _*))
-      .filter(col("token").isin(toks: _*))
-      .select(col("token"), col("n_occ"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // the phrase batch reads these postings 3× per phrase (one filter
-    // per token) — persist the PRUNED working set so the parquet decode
-    // happens once; this is index data bounded by the probe's tokens,
-    // not the corpus (release rides the caller's per-query hygiene)
+    val toks = top.flatMap(_.split(' ')).filter(_.nonEmpty).distinct
+    val buckets = toks.map(VersionedIndex.bucketOfLocal(_, nBuckets)).distinct
     val pruned = postingsTable(spark, path, v)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("token").isin(toks: _*))
       .select(col("token"), col("doc_id"), col("pos"))
-    val post = tombstonesTable(spark, path, v)
+    tombstonesTable(spark, path, v)
       .fold(pruned)(t => pruned.join(t, Seq("doc_id"), "left_anti"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (post, plen)
   }
 
   /** The fully corpus-free probe face: per-phrase occurrence stats for
     * a GIVEN phrase list over a [[writeIndex]] layout — nothing in the
     * plan touches any corpus table (PlanSpec-pinned via
-    * q71_indexed_probe). The phrase list is the caller's (mined at
-    * build time, read from a config, etc.). */
+    * q71_indexed_probe), and the whole batch matches in ONE
+    * [[phraseOccurrencesBatch]] pass over the bucket-pruned postings.
+    * The phrase list is the caller's (mined at build time, read from a
+    * config, etc.). */
   def phraseStatsProbe(spark: SparkSession, path: String,
       top: Seq[String]): DataFrame = {
-    val (post, plen) = batchProbeState(spark, path, top)
-    top.map(p => phraseStats(phraseOccurrences(post, p.split(' ').toSeq, plen), p))
-      .reduce(_ unionByName _)
+    val post = batchProbePostings(spark, path, top)
+    val (batch, qid) = phraseBatch(spark, top)
+    batchPhraseStats(phraseOccurrencesBatch(post, batch), qid)
   }
 
   /** The matching-DOCUMENT sets of a phrase batch, in one pass:
     * (phrase, doc_id) distinct rows over a [[writeIndex]] layout,
-    * corpus-free with the shared pruned-postings working set — the
+    * corpus-free over the shared bucket-pruned postings scan — the
     * retrieval half [[Bm25.phraseRankedSearch]] composes with BM25
     * ranking. */
   def phraseDocsProbe(spark: SparkSession, path: String,
       top: Seq[String]): DataFrame = {
-    val (post, plen) = batchProbeState(spark, path, top)
-    top.map { p =>
-      phraseOccurrences(post, p.split(' ').toSeq, plen)
-        .select(lit(p).as("phrase"), col("doc_id")).distinct()
-    }.reduce(_ unionByName _)
+    val post = batchProbePostings(spark, path, top)
+    val (batch, qid) = phraseBatch(spark, top)
+    phraseOccurrencesBatch(post, batch)
+      .select(col("q_id"), col("doc_id")).distinct()
+      .join(broadcast(qid), Seq("q_id"))
+      .select(col("phrase"), col("doc_id"))
   }
 }

@@ -24,6 +24,20 @@ private[operators] object VersionedIndex {
 
   val HintFile = "version-hint.text"
 
+  /** Driver-side bucket id of a term under the index layouts —
+    * bit-identical to the plan-side `pmod(xxhash64(term), nBuckets)`
+    * the index writers partition by (Catalyst's xxhash64 over a
+    * string is XXH64 of its UTF-8 bytes, seed 42), so probe faces can
+    * prune buckets with plain arithmetic instead of a local-relation
+    * Spark job per probe. Parity is spec-pinned (SearchSpec). */
+  def bucketOfLocal(term: String, nBuckets: Int): Int = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(term)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+    val n = nBuckets.toLong
+    (((h % n) + n) % n).toInt
+  }
+
   def fsOf(spark: SparkSession, path: String)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val p = new org.apache.hadoop.fs.Path(path)
