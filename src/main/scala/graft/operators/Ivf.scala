@@ -69,22 +69,32 @@ object Ivf {
     vNorm2 - lit(2.0) * dotNative(vec, cVec) + cNorm2
 
   /** Nearest-centroid id for every row of `vecs` (columns: id, vec,
-    * n2): broadcast the centroid table, min_by over (dist², cid). */
+    * n2): broadcast the centroid table, min_by over (dist², cid).
+    *
+    * n = 1 is the corpus-sized path (every Lloyd round, every assign)
+    * and runs as a PURE PROJECTION through the native
+    * [[graft.functions.NearestCentroid]] after collecting the
+    * driver-small centroid table (the declarative form had already
+    * collected it — `broadcast` — and then exploded the corpus
+    * nCentroids× into a full (id, vec, n2) shuffle per call;
+    * bit-identical argmin semantics are the expression's contract,
+    * pinned in OptimizedExprSpec against this formulation). n > 1 is
+    * the probe path over driver-small query tables and keeps the
+    * declarative window. */
   private def nearest(vecs: DataFrame, centroids: DataFrame, n: Int = 1): DataFrame = {
-    val scored = vecs.crossJoin(broadcast(centroids))
-      .select(col("id"), col("vec"), col("n2"), col("cid"),
-        dist2(col("vec"), col("n2"), col("c_vec"), col("c_n2")).as("d2"))
     if (n == 1) {
-      // argmin as a min-over-struct aggregate: partial aggregation runs
-      // map-side, so the shuffle carries one row per id instead of
-      // nCentroids rows per id that a window sort would move. (d2, cid)
-      // leads the struct so ordering matches the window's tie-break;
-      // cid is unique per id, so later fields never compare.
-      scored.groupBy("id")
-        .agg(min(struct(col("d2"), col("cid"), col("n2"), col("vec"))).as("m"))
-        .select(col("id"), col("m.vec").as("vec"), col("m.n2").as("n2"),
-          col("m.cid").as("cid"), lit(1).as("rk"))
+      val rows = centroids.select(col("cid"), col("c_vec"), col("c_n2"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+      vecs.select(col("id"), col("vec"), col("n2"),
+        graft.functions.NearestCentroid(col("vec"), rows.map(_._2),
+          rows.map(_._1), rows.map(_._3)).as("cid"),
+        lit(1).as("rk"))
     } else {
+      val scored = vecs.crossJoin(broadcast(centroids))
+        .select(col("id"), col("vec"), col("n2"), col("cid"),
+          dist2(col("vec"), col("n2"), col("c_vec"), col("c_n2")).as("d2"))
       val w = Window.partitionBy("id").orderBy(col("d2"), col("cid"))
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
         .select(col("id"), col("vec"), col("n2"), col("cid"), col("rk"))
@@ -133,11 +143,22 @@ object Ivf {
     val meanAgg = new VecMeanAgg
     var it = 0
     while (it < nIters) {
-      // Lloyd step: per-centroid vector mean via the bounded
-      // [[VecMeanAgg]] — each map task emits one (Σ, n) partial per
-      // centroid, so the shuffle carries O(centroids · dim) per task
-      // regardless of corpus size or embedding dimension.
-      val assigned = nearest(vecs, centroidsDF(spark, cents))
+      // Lloyd step: native scan-side assignment (no crossJoin
+      // explosion, no corpus shuffle — see [[nearest]]) + per-centroid
+      // vector mean via the bounded [[VecMeanAgg]] — each map task
+      // emits one (Σ, n) partial per centroid, so the shuffle carries
+      // O(centroids · dim) per task regardless of corpus size or
+      // embedding dimension. cn2 is the VectorDot fold (left-to-right
+      // Σc², the exact value centroidsDF's c_n2 column carries).
+      val cn2 = cents.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i) * c(i); i += 1 }
+        s
+      }
+      val assigned = vecs.select(
+        graft.functions.NearestCentroid(col("vec"), cents,
+          Array.tabulate(cents.length)(_ + 1), cn2).as("cid"),
+        col("vec"))
       val means = assigned
         .select(col("cid"),
           transform(col("vec"), x => x.cast("double")).as("v"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{SparseWeightDot, TokenWindowHashes}
+import graft.functions.{NearestCentroid, SparseWeightDot, TokenWindowHashes}
 
 /** Parity specs for the r16 optimization round's native expressions
   * and driver-side helpers: each one replaced an interpreted-HOF or
@@ -89,6 +89,50 @@ class OptimizedExprSpec extends AnyFunSuite {
     val bad = Seq((Seq(0, 1), Seq(1.0))).toDF("bs", "vs")
       .select(SparseWeightDot(col("bs"), col("vs"), warr).as("d")).collect()
     assert(bad.head.isNullAt(0))
+  }
+
+  test("NearestCentroid: identical to the declarative crossJoin + " +
+      "min(struct(d2, cid, ...)) argmin, including ties and short vectors") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.dotNative
+    // centroids engineered for ties: c1 == c3 exactly (tie -> lower
+    // cid), c2 close; float corpus vectors exercise the widen path;
+    // a short vector exercises the min-length dot contract.
+    val cents: Array[Array[Double]] = Array(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.5, -0.25),
+      Array(1.0, 0.0, 0.0, 0.0),   // duplicate of c1 -> always ties
+      Array(-1.0, 2.0, 0.125, 3.5))
+    val cids = Array(1, 2, 3, 4)
+    val cn2 = cents.map(_.map(x => x * x).sum)
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.5f, 0.5f, 0.5f, 0.5f)),
+      (3L, Seq(-0.1f, 2.1f, 0.13f, 3.4f)),
+      (4L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),    // equidistant from c1/c3
+      (5L, Seq(1.5f, -2.5f)),               // shorter than centroids
+      (6L, Seq(0.1f, 0.9f, 0.45f, -0.2f, 9.9f)) // longer than centroids
+    ).toDF("id", "vecf")
+      .select(col("id"), col("vecf").as("vec"),
+        dotNative(col("vecf"), col("vecf")).as("n2"))
+    // the ORIGINAL declarative formulation (pre-r16 Ivf.nearest n=1)
+    val centsDF = cents.zipWithIndex.map { case (v, i) => (i + 1, v.toSeq) }
+      .toSeq.toDF("cid", "c_vec")
+      .withColumn("c_n2", dotNative(col("c_vec"), col("c_vec")))
+    val declarative = corpus.crossJoin(broadcast(centsDF))
+      .select(col("id"), col("cid"),
+        (col("n2") - lit(2.0) * dotNative(col("vec"), col("c_vec")) +
+          col("c_n2")).as("d2"))
+      .groupBy("id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("id"), col("m.cid").as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val native = corpus
+      .select(col("id"), NearestCentroid(col("vec"), cents, cids, cn2).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(native === declarative)
+    // the duplicate-centroid ties must have resolved to cid 1, not 3
+    assert(native(1L) === 1 && native(4L) === 1)
   }
 
   test("VersionedIndex.bucketOfLocal: bit-identical to the plan-side " +
