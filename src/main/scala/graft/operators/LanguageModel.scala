@@ -28,45 +28,55 @@ object LanguageModel {
 
   /** Count tables per order plus the unigram total as a ONE-ROW
     * DataFrame (`__total`) — kept lazy/distributed so building a model
-    * triggers no driver action; it broadcasts into scoring plans. */
+    * triggers no driver action; it broadcasts into scoring plans.
+    *
+    * Count tables are keyed by the 8-byte chained-XXH64 window hash
+    * ([[graft.functions.TokenWindowHashes]]) of the gram, not the gram
+    * STRING: every consumer only ever joins grams for count lookups —
+    * gram text never reaches an output — so the key can be the hash
+    * (equal text ⇔ equal hash modulo 2⁻⁶⁵ collisions, the same
+    * contract q56/q69/q95 ride), which shrinks all three groupBy
+    * exchanges and every scoring-join key from multi-token strings to
+    * longs and replaces the interpreted transform/slice/concat_ws
+    * gram construction with one native generator per order. */
   final case class Model(uni: DataFrame, bi: DataFrame, tri: DataFrame,
       total: DataFrame)
 
-  /** Stride-1 n-gram texts over a token array (1-based slices). */
-  private def grams(toks: Column, n: Int): Column =
-    transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
-
   /** Train the order-1/2/3 count tables over `docs(textCol)`. One
     * shuffle per order; tokenization matches [[Chunking.tokens]] (the
-    * oracle-checkable whitespace split). */
+    * oracle-checkable whitespace split — TokenWindowHashes hashes the
+    * exact same token stream). */
   def train(docs: DataFrame, textCol: String): Model = {
-    val toks = docs.select(Chunking.tokens(col(textCol)).as("__w"))
-      .filter(size(col("__w")) > 0)
     def countTable(n: Int, cname: String): DataFrame =
-      toks.filter(size(col("__w")) >= n)
-        .select(explode(grams(col("__w"), n)).as("gram"))
+      docs.select(explode(
+          graft.functions.TokenWindowHashes(col(textCol), n)).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as(cname))
-    val total = toks.agg(sum(size(col("__w"))).cast("bigint").as("__total"))
+    val total = docs
+      .select(Chunking.tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) > 0)
+      .agg(sum(size(col("__w"))).cast("bigint").as("__total"))
     Model(countTable(1, "c1"), countTable(2, "c2"), countTable(3, "c3"), total)
   }
 
   /** One row per trigram-start position i (1-based, i = 1..n−2):
-    * target grams for each order, ready to join against count tables.
+    * target gram HASHES for each order, ready to join against count
+    * tables — all five keys are element_at lookups into the three
+    * native per-order window-hash arrays, indexed off one posexplode.
     * Docs with fewer than 3 tokens emit no rows (callers LEFT-join
     * totals back). */
   private def positions(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val w = col("__w")
-    docs.select(col(idCol), Chunking.tokens(col(textCol)).as("__w"))
-      .filter(size(w) >= 3)
-      .select(col(idCol), w, explode(sequence(lit(1), size(w) - 2)).as("i"))
-      .select(col(idCol), col("i"),
-        concat_ws(" ", slice(w, col("i"), lit(3))).as("tg"),
-        concat_ws(" ", slice(w, col("i") + 1, lit(2))).as("bg"),
-        element_at(w, col("i") + 2).as("ug"),
-        concat_ws(" ", slice(w, col("i"), lit(2))).as("ctx_bg"),
-        element_at(w, col("i") + 1).as("ctx_ug"))
+    docs.select(col(idCol),
+        graft.functions.TokenWindowHashes(col(textCol), 3).as("__h3"),
+        graft.functions.TokenWindowHashes(col(textCol), 2).as("__h2"),
+        graft.functions.TokenWindowHashes(col(textCol), 1).as("__h1"))
+      .select(col(idCol), col("__h2"), col("__h1"),
+        posexplode(col("__h3")).as(Seq("i0", "tg")))
+      .select(col(idCol), (col("i0") + 1).as("i"), col("tg"),
+        element_at(col("__h2"), col("i0") + 2).as("bg"),
+        element_at(col("__h1"), col("i0") + 3).as("ug"),
+        element_at(col("__h2"), col("i0") + 1).as("ctx_bg"),
+        element_at(col("__h1"), col("i0") + 2).as("ctx_ug"))
   }
 
   private def leftOn(base: DataFrame, table: DataFrame, key: String,
