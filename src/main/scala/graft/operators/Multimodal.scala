@@ -663,13 +663,28 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Spread a per-doc synthesis input across the cluster before a
+    * heavyweight per-row codec pass: the JPEG encode/decode costs
+    * orders of magnitude more per row than the (id, source) bytes it
+    * consumes, and the documents fixture often arrives as ONE scan
+    * partition (a single small parquet file), which would serialize
+    * every encode on one core while the rest idle. Deterministic hash
+    * repartition on doc_id (re-run tasks re-draw the same rows), sized
+    * by defaultParallelism so it adapts to the cluster rather than a
+    * local constant. Row placement never affects results — payloads
+    * are pure per-row functions of (id, source) and every consumer
+    * aggregates. */
+  private def spreadById(docs: DataFrame): DataFrame =
+    docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+
   /** Deterministic JPEG synthesis from the documents fixture: one RGB
     * JPEG per doc (w = 8 + id mod 9, h = 8 + id mod 7), pixels a
     * smooth id-seeded gradient (JPEG is lossy — smooth content keeps
     * the round-trip error small and the specs' bound meaningful). */
   def synthesizeJpegAssets(docs: DataFrame): Dataset[MediaAsset] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+    spreadById(docs.select(col("doc_id"), col("source"))).as[(Long, String)]
       .mapPartitions(_.map { case (id, source) =>
         val w = 8 + (id % 9).toInt
         val h = 8 + (id % 7).toInt
@@ -1677,7 +1692,7 @@ object Multimodal {
     * — BMP, PNG, QOI, or GIF. All four decode to identical RGBA. */
   def synthesizeGrayMixedAssets(docs: DataFrame): Dataset[MediaAsset] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+    spreadById(docs.select(col("doc_id"), col("source"))).as[(Long, String)]
       .mapPartitions(_.map { case (id, source) =>
         val w = 4 + (id % 11).toInt
         val h = 3 + (id % 5).toInt
@@ -1717,7 +1732,7 @@ object Multimodal {
       bandPct: Int): DataFrame = {
     import docs.sparkSession.implicits._
     require(dim > 0 && dim <= 256, "dim must be in 1..256")
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    spreadById(docs.select(col("doc_id"))).as[Long].mapPartitions(_.map { id =>
       val w = 24 + (id % 9).toInt
       val h = 16 + (id % 5).toInt
       val rgb = new Array[Byte](w * h * 3)
