@@ -56,20 +56,37 @@ object Bpe {
 
   /** Learn up to `nMerges` merges: Seq of (left, right) in rank order.
     * Stops early when no pair occurs at least `minCount` times. Each
-    * round runs one distributed pair-count job over the word table;
-    * only the single argmax row crosses the driver. */
+    * round runs ONE distributed pair-count job over the (checkpointed
+    * once) start-state word table with every merge learned so far
+    * re-applied in rank order inside the row function — greedy merges
+    * compose exactly that way (it is [[encode]]'s definition), so the
+    * counted state is identical to the old materialize-per-round form
+    * while the per-round localCheckpoint job (and its block churn) is
+    * gone: rounds cost one job each instead of two, and only the
+    * single argmax row ever crosses the driver. Re-applying i merges
+    * per round is symbol-array CPU on the word table — orders of
+    * magnitude under the corpus by step 1's collapse. */
   def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
       minCount: Long = 2L): Seq[(String, String)] = {
     require(nMerges >= 0, "nMerges must be >= 0")
-    val spark = docs.sparkSession
-    var tbl = wordTable(docs, textCol).localCheckpoint()
-    var prev: DataFrame = null
+    val tbl0 = wordTable(docs, textCol).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // ONE udf reused every round, merges arriving as a literal column:
+    // the generated code is textually identical across rounds (only
+    // the referenced literal changes), so codegen compiles once
+    // instead of once per round
+    val applyMerges = udf((syms: Seq[String], ms: Seq[Seq[String]]) => {
+      var s = syms
+      ms.foreach { m => s = greedyMerge(s, m(0), m(1)) }
+      s
+    })
     var rounds = 0
     while (rounds < nMerges) {
+      val sofar = merges.toList.map(p => Seq(p._1, p._2))
       // guard: a fully-merged word has one symbol, and Spark's
       // sequence(1, 0) counts DOWN — emit no pairs instead
-      val top = tbl
+      val top = tbl0
+        .withColumn("syms", applyMerges(col("syms"), typedlit(sofar)))
         .select(col("freq"), explode(
           when(size(col("syms")) >= 2,
             transform(sequence(lit(1), size(col("syms")) - 1),
@@ -82,18 +99,11 @@ object Bpe {
         .limit(1).collect()
       if (top.isEmpty || top.head.getLong(2) < minCount) rounds = nMerges
       else {
-        val (a, b) = (top.head.getString(0), top.head.getString(1))
-        merges += ((a, b))
-        val mergeOne = udf((syms: Seq[String]) => greedyMerge(syms, a, b))
-        val next = tbl.withColumn("syms", mergeOne(col("syms"))).localCheckpoint()
-        if (prev != null) CheckpointBridge.freeCheckpoint(prev)
-        prev = tbl
-        tbl = next
+        merges += ((top.head.getString(0), top.head.getString(1)))
         rounds += 1
       }
     }
-    if (prev != null) CheckpointBridge.freeCheckpoint(prev)
-    CheckpointBridge.freeCheckpoint(tbl)
+    CheckpointBridge.freeCheckpoint(tbl0)
     merges.toSeq
   }
 
