@@ -530,13 +530,21 @@ object Dedup {
     // jaccardPairs/minhashVerifiedPairs above. Caller owns unpersist.
     val chunked =
       if (chunkPersist == StorageLevel.NONE) chunked0 else chunked0.persist(chunkPersist)
-    val repeated = chunked.filter(col("chunk").isNotNull)
-      .groupBy(col("chunk"))
+    // the duplicate COUNT and the anti-join key only need chunk
+    // EQUALITY, never chunk text — key them on xxhash64(chunk) so the
+    // count's two exchanges and the broadcast dup set carry 8 bytes
+    // per chunk instead of k-token strings (equal text ⇔ equal hash
+    // modulo 2⁻⁶⁴ collisions — the q56/q69/q95 contract); the kept
+    // side keeps the string payload the rebuild needs
+    val chunkedH = chunked.filter(col("chunk").isNotNull)
+      .withColumn("__h", xxhash64(col("chunk")))
+    val repeated = chunkedH
+      .groupBy(col("__h"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") > maxDocs)
-      .select(col("chunk"))
-    val kept = chunked.filter(col("chunk").isNotNull)
-      .join(repeated, Seq("chunk"), "left_anti")
+      .select(col("__h"))
+    val kept = chunkedH
+      .join(repeated, Seq("__h"), "left_anti")
     val totals = chunked.groupBy(col(idCol))
       .agg(count(col("chunk")).as("n_chunks"))
     val rebuilt = kept.groupBy(col(idCol))

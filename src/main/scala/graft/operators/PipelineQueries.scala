@@ -1722,18 +1722,20 @@ object PipelineQueries {
     try {
       val exactIds = Similarity.semanticDedup(emb, threshold = 0.40)
         .select("vec_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val clustered = Similarity.semanticDedup(emb, threshold = 0.40,
-          nClusters = 8, nIters = 3)
-        val nVecs = emb.count()
-        val nExact = exactIds.count()
-        val violations = exactIds
-          .join(clustered.select("vec_id"), Seq("vec_id"), "left_anti")
-          .count()
-        Seq((nVecs, nExact, violations == 0L))
-          .toDF("n_vecs", "n_exact", "superset_ok")
-      } finally { exactIds.unpersist(false); () }
+      val clustered = Similarity.semanticDedup(emb, threshold = 0.40,
+        nClusters = 8, nIters = 3)
+      val nVecs = emb.count()
+      // ONE job for both invariant counts (n_exact and the anti-join
+      // violation count ride the same left join + aggregate), which
+      // also leaves exactIds single-consumer — no persist needed
+      val stats = exactIds
+        .join(clustered.select(col("vec_id"), lit(1).as("__hit")),
+          Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("violations"))
+        .head()
+      Seq((nVecs, stats.getLong(0), stats.getLong(1) == 0L))
+        .toDF("n_vecs", "n_exact", "superset_ok")
     } finally { emb.unpersist(false); () }
   }
 
