@@ -420,6 +420,12 @@ object PipelineQueries {
     def mat(df: DataFrame): DataFrame =
       if (level == org.apache.spark.storage.StorageLevel.NONE) df
       else df.localCheckpoint()
+    // NOTE (r16, measured): spreading the 1-partition fixture scan to
+    // defaultParallelism before the gate was A/B'd at 7 reps and came
+    // out NEUTRAL (6.89 vs 6.71 s median) — the pipeline's jobs
+    // already overlap on the scheduler, so wall-clock is the critical
+    // path + planning gaps, not the single-task scan stages. Reverted
+    // to keep the plan one exchange smaller.
     val docs = t(s, dir, "documents")
     // 1. quality gate on the raw text (q16's scorer, fixed threshold);
     //    two consumers (chunk learn, scrub) — materialize the slice
