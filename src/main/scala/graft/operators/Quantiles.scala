@@ -70,8 +70,17 @@ object Quantiles {
         when(col("bw") === 0.0, lit(0))
           .otherwise(least(floor((col("v") - col("vmin")) / col("bw")),
             lit((nBuckets - 1).toLong)).cast("int")))
-    // 2. histogram: one row per non-empty (group, bucket).
+    // 2. histogram: one row per non-empty (group, bucket) — ≤
+    // #groups·nBuckets rows, always tiny. Materialized like `stats`:
+    // downstream it feeds the cumulative window AND two broadcast
+    // subtrees (`tb`, `needed`), and broadcast subqueries execute as
+    // separate concurrent jobs that would each re-aggregate the full
+    // base scan (measured on q53: several overlapping 32-task jobs
+    // racing the same scan before any cache lands). With the
+    // checkpoint they all read one histogram-sized leaf and only the
+    // selection pass re-scans base.
     val hist = wb.groupBy("g", "bucket").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     // 3. cumulative counts over the histogram (histogram-sized data).
     val cum = hist
       .withColumn("cum_before", coalesce(sum("cnt").over(
