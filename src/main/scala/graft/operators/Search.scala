@@ -297,7 +297,8 @@ object Search {
     val spark = docs.sparkSession
     VersionedIndex.clearCrashedAttempt(spark, path, 1,
       Seq("postings", "tombstones"))
-    val post = postings(docs, idCol, textCol)
+    val post = postings(
+        VersionedIndex.spreadNarrowScan(docs, col(idCol)), idCol, textCol)
       .withColumn("bucket", bucketOf(col("token"), nBuckets))
       .persist()
     try {
