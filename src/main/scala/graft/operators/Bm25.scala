@@ -240,7 +240,7 @@ object Bm25 {
     // once) and stats fall out of doclen. Without the reuse, the four
     // write actions each re-tokenized the corpus (4× the dominant
     // cost; BASELINE.md r7).
-    val tf = VersionedIndex.spreadNarrowScan(docs, col(idCol))
+    val tf = docs
       .select(col(idCol),
         explode(filter(TextFunctions.words(col(textCol)),
           t => length(t) > 0)).as("term"))

@@ -297,8 +297,7 @@ object Search {
     val spark = docs.sparkSession
     VersionedIndex.clearCrashedAttempt(spark, path, 1,
       Seq("postings", "tombstones"))
-    val post = postings(
-        VersionedIndex.spreadNarrowScan(docs, col(idCol)), idCol, textCol)
+    val post = postings(docs, idCol, textCol)
       .withColumn("bucket", bucketOf(col("token"), nBuckets))
       .persist()
     try {

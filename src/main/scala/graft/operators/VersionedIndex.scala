@@ -24,25 +24,6 @@ private[operators] object VersionedIndex {
 
   val HintFile = "version-hint.text"
 
-  /** Spread a NARROW corpus scan before an index builder's tokenize
-    * pass: a single small parquet file scans as ONE partition, so the
-    * exploding tokenization (the build's dominant per-row cost) would
-    * serialize on one core while the rest idle (guide §2.5 input
-    * skew: repartition right after a low-parallelism read).
-    * CONDITIONAL so it stays scale-correct — when the scan already
-    * carries at least half the cluster's parallelism (the 100 TB
-    * case, where this shuffle would be pure overhead) it is the
-    * identity. Hash repartition on the id key: deterministic under
-    * task retries, and row placement never affects the index
-    * (postings/df/doclen are aggregates re-clustered by bucket before
-    * every write). */
-  def spreadNarrowScan(df: org.apache.spark.sql.DataFrame,
-      key: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    val have = df.rdd.getNumPartitions
-    if (have * 2 <= want) df.repartition(want, key) else df
-  }
-
   /** Driver-side bucket id of a term under the index layouts —
     * bit-identical to the plan-side `pmod(xxhash64(term), nBuckets)`
     * the index writers partition by (Catalyst's xxhash64 over a
